@@ -1,0 +1,88 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Batch convert pipeline — the Spark-native equivalent of the reference's
+  * Lambda handler path (reference `convert.go:41-95`, `main.go:152-219`):
+  * read gzip'd/plain flow-log text → parse/validate/cast → route into
+  * per-(account, dt) groups → write Snappy Parquet.
+  *
+  * Spark-first mapping (SURVEY.md §2.1):
+  *   - the reference's per-key writer fan-out `wmap` (`convert.go:42,57-67`)
+  *     is `DataFrameWriter.partitionBy("account","dt")` — FileFormatWriter
+  *     performs exactly that per-key writer fan-out inside each task, with
+  *     spill, so the plan is a narrow scan→project→write pipeline with NO
+  *     shuffle (scales linearly with input at 100 TB).
+  *   - Snappy + 128 MB row groups + dictionary encoding (`parquet.go:33-35`,
+  *     `flowlog.go:16-28`) are Spark's parquet defaults.
+  *   - Hive-style layout `account=…/dt=…` replaces the reference's
+  *     `logs/{account}/{yyyy}/{mm}/{dd}` path (`convert.go:29-31`);
+  *     semantics and pruning identical (SURVEY.md §7.4).
+  */
+object ConvertJob {
+
+  final case class ConvertStats(goodRows: Long, quarantinedRows: Long)
+
+  /** Read raw flow-log text (Hadoop's GzipCodec handles `.gz`
+    * transparently — the analog of rlogs' S3GzipLines, `convert.go:44-45`).
+    */
+  def readRaw(spark: SparkSession, inPath: String): DataFrame =
+    spark.read.text(inPath)
+
+  /** Full convert: text in → partitioned parquet out. Returns the parsed
+    * (pre-write) frame for further composition.
+    *
+    * @param quarantinePath side output for rejected lines (badRecordsPath
+    *        analog); None = drop silently like `main.go:77-83` swallows.
+    */
+  def convert(
+      spark: SparkSession,
+      inPath: String,
+      outPath: String,
+      quarantinePath: Option[String] = None,
+      mode: SaveMode = SaveMode.Append
+  ): ConvertStats = {
+    val parsed = FlowLogParser.parse(readRaw(spark, inPath))
+
+    val withKeys = FlowLogParser
+      .withPartitionKey(parsed.good)
+      .drop("ts") // data files carry the 14 columns only, like parquet.go
+
+    withKeys.write
+      .mode(mode)
+      .partitionBy(FlowLogSchema.partitionColumns: _*)
+      .parquet(outPath)
+
+    val quarantined = quarantinePath match {
+      case Some(qp) =>
+        val q = parsed.quarantined.cache()
+        val n = q.count()
+        if (n > 0) q.write.mode(SaveMode.Append).parquet(qp)
+        q.unpersist()
+        n
+      case None => 0L
+    }
+
+    val good = spark.read.parquet(outPath).count()
+    ConvertStats(good, quarantined)
+  }
+
+  /** Re-read the converted table, the way downstream queries see it
+    * (partition columns materialized from the path). Partition-column type
+    * inference would guess LongType for `account=123456789000` and DateType
+    * for `dt=…`; the reference's DDL declares both as string
+    * (`template.yml:122-126`), so normalize. The cast happens after
+    * partition pruning, so pruning on (account, dt) is unaffected.
+    */
+  def readConverted(spark: SparkSession, outPath: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, date_format}
+    import org.apache.spark.sql.types.{DateType, StringType}
+    val df = spark.read.parquet(outPath)
+    val dtNorm = df.schema("dt").dataType match {
+      case DateType => date_format(col("dt"), "yyyy-MM-dd")
+      case _        => col("dt").cast(StringType)
+    }
+    df.withColumn("account", col("account").cast(StringType))
+      .withColumn("dt", dtNorm)
+  }
+}
