@@ -1,0 +1,566 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The relational query inventory (SURVEY.md §2.4, Q1-Q23): the operator
+  * surface the reference exposes through its Athena table, re-expressed as
+  * Spark DataFrame plans. Each testdata query has a DuckDB oracle twin in
+  * [[oracleSql]]; the flowlog queries (q01-q04) run on the table produced
+  * by our own ETL from the reference samples and are checked by golden
+  * ScalaTests instead (no flowlogs table exists in the oracle's sfDir).
+  *
+  * Conventions for oracle parity:
+  *  - every output column aliased identically on both sides;
+  *  - deterministic ORDER BY on a full key;
+  *  - DOUBLE aggregates wrapped in round(x, 2) (4 for cosines);
+  *  - DuckDB integer SUMs cast to BIGINT (DuckDB widens to HUGEINT);
+  *  - no division that can hit zero without a nullif guard (ANSI-safe).
+  */
+object Relational {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.table(s, dir, name)
+
+  private def r2(c: Column): Column = round(c, 2)
+
+  // ---------------------------------------------------------------- q01-q04
+  // Flow queries over our own converted table (SURVEY §2.4 Q1-Q4).
+
+  private def q01(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .flowlogs(s)
+      .filter(col("action") === "ACCEPT")
+      .select(col("srcaddr"), col("dstaddr"), col("bytes"))
+      .orderBy("srcaddr", "dstaddr", "bytes")
+
+  private def q02(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .flowlogs(s)
+      .groupBy(col("srcaddr"))
+      .agg(
+        sum(col("bytes")).as("sum_bytes"),
+        sum(col("packets")).as("sum_packets"),
+        count(lit(1)).as("cnt")
+      )
+      .orderBy("srcaddr")
+
+  private def q03(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .flowlogs(s)
+      .groupBy(col("dstaddr"))
+      .agg(sum(col("bytes")).as("sum_bytes"))
+      .orderBy(desc("sum_bytes"), col("dstaddr"))
+      .limit(10)
+
+  private def q04(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .flowlogs(s)
+      .groupBy(col("dt"), col("account"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("dt", "account")
+
+  // ---------------------------------------------------------------- q05-q10
+  // Joins.
+
+  /** Inner equi join orders ⋈ customer, grouped by market segment. */
+  private def q05(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("order_cnt"),
+        r2(sum(col("o_totalprice"))).as("revenue")
+      )
+      .orderBy("c_mktsegment")
+
+  /** Small-dimension broadcast join lineitem ⋈ part (2k rows → broadcast),
+    * aggregated by brand. The explicit broadcast() hint pins the plan the
+    * optimizer should pick at any scale: part stays far below the
+    * broadcast threshold while lineitem grows with SF.
+    */
+  private def q06(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .join(
+        broadcast(t(s, dir, "part")),
+        col("l_partkey") === col("p_partkey")
+      )
+      .groupBy(col("p_brand"))
+      .agg(
+        r2(sum(col("l_quantity"))).as("sum_qty"),
+        r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .as("revenue"),
+        count(lit(1)).as("cnt")
+      )
+      .orderBy("p_brand")
+
+  /** Multi-way join, TPC-H Q5 shape: lineitem ⋈ orders ⋈ customer ⋈
+    * supplier ⋈ nation ⋈ region with a region filter and a date range.
+    * nation/region are broadcast; the fact-side joins shuffle on their keys.
+    */
+  private def q07(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(
+        t(s, dir, "supplier"),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey")
+      )
+      .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .filter(
+        col("r_name") === "ASIA" &&
+          col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp")
+      )
+      .groupBy(col("n_name"))
+      .agg(r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
+      .orderBy(desc("revenue"), col("n_name"))
+
+  /** Left outer join + null-tolerant COUNT(column). */
+  private def q08(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(
+        t(s, dir, "orders"),
+        col("c_custkey") === col("o_custkey"),
+        "left_outer"
+      )
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("order_cnt"))
+      .orderBy("c_custkey")
+
+  /** Left semi / left anti (EXISTS / NOT EXISTS). */
+  private def q09(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders")
+    val withOrders = c
+      .join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("op", lit("with_orders"))
+    val withoutOrders = c
+      .join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("op", lit("without_orders"))
+    withOrders.union(withoutOrders).select("op", "cnt").orderBy("op")
+  }
+
+  /** Non-equi (range) self join on events, keys bounded by user_id: pairs
+    * of events of the same user within 1 hour and a ±0.5 value band. The
+    * equi part (user_id) keeps this a shuffled equi-join with the range
+    * residual as join condition — no cartesian product at any scale.
+    */
+  private def q10(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    val a = e.select(
+      col("user_id"),
+      col("event_id").as("a_id"),
+      col("ts").as("a_ts"),
+      col("value").as("a_value")
+    )
+    val b = e.select(
+      col("user_id"),
+      col("event_id").as("b_id"),
+      col("ts").as("b_ts"),
+      col("value").as("b_value")
+    )
+    a.join(
+      b,
+      Seq("user_id")
+    ).filter(
+      col("a_id") < col("b_id") &&
+        col("b_ts") >= col("a_ts") &&
+        col("b_ts") <= col("a_ts") + expr("INTERVAL 1 HOUR") &&
+        abs(col("a_value") - col("b_value")) < lit(5.0)
+    ).groupBy(col("user_id"))
+      .agg(count(lit(1)).as("pair_cnt"))
+      .orderBy("user_id")
+  }
+
+  // ---------------------------------------------------------------- q11-q16
+  // Aggregation shapes + set ops.
+
+  /** TPC-H Q1 shape: wide aggregate + HAVING. */
+  private def q11(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        r2(sum(col("l_quantity"))).as("sum_qty"),
+        r2(sum(col("l_extendedprice"))).as("sum_base_price"),
+        r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .as("sum_disc_price"),
+        r2(
+          sum(
+            col("l_extendedprice") * (lit(1) - col("l_discount")) *
+              (lit(1) + col("l_tax"))
+          )
+        ).as("sum_charge"),
+        r2(avg(col("l_quantity"))).as("avg_qty"),
+        r2(avg(col("l_extendedprice"))).as("avg_price"),
+        r2(avg(col("l_discount"))).as("avg_disc"),
+        count(lit(1)).as("count_order")
+      )
+      .filter(col("count_order") > 100)
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Exact distinct aggregation (the approx variant is q12b, no oracle). */
+  private def q12(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("users"))
+      .orderBy("event_type")
+
+  /** approx_count_distinct (HLL++) — not SQL-oracle-expressible; checked
+    * in ScalaTest against the exact count within 5% rtol.
+    */
+  private def q12b(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+      .orderBy("event_type")
+
+  /** ROLLUP over region → nation (Expand operator). */
+  private def q13(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(
+        broadcast(t(s, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey")
+      )
+      .join(
+        broadcast(t(s, dir, "region")),
+        col("n_regionkey") === col("r_regionkey")
+      )
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("cnt"), r2(sum(col("c_acctbal"))).as("bal"))
+      .orderBy(asc_nulls_first("r_name"), asc_nulls_first("n_name"))
+
+  /** Ranking window: latest order per customer via row_number()=1. */
+  private def q14(s: SparkSession, dir: String): DataFrame = {
+    val w = Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(desc("o_orderdate"), desc("o_orderkey"))
+    t(s, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(
+        col("o_custkey"),
+        col("o_orderkey"),
+        col("o_orderdate"),
+        r2(col("o_totalprice")).as("price")
+      )
+      .orderBy("o_custkey")
+  }
+
+  /** Analytic window + frame: lag and a 4-row running sum per user. */
+  private def q15(s: SparkSession, dir: String): DataFrame = {
+    val w = Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    t(s, dir, "events")
+      .select(
+        col("event_id"),
+        col("user_id"),
+        r2(col("value")).as("value"),
+        r2(lag(col("value"), 1).over(w)).as("prev_value"),
+        r2(sum(col("value")).over(w.rowsBetween(-3, 0))).as("run_sum")
+      )
+      .orderBy("event_id")
+  }
+
+  /** Set ops: UNION / INTERSECT / EXCEPT between event-type user sets. */
+  private def q16(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    def users(tp: String): DataFrame =
+      e.filter(col("event_type") === tp).select(col("user_id")).distinct()
+    val clicks = users("click")
+    val purchases = users("purchase")
+    def counted(df: DataFrame, op: String): DataFrame =
+      df.agg(count(lit(1)).as("cnt")).withColumn("op", lit(op))
+    counted(clicks.union(purchases).distinct(), "union")
+      .union(counted(clicks.intersect(purchases), "intersect"))
+      .union(counted(clicks.except(purchases), "except"))
+      .select("op", "cnt")
+      .orderBy("op")
+  }
+
+  // ---------------------------------------------------------------- q17-q23
+  // Scalar-function surface + windows in time.
+
+  /** String functions over part. */
+  private def q17(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .select(
+        col("p_partkey"),
+        regexp_extract(col("p_name"), "^(\\w+)", 1).as("first_word"),
+        upper(col("p_brand")).as("brand_uc"),
+        substring(col("p_type"), 1, 4).as("type_pfx"),
+        concat_ws("#", col("p_brand"), col("p_type")).as("tag"),
+        length(col("p_name")).as("name_len")
+      )
+      .orderBy("p_partkey")
+
+  /** Date functions: weekly buckets of events. */
+  private def q18(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(to_date(date_trunc("week", col("ts"))).as("wk"))
+      .agg(count(lit(1)).as("cnt"), r2(sum(col("value"))).as("sum_value"))
+      .orderBy("wk")
+
+  /** JSON: from_json over events.props. */
+  private def q19(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .withColumn(
+        "k",
+        from_json(
+          col("props"),
+          org.apache.spark.sql.types.DataType.fromDDL("map<string,int>")
+        ).getItem("k")
+      )
+      .groupBy(col("event_type"))
+      .agg(
+        r2(avg(col("k"))).as("avg_k"),
+        max(col("k")).as("max_k"),
+        count(col("k")).as("n")
+      )
+      .orderBy("event_type")
+
+  /** Array HOFs: cosine similarity between deterministic embedding pairs
+    * (vb = va + 17) via zip_with + aggregate — stays inside codegen.
+    */
+  private def q20(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val a = e.select(col("vec_id").as("va"), col("embedding").as("ea"))
+    val b = e.select(col("vec_id").as("vb"), col("embedding").as("eb"))
+    val dot = aggregate(
+      zip_with(col("ea"), col("eb"), (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, x) => acc + x
+    )
+    def norm(c: Column): Column = sqrt(
+      aggregate(
+        transform(c, x => x.cast("double") * x.cast("double")),
+        lit(0.0),
+        (acc, x) => acc + x
+      )
+    )
+    a.join(b, col("vb") === col("va") + 17)
+      .select(
+        col("va"),
+        col("vb"),
+        round(dot / (norm(col("ea")) * norm(col("eb"))), 4).as("cos_sim")
+      )
+      .orderBy("va")
+  }
+
+  /** Correlated scalar subquery (Catalyst decorrelation): orders 25% above
+    * their customer's average. Uses SQL to exercise the subquery path.
+    */
+  private def q21(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("graft_orders")
+    s.sql("""
+      SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
+      FROM graft_orders o
+      WHERE o_totalprice > (SELECT 1.25 * avg(o_totalprice)
+                            FROM graft_orders o2
+                            WHERE o2.o_custkey = o.o_custkey)
+      ORDER BY o_orderkey
+    """)
+  }
+
+  /** Tumbling event-time window (batch window()). */
+  private def q22(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(window(col("ts"), "10 minutes"))
+      .agg(count(lit(1)).as("cnt"), r2(sum(col("value"))).as("sum_value"))
+      .select(col("window.start").as("win_start"), col("cnt"), col("sum_value"))
+      .orderBy("win_start")
+
+  /** Session window (30-minute gap) per user. */
+  private def q23(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(
+        col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("cnt")
+      )
+      .orderBy("user_id", "session_start")
+
+  // ------------------------------------------------------------------ maps
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_flow_filter_sort" -> q01,
+    "q02_flow_top_talkers" -> q02,
+    "q03_flow_topk" -> q03,
+    "q04_flow_partitions" -> q04,
+    "q05_join_inner" -> q05,
+    "q06_join_broadcast" -> q06,
+    "q07_join_multiway" -> q07,
+    "q08_join_left_outer" -> q08,
+    "q09_join_semi_anti" -> q09,
+    "q10_join_range" -> q10,
+    "q11_agg_having" -> q11,
+    "q12_distinct_agg" -> q12,
+    "q12b_approx_distinct" -> q12b,
+    "q13_rollup" -> q13,
+    "q14_window_rank" -> q14,
+    "q15_window_analytic" -> q15,
+    "q16_set_ops" -> q16,
+    "q17_string_fns" -> q17,
+    "q18_date_fns" -> q18,
+    "q19_json_fns" -> q19,
+    "q20_array_cosine" -> q20,
+    "q21_correlated_subquery" -> q21,
+    "q22_tumbling_window" -> q22,
+    "q23_session_window" -> q23
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q05_join_inner" ->
+      """SELECT c_mktsegment, count(*) AS order_cnt, round(sum(o_totalprice), 2) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q06_join_broadcast" ->
+      """SELECT p_brand, round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  count(*) AS cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q07_join_multiway" ->
+      """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    "q08_join_left_outer" ->
+      """SELECT c_custkey, count(o_orderkey) AS order_cnt
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+    "q09_join_semi_anti" ->
+      """SELECT 'with_orders' AS op, count(*) AS cnt FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |UNION ALL
+        |SELECT 'without_orders' AS op, count(*) AS cnt FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY op""".stripMargin,
+    "q10_join_range" ->
+      """SELECT a.user_id, count(*) AS pair_cnt
+        |FROM events a JOIN events b ON a.user_id = b.user_id
+        |WHERE a.event_id < b.event_id
+        |  AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+        |  AND abs(a.value - b.value) < 5.0
+        |GROUP BY a.user_id ORDER BY a.user_id""".stripMargin,
+    "q11_agg_having" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+        |  round(avg(l_quantity), 2) AS avg_qty,
+        |  round(avg(l_extendedprice), 2) AS avg_price,
+        |  round(avg(l_discount), 2) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |HAVING count(*) > 100
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q12_distinct_agg" ->
+      """SELECT event_type, count(DISTINCT user_id) AS users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q13_rollup" ->
+      """SELECT r_name, n_name, count(*) AS cnt, round(sum(c_acctbal), 2) AS bal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin,
+    "q14_window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate, round(o_totalprice, 2) AS price
+        |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+        |        ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |      FROM orders) x
+        |WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
+    "q15_window_analytic" ->
+      """SELECT event_id, user_id, round(value, 2) AS value,
+        |  round(lag(value, 1) OVER w, 2) AS prev_value,
+        |  round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 2) AS run_sum
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY event_id""".stripMargin,
+    "q16_set_ops" ->
+      """SELECT 'except' AS op, count(*) AS cnt FROM (
+        |  SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+        |  EXCEPT
+        |  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase') x
+        |UNION ALL
+        |SELECT 'intersect' AS op, count(*) AS cnt FROM (
+        |  SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+        |  INTERSECT
+        |  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase') y
+        |UNION ALL
+        |SELECT 'union' AS op, count(*) AS cnt FROM (
+        |  SELECT user_id FROM events WHERE event_type = 'click'
+        |  UNION
+        |  SELECT user_id FROM events WHERE event_type = 'purchase') z
+        |ORDER BY op""".stripMargin,
+    "q17_string_fns" ->
+      """SELECT p_partkey, regexp_extract(p_name, '^(\w+)', 1) AS first_word,
+        |  upper(p_brand) AS brand_uc, substring(p_type, 1, 4) AS type_pfx,
+        |  concat_ws('#', p_brand, p_type) AS tag, length(p_name) AS name_len
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q18_date_fns" ->
+      """SELECT CAST(date_trunc('week', ts) AS DATE) AS wk, count(*) AS cnt,
+        |  round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY wk""".stripMargin,
+    "q19_json_fns" ->
+      """SELECT event_type,
+        |  round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 2) AS avg_k,
+        |  max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k,
+        |  count(CAST(json_extract_string(props, '$.k') AS INT)) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q20_array_cosine" ->
+      """SELECT a.vec_id AS va, b.vec_id AS vb,
+        |  round(
+        |    list_sum(list_transform(generate_series(1, len(a.embedding)),
+        |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+        |  4) AS cos_sim
+        |FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 17
+        |ORDER BY va""".stripMargin,
+    "q21_correlated_subquery" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
+        |FROM orders o
+        |WHERE o_totalprice > (SELECT 1.25 * avg(o_totalprice)
+        |                      FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q22_tumbling_window" ->
+      """SELECT time_bucket(INTERVAL '10 minutes', ts) AS win_start,
+        |  count(*) AS cnt, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY win_start""".stripMargin,
+    "q23_session_window" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |              > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |numbered AS (
+        |  SELECT user_id, ts,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                   ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM marked)
+        |SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS session_start, count(*) AS cnt
+        |FROM numbered GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin
+  )
+}

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Smoke + semantic checks of the query inventory. Full value-level
+  * correctness runs against the DuckDB oracle (tools/verify_local.py, and
+  * the driver's gate); these specs assert structural/semantic invariants
+  * that the oracle can't (approx bounds, flagship non-empty, etc).
+  */
+class QueriesSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("flagship entry returns rows on sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every declared query runs and returns rows on sf0.001") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, sf).count()
+      assert(n > 0, s"$name returned 0 rows")
+    }
+  }
+
+  test("every oracle key has a matching query entry") {
+    val unknown = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(unknown.isEmpty, s"oracleSql keys without queries: $unknown")
+  }
+
+  test("approx_count_distinct within 5% of exact (q12 vs q12b)") {
+    val exact = SparkEntry
+      .queries("q12_distinct_agg")(spark, sf)
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    val approx = SparkEntry
+      .queries("q12b_approx_distinct")(spark, sf)
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    assert(exact.keySet == approx.keySet)
+    exact.foreach { case (k, e) =>
+      val a = approx(k)
+      assert(
+        math.abs(a - e).toDouble / e <= 0.05,
+        s"$k: approx $a vs exact $e"
+      )
+    }
+  }
+
+  test("q20 cosine values are in [-1, 1]") {
+    val bad = SparkEntry
+      .queries("q20_array_cosine")(spark, sf)
+      .filter(abs(col("cos_sim")) > 1.0001)
+      .count()
+    assert(bad == 0)
+  }
+}
