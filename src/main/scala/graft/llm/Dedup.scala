@@ -1,0 +1,344 @@
+package graft.llm
+
+import graft.queries.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for a large-scale training-data pipeline, over
+  * the `documents` table (and a key-dedup over `events`). Five families:
+  *
+  *  - exact (hash-groupBy on content digest)
+  *  - exact n-gram Jaccard (the all-pairs oracle baseline)
+  *  - MinHash + LSH banding (the 100 TB scale path: per-doc signatures via
+  *    partial aggregation, candidate generation via equi-join on
+  *    (band, bucket) — never an all-pairs product; candidates verified
+  *    with exact Jaccard)
+  *  - SimHash (frequency-weighted 60-bit signature; banded by the
+  *    pigeonhole principle: 4 blocks of 15 bits guarantee recall for
+  *    hamming distance ≤ 3)
+  *  - embedding-cosine near-dup (exact threshold join; ANN variant lives
+  *    in Similarity.scala)
+  *
+  * Everything is built from codegen'd built-ins (no UDFs); hash parity
+  * with the DuckDB oracle comes from md5 (both engines emit the same hex),
+  * so signatures are bit-identical across engines.
+  */
+object Dedup {
+
+  // ------------------------------------------------------------- helpers
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.table(s, dir, "documents")
+
+  /** Distinct word-3-gram shingles per document. w[i] is 0-based in Spark
+    * SQL; the CASE guards sequence() against size<3 (sequence(1,0) would
+    * count DOWN, not produce an empty array).
+    */
+  private def shingles(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(
+        col("doc_id"),
+        explode(
+          expr(
+            "CASE WHEN size(w) >= 3 THEN " +
+              "transform(sequence(1, size(w)-2), i -> concat_ws('_', w[i-1], w[i], w[i+1])) " +
+              "ELSE array() END"
+          )
+        ).as("g")
+      )
+      .distinct()
+
+  /** Exact Jaccard over candidate pairs: |A∩B| / (|A|+|B|-|A∩B|). The
+    * candidate frame is small (LSH output) or the full shingle self-join
+    * (oracle baseline); sizes are computed once and joined twice.
+    */
+  private def jaccardOf(
+      inter: DataFrame, // (da, db, i)
+      sizes: DataFrame // (doc_id, n)
+  ): DataFrame =
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "da").withColumnRenamed("n", "na"), "da")
+      .join(sizes.withColumnRenamed("doc_id", "db").withColumnRenamed("n", "nb"), "db")
+      .withColumn("jac", col("i") / (col("na") + col("nb") - col("i")))
+
+  private val JaccardThreshold = 0.6
+
+  // ------------------------------------------------- q24: key dedup (events)
+
+  /** dropDuplicates on a key subset — the Spark built-in the reference's
+    * partition-key dedup (`main.go:153,169-172`) maps to. Only the key
+    * columns are kept so the result is deterministic (which full row
+    * survives is not).
+    */
+  private def q24(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .table(s, dir, "events")
+      .select(col("user_id"), col("event_type"))
+      .dropDuplicates("user_id", "event_type")
+      .orderBy("user_id", "event_type")
+
+  // ------------------------------------------------- q25: exact text dedup
+
+  /** Exact dedup via content digest: one representative (min doc_id) per
+    * distinct md5(text), plus the copy count. Scale: a single hash
+    * aggregation, no pairwise work.
+    */
+  private def q25(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .groupBy(md5(col("text")).as("digest"))
+      .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
+      .select(col("keep_doc_id"), col("n_copies"))
+      .orderBy("keep_doc_id")
+
+  // ------------------------------------------- q26: exact n-gram Jaccard
+
+  /** All-pairs exact word-3-gram Jaccard ≥ 0.6. This is the oracle
+    * baseline for near-dup detection: the shingle equi-join bounds the
+    * pair space to docs sharing ≥1 shingle (not a cartesian product), but
+    * hot shingles still make it quadratic in the worst case — at 100 TB
+    * use q27 (MinHash LSH), which this query exists to validate.
+    */
+  private def q26(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(docs(s, dir)).cache()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val a = sh.select(col("doc_id").as("da"), col("g"))
+    val b = sh.select(col("doc_id").as("db"), col("g"))
+    val inter = a
+      .join(b, Seq("g"))
+      .filter(col("da") < col("db"))
+      .groupBy("da", "db")
+      .agg(count(lit(1)).as("i"))
+    jaccardOf(inter, sizes)
+      .filter(col("jac") >= JaccardThreshold)
+      .select(col("da"), col("db"), round(col("jac"), 4).as("jac"))
+      .orderBy("da", "db")
+  }
+
+  // ------------------------------------------- q27: MinHash + LSH banding
+
+  private val MinHashP = 2147483647L // M31 prime; keeps a*h+b in a Long
+  private val NumHashes = 128
+  private val NumBands = 32 // 32 bands × 4 rows → s-curve threshold ≈ 0.42
+
+  /** Deterministic affine permutation parameters (seeded). */
+  private lazy val (hashA, hashB) = {
+    val rnd = new scala.util.Random(42)
+    val a = Array.fill(NumHashes)(1L + rnd.nextInt((MinHashP - 1).toInt))
+    val b = Array.fill(NumHashes)(rnd.nextInt(MinHashP.toInt).toLong)
+    (a, b)
+  }
+
+  /** MinHash signatures + banded LSH candidate generation + exact-Jaccard
+    * verification of candidates. Plan shape at scale:
+    *   shingle scan → partial min-agg per (doc, 128 hashes)  [1 shuffle]
+    *   → explode 32 (band, bucket) rows/doc → self equi-join on bucket
+    *   → exact verify on the (small) candidate set.
+    * No stage is all-pairs; skew is bounded because identical band-buckets
+    * only form within true near-dup clusters.
+    */
+  private def q27(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(docs(s, dir)).cache()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+
+    val withH = sh.withColumn("h", pmod(xxhash64(col("g")), lit(MinHashP)))
+    val minAggs = (0 until NumHashes).map { i =>
+      min(pmod(col("h") * lit(hashA(i)) + lit(hashB(i)), lit(MinHashP)))
+        .as(s"mh$i")
+    }
+    val sig = withH.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*)
+
+    val rowsPerBand = NumHashes / NumBands
+    val bandCols = (0 until NumBands).map { bi =>
+      val cols = (bi * rowsPerBand until (bi + 1) * rowsPerBand)
+        .map(j => col(s"mh$j"))
+      hash(lit(bi) +: cols: _*)
+    }
+    val bands = sig.select(
+      col("doc_id"),
+      posexplode(array(bandCols: _*)).as(Seq("band", "bucket"))
+    )
+
+    val x = bands.select(col("doc_id").as("da"), col("band"), col("bucket"))
+    val y = bands.select(col("doc_id").as("db"), col("band"), col("bucket"))
+    val cand = x
+      .join(y, Seq("band", "bucket"))
+      .filter(col("da") < col("db"))
+      .select("da", "db")
+      .distinct()
+
+    val a = sh.select(col("doc_id").as("da"), col("g"))
+    val b = sh.select(col("doc_id").as("db"), col("g"))
+    val inter = broadcast(cand)
+      .join(a, Seq("da"))
+      .join(b, Seq("db", "g"))
+      .groupBy("da", "db")
+      .agg(count(lit(1)).as("i"))
+
+    jaccardOf(inter, sizes)
+      .filter(col("jac") >= JaccardThreshold)
+      .select(col("da"), col("db"), round(col("jac"), 4).as("jac"))
+      .orderBy("da", "db")
+  }
+
+  // ------------------------------------------------------- q28: SimHash
+
+  private val SimHashBits = 60 // 15 hex chars of md5 → exact in a Long
+  private val SimHashBlocks = 4 // 15-bit blocks: recall ≥ 1 for hd ≤ 3
+  private val HammingThreshold = 3
+
+  /** Frequency-weighted 60-bit SimHash per doc (votes weighted by term
+    * count — the unweighted variant is not discriminative on short docs),
+    * then banded candidate generation (pigeonhole over 4×15-bit blocks)
+    * and exact hamming verification. All hash math is md5-derived so the
+    * DuckDB oracle reproduces signatures bit-for-bit.
+    */
+  private def q28(s: SparkSession, dir: String): DataFrame = {
+    val counted = docs(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .groupBy("doc_id", "w")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn(
+        "h",
+        expr("cast(conv(substr(md5(w), 1, 15), 16, 10) as bigint)")
+      )
+
+    val bitSums = (0 until SimHashBits).map { j =>
+      sum(
+        col("cnt") * when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1)
+          .otherwise(-1)
+      ).as(s"s$j")
+    }
+    val sums = counted.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val simhash = (0 until SimHashBits)
+      .map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    val sig = sums.select(col("doc_id"), simhash.as("simhash"))
+
+    val blockCols = (0 until SimHashBlocks).map { bi =>
+      shiftright(col("simhash"), bi * 15).bitwiseAND(lit(0x7fffL))
+    }
+    val bands = sig.select(
+      col("doc_id"),
+      col("simhash"),
+      posexplode(array(blockCols: _*)).as(Seq("blk", "bval"))
+    )
+    val x = bands.select(col("doc_id").as("da"), col("simhash").as("ha"), col("blk"), col("bval"))
+    val y = bands.select(col("doc_id").as("db"), col("simhash").as("hb"), col("blk"), col("bval"))
+    x.join(y, Seq("blk", "bval"))
+      .filter(col("da") < col("db"))
+      .select(
+        col("da"),
+        col("db"),
+        expr("bit_count(ha ^ hb)").as("hd")
+      )
+      .distinct()
+      .filter(col("hd") <= HammingThreshold)
+      .orderBy("da", "db")
+  }
+
+  /** DuckDB oracle for q28: full pairwise (fine at oracle scale), same
+    * md5-derived signature arithmetic. Built programmatically — 60 bit
+    * sums is noise a human shouldn't hand-maintain.
+    */
+  private def q28Oracle: String = {
+    val sums = (0 until SimHashBits)
+      .map(j => s"sum(cnt * (CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END)) AS s$j")
+      .mkString(", ")
+    val combine = (0 until SimHashBits)
+      .map(j => s"(CASE WHEN s$j > 0 THEN (1::BIGINT << $j) ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH words AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+       |counted AS (SELECT doc_id, w, count(*) AS cnt FROM words GROUP BY 1, 2),
+       |hashed AS (SELECT doc_id, cnt,
+       |  CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) AS h FROM counted),
+       |sums AS (SELECT doc_id, $sums FROM hashed GROUP BY doc_id),
+       |sh AS (SELECT doc_id, $combine AS simhash FROM sums)
+       |SELECT a.doc_id AS da, b.doc_id AS db,
+       |  bit_count(xor(a.simhash, b.simhash)) AS hd
+       |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= $HammingThreshold
+       |ORDER BY da, db""".stripMargin
+  }
+
+  // ------------------------------------- q29: embedding-cosine near-dup
+
+  private val CosineThreshold = 0.4
+
+  /** Exact cosine near-dup over the embedding column: all pairs with
+    * cos ≥ 0.4. Dot products in double with left-to-right accumulation on
+    * both engines → bit-identical values. The all-pairs form is the
+    * correctness baseline; the LSH-bucketed ANN path is
+    * Similarity.q31 (scale path).
+    */
+  private def q29(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.table(s, dir, "embeddings")
+    val a = e.select(col("vec_id").as("va"), col("embedding").as("ea"))
+    val b = e.select(col("vec_id").as("vb"), col("embedding").as("eb"))
+    a.crossJoin(b)
+      .filter(col("va") < col("vb"))
+      .withColumn("cos", VectorOps.cosine(col("ea"), col("eb")))
+      .filter(col("cos") >= CosineThreshold)
+      .select(col("va"), col("vb"), round(col("cos"), 4).as("cos_sim"))
+      .orderBy("va", "vb")
+  }
+
+  // ------------------------------------------------------------------ maps
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q24_dedup_keys" -> q24,
+    "q25_dedup_exact_text" -> q25,
+    "q26_dedup_ngram_jaccard" -> q26,
+    "q27_dedup_minhash_lsh" -> q27,
+    "q28_dedup_simhash" -> q28,
+    "q29_dedup_embedding_cosine" -> q29
+  )
+
+  /** Shared DuckDB shingle CTE (1-based list indexing over there). */
+  private val shingleCte =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id,
+      |    unnest(list_transform(generate_series(1, greatest(len(w) - 2, 0)),
+      |      i -> w[i] || '_' || w[i+1] || '_' || w[i+2])) AS g
+      |  FROM toks),
+      |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+      |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)""".stripMargin
+
+  private val jaccardSelect =
+    """SELECT da, db, round(i * 1.0 / (sa.n + sb.n - i), 4) AS jac
+      |FROM inter
+      |JOIN sz sa ON sa.doc_id = da
+      |JOIN sz sb ON sb.doc_id = db
+      |WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.6
+      |ORDER BY da, db""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "q24_dedup_keys" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin,
+    "q25_dedup_exact_text" ->
+      """SELECT min(doc_id) AS keep_doc_id, count(*) AS n_copies
+        |FROM documents GROUP BY md5(text) ORDER BY keep_doc_id""".stripMargin,
+    "q26_dedup_ngram_jaccard" -> s"$shingleCte\n$jaccardSelect",
+    // LSH with 32×4 banding has recall ≈ 1 at the 0.6 threshold (the
+    // planted near-dups sit at jac ≥ 0.9, where miss probability is
+    // ~1e-11), so the oracle is the same exact-Jaccard result.
+    "q27_dedup_minhash_lsh" -> s"$shingleCte\n$jaccardSelect",
+    "q28_dedup_simhash" -> q28Oracle,
+    "q29_dedup_embedding_cosine" ->
+      """WITH cos AS (
+        |  SELECT a.vec_id AS va, b.vec_id AS vb,
+        |    list_sum(list_transform(generate_series(1, len(a.embedding)),
+        |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS c
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+        |SELECT va, vb, round(c, 4) AS cos_sim FROM cos
+        |WHERE c >= 0.4 ORDER BY va, vb""".stripMargin
+  )
+}

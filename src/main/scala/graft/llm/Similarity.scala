@@ -1,0 +1,140 @@
+package graft.llm
+
+import graft.queries.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over the embedding column.
+  *
+  *  - q30: brute-force cosine top-k — the exact baseline. Plan: broadcast
+  *    the (small) probe set against the corpus scan; one pass, no shuffle
+  *    of the corpus. At 100 TB this is the right shape whenever
+  *    |probes| × dim fits in a broadcast — the corpus is streamed once.
+  *  - q31: random-hyperplane LSH variant — the scale path when the probe
+  *    set is itself huge: bucket both sides by signature bands and only
+  *    score within buckets (equi-join), trading recall for a bound on
+  *    scored pairs. Approximate ⇒ no SQL oracle; recall vs q30 is asserted
+  *    in SimilaritySpec.
+  */
+object Similarity {
+
+  private val NumProbes = 5
+  private val TopK = 10
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.table(s, dir, "embeddings")
+
+  private def q30(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val probes = e
+      .filter(col("vec_id") < NumProbes)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+    val corpus = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
+    val w = Window
+      .partitionBy(col("probe_id"))
+      .orderBy(desc("cos"), col("neighbor_id"))
+    corpus
+      .crossJoin(broadcast(probes))
+      .filter(col("neighbor_id") =!= col("probe_id"))
+      .withColumn("cos", VectorOps.cosine(col("pe"), col("ne")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(
+        col("probe_id"),
+        col("neighbor_id"),
+        col("rank"),
+        round(col("cos"), 4).as("cos_sim")
+      )
+      .orderBy("probe_id", "rank")
+  }
+
+  // --------------------------------------------- q31: LSH-bucketed ANN
+
+  // 8 bands × 3 bits: for a neighbor at cos ≈ 0.4 (θ ≈ 66°, the top of
+  // this corpus's near-uniform cosine range) P(band match) ≈ 0.25 and
+  // recall ≈ 1-(1-0.25)^8 ≈ 0.9. Wider bands prune harder but collapse
+  // recall on unclustered data; real embedding corpora (clustered) can
+  // afford 4-8 bit bands.
+  private val NumPlanes = 24
+  private val BandBits = 3
+  private val Dim = 64
+
+  /** Fixed random hyperplanes (seeded, standard normal). */
+  private lazy val planes: Array[Array[Double]] = {
+    val rnd = new scala.util.Random(7)
+    Array.fill(NumPlanes, Dim)(rnd.nextGaussian())
+  }
+
+  private def signatureBands(e: Column): Seq[Column] = {
+    val bits: Seq[Column] = planes.toIndexedSeq.map { p =>
+      val planeCol = array(p.toIndexedSeq.map(lit): _*)
+      when(VectorOps.dot(e, planeCol) > 0, lit(1)).otherwise(lit(0))
+    }
+    // pack 4 bits per band
+    (0 until NumPlanes / BandBits).map { bi =>
+      (0 until BandBits)
+        .map(j => bits(bi * BandBits + j) * lit(1 << j))
+        .reduce(_ + _)
+    }
+  }
+
+  private def q31(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    def banded(df: DataFrame, idCol: String, embCol: String): DataFrame =
+      df.select(
+        col("vec_id").as(idCol),
+        col("embedding").as(embCol),
+        posexplode(array(signatureBands(col("embedding")): _*))
+          .as(Seq("band", "bval"))
+      )
+    val probes = banded(e.filter(col("vec_id") < NumProbes), "probe_id", "pe")
+    val corpus = banded(e, "neighbor_id", "ne")
+    val w = Window
+      .partitionBy(col("probe_id"))
+      .orderBy(desc("cos"), col("neighbor_id"))
+    probes
+      .join(corpus, Seq("band", "bval"))
+      .filter(col("neighbor_id") =!= col("probe_id"))
+      .select("probe_id", "neighbor_id", "pe", "ne")
+      .distinct()
+      .withColumn("cos", VectorOps.cosine(col("pe"), col("ne")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(
+        col("probe_id"),
+        col("neighbor_id"),
+        col("rank"),
+        round(col("cos"), 4).as("cos_sim")
+      )
+      .orderBy("probe_id", "rank")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q30_knn_brute" -> q30,
+    "q31_knn_lsh" -> q31
+  )
+
+  private val cosineSql =
+    """list_sum(list_transform(generate_series(1, len(p.embedding)),
+      |      i -> CAST(p.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+      |    / (sqrt(list_sum(list_transform(p.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |       * sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "q30_knn_brute" ->
+      s"""WITH cos AS (
+         |  SELECT p.vec_id AS probe_id, e.vec_id AS neighbor_id,
+         |    $cosineSql AS c
+         |  FROM embeddings p JOIN embeddings e ON e.vec_id <> p.vec_id
+         |  WHERE p.vec_id < $NumProbes),
+         |ranked AS (
+         |  SELECT probe_id, neighbor_id, c,
+         |    row_number() OVER (PARTITION BY probe_id
+         |                       ORDER BY c DESC, neighbor_id) AS rnk
+         |  FROM cos)
+         |SELECT probe_id, neighbor_id, rnk AS rank, round(c, 4) AS cos_sim
+         |FROM ranked WHERE rnk <= $TopK
+         |ORDER BY probe_id, rnk""".stripMargin
+  )
+}

@@ -1,0 +1,194 @@
+package graft.llm
+
+import graft.queries.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the `documents` table: language-ID
+  * (marker-token heuristic), quality scoring (length / punctuation /
+  * stopword ratios), token counting (whitespace + BPE-ish regex), and
+  * document fingerprinting (polynomial rolling hash).
+  *
+  * Every operator is a pure column-expression pipeline (codegen'd, no
+  * UDFs) whose arithmetic the DuckDB oracle reproduces exactly; ratios
+  * guard division with nullif so the plans stay ANSI-safe.
+  */
+object TextAnalysis {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.table(s, dir, "documents")
+
+  // -------------------------------------------------- q32: language ID
+
+  /** Marker stopword profiles. Tiny on purpose: language-ID at pipeline
+    * scale is a per-token lookup + ratio, not a model.
+    */
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "es" -> Seq("el", "la", "de", "y", "que"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "les", "et", "est", "une")
+  )
+
+  private def q32(s: SparkSession, dir: String): DataFrame = {
+    val withScores = langMarkers.foldLeft(
+      docs(s, dir).select(col("doc_id"), split(col("text"), " ").as("w"))
+    ) { case (df, (lang, markers)) =>
+      df.withColumn(
+        s"score_$lang",
+        size(filter(col("w"), x => x.isin(markers: _*))) /
+          nullIfZero(size(col("w")).cast("double"))
+      )
+    }
+    // deterministic argmax with fixed priority order en > es > de > fr
+    val pred = langMarkers.map(_._1) match {
+      case Seq(l1, l2, l3, l4) =>
+        when(
+          col(s"score_$l1") >= greatest(col(s"score_$l2"), col(s"score_$l3"), col(s"score_$l4")),
+          lit(l1)
+        ).when(col(s"score_$l2") >= greatest(col(s"score_$l3"), col(s"score_$l4")), lit(l2))
+          .when(col(s"score_$l3") >= col(s"score_$l4"), lit(l3))
+          .otherwise(lit(l4))
+    }
+    withScores
+      .select(
+        col("doc_id"),
+        pred.as("pred_lang"),
+        round(col("score_en"), 4).as("score_en")
+      )
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------- q33: quality scoring
+
+  private def q33(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), col("text"), split(col("text"), " ").as("w"))
+      .select(
+        col("doc_id"),
+        size(col("w")).as("n_tokens"),
+        round(
+          length(regexp_replace(col("text"), "[^a-z]", "")) /
+            nullIfZero(length(col("text")).cast("double")),
+          4
+        ).as("alpha_ratio"),
+        round(
+          length(regexp_replace(col("text"), "[^.,!?;:]", "")) /
+            nullIfZero(length(col("text")).cast("double")),
+          4
+        ).as("punct_ratio"),
+        round(
+          size(filter(col("w"), x => x.isin("the", "a", "of", "and", "is", "to", "in"))) /
+            nullIfZero(size(col("w")).cast("double")),
+          4
+        ).as("stopword_ratio"),
+        round(
+          length(col("text")) / nullIfZero(size(col("w")).cast("double")),
+          4
+        ).as("avg_token_len")
+      )
+      .orderBy("doc_id")
+
+  // ----------------------------------------------- q34: token counting
+
+  /** Whitespace tokens and a BPE-ish regex tokenization ([a-z]+ words,
+    * single digits, single punctuation marks) — the pre-tokenizer shape
+    * most BPE vocabularies assume.
+    */
+  private val BpeTokenRe = "[a-z]+|[0-9]|[^a-z0-9\\s]"
+
+  private def q34(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(
+        col("lang"),
+        size(split(col("text"), " ")).as("ws_tokens"),
+        size(regexp_extract_all(col("text"), lit(BpeTokenRe), lit(0))).as("bpe_tokens"),
+        length(col("text")).as("n_chars")
+      )
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("ws_tokens")).as("total_ws_tokens"),
+        sum(col("bpe_tokens")).as("total_bpe_tokens"),
+        round(avg(col("n_chars")), 2).as("avg_chars")
+      )
+      .orderBy("lang")
+
+  // --------------------------------------------- q35: fingerprinting
+
+  /** Polynomial rolling hash mod 2³¹−1 over the character stream — a
+    * deterministic 31-bit document fingerprint (the building block of
+    * rolling-window fingerprint schemes like winnowing). acc stays
+    * < 2³¹ so acc*31+c never overflows a Long.
+    */
+  private def q35(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(
+        col("doc_id"),
+        aggregate(
+          transform(split(col("text"), ""), c => ascii(c)),
+          lit(0L),
+          (acc, c) => (acc * 31 + c) % 2147483647L
+        ).as("fingerprint")
+      )
+      .orderBy("doc_id")
+
+  private def nullIfZero(c: Column): Column =
+    when(c === 0, lit(null)).otherwise(c)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q32_lang_id" -> q32,
+    "q33_quality_score" -> q33,
+    "q34_token_count" -> q34,
+    "q35_fingerprint" -> q35
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q32_lang_id" ->
+      """WITH scored AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split(text, ' '), x -> x IN ('the','a','of','and','is')))
+        |      / nullif(len(string_split(text, ' ')), 0)::DOUBLE AS score_en,
+        |    len(list_filter(string_split(text, ' '), x -> x IN ('el','la','de','y','que')))
+        |      / nullif(len(string_split(text, ' ')), 0)::DOUBLE AS score_es,
+        |    len(list_filter(string_split(text, ' '), x -> x IN ('der','die','das','und','ist')))
+        |      / nullif(len(string_split(text, ' ')), 0)::DOUBLE AS score_de,
+        |    len(list_filter(string_split(text, ' '), x -> x IN ('le','les','et','est','une')))
+        |      / nullif(len(string_split(text, ' ')), 0)::DOUBLE AS score_fr
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN score_en >= greatest(score_es, score_de, score_fr) THEN 'en'
+        |       WHEN score_es >= greatest(score_de, score_fr) THEN 'es'
+        |       WHEN score_de >= score_fr THEN 'de'
+        |       ELSE 'fr' END AS pred_lang,
+        |  round(score_en, 4) AS score_en
+        |FROM scored ORDER BY doc_id""".stripMargin,
+    "q33_quality_score" ->
+      """SELECT doc_id,
+        |  len(string_split(text, ' ')) AS n_tokens,
+        |  round(length(regexp_replace(text, '[^a-z]', '', 'g'))
+        |        / nullif(length(text), 0)::DOUBLE, 4) AS alpha_ratio,
+        |  round(length(regexp_replace(text, '[^.,!?;:]', '', 'g'))
+        |        / nullif(length(text), 0)::DOUBLE, 4) AS punct_ratio,
+        |  round(len(list_filter(string_split(text, ' '),
+        |        x -> x IN ('the','a','of','and','is','to','in')))
+        |        / nullif(len(string_split(text, ' ')), 0)::DOUBLE, 4) AS stopword_ratio,
+        |  round(length(text) / nullif(len(string_split(text, ' ')), 0)::DOUBLE, 4)
+        |    AS avg_token_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q34_token_count" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_ws_tokens,
+        |  CAST(sum(len(regexp_extract_all(text, '[a-z]+|[0-9]|[^a-z0-9\s]'))) AS BIGINT)
+        |    AS total_bpe_tokens,
+        |  round(avg(length(text)), 2) AS avg_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q35_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+        |    (acc, c) -> (acc * 31 + c) % 2147483647) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantic invariants of the dedup / similarity / text-analysis operators
+  * that the value-level DuckDB oracle can't express (approximate-operator
+  * recall, cluster structure).
+  */
+class LlmOpsSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.01"
+
+  private def pairs(name: String): Set[(Long, Long)] =
+    SparkEntry
+      .queries(name)(spark, sf)
+      .select("da", "db")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+
+  test("minhash LSH finds exactly the exact-Jaccard near-dup pairs here") {
+    val exact = pairs("q26_dedup_ngram_jaccard")
+    val lsh = pairs("q27_dedup_minhash_lsh")
+    assert(exact.nonEmpty, "no near-dup pairs planted?")
+    assert(lsh == exact, s"LSH missed ${exact -- lsh}, extra ${lsh -- exact}")
+  }
+
+  test("simhash near-dups overlap heavily with Jaccard near-dups") {
+    val jac = pairs("q26_dedup_ngram_jaccard")
+    val sim = pairs("q28_dedup_simhash")
+    assert(sim.nonEmpty)
+    // weighted simhash at hd<=3 is a near-subset of the jac>=0.6 clusters
+    val overlap = (sim intersect jac).size.toDouble / sim.size
+    assert(overlap >= 0.5, s"only ${overlap}%% of simhash pairs are Jaccard pairs")
+  }
+
+  test("knn LSH recall vs brute force >= 0.5 at k=10") {
+    def top(name: String): Map[Long, Set[Long]] =
+      SparkEntry
+        .queries(name)(spark, sf)
+        .select("probe_id", "neighbor_id")
+        .collect()
+        .groupBy(_.getLong(0))
+        .view
+        .mapValues(_.map(_.getLong(1)).toSet)
+        .toMap
+    val brute = top("q30_knn_brute")
+    val lsh = top("q31_knn_lsh")
+    assert(brute.keySet == lsh.keySet)
+    val recalls = brute.keys.map { p =>
+      (brute(p) intersect lsh(p)).size.toDouble / brute(p).size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.5, s"mean recall $mean too low")
+  }
+
+  test("exact text dedup keeps every distinct text once") {
+    val total = graft.queries.Tables.table(spark, sf, "documents").count()
+    val res = SparkEntry.queries("q25_dedup_exact_text")(spark, sf)
+    val kept = res.count()
+    val copies = res.agg(sum("n_copies")).collect()(0).getLong(0)
+    assert(copies == total)
+    assert(kept <= total)
+  }
+
+  test("fingerprints are stable and mostly distinct") {
+    val fp = SparkEntry.queries("q35_fingerprint")(spark, sf)
+    val n = fp.count()
+    val distinct = fp.select("fingerprint").distinct().count()
+    assert(distinct > n * 9 / 10)
+  }
+}
