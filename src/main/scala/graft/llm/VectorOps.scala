@@ -7,21 +7,33 @@ import org.apache.spark.sql.functions._
   *
   * All math is done in DOUBLE with left-to-right accumulation so results
   * are bit-identical to the DuckDB oracle (which evaluates the same fold
-  * sequentially). Built from higher-order functions — stays inside
-  * Catalyst/codegen, no UDF boxing.
+  * sequentially). The hot-path [[dot]]/[[cosine]] are custom codegen'd
+  * Catalyst expressions (graft.functions.VectorExpressions) — the HOF
+  * forms ([[dotHof]]/[[cosineHof]]) are kept as the executable spec the
+  * custom kernels are asserted bit-equal against.
   */
 object VectorOps {
 
-  /** Σ aᵢ·bᵢ in double. */
+  import graft.functions.{FloatVectorCosine, FloatVectorDot}
+  import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expr => cexpr}
+
+  /** Σ aᵢ·bᵢ in double (codegen'd primitive loop). */
   def dot(a: Column, b: Column): Column =
+    column(FloatVectorDot(cexpr(a), cexpr(b)))
+
+  /** Cosine similarity in one pass; null on zero norm (ANSI-safe). */
+  def cosine(a: Column, b: Column): Column =
+    column(FloatVectorCosine(cexpr(a), cexpr(b)))
+
+  /** Reference HOF forms — semantically identical, ~50× slower. */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0),
       (acc, x) => acc + x
     )
 
-  /** ‖a‖₂ in double. */
-  def norm(a: Column): Column =
+  def normHof(a: Column): Column =
     sqrt(
       aggregate(
         transform(a, x => x.cast("double") * x.cast("double")),
@@ -30,11 +42,8 @@ object VectorOps {
       )
     )
 
-  /** Cosine similarity; null when either vector has zero norm (keeps the
-    * expression ANSI-safe — no division by zero).
-    */
-  def cosine(a: Column, b: Column): Column =
-    dot(a, b) / nullif(norm(a) * norm(b), lit(0.0))
+  def cosineHof(a: Column, b: Column): Column =
+    dotHof(a, b) / nullif(normHof(a) * normHof(b), lit(0.0))
 
   private def nullif(c: Column, v: Column): Column =
     when(c === v, lit(null)).otherwise(c)

@@ -1,0 +1,62 @@
+package graft
+
+import graft.llm.VectorOps
+import graft.queries.Tables
+import org.apache.spark.sql.functions._
+
+/** The codegen'd float-vector kernels must be bit-identical to the HOF
+  * composition they replace (same double left-to-right accumulation) —
+  * that equivalence is what keeps the DuckDB oracles valid.
+  */
+class VectorExpressionsSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.01"
+
+  private def pairs = {
+    val e = Tables.table(spark, sf, "embeddings")
+    val a = e.select(col("vec_id").as("va"), col("embedding").as("ea"))
+    val b = e.select(col("vec_id").as("vb"), col("embedding").as("eb"))
+    a.join(b, col("vb") === col("va") + 1)
+  }
+
+  test("custom cosine === HOF cosine, bit for bit") {
+    val diff = pairs
+      .select(
+        VectorOps.cosine(col("ea"), col("eb")).as("fast"),
+        VectorOps.cosineHof(col("ea"), col("eb")).as("ref")
+      )
+      .filter(col("fast") =!= col("ref")) // exact double comparison
+      .count()
+    assert(diff == 0)
+  }
+
+  test("custom dot === HOF dot, bit for bit") {
+    val diff = pairs
+      .select(
+        VectorOps.dot(col("ea"), col("eb")).as("fast"),
+        VectorOps.dotHof(col("ea"), col("eb")).as("ref")
+      )
+      .filter(col("fast") =!= col("ref"))
+      .count()
+    assert(diff == 0)
+  }
+
+  test("null semantics: length mismatch and zero norm give null") {
+    import spark.implicits._
+    val df = Seq(
+      (Array(1.0f, 2.0f), Array(1.0f, 2.0f, 3.0f)), // length mismatch
+      (Array(0.0f, 0.0f), Array(1.0f, 2.0f)) // zero norm
+    ).toDF("a", "b")
+    val out = df
+      .select(VectorOps.cosine(col("a"), col("b")).as("c"))
+      .collect()
+    assert(out.forall(_.isNullAt(0)))
+  }
+
+  test("interpreted eval matches codegen (eval path via filter on literal)") {
+    import spark.implicits._
+    val df = Seq((Array(1.0f, 0.0f), Array(1.0f, 0.0f))).toDF("a", "b")
+    val v = df.select(VectorOps.cosine(col("a"), col("b")).as("c")).collect()(0).getDouble(0)
+    assert(math.abs(v - 1.0) < 1e-12)
+  }
+}
