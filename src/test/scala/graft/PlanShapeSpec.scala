@@ -1,0 +1,118 @@
+package graft
+
+import graft.catalog.Bucketing
+import graft.etl.{ConvertJob, FlowLogParser}
+import graft.queries.{SaltedJoin, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Plan-shape regression tests: the physical plans that make these
+  * operators scale are part of the contract, not an accident.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.01"
+
+  private def executedPlan(df: DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("ETL parse plan is narrow: no shuffle before the partitioned write") {
+    val parsed = FlowLogParser.withPartitionKey(
+      FlowLogParser.parse(ConvertJob.readRaw(spark, "/root/reference/samples/sample1.log")).good
+    )
+    val plan = executedPlan(parsed)
+    assert(!plan.contains("Exchange"), s"unexpected shuffle in ETL plan:\n$plan")
+  }
+
+  test("q06 joins via BroadcastHashJoin (dimension stays broadcast)") {
+    val plan = executedPlan(SparkEntry.queries("q06_join_broadcast")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
+  test("q30/q37 rank filters push down as WindowGroupLimit (top-k at scale)") {
+    assert(executedPlan(SparkEntry.queries("q30_knn_brute")(spark, sf))
+      .contains("WindowGroupLimit"))
+    assert(executedPlan(SparkEntry.queries("q37_asof_join")(spark, sf))
+      .contains("WindowGroupLimit"))
+  }
+
+  test("q29 custom cosine expression is pushed into the join condition") {
+    val plan = executedPlan(
+      SparkEntry.queries("q29_dedup_embedding_cosine")(spark, sf)
+    )
+    val joinLine = plan.linesIterator
+      .find(l => l.contains("BroadcastNestedLoopJoin"))
+      .getOrElse(fail("no BNLJ in q29 plan"))
+    assert(joinLine.contains("float_vector_cosine"))
+  }
+
+  test("filters and projection reach the parquet scan (pushdown)") {
+    val df = Tables
+      .table(spark, sf, "lineitem")
+      .filter(col("l_quantity") > 40)
+      .select("l_orderkey", "l_quantity")
+    val plan = executedPlan(df)
+    assert(plan.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,40.0)]"))
+    assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"))
+  }
+
+  test("bucketed join on the bucket key is shuffle-free") {
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      Bucketing.writeBucketed(
+        Tables.table(spark, sf, "orders"),
+        "graft_orders_bkt",
+        "o_custkey",
+        8
+      )
+      Bucketing.writeBucketed(
+        Tables.table(spark, sf, "customer")
+          .withColumnRenamed("c_custkey", "o_custkey"),
+        "graft_customer_bkt",
+        "o_custkey",
+        8
+      )
+      val joined = spark
+        .table("graft_orders_bkt")
+        .join(spark.table("graft_customer_bkt"), "o_custkey")
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n"))
+      assert(!Bucketing.hasShuffleExchange(joined),
+        "bucketed join still shuffles")
+      // and the unbucketed twin DOES shuffle (the test would be vacuous otherwise)
+      val plain = Tables.table(spark, sf, "orders")
+        .join(
+          Tables.table(spark, sf, "customer")
+            .withColumnRenamed("c_custkey", "o_custkey"),
+          "o_custkey"
+        )
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n"))
+      assert(Bucketing.hasShuffleExchange(plain))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS graft_orders_bkt")
+      spark.sql("DROP TABLE IF EXISTS graft_customer_bkt")
+    }
+  }
+
+  test("salted join returns exactly the plain join result") {
+    val orders = Tables.table(spark, sf, "orders")
+    val customer = Tables
+      .table(spark, sf, "customer")
+      .withColumnRenamed("c_custkey", "o_custkey")
+    def summarize(df: DataFrame) =
+      df.groupBy("o_custkey")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("s"))
+        .orderBy("o_custkey")
+        .collect()
+        .toSeq
+    val plain = summarize(orders.join(customer, Seq("o_custkey")))
+    val salted = summarize(SaltedJoin.inner(orders, customer, "o_custkey", 7))
+    assert(plain == salted)
+  }
+}
