@@ -236,6 +236,35 @@ object Relational {
       .agg(count(lit(1)).as("cnt"), r2(sum(col("c_acctbal"))).as("bal"))
       .orderBy(asc_nulls_first("r_name"), asc_nulls_first("n_name"))
 
+  /** CUBE over (orderstatus, orderpriority) — all 2ⁿ grouping sets via
+    * the Expand operator (the grouping-sets family beyond q13's ROLLUP).
+    */
+  private def q13b(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"), r2(sum(col("o_totalprice"))).as("total"))
+      .orderBy(
+        asc_nulls_first("o_orderstatus"),
+        asc_nulls_first("o_orderpriority")
+      )
+
+  /** Bag-semantics set ops: intersectAll / exceptAll (q16 covers the
+    * distinct-semantics family).
+    */
+  private def q16b(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    def users(tp: String): DataFrame =
+      e.filter(col("event_type") === tp).select(col("user_id"))
+    val clicks = users("click")
+    val purchases = users("purchase")
+    def counted(df: DataFrame, op: String): DataFrame =
+      df.agg(count(lit(1)).as("cnt")).withColumn("op", lit(op))
+    counted(clicks.intersectAll(purchases), "intersect_all")
+      .union(counted(clicks.exceptAll(purchases), "except_all"))
+      .select("op", "cnt")
+      .orderBy("op")
+  }
+
   /** Ranking window: latest order per customer via row_number()=1. */
   private def q14(s: SparkSession, dir: String): DataFrame = {
     val w = Window
@@ -369,6 +398,16 @@ object Relational {
     """)
   }
 
+  /** Sliding event-time window (10-minute length, 5-minute slide): each
+    * event lands in two overlapping windows via the Expand operator.
+    */
+  private def q22b(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("win_start"), col("cnt"))
+      .orderBy("win_start")
+
   /** Tumbling event-time window (batch window()). */
   private def q22(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
@@ -443,15 +482,18 @@ object Relational {
     "q12_distinct_agg" -> q12,
     "q12b_approx_distinct" -> q12b,
     "q13_rollup" -> q13,
+    "q13b_cube" -> q13b,
     "q14_window_rank" -> q14,
     "q15_window_analytic" -> q15,
     "q16_set_ops" -> q16,
+    "q16b_set_ops_all" -> q16b,
     "q17_string_fns" -> q17,
     "q18_date_fns" -> q18,
     "q19_json_fns" -> q19,
     "q20_array_cosine" -> q20,
     "q21_correlated_subquery" -> q21,
     "q22_tumbling_window" -> q22,
+    "q22b_sliding_window" -> q22b,
     "q23_session_window" -> q23,
     "q37_asof_join" -> q37
   )
@@ -521,6 +563,30 @@ object Relational {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP (r_name, n_name)
         |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin,
+    "q13b_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "q16b_set_ops_all" ->
+      """SELECT 'except_all' AS op, count(*) AS cnt FROM (
+        |  SELECT user_id FROM events WHERE event_type = 'click'
+        |  EXCEPT ALL
+        |  SELECT user_id FROM events WHERE event_type = 'purchase') x
+        |UNION ALL
+        |SELECT 'intersect_all' AS op, count(*) AS cnt FROM (
+        |  SELECT user_id FROM events WHERE event_type = 'click'
+        |  INTERSECT ALL
+        |  SELECT user_id FROM events WHERE event_type = 'purchase') y
+        |ORDER BY op""".stripMargin,
+    "q22b_sliding_window" ->
+      """WITH assigned AS (
+        |  SELECT time_bucket(INTERVAL '5 minutes', ts) AS win_start FROM events
+        |  UNION ALL
+        |  SELECT time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes' FROM events)
+        |SELECT CAST(win_start AS TIMESTAMP) AS win_start, count(*) AS cnt
+        |FROM assigned GROUP BY 1 ORDER BY win_start""".stripMargin,
     "q14_window_rank" ->
       """SELECT o_custkey, o_orderkey, o_orderdate, round(o_totalprice, 2) AS price
         |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
