@@ -20,7 +20,8 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    graft.queries.Relational.queries ++
+    graft.etl.EtlBenchQuery.queries ++
+      graft.queries.Relational.queries ++
       graft.llm.Dedup.queries ++
       graft.llm.Similarity.queries ++
       graft.llm.TextAnalysis.queries ++
@@ -31,7 +32,8 @@ object SparkEntry {
     * driver records a weaker rows-only check for those).
     */
   def oracleSql: Map[String, String] =
-    graft.queries.Relational.oracleSql ++
+    graft.etl.EtlBenchQuery.oracleSql ++
+      graft.queries.Relational.oracleSql ++
       graft.llm.Dedup.oracleSql ++
       graft.llm.Similarity.oracleSql ++
       graft.llm.TextAnalysis.oracleSql ++

@@ -40,7 +40,8 @@ object ConvertJob {
       inPath: String,
       outPath: String,
       quarantinePath: Option[String] = None,
-      mode: SaveMode = SaveMode.Append
+      mode: SaveMode = SaveMode.Append,
+      filesPerPartition: Int = 1
   ): ConvertStats = {
     val parsed = FlowLogParser.parse(readRaw(spark, inPath))
 
@@ -48,8 +49,21 @@ object ConvertJob {
       .withPartitionKey(parsed.good)
       .drop("ts") // data files carry the 14 columns only, like parquet.go
 
-    withKeys.write
+    // One shuffle on the partition key before the fan-out write: without
+    // it every task opens a writer per key it happens to see (#tasks ×
+    // #keys small files — the classic partitioned-write failure at
+    // scale). The bounded salt splits hot (account, dt) keys across up
+    // to filesPerPartition writers; maxRecordsPerFile caps file size
+    // regardless. Mirrors the reference's one-file-per-(key, source)
+    // layout (convert.go:72-73) with explicit control.
+    import org.apache.spark.sql.functions.{col, lit, monotonically_increasing_id, pmod, xxhash64}
+    val salt = pmod(xxhash64(monotonically_increasing_id()), lit(filesPerPartition))
+    val partitionCols = FlowLogSchema.partitionColumns.map(col)
+    withKeys
+      .repartition(partitionCols :+ salt: _*)
+      .write
       .mode(mode)
+      .option("maxRecordsPerFile", 5000000)
       .partitionBy(FlowLogSchema.partitionColumns: _*)
       .parquet(outPath)
 
