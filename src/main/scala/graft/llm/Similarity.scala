@@ -111,9 +111,70 @@ object Similarity {
       .orderBy("probe_id", "rank")
   }
 
+  // --------------------------------------------- q31b: IVF-bucketed ANN
+
+  private val IvfCells = 16 // coarse quantizer size
+  private val IvfProbes = 4 // cells scanned per query
+
+  /** IVF (inverted-file) ANN: a coarse quantizer assigns every vector to
+    * its nearest "centroid" cell; queries scan only the nprobe nearest
+    * cells. Centroids here are a deterministic sample of the corpus (the
+    * first IvfCells vectors) — a real deployment would k-means them, but
+    * the plan shape is identical: one pass to build the cell assignment
+    * (a 16-way argmax, broadcast centroids), then an equi-join on cell id
+    * — candidate count scales with nprobe/ncells of the corpus instead
+    * of all of it, and the join never degenerates to a cross product.
+    */
+  private def q31b(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val centroids = e
+      .filter(col("vec_id") < IvfCells)
+      .select(col("vec_id").as("cell"), col("embedding").as("ce"))
+
+    // cell assignment: argmax over the 16 centroid cosines (greatest-of
+    // via a struct max keeps it one codegen'd expression)
+    def assign(df: DataFrame, n: Int): DataFrame = {
+      val withC = df
+        .crossJoin(broadcast(centroids))
+        .withColumn("csim", VectorOps.cosine(col("embedding"), col("ce")))
+      val w = Window
+        .partitionBy(col("vec_id"))
+        .orderBy(desc("csim"), col("cell"))
+      withC
+        .withColumn("crank", row_number().over(w))
+        .filter(col("crank") <= n)
+        .select(col("vec_id"), col("embedding"), col("cell"))
+    }
+
+    val corpusCells = assign(e, 1)
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"), col("cell"))
+    val probeCells = assign(e.filter(col("vec_id") < NumProbes), IvfProbes)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"), col("cell"))
+
+    val w = Window
+      .partitionBy(col("probe_id"))
+      .orderBy(desc("cos"), col("neighbor_id"))
+    probeCells
+      .join(corpusCells, Seq("cell"))
+      .filter(col("neighbor_id") =!= col("probe_id"))
+      .select("probe_id", "neighbor_id", "pe", "ne")
+      .distinct()
+      .withColumn("cos", VectorOps.cosine(col("pe"), col("ne")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(
+        col("probe_id"),
+        col("neighbor_id"),
+        col("rank"),
+        round(col("cos"), 4).as("cos_sim")
+      )
+      .orderBy("probe_id", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_knn_brute" -> q30,
-    "q31_knn_lsh" -> q31
+    "q31_knn_lsh" -> q31,
+    "q31b_knn_ivf" -> q31b
   )
 
   private val cosineSql =

@@ -34,24 +34,38 @@ class LlmOpsSpec extends SparkSpec {
     assert(overlap >= 0.5, s"only ${overlap}%% of simhash pairs are Jaccard pairs")
   }
 
+  private def topNeighbors(name: String): Map[Long, Set[Long]] =
+    SparkEntry
+      .queries(name)(spark, sf)
+      .select("probe_id", "neighbor_id")
+      .collect()
+      .groupBy(_.getLong(0))
+      .view
+      .mapValues(_.map(_.getLong(1)).toSet)
+      .toMap
+
   test("knn LSH recall vs brute force >= 0.5 at k=10") {
-    def top(name: String): Map[Long, Set[Long]] =
-      SparkEntry
-        .queries(name)(spark, sf)
-        .select("probe_id", "neighbor_id")
-        .collect()
-        .groupBy(_.getLong(0))
-        .view
-        .mapValues(_.map(_.getLong(1)).toSet)
-        .toMap
-    val brute = top("q30_knn_brute")
-    val lsh = top("q31_knn_lsh")
+    val brute = topNeighbors("q30_knn_brute")
+    val lsh = topNeighbors("q31_knn_lsh")
     assert(brute.keySet == lsh.keySet)
     val recalls = brute.keys.map { p =>
       (brute(p) intersect lsh(p)).size.toDouble / brute(p).size
     }
     val mean = recalls.sum / recalls.size
     assert(mean >= 0.5, s"mean recall $mean too low")
+  }
+
+  test("knn IVF (nprobe=4/16 cells) recall vs brute force >= 0.3 at k=10") {
+    val brute = topNeighbors("q30_knn_brute")
+    val ivf = topNeighbors("q31b_knn_ivf")
+    assert(brute.keySet == ivf.keySet)
+    val recalls = brute.keys.map { p =>
+      (brute(p) intersect ivf(p)).size.toDouble / brute(p).size
+    }
+    val mean = recalls.sum / recalls.size
+    // scanning 4/16 cells of an unclustered corpus ≈ 25% of candidates;
+    // recall must beat that floor for the cell routing to mean anything
+    assert(mean >= 0.3, s"mean recall $mean too low")
   }
 
   test("exact text dedup keeps every distinct text once") {

@@ -112,6 +112,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming session windows merge events within the gap") {
+    import org.apache.spark.sql.types._
+    val base = tmpDir("graft-stream-sess")
+    val in = s"$base/in"; Files.createDirectories(Paths.get(in))
+    // user 1: events at 00:00 and 00:10 (one session), then 01:00 (new
+    // session after >30min gap); user 2: one event
+    Files.writeString(
+      Paths.get(in, "events.csv"),
+      "2024-01-01T00:00:00,1,click,1.0\n" +
+        "2024-01-01T00:10:00,1,view,1.0\n" +
+        "2024-01-01T01:00:00,1,click,1.0\n" +
+        "2024-01-01T00:05:00,2,view,1.0\n"
+    )
+    val schema = StructType(
+      Seq(
+        StructField("ts", TimestampType),
+        StructField("user_id", LongType),
+        StructField("event_type", StringType),
+        StructField("value", DoubleType)
+      )
+    )
+    val stream = spark.readStream.schema(schema).csv(in)
+    val q = graft.streaming.StreamingAggregates
+      .sessionCounts(stream)
+      .writeStream
+      .format("memory")
+      .queryName("graft_sessions")
+      .outputMode("complete")
+      .start()
+    try {
+      q.processAllAvailable()
+      val rows = spark
+        .sql("SELECT user_id, cnt FROM graft_sessions ORDER BY user_id, session_start")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .toSeq
+      assert(rows == Seq((1L, 2L), (1L, 1L), (2L, 1L)))
+    } finally q.stop()
+  }
+
   test("streaming dedup within watermark drops in-stream duplicates") {
     import org.apache.spark.sql.types._
     val base = tmpDir("graft-stream-dedup")
