@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** q00: the ETL half as a measurable, oracle-checked query. Synthesizes
-  * 200k flow-log v2 lines deterministically from spark.range (closed-form
+  * 1M flow-log v2 lines deterministically from spark.range (closed-form
   * fields, so DuckDB can recompute the expected aggregate from
   * generate_series without ever seeing the pipeline), then runs the FULL
   * convert path — parse → partition key → partitionBy(account, dt)
@@ -15,7 +15,7 @@ import org.apache.spark.sql.functions._
   */
 object EtlBenchQuery {
 
-  val Rows = 200000L
+  val Rows = 1000000L
   private val Accounts = 5
   private val Days = 30
   private val BaseTs = 1700000000L // 2023-11-14T22:13:20Z
