@@ -37,6 +37,11 @@ object Partitions {
     * idempotent ADD PARTITION per key — parity with `main.go:169-177`
     * (the reference dedups keys across source objects exactly so each
     * partition is registered once).
+    *
+    * Keys are read from the DIRECTORY NAMES, not via a parquet read:
+    * partition-column type inference would parse `account=012345678901`
+    * as a number and strip the leading zero (AWS account IDs can start
+    * with 0), registering a partition whose location doesn't exist.
     * Returns the number of distinct partitions seen.
     */
   def registerAll(
@@ -44,14 +49,24 @@ object Partitions {
       table: String,
       location: String
   ): Int = {
-    val keys = spark.read
-      .parquet(location)
-      .select(col("account").cast("string"), col("dt").cast("string"))
-      .distinct()
-      .collect()
-    keys.foreach { r =>
-      val account = r.getString(0)
-      val dt = r.getString(1)
+    import org.apache.hadoop.fs.Path
+    val root = new Path(location)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def partDirs(p: Path, prefix: String): Seq[(String, Path)] =
+      fs.listStatus(p)
+        .toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith(prefix))
+        .map { s =>
+          val raw = s.getPath.getName.drop(prefix.length)
+          // Hive escapes special chars as %xx in partition dir names
+          val decoded = java.net.URLDecoder.decode(raw, "UTF-8")
+          (decoded, s.getPath)
+        }
+    val keys = for {
+      (account, accountDir) <- partDirs(root, "account=")
+      (dt, _) <- partDirs(accountDir, "dt=")
+    } yield (account, dt)
+    keys.foreach { case (account, dt) =>
       spark.sql(
         s"ALTER TABLE $table ADD IF NOT EXISTS PARTITION (account='$account', dt='$dt')"
       )

@@ -55,9 +55,14 @@ object ConvertJob {
     // scale). The bounded salt splits hot (account, dt) keys across up
     // to filesPerPartition writers; maxRecordsPerFile caps file size
     // regardless. Mirrors the reference's one-file-per-(key, source)
-    // layout (convert.go:72-73) with explicit control.
-    import org.apache.spark.sql.functions.{col, lit, monotonically_increasing_id, pmod, xxhash64}
-    val salt = pmod(xxhash64(monotonically_increasing_id()), lit(filesPerPartition))
+    // layout (convert.go:72-73) with explicit control. The salt hashes
+    // the row's own columns — a row-id-based salt would change on task
+    // retry and let a recovered shuffle duplicate/drop rows.
+    import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+    val salt = pmod(
+      xxhash64(FlowLogSchema.columns.map { case (n, _) => col(n) }: _*),
+      lit(filesPerPartition)
+    )
     val partitionCols = FlowLogSchema.partitionColumns.map(col)
     withKeys
       .repartition(partitionCols :+ salt: _*)
@@ -77,26 +82,27 @@ object ConvertJob {
       case None => 0L
     }
 
-    val good = spark.read.parquet(outPath).count()
+    // per-run count via a second (cheap) pass over the input — counting
+    // the output directory would include prior runs under Append mode
+    val good = parsed.good.count()
     ConvertStats(good, quarantined)
   }
 
   /** Re-read the converted table, the way downstream queries see it
-    * (partition columns materialized from the path). Partition-column type
-    * inference would guess LongType for `account=123456789000` and DateType
-    * for `dt=…`; the reference's DDL declares both as string
-    * (`template.yml:122-126`), so normalize. The cast happens after
-    * partition pruning, so pruning on (account, dt) is unaffected.
+    * (partition columns materialized from the path). The explicit schema
+    * declares both partition columns as STRING, which makes Spark parse
+    * the raw path values directly instead of type-inferring them — a
+    * post-hoc cast could never recover `account=012345678901` once
+    * inference had turned it into the number 12345678901 (AWS account
+    * IDs may start with 0). Matches the reference's string DDL
+    * (`template.yml:122-126`); pruning on (account, dt) is unaffected.
     */
   def readConverted(spark: SparkSession, outPath: String): DataFrame = {
-    import org.apache.spark.sql.functions.{col, date_format}
-    import org.apache.spark.sql.types.{DateType, StringType}
-    val df = spark.read.parquet(outPath)
-    val dtNorm = df.schema("dt").dataType match {
-      case DateType => date_format(col("dt"), "yyyy-MM-dd")
-      case _        => col("dt").cast(StringType)
-    }
-    df.withColumn("account", col("account").cast(StringType))
-      .withColumn("dt", dtNorm)
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val fullSchema = StructType(
+      FlowLogSchema.schema.fields.toSeq ++
+        FlowLogSchema.partitionColumns.map(StructField(_, StringType))
+    )
+    spark.read.schema(fullSchema).parquet(outPath)
   }
 }

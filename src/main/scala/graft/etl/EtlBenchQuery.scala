@@ -39,8 +39,11 @@ object EtlBenchQuery {
           when(col("id") % 2 === 0, 6).otherwise(17),
           col("id") % 1000,
           (col("id") * 7919) % 100000,
-          lit(BaseTs) + (col("id") % Days) * 86400L,
-          lit(BaseTs) + (col("id") % Days) * 86400L + 60L,
+          // day = (id / Accounts) % Days, NOT id % Days: 5 divides 30, so
+          // id%5 and id%30 are co-determined and would collapse the
+          // partition space to 30 keys instead of Accounts × Days = 150
+          lit(BaseTs) + expr(s"(id div $Accounts) % $Days") * 86400L,
+          lit(BaseTs) + expr(s"(id div $Accounts) % $Days") * 86400L + 60L,
           lit("ACCEPT"),
           lit("OK")
         ).as("value")
@@ -54,7 +57,7 @@ object EtlBenchQuery {
     ).getPath
     val parsed = FlowLogParser.parse(syntheticLines(spark))
     // repartition on the partition key: 1 file per (account, dt) instead
-    // of #tasks × #keys small files (960 → 150 observed)
+    // of #tasks × #keys small files (a 200k-row probe produced 960 files without it, #keys files with it)
     FlowLogParser
       .withPartitionKey(parsed.good)
       .drop("ts")
@@ -85,7 +88,7 @@ object EtlBenchQuery {
       s"""WITH g AS (SELECT unnest(generate_series(0, ${Rows - 1})) AS id)
          |SELECT count(*) AS n_rows,
          |  CAST(sum((id * 7919) % 100000) AS BIGINT) AS sum_bytes,
-         |  count(DISTINCT (id % $Accounts, id % $Days)) AS n_partitions
+         |  count(DISTINCT (id % $Accounts, (id // $Accounts) % $Days)) AS n_partitions
          |FROM g""".stripMargin
   )
 }

@@ -133,8 +133,8 @@ object Dedup {
 
   /** MinHash signatures + banded LSH candidate generation + exact-Jaccard
     * verification of candidates. Plan shape at scale:
-    *   shingle scan → partial min-agg per (doc, 128 hashes)  [1 shuffle]
-    *   → explode 32 (band, bucket) rows/doc → self equi-join on bucket
+    *   shingle scan → partial min-agg per (doc, NumHashes)   [1 shuffle]
+    *   → explode NumBands (band, bucket) rows/doc → self equi-join on bucket
     *   → exact verify on the (small) candidate set.
     * No stage is all-pairs; skew is bounded because identical band-buckets
     * only form within true near-dup clusters.
@@ -149,7 +149,7 @@ object Dedup {
         .as(s"mh$i")
     }
     // cache: the bands frame feeds BOTH sides of the candidate self-join —
-    // without it the whole shingle→128-min-agg pipeline executes twice
+    // without it the whole shingle→min-agg pipeline executes twice
     // (observed 18 s → 3 s at sf0.1).
     val sig = withH
       .groupBy("doc_id")
@@ -335,7 +335,7 @@ object Dedup {
       """SELECT min(doc_id) AS keep_doc_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY keep_doc_id""".stripMargin,
     "q26_dedup_ngram_jaccard" -> s"$shingleCte\n$jaccardSelect",
-    // LSH with 32×4 banding has recall ≈ 1 at the 0.6 threshold (the
+    // LSH with 16×4 banding has recall ≈ 1 at the 0.6 threshold (the
     // planted near-dups sit at jac ≥ 0.9, where miss probability is
     // ~1e-11), so the oracle is the same exact-Jaccard result.
     "q27_dedup_minhash_lsh" -> s"$shingleCte\n$jaccardSelect",

@@ -40,6 +40,7 @@ final case class MediaFeatures(
 object Multimodal {
 
   val BatchSize = 64
+  val SplitsPerModality = 16
 
   /** Synthesize a media table from `documents`: payload = utf-8 bytes of
     * the text (a stand-in for image/audio bytes), modality assigned
@@ -84,12 +85,18 @@ object Multimodal {
     */
   def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
-    // hash-repartition: all rows of a modality land in ONE partition (AQE
-    // may coalesce several modalities into the same partition — fine);
-    // the sort makes batches modality-runs so a decoder swaps models at
-    // most (#modalities - 1) times per partition.
+    // Repartition on (modality, bounded hash of media_id): repartitioning
+    // on raw modality alone would cap decode parallelism at #modalities
+    // tasks (3) no matter the cluster size and force one task to hold a
+    // whole modality. The salt spreads each modality across up to
+    // SplitsPerModality tasks; the sort still makes every partition's
+    // batches modality-runs, so a decoder model is swapped at most
+    // (#modalities - 1) times per partition.
     media
-      .repartition(col("modality"))
+      .repartition(
+        col("modality"),
+        pmod(xxhash64(col("media_id")), lit(SplitsPerModality))
+      )
       .sortWithinPartitions(col("modality"))
       .mapPartitions(it => it.grouped(BatchSize).flatMap(decodeBatch))
   }

@@ -72,7 +72,7 @@ object Similarity {
       val planeCol = array(p.toIndexedSeq.map(v => lit(v.toFloat)): _*)
       when(VectorOps.dot(e, planeCol) > 0, lit(1)).otherwise(lit(0))
     }
-    // pack 4 bits per band
+    // pack BandBits bits per band
     (0 until NumPlanes / BandBits).map { bi =>
       (0 until BandBits)
         .map(j => bits(bi * BandBits + j) * lit(1 << j))

@@ -147,7 +147,7 @@ object Relational {
   }
 
   /** Non-equi (range) self join on events, keys bounded by user_id: pairs
-    * of events of the same user within 1 hour and a ±0.5 value band. The
+    * of events of the same user within 1 hour and a ±5.0 value band. The
     * equi part (user_id) keeps this a shuffled equi-join with the range
     * residual as join condition — no cartesian product at any scale.
     */

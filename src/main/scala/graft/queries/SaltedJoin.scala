@@ -12,9 +12,11 @@ import org.apache.spark.sql.functions._
   */
 object SaltedJoin {
 
-  /** Inner equi-join `fact ⋈ dim` on `key`, salted. The salt on the fact
-    * side is derived (not random) so plans stay deterministic; the dim
-    * side is exploded `saltFactor`× — keep it the smaller input.
+  /** Inner equi-join `fact ⋈ dim` on `key`, salted. The salt hashes the
+    * fact row's own columns, so it is stable under task retry (a
+    * row-id-based salt would re-randomize on recomputation and corrupt a
+    * recovered shuffle); the dim side is exploded `saltFactor`× — keep it
+    * the smaller input.
     */
   def inner(
       fact: DataFrame,
@@ -25,7 +27,8 @@ object SaltedJoin {
     require(saltFactor > 0)
     val saltedFact = fact.withColumn(
       "_graft_salt",
-      pmod(xxhash64(monotonically_increasing_id()), lit(saltFactor)).cast("int")
+      pmod(xxhash64(fact.columns.toIndexedSeq.map(col): _*), lit(saltFactor))
+        .cast("int")
     )
     val expandedDim = dim.withColumn(
       "_graft_salt",

@@ -36,11 +36,26 @@ class MultimodalSpec extends SparkSpec {
     assert(again.map(_.checksum) == out.map(_.checksum))
   }
 
-  test("extractFeatures co-partitions by modality (each modality in one partition)") {
+  test("extractFeatures bounds modality spread and keeps batches modality-contiguous") {
     import spark.implicits._
     val media = Multimodal.mediaFromDocuments(spark, sf)
-    // each modality must not be scattered: it appears in exactly one
-    // task partition (AQE may merge several modalities into one — fine)
+    // (modality, partition) pairs: each modality may span up to
+    // SplitsPerModality tasks (parallelism), no more (model locality);
+    // within a partition the rows arrive modality-sorted, so a decoder
+    // swaps models at most (#modalities - 1) times
+    val rows = Multimodal
+      .extractFeatures(media)
+      .mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val mods = it.map(_.modality).toSeq
+        val switches = mods.zip(mods.drop(1)).count { case (a, b) => a != b }
+        Iterator((pid, mods.distinct.length, switches))
+      }
+      .collect()
+    rows.foreach { case (pid, distinctMods, switches) =>
+      assert(switches <= distinctMods - 1 || distinctMods == 0,
+        s"partition $pid: batches not modality-contiguous")
+    }
     val spread = Multimodal
       .extractFeatures(media)
       .mapPartitions { it =>
@@ -52,7 +67,10 @@ class MultimodalSpec extends SparkSpec {
       .view
       .mapValues(_.map(_._2).distinct.length)
       .toMap
-    assert(spread.values.forall(_ == 1), s"modality spread across partitions: $spread")
+    assert(
+      spread.values.forall(_ <= Multimodal.SplitsPerModality),
+      s"modality spread exceeds SplitsPerModality: $spread"
+    )
   }
 
   test("features are reproducible across runs") {

@@ -112,6 +112,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("leading-zero account ids survive read-back and catalog registration") {
+    val base = tmpDir("graft-zero")
+    Files.writeString(
+      Paths.get(base, "in.log"),
+      "2 012345678901 eni-a 1.1.1.1 2.2.2.2 80 443 6 5 1000 1541375637 1541376057 ACCEPT OK\n"
+    )
+    graft.etl.ConvertJob.convert(
+      spark,
+      s"$base/in.log",
+      s"$base/logs",
+      None,
+      org.apache.spark.sql.SaveMode.Overwrite
+    )
+    val back = graft.etl.ConvertJob.readConverted(spark, s"$base/logs")
+    // partition-type inference would mangle this to "12345678901"
+    assert(back.select("account").collect().map(_.getString(0)).toSeq ==
+      Seq("012345678901"))
+    spark.sql("DROP TABLE IF EXISTS fl_zero_spec")
+    Partitions.createExternalTable(spark, "fl_zero_spec", s"$base/logs")
+    assert(Partitions.registerAll(spark, "fl_zero_spec", s"$base/logs") == 1)
+    assert(
+      spark
+        .sql("SELECT count(*) FROM fl_zero_spec WHERE account='012345678901'")
+        .collect()(0)
+        .getLong(0) == 1
+    )
+    spark.sql("DROP TABLE fl_zero_spec")
+  }
+
   test("streaming session windows merge events within the gap") {
     import org.apache.spark.sql.types._
     val base = tmpDir("graft-stream-sess")
