@@ -1,5 +1,4 @@
 package graft
-import org.apache.spark.sql.SparkSession
 
 /** Benchmark main (driver contract): times every SparkEntry query on
   * SPARK_GRAFT_SF_DIR and prints one JSON line.
@@ -8,29 +7,18 @@ import org.apache.spark.sql.SparkSession
   * compilation + JIT for each plan shape is a one-time JVM cost (measured
   * ~10 s for the widest plans) that a long-lived cluster amortizes away;
   * warming on the tiny SF keeps the measured numbers proportional to data
-  * work at the target SF.
+  * work at the target SF. q00 is excluded from warm-up — it synthesizes
+  * its own fixed-size input, so warming it would just run the full
+  * 1M-line ETL twice.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val warmDir = "/root/testdata/sf0.001"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.ansi.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // default codegen cache is 100 compiled classes — 36 queries × many
-      // stages evict each other between warm-up and measurement
-      .config("spark.sql.codegen.cache.maxEntries", "2000")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = Sessions.local(cpus, "graft-bench")
 
     if (new java.io.File(warmDir).isDirectory) {
-      // q00 synthesizes its own fixed-size input (sfDir-independent);
-      // warming it would just run the full 1M-line ETL twice
       SparkEntry.queries.foreach { case (name, fn) =>
         if (name != "q00_etl_convert") {
           try fn(spark, warmDir).count()

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory: one place for the engine's execution configuration.
+  *
+  * Local mode (tests / Verify / Bench) and a 1000-executor cluster share
+  * the same SQL-level knobs; only master/memory/shuffle-partition sizing
+  * differ. The production rationale for each setting:
+  *
+  *  - AQE (on by default in Spark 4): runtime coalescing of small shuffle
+  *    partitions and skew-join splitting — the first line of defense at
+  *    100 TB before explicit salting (SaltedJoin) is needed.
+  *  - `files.maxPartitionBytes` 128 MB: matches the reference's parquet
+  *    row-group sizing (`parquet.go:34`), so one scan task ≈ one row
+  *    group.
+  *  - `shuffle.partitions`: cores in local mode; on a cluster leave AQE's
+  *    coalescing to right-size from `initialPartitionNum`.
+  *  - ANSI off: the engine's lenient-cast semantics (0-default parsing,
+  *    null-safe ratios) are explicit in the plans; ANSI adds nothing but
+  *    runtime-failure surface. All graft expressions are nonetheless
+  *    ANSI-safe (try_cast / try_element_at / nullif) so they run under
+  *    either setting.
+  *  - `legacy.parquet.nanosAsLong`: the events testdata carries
+  *    TIMESTAMP(NANOS), unreadable by Spark 4 otherwise; Tables.table
+  *    converts to µs timestamps.
+  *  - codegen cache 2000: ~40 distinct query plans × several codegen
+  *    stages each thrash the default 100-entry Janino cache.
+  *  - RocksDB state store: bounded-memory streaming state (sessions,
+  *    dedup) instead of the in-heap default — required once state exceeds
+  *    executor heap at production volume.
+  */
+object Sessions {
+
+  def local(cores: String, appName: String = "graft"): SparkSession = {
+    val s = SparkSession
+      .builder()
+      .master(s"local[$cores]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
+      .config("spark.sql.files.maxPartitionBytes", 128L * 1024 * 1024)
+      .config(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+      )
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
