@@ -94,6 +94,25 @@ class FlowLogParserSpec extends SparkSpec {
     assert(back.columns.length == 16)
   }
 
+  test("header-only input converts to a readable empty table") {
+    val dir = tmpDir("graft-empty")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "only_header.log"),
+      "version account-id interface-id srcaddr dstaddr srcport dstport protocol packets bytes start end action log-status\n"
+    )
+    val stats = ConvertJob.convert(
+      spark,
+      s"$dir/only_header.log",
+      s"$dir/logs",
+      None,
+      org.apache.spark.sql.SaveMode.Overwrite
+    )
+    assert(stats.goodRows == 0)
+    val back = ConvertJob.readConverted(spark, s"$dir/logs")
+    assert(back.count() == 0)
+    assert(back.columns.length == 16) // schema intact on empty data
+  }
+
   test("gzip source reads transparently (sample2.log.gz ≡ sample1.log)") {
     val gz = FlowLogParser
       .parse(ConvertJob.readRaw(spark, "/root/reference/samples/sample2.log.gz"))

@@ -59,6 +59,30 @@ class ParserPropertySpec extends SparkSpec {
     assert(parsed.length == records.length)
   }
 
+  test("parser never throws on arbitrary garbage lines (ANSI-proof)") {
+    import spark.implicits._
+    val garbage = Gen
+      .listOfN(
+        100,
+        Gen.oneOf(
+          Gen.asciiPrintableStr.map(_.take(60)),
+          Gen.listOfN(14, Gen.oneOf("-", "", "⺀亜", "999999999999999999999999", "1e309", "0x1f", "NaN"))
+            .map(_.mkString(" "))
+        )
+      )
+      .sample
+      .get
+      .filter(_.nonEmpty)
+    val res = FlowLogParser.parse(garbage.toDF("value"))
+    // must evaluate without throwing; overflow/garbage numerics become 0
+    val good = res.good.collect()
+    val quarantined = res.quarantined.count()
+    assert(good.length + quarantined <= garbage.length)
+    good.foreach { r =>
+      assert(r.getAs[Int]("version") == 2) // only v2 passes the gate
+    }
+  }
+
   test("quarantine catches every invalid arity/version mutation") {
     val base = flowLog.sample.get
     val bad = Seq(
