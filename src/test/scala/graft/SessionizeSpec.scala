@@ -1,0 +1,73 @@
+package graft
+
+import graft.streaming.{Sessionize, UserEvent}
+import java.nio.file.{Files, Paths}
+
+/** The custom stateful sessionizer: sessions close only when the
+  * watermark passes last-event + gap; in-batch gaps close mid-batch.
+  */
+class SessionizeSpec extends SparkSpec {
+
+  test("flatMapGroupsWithState emits closed sessions across micro-batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val base = tmpDir("graft-sessionize")
+    val in = s"$base/in"
+    Files.createDirectories(Paths.get(in))
+
+    // batch 1: user 1 has a 2-event session around 00:00-00:10
+    Files.writeString(
+      Paths.get(in, "b1.csv"),
+      "2024-01-01T00:00:00,1,1.5\n2024-01-01T00:10:00,1,2.5\n"
+    )
+    val schema = StructType(
+      Seq(
+        StructField("ts", TimestampType),
+        StructField("user_id", LongType),
+        StructField("value", DoubleType)
+      )
+    )
+    val stream = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .csv(in)
+      .selectExpr("user_id", "ts", "value")
+      .as[UserEvent]
+
+    val q = Sessionize
+      .sessions(stream, gapMinutes = 30)
+      .writeStream
+      .format("memory")
+      .queryName("graft_sessionize")
+      .outputMode("append")
+      .start()
+    try {
+      q.processAllAvailable()
+      // nothing closed yet: watermark hasn't passed 00:10 + 30min
+      assert(spark.sql("SELECT * FROM graft_sessionize").count() == 0)
+
+      // batch 2: an event at 02:00 starts a new session AND advances the
+      // watermark past the first session's close time
+      Files.writeString(
+        Paths.get(in, "b2.csv"),
+        "2024-01-01T02:00:00,1,9.0\n"
+      )
+      q.processAllAvailable()
+      // one more empty batch lets the timeout fire after watermark update
+      Files.writeString(
+        Paths.get(in, "b3.csv"),
+        "2024-01-01T04:00:00,2,1.0\n"
+      )
+      q.processAllAvailable()
+
+      val rows = spark
+        .sql(
+          "SELECT user_id, cnt, sum_value FROM graft_sessionize ORDER BY user_id, session_start"
+        )
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+        .toSeq
+      assert(rows.contains((1L, 2, 4.0)), s"first session missing: $rows")
+    } finally q.stop()
+  }
+}
