@@ -465,6 +465,49 @@ object Relational {
       .orderBy("p_id")
   }
 
+  /** Statistical aggregates: stddev/variance, correlation/covariance,
+    * argmin/argmax (min_by/max_by).
+    */
+  private def q38(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        r2(stddev_samp(col("l_quantity"))).as("sd_qty"),
+        r2(var_samp(col("l_quantity"))).as("var_qty"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qty_price"),
+        r2(covar_samp(col("l_quantity"), col("l_discount"))).as("covar_qty_disc"),
+        // extreme prices are unique per group at every SF (checked), so
+        // plain max_by/min_by are deterministic here; with ties both
+        // engines would need a composite ordering value
+        max_by(col("l_orderkey"), col("l_extendedprice")).as("priciest_order"),
+        min_by(col("l_orderkey"), col("l_extendedprice")).as("cheapest_order")
+      )
+      .orderBy("l_returnflag")
+
+  /** Exact interpolated percentiles (the continuous-quantile family). */
+  private def q39(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        r2(expr("percentile(o_totalprice, 0.25)")).as("p25"),
+        r2(expr("percentile(o_totalprice, 0.5)")).as("p50"),
+        r2(expr("percentile(o_totalprice, 0.75)")).as("p75"),
+        r2(expr("percentile(o_totalprice, 0.99)")).as("p99")
+      )
+      .orderBy("o_orderstatus")
+
+  /** approx_percentile (t-digest-style sketch) — no exact oracle; checked
+    * against q39 within tolerance in QueriesSpec.
+    */
+  private def q39b(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        r2(expr("approx_percentile(o_totalprice, 0.5, 10000)")).as("ap50"),
+        r2(expr("approx_percentile(o_totalprice, 0.99, 10000)")).as("ap99")
+      )
+      .orderBy("o_orderstatus")
+
   // ------------------------------------------------------------------ maps
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -495,7 +538,10 @@ object Relational {
     "q22_tumbling_window" -> q22,
     "q22b_sliding_window" -> q22b,
     "q23_session_window" -> q23,
-    "q37_asof_join" -> q37
+    "q37_asof_join" -> q37,
+    "q38_stats_agg" -> q38,
+    "q39_percentiles" -> q39,
+    "q39b_approx_percentiles" -> q39b
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -666,6 +712,22 @@ object Relational {
         |SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS session_start, count(*) AS cnt
         |FROM numbered GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
+    "q38_stats_agg" ->
+      """SELECT l_returnflag,
+        |  round(stddev_samp(l_quantity), 2) AS sd_qty,
+        |  round(var_samp(l_quantity), 2) AS var_qty,
+        |  round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+        |  round(covar_samp(l_quantity, l_discount), 2) AS covar_qty_disc,
+        |  max_by(l_orderkey, l_extendedprice) AS priciest_order,
+        |  min_by(l_orderkey, l_extendedprice) AS cheapest_order
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q39_percentiles" ->
+      """SELECT o_orderstatus,
+        |  round(quantile_cont(o_totalprice, 0.25), 2) AS p25,
+        |  round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+        |  round(quantile_cont(o_totalprice, 0.75), 2) AS p75,
+        |  round(quantile_cont(o_totalprice, 0.99), 2) AS p99
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q37_asof_join" ->
       """WITH purchases AS (
         |  SELECT user_id, event_id AS p_id, CAST(ts AS TIMESTAMP) AS p_ts

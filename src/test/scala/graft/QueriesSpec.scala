@@ -48,6 +48,25 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("approx_percentile within 5% of exact (q39 vs q39b)") {
+    val exact = SparkEntry
+      .queries("q39_percentiles")(spark, sf)
+      .collect()
+      .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(4)))
+      .toMap
+    val approx = SparkEntry
+      .queries("q39b_approx_percentiles")(spark, sf)
+      .collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    assert(exact.keySet == approx.keySet)
+    exact.foreach { case (k, (p50, p99)) =>
+      val (ap50, ap99) = approx(k)
+      assert(math.abs(ap50 - p50) / p50 <= 0.05, s"$k p50: $ap50 vs $p50")
+      assert(math.abs(ap99 - p99) / p99 <= 0.05, s"$k p99: $ap99 vs $p99")
+    }
+  }
+
   test("q20 cosine values are in [-1, 1]") {
     val bad = SparkEntry
       .queries("q20_array_cosine")(spark, sf)
