@@ -282,6 +282,36 @@ object Relational {
       .orderBy("o_custkey")
   }
 
+  /** The full ranking-function family (SURVEY §2.2: row_number, rank,
+    * dense_rank, ntile + distribution and first/last value) over each
+    * customer's order history. Restricted to o_custkey < 50 to keep the
+    * per-row output bounded.
+    */
+  private def q14b(s: SparkSession, dir: String): DataFrame = {
+    val w = Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    t(s, dir, "orders")
+      .filter(col("o_custkey") < 50)
+      .select(
+        col("o_custkey"),
+        col("o_orderkey"),
+        row_number().over(w).as("rn"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 4).as("pct_rank"),
+        round(cume_dist().over(w), 4).as("cdist"),
+        first(col("o_orderkey")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ).as("first_order"),
+        last(col("o_orderkey")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ).as("last_order")
+      )
+      .orderBy("o_custkey", "rn")
+  }
+
   /** Analytic window + frame: lag and a 4-row running sum per user. */
   private def q15(s: SparkSession, dir: String): DataFrame = {
     val w = Window
@@ -527,6 +557,7 @@ object Relational {
     "q13_rollup" -> q13,
     "q13b_cube" -> q13b,
     "q14_window_rank" -> q14,
+    "q14b_window_ranks_full" -> q14b,
     "q15_window_analytic" -> q15,
     "q16_set_ops" -> q16,
     "q16b_set_ops_all" -> q16b,
@@ -639,6 +670,23 @@ object Relational {
         |        ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
         |      FROM orders) x
         |WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
+    "q14b_window_ranks_full" ->
+      """SELECT o_custkey, o_orderkey,
+        |  row_number() OVER w AS rn,
+        |  rank() OVER w AS rnk,
+        |  dense_rank() OVER w AS drnk,
+        |  ntile(4) OVER w AS quartile,
+        |  round(percent_rank() OVER w, 4) AS pct_rank,
+        |  round(cume_dist() OVER w, 4) AS cdist,
+        |  first_value(o_orderkey) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_order,
+        |  last_value(o_orderkey) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_order
+        |FROM orders WHERE o_custkey < 50
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, rn""".stripMargin,
     "q15_window_analytic" ->
       """SELECT event_id, user_id, round(value, 2) AS value,
         |  round(lag(value, 1) OVER w, 2) AS prev_value,
