@@ -48,6 +48,18 @@ object Dedup {
       )
       .distinct()
 
+  /** One cached shingle frame per (session, dir): q26 and q27 both
+    * consume it several times each; a per-query cache would materialize
+    * the identical explode twice per Verify/Bench run.
+    */
+  private val shingleCache =
+    scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
+
+  private def cachedShingles(s: SparkSession, dir: String): DataFrame =
+    synchronized {
+      shingleCache.getOrElseUpdate((s, dir), shingles(docs(s, dir)).cache())
+    }
+
   /** Exact Jaccard over candidate pairs: |A∩B| / (|A|+|B|-|A∩B|). The
     * candidate frame is small (LSH output) or the full shingle self-join
     * (oracle baseline); sizes are computed once and joined twice.
@@ -99,7 +111,7 @@ object Dedup {
     * use q27 (MinHash LSH), which this query exists to validate.
     */
   private def q26(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(docs(s, dir)).cache()
+    val sh = cachedShingles(s, dir)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val a = sh.select(col("doc_id").as("da"), col("g"))
     val b = sh.select(col("doc_id").as("db"), col("g"))
@@ -145,7 +157,7 @@ object Dedup {
     * smaller codegen footprint.
     */
   private def q27(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(docs(s, dir)).cache()
+    val sh = cachedShingles(s, dir)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
 
     val withH = sh.withColumn("h", pmod(xxhash64(col("g")), lit(MinHashP)))
