@@ -62,4 +62,36 @@ object StreamingAggregates {
     events
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("user_id", "event_type")
+
+  /** Stream-stream join — the streaming twin of the batch as-of join
+    * (q37): purchases joined to the same user's views within the
+    * preceding hour. Both sides carry watermarks and the join condition
+    * bounds event-time distance, so each side's state is purged once the
+    * watermark passes (state size = one hour of events per side, not the
+    * stream's history).
+    */
+  def purchaseViewJoin(events: DataFrame): DataFrame = {
+    val purchases = events
+      .filter(col("event_type") === "purchase")
+      .select(
+        col("user_id"),
+        col("event_id").as("p_id"),
+        col("ts").as("p_ts")
+      )
+      .withWatermark("p_ts", "10 minutes")
+    val views = events
+      .filter(col("event_type") === "view")
+      .select(
+        col("user_id").as("v_user_id"),
+        col("event_id").as("v_id"),
+        col("ts").as("v_ts")
+      )
+      .withWatermark("v_ts", "10 minutes")
+    purchases.join(
+      views,
+      col("user_id") === col("v_user_id") &&
+        col("v_ts") <= col("p_ts") &&
+        col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR")
+    ).select(col("user_id"), col("p_id"), col("v_id"), col("p_ts"), col("v_ts"))
+  }
 }

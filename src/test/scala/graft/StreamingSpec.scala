@@ -181,6 +181,48 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream join matches purchases to prior views within the hour") {
+    import org.apache.spark.sql.types._
+    val base = tmpDir("graft-ssjoin")
+    val in = s"$base/in"; Files.createDirectories(Paths.get(in))
+    // user 1: view at 00:00 then purchase at 00:30 (match);
+    // user 1: purchase at 02:00 (view is 2h old -> no match);
+    // user 2: purchase at 00:30 with no view (no match)
+    Files.writeString(
+      Paths.get(in, "events.csv"),
+      "1,2024-01-01T00:00:00,1,view,0.0\n" +
+        "2,2024-01-01T00:30:00,1,purchase,9.0\n" +
+        "3,2024-01-01T02:00:00,1,purchase,9.0\n" +
+        "4,2024-01-01T00:30:00,2,purchase,9.0\n"
+    )
+    val schema = StructType(
+      Seq(
+        StructField("event_id", LongType),
+        StructField("ts", TimestampType),
+        StructField("user_id", LongType),
+        StructField("event_type", StringType),
+        StructField("value", DoubleType)
+      )
+    )
+    val stream = spark.readStream.schema(schema).csv(in)
+    val q = graft.streaming.StreamingAggregates
+      .purchaseViewJoin(stream)
+      .writeStream
+      .format("memory")
+      .queryName("graft_ssjoin")
+      .outputMode("append")
+      .start()
+    try {
+      q.processAllAvailable()
+      val rows = spark
+        .sql("SELECT user_id, p_id, v_id FROM graft_ssjoin ORDER BY p_id")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSeq
+      assert(rows == Seq((1L, 2L, 1L)), s"got $rows")
+    } finally q.stop()
+  }
+
   test("streaming dedup within watermark drops in-stream duplicates") {
     import org.apache.spark.sql.types._
     val base = tmpDir("graft-stream-dedup")
