@@ -41,7 +41,7 @@ def normalize(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return round(v, 6)
+        return v  # exact: driver may hash raw values
     if hasattr(v, "isoformat"):
         return v.isoformat()[:26]
     if isinstance(v, bytes):
