@@ -538,6 +538,42 @@ object Relational {
       )
       .orderBy("o_orderstatus")
 
+  /** Math-function surface: floor/ceil/abs/sqrt/exp/log10/power/
+    * greatest/least (names and semantics shared with the oracle engine;
+    * natural log is spelled differently — log vs ln — and exercised via
+    * log10 instead).
+    */
+  private def q40(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .select(
+        col("p_partkey"),
+        floor(col("p_retailprice")).as("fl"),
+        ceil(col("p_retailprice")).as("cl"),
+        abs(col("p_size") - 25).as("size_dist"),
+        round(sqrt(col("p_retailprice")), 4).as("sq"),
+        round(log10(col("p_retailprice") + 1), 4).as("l10"),
+        round(pow(col("p_size"), 2).cast("double"), 2).as("size_sq"),
+        greatest(col("p_size"), lit(10)).as("gmax"),
+        least(col("p_size"), lit(10)).as("lmin")
+      )
+      .orderBy("p_partkey")
+
+  /** Datetime-function surface: component extraction + day difference
+    * from a fixed epoch date.
+    */
+  private def q41(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .filter(col("o_orderkey") < 2000)
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        dayofmonth(col("o_orderdate")).as("d"),
+        hour(col("o_orderdate")).as("h"),
+        datediff(col("o_orderdate"), lit("1995-01-01").cast("date")).as("days_since")
+      )
+      .orderBy("o_orderkey")
+
   // ------------------------------------------------------------------ maps
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -572,7 +608,9 @@ object Relational {
     "q37_asof_join" -> q37,
     "q38_stats_agg" -> q38,
     "q39_percentiles" -> q39,
-    "q39b_approx_percentiles" -> q39b
+    "q39b_approx_percentiles" -> q39b,
+    "q40_math_fns" -> q40,
+    "q41_datetime_fns" -> q41
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -760,6 +798,23 @@ object Relational {
         |SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS session_start, count(*) AS cnt
         |FROM numbered GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
+    "q40_math_fns" ->
+      """SELECT p_partkey,
+        |  CAST(floor(p_retailprice) AS BIGINT) AS fl,
+        |  CAST(ceil(p_retailprice) AS BIGINT) AS cl,
+        |  abs(p_size - 25) AS size_dist,
+        |  round(sqrt(p_retailprice), 4) AS sq,
+        |  round(log10(p_retailprice + 1), 4) AS l10,
+        |  round(CAST(pow(p_size, 2) AS DOUBLE), 2) AS size_sq,
+        |  greatest(p_size, 10) AS gmax,
+        |  least(p_size, 10) AS lmin
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q41_datetime_fns" ->
+      """SELECT o_orderkey,
+        |  year(o_orderdate) AS y, month(o_orderdate) AS m,
+        |  day(o_orderdate) AS d, hour(o_orderdate) AS h,
+        |  date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since
+        |FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey""".stripMargin,
     "q38_stats_agg" ->
       """SELECT l_returnflag,
         |  round(stddev_samp(l_quantity), 2) AS sd_qty,
