@@ -31,7 +31,7 @@ object Bucketing {
     * bucketed joins eliminate (used by specs and plan audits).
     */
   def hasShuffleExchange(df: DataFrame): Boolean = {
-    df.collect() // finalize AQE
+    df.foreach(_ => ()) // finalize AQE on THIS plan without driver-side rows
     df.queryExecution.executedPlan.toString
       .linesIterator
       .exists(l => l.contains("Exchange hashpartitioning") || l.contains("Exchange rangepartitioning"))

@@ -58,9 +58,7 @@ object Partitions {
         .filter(s => s.isDirectory && s.getPath.getName.startsWith(prefix))
         .map { s =>
           val raw = s.getPath.getName.drop(prefix.length)
-          // Hive escapes special chars as %xx in partition dir names
-          val decoded = java.net.URLDecoder.decode(raw, "UTF-8")
-          (decoded, s.getPath)
+          (unescapePathName(raw), s.getPath)
         }
     val keys = for {
       (account, accountDir) <- partDirs(root, "account=")
@@ -68,11 +66,44 @@ object Partitions {
     } yield (account, dt)
     keys.foreach { case (account, dt) =>
       spark.sql(
-        s"ALTER TABLE $table ADD IF NOT EXISTS PARTITION (account='$account', dt='$dt')"
+        s"ALTER TABLE $table ADD IF NOT EXISTS PARTITION " +
+          s"(account='${escapeSqlString(account)}', dt='${escapeSqlString(dt)}')"
       )
     }
     keys.length
   }
+
+  /** Hive-style partition-dir unescape: ONLY `%xx` sequences, matching
+    * Hive's `FileUtils.unescapePathName`. (URLDecoder would additionally
+    * turn a literal `+` into a space — Hive never encodes `+`, so a key
+    * containing one would silently register a nonexistent location.)
+    */
+  private[catalog] def unescapePathName(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length) {
+        val cp =
+          try Integer.parseInt(s.substring(i + 1, i + 3), 16)
+          catch { case _: NumberFormatException => -1 }
+        if (cp >= 0) { sb.append(cp.toChar); i += 3 }
+        else { sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** Escape a value for inclusion in a single-quoted Spark SQL literal —
+    * a quote (or backslash) in a partition value must not break out of,
+    * or inject into, the ADD PARTITION DDL.
+    */
+  private[catalog] def escapeSqlString(s: String): String =
+    s.flatMap {
+      case '\\' => "\\\\"
+      case '\'' => "\\'"
+      case c    => c.toString
+    }
 
   /** Bulk alternative: let Spark discover partitions from the directory
     * layout (what the reference would use MSCK REPAIR for).

@@ -49,11 +49,14 @@ object EtlBenchQuery {
         ).as("value")
       )
 
-  /** Full pipeline; returns (n_rows, sum_bytes, n_partitions). */
+  /** Full pipeline; returns (n_rows, sum_bytes, n_partitions). The output
+    * dir is suffixed with the Spark application id: two concurrent JVMs
+    * running Bench/Verify must not overwrite each other's output mid-read.
+    */
   def run(spark: SparkSession, sfDir: String): DataFrame = {
     val out = new java.io.File(
       sys.props("java.io.tmpdir"),
-      "graft_etl_bench"
+      s"graft_etl_bench_${spark.sparkContext.applicationId}"
     ).getPath
     val parsed = FlowLogParser.parse(syntheticLines(spark))
     // repartition on the partition key: 1 file per (account, dt) instead

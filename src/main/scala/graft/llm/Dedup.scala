@@ -55,10 +55,45 @@ object Dedup {
   private val shingleCache =
     scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
 
+  /** Per-query cached frames (the q27/q28 signature frames) — tracked so
+    * [[releaseCaches]] can unpersist them: repeated Verify/Bench
+    * invocations in one JVM must not accumulate executor storage memory.
+    */
+  private val trackedCaches =
+    scala.collection.mutable.Buffer.empty[(SparkSession, DataFrame)]
+
+  private def tcache(s: SparkSession, df: DataFrame): DataFrame =
+    synchronized {
+      val c = df.cache()
+      trackedCaches += ((s, c))
+      c
+    }
+
   private def cachedShingles(s: SparkSession, dir: String): DataFrame =
     synchronized {
       shingleCache.getOrElseUpdate((s, dir), shingles(docs(s, dir)).cache())
     }
+
+  /** Materialize the shared q26/q27 shingle cache outside a timed region
+    * (Bench calls this so per-query numbers measure the operator, not the
+    * one-time corpus materialization both queries share).
+    */
+  def warmShingles(s: SparkSession, dir: String): Unit =
+    cachedShingles(s, dir).foreach(_ => ())
+
+  /** Unpersist every frame this module cached for `s` (shingle corpus +
+    * tracked per-query signature frames). Call at the end of a
+    * Verify/Bench run; safe while no query of this session is executing.
+    */
+  def releaseCaches(s: SparkSession): Unit = synchronized {
+    shingleCache.filterInPlace { case ((sess, _), df) =>
+      if (sess eq s) { df.unpersist(); false } else true
+    }
+    val (mine, others) = trackedCaches.partition(_._1 eq s)
+    mine.foreach(_._2.unpersist())
+    trackedCaches.clear()
+    trackedCaches ++= others
+  }
 
   /** Exact Jaccard over candidate pairs: |A∩B| / (|A|+|B|-|A∩B|). The
     * candidate frame is small (LSH output) or the full shingle self-join
@@ -167,10 +202,12 @@ object Dedup {
     // cache: the bands frame feeds BOTH sides of the candidate self-join —
     // without it the whole shingle→signature pipeline executes twice
     // (observed 18 s → 3 s at sf0.1).
-    val sig = withH
-      .groupBy("doc_id")
-      .agg(minhash(col("h")).as("sig"))
-      .cache()
+    val sig = tcache(
+      s,
+      withH
+        .groupBy("doc_id")
+        .agg(minhash(col("h")).as("sig"))
+    )
 
     val rowsPerBand = NumHashes / NumBands
     val bandCols = (0 until NumBands).map { bi =>
@@ -238,7 +275,7 @@ object Dedup {
       .map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
       .reduce(_ + _)
     // cached: feeds both sides of the banded candidate self-join
-    val sig = sums.select(col("doc_id"), simhash.as("simhash")).cache()
+    val sig = tcache(s, sums.select(col("doc_id"), simhash.as("simhash")))
 
     val blockCols = (0 until SimHashBlocks).map { bi =>
       shiftright(col("simhash"), bi * 15).bitwiseAND(lit(0x7fffL))

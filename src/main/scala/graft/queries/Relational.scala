@@ -788,7 +788,7 @@ object Relational {
       """WITH marked AS (
         |  SELECT user_id, ts, event_id,
         |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-        |              > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+        |              >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
         |  FROM events),
         |numbered AS (
         |  SELECT user_id, ts,
