@@ -8,8 +8,10 @@ import org.apache.spark.sql.functions._
   * surface the reference exposes through its Athena table, re-expressed as
   * Spark DataFrame plans. Each testdata query has a DuckDB oracle twin in
   * [[oracleSql]]; the flowlog queries (q01-q04) run on the table produced
-  * by our own ETL from the reference samples and are checked by golden
-  * ScalaTests instead (no flowlogs table exists in the oracle's sfDir).
+  * by our own ETL from the deterministic FlowLogCorpus — their oracles
+  * recompute the expected rows closed-form from `generate_series`
+  * (FlowLogCorpus.oracleCte), so the whole parse→write→read path is
+  * value-checked without the oracle ever seeing the converted directory.
   *
   * Conventions for oracle parity:
   *  - every output column aliased identically on both sides;
@@ -613,7 +615,28 @@ object Relational {
     "q41_datetime_fns" -> q41
   )
 
+  private val flowCte = graft.etl.FlowLogCorpus.oracleCte
+
   val oracleSql: Map[String, String] = Map(
+    "q01_flow_filter_sort" ->
+      s"""$flowCte
+         |SELECT srcaddr, dstaddr, bytes FROM f
+         |WHERE action = 'ACCEPT'
+         |ORDER BY srcaddr, dstaddr, bytes""".stripMargin,
+    "q02_flow_top_talkers" ->
+      s"""$flowCte
+         |SELECT srcaddr, CAST(sum(bytes) AS BIGINT) AS sum_bytes,
+         |  CAST(sum(packets) AS BIGINT) AS sum_packets, count(*) AS cnt
+         |FROM f GROUP BY srcaddr ORDER BY srcaddr""".stripMargin,
+    "q03_flow_topk" ->
+      s"""$flowCte
+         |SELECT dstaddr, CAST(sum(bytes) AS BIGINT) AS sum_bytes
+         |FROM f GROUP BY dstaddr
+         |ORDER BY sum_bytes DESC, dstaddr LIMIT 10""".stripMargin,
+    "q04_flow_partitions" ->
+      s"""$flowCte
+         |SELECT dt, account, count(*) AS cnt
+         |FROM f GROUP BY dt, account ORDER BY dt, account""".stripMargin,
     "q05_join_inner" ->
       """SELECT c_mktsegment, count(*) AS order_cnt, round(sum(o_totalprice), 2) AS revenue
         |FROM orders JOIN customer ON o_custkey = c_custkey

@@ -20,24 +20,22 @@ object Tables {
     else df
   }
 
-  /** Flowlogs converted from the reference's own sample input
-    * (reference `samples/sample1.log`) through our ETL — the table the Q1-Q4
-    * flow queries run on. Converted once per JVM into the java tmpdir.
+  /** Flowlogs table the Q1-Q4 flow queries run on: the deterministic
+    * FlowLogCorpus (150k closed-form lines incl. header/NODATA/
+    * quarantine edge cases) pushed through the full ETL once per JVM
+    * into an app-id-suffixed tmpdir (concurrent JVMs must not clobber
+    * each other). The DuckDB oracle recomputes the expected rows from
+    * the same formulas (FlowLogCorpus.oracleCte) — it never reads this
+    * directory.
     */
   def flowlogs(spark: SparkSession): DataFrame = synchronized {
-    import graft.etl.ConvertJob
+    import graft.etl.{ConvertJob, FlowLogCorpus}
     val out = new java.io.File(
       sys.props("java.io.tmpdir"),
-      "graft_flowlogs_table"
+      s"graft_flowlogs_corpus_${spark.sparkContext.applicationId}"
     ).getPath
     if (!new java.io.File(out, "_SUCCESS").exists()) {
-      ConvertJob.convert(
-        spark,
-        "/root/reference/samples/sample1.log",
-        out,
-        None,
-        org.apache.spark.sql.SaveMode.Overwrite
-      )
+      FlowLogCorpus.convertTo(spark, out)
     }
     ConvertJob.readConverted(spark, out)
   }
