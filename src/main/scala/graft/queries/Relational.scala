@@ -133,6 +133,51 @@ object Relational {
       .agg(count(col("o_orderkey")).as("order_cnt"))
       .orderBy("c_custkey")
 
+  /** Right outer join + null-tolerant COUNT(column) — the mirror of q08
+    * with the fact side on the left, exercising RightOuter semantics.
+    */
+  private def q08b(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .join(
+        t(s, dir, "customer"),
+        col("o_custkey") === col("c_custkey"),
+        "right_outer"
+      )
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("order_cnt"))
+      .orderBy("c_custkey")
+
+  /** Full outer join: reconciliation of the positive-balance customer
+    * list against the recent-order ledger (orders since 1998-06-01).
+    * Both null sides occur — customers whose orders all predate the
+    * window (order side null) and non-positive-balance customers with
+    * recent orders (customer side null) — the shape a real FULL OUTER
+    * reconciliation query produces.
+    */
+  private def q08c(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+      .filter(col("c_acctbal") > 0)
+      .select(col("c_custkey"))
+    val o = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1998-06-01").cast("timestamp"))
+      .groupBy(col("o_custkey"))
+      .agg(
+        count(lit(1)).as("order_cnt"),
+        r2(sum(col("o_totalprice"))).as("spend")
+      )
+    c.join(o, col("c_custkey") === col("o_custkey"), "full_outer")
+      .select(
+        coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+        when(col("c_custkey").isNull, "order_only")
+          .when(col("o_custkey").isNull, "customer_only")
+          .otherwise("both")
+          .as("side"),
+        col("order_cnt"),
+        col("spend")
+      )
+      .orderBy("custkey")
+  }
+
   /** Left semi / left anti (EXISTS / NOT EXISTS). */
   private def q09(s: SparkSession, dir: String): DataFrame = {
     val c = t(s, dir, "customer")
@@ -249,6 +294,67 @@ object Relational {
         asc_nulls_first("o_orderstatus"),
         asc_nulls_first("o_orderpriority")
       )
+
+  /** ROLLUP with grouping_id + per-column grouping flag — distinguishes
+    * a subtotal row's NULL from a data NULL (the reason GROUPING exists).
+    * Spark's grouping_id() bit order (first grouping col = most
+    * significant bit) matches DuckDB's GROUPING(a, b).
+    */
+  private def q13c(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(
+        broadcast(t(s, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey")
+      )
+      .join(
+        broadcast(t(s, dir, "region")),
+        col("n_regionkey") === col("r_regionkey")
+      )
+      .rollup(col("r_name"), col("n_name"))
+      .agg(
+        grouping_id().as("gid"),
+        count(lit(1)).as("cnt"),
+        r2(sum(col("c_acctbal"))).as("bal")
+      )
+      .select(col("r_name"), col("n_name"), col("gid"), col("cnt"), col("bal"))
+      .orderBy(
+        col("gid"),
+        asc_nulls_first("r_name"),
+        asc_nulls_first("n_name")
+      )
+
+  private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  /** PIVOT: event_type values to columns, one row per day. The pivot
+    * value list is explicit — an implicit pivot would scan the column for
+    * distinct values first (an extra job, and nondeterministic column
+    * order at scale). Cells with no rows are coalesced to 0 (Spark yields
+    * NULL, COUNT semantics say 0).
+    */
+  private def q42(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(to_date(col("ts")).as("d"), col("event_type"))
+      .groupBy("d")
+      .pivot("event_type", EventTypes)
+      .agg(count(lit(1)))
+      .select(
+        col("d") +: EventTypes.map(tp => coalesce(col(tp), lit(0L)).as(tp)): _*
+      )
+      .orderBy("d")
+
+  /** UNPIVOT (melt): the q42 wide frame back to long (d, event_type,
+    * cnt) — the roundtrip yields the dense per-(day, type) counts
+    * including explicit zeros.
+    */
+  private def q42b(s: SparkSession, dir: String): DataFrame =
+    q42(s, dir)
+      .unpivot(
+        Array(col("d")),
+        EventTypes.map(col).toArray,
+        "event_type",
+        "cnt"
+      )
+      .orderBy("d", "event_type")
 
   /** Bag-semantics set ops: intersectAll / exceptAll (q16 covers the
     * distinct-semantics family).
@@ -587,6 +693,8 @@ object Relational {
     "q06_join_broadcast" -> q06,
     "q07_join_multiway" -> q07,
     "q08_join_left_outer" -> q08,
+    "q08b_join_right_outer" -> q08b,
+    "q08c_join_full_outer" -> q08c,
     "q09_join_semi_anti" -> q09,
     "q10_join_range" -> q10,
     "q11_agg_having" -> q11,
@@ -594,6 +702,7 @@ object Relational {
     "q12b_approx_distinct" -> q12b,
     "q13_rollup" -> q13,
     "q13b_cube" -> q13b,
+    "q13c_grouping_id" -> q13c,
     "q14_window_rank" -> q14,
     "q14b_window_ranks_full" -> q14b,
     "q15_window_analytic" -> q15,
@@ -612,7 +721,9 @@ object Relational {
     "q39_percentiles" -> q39,
     "q39b_approx_percentiles" -> q39b,
     "q40_math_fns" -> q40,
-    "q41_datetime_fns" -> q41
+    "q41_datetime_fns" -> q41,
+    "q42_pivot" -> q42,
+    "q42b_unpivot" -> q42b
   )
 
   private val flowCte = graft.etl.FlowLogCorpus.oracleCte
@@ -663,6 +774,23 @@ object Relational {
       """SELECT c_custkey, count(o_orderkey) AS order_cnt
         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
         |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+    "q08b_join_right_outer" ->
+      """SELECT c_custkey, count(o_orderkey) AS order_cnt
+        |FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+    "q08c_join_full_outer" ->
+      """WITH c AS (SELECT c_custkey FROM customer WHERE c_acctbal > 0),
+        |o AS (SELECT o_custkey, count(*) AS order_cnt,
+        |        round(sum(o_totalprice), 2) AS spend
+        |      FROM orders WHERE o_orderdate >= TIMESTAMP '1998-06-01'
+        |      GROUP BY o_custkey)
+        |SELECT COALESCE(c_custkey, o_custkey) AS custkey,
+        |  CASE WHEN c_custkey IS NULL THEN 'order_only'
+        |       WHEN o_custkey IS NULL THEN 'customer_only'
+        |       ELSE 'both' END AS side,
+        |  order_cnt, spend
+        |FROM c FULL JOIN o ON c_custkey = o_custkey
+        |ORDER BY custkey""".stripMargin,
     "q09_join_semi_anti" ->
       """SELECT 'with_orders' AS op, count(*) AS cnt FROM customer
         |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
@@ -707,6 +835,31 @@ object Relational {
         |FROM orders
         |GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "q13c_grouping_id" ->
+      """SELECT r_name, n_name, GROUPING(r_name, n_name) AS gid,
+        |  count(*) AS cnt, round(sum(c_acctbal), 2) AS bal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY gid, r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin,
+    "q42_pivot" ->
+      """SELECT CAST(ts AS DATE) AS d,
+        |  count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+        |  count(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+        |  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+        |  count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+        |  count(CASE WHEN event_type = 'view' THEN 1 END) AS "view"
+        |FROM events GROUP BY d ORDER BY d""".stripMargin,
+    "q42b_unpivot" ->
+      """WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS d FROM events),
+        |ty AS (SELECT unnest(['click','error','purchase','signup','view']) AS event_type),
+        |c AS (SELECT CAST(ts AS DATE) AS d, event_type, count(*) AS cnt
+        |      FROM events GROUP BY 1, 2)
+        |SELECT days.d, ty.event_type, COALESCE(c.cnt, 0) AS cnt
+        |FROM days CROSS JOIN ty
+        |LEFT JOIN c ON c.d = days.d AND c.event_type = ty.event_type
+        |ORDER BY days.d, ty.event_type""".stripMargin,
     "q16b_set_ops_all" ->
       """SELECT 'except_all' AS op, count(*) AS cnt FROM (
         |  SELECT user_id FROM events WHERE event_type = 'click'

@@ -67,6 +67,35 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("q08c full outer join produces both null sides") {
+    val sides = SparkEntry
+      .queries("q08c_join_full_outer")(spark, sf)
+      .groupBy("side")
+      .count()
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    assert(sides.getOrElse("both", 0L) > 0, s"no matched rows: $sides")
+    assert(sides.getOrElse("customer_only", 0L) > 0, s"no null order side: $sides")
+    assert(sides.getOrElse("order_only", 0L) > 0, s"no null customer side: $sides")
+  }
+
+  test("q42 pivot row sums equal q42b unpivot totals per day") {
+    val wide = SparkEntry
+      .queries("q42_pivot")(spark, sf)
+      .collect()
+      .map(r => r.getDate(0).toString -> (1 until r.length).map(r.getLong).sum)
+      .toMap
+    val long = SparkEntry
+      .queries("q42b_unpivot")(spark, sf)
+      .groupBy("d")
+      .agg(sum("cnt").as("s"))
+      .collect()
+      .map(r => r.getDate(0).toString -> r.getLong(1))
+      .toMap
+    assert(wide == long)
+  }
+
   test("q20 cosine values are in [-1, 1]") {
     val bad = SparkEntry
       .queries("q20_array_cosine")(spark, sf)

@@ -21,6 +21,8 @@ class SqlParitySpec extends SparkSpec {
     "q05_join_inner",
     "q07_join_multiway",
     "q08_join_left_outer",
+    "q08b_join_right_outer",
+    "q08c_join_full_outer",
     "q09_join_semi_anti",
     "q11_agg_having",
     "q12_distinct_agg",
