@@ -63,6 +63,38 @@ object Relational {
       .agg(count(lit(1)).as("cnt"))
       .orderBy("dt", "account")
 
+  /** CIDR enrichment — the reference domain's classic lookup: map each
+    * flow's srcaddr to its owning /24 block (aggregated to /20 "net"
+    * owners) via a BROADCAST RANGE JOIN against a 256-row block dim.
+    * The dim is broadcast (a CIDR table is always small relative to the
+    * flow volume); each flow probes the in-memory ranges, so the flow
+    * side streams through once with no shuffle before the final
+    * aggregate. NODATA rows (srcaddr `-`) are excluded before the join.
+    */
+  private def q44(s: SparkSession, dir: String): DataFrame = {
+    val base = 10L << 24 // 10.0.0.0
+    val oct = split(col("srcaddr"), "\\.")
+    val ip = Tables
+      .flowlogs(s)
+      .filter(col("srcaddr") =!= "-")
+      .select(
+        (lit(base) + element_at(oct, 3).cast("long") * 256L +
+          element_at(oct, 4).cast("long")).as("ip_int"),
+        col("bytes")
+      )
+    val dim = s
+      .range(256)
+      .select(
+        (lit(base) + col("id") * 256L).as("lo"),
+        (lit(base) + col("id") * 256L + 255L).as("hi"),
+        concat(lit("net-"), expr("id div 16")).as("owner")
+      )
+    ip.join(broadcast(dim), col("ip_int") >= col("lo") && col("ip_int") <= col("hi"))
+      .groupBy(col("owner"))
+      .agg(count(lit(1)).as("cnt"), sum(col("bytes")).as("sum_bytes"))
+      .orderBy("owner")
+  }
+
   // ---------------------------------------------------------------- q05-q10
   // Joins.
 
@@ -723,7 +755,8 @@ object Relational {
     "q40_math_fns" -> q40,
     "q41_datetime_fns" -> q41,
     "q42_pivot" -> q42,
-    "q42b_unpivot" -> q42b
+    "q42b_unpivot" -> q42b,
+    "q44_ip_enrich" -> q44
   )
 
   private val flowCte = graft.etl.FlowLogCorpus.oracleCte
@@ -748,6 +781,12 @@ object Relational {
       s"""$flowCte
          |SELECT dt, account, count(*) AS cnt
          |FROM f GROUP BY dt, account ORDER BY dt, account""".stripMargin,
+    "q44_ip_enrich" ->
+      s"""$flowCte
+         |SELECT 'net-' || CAST(CAST(string_split(srcaddr, '.')[3] AS INTEGER) // 16 AS VARCHAR) AS owner,
+         |  count(*) AS cnt, CAST(sum(bytes) AS BIGINT) AS sum_bytes
+         |FROM f WHERE srcaddr <> '-'
+         |GROUP BY owner ORDER BY owner""".stripMargin,
     "q05_join_inner" ->
       """SELECT c_mktsegment, count(*) AS order_cnt, round(sum(o_totalprice), 2) AS revenue
         |FROM orders JOIN customer ON o_custkey = c_custkey

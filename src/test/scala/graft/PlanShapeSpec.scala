@@ -39,6 +39,20 @@ class PlanShapeSpec extends SparkSpec {
       .contains("WindowGroupLimit"))
   }
 
+  test("q44 CIDR enrichment joins via broadcast (no shuffle of the flow side before agg)") {
+    val plan = executedPlan(SparkEntry.queries("q44_ip_enrich")(spark, sf))
+    assert(plan.contains("BroadcastNestedLoopJoin"), s"no broadcast range join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
+  test("q43 hash split is a pure projection: no hash-partitioning exchange") {
+    val plan = executedPlan(SparkEntry.queries("q43_hash_split")(spark, sf))
+    assert(
+      !plan.contains("Exchange hashpartitioning"),
+      s"hash split should not shuffle:\n$plan"
+    )
+  }
+
   test("q29 custom cosine expression is pushed into the join condition") {
     val plan = executedPlan(
       SparkEntry.queries("q29_dedup_embedding_cosine")(spark, sf)
