@@ -78,7 +78,7 @@ object Partitions {
     * turn a literal `+` into a space — Hive never encodes `+`, so a key
     * containing one would silently register a nonexistent location.)
     */
-  private[catalog] def unescapePathName(s: String): String = {
+  private[graft] def unescapePathName(s: String): String = {
     val sb = new StringBuilder(s.length)
     var i = 0
     while (i < s.length) {
@@ -98,7 +98,7 @@ object Partitions {
     * a quote (or backslash) in a partition value must not break out of,
     * or inject into, the ADD PARTITION DDL.
     */
-  private[catalog] def escapeSqlString(s: String): String =
+  private[graft] def escapeSqlString(s: String): String =
     s.flatMap {
       case '\\' => "\\\\"
       case '\'' => "\\'"

@@ -15,7 +15,12 @@ import org.apache.spark.sql.functions._
   */
 object EtlBenchQuery {
 
-  val Rows = 1000000L
+  /** 1M lines by default; SPARK_GRAFT_ETL_ROWS overrides for scale-curve
+    * measurements (the closed-form oracle below tracks the same value,
+    * so correctness holds at any size).
+    */
+  val Rows: Long =
+    sys.env.get("SPARK_GRAFT_ETL_ROWS").map(_.toLong).getOrElse(1000000L)
   private val Accounts = 5
   private val Days = 30
   private val BaseTs = 1700000000L // 2023-11-14T22:13:20Z
