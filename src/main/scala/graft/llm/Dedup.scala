@@ -229,7 +229,14 @@ object Dedup {
       .distinct()
 
     val a = sh.select(col("doc_id").as("da"), col("g"))
-    val b = sh.select(col("doc_id").as("db"), col("g"))
+    // Prefilter the (db, g) side to candidate docs with a broadcast semi
+    // join BEFORE the (db, g) equi join: otherwise the full shingle
+    // frame shuffles on (db, g) just to verify a small candidate set —
+    // at 10^11 docs that shuffle is the whole corpus, the semi-filtered
+    // one is O(candidates).
+    val b = sh
+      .select(col("doc_id").as("db"), col("g"))
+      .join(broadcast(cand.select("db").distinct()), Seq("db"), "left_semi")
     val inter = broadcast(cand)
       .join(a, Seq("da"))
       .join(b, Seq("db", "g"))
