@@ -39,6 +39,14 @@ class PlanShapeSpec extends SparkSpec {
       .contains("WindowGroupLimit"))
   }
 
+  test("q01 ACCEPT filter is pushed into the flowlogs parquet scan") {
+    val plan = executedPlan(SparkEntry.queries("q01_flow_filter_sort")(spark, sf))
+    assert(
+      plan.contains("EqualTo(action,ACCEPT)"),
+      s"filter not pushed to scan:\n$plan"
+    )
+  }
+
   test("q44 CIDR enrichment joins via broadcast (no shuffle of the flow side before agg)") {
     val plan = executedPlan(SparkEntry.queries("q44_ip_enrich")(spark, sf))
     assert(plan.contains("BroadcastNestedLoopJoin"), s"no broadcast range join:\n$plan")
