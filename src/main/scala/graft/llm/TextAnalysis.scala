@@ -136,14 +136,35 @@ object TextAnalysis {
   private def nullIfZero(c: Column): Column =
     when(c === 0, lit(null)).otherwise(c)
 
+  /** q34b: corpus-level vocabulary top-k — the frequency profile used to
+    * spot boilerplate/templated text in a training corpus. Shape at
+    * scale: explode → partial map-side count per token → one shuffle on
+    * the token (vocabulary-sized, not corpus-sized) → final count →
+    * TakeOrderedAndProject (top-k never materializes a full sort).
+    */
+  private def q34b(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), col("w"))
+      .limit(20)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q32_lang_id" -> q32,
     "q33_quality_score" -> q33,
     "q34_token_count" -> q34,
+    "q34b_vocab_topk" -> q34b,
     "q35_fingerprint" -> q35
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q34b_vocab_topk" ->
+      """SELECT w, count(*) AS cnt
+        |FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |WHERE w <> ''
+        |GROUP BY w ORDER BY cnt DESC, w LIMIT 20""".stripMargin,
     "q32_lang_id" ->
       """WITH scored AS (
         |  SELECT doc_id,

@@ -39,6 +39,11 @@ class PlanShapeSpec extends SparkSpec {
       .contains("WindowGroupLimit"))
   }
 
+  test("q34b vocab top-k uses TakeOrderedAndProject (no full sort)") {
+    val plan = executedPlan(SparkEntry.queries("q34b_vocab_topk")(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"), s"full sort for top-k:\n$plan")
+  }
+
   test("q01 ACCEPT filter is pushed into the flowlogs parquet scan") {
     val plan = executedPlan(SparkEntry.queries("q01_flow_filter_sort")(spark, sf))
     assert(
