@@ -30,16 +30,7 @@ package graft
   */
 object Bench {
 
-  private def jstr(s: String): String =
-    "\"" + s.flatMap {
-      case '"'          => "\\\""
-      case '\\'         => "\\\\"
-      case '\n'         => "\\n"
-      case '\r'         => "\\r"
-      case '\t'         => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c            => c.toString
-    } + "\""
+  private def jstr(s: String): String = Json.str(s)
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
@@ -77,6 +68,11 @@ object Bench {
       val times = (1 to iters).flatMap { _ =>
         if (errors.contains(name)) None // failed once: don't retry N times
         else {
+          // drop per-query caches (q27/q28 signatures/candidates) so each
+          // iteration pays the full operator cost — CacheManager would
+          // otherwise serve iteration 2+ from iteration 1's cache and the
+          // median would silently exclude the dominant stage
+          graft.llm.Dedup.releaseTrackedCaches(spark)
           val t0 = System.nanoTime()
           try {
             fn(spark, sfDir).count()
@@ -89,7 +85,9 @@ object Bench {
           }
         }
       }
-      name -> (if (times.isEmpty) -1.0 else median(times))
+      // a query that failed on ANY iteration reports -1 and is excluded
+      // from the total, even if an earlier iteration succeeded
+      name -> (if (errors.contains(name)) -1.0 else median(times))
     }
 
     val qs = results

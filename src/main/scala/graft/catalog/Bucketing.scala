@@ -31,7 +31,11 @@ object Bucketing {
     * bucketed joins eliminate (used by specs and plan audits).
     */
   def hasShuffleExchange(df: DataFrame): Boolean = {
-    df.foreach(_ => ()) // finalize AQE on THIS plan without driver-side rows
+    // Finalize AQE on THIS df's QueryExecution without shipping rows to
+    // the driver. (Dataset.foreach would execute the separate
+    // rddQueryExecution and leave df.queryExecution's adaptive plan
+    // un-finalized; collect() finalizes it but materializes rows.)
+    df.queryExecution.toRdd.foreach(_ => ())
     df.queryExecution.executedPlan.toString
       .linesIterator
       .exists(l => l.contains("Exchange hashpartitioning") || l.contains("Exchange rangepartitioning"))

@@ -19,8 +19,20 @@ object EtlBenchQuery {
     * measurements (the closed-form oracle below tracks the same value,
     * so correctness holds at any size).
     */
-  val Rows: Long =
-    sys.env.get("SPARK_GRAFT_ETL_ROWS").map(_.toLong).getOrElse(1000000L)
+  val Rows: Long = sys.env.get("SPARK_GRAFT_ETL_ROWS") match {
+    case None => 1000000L
+    case Some(v) =>
+      val n =
+        try v.toLong
+        catch {
+          case _: NumberFormatException =>
+            throw new IllegalArgumentException(
+              s"SPARK_GRAFT_ETL_ROWS must be a positive integer, got '$v'"
+            )
+        }
+      require(n > 0, s"SPARK_GRAFT_ETL_ROWS must be positive, got $n")
+      n
+  }
   private val Accounts = 5
   private val Days = 30
   private val BaseTs = 1700000000L // 2023-11-14T22:13:20Z
@@ -59,10 +71,12 @@ object EtlBenchQuery {
     * running Bench/Verify must not overwrite each other's output mid-read.
     */
   def run(spark: SparkSession, sfDir: String): DataFrame = {
-    val out = new java.io.File(
-      sys.props("java.io.tmpdir"),
-      s"graft_etl_bench_${spark.sparkContext.applicationId}"
-    ).getPath
+    val out = graft.TempDirs.deleteOnExit(
+      new java.io.File(
+        sys.props("java.io.tmpdir"),
+        s"graft_etl_bench_${spark.sparkContext.applicationId}"
+      ).getPath
+    )
     val parsed = FlowLogParser.parse(syntheticLines(spark))
     // repartition on the partition key: 1 file per (account, dt) instead
     // of #tasks × #keys small files (a 200k-row probe produced 960 files without it, #keys files with it)

@@ -44,11 +44,22 @@ object ReferenceLayout {
           )
         }
 
-    var moved = 0
-    for {
+    val keys = for {
       (account, accountDir) <- dirs(root, "account=")
       (dt, dtDir) <- dirs(accountDir, "dt=")
-    } {
+    } yield (account, dt, dtDir)
+
+    // Validate every dt BEFORE moving anything: a malformed partition dir
+    // (e.g. __HIVE_DEFAULT_PARTITION__) must fail the whole export with a
+    // clear message, not crash mid-move leaving a half-relocated tree.
+    keys.find(!_._2.matches("""\d{4}-\d{2}-\d{2}""")).foreach { case (_, dt, dir) =>
+      throw new IllegalArgumentException(
+        s"dt partition value '$dt' at $dir is not yyyy-MM-dd; refusing to export"
+      )
+    }
+
+    var moved = 0
+    keys.foreach { case (account, dt, dtDir) =>
       // dt is the engine's yyyy-MM-dd partition value (FlowLogParser
       // .withPartitionKey); the reference splits it into y/m/d segments
       // (convert.go:30, zero-padded %04d/%02d/%02d == the ISO fields).

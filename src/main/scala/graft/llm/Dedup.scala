@@ -89,6 +89,17 @@ object Dedup {
     shingleCache.filterInPlace { case ((sess, _), df) =>
       if (sess eq s) { df.unpersist(); false } else true
     }
+    releaseTrackedCaches(s)
+  }
+
+  /** Unpersist ONLY the tracked per-query caches (q27/q28 signature and
+    * candidate frames), keeping the shared shingle corpus warm. Bench
+    * calls this between timed iterations: otherwise iteration 2+ would
+    * silently reuse iteration 1's cached signatures (CacheManager matches
+    * identical logical plans) and the reported median would exclude the
+    * signature computation entirely.
+    */
+  def releaseTrackedCaches(s: SparkSession): Unit = synchronized {
     val (mine, others) = trackedCaches.partition(_._1 eq s)
     mine.foreach(_._2.unpersist())
     trackedCaches.clear()
@@ -222,11 +233,16 @@ object Dedup {
 
     val x = bands.select(col("doc_id").as("da"), col("band"), col("bucket"))
     val y = bands.select(col("doc_id").as("db"), col("band"), col("bucket"))
-    val cand = x
-      .join(y, Seq("band", "bucket"))
-      .filter(col("da") < col("db"))
-      .select("da", "db")
-      .distinct()
+    // cached: cand feeds TWO broadcasts below (the verify join and the
+    // semi-filter's doc-id list) — uncached, the banded self-join +
+    // distinct (the dominant post-signature stage) would execute twice.
+    val cand = tcache(
+      s,
+      x.join(y, Seq("band", "bucket"))
+        .filter(col("da") < col("db"))
+        .select("da", "db")
+        .distinct()
+    )
 
     val a = sh.select(col("doc_id").as("da"), col("g"))
     // Prefilter the (db, g) side to candidate docs with a broadcast semi

@@ -30,10 +30,12 @@ object Tables {
     */
   def flowlogs(spark: SparkSession): DataFrame = synchronized {
     import graft.etl.{ConvertJob, FlowLogCorpus}
-    val out = new java.io.File(
-      sys.props("java.io.tmpdir"),
-      s"graft_flowlogs_corpus_${spark.sparkContext.applicationId}"
-    ).getPath
+    val out = graft.TempDirs.deleteOnExit(
+      new java.io.File(
+        sys.props("java.io.tmpdir"),
+        s"graft_flowlogs_corpus_${spark.sparkContext.applicationId}"
+      ).getPath
+    )
     if (!new java.io.File(out, "_SUCCESS").exists()) {
       FlowLogCorpus.convertTo(spark, out)
     }
