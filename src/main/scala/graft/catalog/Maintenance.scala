@@ -1,0 +1,110 @@
+package graft.catalog
+
+import graft.etl.FlowLogSchema
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{SaveMode, SparkSession}
+
+/** Partition maintenance — the two operational jobs a partitioned store
+  * needs at 100 TB that the reference leaves to S3 lifecycle rules and
+  * manual Athena DDL:
+  *
+  *  - **compaction**: streaming/incremental appends accumulate small
+  *    files per partition (one per micro-batch writer); scans then pay
+  *    per-file open cost and lose row-group locality. Compacting
+  *    rewrites one partition's files to ~target-sized outputs with a
+  *    shuffle-free `coalesce`.
+  *  - **retention**: dropping partitions older than a cutoff, both the
+  *    data directories and their catalog entries (the DDL twin of the
+  *    reference's S3 lifecycle expiry).
+  *
+  * Both operate on ONE partition / key-range at a time by design: at
+  * production scale maintenance is an incremental background job, never
+  * a full-table rewrite.
+  */
+object Maintenance {
+
+  /** Rewrite one partition directory's parquet files into
+    * `ceil(bytes / targetBytes)` outputs (shuffle-free coalesce — file
+    * consolidation, not redistribution). The rewrite goes to a `_tmp`
+    * sibling, then swaps directories; a crash between the two renames
+    * leaves either the old or the new complete directory plus debris
+    * under `<dir>._old` — never a partial partition. Returns the new
+    * file count.
+    */
+  def compactPartition(
+      spark: SparkSession,
+      partitionDir: String,
+      targetBytes: Long = 128L * 1024 * 1024
+  ): Int = {
+    val dir = new Path(partitionDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dataFiles = fs
+      .listStatus(dir)
+      .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+    if (dataFiles.isEmpty) return 0
+    val totalBytes = dataFiles.map(_.getLen).sum
+    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+
+    val tmp = new Path(dir.getParent, dir.getName + "._tmp")
+    val old = new Path(dir.getParent, dir.getName + "._old")
+    spark.read
+      .schema(FlowLogSchema.schema)
+      .parquet(partitionDir)
+      .coalesce(nOut)
+      .write
+      .mode(SaveMode.Overwrite)
+      .parquet(tmp.toString)
+
+    if (!fs.rename(dir, old))
+      throw new java.io.IOException(s"compact: cannot move $dir aside")
+    if (!fs.rename(tmp, dir)) {
+      fs.rename(old, dir) // restore
+      throw new java.io.IOException(s"compact: cannot publish $tmp")
+    }
+    fs.delete(old, true)
+    fs.listStatus(dir)
+      .count(f => f.isFile && !f.getPath.getName.startsWith("_"))
+  }
+
+  /** Drop every (account, dt) partition with `dt < cutoffDate`
+    * (ISO yyyy-MM-dd, so string order == date order): catalog DDL first,
+    * then the directory. Returns the number of partitions dropped.
+    */
+  def dropOlderThan(
+      spark: SparkSession,
+      table: String,
+      location: String,
+      cutoffDate: String
+  ): Int = {
+    require(
+      cutoffDate.matches("""\d{4}-\d{2}-\d{2}"""),
+      s"cutoffDate must be yyyy-MM-dd, got '$cutoffDate'"
+    )
+    val root = new Path(location)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def partDirs(p: Path, prefix: String): Seq[(String, Path)] =
+      fs.listStatus(p)
+        .toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith(prefix))
+        .map(s =>
+          (
+            Partitions.unescapePathName(s.getPath.getName.drop(prefix.length)),
+            s.getPath
+          )
+        )
+    var dropped = 0
+    for {
+      (account, accountDir) <- partDirs(root, "account=")
+      (dt, dtDir) <- partDirs(accountDir, "dt=") if dt < cutoffDate
+    } {
+      spark.sql(
+        s"ALTER TABLE $table DROP IF EXISTS PARTITION " +
+          s"(account='${Partitions.escapeSqlString(account)}', " +
+          s"dt='${Partitions.escapeSqlString(dt)}')"
+      )
+      fs.delete(dtDir, true)
+      dropped += 1
+    }
+    dropped
+  }
+}
