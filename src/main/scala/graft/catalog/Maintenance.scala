@@ -30,6 +30,14 @@ object Maintenance {
     * leaves either the old or the new complete directory plus debris
     * under `<dir>._old` — never a partial partition. Returns the new
     * file count.
+    *
+    * NOT for directories still governed by a streaming sink's
+    * `_spark_metadata` commit log: the log pins the committed file
+    * names, so consolidation under it would make metadata-honoring
+    * readers see deleted files. Compact a streaming output only after
+    * the partition is read via the catalog (external table partitions
+    * list directories, not the sink log) and the sink no longer appends
+    * to it — i.e. as the retire step of a partition's lifecycle.
     */
   def compactPartition(
       spark: SparkSession,

@@ -95,6 +95,26 @@ object Relational {
       .orderBy("owner")
   }
 
+  /** Conditional / null functions as a first-class checked query (they
+    * appear throughout the inventory, but the COVERAGE row deserves its
+    * own oracle): multi-branch CASE, IN-list predicate, NULLIF/COALESCE
+    * defaulting, GREATEST floor.
+    */
+  private def q45(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        when(col("o_orderstatus") === "F", "finished")
+          .when(col("o_orderstatus") === "O", "open")
+          .otherwise("other")
+          .as("status_label"),
+        col("o_orderpriority").isin("1-URGENT", "2-HIGH").as("is_urgent"),
+        coalesce(nullif(col("o_orderstatus"), lit("P")), lit("PENDING"))
+          .as("status_or_default"),
+        r2(greatest(col("o_totalprice"), lit(1000.0))).as("price_floor")
+      )
+      .orderBy("o_orderkey")
+
   // ---------------------------------------------------------------- q05-q10
   // Joins.
 
@@ -756,7 +776,8 @@ object Relational {
     "q41_datetime_fns" -> q41,
     "q42_pivot" -> q42,
     "q42b_unpivot" -> q42b,
-    "q44_ip_enrich" -> q44
+    "q44_ip_enrich" -> q44,
+    "q45_conditional_fns" -> q45
   )
 
   private val flowCte = graft.etl.FlowLogCorpus.oracleCte
@@ -787,6 +808,15 @@ object Relational {
          |  count(*) AS cnt, CAST(sum(bytes) AS BIGINT) AS sum_bytes
          |FROM f WHERE srcaddr <> '-'
          |GROUP BY owner ORDER BY owner""".stripMargin,
+    "q45_conditional_fns" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderstatus = 'F' THEN 'finished'
+        |       WHEN o_orderstatus = 'O' THEN 'open'
+        |       ELSE 'other' END AS status_label,
+        |  o_orderpriority IN ('1-URGENT', '2-HIGH') AS is_urgent,
+        |  COALESCE(NULLIF(o_orderstatus, 'P'), 'PENDING') AS status_or_default,
+        |  round(greatest(o_totalprice, 1000.0), 2) AS price_floor
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "q05_join_inner" ->
       """SELECT c_mktsegment, count(*) AS order_cnt, round(sum(o_totalprice), 2) AS revenue
         |FROM orders JOIN customer ON o_custkey = c_custkey

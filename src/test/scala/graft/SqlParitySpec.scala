@@ -34,7 +34,8 @@ class SqlParitySpec extends SparkSpec {
     "q16_set_ops",
     "q16b_set_ops_all",
     "q21_correlated_subquery",
-    "q38_stats_agg"
+    "q38_stats_agg",
+    "q45_conditional_fns"
     // q39 excluded: DuckDB spells interpolated percentiles quantile_cont,
     // Spark spells them percentile
   )
