@@ -516,7 +516,8 @@ object Relational {
         upper(col("p_brand")).as("brand_uc"),
         substring(col("p_type"), 1, 4).as("type_pfx"),
         concat_ws("#", col("p_brand"), col("p_type")).as("tag"),
-        length(col("p_name")).as("name_len")
+        length(col("p_name")).as("name_len"),
+        col("p_type").like("%BRASS").as("is_brass")
       )
       .orderBy("p_partkey")
 
@@ -997,7 +998,8 @@ object Relational {
     "q17_string_fns" ->
       """SELECT p_partkey, regexp_extract(p_name, '^(\w+)', 1) AS first_word,
         |  upper(p_brand) AS brand_uc, substring(p_type, 1, 4) AS type_pfx,
-        |  concat_ws('#', p_brand, p_type) AS tag, length(p_name) AS name_len
+        |  concat_ws('#', p_brand, p_type) AS tag, length(p_name) AS name_len,
+        |  p_type LIKE '%BRASS' AS is_brass
         |FROM part ORDER BY p_partkey""".stripMargin,
     "q18_date_fns" ->
       """SELECT CAST(date_trunc('week', ts) AS DATE) AS wk, count(*) AS cnt,
