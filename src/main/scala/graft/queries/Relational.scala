@@ -95,6 +95,18 @@ object Relational {
       .orderBy("owner")
   }
 
+  /** Fixed-width histogram of flow sizes — the binning pattern behind
+    * every traffic-distribution dashboard. A closed-form bucket id keeps
+    * it one hash aggregation: 20 buckets of 5 kB over bytes ∈ [0, 100k).
+    */
+  private def q46(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .flowlogs(s)
+      .select(expr("bytes div 5000").as("bucket"), col("bytes"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("cnt"), r2(avg(col("bytes"))).as("avg_bytes"))
+      .orderBy("bucket")
+
   /** Conditional / null functions as a first-class checked query (they
     * appear throughout the inventory, but the COVERAGE row deserves its
     * own oracle): multi-branch CASE, IN-list predicate, NULLIF/COALESCE
@@ -778,7 +790,8 @@ object Relational {
     "q42_pivot" -> q42,
     "q42b_unpivot" -> q42b,
     "q44_ip_enrich" -> q44,
-    "q45_conditional_fns" -> q45
+    "q45_conditional_fns" -> q45,
+    "q46_histogram" -> q46
   )
 
   private val flowCte = graft.etl.FlowLogCorpus.oracleCte
@@ -818,6 +831,11 @@ object Relational {
         |  COALESCE(NULLIF(o_orderstatus, 'P'), 'PENDING') AS status_or_default,
         |  round(greatest(o_totalprice, 1000.0), 2) AS price_floor
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q46_histogram" ->
+      s"""$flowCte
+         |SELECT bytes // 5000 AS bucket, count(*) AS cnt,
+         |  round(avg(bytes), 2) AS avg_bytes
+         |FROM f GROUP BY bucket ORDER BY bucket""".stripMargin,
     "q05_join_inner" ->
       """SELECT c_mktsegment, count(*) AS order_cnt, round(sum(o_totalprice), 2) AS revenue
         |FROM orders JOIN customer ON o_custkey = c_custkey
