@@ -26,6 +26,7 @@ object SparkEntry {
       graft.llm.Similarity.queries ++
       graft.llm.TextAnalysis.queries ++
       graft.llm.Sampling.queries ++
+      graft.llm.Curation.queries ++
       graft.llm.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -39,5 +40,6 @@ object SparkEntry {
       graft.llm.Similarity.oracleSql ++
       graft.llm.TextAnalysis.oracleSql ++
       graft.llm.Sampling.oracleSql ++
+      graft.llm.Curation.oracleSql ++
       graft.llm.Multimodal.oracleSql
 }

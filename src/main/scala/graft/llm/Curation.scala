@@ -1,0 +1,126 @@
+package graft.llm
+
+import graft.queries.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** q47: the end-to-end curation pipeline — the composition proof that the
+  * individual LLM operators (language ID, quality scoring, exact dedup,
+  * deterministic split) chain into one Spark plan a training-data team
+  * would actually run:
+  *
+  *   1. language ID (q32's marker-stopword argmax) → keep pred 'en';
+  *   2. quality gates: ≥ 0.05 en-stopword ratio (drops marker-free text,
+  *      incl. docs the argmax tie-breaks to 'en' with zero evidence) and
+  *      ≥ 20 whitespace tokens;
+  *   3. exact dedup on md5(text), keeping the smallest doc_id per digest
+  *      (a no-op on corpora without duplicates — the stage still runs);
+  *   4. deterministic md5 train/valid/test split (q43's recipe);
+  *   5. per-split doc and token totals.
+  *
+  * Everything stays closed-form (marker ratios, md5 digests/buckets), so
+  * the DuckDB oracle replays the ENTIRE pipeline — each stage is already
+  * individually oracle-checked (q32/q33/q25/q43); this checks their
+  * composition. One narrow scan, two hash aggregations (digest dedup,
+  * split rollup); no joins, no driver-side steps.
+  */
+object Curation {
+
+  private def nz(c: Column): Column = when(c === 0, lit(null)).otherwise(c)
+
+  private def q47(s: SparkSession, dir: String): DataFrame = {
+    val markers = Map(
+      "en" -> Seq("the", "a", "of", "and", "is"),
+      "es" -> Seq("el", "la", "de", "y", "que"),
+      "de" -> Seq("der", "die", "das", "und", "ist"),
+      "fr" -> Seq("le", "les", "et", "est", "une")
+    )
+    def score(lang: String): Column =
+      size(filter(col("w"), x => x.isin(markers(lang): _*))) /
+        nz(size(col("w")).cast("double"))
+
+    val scored = Tables
+      .table(s, dir, "documents")
+      .select(col("doc_id"), col("text"), split(col("text"), " ").as("w"))
+      .select(
+        col("doc_id"),
+        col("text"),
+        size(col("w")).as("n_tokens"),
+        score("en").as("s_en"),
+        score("es").as("s_es"),
+        score("de").as("s_de"),
+        score("fr").as("s_fr")
+      )
+
+    val kept = scored
+      .filter(
+        col("s_en") >= greatest(col("s_es"), col("s_de"), col("s_fr")) &&
+          col("s_en") >= 0.05 &&
+          col("n_tokens") >= 20
+      )
+
+    val deduped = kept
+      .groupBy(md5(col("text")).as("digest"))
+      // identical texts tokenize identically, so min == any; min keeps
+      // the aggregate deterministic (first() is order-dependent)
+      .agg(min(col("doc_id")).as("doc_id"), min(col("n_tokens")).as("n_tokens"))
+
+    deduped
+      .withColumn(
+        "bucket",
+        expr(
+          "cast(conv(substr(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint) % 100"
+        )
+      )
+      .withColumn(
+        "split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "valid")
+          .otherwise("test")
+      )
+      .groupBy("split")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens")
+      )
+      .orderBy("split")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q47_curation_pipeline" -> q47
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q47_curation_pipeline" ->
+      """WITH scored AS (
+        |  SELECT doc_id, text,
+        |    len(string_split(text, ' ')) AS n_tokens,
+        |    len(list_filter(string_split(text, ' '), x -> x IN ('the','a','of','and','is')))
+        |      / nullif(len(string_split(text, ' ')), 0)::DOUBLE AS s_en,
+        |    len(list_filter(string_split(text, ' '), x -> x IN ('el','la','de','y','que')))
+        |      / nullif(len(string_split(text, ' ')), 0)::DOUBLE AS s_es,
+        |    len(list_filter(string_split(text, ' '), x -> x IN ('der','die','das','und','ist')))
+        |      / nullif(len(string_split(text, ' ')), 0)::DOUBLE AS s_de,
+        |    len(list_filter(string_split(text, ' '), x -> x IN ('le','les','et','est','une')))
+        |      / nullif(len(string_split(text, ' ')), 0)::DOUBLE AS s_fr
+        |  FROM documents),
+        |kept AS (
+        |  SELECT * FROM scored
+        |  WHERE s_en >= greatest(s_es, s_de, s_fr) AND s_en >= 0.05
+        |    AND n_tokens >= 20),
+        |deduped AS (
+        |  SELECT md5(text) AS digest, min(doc_id) AS doc_id,
+        |    min(n_tokens) AS n_tokens
+        |  FROM kept GROUP BY md5(text)),
+        |assigned AS (
+        |  SELECT CASE
+        |    WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 < 80 THEN 'train'
+        |    WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 < 90 THEN 'valid'
+        |    ELSE 'test' END AS split,
+        |    n_tokens
+        |  FROM deduped)
+        |SELECT split, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+        |FROM assigned GROUP BY split ORDER BY split""".stripMargin
+  )
+}
