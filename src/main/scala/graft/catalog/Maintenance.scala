@@ -25,11 +25,15 @@ object Maintenance {
 
   /** Rewrite one partition directory's parquet files into
     * `ceil(bytes / targetBytes)` outputs (shuffle-free coalesce — file
-    * consolidation, not redistribution). The rewrite goes to a `_tmp`
-    * sibling, then swaps directories; a crash between the two renames
-    * leaves either the old or the new complete directory plus debris
-    * under `<dir>._old` — never a partial partition. Returns the new
-    * file count.
+    * consolidation, not redistribution). The rewrite goes to an
+    * underscore-prefixed sibling (`_tmp_<name>` / `_old_<name>` —
+    * invisible to Spark's file index, `Partitions.registerAll`, and
+    * MSCK, so a half-finished swap can never double-count the
+    * partition), then swaps directories. The rename-rename window is
+    * not atomic on a generic filesystem: a crash between the two
+    * renames leaves the partition momentarily absent, and the NEXT
+    * compactPartition call self-heals by restoring the `_old_` copy
+    * before doing anything else. Returns the new file count.
     *
     * NOT for directories still governed by a streaming sink's
     * `_spark_metadata` commit log: the log pins the committed file
@@ -46,6 +50,20 @@ object Maintenance {
   ): Int = {
     val dir = new Path(partitionDir)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(dir.getParent, "_tmp_" + dir.getName)
+    val old = new Path(dir.getParent, "_old_" + dir.getName)
+
+    // Self-heal a previous crash: if the partition vanished mid-swap,
+    // restore the retained copy; otherwise clear stale debris so this
+    // run's renames cannot fail on an existing destination.
+    if (fs.exists(old)) {
+      if (!fs.exists(dir)) {
+        if (!fs.rename(old, dir))
+          throw new java.io.IOException(s"compact: cannot restore $old to $dir")
+      } else fs.delete(old, true)
+    }
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+
     val dataFiles = fs
       .listStatus(dir)
       .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
@@ -53,11 +71,9 @@ object Maintenance {
     val totalBytes = dataFiles.map(_.getLen).sum
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
 
-    val tmp = new Path(dir.getParent, dir.getName + "._tmp")
-    val old = new Path(dir.getParent, dir.getName + "._old")
     spark.read
       .schema(FlowLogSchema.schema)
-      .parquet(partitionDir)
+      .parquet(dir.toString)
       .coalesce(nOut)
       .write
       .mode(SaveMode.Overwrite)
@@ -75,8 +91,14 @@ object Maintenance {
   }
 
   /** Drop every (account, dt) partition with `dt < cutoffDate`
-    * (ISO yyyy-MM-dd, so string order == date order): catalog DDL first,
-    * then the directory. Returns the number of partitions dropped.
+    * (ISO yyyy-MM-dd, so string order == date order): catalog DDL first
+    * (readers stop seeing the partition), then the directory. A failed
+    * directory delete THROWS rather than counting the partition as
+    * dropped — retention that leaves the bytes in place must be loud
+    * (the DDL is IF EXISTS, so the retry is idempotent). Account
+    * directories left empty by the sweep are removed so repeated
+    * retention never grows the root listing with dead entries. Returns
+    * the number of partitions dropped.
     */
   def dropOlderThan(
       spark: SparkSession,
@@ -90,28 +112,24 @@ object Maintenance {
     )
     val root = new Path(location)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def partDirs(p: Path, prefix: String): Seq[(String, Path)] =
-      fs.listStatus(p)
-        .toSeq
-        .filter(s => s.isDirectory && s.getPath.getName.startsWith(prefix))
-        .map(s =>
-          (
-            Partitions.unescapePathName(s.getPath.getName.drop(prefix.length)),
-            s.getPath
-          )
-        )
     var dropped = 0
-    for {
-      (account, accountDir) <- partDirs(root, "account=")
-      (dt, dtDir) <- partDirs(accountDir, "dt=") if dt < cutoffDate
-    } {
-      spark.sql(
-        s"ALTER TABLE $table DROP IF EXISTS PARTITION " +
-          s"(account='${Partitions.escapeSqlString(account)}', " +
-          s"dt='${Partitions.escapeSqlString(dt)}')"
-      )
-      fs.delete(dtDir, true)
-      dropped += 1
+    Partitions.partDirs(fs, root, "account=").foreach {
+      case (account, accountDir) =>
+        Partitions.partDirs(fs, accountDir, "dt=").foreach {
+          case (dt, dtDir) if dt < cutoffDate =>
+            spark.sql(
+              s"ALTER TABLE $table DROP IF EXISTS PARTITION " +
+                s"(account='${Partitions.escapeSqlString(account)}', " +
+                s"dt='${Partitions.escapeSqlString(dt)}')"
+            )
+            if (!fs.delete(dtDir, true))
+              throw new java.io.IOException(
+                s"retention: failed to delete $dtDir (catalog entry already dropped; rerun after fixing)"
+              )
+            dropped += 1
+          case _ => ()
+        }
+        if (fs.listStatus(accountDir).isEmpty) fs.delete(accountDir, false)
     }
     dropped
   }

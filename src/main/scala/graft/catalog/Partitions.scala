@@ -52,17 +52,9 @@ object Partitions {
     import org.apache.hadoop.fs.Path
     val root = new Path(location)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def partDirs(p: Path, prefix: String): Seq[(String, Path)] =
-      fs.listStatus(p)
-        .toSeq
-        .filter(s => s.isDirectory && s.getPath.getName.startsWith(prefix))
-        .map { s =>
-          val raw = s.getPath.getName.drop(prefix.length)
-          (unescapePathName(raw), s.getPath)
-        }
     val keys = for {
-      (account, accountDir) <- partDirs(root, "account=")
-      (dt, _) <- partDirs(accountDir, "dt=")
+      (account, accountDir) <- partDirs(fs, root, "account=")
+      (dt, _) <- partDirs(fs, accountDir, "dt=")
     } yield (account, dt)
     keys.foreach { case (account, dt) =>
       spark.sql(
@@ -72,6 +64,23 @@ object Partitions {
     }
     keys.length
   }
+
+  /** List `prefix`-named partition child directories of `p`, with values
+    * unescaped — shared by registerAll, Maintenance, and the layout
+    * exporter so swap-debris filtering and unescape semantics can never
+    * diverge between them.
+    */
+  private[graft] def partDirs(
+      fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path,
+      prefix: String
+  ): Seq[(String, org.apache.hadoop.fs.Path)] =
+    fs.listStatus(p)
+      .toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(prefix))
+      .map { s =>
+        (unescapePathName(s.getPath.getName.drop(prefix.length)), s.getPath)
+      }
 
   /** Hive-style partition-dir unescape: ONLY `%xx` sequences, matching
     * Hive's `FileUtils.unescapePathName`. (URLDecoder would additionally

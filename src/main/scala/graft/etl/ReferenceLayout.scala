@@ -31,22 +31,10 @@ object ReferenceLayout {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dest = new Path(destRoot)
 
-    def dirs(p: Path, prefix: String): Seq[(String, Path)] =
-      fs.listStatus(p)
-        .toSeq
-        .filter(s => s.isDirectory && s.getPath.getName.startsWith(prefix))
-        .map { s =>
-          (
-            graft.catalog.Partitions.unescapePathName(
-              s.getPath.getName.drop(prefix.length)
-            ),
-            s.getPath
-          )
-        }
-
+    import graft.catalog.Partitions
     val keys = for {
-      (account, accountDir) <- dirs(root, "account=")
-      (dt, dtDir) <- dirs(accountDir, "dt=")
+      (account, accountDir) <- Partitions.partDirs(fs, root, "account=")
+      (dt, dtDir) <- Partitions.partDirs(fs, accountDir, "dt=")
     } yield (account, dt, dtDir)
 
     // Validate every dt BEFORE moving anything: a malformed partition dir

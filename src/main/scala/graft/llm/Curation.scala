@@ -26,18 +26,14 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
-  private def nz(c: Column): Column = when(c === 0, lit(null)).otherwise(c)
-
   private def q47(s: SparkSession, dir: String): DataFrame = {
-    val markers = Map(
-      "en" -> Seq("the", "a", "of", "and", "is"),
-      "es" -> Seq("el", "la", "de", "y", "que"),
-      "de" -> Seq("der", "die", "das", "und", "ist"),
-      "fr" -> Seq("le", "les", "et", "est", "une")
-    )
+    // single source with q32/q43: TextAnalysis.langMarkers drives the
+    // scores, Sampling.bucket100 drives the split — editing either
+    // operator updates this pipeline (and both oracles) with it
+    val markers = TextAnalysis.langMarkers.toMap
     def score(lang: String): Column =
       size(filter(col("w"), x => x.isin(markers(lang): _*))) /
-        nz(size(col("w")).cast("double"))
+        TextAnalysis.nullIfZero(size(col("w")).cast("double"))
 
     val scored = Tables
       .table(s, dir, "documents")
@@ -66,12 +62,7 @@ object Curation {
       .agg(min(col("doc_id")).as("doc_id"), min(col("n_tokens")).as("n_tokens"))
 
     deduped
-      .withColumn(
-        "bucket",
-        expr(
-          "cast(conv(substr(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint) % 100"
-        )
-      )
+      .withColumn("bucket", Sampling.bucket100(col("doc_id")))
       .withColumn(
         "split",
         when(col("bucket") < 80, "train")
@@ -90,37 +81,38 @@ object Curation {
     "q47_curation_pipeline" -> q47
   )
 
+  private def scoreSql(lang: String): String =
+    TextAnalysis.markerScoreSql(
+      TextAnalysis.langMarkers.toMap.apply(lang)
+    )
+
   val oracleSql: Map[String, String] = Map(
     "q47_curation_pipeline" ->
-      """WITH scored AS (
-        |  SELECT doc_id, text,
-        |    len(string_split(text, ' ')) AS n_tokens,
-        |    len(list_filter(string_split(text, ' '), x -> x IN ('the','a','of','and','is')))
-        |      / nullif(len(string_split(text, ' ')), 0)::DOUBLE AS s_en,
-        |    len(list_filter(string_split(text, ' '), x -> x IN ('el','la','de','y','que')))
-        |      / nullif(len(string_split(text, ' ')), 0)::DOUBLE AS s_es,
-        |    len(list_filter(string_split(text, ' '), x -> x IN ('der','die','das','und','ist')))
-        |      / nullif(len(string_split(text, ' ')), 0)::DOUBLE AS s_de,
-        |    len(list_filter(string_split(text, ' '), x -> x IN ('le','les','et','est','une')))
-        |      / nullif(len(string_split(text, ' ')), 0)::DOUBLE AS s_fr
-        |  FROM documents),
-        |kept AS (
-        |  SELECT * FROM scored
-        |  WHERE s_en >= greatest(s_es, s_de, s_fr) AND s_en >= 0.05
-        |    AND n_tokens >= 20),
-        |deduped AS (
-        |  SELECT md5(text) AS digest, min(doc_id) AS doc_id,
-        |    min(n_tokens) AS n_tokens
-        |  FROM kept GROUP BY md5(text)),
-        |assigned AS (
-        |  SELECT CASE
-        |    WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 < 80 THEN 'train'
-        |    WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 < 90 THEN 'valid'
-        |    ELSE 'test' END AS split,
-        |    n_tokens
-        |  FROM deduped)
-        |SELECT split, count(*) AS n_docs,
-        |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens
-        |FROM assigned GROUP BY split ORDER BY split""".stripMargin
+      s"""WITH scored AS (
+         |  SELECT doc_id, text,
+         |    len(string_split(text, ' ')) AS n_tokens,
+         |    ${scoreSql("en")} AS s_en,
+         |    ${scoreSql("es")} AS s_es,
+         |    ${scoreSql("de")} AS s_de,
+         |    ${scoreSql("fr")} AS s_fr
+         |  FROM documents),
+         |kept AS (
+         |  SELECT * FROM scored
+         |  WHERE s_en >= greatest(s_es, s_de, s_fr) AND s_en >= 0.05
+         |    AND n_tokens >= 20),
+         |deduped AS (
+         |  SELECT md5(text) AS digest, min(doc_id) AS doc_id,
+         |    min(n_tokens) AS n_tokens
+         |  FROM kept GROUP BY md5(text)),
+         |assigned AS (
+         |  SELECT CASE
+         |    WHEN ${Sampling.BucketSql} < 80 THEN 'train'
+         |    WHEN ${Sampling.BucketSql} < 90 THEN 'valid'
+         |    ELSE 'test' END AS split,
+         |    n_tokens
+         |  FROM deduped)
+         |SELECT split, count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+         |FROM assigned GROUP BY split ORDER BY split""".stripMargin
   )
 }

@@ -23,7 +23,7 @@ import org.apache.spark.sql.functions._
 object Sampling {
 
   /** md5-derived bucket in [0, 100): portable across Spark and DuckDB. */
-  private def bucket100(c: Column): Column =
+  private[llm] def bucket100(c: Column): Column =
     expr(
       s"cast(conv(substr(md5(cast(${c.toString} as string)), 1, 15), 16, 10) as bigint) % 100"
     )
@@ -65,7 +65,7 @@ object Sampling {
     "q43b_stratified_sample" -> q43b
   )
 
-  private val BucketSql =
+  private[llm] val BucketSql =
     "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100"
 
   val oracleSql: Map[String, String] = Map(

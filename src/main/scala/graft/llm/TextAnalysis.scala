@@ -23,7 +23,7 @@ object TextAnalysis {
   /** Marker stopword profiles. Tiny on purpose: language-ID at pipeline
     * scale is a per-token lookup + ratio, not a model.
     */
-  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+  private[llm] val langMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "of", "and", "is"),
     "es" -> Seq("el", "la", "de", "y", "que"),
     "de" -> Seq("der", "die", "das", "und", "ist"),
@@ -133,7 +133,16 @@ object TextAnalysis {
       )
       .orderBy("doc_id")
 
-  private def nullIfZero(c: Column): Column =
+  /** DuckDB fragment for a marker-stopword ratio over `text` — the SQL
+    * twin of the q32/q47 score columns, kept here so the two oracles can
+    * never drift from the Scala marker lists.
+    */
+  private[llm] def markerScoreSql(words: Seq[String]): String = {
+    val list = words.map(w => s"'$w'").mkString(",")
+    s"len(list_filter(string_split(text, ' '), x -> x IN ($list))) / nullif(len(string_split(text, ' ')), 0)::DOUBLE"
+  }
+
+  private[llm] def nullIfZero(c: Column): Column =
     when(c === 0, lit(null)).otherwise(c)
 
   /** q34b: corpus-level vocabulary top-k — the frequency profile used to
