@@ -32,6 +32,27 @@ class MaintenanceSpec extends SparkSpec {
     assert(ConvertJob.readConverted(spark, root).count() == before)
   }
 
+  test("compactPartition self-heals a crash between the swap renames") {
+    val root = convertCorpus()
+    val dirs = new java.io.File(root).listFiles().filter(_.isDirectory)
+    val part = dirs.head.listFiles().filter(_.isDirectory).head.getPath
+    val rows = spark.read.schema(graft.etl.FlowLogSchema.schema).parquet(part).count()
+
+    // simulate the crash window: partition moved aside, publish never ran
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val dir = new org.apache.hadoop.fs.Path(part)
+    val old = new org.apache.hadoop.fs.Path(dir.getParent, "_old_" + dir.getName)
+    assert(fs.rename(dir, old))
+    assert(!fs.exists(dir))
+
+    val n = Maintenance.compactPartition(spark, part)
+    assert(n >= 1)
+    assert(fs.exists(dir) && !fs.exists(old))
+    assert(
+      spark.read.schema(graft.etl.FlowLogSchema.schema).parquet(part).count() == rows
+    )
+  }
+
   test("dropOlderThan removes directories and catalog partitions") {
     val root = convertCorpus()
     spark.sql("DROP TABLE IF EXISTS flowlogs_maint")
@@ -55,6 +76,13 @@ class MaintenanceSpec extends SparkSpec {
       .collect()(0)
       .getString(0)
     assert(minData >= cutoff)
+
+    // retiring ALL days leaves no empty account= directories behind
+    Maintenance.dropOlderThan(spark, "flowlogs_maint", root, "2024-01-01")
+    val leftover = new java.io.File(root)
+      .listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("account="))
+    assert(leftover.isEmpty, s"dead account dirs: ${leftover.mkString(",")}")
     spark.sql("DROP TABLE flowlogs_maint")
   }
 }
