@@ -43,6 +43,9 @@ object Partitions {
     * as a number and strip the leading zero (AWS account IDs can start
     * with 0), registering a partition whose location doesn't exist.
     * Returns the number of distinct partitions seen.
+    *
+    * The listing runs on the driver: fine to ~10⁵ partitions (SCALE.md);
+    * beyond that use [[repair]] (MSCK), which distributes the discovery.
     */
   def registerAll(
       spark: SparkSession,
