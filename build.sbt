@@ -14,6 +14,12 @@ run / fork := true
 // Forked program stdout goes straight through (no "[info] " prefix): the
 // driver parses Bench's one-line JSON from raw stdout.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ...and suppress sbt's trailing "[success] Total time: N s" line, which
+// otherwise lands AFTER the JSON and defeats a parse-the-last-line driver
+// (BENCH_r02 "parsed": null — the JSON was present in the tail but not
+// last). With this plus StdoutOutput, Bench's JSON is the final stdout
+// line of `sbt "runMain graft.Bench"`.
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -103,12 +103,16 @@ object Bench {
       .map(t => graft.etl.EtlBenchQuery.Rows / t)
       .getOrElse(-1.0)
     graft.llm.Dedup.releaseCaches(spark)
+    // Stop Spark BEFORE printing: nothing (executor shutdown chatter, SLF4J
+    // on stdout) may land after the JSON — the driver parses the last line.
+    spark.stop()
+    System.out.flush()
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""errors":$errJson,"failures":${errors.size},"iters":$iters,""" +
         s""""shingle_warm_sec":$shingleWarmSec,"etl_lines_per_sec":$etlLinesPerSec,""" +
         s""""sf":${jstr(sfDir)}}"""
     )
-    spark.stop()
+    System.out.flush()
   }
 }
