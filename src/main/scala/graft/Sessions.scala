@@ -43,6 +43,13 @@ object Sessions {
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.codegen.cache.maxEntries", "2000")
+      // Typed-Aggregator plans (MinHash/SimHash signatures) run on
+      // ObjectHashAggregate, which abandons its hash map for sort-based
+      // aggregation after only 128 distinct keys by default — at 10^3+
+      // docs per partition that means sorting the whole exploded
+      // token stream. Buffers here are ≤64-long arrays (~0.5 KB), so
+      // 64k in-flight groups is ~32 MB per task: cheap insurance.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
       .config("spark.sql.files.maxPartitionBytes", 128L * 1024 * 1024)
       .config(
         "spark.sql.streaming.stateStore.providerClass",
