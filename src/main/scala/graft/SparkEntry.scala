@@ -23,6 +23,7 @@ object SparkEntry {
     graft.etl.EtlBenchQuery.queries ++
       graft.queries.Relational.queries ++
       graft.llm.Dedup.queries ++
+      graft.llm.Clustering.queries ++
       graft.llm.Similarity.queries ++
       graft.llm.TextAnalysis.queries ++
       graft.llm.Sampling.queries ++
@@ -37,6 +38,7 @@ object SparkEntry {
     graft.etl.EtlBenchQuery.oracleSql ++
       graft.queries.Relational.oracleSql ++
       graft.llm.Dedup.oracleSql ++
+      graft.llm.Clustering.oracleSql ++
       graft.llm.Similarity.oracleSql ++
       graft.llm.TextAnalysis.oracleSql ++
       graft.llm.Sampling.oracleSql ++

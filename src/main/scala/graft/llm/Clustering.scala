@@ -1,0 +1,115 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Duplicate-cluster resolution: near-dup detection (q26/q27/q28) emits
+  * PAIRS, but a curation pipeline needs per-document CLUSTER membership —
+  * doc A ~ B and B ~ C must collapse to one kept document even when A ~ C
+  * was never emitted. That is connected components over the pair graph.
+  *
+  * Algorithm: iterative min-label propagation — every vertex starts as its
+  * own label; each round every vertex takes the min of its own and its
+  * neighbors' labels; fixpoint in O(diameter) rounds, each round one
+  * shuffle-join + one aggregation (all Catalyst-planned, AQE-sized).
+  * The driver loop iterates over ACTIONS (a convergence count), never
+  * collects vertex data; `localCheckpoint` truncates lineage each round so
+  * plan depth stays constant.
+  *
+  * Scale rationale: near-dup graphs are dense cliques-of-duplicates —
+  * every pair of a duplicate cluster shares most shingles, so cluster
+  * diameter is 1–2 and the loop converges in ~3 rounds regardless of
+  * corpus size. The O(log n)-round star-contraction variants
+  * (large-star/small-star, Kiveris et al., "Connected Components in
+  * MapReduce and Beyond", SoCC'14) only pay off on long-chain graphs,
+  * which near-dup edges do not produce; the simple propagation does
+  * strictly fewer shuffles here. maxIters caps pathological chains.
+  */
+object Clustering {
+
+  /** Connected components of an undirected graph given as (src, dst)
+    * edge rows. Returns (id, component) for every vertex incident to at
+    * least one edge, where component = min vertex id reachable.
+    */
+  def connectedComponents(edges: DataFrame, maxIters: Int = 25): DataFrame = {
+    val und = edges
+      .select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+    var labels = und
+      .select(col("src").as("id"))
+      .distinct()
+      .withColumn("component", col("id"))
+      .localCheckpoint()
+
+    var iters = 0
+    var converged = false
+    while (!converged && iters < maxIters) {
+      val neighborMin = und
+        .join(
+          labels.select(col("id").as("src"), col("component").as("nbr")),
+          "src"
+        )
+        .select(col("dst").as("id"), col("nbr"))
+        .groupBy("id")
+        .agg(min("nbr").as("nbr"))
+      val next = labels
+        .join(neighborMin, Seq("id"), "left")
+        .select(
+          col("id"),
+          least(col("component"), coalesce(col("nbr"), col("component")))
+            .as("component")
+        )
+        .localCheckpoint()
+      val changed = next
+        .join(labels.withColumnRenamed("component", "old"), "id")
+        .filter(col("component") =!= col("old"))
+        .count()
+      labels = next
+      converged = changed == 0
+      iters += 1
+    }
+    labels
+  }
+
+  /** q50: cluster the exact-Jaccard near-dup pairs into components; one
+    * row per document that has at least one near-duplicate, labeled with
+    * the smallest doc_id of its cluster (the canonical survivor a dedup
+    * stage would keep).
+    */
+  private def q50(s: SparkSession, dir: String): DataFrame =
+    connectedComponents(
+      Dedup
+        .exactJaccardPairs(s, dir)
+        .select(col("da").as("src"), col("db").as("dst"))
+    )
+      .select(col("id").as("doc_id"), col("component").as("cluster_id"))
+      .orderBy("doc_id")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q50_dedup_clusters" -> q50
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    // Transitive closure by recursive CTE (fine at oracle scale; the
+    // Spark side is the scalable iterative form). reach(a,b) enumerates
+    // every reachable pair, so min(b) over it is the component label.
+    "q50_dedup_clusters" -> (
+      Dedup.shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+        """,
+          |pairs AS (
+          |  SELECT da, db FROM inter
+          |  JOIN sz sa ON sa.doc_id = da
+          |  JOIN sz sb ON sb.doc_id = db
+          |  WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.6),
+          |und AS (
+          |  SELECT da AS a, db AS b FROM pairs
+          |  UNION SELECT db AS a, da AS b FROM pairs),
+          |reach(a, b) AS (
+          |  SELECT a, b FROM und
+          |  UNION
+          |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a)
+          |SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+          |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin
+    )
+  )
+}

@@ -156,7 +156,10 @@ object Dedup {
     * hot shingles still make it quadratic in the worst case — at 100 TB
     * use q27 (MinHash LSH), which this query exists to validate.
     */
-  private def q26(s: SparkSession, dir: String): DataFrame = {
+  /** Near-dup pairs (da < db, jac unrounded) — q26's body, shared with
+    * Clustering.q50 which clusters these edges into components.
+    */
+  private[llm] def exactJaccardPairs(s: SparkSession, dir: String): DataFrame = {
     val sh = cachedShingles(s, dir)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val a = sh.select(col("doc_id").as("da"), col("g"))
@@ -166,11 +169,13 @@ object Dedup {
       .filter(col("da") < col("db"))
       .groupBy("da", "db")
       .agg(count(lit(1)).as("i"))
-    jaccardOf(inter, sizes)
-      .filter(col("jac") >= JaccardThreshold)
+    jaccardOf(inter, sizes).filter(col("jac") >= JaccardThreshold)
+  }
+
+  private def q26(s: SparkSession, dir: String): DataFrame =
+    exactJaccardPairs(s, dir)
       .select(col("da"), col("db"), round(col("jac"), 4).as("jac"))
       .orderBy("da", "db")
-  }
 
   // ------------------------------------------- q27: MinHash + LSH banding
 
@@ -377,8 +382,10 @@ object Dedup {
     "q29_dedup_embedding_cosine" -> q29
   )
 
-  /** Shared DuckDB shingle CTE (1-based list indexing over there). */
-  private val shingleCte =
+  /** Shared DuckDB shingle CTE (1-based list indexing over there); also
+    * the edge source for Clustering.q50's recursive-closure oracle.
+    */
+  private[llm] val shingleCte =
     """WITH toks AS (
       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
       |sh AS (
