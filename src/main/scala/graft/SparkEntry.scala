@@ -26,6 +26,7 @@ object SparkEntry {
       graft.llm.Clustering.queries ++
       graft.llm.Similarity.queries ++
       graft.llm.TextAnalysis.queries ++
+      graft.llm.FrequentItems.queries ++
       graft.llm.Sampling.queries ++
       graft.llm.Curation.queries ++
       graft.llm.Multimodal.queries
@@ -41,6 +42,7 @@ object SparkEntry {
       graft.llm.Clustering.oracleSql ++
       graft.llm.Similarity.oracleSql ++
       graft.llm.TextAnalysis.oracleSql ++
+      graft.llm.FrequentItems.oracleSql ++
       graft.llm.Sampling.oracleSql ++
       graft.llm.Curation.oracleSql ++
       graft.llm.Multimodal.oracleSql
