@@ -747,6 +747,65 @@ object Relational {
       )
       .orderBy("o_orderkey")
 
+  /** Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): NULL keys
+    * MATCH each other, unlike `=`. Derived nullable keys: negative-balance
+    * customers and region-0 nations both map to NULL, so the null bucket
+    * joins across — which is also the scale hazard this query documents:
+    * a null-safe join concentrates every NULL row into ONE key group
+    * (here a deliberate mini cross product), so at 100 TB you salt or
+    * pre-filter the null bucket exactly like any other hot key.
+    * EqualNullSafe is a legal equi-join key for Catalyst (hash/merge
+    * join, never a nested loop).
+    */
+  private def q49(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer").select(
+      col("c_custkey"),
+      when(col("c_acctbal") < 0, lit(null)).otherwise(col("c_nationkey")).as("ck")
+    )
+    val n = t(s, dir, "nation").select(
+      when(col("n_regionkey") === 0, lit(null)).otherwise(col("n_nationkey")).as("nk"),
+      col("n_name")
+    )
+    c.join(n, col("ck") <=> col("nk"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("n_name")
+  }
+
+  /** IN-list predicates incl. the three-valued NOT IN with a NULL
+    * element (never TRUE: either a match makes it FALSE or the NULL
+    * comparison makes it NULL) — the classic SQL footgun, pinned here
+    * against the oracle's identical semantics.
+    */
+  private def q49b(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .select(
+        col("p_partkey"),
+        col("p_brand").isin("Brand#11", "Brand#22", "Brand#33").as("brand_pick"),
+        (!col("p_type").isin("ECONOMY", "PROMO")).as("full_price"),
+        expr("p_size NOT IN (5, 10, NULL)").as("nin_with_null")
+      )
+      .orderBy("p_partkey")
+
+  /** Correlated EXISTS / NOT EXISTS — decorrelated by Catalyst into a
+    * left-semi + left-anti join pair on c_custkey (asserted in
+    * PlanShapeSpec; no per-row subquery execution survives planning).
+    */
+  private def q49c(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "customer").createOrReplaceTempView("graft_customer")
+    t(s, dir, "orders").createOrReplaceTempView("graft_orders")
+    s.sql("""
+      SELECT c_custkey, round(c_acctbal, 2) AS acctbal
+      FROM graft_customer c
+      WHERE EXISTS (SELECT 1 FROM graft_orders o
+                    WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 250000)
+        AND NOT EXISTS (SELECT 1 FROM graft_orders o
+                        WHERE o.o_custkey = c.c_custkey
+                          AND o.o_orderpriority = '1-URGENT')
+      ORDER BY c_custkey
+    """)
+  }
+
   // ------------------------------------------------------------------ maps
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -791,7 +850,10 @@ object Relational {
     "q42b_unpivot" -> q42b,
     "q44_ip_enrich" -> q44,
     "q45_conditional_fns" -> q45,
-    "q46_histogram" -> q46
+    "q46_histogram" -> q46,
+    "q49_join_null_safe" -> q49,
+    "q49b_in_list" -> q49b,
+    "q49c_exists" -> q49c
   )
 
   private val flowCte = graft.etl.FlowLogCorpus.oracleCte
@@ -822,6 +884,30 @@ object Relational {
          |  count(*) AS cnt, CAST(sum(bytes) AS BIGINT) AS sum_bytes
          |FROM f WHERE srcaddr <> '-'
          |GROUP BY owner ORDER BY owner""".stripMargin,
+    "q49_join_null_safe" ->
+      """WITH c AS (SELECT c_custkey,
+        |  CASE WHEN c_acctbal < 0 THEN NULL ELSE c_nationkey END AS ck
+        |  FROM customer),
+        |n AS (SELECT CASE WHEN n_regionkey = 0 THEN NULL ELSE n_nationkey END AS nk,
+        |  n_name FROM nation)
+        |SELECT n_name, count(*) AS cnt
+        |FROM c JOIN n ON ck IS NOT DISTINCT FROM nk
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q49b_in_list" ->
+      """SELECT p_partkey,
+        |  p_brand IN ('Brand#11', 'Brand#22', 'Brand#33') AS brand_pick,
+        |  p_type NOT IN ('ECONOMY', 'PROMO') AS full_price,
+        |  p_size NOT IN (5, 10, NULL) AS nin_with_null
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q49c_exists" ->
+      """SELECT c_custkey, round(c_acctbal, 2) AS acctbal
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 250000)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
     "q45_conditional_fns" ->
       """SELECT o_orderkey,
         |  CASE WHEN o_orderstatus = 'F' THEN 'finished'

@@ -44,6 +44,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), s"full sort for top-k:\n$plan")
   }
 
+  test("q49c EXISTS/NOT EXISTS decorrelate to semi + anti hash joins") {
+    val plan = executedPlan(SparkEntry.queries("q49c_exists")(spark, sf))
+    assert(plan.contains("LeftSemi"), s"EXISTS not decorrelated to semi join:\n$plan")
+    assert(plan.contains("LeftAnti"), s"NOT EXISTS not decorrelated to anti join:\n$plan")
+  }
+
+  test("q49 null-safe equality plans as an equi hash join, not a nested loop") {
+    val plan = executedPlan(SparkEntry.queries("q49_join_null_safe")(spark, sf))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"null-safe join degenerated:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin"))
+  }
+
   test("q01 ACCEPT filter is pushed into the flowlogs parquet scan") {
     val plan = executedPlan(SparkEntry.queries("q01_flow_filter_sort")(spark, sf))
     assert(
