@@ -90,6 +90,47 @@ object Maintenance {
       .count(f => f.isFile && !f.getPath.getName.startsWith("_"))
   }
 
+  /** Retire a DRAINED streaming-sink output into a plain partitioned
+    * dataset: delete the file sink's `_spark_metadata` commit log (after
+    * which path readers list directories like any batch output — the log
+    * would otherwise pin pre-compaction file names), then compact every
+    * (account, dt) partition holding ≥ `minFiles` data files. Returns
+    * the number of partitions compacted.
+    *
+    * Contract: the writing stream is stopped/drained (AvailableNow
+    * between invocations, or a stopped continuous query) — this is the
+    * retire step of a partition lifecycle, not something to run under an
+    * active writer. A retired output must not be appended to by the SAME
+    * sink again: the deleted log would resurrect on restart referencing
+    * only post-retire files. Downstream reads via the external-table
+    * catalog (Partitions.registerAll) are unaffected before and after.
+    */
+  def retireStreamOutput(
+      spark: SparkSession,
+      location: String,
+      minFiles: Int = 2,
+      targetBytes: Long = 128L * 1024 * 1024
+  ): Int = {
+    val root = new Path(location)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val sinkLog = new Path(root, "_spark_metadata")
+    if (fs.exists(sinkLog) && !fs.delete(sinkLog, true))
+      throw new java.io.IOException(s"retire: cannot delete sink log $sinkLog")
+    var compacted = 0
+    Partitions.partDirs(fs, root, "account=").foreach { case (_, accountDir) =>
+      Partitions.partDirs(fs, accountDir, "dt=").foreach { case (_, dtDir) =>
+        val nFiles = fs
+          .listStatus(dtDir)
+          .count(f => f.isFile && !f.getPath.getName.startsWith("_"))
+        if (nFiles >= minFiles) {
+          compactPartition(spark, dtDir.toString, targetBytes)
+          compacted += 1
+        }
+      }
+    }
+    compacted
+  }
+
   /** Drop every (account, dt) partition with `dt < cutoffDate`
     * (ISO yyyy-MM-dd, so string order == date order): catalog DDL first
     * (readers stop seeing the partition), then the directory. A failed

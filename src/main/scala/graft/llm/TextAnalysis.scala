@@ -160,12 +160,47 @@ object TextAnalysis {
       .orderBy(desc("cnt"), col("w"))
       .limit(20)
 
+  /** q51: TF-IDF top-3 terms per document — the classic salient-term
+    * profile used for topic tagging and template detection in corpus
+    * curation. Shape at scale: tf is the only corpus-sized frame (one
+    * shuffle on (doc_id, term)); df (vocabulary-sized) and the 1-row doc
+    * count are BROADCAST onto it; the per-doc top-3 ranks with
+    * WindowGroupLimit so no full sort of the scored frame materializes.
+    * idf = ln((N+1)/(df+1)) (smoothed; double ln agrees across engines
+    * well past the round(4) horizon).
+    */
+  private def q51(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .groupBy("doc_id", "w")
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    val n = docs(s, dir).agg(count(lit(1)).as("n_docs"))
+    val rankW = Window.partitionBy("doc_id").orderBy(desc("tfidf"), col("w"))
+    tf.join(broadcast(df), "w")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf", col("tf") * log((col("n_docs") + 1.0) / (col("df") + 1.0)))
+      .withColumn("rn", row_number().over(rankW))
+      .filter(col("rn") <= 3)
+      .select(
+        col("doc_id"),
+        col("rn"),
+        col("w"),
+        col("tf"),
+        col("df"),
+        round(col("tfidf"), 4).as("tfidf")
+      )
+      .orderBy("doc_id", "rn")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q32_lang_id" -> q32,
     "q33_quality_score" -> q33,
     "q34_token_count" -> q34,
     "q34b_vocab_topk" -> q34b,
-    "q35_fingerprint" -> q35
+    "q35_fingerprint" -> q35,
+    "q51_tfidf" -> q51
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -213,6 +248,22 @@ object TextAnalysis {
         |    AS total_bpe_tokens,
         |  round(avg(length(text)), 2) AS avg_chars
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q51_tfidf" ->
+      """WITH words AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |tfq AS (SELECT doc_id, w, count(*) AS tf FROM words GROUP BY 1, 2),
+        |dfq AS (SELECT w, count(*) AS df FROM tfq GROUP BY w),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT doc_id, tfq.w, tf, df,
+        |    tf * ln((n_docs + 1.0) / (df + 1.0)) AS tfidf
+        |  FROM tfq JOIN dfq ON tfq.w = dfq.w CROSS JOIN n),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY tfidf DESC, w) AS rn
+        |  FROM scored)
+        |SELECT doc_id, rn, w, tf, df, round(tfidf, 4) AS tfidf
+        |FROM ranked WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin,
     "q35_fingerprint" ->
       """SELECT doc_id,
         |  list_reduce(

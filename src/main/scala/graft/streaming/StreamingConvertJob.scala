@@ -81,4 +81,21 @@ object StreamingConvertJob {
     val queries = start(spark, config.copy(availableNow = true))
     queries.foreach(_.awaitTermination())
   }
+
+  /** Drain available input, then retire the output for batch consumption:
+    * drop the sink's `_spark_metadata` log and compact micro-batch file
+    * debris (each trigger leaves one file per touched partition — a
+    * steady stream accretes thousands). Terminal by contract: do not
+    * point this sink at the output again afterwards
+    * (Maintenance.retireStreamOutput scaladoc has the full rationale).
+    * Returns the number of partitions compacted.
+    */
+  def runAvailableNowAndRetire(
+      spark: SparkSession,
+      config: Config,
+      minFiles: Int = 2
+  ): Int = {
+    runAvailableNow(spark, config)
+    graft.catalog.Maintenance.retireStreamOutput(spark, config.outputDir, minFiles)
+  }
 }

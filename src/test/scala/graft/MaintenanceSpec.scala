@@ -53,6 +53,43 @@ class MaintenanceSpec extends SparkSpec {
     )
   }
 
+  test("retireStreamOutput drops the sink log and compacts micro-batch debris") {
+    val base = Files.createTempDirectory("graft_retire").toString
+    val in = s"$base/in"
+    Files.createDirectories(java.nio.file.Paths.get(in))
+    val cfg = graft.streaming.StreamingConvertJob.Config(
+      inputDir = in,
+      outputDir = s"$base/out",
+      checkpointDir = s"$base/chk"
+    )
+    // two drains over arriving files → two micro-batches → two files in
+    // the same (account, dt) partition
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/reference/samples/sample1.log"),
+      java.nio.file.Paths.get(in, "a.log")
+    )
+    graft.streaming.StreamingConvertJob.runAvailableNow(spark, cfg)
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/reference/samples/sample1.log"),
+      java.nio.file.Paths.get(in, "b.log")
+    )
+    val compacted =
+      graft.streaming.StreamingConvertJob.runAvailableNowAndRetire(spark, cfg)
+    assert(compacted == 1, s"expected 1 partition compacted, got $compacted")
+
+    val out = new java.io.File(cfg.outputDir)
+    assert(!new java.io.File(out, "_spark_metadata").exists())
+    val part = out
+      .listFiles().filter(_.isDirectory).head
+      .listFiles().filter(_.isDirectory).head
+    val files = part
+      .listFiles()
+      .count(f => f.isFile && !f.getName.startsWith("_") && !f.getName.endsWith(".crc"))
+    assert(files == 1, s"expected 1 data file after compaction, got $files")
+    // retired output reads as a plain partitioned dataset, all rows intact
+    assert(spark.read.parquet(cfg.outputDir).count() == 4)
+  }
+
   test("dropOlderThan removes directories and catalog partitions") {
     val root = convertCorpus()
     spark.sql("DROP TABLE IF EXISTS flowlogs_maint")
