@@ -32,9 +32,13 @@ object Clustering {
     * least one edge, where component = min vertex id reachable.
     */
   def connectedComponents(edges: DataFrame, maxIters: Int = 25): DataFrame = {
+    // Materialize the (possibly expensive) edge pipeline ONCE — the loop
+    // re-reads it every round, and without this the upstream plan (for
+    // q50: the full shingle self-join) would re-execute per iteration.
     val und = edges
       .select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint()
     var labels = und
       .select(col("src").as("id"))
       .distinct()
@@ -52,20 +56,20 @@ object Clustering {
         .select(col("dst").as("id"), col("nbr"))
         .groupBy("id")
         .agg(min("nbr").as("nbr"))
+      // carry a per-row "changed" flag through the checkpoint so the
+      // convergence test is a filter over the materialized round, not
+      // another join against the previous labels
       val next = labels
         .join(neighborMin, Seq("id"), "left")
         .select(
           col("id"),
           least(col("component"), coalesce(col("nbr"), col("component")))
-            .as("component")
+            .as("component"),
+          (coalesce(col("nbr"), col("component")) < col("component")).as("chg")
         )
         .localCheckpoint()
-      val changed = next
-        .join(labels.withColumnRenamed("component", "old"), "id")
-        .filter(col("component") =!= col("old"))
-        .count()
-      labels = next
-      converged = changed == 0
+      labels = next.select("id", "component")
+      converged = next.filter(col("chg")).limit(1).count() == 0
       iters += 1
     }
     labels
