@@ -27,6 +27,8 @@ object SparkEntry {
       graft.llm.Similarity.queries ++
       graft.llm.TextAnalysis.queries ++
       graft.llm.FrequentItems.queries ++
+      graft.llm.Packing.queries ++
+      graft.llm.Embeddings.queries ++
       graft.llm.Sampling.queries ++
       graft.llm.Curation.queries ++
       graft.llm.Multimodal.queries
@@ -43,6 +45,8 @@ object SparkEntry {
       graft.llm.Similarity.oracleSql ++
       graft.llm.TextAnalysis.oracleSql ++
       graft.llm.FrequentItems.oracleSql ++
+      graft.llm.Packing.oracleSql ++
+      graft.llm.Embeddings.oracleSql ++
       graft.llm.Sampling.oracleSql ++
       graft.llm.Curation.oracleSql ++
       graft.llm.Multimodal.oracleSql

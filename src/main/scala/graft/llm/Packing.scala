@@ -1,0 +1,102 @@
+package graft.llm
+
+import graft.queries.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** q52: sequence packing — the concat-and-chop batching step of LLM
+  * pretraining: documents are concatenated in a canonical order (doc_id)
+  * and chopped into fixed context windows of [[ContextLen]] tokens; each
+  * document's window assignment and boundary-crossing flag follow from
+  * its global token start offset, i.e. an exclusive prefix sum of token
+  * counts in doc order.
+  *
+  * The prefix sum is computed as the textbook two-pass distributed scan,
+  * NOT a global `Window.orderBy` (which Catalyst executes as one
+  * single-task partition — the classic driver-shaped bottleneck at
+  * corpus scale):
+  *
+  *   1. range-repartition by doc_id (so partition order == doc order);
+  *   2. per-partition totals → a partitions-sized frame whose own
+  *      running sum (tiny, one task is fine there) gives each
+  *      partition's global offset;
+  *   3. broadcast the offsets back and add a PER-PARTITION window
+  *      cumsum — every window is keyed by partition id, so no stage
+  *      sees more than one partition's rows in one task.
+  *
+  * The result is independent of where the range partitioner draws its
+  * boundaries, so the physical plan is free to rebalance while the
+  * output stays byte-identical — which is also what makes the single
+  * window-cumsum DuckDB oracle valid.
+  */
+object Packing {
+
+  val ContextLen = 512
+
+  private def q52(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables
+      .table(s, dir, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n_tokens"))
+      .repartitionByRange(col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+
+    val offsets = toks
+      .groupBy("pid")
+      .agg(sum("n_tokens").as("part_tokens"))
+      .withColumn(
+        "part_offset",
+        coalesce(
+          sum("part_tokens").over(
+            Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+          ),
+          lit(0L)
+        )
+      )
+      .select("pid", "part_offset")
+
+    val local = Window
+      .partitionBy("pid")
+      .orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+
+    toks
+      .join(broadcast(offsets), "pid")
+      .withColumn(
+        "start_off",
+        col("part_offset") + coalesce(sum("n_tokens").over(local), lit(0L))
+      )
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        col("start_off"),
+        expr(s"start_off div $ContextLen").as("bin"),
+        // crosses a window boundary iff its span touches a later bin
+        (expr(s"(start_off + n_tokens - 1) div $ContextLen") >
+          expr(s"start_off div $ContextLen")).as("spans")
+      )
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q52_sequence_packing" -> q52
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q52_sequence_packing" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+         |  FROM documents),
+         |o AS (
+         |  SELECT doc_id, n_tokens,
+         |    CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |      AS start_off
+         |  FROM t)
+         |SELECT doc_id, n_tokens, start_off,
+         |  start_off // $ContextLen AS bin,
+         |  (start_off + n_tokens - 1) // $ContextLen > start_off // $ContextLen
+         |    AS spans
+         |FROM o ORDER BY doc_id""".stripMargin
+  )
+}

@@ -194,8 +194,33 @@ object TextAnalysis {
       .orderBy("doc_id", "rn")
   }
 
+  /** q53: redaction/scrubbing pass — the PII-removal stage of a curation
+    * pipeline, demonstrated with a lexicon of whole-word targets plus a
+    * digit-run pattern (the shape email/phone/SSN scrubbing takes; the
+    * synthetic corpus has no real PII, the lexicon words stand in).
+    * Pure regexp_replace column pipeline; the md5 of the scrubbed text
+    * pins byte-exact replacement behavior against the oracle, and the
+    * redaction count is measured BEFORE replacement so it can't drift
+    * from the scrub itself.
+    */
+  private val ScrubRe = "\\b(customer|order|user|[0-9]+)\\b"
+
+  private def q53(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(
+        col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(ScrubRe), lit(0)))
+          .as("n_redactions"),
+        md5(regexp_replace(col("text"), ScrubRe, "[REDACTED]"))
+          .as("scrubbed_md5"),
+        length(regexp_replace(col("text"), ScrubRe, "[REDACTED]"))
+          .as("scrubbed_len")
+      )
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q32_lang_id" -> q32,
+    "q53_scrub" -> q53,
     "q33_quality_score" -> q33,
     "q34_token_count" -> q34,
     "q34b_vocab_topk" -> q34b,
@@ -248,6 +273,15 @@ object TextAnalysis {
         |    AS total_bpe_tokens,
         |  round(avg(length(text)), 2) AS avg_chars
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q53_scrub" ->
+      """SELECT doc_id,
+        |  len(regexp_extract_all(text, '\b(customer|order|user|[0-9]+)\b'))
+        |    AS n_redactions,
+        |  md5(regexp_replace(text, '\b(customer|order|user|[0-9]+)\b',
+        |    '[REDACTED]', 'g')) AS scrubbed_md5,
+        |  length(regexp_replace(text, '\b(customer|order|user|[0-9]+)\b',
+        |    '[REDACTED]', 'g')) AS scrubbed_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q51_tfidf" ->
       """WITH words AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),

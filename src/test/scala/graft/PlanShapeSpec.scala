@@ -39,6 +39,23 @@ class PlanShapeSpec extends SparkSpec {
       .contains("WindowGroupLimit"))
   }
 
+  test("q51 per-doc top-3 ranks under WindowGroupLimit") {
+    val plan = executedPlan(SparkEntry.queries("q51_tfidf")(spark, sf))
+    assert(plan.contains("WindowGroupLimit"), s"rank filter not pushed:\n$plan")
+  }
+
+  test("q52 corpus-sized cumsum window is pid-partitioned, not global") {
+    val plan = executedPlan(SparkEntry.queries("q52_sequence_packing")(spark, sf))
+    // the doc-level window (sums n_tokens) must carry the pid partition
+    // key; only the partitions-sized offsets window (sums part_tokens)
+    // may run single-partition
+    val docWin = plan.linesIterator
+      .filter(_.contains("Window "))
+      .find(_.contains("sum(n_tokens"))
+      .getOrElse(fail(s"no doc-level window in plan:\n$plan"))
+    assert(docWin.contains("windowspecdefinition(pid#"), s"global window:\n$docWin")
+  }
+
   test("q34b vocab top-k uses TakeOrderedAndProject (no full sort)") {
     val plan = executedPlan(SparkEntry.queries("q34b_vocab_topk")(spark, sf))
     assert(plan.contains("TakeOrderedAndProject"), s"full sort for top-k:\n$plan")
