@@ -77,8 +77,42 @@ object Curation {
       .orderBy("split")
   }
 
+  /** q56: source-mixing table — per-source doc/token shares plus the
+    * resampling weight that would equalize the mix (target = uniform
+    * across sources; weight = target_share / actual_doc_share). The
+    * output is the small per-source table a sampler joins back onto the
+    * corpus; everything is one aggregation plus a broadcast of the 1-row
+    * corpus totals (which also carry the distinct-source count).
+    */
+  private def q56(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables
+      .table(s, dir, "documents")
+      .select(col("source"), size(split(col("text"), " ")).as("n_tokens"))
+    val totals = d.agg(
+      count(lit(1)).as("total_docs"),
+      sum("n_tokens").as("total_tokens"),
+      countDistinct("source").as("n_sources")
+    )
+    d.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("tokens"))
+      .crossJoin(broadcast(totals))
+      .select(
+        col("source"),
+        col("n_docs"),
+        col("tokens"),
+        round(col("n_docs") / col("total_docs"), 6).as("doc_share"),
+        round(col("tokens") / col("total_tokens"), 6).as("token_share"),
+        round(
+          (lit(1.0) / col("n_sources")) / (col("n_docs") / col("total_docs")),
+          4
+        ).as("uniform_weight")
+      )
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q47_curation_pipeline" -> q47
+    "q47_curation_pipeline" -> q47,
+    "q56_mix_weights" -> q56
   )
 
   private def scoreSql(lang: String): String =
@@ -87,6 +121,22 @@ object Curation {
     )
 
   val oracleSql: Map[String, String] = Map(
+    "q56_mix_weights" ->
+      """WITH d AS (
+        |  SELECT source, len(string_split(text, ' ')) AS n_tokens
+        |  FROM documents),
+        |tot AS (SELECT count(*) AS total_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |  count(DISTINCT source) AS n_sources FROM d)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS tokens,
+        |  round(count(*) * 1.0 / total_docs, 6) AS doc_share,
+        |  round(sum(n_tokens) * 1.0 / total_tokens, 6) AS token_share,
+        |  round((1.0 / n_sources) / (count(*) * 1.0 / total_docs), 4)
+        |    AS uniform_weight
+        |FROM d CROSS JOIN tot
+        |GROUP BY source, total_docs, total_tokens, n_sources
+        |ORDER BY source""".stripMargin,
     "q47_curation_pipeline" ->
       s"""WITH scored AS (
          |  SELECT doc_id, text,

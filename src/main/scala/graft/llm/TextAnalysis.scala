@@ -218,9 +218,62 @@ object TextAnalysis {
       )
       .orderBy("doc_id")
 
+  /** q55: repetition detection — the max-repeated-3-gram ratio, the
+    * standard boilerplate/templated-text signal (Rae et al.'s Gopher
+    * rules use exactly this family). Non-distinct 3-grams per doc, one
+    * (doc, gram) count, one per-doc rollup; docs with < 3 tokens have no
+    * 3-grams and drop out (both engines agree).
+    */
+  private def q55(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(
+        col("doc_id"),
+        explode(
+          expr(
+            "CASE WHEN size(w) >= 3 THEN " +
+              "transform(sequence(1, size(w)-2), i -> concat_ws('_', w[i-1], w[i], w[i+1])) " +
+              "ELSE array() END"
+          )
+        ).as("g")
+      )
+      .groupBy("doc_id", "g")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id")
+      .agg(
+        sum("cnt").as("n_grams"),
+        max("cnt").as("max_rep")
+      )
+      .withColumn("rep_ratio", round(col("max_rep") / col("n_grams"), 4))
+      .orderBy("doc_id")
+
+  /** q57: unigram-LM surprisal — mean negative log-probability of a
+    * document under the corpus's own unigram distribution (the cheap
+    * stand-in for CCNet-style perplexity filtering: outlier docs score
+    * high). The vocabulary-sized frequency table broadcasts onto the
+    * token stream; one per-doc aggregation.
+    */
+  private def q57(s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    val freq = toks.groupBy("w").agg(count(lit(1)).as("freq"))
+    val total = toks.agg(count(lit(1)).as("n_total"))
+    toks
+      .join(broadcast(freq), "w")
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        round(-avg(log(col("freq") / col("n_total"))), 4).as("surprisal")
+      )
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q32_lang_id" -> q32,
     "q53_scrub" -> q53,
+    "q55_repetition" -> q55,
+    "q57_surprisal" -> q57,
     "q33_quality_score" -> q33,
     "q34_token_count" -> q34,
     "q34b_vocab_topk" -> q34b,
@@ -282,6 +335,29 @@ object TextAnalysis {
         |  length(regexp_replace(text, '\b(customer|order|user|[0-9]+)\b',
         |    '[REDACTED]', 'g')) AS scrubbed_len
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q55_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |grams AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(generate_series(1, greatest(len(w) - 2, 0)),
+        |      i -> w[i] || '_' || w[i+1] || '_' || w[i+2])) AS g
+        |  FROM toks),
+        |counted AS (
+        |  SELECT doc_id, g, count(*) AS cnt FROM grams GROUP BY 1, 2)
+        |SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_grams,
+        |  CAST(max(cnt) AS BIGINT) AS max_rep,
+        |  round(max(cnt) * 1.0 / sum(cnt), 4) AS rep_ratio
+        |FROM counted GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q57_surprisal" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |freq AS (SELECT w, count(*) AS freq FROM toks GROUP BY w),
+        |tot AS (SELECT count(*) AS n_total FROM toks)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  round(-avg(ln(freq * 1.0 / n_total)), 4) AS surprisal
+        |FROM toks JOIN freq USING (w) CROSS JOIN tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q51_tfidf" ->
       """WITH words AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
