@@ -20,6 +20,9 @@ run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // last). With this plus StdoutOutput, Bench's JSON is the final stdout
 // line of `sbt "runMain graft.Bench"`.
 Global / showSuccess := false
+// showSuccess is consumed by sbt's logger, not the task graph — silence
+// the unused-key lint (verified working: no "[success]" trailer remains).
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -156,6 +156,39 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("runtime bloom filter prunes the fact side of a selective shuffle join") {
+    // At 100 TB this is the difference between scanning the full fact
+    // table and scanning ~selectivity of it: a bloom filter built from
+    // the filtered dimension side is pushed into the fact scan at
+    // runtime. Thresholds are lowered to make the tiny test data
+    // eligible; the rewrite itself is what we pin.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1"
+    )
+    val prev = confs.map { case (k, _) => k -> spark.conf.get(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val joined = Tables
+        .table(spark, sf, "lineitem")
+        .join(
+          Tables
+            .table(spark, sf, "orders")
+            .filter(col("o_orderpriority") === "1-URGENT")
+            .select(col("o_orderkey").as("l_orderkey")),
+          "l_orderkey"
+        )
+        .groupBy("l_orderkey")
+        .agg(count(lit(1)).as("n"))
+      val plan = executedPlan(joined)
+      assert(
+        plan.contains("might_contain"),
+        s"no runtime bloom filter on the fact scan:\n$plan"
+      )
+    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("salted join returns exactly the plain join result") {
     val orders = Tables.table(spark, sf, "orders")
     val customer = Tables
