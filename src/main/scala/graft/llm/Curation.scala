@@ -110,9 +110,36 @@ object Curation {
       .orderBy("source")
   }
 
+  /** q58: train/eval decontamination — flag training documents sharing
+    * any word-3-gram with the held-out split (the n-gram-overlap
+    * decontamination step of GPT-3-style pipelines), reusing q43's md5
+    * split (bucket ≥ 90 = the eval side) and the dedup shingle corpus.
+    * Shape at scale: the eval side is a small fraction of the corpus, so
+    * its distinct-gram set is the broadcast/bloom side of a semi-join
+    * against training shingles — the training corpus streams once and
+    * nothing all-pairs ever forms. Output: each contaminated training
+    * doc with its shared-gram count (the evidence a removal pass logs).
+    */
+  private def q58(s: SparkSession, dir: String): DataFrame = {
+    val buckets = Tables
+      .table(s, dir, "documents")
+      .select(col("doc_id"), Sampling.bucket100(col("doc_id")).as("bucket"))
+    val sh = Dedup.cachedShingles(s, dir)
+    val evalGrams = sh
+      .join(buckets.filter(col("bucket") >= 90), "doc_id")
+      .select("g")
+      .distinct()
+    sh.join(buckets.filter(col("bucket") < 90), "doc_id")
+      .join(broadcast(evalGrams), "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared_grams"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q47_curation_pipeline" -> q47,
-    "q56_mix_weights" -> q56
+    "q56_mix_weights" -> q56,
+    "q58_decontaminate" -> q58
   )
 
   private def scoreSql(lang: String): String =
@@ -121,6 +148,22 @@ object Curation {
     )
 
   val oracleSql: Map[String, String] = Map(
+    "q58_decontaminate" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |sh AS (
+         |  SELECT DISTINCT doc_id,
+         |    unnest(list_transform(generate_series(1, greatest(len(w) - 2, 0)),
+         |      i -> w[i] || '_' || w[i+1] || '_' || w[i+2])) AS g
+         |  FROM toks),
+         |b AS (SELECT doc_id, ${Sampling.BucketSql} AS bucket FROM documents),
+         |eg AS (SELECT DISTINCT g FROM sh JOIN b USING (doc_id)
+         |       WHERE bucket >= 90)
+         |SELECT sh.doc_id, count(*) AS n_shared_grams
+         |FROM sh JOIN b ON sh.doc_id = b.doc_id
+         |JOIN eg ON sh.g = eg.g
+         |WHERE b.bucket < 90
+         |GROUP BY sh.doc_id ORDER BY sh.doc_id""".stripMargin,
     "q56_mix_weights" ->
       """WITH d AS (
         |  SELECT source, len(string_split(text, ' ')) AS n_tokens

@@ -69,7 +69,7 @@ object Dedup {
       c
     }
 
-  private def cachedShingles(s: SparkSession, dir: String): DataFrame =
+  private[llm] def cachedShingles(s: SparkSession, dir: String): DataFrame =
     synchronized {
       shingleCache.getOrElseUpdate((s, dir), shingles(docs(s, dir)).cache())
     }
