@@ -1,7 +1,9 @@
 package graft.llm
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Duplicate-cluster resolution: near-dup detection (q26/q27/q28) emits
   * PAIRS, but a curation pipeline needs per-document CLUSTER membership —
@@ -13,8 +15,12 @@ import org.apache.spark.sql.functions._
   * neighbors' labels; fixpoint in O(diameter) rounds, each round one
   * shuffle-join + one aggregation (all Catalyst-planned, AQE-sized).
   * The driver loop iterates over ACTIONS (a convergence count), never
-  * collects vertex data; `localCheckpoint` truncates lineage each round so
-  * plan depth stays constant.
+  * collects vertex data; each round is checkpointed (persisted RDD +
+  * RDD-backed frame) so plan depth stays constant, and the superseded
+  * round's blocks are released immediately — `Dataset.localCheckpoint`
+  * is NOT used because its blocks are unreachable from `unpersist()`
+  * (they live outside the CacheManager) and would accumulate across
+  * rounds and repeated invocations in one JVM.
   *
   * Scale rationale: near-dup graphs are dense cliques-of-duplicates —
   * every pair of a duplicate cluster shares most shingles, so cluster
@@ -30,20 +36,39 @@ object Clustering {
   /** Connected components of an undirected graph given as (src, dst)
     * edge rows. Returns (id, component) for every vertex incident to at
     * least one edge, where component = min vertex id reachable.
+    *
+    * THROWS IllegalStateException if the fixpoint is not reached within
+    * `maxIters` rounds — a truncated labeling looks exactly like a
+    * converged one (some component members carry different labels), and
+    * a dedup pass consuming it would silently keep several "canonical"
+    * docs per cluster. Chains longer than the cap mean the input is not
+    * a near-dup graph; raise maxIters deliberately, don't inherit wrong
+    * answers.
     */
+  /** Lineage-truncating checkpoint with a RELEASABLE handle: persist the
+    * row RDD, rebuild a frame over it. Unlike `Dataset.localCheckpoint`,
+    * the returned RDD can be unpersisted to free the blocks.
+    */
+  private def checkpoint(df: DataFrame): (DataFrame, RDD[Row]) = {
+    val rdd = df.rdd.persist(StorageLevel.MEMORY_AND_DISK)
+    (df.sparkSession.createDataFrame(rdd, df.schema), rdd)
+  }
+
   def connectedComponents(edges: DataFrame, maxIters: Int = 25): DataFrame = {
     // Materialize the (possibly expensive) edge pipeline ONCE — the loop
     // re-reads it every round, and without this the upstream plan (for
     // q50: the full shingle self-join) would re-execute per iteration.
-    val und = edges
-      .select(col("src"), col("dst"))
-      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint()
-    var labels = und
-      .select(col("src").as("id"))
-      .distinct()
-      .withColumn("component", col("id"))
-      .localCheckpoint()
+    val (und, undRdd) = checkpoint(
+      edges
+        .select(col("src"), col("dst"))
+        .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+    )
+    var (labels, labelsRdd) = checkpoint(
+      und
+        .select(col("src").as("id"))
+        .distinct()
+        .withColumn("component", col("id"))
+    )
 
     var iters = 0
     var converged = false
@@ -59,18 +84,32 @@ object Clustering {
       // carry a per-row "changed" flag through the checkpoint so the
       // convergence test is a filter over the materialized round, not
       // another join against the previous labels
-      val next = labels
-        .join(neighborMin, Seq("id"), "left")
-        .select(
-          col("id"),
-          least(col("component"), coalesce(col("nbr"), col("component")))
-            .as("component"),
-          (coalesce(col("nbr"), col("component")) < col("component")).as("chg")
-        )
-        .localCheckpoint()
-      labels = next.select("id", "component")
+      val (next, nextRdd) = checkpoint(
+        labels
+          .join(neighborMin, Seq("id"), "left")
+          .select(
+            col("id"),
+            least(col("component"), coalesce(col("nbr"), col("component")))
+              .as("component"),
+            (coalesce(col("nbr"), col("component")) < col("component")).as("chg")
+          )
+      )
       converged = next.filter(col("chg")).limit(1).count() == 0
+      // next is materialized: release the superseded round's blocks (the
+      // edge frame stays — it feeds the join in EVERY round)
+      labelsRdd.unpersist()
+      labelsRdd = nextRdd
+      labels = next.select("id", "component")
       iters += 1
+    }
+    undRdd.unpersist()
+    if (!converged) {
+      labelsRdd.unpersist()
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within $maxIters rounds — " +
+          "component diameter exceeds the cap; raise maxIters if the input " +
+          "graph legitimately chains this far"
+      )
     }
     labels
   }

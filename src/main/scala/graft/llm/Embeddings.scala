@@ -33,12 +33,17 @@ object Embeddings {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // dimension count derives from each row's own list length (as the
+    // Spark posexplode does) — no hard-coded dim that could silently
+    // diverge if a testdata generation ever changes width
     "q54_embedding_centroids" ->
-      """SELECT label, i,
+      """WITH e AS (
+        |  SELECT label, embedding,
+        |    unnest(generate_series(1, len(embedding))) AS i
+        |  FROM embeddings)
+        |SELECT label, i,
         |  round(avg(CAST(embedding[i] AS DOUBLE)), 4) AS centroid,
         |  count(*) AS n_vecs
-        |FROM embeddings
-        |CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) g
-        |GROUP BY label, i ORDER BY label, i""".stripMargin
+        |FROM e GROUP BY label, i ORDER BY label, i""".stripMargin
   )
 }

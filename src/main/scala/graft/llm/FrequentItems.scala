@@ -73,9 +73,11 @@ object FrequentItems {
       .map(i => element_at(col("sk"), (lit(i * Width) + bucket(i) + 1).cast("int")))
       .reduce(least(_, _))
 
-    hashed
-      .select("w", "h")
+    // candidate side: dedup tokens FIRST, hash once per distinct token —
+    // not once per occurrence (occurrences/vocabulary fewer md5 calls)
+    words(s, dir)
       .distinct()
+      .withColumn("h", baseHash)
       .crossJoin(broadcast(sketch))
       .withColumn("est_cnt", estimate)
       .filter(col("est_cnt") >= lit(Support) * col("n"))

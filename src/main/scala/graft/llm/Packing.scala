@@ -17,54 +17,59 @@ import org.apache.spark.sql.functions._
   * single-task partition — the classic driver-shaped bottleneck at
   * corpus scale):
   *
-  *   1. range-repartition by doc_id (so partition order == doc order);
-  *   2. per-partition totals → a partitions-sized frame whose own
-  *      running sum (tiny, one task is fine there) gives each
-  *      partition's global offset;
-  *   3. broadcast the offsets back and add a PER-PARTITION window
-  *      cumsum — every window is keyed by partition id, so no stage
-  *      sees more than one partition's rows in one task.
+  *   1. shard by a DATA-DERIVED, order-preserving key
+  *      (`doc_id div ShardWidth`) — never `spark_partition_id()`, whose
+  *      value is a physical-plan artifact: two consumers of the same
+  *      frame are not guaranteed identical partitioning (exchange reuse
+  *      can be disabled; AQE may coalesce each consumer's read of a
+  *      shuffle differently), which would silently misalign offsets;
+  *   2. per-shard totals → a shards-sized frame whose own running sum
+  *      (tiny, one task is fine there) gives each shard's global offset;
+  *   3. broadcast the offsets back and add a PER-SHARD window cumsum —
+  *      every corpus-sized window is keyed by the shard, so no stage
+  *      sees more than ShardWidth docs in one task.
   *
-  * The result is independent of where the range partitioner draws its
-  * boundaries, so the physical plan is free to rebalance while the
-  * output stays byte-identical — which is also what makes the single
-  * window-cumsum DuckDB oracle valid.
+  * The shard key is pure data, so the result is deterministic under any
+  * physical partitioning — which is also what makes the single
+  * window-cumsum DuckDB oracle valid. ShardWidth bounds per-task window
+  * state; dense doc_ids keep shards balanced (ragged id spaces just make
+  * some shards small, which costs nothing).
   */
 object Packing {
 
   val ContextLen = 512
+  val ShardWidth = 4096L // docs per prefix-sum shard (per-task bound)
 
   private def q52(s: SparkSession, dir: String): DataFrame = {
     val toks = Tables
       .table(s, dir, "documents")
       .select(col("doc_id"), size(split(col("text"), " ")).as("n_tokens"))
-      .repartitionByRange(col("doc_id"))
-      .withColumn("pid", spark_partition_id())
+      .withColumn("shard", expr(s"doc_id div $ShardWidth"))
 
     val offsets = toks
-      .groupBy("pid")
-      .agg(sum("n_tokens").as("part_tokens"))
+      .groupBy("shard")
+      .agg(sum("n_tokens").as("shard_tokens"))
       .withColumn(
-        "part_offset",
+        "shard_offset",
         coalesce(
-          sum("part_tokens").over(
-            Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+          sum("shard_tokens").over(
+            Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)
           ),
           lit(0L)
         )
       )
-      .select("pid", "part_offset")
+      .select("shard", "shard_offset")
 
     val local = Window
-      .partitionBy("pid")
+      .partitionBy("shard")
       .orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
 
     toks
-      .join(broadcast(offsets), "pid")
+      .join(broadcast(offsets), "shard")
       .withColumn(
         "start_off",
-        col("part_offset") + coalesce(sum("n_tokens").over(local), lit(0L))
+        col("shard_offset") + coalesce(sum("n_tokens").over(local), lit(0L))
       )
       .select(
         col("doc_id"),

@@ -35,4 +35,15 @@ class ClusteringSpec extends SparkSpec {
   test("empty edge set yields empty labeling") {
     assert(components(Seq.empty).isEmpty)
   }
+
+  test("non-convergence within maxIters throws instead of returning wrong labels") {
+    import spark.implicits._
+    // a 12-vertex path needs ~10 rounds; cap at 2 must be loud
+    val chain = (1L to 11L).map(i => (i, i + 1))
+    assertThrows[IllegalStateException] {
+      Clustering
+        .connectedComponents(chain.toDF("src", "dst"), maxIters = 2)
+        .count()
+    }
+  }
 }

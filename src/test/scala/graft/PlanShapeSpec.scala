@@ -44,16 +44,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"), s"rank filter not pushed:\n$plan")
   }
 
-  test("q52 corpus-sized cumsum window is pid-partitioned, not global") {
+  test("q52 corpus-sized cumsum window is shard-partitioned, not global") {
     val plan = executedPlan(SparkEntry.queries("q52_sequence_packing")(spark, sf))
-    // the doc-level window (sums n_tokens) must carry the pid partition
-    // key; only the partitions-sized offsets window (sums part_tokens)
+    // the doc-level window (sums n_tokens) must carry the shard partition
+    // key; only the shards-sized offsets window (sums shard_tokens)
     // may run single-partition
     val docWin = plan.linesIterator
       .filter(_.contains("Window "))
       .find(_.contains("sum(n_tokens"))
       .getOrElse(fail(s"no doc-level window in plan:\n$plan"))
-    assert(docWin.contains("windowspecdefinition(pid#"), s"global window:\n$docWin")
+    assert(docWin.contains("windowspecdefinition(shard#"), s"global window:\n$docWin")
   }
 
   test("q34b vocab top-k uses TakeOrderedAndProject (no full sort)") {
