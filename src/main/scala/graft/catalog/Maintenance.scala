@@ -117,15 +117,13 @@ object Maintenance {
     if (fs.exists(sinkLog) && !fs.delete(sinkLog, true))
       throw new java.io.IOException(s"retire: cannot delete sink log $sinkLog")
     var compacted = 0
-    Partitions.partDirs(fs, root, "account=").foreach { case (_, accountDir) =>
-      Partitions.partDirs(fs, accountDir, "dt=").foreach { case (_, dtDir) =>
-        val nFiles = fs
-          .listStatus(dtDir)
-          .count(f => f.isFile && !f.getPath.getName.startsWith("_"))
-        if (nFiles >= minFiles) {
-          compactPartition(spark, dtDir.toString, targetBytes)
-          compacted += 1
-        }
+    Partitions.partitionKeys(fs, root).foreach { case (_, _, dtDir) =>
+      val nFiles = fs
+        .listStatus(dtDir)
+        .count(f => f.isFile && !f.getPath.getName.startsWith("_"))
+      if (nFiles >= minFiles) {
+        compactPartition(spark, dtDir.toString, targetBytes)
+        compacted += 1
       }
     }
     compacted
@@ -154,23 +152,24 @@ object Maintenance {
     val root = new Path(location)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     var dropped = 0
-    Partitions.partDirs(fs, root, "account=").foreach {
-      case (account, accountDir) =>
-        Partitions.partDirs(fs, accountDir, "dt=").foreach {
-          case (dt, dtDir) if dt < cutoffDate =>
-            spark.sql(
-              s"ALTER TABLE $table DROP IF EXISTS PARTITION " +
-                s"(account='${Partitions.escapeSqlString(account)}', " +
-                s"dt='${Partitions.escapeSqlString(dt)}')"
-            )
-            if (!fs.delete(dtDir, true))
-              throw new java.io.IOException(
-                s"retention: failed to delete $dtDir (catalog entry already dropped; rerun after fixing)"
-              )
-            dropped += 1
-          case _ => ()
-        }
-        if (fs.listStatus(accountDir).isEmpty) fs.delete(accountDir, false)
+    Partitions.partitionKeys(fs, root).foreach {
+      case (account, dt, dtDir) if dt < cutoffDate =>
+        spark.sql(
+          s"ALTER TABLE $table DROP IF EXISTS PARTITION " +
+            s"(account='${Partitions.escapeSqlString(account)}', " +
+            s"dt='${Partitions.escapeSqlString(dt)}')"
+        )
+        if (!fs.delete(dtDir, true))
+          throw new java.io.IOException(
+            s"retention: failed to delete $dtDir (catalog entry already dropped; rerun after fixing)"
+          )
+        dropped += 1
+      case _ => ()
+    }
+    // sweep account dirs left empty so repeated retention never grows the
+    // root listing with dead entries
+    Partitions.partDirs(fs, root, "account=").foreach { case (_, accountDir) =>
+      if (fs.listStatus(accountDir).isEmpty) fs.delete(accountDir, false)
     }
     dropped
   }

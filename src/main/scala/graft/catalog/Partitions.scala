@@ -29,7 +29,7 @@ object Partitions {
       s"""CREATE TABLE IF NOT EXISTS $table ($dataCols, account STRING, dt STRING)
          |USING PARQUET
          |PARTITIONED BY (account, dt)
-         |LOCATION '$location'""".stripMargin
+         |LOCATION '${escapeSqlString(location)}'""".stripMargin
     )
   }
 
@@ -55,11 +55,8 @@ object Partitions {
     import org.apache.hadoop.fs.Path
     val root = new Path(location)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val keys = for {
-      (account, accountDir) <- partDirs(fs, root, "account=")
-      (dt, _) <- partDirs(fs, accountDir, "dt=")
-    } yield (account, dt)
-    keys.foreach { case (account, dt) =>
+    val keys = partitionKeys(fs, root)
+    keys.foreach { case (account, dt, _) =>
       spark.sql(
         s"ALTER TABLE $table ADD IF NOT EXISTS PARTITION " +
           s"(account='${escapeSqlString(account)}', dt='${escapeSqlString(dt)}')"
@@ -67,6 +64,20 @@ object Partitions {
     }
     keys.length
   }
+
+  /** Every (account, dt, dtDir) in a converted tree — the ONE walk of the
+    * two-level Hive layout, shared by registration, maintenance, and the
+    * layout exporter so hierarchy and unescape semantics can never
+    * diverge between them.
+    */
+  private[graft] def partitionKeys(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path
+  ): Seq[(String, String, org.apache.hadoop.fs.Path)] =
+    for {
+      (account, accountDir) <- partDirs(fs, root, "account=")
+      (dt, dtDir) <- partDirs(fs, accountDir, "dt=")
+    } yield (account, dt, dtDir)
 
   /** List `prefix`-named partition child directories of `p`, with values
     * unescaped — shared by registerAll, Maintenance, and the layout

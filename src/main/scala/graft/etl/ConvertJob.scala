@@ -49,28 +49,18 @@ object ConvertJob {
       .withPartitionKey(parsed.good)
       .drop("ts") // data files carry the 14 columns only, like parquet.go
 
-    // One shuffle on the partition key before the fan-out write: without
-    // it every task opens a writer per key it happens to see (#tasks ×
-    // #keys small files — the classic partitioned-write failure at
-    // scale). The bounded salt splits hot (account, dt) keys across up
-    // to filesPerPartition writers; maxRecordsPerFile caps file size
-    // regardless. Mirrors the reference's one-file-per-(key, source)
-    // layout (convert.go:72-73) with explicit control. The salt hashes
-    // the row's own columns — a row-id-based salt would change on task
-    // retry and let a recovered shuffle duplicate/drop rows.
-    import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
-    val salt = pmod(
-      xxhash64(FlowLogSchema.columns.map { case (n, _) => col(n) }: _*),
-      lit(filesPerPartition)
+    // goodRows rides the write job as an observed metric — a second
+    // count() pass would read and gunzip the ENTIRE input again (at
+    // 100 TB that doubles the job's I/O just for a statistic).
+    import org.apache.spark.sql.Observation
+    import org.apache.spark.sql.functions.{count, lit}
+    val obs = Observation("convert_stats")
+    writePartitioned(
+      withKeys.observe(obs, count(lit(1)).as("good_rows")),
+      outPath,
+      mode,
+      filesPerPartition
     )
-    val partitionCols = FlowLogSchema.partitionColumns.map(col)
-    withKeys
-      .repartition(partitionCols :+ salt: _*)
-      .write
-      .mode(mode)
-      .option("maxRecordsPerFile", 5000000)
-      .partitionBy(FlowLogSchema.partitionColumns: _*)
-      .parquet(outPath)
 
     val quarantined = quarantinePath match {
       case Some(qp) =>
@@ -82,10 +72,42 @@ object ConvertJob {
       case None => 0L
     }
 
-    // per-run count via a second (cheap) pass over the input — counting
-    // the output directory would include prior runs under Append mode
-    val good = parsed.good.count()
+    // empty-relation propagation can optimize the observe node away
+    // entirely when the input has no good rows — an absent metric IS zero
+    val good = obs.get.get("good_rows").map(_.asInstanceOf[Long]).getOrElse(0L)
     ConvertStats(good, quarantined)
+  }
+
+  /** THE partitioned-write recipe, shared by batch convert, the bench
+    * query, and the oracle corpus so the layout can never drift between
+    * them. One shuffle on the partition key before the fan-out write:
+    * without it every task opens a writer per key it happens to see
+    * (#tasks × #keys small files — the classic partitioned-write failure
+    * at scale). The bounded salt splits hot (account, dt) keys across up
+    * to filesPerPartition writers; maxRecordsPerFile caps file size
+    * regardless. Mirrors the reference's one-file-per-(key, source)
+    * layout (convert.go:72-73) with explicit control. The salt hashes
+    * the row's own columns — a row-id-based salt would change on task
+    * retry and let a recovered shuffle duplicate/drop rows.
+    */
+  def writePartitioned(
+      df: DataFrame,
+      outPath: String,
+      mode: SaveMode,
+      filesPerPartition: Int = 1
+  ): Unit = {
+    import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+    val salt = pmod(
+      xxhash64(FlowLogSchema.columns.map { case (n, _) => col(n) }: _*),
+      lit(filesPerPartition)
+    )
+    val partitionCols = FlowLogSchema.partitionColumns.map(col)
+    df.repartition(partitionCols :+ salt: _*)
+      .write
+      .mode(mode)
+      .option("maxRecordsPerFile", 5000000)
+      .partitionBy(FlowLogSchema.partitionColumns: _*)
+      .parquet(outPath)
   }
 
   /** Re-read the converted table, the way downstream queries see it

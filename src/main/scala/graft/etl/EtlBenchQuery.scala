@@ -49,7 +49,9 @@ object EtlBenchQuery {
           lit("2"),
           format_string("%012d", col("id") % Accounts),
           concat(lit("eni-"), col("id") % 1000),
-          concat(lit("10.0."), col("id") % 256, lit("."), (col("id") / 256) % 256),
+          // div, not `/`: Column./ is double division and would render
+          // fractional octets like "1.171875" into the synthetic lines
+          concat(lit("10.0."), col("id") % 256, lit("."), expr("(id div 256) % 256")),
           concat(lit("10.1."), (col("id") * 7) % 256, lit("."), (col("id") * 13) % 256),
           col("id") % 65536,
           (col("id") * 31) % 65536,
@@ -78,17 +80,14 @@ object EtlBenchQuery {
       ).getPath
     )
     val parsed = FlowLogParser.parse(syntheticLines(spark))
-    // repartition on the partition key: 1 file per (account, dt) instead
-    // of #tasks × #keys small files (a 200k-row probe produced 960 files without it, #keys files with it)
-    FlowLogParser
-      .withPartitionKey(parsed.good)
-      .drop("ts")
-      .repartition(FlowLogSchema.partitionColumns.map(col): _*)
-      .write
-      .mode(SaveMode.Overwrite)
-      .option("maxRecordsPerFile", 5000000)
-      .partitionBy(FlowLogSchema.partitionColumns: _*)
-      .parquet(out)
+    // ConvertJob.writePartitioned: 1 file per (account, dt) instead of
+    // #tasks × #keys small files (a 200k-row probe produced 960 files
+    // with a naive write, #keys with the shared recipe)
+    ConvertJob.writePartitioned(
+      FlowLogParser.withPartitionKey(parsed.good).drop("ts"),
+      out,
+      SaveMode.Overwrite
+    )
     ConvertJob
       .readConverted(spark, out)
       .agg(

@@ -47,23 +47,30 @@ object EventDemux {
       .withColumn("_rec", explode_outer(col("_evt.Records")))
       .withColumn("_inner", parsed(col("_rec.Sns.Message"), s3RecordsDdl))
 
-    // SNS-wrapped: explode the embedded S3 event's records
-    val snsTargets = records
+    // SNS-wrapped: explode the embedded S3 event's records. explode_outer
+    // keeps a row even for an EMPTY inner Records array — a recognized
+    // shape that yields no usable key must reach the side output, not
+    // vanish (route-everything contract).
+    val snsCandidates = records
       .filter(col("_rec.Sns.Message").isNotNull && col("_inner.Records").isNotNull)
-      .withColumn("_s3rec", explode(col("_inner.Records")))
+      .withColumn("_s3rec", explode_outer(col("_inner.Records")))
       .select(
+        col("value"),
         col("_s3rec.awsRegion").as("region"),
         col("_s3rec.s3.bucket.name").as("bucket"),
         col("_s3rec.s3.object.key").as("key")
       )
 
-    val directTargets = records
+    val directCandidates = records
       .filter(col("_rec.Sns.Message").isNull && col("_rec.s3.bucket.name").isNotNull)
       .select(
+        col("value"),
         col("_rec.awsRegion").as("region"),
         col("_rec.s3.bucket.name").as("bucket"),
         col("_rec.s3.object.key").as("key")
       )
+
+    val candidates = snsCandidates.unionByName(directCandidates)
 
     val unknown = records
       .filter(
@@ -78,9 +85,16 @@ object EventDemux {
           .otherwise(lit("unknown_shape"))
           .as("reason")
       )
+      // recognized shape but no object key (incl. an empty embedded
+      // Records array): quarantine with its own reason, never drop
+      .unionByName(
+        candidates
+          .filter(col("key").isNull)
+          .select(col("value").as("raw"), lit("missing_object_key").as("reason"))
+      )
 
     DemuxResult(
-      snsTargets.unionByName(directTargets).filter(col("key").isNotNull),
+      candidates.filter(col("key").isNotNull).select("region", "bucket", "key"),
       unknown
     )
   }

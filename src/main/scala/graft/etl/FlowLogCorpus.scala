@@ -78,15 +78,11 @@ object FlowLogCorpus {
     */
   def convertTo(spark: SparkSession, out: String): Unit = {
     val parsed = FlowLogParser.parse(lines(spark))
-    FlowLogParser
-      .withPartitionKey(parsed.good)
-      .drop("ts")
-      .repartition(FlowLogSchema.partitionColumns.map(col): _*)
-      .write
-      .mode(SaveMode.Overwrite)
-      .option("maxRecordsPerFile", 5000000)
-      .partitionBy(FlowLogSchema.partitionColumns: _*)
-      .parquet(out)
+    ConvertJob.writePartitioned(
+      FlowLogParser.withPartitionKey(parsed.good).drop("ts"),
+      out,
+      SaveMode.Overwrite
+    )
   }
 
   /** DuckDB CTE reproducing the GOOD (non-quarantined) rows closed-form;

@@ -36,11 +36,13 @@ object FlowLogParser {
     try_element_at(col(TOKENS), lit(i + 1))
 
   /** Lenient numeric cast: non-numeric (e.g. `-`) becomes 0, matching
-    * `flowlog.go:59-90`. try_cast keeps this ANSI-mode-proof.
+    * `flowlog.go:59-90`. The native Column.try_cast keeps this
+    * ANSI-mode-proof without round-tripping the column through its
+    * (unstable, debug-oriented) string form and the SQL parser.
     */
   private def lenient(c: Column, t: DataType): Column = t match {
-    case IntegerType => coalesce(expr(s"try_cast(${c.toString} as int)"), lit(0))
-    case LongType    => coalesce(expr(s"try_cast(${c.toString} as bigint)"), lit(0L))
+    case IntegerType => coalesce(c.try_cast(IntegerType), lit(0))
+    case LongType    => coalesce(c.try_cast(LongType), lit(0L))
     case _           => coalesce(c, lit(""))
   }
 

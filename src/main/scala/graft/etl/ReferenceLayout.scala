@@ -32,10 +32,7 @@ object ReferenceLayout {
     val dest = new Path(destRoot)
 
     import graft.catalog.Partitions
-    val keys = for {
-      (account, accountDir) <- Partitions.partDirs(fs, root, "account=")
-      (dt, dtDir) <- Partitions.partDirs(fs, accountDir, "dt=")
-    } yield (account, dt, dtDir)
+    val keys = Partitions.partitionKeys(fs, root)
 
     // Validate every dt BEFORE moving anything: a malformed partition dir
     // (e.g. __HIVE_DEFAULT_PARTITION__) must fail the whole export with a

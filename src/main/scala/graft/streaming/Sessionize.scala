@@ -69,7 +69,17 @@ object Sessionize {
           val t = e.ts.getTime
           cur match {
             case Some(s) if t - s.lastMs <= gapMs =>
-              cur = Some(SessionState(s.startMs, math.max(s.lastMs, t), s.count + 1, s.sum + e.value))
+              // min on start: a late event inside the watermark can
+              // predate the stored session's first event, and the emitted
+              // window must cover everything it aggregated
+              cur = Some(
+                SessionState(
+                  math.min(s.startMs, t),
+                  math.max(s.lastMs, t),
+                  s.count + 1,
+                  s.sum + e.value
+                )
+              )
             case Some(s) =>
               // in-batch gap: the previous session closed mid-batch
               closed += CompletedSession(

@@ -35,6 +35,18 @@ class EventDemuxSpec extends SparkSpec {
     assert(res.unknown.count() == 0)
   }
 
+  test("recognized shapes without a usable key are quarantined, not dropped") {
+    import spark.implicits._
+    val keylessDirect =
+      """{"Records":[{"awsRegion":"us-east-1","s3":{"bucket":{"name":"b"}}}]}"""
+    val emptyInner =
+      """{"Records":[{"Sns":{"Message":"{\"Records\":[]}"}}]}"""
+    val res = EventDemux.demux(Seq(keylessDirect, emptyInner).toDF("value"))
+    assert(res.targets.count() == 0)
+    val reasons = res.unknown.collect().map(_.getString(1)).toSeq.sorted
+    assert(reasons == Seq("missing_object_key", "missing_object_key"))
+  }
+
   test("unknown shapes are quarantined with a reason, not dropped") {
     import spark.implicits._
     val res = EventDemux.demux(

@@ -70,4 +70,57 @@ class SessionizeSpec extends SparkSpec {
       assert(rows.contains((1L, 2, 4.0)), s"first session missing: $rows")
     } finally q.stop()
   }
+
+  test("a late in-gap event extends the session start backwards") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val base = tmpDir("graft-sessionize-late")
+    val in = s"$base/in"
+    Files.createDirectories(Paths.get(in))
+
+    val schema = StructType(
+      Seq(
+        StructField("ts", TimestampType),
+        StructField("user_id", LongType),
+        StructField("value", DoubleType)
+      )
+    )
+    // batch 1: session anchored at 01:00; batch 2: a LATE event at 00:50
+    // (inside watermark AND inside the gap looking backwards) must pull
+    // session_start back to 00:50 — the emitted window has to cover every
+    // event it aggregated; batch 3 closes the session.
+    Files.writeString(Paths.get(in, "b1.csv"), "2024-01-01T01:00:00,7,1.0\n")
+    Files.writeString(Paths.get(in, "b2.csv"), "2024-01-01T00:50:00,7,2.0\n")
+    val stream = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .csv(in)
+      .selectExpr("user_id", "ts", "value")
+      .as[UserEvent]
+    val q = Sessionize
+      .sessions(stream, gapMinutes = 30)
+      .writeStream
+      .format("memory")
+      .queryName("graft_sessionize_late")
+      .outputMode("append")
+      .start()
+    try {
+      q.processAllAvailable()
+      Files.writeString(Paths.get(in, "b3.csv"), "2024-01-01T05:00:00,8,0.0\n")
+      q.processAllAvailable()
+      Files.writeString(Paths.get(in, "b4.csv"), "2024-01-01T09:00:00,8,0.0\n")
+      q.processAllAvailable()
+      val rows = spark
+        .sql(
+          "SELECT user_id, session_start, cnt FROM graft_sessionize_late WHERE user_id = 7"
+        )
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getInt(2)))
+        .toSeq
+      assert(
+        rows == Seq((7L, "2024-01-01 00:50:00.0", 2)),
+        s"late event did not extend session start: $rows"
+      )
+    } finally q.stop()
+  }
 }
