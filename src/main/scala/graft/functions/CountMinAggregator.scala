@@ -28,6 +28,9 @@ class CountMinAggregator(d: Int, w: Int, p: Long, a: Array[Long], b: Array[Long]
   override def zero: Array[Long] = new Array[Long](d * w)
 
   override def reduce(buf: Array[Long], h: Long): Array[Long] = {
+    // explicit precondition: a negative h would index negative buckets
+    // (raw AIOOBE otherwise) — callers reduce their base hash into [0, p)
+    require(h >= 0 && h < p, s"count-min input hash out of [0, $p): $h")
     var i = 0
     while (i < d) {
       buf(i * w + (((a(i) * h + b(i)) % p) % w).toInt) += 1L

@@ -26,6 +26,10 @@ class MinHashAggregator(a: Array[Long], b: Array[Long], p: Long)
   override def zero: Array[Long] = Array.fill(n)(p - 1)
 
   override def reduce(buf: Array[Long], h: Long): Array[Long] = {
+    // a negative h would make (a·h + b) % p negative, win every min slot,
+    // and silently collapse all signatures to "near-identical" — fail
+    // fast instead (callers pmod their base hash into [0, p))
+    require(h >= 0 && h < p, s"minhash input hash out of [0, $p): $h")
     var i = 0
     while (i < n) {
       val v = (a(i) * h + b(i)) % p

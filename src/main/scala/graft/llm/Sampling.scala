@@ -23,10 +23,13 @@ import org.apache.spark.sql.functions._
 object Sampling {
 
   /** md5-derived bucket in [0, 100): portable across Spark and DuckDB. */
+  /** Typed column composition — no round-trip of `c` through its (debug,
+    * not-guaranteed-parseable) string form and the SQL parser, so any
+    * caller-supplied column expression works.
+    */
   private[llm] def bucket100(c: Column): Column =
-    expr(
-      s"cast(conv(substr(md5(cast(${c.toString} as string)), 1, 15), 16, 10) as bigint) % 100"
-    )
+    conv(substring(md5(c.cast("string").cast("binary")), 1, 15), 16, 10)
+      .cast("long") % 100
 
   /** q43: deterministic train/valid/test split (80/10/10) over documents.
     * Row-level assignment so the oracle checks every single decision.

@@ -25,18 +25,17 @@ object Similarity {
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables.table(s, dir, "embeddings")
 
-  private def q30(s: SparkSession, dir: String): DataFrame = {
-    val e = emb(s, dir)
-    val probes = e
-      .filter(col("vec_id") < NumProbes)
-      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
-    val corpus = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
+  /** Shared scoring tail for all three ANN variants: cosine over the
+    * candidate (probe, neighbor) pairs, per-probe top-k (WindowGroupLimit
+    * bounds per-partition state at k), deterministic tie-break on
+    * neighbor_id. One definition so rounding/tie semantics cannot drift
+    * between the exact baseline and the approximate paths.
+    */
+  private def scoreTopK(pairs: DataFrame): DataFrame = {
     val w = Window
       .partitionBy(col("probe_id"))
       .orderBy(desc("cos"), col("neighbor_id"))
-    corpus
-      .crossJoin(broadcast(probes))
-      .filter(col("neighbor_id") =!= col("probe_id"))
+    pairs
       .withColumn("cos", VectorOps.cosine(col("pe"), col("ne")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= TopK)
@@ -47,6 +46,19 @@ object Similarity {
         round(col("cos"), 4).as("cos_sim")
       )
       .orderBy("probe_id", "rank")
+  }
+
+  private def q30(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val probes = e
+      .filter(col("vec_id") < NumProbes)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+    val corpus = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
+    scoreTopK(
+      corpus
+        .crossJoin(broadcast(probes))
+        .filter(col("neighbor_id") =!= col("probe_id"))
+    )
   }
 
   // --------------------------------------------- q31: LSH-bucketed ANN
@@ -91,24 +103,15 @@ object Similarity {
       )
     val probes = banded(e.filter(col("vec_id") < NumProbes), "probe_id", "pe")
     val corpus = banded(e, "neighbor_id", "ne")
-    val w = Window
-      .partitionBy(col("probe_id"))
-      .orderBy(desc("cos"), col("neighbor_id"))
-    probes
-      .join(corpus, Seq("band", "bval"))
-      .filter(col("neighbor_id") =!= col("probe_id"))
-      .select("probe_id", "neighbor_id", "pe", "ne")
-      .distinct()
-      .withColumn("cos", VectorOps.cosine(col("pe"), col("ne")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= TopK)
-      .select(
-        col("probe_id"),
-        col("neighbor_id"),
-        col("rank"),
-        round(col("cos"), 4).as("cos_sim")
-      )
-      .orderBy("probe_id", "rank")
+    // distinct IS needed here: a pair matching in several bands would be
+    // scored (and ranked) more than once otherwise
+    scoreTopK(
+      probes
+        .join(corpus, Seq("band", "bval"))
+        .filter(col("neighbor_id") =!= col("probe_id"))
+        .select("probe_id", "neighbor_id", "pe", "ne")
+        .distinct()
+    )
   }
 
   // --------------------------------------------- q31b: IVF-bucketed ANN
@@ -120,10 +123,12 @@ object Similarity {
     * its nearest "centroid" cell; queries scan only the nprobe nearest
     * cells. Centroids here are a deterministic sample of the corpus (the
     * first IvfCells vectors) — a real deployment would k-means them, but
-    * the plan shape is identical: one pass to build the cell assignment
-    * (a 16-way argmax, broadcast centroids), then an equi-join on cell id
-    * — candidate count scales with nprobe/ncells of the corpus instead
-    * of all of it, and the join never degenerates to a cross product.
+    * the plan shape is identical: the corpus-side cell assignment is a
+    * broadcast + MAP-SIDE-COMBINED argmax aggregate (the shuffle carries
+    * one row per vector, never the 16-way product), then an equi-join on
+    * cell id — candidate count scales with nprobe/ncells of the corpus
+    * instead of all of it, and the join never degenerates to a cross
+    * product.
     */
   private def q31b(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
@@ -131,44 +136,42 @@ object Similarity {
       .filter(col("vec_id") < IvfCells)
       .select(col("vec_id").as("cell"), col("embedding").as("ce"))
 
-    // cell assignment: argmax over the 16 centroid cosines (greatest-of
-    // via a struct max keeps it one codegen'd expression)
-    def assign(df: DataFrame, n: Int): DataFrame = {
-      val withC = df
-        .crossJoin(broadcast(centroids))
+    def withCsim(df: DataFrame): DataFrame =
+      df.crossJoin(broadcast(centroids))
         .withColumn("csim", VectorOps.cosine(col("embedding"), col("ce")))
-      val w = Window
-        .partitionBy(col("vec_id"))
-        .orderBy(desc("csim"), col("cell"))
-      withC
-        .withColumn("crank", row_number().over(w))
-        .filter(col("crank") <= n)
-        .select(col("vec_id"), col("embedding"), col("cell"))
-    }
 
-    val corpusCells = assign(e, 1)
-      .select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"), col("cell"))
-    val probeCells = assign(e.filter(col("vec_id") < NumProbes), IvfProbes)
+    // corpus side (n=1): one-pass argmax via max_by over (csim, -cell) —
+    // partial aggregation collapses the 16 candidate rows per vector
+    // map-side; ties break to the smallest cell, like the window form
+    val corpusCells = withCsim(e)
+      .groupBy(col("vec_id"))
+      .agg(
+        max_by(
+          struct(col("cell"), col("embedding")),
+          struct(col("csim"), -col("cell"))
+        ).as("best")
+      )
+      .select(
+        col("vec_id").as("neighbor_id"),
+        col("best.embedding").as("ne"),
+        col("best.cell").as("cell")
+      )
+
+    // probe side (n=IvfProbes): rank windows are fine on the tiny probe
+    // set; every probe keeps its nprobe DISTINCT nearest cells
+    val pw = Window.partitionBy(col("vec_id")).orderBy(desc("csim"), col("cell"))
+    val probeCells = withCsim(e.filter(col("vec_id") < NumProbes))
+      .withColumn("crank", row_number().over(pw))
+      .filter(col("crank") <= IvfProbes)
       .select(col("vec_id").as("probe_id"), col("embedding").as("pe"), col("cell"))
 
-    val w = Window
-      .partitionBy(col("probe_id"))
-      .orderBy(desc("cos"), col("neighbor_id"))
-    probeCells
-      .join(corpusCells, Seq("cell"))
-      .filter(col("neighbor_id") =!= col("probe_id"))
-      .select("probe_id", "neighbor_id", "pe", "ne")
-      .distinct()
-      .withColumn("cos", VectorOps.cosine(col("pe"), col("ne")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= TopK)
-      .select(
-        col("probe_id"),
-        col("neighbor_id"),
-        col("rank"),
-        round(col("cos"), 4).as("cos_sim")
-      )
-      .orderBy("probe_id", "rank")
+    // no distinct needed: each corpus vector lives in exactly one cell and
+    // a probe's nprobe cells are distinct, so a pair matches at most once
+    scoreTopK(
+      probeCells
+        .join(corpusCells, Seq("cell"))
+        .filter(col("neighbor_id") =!= col("probe_id"))
+    )
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

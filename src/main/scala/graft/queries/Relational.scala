@@ -560,28 +560,19 @@ object Relational {
 
   /** Array HOFs: cosine similarity between deterministic embedding pairs
     * (vb = va + 17) via zip_with + aggregate — stays inside codegen.
+    * Uses the guarded HOF form (null on zero norm) per this file's
+    * no-unguarded-division convention; the oracle carries the same
+    * nullif so a zero vector in future testdata diverges on neither side.
     */
   private def q20(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
     val a = e.select(col("vec_id").as("va"), col("embedding").as("ea"))
     val b = e.select(col("vec_id").as("vb"), col("embedding").as("eb"))
-    val dot = aggregate(
-      zip_with(col("ea"), col("eb"), (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0),
-      (acc, x) => acc + x
-    )
-    def norm(c: Column): Column = sqrt(
-      aggregate(
-        transform(c, x => x.cast("double") * x.cast("double")),
-        lit(0.0),
-        (acc, x) => acc + x
-      )
-    )
     a.join(b, col("vb") === col("va") + 17)
       .select(
         col("va"),
         col("vb"),
-        round(dot / (norm(col("ea")) * norm(col("eb"))), 4).as("cos_sim")
+        round(graft.llm.VectorOps.cosineHof(col("ea"), col("eb")), 4).as("cos_sim")
       )
       .orderBy("va")
   }
@@ -1120,8 +1111,9 @@ object Relational {
         |  round(
         |    list_sum(list_transform(generate_series(1, len(a.embedding)),
         |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
-        |    / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-        |       * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+        |    / nullif(
+        |      sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 0),
         |  4) AS cos_sim
         |FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 17
         |ORDER BY va""".stripMargin,
