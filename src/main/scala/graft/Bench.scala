@@ -103,15 +103,39 @@ object Bench {
       .map(t => graft.etl.EtlBenchQuery.Rows / t)
       .getOrElse(-1.0)
     graft.llm.Dedup.releaseCaches(spark)
+
+    // Full-fidelity report (long query names, full precision, error
+    // messages) goes to a FILE; stdout gets a compact line. The driver's
+    // line-capture window is ~2.2 kB and rounds 1-3 proved a full 75-query
+    // map (~4 kB) gets truncated into unparseable JSON, so the final line
+    // must stay small: short query ids (the unique qNN[x] prefix) and
+    // millisecond precision keep it ~1.2 kB for 75 queries.
+    val detailPath = {
+      val f = java.io.File.createTempFile("graft_bench_", ".json")
+      val full =
+        s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+          s""""errors":$errJson,"failures":${errors.size},"iters":$iters,""" +
+          s""""shingle_warm_sec":$shingleWarmSec,"etl_lines_per_sec":$etlLinesPerSec,""" +
+          s""""sf":${jstr(sfDir)}}"""
+      val w = new java.io.PrintWriter(f, "UTF-8")
+      try w.println(full)
+      finally w.close()
+      f.getAbsolutePath
+    }
+    def ms3(v: Double): String =
+      if (v < 0) "-1" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qsCompact = results
+      .map { case (k, v) => jstr(k.takeWhile(_ != '_')) + ":" + ms3(v) }
+      .mkString("{", ",", "}")
     // Stop Spark BEFORE printing: nothing (executor shutdown chatter, SLF4J
     // on stdout) may land after the JSON — the driver parses the last line.
     spark.stop()
     System.out.flush()
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-        s""""errors":$errJson,"failures":${errors.size},"iters":$iters,""" +
-        s""""shingle_warm_sec":$shingleWarmSec,"etl_lines_per_sec":$etlLinesPerSec,""" +
-        s""""sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":${ms3(total)},"unit":"sec","queries":$qsCompact,""" +
+        s""""failures":${errors.size},"iters":$iters,""" +
+        s""""etl_lines_per_sec":${ms3(etlLinesPerSec)},""" +
+        s""""sf":${jstr(sfDir)},"detail":${jstr(detailPath)}}"""
     )
     System.out.flush()
   }

@@ -114,11 +114,16 @@ object Curation {
     * any word-3-gram with the held-out split (the n-gram-overlap
     * decontamination step of GPT-3-style pipelines), reusing q43's md5
     * split (bucket ≥ 90 = the eval side) and the dedup shingle corpus.
-    * Shape at scale: the eval side is a small fraction of the corpus, so
-    * its distinct-gram set is the broadcast/bloom side of a semi-join
-    * against training shingles — the training corpus streams once and
-    * nothing all-pairs ever forms. Output: each contaminated training
-    * doc with its shared-gram count (the evidence a removal pass logs).
+    * Shape at scale: the eval side is a small fraction of the corpus, but
+    * a 10% split of 100 TB still has a distinct-3-gram set in the TBs —
+    * far past driver broadcast limits — so the join carries NO broadcast
+    * hint: AQE broadcasts it when it is actually small and falls back to
+    * a shuffled equi-join on the gram when it isn't. Either way the
+    * training corpus streams once and nothing all-pairs ever forms
+    * (Spark additionally injects a runtime bloom filter on the training
+    * scan for exactly this shape — pinned in PlanShapeSpec). Output: each
+    * contaminated training doc with its shared-gram count (the evidence a
+    * removal pass logs).
     */
   private def q58(s: SparkSession, dir: String): DataFrame = {
     val buckets = Tables
@@ -130,7 +135,7 @@ object Curation {
       .select("g")
       .distinct()
     sh.join(buckets.filter(col("bucket") < 90), "doc_id")
-      .join(broadcast(evalGrams), "g")
+      .join(evalGrams, "g")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shared_grams"))
       .orderBy("doc_id")

@@ -94,23 +94,35 @@ object Similarity {
 
   private def q31(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
-    def banded(df: DataFrame, idCol: String, embCol: String): DataFrame =
+    def banded(df: DataFrame, idCol: String): DataFrame =
       df.select(
         col("vec_id").as(idCol),
-        col("embedding").as(embCol),
         posexplode(array(signatureBands(col("embedding")): _*))
           .as(Seq("band", "bval"))
       )
-    val probes = banded(e.filter(col("vec_id") < NumProbes), "probe_id", "pe")
-    val corpus = banded(e, "neighbor_id", "ne")
-    // distinct IS needed here: a pair matching in several bands would be
-    // scored (and ranked) more than once otherwise
+    val probes = banded(e.filter(col("vec_id") < NumProbes), "probe_id")
+    val corpus = banded(e, "neighbor_id")
+    // distinct IS needed (a pair matching in several bands would be scored
+    // and ranked more than once) — but only on the ID PAIR. Deduplicating
+    // (ids, pe, ne) rows shuffles two 64-float arrays per candidate pair
+    // (the round-3 3.1× regression); deduplicating the 8-byte id pair and
+    // re-attaching embeddings afterwards is the same result at a fraction
+    // of the shuffle bytes. The probe side (NumProbes rows, a constant) is
+    // broadcastable; the corpus side re-attaches via equi-join on vec_id.
+    val pairs = probes
+      .join(corpus, Seq("band", "bval"))
+      .filter(col("neighbor_id") =!= col("probe_id"))
+      .select("probe_id", "neighbor_id")
+      .distinct()
+    val probeEmb = e
+      .filter(col("vec_id") < NumProbes)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+    val corpusEmb =
+      e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
     scoreTopK(
-      probes
-        .join(corpus, Seq("band", "bval"))
-        .filter(col("neighbor_id") =!= col("probe_id"))
-        .select("probe_id", "neighbor_id", "pe", "ne")
-        .distinct()
+      pairs
+        .join(broadcast(probeEmb), Seq("probe_id"))
+        .join(corpusEmb, Seq("neighbor_id"))
     )
   }
 

@@ -163,9 +163,13 @@ object TextAnalysis {
   /** q51: TF-IDF top-3 terms per document — the classic salient-term
     * profile used for topic tagging and template detection in corpus
     * curation. Shape at scale: tf is the only corpus-sized frame (one
-    * shuffle on (doc_id, term)); df (vocabulary-sized) and the 1-row doc
-    * count are BROADCAST onto it; the per-doc top-3 ranks with
-    * WindowGroupLimit so no full sort of the scored frame materializes.
+    * shuffle on (doc_id, term)); df joins back UNHINTED — a real web
+    * corpus's vocabulary (typos, numbers, code) runs 10⁸–10⁹ terms, past
+    * any broadcast limit, so AQE decides: broadcast when df is actually
+    * small, shuffled equi-join on the term otherwise. Only the 1-row doc
+    * count keeps an explicit broadcast (bounded by construction). The
+    * per-doc top-3 ranks with WindowGroupLimit so no full sort of the
+    * scored frame materializes.
     * idf = ln((N+1)/(df+1)) (smoothed; double ln agrees across engines
     * well past the round(4) horizon).
     */
@@ -178,7 +182,7 @@ object TextAnalysis {
     val df = tf.groupBy("w").agg(count(lit(1)).as("df"))
     val n = docs(s, dir).agg(count(lit(1)).as("n_docs"))
     val rankW = Window.partitionBy("doc_id").orderBy(desc("tfidf"), col("w"))
-    tf.join(broadcast(df), "w")
+    tf.join(df, "w")
       .crossJoin(broadcast(n))
       .withColumn("tfidf", col("tf") * log((col("n_docs") + 1.0) / (col("df") + 1.0)))
       .withColumn("rn", row_number().over(rankW))
@@ -250,8 +254,11 @@ object TextAnalysis {
   /** q57: unigram-LM surprisal — mean negative log-probability of a
     * document under the corpus's own unigram distribution (the cheap
     * stand-in for CCNet-style perplexity filtering: outlier docs score
-    * high). The vocabulary-sized frequency table broadcasts onto the
-    * token stream; one per-doc aggregation.
+    * high). The vocabulary-sized frequency table joins back onto the
+    * token stream UNHINTED (same rationale as q51: a web-scale vocab is
+    * not driver-broadcastable; AQE broadcasts only when it measures
+    * small); only the 1-row total keeps an explicit broadcast. One
+    * per-doc aggregation after the join.
     */
   private def q57(s: SparkSession, dir: String): DataFrame = {
     val toks = docs(s, dir)
@@ -259,7 +266,7 @@ object TextAnalysis {
     val freq = toks.groupBy("w").agg(count(lit(1)).as("freq"))
     val total = toks.agg(count(lit(1)).as("n_total"))
     toks
-      .join(broadcast(freq), "w")
+      .join(freq, "w")
       .crossJoin(broadcast(total))
       .groupBy("doc_id")
       .agg(

@@ -558,11 +558,63 @@ object Relational {
       )
       .orderBy("event_type")
 
-  /** Array HOFs: cosine similarity between deterministic embedding pairs
-    * (vb = va + 17) via zip_with + aggregate — stays inside codegen.
-    * Uses the guarded HOF form (null on zero norm) per this file's
-    * no-unguarded-division convention; the oracle carries the same
-    * nullif so a zero vector in future testdata diverges on neither side.
+  /** Map + ad-hoc JSON surface (SURVEY §2.2 "Map/JSON" row beyond q19's
+    * schema-ful from_json): `get_json_object` path extraction over
+    * events.props, map construction, `map_keys`/`map_values`, and
+    * `element_at` lookup. Pure per-row projection — no shuffle, the sort
+    * exists only for oracle determinism.
+    */
+  private def q19b(s: SparkSession, dir: String): DataFrame = {
+    val mp = map(
+      lit("etype"),
+      col("event_type"),
+      lit("k"),
+      get_json_object(col("props"), "$.k")
+    )
+    t(s, dir, "events")
+      .withColumn("mp", mp)
+      .select(
+        col("event_id"),
+        element_at(col("mp"), lit("k")).cast("int").as("k"),
+        array_join(map_keys(col("mp")), ",").as("keys"),
+        array_join(map_values(col("mp")), ",").as("vals"),
+        element_at(col("mp"), lit("etype")).as("etype")
+      )
+      .orderBy("event_id")
+  }
+
+  /** Array-function surface (SURVEY §2.2 "Array" row beyond the HOF/
+    * kernel forms): `slice`, `sort_array` (both directions),
+    * `array_contains`, positional `element_at`, plus HOF transform/filter
+    * for the integer projection. floor(x*1000), not a bare cast: Spark
+    * casts double→int by truncation toward zero while DuckDB rounds to
+    * nearest — floor agrees bit-for-bit on both engines.
+    */
+  private def q20b(s: SparkSession, dir: String): DataFrame = {
+    val ints = transform(
+      slice(col("embedding"), 1, 8),
+      x => floor(x.cast("double") * 1000).cast("int")
+    )
+    t(s, dir, "embeddings")
+      .withColumn("ints", ints)
+      .select(
+        col("vec_id"),
+        array_join(transform(sort_array(col("ints")), _.cast("string")), ",")
+          .as("sorted_str"),
+        array_contains(col("ints"), 0).as("has_zero"),
+        element_at(sort_array(col("ints"), asc = false), 3).as("third_desc"),
+        size(filter(col("ints"), _ > 0)).cast("bigint").as("n_pos")
+      )
+      .orderBy("vec_id")
+  }
+
+  /** Vector cosine between deterministic embedding pairs (vb = va + 17)
+    * via the codegen'd FloatVectorCosine kernel. The kernel is null on
+    * zero norm — identical semantics to the guarded HOF form
+    * (VectorOps.cosineHof), asserted bit-equal in VectorExpressionsSpec;
+    * the HOF swap in round 3 was a 7× regression for no semantic gain
+    * (the HOF *surface* — zip_with/aggregate/transform — stays exercised
+    * by q54's posexplode pipeline and the spec's equality harness).
     */
   private def q20(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
@@ -572,7 +624,7 @@ object Relational {
       .select(
         col("va"),
         col("vb"),
-        round(graft.llm.VectorOps.cosineHof(col("ea"), col("eb")), 4).as("cos_sim")
+        round(graft.llm.VectorOps.cosine(col("ea"), col("eb")), 4).as("cos_sim")
       )
       .orderBy("va")
   }
@@ -826,7 +878,9 @@ object Relational {
     "q17_string_fns" -> q17,
     "q18_date_fns" -> q18,
     "q19_json_fns" -> q19,
+    "q19b_map_fns" -> q19b,
     "q20_array_cosine" -> q20,
+    "q20b_array_fns" -> q20b,
     "q21_correlated_subquery" -> q21,
     "q22_tumbling_window" -> q22,
     "q22b_sliding_window" -> q22b,
@@ -1106,6 +1160,29 @@ object Relational {
         |  max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k,
         |  count(CAST(json_extract_string(props, '$.k') AS INT)) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q19b_map_fns" ->
+      """WITH m AS (
+        |  SELECT event_id,
+        |         MAP {'etype': event_type, 'k': json_extract_string(props, '$.k')} AS mp
+        |  FROM events)
+        |SELECT event_id,
+        |       CAST(mp['k'][1] AS INT) AS k,
+        |       array_to_string(map_keys(mp), ',') AS keys,
+        |       array_to_string(map_values(mp), ',') AS vals,
+        |       element_at(mp, 'etype')[1] AS etype
+        |FROM m ORDER BY event_id""".stripMargin,
+    "q20b_array_fns" ->
+      """WITH ii AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding[1:8],
+        |                   x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS INT)) AS ints
+        |  FROM embeddings)
+        |SELECT vec_id,
+        |  array_to_string(list_sort(ints), ',') AS sorted_str,
+        |  list_contains(ints, 0) AS has_zero,
+        |  list_sort(ints, 'DESC')[3] AS third_desc,
+        |  CAST(len(list_filter(ints, x -> x > 0)) AS BIGINT) AS n_pos
+        |FROM ii ORDER BY vec_id""".stripMargin,
     "q20_array_cosine" ->
       """SELECT a.vec_id AS va, b.vec_id AS vb,
         |  round(

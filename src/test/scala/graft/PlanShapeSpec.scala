@@ -56,6 +56,25 @@ class PlanShapeSpec extends SparkSpec {
     assert(docWin.contains("windowspecdefinition(shard#"), s"global window:\n$docWin")
   }
 
+  test("q31 candidate dedup aggregates id pairs only — no embedding arrays") {
+    // Round-3 regression: distinct() over (ids, pe, ne) shuffled two
+    // 64-float arrays per candidate pair (3.1×). The dedup aggregate must
+    // key on the bare id pair; embeddings re-attach by join afterwards.
+    val plan = executedPlan(SparkEntry.queries("q31_knn_lsh")(spark, sf))
+    val dedupAggs = plan.linesIterator
+      .filter(l => l.contains("HashAggregate(keys=[") && l.contains("probe_id"))
+      .toSeq
+    assert(dedupAggs.nonEmpty, s"no dedup aggregate found in q31 plan:\n$plan")
+    val embKey = "\\b(pe|ne)#\\d+".r
+    dedupAggs.foreach { l =>
+      val keys = l.substring(l.indexOf("keys=["), l.indexOf("]", l.indexOf("keys=[")) + 1)
+      assert(
+        embKey.findFirstIn(keys).isEmpty,
+        s"dedup aggregate keys carry embedding arrays: $keys"
+      )
+    }
+  }
+
   test("q34b vocab top-k uses TakeOrderedAndProject (no full sort)") {
     val plan = executedPlan(SparkEntry.queries("q34b_vocab_topk")(spark, sf))
     assert(plan.contains("TakeOrderedAndProject"), s"full sort for top-k:\n$plan")
