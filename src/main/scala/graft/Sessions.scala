@@ -37,6 +37,9 @@ object Sessions {
       .builder()
       .master(s"local[$cores]")
       .appName(appName)
+      // engine plan extensions (SimplifyNormalizedCosine); a cluster
+      // deployment sets spark.sql.extensions=graft.plans.GraftExtensions
+      .withExtensions(new graft.plans.GraftExtensions)
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

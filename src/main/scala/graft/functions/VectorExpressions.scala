@@ -2,8 +2,8 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, UnsafeArrayData}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
 /** Codegen'd kernels over `array<float>` embedding columns.
@@ -162,4 +162,89 @@ case class FloatVectorCosine(left: Expression, right: Expression)
   ): Expression = copy(left = newLeft, right = newRight)
 
   override def prettyName: String = "float_vector_cosine"
+}
+
+/** a / ‖a‖ (unit-length projection); null on zero norm or null element —
+  * the same null surface as the binary kernels, so composing them never
+  * changes where nulls appear. Division is double-precision per element,
+  * narrowed back to float.
+  *
+  * Under [[graft.plans.SimplifyNormalizedCosine]] a cosine over
+  * normalized inputs folds to the cosine of the raw inputs (cosine is
+  * scale-invariant), skipping this computation entirely.
+  */
+case class FloatVectorNormalize(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (
+      child.dataType == ArrayType(FloatType) ||
+      child.dataType == ArrayType(FloatType, containsNull = false)
+    ) TypeCheckResult.TypeCheckSuccess
+    else
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<float>, got ${child.dataType.sql}"
+      )
+
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    var ss = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) return null
+      val x = a.getFloat(i).toDouble
+      ss += x * x
+      i += 1
+    }
+    val norm = math.sqrt(ss)
+    if (norm == 0.0) return null
+    val out = new Array[Float](n)
+    i = 0
+    while (i < n) {
+      out(i) = (a.getFloat(i).toDouble / norm).toFloat
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(
+      ctx,
+      ev,
+      a => {
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        val ss = ctx.freshName("ss")
+        val norm = ctx.freshName("norm")
+        val out = ctx.freshName("out")
+        val bad = ctx.freshName("bad")
+        s"""
+        |int $n = $a.numElements();
+        |boolean $bad = false;
+        |double $ss = 0.0;
+        |for (int $i = 0; $i < $n; $i++) {
+        |  if ($a.isNullAt($i)) { $bad = true; break; }
+        |  double x = (double) $a.getFloat($i);
+        |  $ss += x * x;
+        |}
+        |double $norm = Math.sqrt($ss);
+        |if ($bad || $norm == 0.0) { ${ev.isNull} = true; }
+        |else {
+        |  float[] $out = new float[$n];
+        |  for (int $i = 0; $i < $n; $i++) {
+        |    $out[$i] = (float) (((double) $a.getFloat($i)) / $norm);
+        |  }
+        |  ${ev.value} = ${classOf[UnsafeArrayData].getName}.fromPrimitiveArray($out);
+        |}
+        """.stripMargin
+      }
+    )
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "float_vector_normalize"
 }

@@ -25,6 +25,14 @@ object VectorOps {
   def cosine(a: Column, b: Column): Column =
     column(FloatVectorCosine(cexpr(a), cexpr(b)))
 
+  /** a/‖a‖ (null on zero norm). Under the session's GraftExtensions,
+    * cosine over normalized inputs folds back to cosine of the raw
+    * inputs at plan time (SimplifyNormalizedCosine) — normalizing
+    * "for cosine" costs nothing.
+    */
+  def normalize(a: Column): Column =
+    column(graft.functions.FloatVectorNormalize(cexpr(a)))
+
   /** Reference HOF forms — semantically identical, ~50× slower. */
   def dotHof(a: Column, b: Column): Column =
     aggregate(

@@ -1,0 +1,57 @@
+package graft.plans
+
+import graft.functions.{FloatVectorCosine, FloatVectorNormalize}
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+
+/** Optimizer rule: cosine similarity is invariant under per-argument
+  * scaling, so `float_vector_cosine(normalize(a), normalize(b))` (either
+  * side, nested arbitrarily) computes the same value as
+  * `float_vector_cosine(a, b)` — the normalization work (a full pass plus
+  * a materialized array per row) is pure waste. This folds it away.
+  *
+  * Why this is safe:
+  *  - Values: cosine divides by both norms itself; pre-scaling only
+  *    changes intermediate magnitudes (a ulp-level FP difference, the
+  *    same class of difference AQE-induced plan changes already allow).
+  *  - Nulls: `normalize(a)` is null exactly when `a` has a null element
+  *    or zero norm — precisely the inputs for which `cosine(a, …)` is
+  *    already null. The rewrite therefore never changes the null surface.
+  *
+  * At 100 TB this pattern is common and expensive: pipelines store
+  * unit-normalized embeddings "to make cosine cheaper", then call a
+  * cosine kernel that normalizes anyway — O(rows · dim) of redundant
+  * multiply-adds plus one transient array allocation per row, eliminated
+  * at plan time.
+  *
+  * The rule is idempotent (the guard only fires while a normalize child
+  * remains), so running inside the operator-optimization fixpoint batch
+  * is fine.
+  */
+object SimplifyNormalizedCosine extends Rule[LogicalPlan] {
+
+  private def strip(e: Expression): Expression = e match {
+    case FloatVectorNormalize(c) => strip(c)
+    case other                   => other
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case FloatVectorCosine(l, r)
+          if l.isInstanceOf[FloatVectorNormalize] ||
+            r.isInstanceOf[FloatVectorNormalize] =>
+        FloatVectorCosine(strip(l), strip(r))
+    }
+}
+
+/** The engine's `SparkSessionExtensions` hook — where whole-plan
+  * extensions (optimizer rules, strategies, custom parsers) register.
+  * Wired into every session by `Sessions.local`; cluster deployments get
+  * the same via `spark.sql.extensions=graft.plans.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    e.injectOptimizerRule(_ => SimplifyNormalizedCosine)
+}

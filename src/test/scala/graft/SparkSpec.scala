@@ -10,6 +10,7 @@ object SparkSpec {
       .builder()
       .master("local[4]")
       .appName("graft-test")
+      .withExtensions(new graft.plans.GraftExtensions) // as Sessions.local does
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
