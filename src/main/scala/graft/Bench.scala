@@ -124,8 +124,18 @@ object Bench {
     }
     def ms3(v: Double): String =
       if (v < 0) "-1" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    // short id = the unique qNN[x] prefix; on a future collision (two
+    // names sharing a prefix) fall back to the colliding FULL names —
+    // duplicate JSON keys would silently drop a query from the driver's
+    // parsed map, which must never happen quietly
+    val shortOf: Map[String, String] = results.keys.toSeq
+      .groupBy(_.takeWhile(_ != '_'))
+      .flatMap {
+        case (p, Seq(only)) => Seq(only -> p)
+        case (_, clashing)  => clashing.map(n => n -> n)
+      }
     val qsCompact = results
-      .map { case (k, v) => jstr(k.takeWhile(_ != '_')) + ":" + ms3(v) }
+      .map { case (k, v) => jstr(shortOf(k)) + ":" + ms3(v) }
       .mkString("{", ",", "}")
     // Stop Spark BEFORE printing: nothing (executor shutdown chatter, SLF4J
     // on stdout) may land after the JSON — the driver parses the last line.

@@ -221,14 +221,15 @@ case class FloatVectorNormalize(child: Expression) extends UnaryExpression {
         val norm = ctx.freshName("norm")
         val out = ctx.freshName("out")
         val bad = ctx.freshName("bad")
+        val x = ctx.freshName("x")
         s"""
         |int $n = $a.numElements();
         |boolean $bad = false;
         |double $ss = 0.0;
         |for (int $i = 0; $i < $n; $i++) {
         |  if ($a.isNullAt($i)) { $bad = true; break; }
-        |  double x = (double) $a.getFloat($i);
-        |  $ss += x * x;
+        |  double $x = (double) $a.getFloat($i);
+        |  $ss += $x * $x;
         |}
         |double $norm = Math.sqrt($ss);
         |if ($bad || $norm == 0.0) { ${ev.isNull} = true; }

@@ -119,11 +119,13 @@ object Curation {
     * far past driver broadcast limits — so the join carries NO broadcast
     * hint: AQE broadcasts it when it is actually small and falls back to
     * a shuffled equi-join on the gram when it isn't. Either way the
-    * training corpus streams once and nothing all-pairs ever forms
-    * (Spark additionally injects a runtime bloom filter on the training
-    * scan for exactly this shape — pinned in PlanShapeSpec). Output: each
-    * contaminated training doc with its shared-gram count (the evidence a
-    * removal pass logs).
+    * training corpus streams once and nothing all-pairs ever forms —
+    * PlanShapeSpec pins q58's gram join to equi hash/merge shapes — and
+    * at production sizes Spark's runtime bloom-filter injection (the
+    * machinery PlanShapeSpec exercises on a lineitem/orders join with
+    * lowered thresholds) can further prune the training scan. Output:
+    * each contaminated training doc with its shared-gram count (the
+    * evidence a removal pass logs).
     */
   private def q58(s: SparkSession, dir: String): DataFrame = {
     val buckets = Tables

@@ -53,6 +53,17 @@ object VectorOps {
   def cosineHof(a: Column, b: Column): Column =
     dotHof(a, b) / nullif(normHof(a) * normHof(b), lit(0.0))
 
+  /** HOF reference for [[normalize]]: same per-element double divide
+    * narrowed back to float, same whole-array null on zero norm or null
+    * element — the executable spec the kernel is asserted bit-equal
+    * against (VectorExpressionsSpec).
+    */
+  def normalizeHof(a: Column): Column = {
+    val n = normHof(a)
+    when(n.isNull || n === lit(0.0), lit(null))
+      .otherwise(transform(a, x => (x.cast("double") / n).cast("float")))
+  }
+
   private def nullif(c: Column, v: Column): Column =
     when(c === v, lit(null)).otherwise(c)
 }

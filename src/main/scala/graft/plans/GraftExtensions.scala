@@ -13,9 +13,13 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * a materialized array per row) is pure waste. This folds it away.
   *
   * Why this is safe:
-  *  - Values: cosine divides by both norms itself; pre-scaling only
-  *    changes intermediate magnitudes (a ulp-level FP difference, the
-  *    same class of difference AQE-induced plan changes already allow).
+  *  - Values: cosine divides by both norms itself, so the folded form is
+  *    the mathematically identical — and strictly MORE precise — value:
+  *    it skips normalize's per-element narrowing to float32. The two
+  *    forms can differ by up to float32 rounding (~1e-7 relative; bound
+  *    asserted against a driver-side reference in ExtensionRuleSpec),
+  *    the same approximation class as reassociating a sum. A deployment
+  *    that needs the unfolded bits simply doesn't register the rule.
   *  - Nulls: `normalize(a)` is null exactly when `a` has a null element
   *    or zero norm — precisely the inputs for which `cosine(a, …)` is
   *    already null. The rewrite therefore never changes the null surface.

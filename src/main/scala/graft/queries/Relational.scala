@@ -575,10 +575,15 @@ object Relational {
       .withColumn("mp", mp)
       .select(
         col("event_id"),
-        element_at(col("mp"), lit("k")).cast("int").as("k"),
+        // try_* forms: this file's ANSI-safety invariant (Sessions.scala)
+        // — a malformed props value must yield null, not a runtime error,
+        // under spark.sql.ansi.enabled=true as well
+        try_element_at(col("mp"), lit("k"))
+          .try_cast(org.apache.spark.sql.types.IntegerType)
+          .as("k"),
         array_join(map_keys(col("mp")), ",").as("keys"),
         array_join(map_values(col("mp")), ",").as("vals"),
-        element_at(col("mp"), lit("etype")).as("etype")
+        try_element_at(col("mp"), lit("etype")).as("etype")
       )
       .orderBy("event_id")
   }
@@ -591,9 +596,14 @@ object Relational {
     * nearest — floor agrees bit-for-bit on both engines.
     */
   private def q20b(s: SparkSession, dir: String): DataFrame = {
+    // try_cast / try_element_at per the ANSI-safety invariant: an
+    // out-of-int-range float or a <3-element array must yield null under
+    // ANSI mode, not a runtime error (values here never trip either; the
+    // guards cost nothing)
     val ints = transform(
       slice(col("embedding"), 1, 8),
-      x => floor(x.cast("double") * 1000).cast("int")
+      x => floor(x.cast("double") * 1000)
+        .try_cast(org.apache.spark.sql.types.IntegerType)
     )
     t(s, dir, "embeddings")
       .withColumn("ints", ints)
@@ -602,7 +612,8 @@ object Relational {
         array_join(transform(sort_array(col("ints")), _.cast("string")), ",")
           .as("sorted_str"),
         array_contains(col("ints"), 0).as("has_zero"),
-        element_at(sort_array(col("ints"), asc = false), 3).as("third_desc"),
+        try_element_at(sort_array(col("ints"), asc = false), lit(3))
+          .as("third_desc"),
         size(filter(col("ints"), _ > 0)).cast("bigint").as("n_pos")
       )
       .orderBy("vec_id")

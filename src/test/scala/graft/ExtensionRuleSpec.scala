@@ -30,17 +30,46 @@ class ExtensionRuleSpec extends SparkSpec {
     val opt = df.queryExecution.optimizedPlan.toString
     assert(opt.contains("float_vector_cosine"), s"kernel missing:\n$opt")
     assert(!opt.contains("float_vector_normalize"), s"normalize not folded:\n$opt")
-    // folded plan computes exactly the raw-input cosine
-    val diff = pairs
+  }
+
+  test("fold tolerance: folded value within 1e-6 of the UNFOLDED computation") {
+    // The unfolded reference is computed driver-side (it cannot be run
+    // through the session — the rule would fold it too, making any
+    // in-plan comparison tautological): normalize narrows each element
+    // to float32, so folded vs unfolded may differ by up to ~1e-7
+    // relative — the approximation the rule's contract documents.
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        d += x * y; na += x * x; nb += y * y; i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def nrm(a: Array[Float]): Array[Float] = {
+      val n = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+      a.map(x => (x.toDouble / n).toFloat)
+    }
+    val rows = pairs
+      .limit(50)
       .select(
+        col("ea"),
+        col("eb"),
         VectorOps
           .cosine(VectorOps.normalize(col("ea")), VectorOps.normalize(col("eb")))
-          .as("x"),
-        VectorOps.cosine(col("ea"), col("eb")).as("y")
+          .as("folded")
       )
-      .filter(col("x") =!= col("y"))
-      .count()
-    assert(diff == 0)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val ea = r.getSeq[Float](0).toArray
+      val eb = r.getSeq[Float](1).toArray
+      val unfolded = cos(nrm(ea), nrm(eb))
+      assert(
+        math.abs(r.getDouble(2) - unfolded) < 1e-6,
+        s"folded ${r.getDouble(2)} vs unfolded $unfolded"
+      )
+    }
   }
 
   test("one-sided and nested normalize fold too") {

@@ -75,6 +75,19 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q58 de-hinted gram join stays an equi join, never a nested loop") {
+    // The broadcast hint was removed (eval-gram set is unbounded at
+    // corpus scale); the join must still plan as hash/merge on the gram
+    // key — a nested-loop degeneration here would be all-pairs at 100 TB.
+    val plan = executedPlan(SparkEntry.queries("q58_decontaminate")(spark, sf))
+    assert(!plan.contains("NestedLoop"), s"gram join degenerated:\n$plan")
+    assert(
+      plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin") ||
+        plan.contains("ShuffledHashJoin"),
+      s"no equi join in q58 plan:\n$plan"
+    )
+  }
+
   test("q34b vocab top-k uses TakeOrderedAndProject (no full sort)") {
     val plan = executedPlan(SparkEntry.queries("q34b_vocab_topk")(spark, sf))
     assert(plan.contains("TakeOrderedAndProject"), s"full sort for top-k:\n$plan")

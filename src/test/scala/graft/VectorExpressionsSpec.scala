@@ -41,6 +41,34 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(diff == 0)
   }
 
+  test("custom normalize === HOF normalize, bit for bit") {
+    val e = Tables.table(spark, sf, "embeddings")
+    val diff = e
+      .select(
+        VectorOps.normalize(col("embedding")).as("fast"),
+        VectorOps.normalizeHof(col("embedding")).as("ref")
+      )
+      .filter(!(col("fast") <=> col("ref"))) // element-wise, null-safe
+      .count()
+    assert(diff == 0)
+  }
+
+  test("normalize interpreted eval matches codegen (constant-folded literal)") {
+    import spark.implicits._
+    // literal input → ConstantFolding evaluates the interpreted
+    // nullSafeEval path; the table-backed test above runs codegen
+    val df = Seq(1).toDF("one")
+    val out = df
+      .select(VectorOps.normalize(array(lit(3.0f), lit(4.0f))).as("n"))
+      .collect()(0)
+      .getSeq[Float](0)
+    assert(out == Seq(0.6f, 0.8f))
+    val z = df
+      .select(VectorOps.normalize(array(lit(0.0f), lit(0.0f))).as("n"))
+      .collect()(0)
+    assert(z.isNullAt(0))
+  }
+
   test("null semantics: length mismatch and zero norm give null") {
     import spark.implicits._
     val df = Seq(
