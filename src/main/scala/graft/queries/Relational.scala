@@ -588,6 +588,57 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** JSON generator/serialization surface: `json_tuple` (a Generator —
+    * plans through Generate, not a scalar projection), `to_json` over a
+    * struct, and `str_to_map`. Complements q19 (schema-ful from_json)
+    * and q19b (path extraction + map inspection). floor→int for the
+    * serialized value: double JSON rendering ("6.0" vs "6") is the one
+    * place Spark and DuckDB formatters could drift.
+    */
+  private def q19c(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(
+        col("event_id"),
+        expr("json_tuple(props, 'k')").as("jk"),
+        to_json(
+          struct(
+            col("event_type").as("t"),
+            floor(col("value")).try_cast(org.apache.spark.sql.types.IntegerType).as("v")
+          )
+        ).as("js"),
+        try_element_at(
+          str_to_map(concat(lit("t:"), col("event_type")), lit(","), lit(":")),
+          lit("t")
+        ).as("smt")
+      )
+      .orderBy("event_id")
+
+  /** Array set-algebra surface: `array_distinct`, `array_union`,
+    * `array_intersect`, `array_except`, `array_position`, `sequence` —
+    * the de-dup/overlap vocabulary an ad-hoc analyst reaches for.
+    * Distinct output is sorted before joining to a string: Spark
+    * preserves first-occurrence order, DuckDB's list_distinct is
+    * unordered — sorting makes the comparison order-free. Set sizes
+    * (not contents) for the binary ops for the same reason.
+    */
+  private def q20c(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("words", split(col("text"), " "))
+      .withColumn("w1", slice(col("words"), 1, 5))
+      .withColumn("w2", slice(col("words"), 6, 5))
+      .select(
+        col("doc_id"),
+        array_join(sort_array(array_distinct(col("words"))), ",").as("nd"),
+        size(array_union(col("w1"), col("w2"))).cast("bigint").as("n_union"),
+        size(array_intersect(col("w1"), col("w2"))).cast("bigint").as("n_inter"),
+        size(array_except(col("w1"), col("w2"))).cast("bigint").as("n_except"),
+        array_position(col("words"), "the").cast("bigint").as("pos_the"),
+        size(sequence(lit(1), (col("doc_id") % 5).cast("int") + 1))
+          .cast("bigint")
+          .as("n_seq")
+      )
+      .orderBy("doc_id")
+
   /** Array-function surface (SURVEY §2.2 "Array" row beyond the HOF/
     * kernel forms): `slice`, `sort_array` (both directions),
     * `array_contains`, positional `element_at`, plus HOF transform/filter
@@ -890,8 +941,10 @@ object Relational {
     "q18_date_fns" -> q18,
     "q19_json_fns" -> q19,
     "q19b_map_fns" -> q19b,
+    "q19c_json_gen_fns" -> q19c,
     "q20_array_cosine" -> q20,
     "q20b_array_fns" -> q20b,
+    "q20c_array_set_fns" -> q20c,
     "q21_correlated_subquery" -> q21,
     "q22_tumbling_window" -> q22,
     "q22b_sliding_window" -> q22b,
@@ -1182,6 +1235,28 @@ object Relational {
         |       array_to_string(map_values(mp), ',') AS vals,
         |       element_at(mp, 'etype')[1] AS etype
         |FROM m ORDER BY event_id""".stripMargin,
+    "q19c_json_gen_fns" ->
+      """SELECT event_id,
+        |  json_extract_string(props, '$.k') AS jk,
+        |  CAST(to_json(struct_pack(t := event_type,
+        |                           v := CAST(floor(value) AS INT))) AS VARCHAR) AS js,
+        |  event_type AS smt
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q20c_array_set_fns" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        |s AS (
+        |  SELECT doc_id, words, words[1:5] AS w1, words[6:10] AS w2 FROM w)
+        |SELECT doc_id,
+        |  array_to_string(list_sort(list_distinct(words)), ',') AS nd,
+        |  CAST(len(list_distinct(list_concat(w1, w2))) AS BIGINT) AS n_union,
+        |  CAST(len(list_filter(list_distinct(w1),
+        |                       x -> list_contains(w2, x))) AS BIGINT) AS n_inter,
+        |  CAST(len(list_filter(list_distinct(w1),
+        |                       x -> NOT list_contains(w2, x))) AS BIGINT) AS n_except,
+        |  CAST(coalesce(list_position(words, 'the'), 0) AS BIGINT) AS pos_the,
+        |  CAST(len(generate_series(1, CAST(doc_id % 5 AS INT) + 1)) AS BIGINT) AS n_seq
+        |FROM s ORDER BY doc_id""".stripMargin,
     "q20b_array_fns" ->
       """WITH ii AS (
         |  SELECT vec_id,
