@@ -24,6 +24,28 @@ final case class MediaFeatures(
     embedding: Array[Float]
 )
 
+/** A resized asset: fixed-budget payload + the dimensions the (stub)
+  * resampler produced. */
+final case class ResizedMedia(
+    media_id: Long,
+    modality: String,
+    width: Int,
+    height: Int,
+    payload: Array[Byte],
+    checksum: Long
+)
+
+/** One sampled frame of a video/audio asset — the 1→N row shape frame
+  * sampling produces (metadata + per-frame checksum; a real pipeline
+  * would carry the frame bytes onward the same way). */
+final case class MediaFrame(
+    media_id: Long,
+    modality: String,
+    frame_idx: Int,
+    n_bytes: Int,
+    checksum: Long
+)
+
 /** Multimodal-column plumbing. The decode step is a clearly-marked STUB
   * (no image/audio codecs in this environment): [[decodeBatch]] derives
   * deterministic fake features from the raw bytes. Everything around it —
@@ -80,25 +102,85 @@ object Multimodal {
       MediaFeatures(r.media_id, r.modality, r.payload.length, h, emb)
     }
 
-  /** Batched feature extraction: co-partition by modality, then decode in
-    * [[BatchSize]] chunks per partition.
+  /** Repartition on (modality, bounded hash of media_id): repartitioning
+    * on raw modality alone would cap decode parallelism at #modalities
+    * tasks (3) no matter the cluster size and force one task to hold a
+    * whole modality. The salt spreads each modality across up to
+    * SplitsPerModality tasks; the sort still makes every partition's
+    * batches modality-runs, so a decoder model is swapped at most
+    * (#modalities - 1) times per partition. Shared by decode, resize,
+    * and frame sampling — the partitioning contract is identical.
     */
-  def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
-    import media.sparkSession.implicits._
-    // Repartition on (modality, bounded hash of media_id): repartitioning
-    // on raw modality alone would cap decode parallelism at #modalities
-    // tasks (3) no matter the cluster size and force one task to hold a
-    // whole modality. The salt spreads each modality across up to
-    // SplitsPerModality tasks; the sort still makes every partition's
-    // batches modality-runs, so a decoder model is swapped at most
-    // (#modalities - 1) times per partition.
+  private def coPartitioned(media: Dataset[MediaRecord]): Dataset[MediaRecord] =
     media
       .repartition(
         col("modality"),
         pmod(xxhash64(col("media_id")), lit(SplitsPerModality))
       )
       .sortWithinPartitions(col("modality"))
-      .mapPartitions(it => it.grouped(BatchSize).flatMap(decodeBatch))
+
+  /** Batched feature extraction: co-partition by modality, then decode in
+    * [[BatchSize]] chunks per partition.
+    */
+  def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    coPartitioned(media).mapPartitions(it => it.grouped(BatchSize).flatMap(decodeBatch))
+  }
+
+  // ------------------------------------------------- resize / frame-sample
+
+  val ResizeTarget = 16 // stub "resolution": byte budget per asset
+  val FrameBytes = 32 // stub frame size in payload bytes
+  val FrameStride = 2 // keep every FrameStride-th frame
+
+  private def rollingChecksum(bytes: Array[Byte]): Long = {
+    var h = 0L
+    var i = 0
+    while (i < bytes.length) {
+      h = (h * 31 + (bytes(i) & 0xffL)) % 2147483647L
+      i += 1
+    }
+    h
+  }
+
+  /** STUB RESIZE — a real pipeline decodes, resamples to a target
+    * resolution, re-encodes. The fake truncates to [[ResizeTarget]]
+    * bytes (deterministic, SQL-replayable); the plumbing — batch shape,
+    * per-batch "codec" amortization, typed output schema — is real.
+    */
+  def resizeBatch(batch: Seq[MediaRecord]): Seq[ResizedMedia] =
+    batch.map { r =>
+      val out = r.payload.take(ResizeTarget)
+      ResizedMedia(r.media_id, r.modality, out.length, 1, out, rollingChecksum(out))
+    }
+
+  /** STUB FRAME SAMPLER — a real pipeline seeks keyframes; the fake
+    * treats the payload as [[FrameBytes]]-byte frames and keeps every
+    * [[FrameStride]]-th. The 1→N flatMap row shape (one asset in, many
+    * frame rows out) is the part that matters: it is how frame extraction
+    * actually plans — a Generator-like expansion inside mapPartitions,
+    * no shuffle of the expanded rows until something aggregates them.
+    */
+  def frameSampleBatch(batch: Seq[MediaRecord]): Seq[MediaFrame] =
+    batch.flatMap { r =>
+      val nFrames = math.ceil(r.payload.length / FrameBytes.toDouble).toInt
+      (0 until nFrames by FrameStride).map { fi =>
+        val frame = r.payload.slice(
+          fi * FrameBytes,
+          math.min((fi + 1) * FrameBytes, r.payload.length)
+        )
+        MediaFrame(r.media_id, r.modality, fi, frame.length, rollingChecksum(frame))
+      }
+    }
+
+  def resize(media: Dataset[MediaRecord]): Dataset[ResizedMedia] = {
+    import media.sparkSession.implicits._
+    coPartitioned(media).mapPartitions(it => it.grouped(BatchSize).flatMap(resizeBatch))
+  }
+
+  def sampleFrames(media: Dataset[MediaRecord]): Dataset[MediaFrame] = {
+    import media.sparkSession.implicits._
+    coPartitioned(media).mapPartitions(it => it.grouped(BatchSize).flatMap(frameSampleBatch))
   }
 
   /** q36: decode features and aggregate per modality. */
@@ -113,8 +195,33 @@ object Multimodal {
       )
       .orderBy("modality")
 
+  /** q36b: resize pass, aggregated per modality. */
+  private def q36b(s: SparkSession, dir: String): DataFrame =
+    resize(mediaFromDocuments(s, dir))
+      .groupBy(col("modality"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("width")).as("total_resized_bytes"),
+        sum(col("checksum")).as("checksum_sum")
+      )
+      .orderBy("modality")
+
+  /** q36c: frame sampling (1→N), aggregated per modality. */
+  private def q36c(s: SparkSession, dir: String): DataFrame =
+    sampleFrames(mediaFromDocuments(s, dir))
+      .groupBy(col("modality"))
+      .agg(
+        count(lit(1)).as("n_frames"),
+        sum(col("n_bytes")).as("total_frame_bytes"),
+        sum(col("checksum")).as("checksum_sum"),
+        max(col("frame_idx")).cast("bigint").as("max_frame_idx")
+      )
+      .orderBy("modality")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q36_multimodal_features" -> q36
+    "q36_multimodal_features" -> q36,
+    "q36b_multimodal_resize" -> q36b,
+    "q36c_multimodal_frames" -> q36c
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -136,6 +243,40 @@ object Multimodal {
         |  CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
         |  CAST(sum(checksum) AS BIGINT) AS checksum_sum,
         |  round(avg(CAST(CAST((checksum % 1000) AS DOUBLE) / 1000.0 AS FLOAT)), 4) AS avg_f0
-        |FROM feat GROUP BY modality ORDER BY modality""".stripMargin
+        |FROM feat GROUP BY modality ORDER BY modality""".stripMargin,
+    "q36b_multimodal_resize" ->
+      """WITH rz AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |         WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS modality,
+        |    substr(text, 1, 16) AS rt
+        |  FROM documents)
+        |SELECT modality, count(*) AS n,
+        |  CAST(sum(length(rt)) AS BIGINT) AS total_resized_bytes,
+        |  CAST(sum(list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(rt, ''), c -> CAST(ascii(c) AS BIGINT))),
+        |    (acc, c) -> (acc * 31 + c) % 2147483647)) AS BIGINT) AS checksum_sum
+        |FROM rz GROUP BY modality ORDER BY modality""".stripMargin,
+    "q36c_multimodal_frames" ->
+      """WITH fr AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |         WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS modality,
+        |    unnest(range(0, CAST(ceil(length(text) / 32.0) AS INT), 2)) AS frame_idx,
+        |    text
+        |  FROM documents),
+        |f2 AS (
+        |  SELECT doc_id, modality, frame_idx,
+        |    substr(text, frame_idx * 32 + 1, 32) AS ft
+        |  FROM fr)
+        |SELECT modality, count(*) AS n_frames,
+        |  CAST(sum(length(ft)) AS BIGINT) AS total_frame_bytes,
+        |  CAST(sum(list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(ft, ''), c -> CAST(ascii(c) AS BIGINT))),
+        |    (acc, c) -> (acc * 31 + c) % 2147483647)) AS BIGINT) AS checksum_sum,
+        |  CAST(max(frame_idx) AS BIGINT) AS max_frame_idx
+        |FROM f2 GROUP BY modality ORDER BY modality""".stripMargin
   )
 }

@@ -73,6 +73,44 @@ class MultimodalSpec extends SparkSpec {
     )
   }
 
+  test("resize truncates to the byte budget; distributed == driver-side reference") {
+    val media = Multimodal.mediaFromDocuments(spark, sf)
+    val distributed = Multimodal
+      .resize(media)
+      .collect()
+      .map(r => r.media_id -> (r.width, r.height, r.checksum))
+      .toMap
+    val reference = Multimodal
+      .resizeBatch(media.collect().toSeq)
+      .map(r => r.media_id -> (r.width, r.height, r.checksum))
+      .toMap
+    assert(distributed == reference)
+    assert(distributed.values.forall { case (w, h, _) => w <= Multimodal.ResizeTarget && h == 1 })
+  }
+
+  test("frame sampling emits every FrameStride-th frame; 1→N shape correct") {
+    val media = Multimodal.mediaFromDocuments(spark, sf)
+    val frames = Multimodal.sampleFrames(media).collect()
+    val byAsset = frames.groupBy(_.media_id)
+    val payloadLen = media.collect().map(r => r.media_id -> r.payload.length).toMap
+    byAsset.foreach { case (id, fs) =>
+      val nFrames = math.ceil(payloadLen(id) / Multimodal.FrameBytes.toDouble).toInt
+      val expectedIdx = (0 until nFrames by Multimodal.FrameStride).toSet
+      assert(fs.map(_.frame_idx).toSet == expectedIdx, s"asset $id frame indices")
+      // every full frame is FrameBytes; only the asset's LAST frame may be short
+      val sorted = fs.sortBy(_.frame_idx)
+      assert(sorted.dropRight(1).forall(_.n_bytes == Multimodal.FrameBytes))
+    }
+    // distributed == driver-side reference (partitioning/batching cannot
+    // change the result)
+    val reference = Multimodal
+      .frameSampleBatch(media.collect().toSeq)
+      .map(f => (f.media_id, f.frame_idx) -> f.checksum)
+      .toMap
+    val distributed = frames.map(f => (f.media_id, f.frame_idx) -> f.checksum).toMap
+    assert(distributed == reference)
+  }
+
   test("features are reproducible across runs") {
     val a = Multimodal
       .extractFeatures(Multimodal.mediaFromDocuments(spark, sf))
