@@ -533,6 +533,29 @@ object Relational {
       )
       .orderBy("p_partkey")
 
+  /** String distance + regex extraction surface: `levenshtein` (the
+    * edit-distance primitive fuzzy dedup reaches for), `regexp_extract_all`
+    * (all matches, not just the first — q17 covers the single-match form),
+    * and `split_part`. Self-join on adjacent part keys keeps the pair
+    * count linear — levenshtein is O(m·n) per pair, so the scale shape is
+    * "distance on candidate pairs", never all-pairs (same discipline as
+    * q27/q31). Inputs truncated to 20 chars: a bounded-cost guard a real
+    * fuzzy-match pass would also apply.
+    */
+  private def q17b(s: SparkSession, dir: String): DataFrame = {
+    val p = t(s, dir, "part")
+    val a = p.select(col("p_partkey"), col("p_name").as("na"), col("p_brand").as("ba"))
+    val b = p.select((col("p_partkey") - 1).as("p_partkey"), col("p_name").as("nb"))
+    a.join(b, Seq("p_partkey"))
+      .select(
+        col("p_partkey"),
+        levenshtein(substring(col("na"), 1, 20), substring(col("nb"), 1, 20)).as("lev"),
+        size(regexp_extract_all(col("na"), lit("[a-z]+"), lit(0))).as("n_words"),
+        split_part(col("ba"), lit("#"), lit(2)).as("brand_num")
+      )
+      .orderBy("p_partkey")
+  }
+
   /** Date functions: weekly buckets of events. */
   private def q18(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
@@ -836,6 +859,27 @@ object Relational {
       )
       .orderBy("p_partkey")
 
+  /** Conditional + boolean + bitwise aggregate surface: `count_if`,
+    * `bool_or`/`bool_and`, `bit_and`/`bit_or`/`bit_xor` — all hash
+    * aggregates with map-side partial merge (each buffer is one
+    * long/bool/int), so the shuffle carries #groups rows regardless of
+    * corpus size.
+    */
+  private def q40b(s: SparkSession, dir: String): DataFrame = {
+    val k = (col("event_id") % 256).cast("int")
+    t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        count_if(col("value") > 5).as("n_big"),
+        bool_or(col("value") > 20).as("any_huge"),
+        bool_and(col("value") >= 0).as("all_nonneg"),
+        bit_and(k).as("band"),
+        bit_or(k).as("bor"),
+        bit_xor(k).as("bxor")
+      )
+      .orderBy("event_type")
+  }
+
   /** Datetime-function surface: component extraction + day difference
     * from a fixed epoch date.
     */
@@ -938,6 +982,7 @@ object Relational {
     "q16_set_ops" -> q16,
     "q16b_set_ops_all" -> q16b,
     "q17_string_fns" -> q17,
+    "q17b_string_distance" -> q17b,
     "q18_date_fns" -> q18,
     "q19_json_fns" -> q19,
     "q19b_map_fns" -> q19b,
@@ -954,6 +999,7 @@ object Relational {
     "q39_percentiles" -> q39,
     "q39b_approx_percentiles" -> q39b,
     "q40_math_fns" -> q40,
+    "q40b_cond_bitwise_aggs" -> q40b,
     "q41_datetime_fns" -> q41,
     "q42_pivot" -> q42,
     "q42b_unpivot" -> q42b,
@@ -1315,6 +1361,22 @@ object Relational {
         |  greatest(p_size, 10) AS gmax,
         |  least(p_size, 10) AS lmin
         |FROM part ORDER BY p_partkey""".stripMargin,
+    "q17b_string_distance" ->
+      """SELECT a.p_partkey,
+        |  CAST(levenshtein(substr(a.p_name, 1, 20), substr(b.p_name, 1, 20)) AS INT) AS lev,
+        |  CAST(len(regexp_extract_all(a.p_name, '[a-z]+')) AS INT) AS n_words,
+        |  split_part(a.p_brand, '#', 2) AS brand_num
+        |FROM part a JOIN part b ON b.p_partkey = a.p_partkey + 1
+        |ORDER BY a.p_partkey""".stripMargin,
+    "q40b_cond_bitwise_aggs" ->
+      """SELECT event_type,
+        |  CAST(count_if(value > 5) AS BIGINT) AS n_big,
+        |  bool_or(value > 20) AS any_huge,
+        |  bool_and(value >= 0) AS all_nonneg,
+        |  bit_and(CAST(event_id % 256 AS INT)) AS band,
+        |  bit_or(CAST(event_id % 256 AS INT)) AS bor,
+        |  bit_xor(CAST(event_id % 256 AS INT)) AS bxor
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q41_datetime_fns" ->
       """SELECT o_orderkey,
         |  year(o_orderdate) AS y, month(o_orderdate) AS m,
