@@ -896,6 +896,27 @@ object Relational {
       )
       .orderBy("o_orderkey")
 
+  /** Date-arithmetic surface beyond q18/q41's trunc/extract/diff:
+    * `add_months` (end-of-month clamping — Jan 31 + 1 month = Feb 28/29,
+    * identical in DuckDB's `+ INTERVAL`), `last_day`, `make_date`,
+    * `quarter`, `weekofyear` (ISO weeks both engines), `date_add`.
+    * Pure projection; the sort is for oracle determinism only.
+    */
+  private def q41b(s: SparkSession, dir: String): DataFrame = {
+    val d = to_date(col("o_orderdate"))
+    t(s, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        add_months(d, 3).as("plus3m"),
+        last_day(d).as("eom"),
+        make_date(year(d), month(d), lit(1)).as("som"),
+        quarter(d).as("q"),
+        weekofyear(d).as("wk"),
+        date_add(d, 30).as("plus30d")
+      )
+      .orderBy("o_orderkey")
+  }
+
   /** Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): NULL keys
     * MATCH each other, unlike `=`. Derived nullable keys: negative-balance
     * customers and region-0 nations both map to NULL, so the null bucket
@@ -1001,6 +1022,7 @@ object Relational {
     "q40_math_fns" -> q40,
     "q40b_cond_bitwise_aggs" -> q40b,
     "q41_datetime_fns" -> q41,
+    "q41b_date_arithmetic" -> q41b,
     "q42_pivot" -> q42,
     "q42b_unpivot" -> q42b,
     "q44_ip_enrich" -> q44,
@@ -1368,6 +1390,16 @@ object Relational {
         |  split_part(a.p_brand, '#', 2) AS brand_num
         |FROM part a JOIN part b ON b.p_partkey = a.p_partkey + 1
         |ORDER BY a.p_partkey""".stripMargin,
+    "q41b_date_arithmetic" ->
+      """WITH o AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d FROM orders)
+        |SELECT o_orderkey,
+        |  CAST(d + INTERVAL 3 MONTH AS DATE) AS plus3m,
+        |  last_day(d) AS eom,
+        |  make_date(CAST(year(d) AS INT), CAST(month(d) AS INT), 1) AS som,
+        |  CAST(quarter(d) AS INT) AS q,
+        |  CAST(weekofyear(d) AS INT) AS wk,
+        |  d + 30 AS plus30d
+        |FROM o ORDER BY o_orderkey""".stripMargin,
     "q40b_cond_bitwise_aggs" ->
       """SELECT event_type,
         |  CAST(count_if(value > 5) AS BIGINT) AS n_big,
