@@ -35,6 +35,8 @@ class SqlParitySpec extends SparkSpec {
     "q16b_set_ops_all",
     "q21_correlated_subquery",
     "q38_stats_agg",
+    "q40b_cond_bitwise_aggs",
+    "q41b_date_arithmetic",
     "q45_conditional_fns"
     // q39 excluded: DuckDB spells interpolated percentiles quantile_cont,
     // Spark spells them percentile
