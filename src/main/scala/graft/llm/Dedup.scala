@@ -238,9 +238,9 @@ object Dedup {
 
     val x = bands.select(col("doc_id").as("da"), col("band"), col("bucket"))
     val y = bands.select(col("doc_id").as("db"), col("band"), col("bucket"))
-    // cached: cand feeds TWO broadcasts below (the verify join and the
-    // semi-filter's doc-id list) — uncached, the banded self-join +
-    // distinct (the dominant post-signature stage) would execute twice.
+    // cached: cand feeds the verify join AND the semi-filter's doc-id
+    // list below — uncached, the banded self-join + distinct (the
+    // dominant post-signature stage) would execute twice.
     val cand = tcache(
       s,
       x.join(y, Seq("band", "bucket"))
@@ -250,15 +250,24 @@ object Dedup {
     )
 
     val a = sh.select(col("doc_id").as("da"), col("g"))
-    // Prefilter the (db, g) side to candidate docs with a broadcast semi
-    // join BEFORE the (db, g) equi join: otherwise the full shingle
-    // frame shuffles on (db, g) just to verify a small candidate set —
-    // at 10^11 docs that shuffle is the whole corpus, the semi-filtered
-    // one is O(candidates).
+    // Prefilter the (db, g) side to candidate docs with a semi join
+    // BEFORE the (db, g) equi join: otherwise the full shingle frame
+    // shuffles on (db, g) just to verify a small candidate set — at
+    // 10^11 docs that shuffle is the whole corpus, the semi-filtered one
+    // is O(candidates). The semi join and the verify join carry NO
+    // broadcast hint (round-5 policy: hints only where the build side is
+    // bounded BY CONSTRUCTION; candidate-pair count scales with
+    // Σ cluster² on a dup-heavy corpus, which is assumption-bounded).
+    // AQE broadcasts both while cand is actually small and falls back to
+    // shuffled equi joins when it isn't — and at production sizes
+    // Spark's runtime bloom-filter injection prunes the shingle scan
+    // below the semi join (the machinery PlanShapeSpec pins). Either
+    // way nothing all-pairs ever forms: PlanShapeSpec pins q27's
+    // candidate joins to equi hash/merge shapes.
     val b = sh
       .select(col("doc_id").as("db"), col("g"))
-      .join(broadcast(cand.select("db").distinct()), Seq("db"), "left_semi")
-    val inter = broadcast(cand)
+      .join(cand.select("db").distinct(), Seq("db"), "left_semi")
+    val inter = cand
       .join(a, Seq("da"))
       .join(b, Seq("db", "g"))
       .groupBy("da", "db")

@@ -88,6 +88,25 @@ class PlanShapeSpec extends SparkSpec {
     )
   }
 
+  test("q27 de-hinted candidate joins stay equi joins, never a nested loop") {
+    // Round-5 policy: zero assumption-bounded broadcast hints. q27's
+    // candidate-pair frame is bounded by the band-collision rate — an
+    // assumption a dup-heavy corpus (Σ cluster² growth) can break — so
+    // the verify join and the semi prefilter are unhinted. AQE may still
+    // broadcast at test scale; what must never happen is a nested-loop
+    // degeneration (all-pairs at 100 TB). The semi prefilter must
+    // survive as a LeftSemi (that is what keeps verify O(candidates),
+    // not a corpus-wide (db, g) shuffle).
+    val plan = executedPlan(SparkEntry.queries("q27_dedup_minhash_lsh")(spark, sf))
+    assert(!plan.contains("NestedLoop"), s"candidate join degenerated:\n$plan")
+    assert(plan.contains("LeftSemi"), s"semi prefilter missing from q27 plan:\n$plan")
+    assert(
+      plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin") ||
+        plan.contains("ShuffledHashJoin"),
+      s"no equi join in q27 plan:\n$plan"
+    )
+  }
+
   test("q34b vocab top-k uses TakeOrderedAndProject (no full sort)") {
     val plan = executedPlan(SparkEntry.queries("q34b_vocab_topk")(spark, sf))
     assert(plan.contains("TakeOrderedAndProject"), s"full sort for top-k:\n$plan")
