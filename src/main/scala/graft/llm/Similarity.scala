@@ -19,8 +19,8 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  private val NumProbes = 5
-  private val TopK = 10
+  private[graft] val NumProbes = 5
+  private[graft] val TopK = 10
 
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables.table(s, dir, "embeddings")
@@ -92,7 +92,11 @@ object Similarity {
     }
   }
 
-  private def q31(s: SparkSession, dir: String): DataFrame = {
+  /** Distinct LSH candidate id pairs (the pre-verify set q31 scores) —
+    * exposed so AnnQuality can report the measured candidate-count ratio
+    * vs brute force from the SAME definition the query runs.
+    */
+  private[graft] def lshCandidates(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
     def banded(df: DataFrame, idCol: String): DataFrame =
       df.select(
@@ -109,18 +113,22 @@ object Similarity {
     // re-attaching embeddings afterwards is the same result at a fraction
     // of the shuffle bytes. The probe side (NumProbes rows, a constant) is
     // broadcastable; the corpus side re-attaches via equi-join on vec_id.
-    val pairs = probes
+    probes
       .join(corpus, Seq("band", "bval"))
       .filter(col("neighbor_id") =!= col("probe_id"))
       .select("probe_id", "neighbor_id")
       .distinct()
+  }
+
+  private def q31(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
     val probeEmb = e
       .filter(col("vec_id") < NumProbes)
       .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
     val corpusEmb =
       e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
     scoreTopK(
-      pairs
+      lshCandidates(s, dir)
         .join(broadcast(probeEmb), Seq("probe_id"))
         .join(corpusEmb, Seq("neighbor_id"))
     )
@@ -142,7 +150,14 @@ object Similarity {
     * instead of all of it, and the join never degenerates to a cross
     * product.
     */
-  private def q31b(s: SparkSession, dir: String): DataFrame = {
+  private def q31b(s: SparkSession, dir: String): DataFrame =
+    scoreTopK(ivfCandidates(s, dir))
+
+  /** IVF candidate (probe, neighbor) pairs with embeddings attached (the
+    * pre-scoring set q31b ranks) — exposed for AnnQuality's
+    * candidate-count report, same definition the query runs.
+    */
+  private[graft] def ivfCandidates(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
     val centroids = e
       .filter(col("vec_id") < IvfCells)
@@ -179,11 +194,9 @@ object Similarity {
 
     // no distinct needed: each corpus vector lives in exactly one cell and
     // a probe's nprobe cells are distinct, so a pair matches at most once
-    scoreTopK(
-      probeCells
-        .join(corpusCells, Seq("cell"))
-        .filter(col("neighbor_id") =!= col("probe_id"))
-    )
+    probeCells
+      .join(corpusCells, Seq("cell"))
+      .filter(col("neighbor_id") =!= col("probe_id"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
