@@ -223,6 +223,66 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("maxFilesPerTrigger backpressure: backlog drains in capped micro-batches with per-batch registration") {
+    import org.apache.spark.sql.streaming.StreamingQueryListener
+    import org.apache.spark.sql.streaming.StreamingQueryListener._
+    val base = tmpDir("graft-backpressure")
+    val in = s"$base/in"; Files.createDirectories(Paths.get(in))
+    // a 6-file backlog (the reference's "many S3 notifications queued"
+    // shape); maxFilesPerTrigger=2 is the concurrency-cap analog
+    // (template.yml:35-37) and must yield exactly 3 data micro-batches
+    (1 to 6).foreach(i => copyInto(in, s"backlog$i.log", "/root/reference/samples/sample1.log"))
+    val cfg = StreamingConvertJob.Config(
+      inputDir = in,
+      outputDir = s"$base/out",
+      checkpointDir = s"$base/chk",
+      maxFilesPerTrigger = Some(2)
+    )
+
+    spark.sql("DROP TABLE IF EXISTS flowlogs_bp")
+    Partitions.createExternalTable(spark, "flowlogs_bp", cfg.outputDir)
+
+    // per-batch partition registration, as the reference registers after
+    // every Lambda invocation (main.go:169-177): a listener registers the
+    // output's partitions after each committed data batch
+    val registrations = new java.util.concurrent.CopyOnWriteArrayList[Int]()
+    val listener = new StreamingQueryListener {
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit =
+        if (e.progress.numInputRows > 0)
+          registrations.add(Partitions.registerAll(spark, "flowlogs_bp", cfg.outputDir))
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+    }
+    spark.streams.addListener(listener)
+    try {
+      val queries = StreamingConvertJob.start(spark, cfg)
+      queries.foreach(_.awaitTermination())
+      val batches = queries.head.recentProgress.filter(_.numInputRows > 0)
+      assert(
+        batches.length == 3,
+        s"expected 3 capped micro-batches, saw input rows ${batches.map(_.numInputRows).toSeq}"
+      )
+      // numInputRows counts raw text lines: 6 files × (1 header + 2 data)
+      assert(batches.map(_.numInputRows).sum == 18)
+
+      // exactly-once: draining the same backlog again adds nothing
+      StreamingConvertJob.runAvailableNow(spark, cfg)
+      assert(spark.read.parquet(cfg.outputDir).count() == 12)
+
+      // listener events are async — allow them to drain before asserting
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (registrations.size < 3 && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      assert(registrations.size >= 3, s"per-batch registrations: ${registrations.size}")
+      // each registration is idempotent over the same single partition
+      assert(registrations.toArray.forall(_ == 1))
+      assert(spark.sql("SELECT count(*) FROM flowlogs_bp").head().getLong(0) == 12)
+    } finally {
+      spark.streams.removeListener(listener)
+      spark.sql("DROP TABLE IF EXISTS flowlogs_bp")
+    }
+  }
+
   test("streaming dedup within watermark drops in-stream duplicates") {
     import org.apache.spark.sql.types._
     val base = tmpDir("graft-stream-dedup")
