@@ -123,7 +123,11 @@ object Bench {
       f.getAbsolutePath
     }
     def ms3(v: Double): String =
-      if (v < 0) "-1" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+      // non-finite (NaN, a 0-duration ETL making lines/s Infinity) would
+      // throw in BigDecimal AFTER spark.stop() — emitting no final JSON
+      // line at all; fold it into the existing "-1" error convention
+      if (!java.lang.Double.isFinite(v) || v < 0) "-1"
+      else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     // short id = the unique qNN[x] prefix; on a future collision (two
     // names sharing a prefix) fall back to the colliding FULL names —
     // duplicate JSON keys would silently drop a query from the driver's

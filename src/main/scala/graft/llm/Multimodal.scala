@@ -24,13 +24,14 @@ final case class MediaFeatures(
     embedding: Array[Float]
 )
 
-/** A resized asset: fixed-budget payload + the dimensions the (stub)
-  * resampler produced. */
+/** A resized asset: fixed-budget payload + its actual size. The stub
+  * resampler has no real geometry, so the schema says what it fills —
+  * `n_bytes` — rather than punning width/height onto byte counts; a
+  * real resizer would extend this with out_w/out_h. */
 final case class ResizedMedia(
     media_id: Long,
     modality: String,
-    width: Int,
-    height: Int,
+    n_bytes: Int,
     payload: Array[Byte],
     checksum: Long
 )
@@ -151,7 +152,7 @@ object Multimodal {
   def resizeBatch(batch: Seq[MediaRecord]): Seq[ResizedMedia] =
     batch.map { r =>
       val out = r.payload.take(ResizeTarget)
-      ResizedMedia(r.media_id, r.modality, out.length, 1, out, rollingChecksum(out))
+      ResizedMedia(r.media_id, r.modality, out.length, out, rollingChecksum(out))
     }
 
   /** STUB FRAME SAMPLER — a real pipeline seeks keyframes; the fake
@@ -201,7 +202,7 @@ object Multimodal {
       .groupBy(col("modality"))
       .agg(
         count(lit(1)).as("n"),
-        sum(col("width")).as("total_resized_bytes"),
+        sum(col("n_bytes")).as("total_resized_bytes"),
         sum(col("checksum")).as("checksum_sum")
       )
       .orderBy("modality")

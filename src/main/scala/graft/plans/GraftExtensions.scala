@@ -19,7 +19,11 @@ import org.apache.spark.sql.catalyst.rules.Rule
   *    forms can differ by up to float32 rounding (~1e-7 relative; bound
   *    asserted against a driver-side reference in ExtensionRuleSpec),
   *    the same approximation class as reassociating a sum. A deployment
-  *    that needs the unfolded bits simply doesn't register the rule.
+  *    that needs the unfolded bits sets
+  *    `spark.graft.simplifyNormalizedCosine=false` (checked per
+  *    invocation, so it can be flipped per session or per query without
+  *    dropping the extension class — and without losing any other rule
+  *    GraftExtensions registers).
   *  - Nulls: `normalize(a)` is null exactly when `a` has a null element
   *    or zero norm — precisely the inputs for which `cosine(a, …)` is
   *    already null. The rewrite therefore never changes the null surface.
@@ -36,13 +40,19 @@ import org.apache.spark.sql.catalyst.rules.Rule
   */
 object SimplifyNormalizedCosine extends Rule[LogicalPlan] {
 
+  /** Runtime opt-out; `Rule`'s SQLConf is session-scoped, so a SET
+    * command flips this mid-session.
+    */
+  val EnabledKey = "spark.graft.simplifyNormalizedCosine"
+
   private def strip(e: Expression): Expression = e match {
     case FloatVectorNormalize(c) => strip(c)
     case other                   => other
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan =
-    plan.transformAllExpressions {
+    if (!conf.getConfString(EnabledKey, "true").toBoolean) plan
+    else plan.transformAllExpressions {
       case FloatVectorCosine(l, r)
           if l.isInstanceOf[FloatVectorNormalize] ||
             r.isInstanceOf[FloatVectorNormalize] =>

@@ -623,10 +623,17 @@ object Relational {
       .select(
         col("event_id"),
         expr("json_tuple(props, 'k')").as("jk"),
+        // null fields never reach the serializer: Spark's to_json OMITS
+        // null struct fields while DuckDB renders "v":null, so a null
+        // value (or a failed try_cast) would silently diverge from the
+        // oracle — coalesce both fields to sentinels on BOTH sides
         to_json(
           struct(
-            col("event_type").as("t"),
-            floor(col("value")).try_cast(org.apache.spark.sql.types.IntegerType).as("v")
+            coalesce(col("event_type"), lit("")).as("t"),
+            coalesce(
+              floor(col("value")).try_cast(org.apache.spark.sql.types.IntegerType),
+              lit(-1)
+            ).as("v")
           )
         ).as("js"),
         try_element_at(
@@ -1306,8 +1313,8 @@ object Relational {
     "q19c_json_gen_fns" ->
       """SELECT event_id,
         |  json_extract_string(props, '$.k') AS jk,
-        |  CAST(to_json(struct_pack(t := event_type,
-        |                           v := CAST(floor(value) AS INT))) AS VARCHAR) AS js,
+        |  CAST(to_json(struct_pack(t := coalesce(event_type, ''),
+        |                           v := coalesce(CAST(floor(value) AS INT), -1))) AS VARCHAR) AS js,
         |  event_type AS smt
         |FROM events ORDER BY event_id""".stripMargin,
     "q20c_array_set_fns" ->

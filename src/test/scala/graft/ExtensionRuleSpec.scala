@@ -32,6 +32,30 @@ class ExtensionRuleSpec extends SparkSpec {
     assert(!opt.contains("float_vector_normalize"), s"normalize not folded:\n$opt")
   }
 
+  test("spark.graft.simplifyNormalizedCosine=false disables the fold without dropping the extension") {
+    val df = pairs.select(
+      VectorOps
+        .cosine(VectorOps.normalize(col("ea")), VectorOps.normalize(col("eb")))
+        .as("c")
+    )
+    spark.conf.set(graft.plans.SimplifyNormalizedCosine.EnabledKey, "false")
+    try {
+      val opt = df.queryExecution.optimizedPlan.toString
+      assert(opt.contains("float_vector_normalize"), s"fold fired while disabled:\n$opt")
+    } finally spark.conf.unset(graft.plans.SimplifyNormalizedCosine.EnabledKey)
+    // back on (the default): the same query folds again
+    val opt2 = pairs
+      .select(
+        VectorOps
+          .cosine(VectorOps.normalize(col("ea")), VectorOps.normalize(col("eb")))
+          .as("c2")
+      )
+      .queryExecution
+      .optimizedPlan
+      .toString
+    assert(!opt2.contains("float_vector_normalize"), s"fold did not resume:\n$opt2")
+  }
+
   test("fold tolerance: folded value within 1e-6 of the UNFOLDED computation") {
     // The unfolded reference is computed driver-side (it cannot be run
     // through the session — the rule would fold it too, making any

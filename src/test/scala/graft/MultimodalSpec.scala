@@ -78,14 +78,14 @@ class MultimodalSpec extends SparkSpec {
     val distributed = Multimodal
       .resize(media)
       .collect()
-      .map(r => r.media_id -> (r.width, r.height, r.checksum))
+      .map(r => r.media_id -> (r.n_bytes, r.checksum))
       .toMap
     val reference = Multimodal
       .resizeBatch(media.collect().toSeq)
-      .map(r => r.media_id -> (r.width, r.height, r.checksum))
+      .map(r => r.media_id -> (r.n_bytes, r.checksum))
       .toMap
     assert(distributed == reference)
-    assert(distributed.values.forall { case (w, h, _) => w <= Multimodal.ResizeTarget && h == 1 })
+    assert(distributed.values.forall { case (n, _) => n <= Multimodal.ResizeTarget })
   }
 
   test("frame sampling emits every FrameStride-th frame; 1→N shape correct") {
