@@ -1,8 +1,9 @@
 package graft.plans
 
-import graft.functions.{FloatVectorCosine, FloatVectorNormalize}
+import graft.functions.{FloatVectorCosine, FloatVectorDot, FloatVectorNormalize}
 import org.apache.spark.sql.SparkSessionExtensions
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 
@@ -64,8 +65,78 @@ object SimplifyNormalizedCosine extends Rule[LogicalPlan] {
   * extensions (optimizer rules, strategies, custom parsers) register.
   * Wired into every session by `Sessions.local`; cluster deployments get
   * the same via `spark.sql.extensions=graft.plans.GraftExtensions`.
+  *
+  * Besides the optimizer rule, the codegen vector kernels register as
+  * SQL functions (`float_vector_dot` / `float_vector_cosine` /
+  * `float_vector_normalize`), so `spark.sql("…")` users — notebooks, JDBC,
+  * SQL files — get the same tight primitive loops as the Column API,
+  * including the normalize-fold rule over the SQL spelling.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => SimplifyNormalizedCosine)
+    GraftExtensions.functions.foreach(e.injectFunction)
+  }
+}
+
+object GraftExtensions {
+
+  private def description(
+      name: String,
+      clazz: Class[_],
+      usage: String
+  ): ExpressionInfo =
+    new ExpressionInfo(clazz.getName, null, name, usage, "")
+
+  private def binary(
+      name: String,
+      clazz: Class[_],
+      usage: String,
+      build: (Expression, Expression) => Expression
+  ): (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (
+      FunctionIdentifier(name),
+      description(name, clazz, usage),
+      (children: Seq[Expression]) => {
+        if (children.length != 2)
+          throw new IllegalArgumentException(
+            s"$name expects 2 arguments (array<float>, array<float>), got ${children.length}"
+          )
+        build(children(0), children(1))
+      }
+    )
+
+  /** The SQL registrations — one per codegen kernel, names identical to
+    * the expressions' prettyName so plans read the same either way.
+    */
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
+    Seq(
+      binary(
+        "float_vector_dot",
+        classOf[FloatVectorDot],
+        "_FUNC_(a, b) - dot product of two array<float> vectors (double; null on length mismatch).",
+        FloatVectorDot.apply
+      ),
+      binary(
+        "float_vector_cosine",
+        classOf[FloatVectorCosine],
+        "_FUNC_(a, b) - cosine similarity of two array<float> vectors (double; null on zero norm or length mismatch).",
+        FloatVectorCosine.apply
+      ),
+      (
+        FunctionIdentifier("float_vector_normalize"),
+        description(
+          "float_vector_normalize",
+          classOf[FloatVectorNormalize],
+          "_FUNC_(a) - unit-normalize an array<float> vector (null on zero norm)."
+        ),
+        (children: Seq[Expression]) => {
+          if (children.length != 1)
+            throw new IllegalArgumentException(
+              s"float_vector_normalize expects 1 argument (array<float>), got ${children.length}"
+            )
+          FloatVectorNormalize(children.head)
+        }
+      )
+    )
 }

@@ -721,6 +721,22 @@ object Relational {
       .orderBy("va")
   }
 
+  /** The injected-SQL-function path of the cosine kernel
+    * (GraftExtensions.functions → SparkSessionExtensions.injectFunction):
+    * the same codegen'd FloatVectorCosine as q20, reached entirely
+    * through `spark.sql` — the surface notebook/JDBC/SQL-file users see.
+    * Pair offset differs from q20 (+9 vs +17) so the two queries aren't
+    * byte-identical results; semantics and oracle arithmetic match.
+    */
+  private def q20d(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "embeddings").createOrReplaceTempView("graft_embeddings")
+    s.sql("""
+      SELECT a.vec_id AS va, b.vec_id AS vb,
+             round(float_vector_cosine(a.embedding, b.embedding), 4) AS cos_sim
+      FROM graft_embeddings a JOIN graft_embeddings b ON b.vec_id = a.vec_id + 9
+      ORDER BY va""")
+  }
+
   /** Correlated scalar subquery (Catalyst decorrelation): orders 25% above
     * their customer's average. Uses SQL to exercise the subquery path.
     */
@@ -1018,6 +1034,7 @@ object Relational {
     "q20_array_cosine" -> q20,
     "q20b_array_fns" -> q20b,
     "q20c_array_set_fns" -> q20c,
+    "q20d_sql_kernel" -> q20d,
     "q21_correlated_subquery" -> q21,
     "q22_tumbling_window" -> q22,
     "q22b_sliding_window" -> q22b,
@@ -1354,6 +1371,17 @@ object Relational {
         |       * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 0),
         |  4) AS cos_sim
         |FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 17
+        |ORDER BY va""".stripMargin,
+    "q20d_sql_kernel" ->
+      """SELECT a.vec_id AS va, b.vec_id AS vb,
+        |  round(
+        |    list_sum(list_transform(generate_series(1, len(a.embedding)),
+        |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+        |    / nullif(
+        |      sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 0),
+        |  4) AS cos_sim
+        |FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 9
         |ORDER BY va""".stripMargin,
     "q21_correlated_subquery" ->
       """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price

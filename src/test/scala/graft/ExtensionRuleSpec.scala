@@ -56,6 +56,49 @@ class ExtensionRuleSpec extends SparkSpec {
     assert(!opt2.contains("float_vector_normalize"), s"fold did not resume:\n$opt2")
   }
 
+  test("injected SQL functions: float_vector_cosine via spark.sql is bit-equal to the Column path") {
+    Tables.table(spark, sf, "embeddings").createOrReplaceTempView("ext_emb")
+    val sqlPath = spark
+      .sql(
+        """SELECT a.vec_id AS va, float_vector_cosine(a.embedding, b.embedding) AS c
+          |FROM ext_emb a JOIN ext_emb b ON b.vec_id = a.vec_id + 1""".stripMargin
+      )
+      .collect()
+      .map(r => r.getLong(0) -> r.getDouble(1))
+      .toMap
+    val colPath = pairs
+      .select(col("va"), VectorOps.cosine(col("ea"), col("eb")).as("c"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getDouble(1))
+      .toMap
+    assert(sqlPath == colPath) // bit-equal, not approximately
+    // dot and normalize are registered too
+    val d = spark
+      .sql("SELECT float_vector_dot(embedding, embedding) AS d, float_vector_normalize(embedding) AS n FROM ext_emb LIMIT 1")
+      .collect()(0)
+    assert(d.getDouble(0) > 0 && d.getSeq[Float](1).nonEmpty)
+  }
+
+  test("the normalize fold fires over the SQL spelling too") {
+    Tables.table(spark, sf, "embeddings").createOrReplaceTempView("ext_emb2")
+    val df = spark.sql(
+      """SELECT float_vector_cosine(float_vector_normalize(a.embedding),
+        |                           float_vector_normalize(b.embedding)) AS c
+        |FROM ext_emb2 a JOIN ext_emb2 b ON b.vec_id = a.vec_id + 1""".stripMargin
+    )
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(opt.contains("float_vector_cosine"), s"kernel missing:\n$opt")
+    assert(!opt.contains("float_vector_normalize"), s"normalize not folded:\n$opt")
+  }
+
+  test("injected SQL functions reject wrong arity loudly") {
+    Tables.table(spark, sf, "embeddings").createOrReplaceTempView("ext_emb3")
+    val e = intercept[Exception] {
+      spark.sql("SELECT float_vector_cosine(embedding) FROM ext_emb3").collect()
+    }
+    assert(e.getMessage.contains("2 arguments"), s"unexpected error: ${e.getMessage}")
+  }
+
   test("fold tolerance: folded value within 1e-6 of the UNFOLDED computation") {
     // The unfolded reference is computed driver-side (it cannot be run
     // through the session — the rule would fold it too, making any
