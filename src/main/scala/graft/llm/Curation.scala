@@ -110,6 +110,54 @@ object Curation {
       .orderBy("source")
   }
 
+  /** q56b: EXECUTE the mixing weights q56 only computes — produce the
+    * resampled epoch. Each source's uniform weight w = total_docs /
+    * (n_sources · n_docs_s) becomes a per-document copy count:
+    * ⌊w⌋ guaranteed copies plus one more when the document's
+    * deterministic md5 bucket (as u ∈ [0,1)) falls below frac(w) — so a
+    * source with w = 2.3 is duplicated 2× always and 3× for 30% of its
+    * docs, and a source with w = 0.4 keeps 40% — exactly the
+    * oversample/undersample semantics of temperature-mixing a corpus,
+    * with every decision replayable (content-hash, never rand()).
+    *
+    * Scale shape: one count aggregate per source, a 1-row totals frame,
+    * an UNHINTED equi-join of the corpus to the per-source weight table
+    * (one row per source — often tiny, but at web scale "source" can be
+    * millions of domains, so AQE decides broadcast-vs-shuffle from
+    * runtime sizes per the zero-assumption-bounded-hints policy), then a
+    * narrow 1→N `explode(sequence(...))` — no driver loop, no second
+    * shuffle of the expanded rows.
+    */
+  private def q56b(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.table(s, dir, "documents").select(col("doc_id"), col("source"))
+    val bySource = d.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val totals = d.agg(
+      count(lit(1)).as("total_docs"),
+      countDistinct("source").as("n_sources")
+    )
+    val weights = bySource
+      .crossJoin(broadcast(totals)) // 1-row totals: bounded by construction
+      .select(
+        col("source"),
+        (col("total_docs").cast("double") / (col("n_sources") * col("n_docs")))
+          .as("w")
+      )
+    d.join(weights, "source")
+      .withColumn("u", Sampling.bucket100(col("doc_id")) / lit(100.0))
+      .withColumn(
+        "copies",
+        floor(col("w")).cast("long") +
+          when(col("u") < col("w") - floor(col("w")), 1L).otherwise(0L)
+      )
+      .filter(col("copies") > 0)
+      .select(
+        col("doc_id"),
+        col("source"),
+        explode(sequence(lit(1L), col("copies"))).as("copy_id")
+      )
+      .orderBy("doc_id", "copy_id")
+  }
+
   /** q58: train/eval decontamination — flag training documents sharing
     * any word-3-gram with the held-out split (the n-gram-overlap
     * decontamination step of GPT-3-style pipelines), reusing q43's md5
@@ -146,6 +194,7 @@ object Curation {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q47_curation_pipeline" -> q47,
     "q56_mix_weights" -> q56,
+    "q56b_apply_mix" -> q56b,
     "q58_decontaminate" -> q58
   )
 
@@ -187,6 +236,22 @@ object Curation {
         |FROM d CROSS JOIN tot
         |GROUP BY source, total_docs, total_tokens, n_sources
         |ORDER BY source""".stripMargin,
+    "q56b_apply_mix" ->
+      s"""WITH s AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+         |t AS (SELECT count(*) AS total_docs, count(DISTINCT source) AS n_sources
+         |      FROM documents),
+         |w AS (SELECT source,
+         |        CAST(total_docs AS DOUBLE) / (n_sources * n_docs) AS w
+         |      FROM s CROSS JOIN t),
+         |c AS (SELECT d.doc_id, d.source,
+         |        CAST(floor(w) AS BIGINT) +
+         |        CASE WHEN (${Sampling.BucketSql}) / 100.0 < w - floor(w)
+         |             THEN 1 ELSE 0 END AS copies
+         |      FROM documents d JOIN w ON d.source = w.source)
+         |SELECT doc_id, source,
+         |  CAST(unnest(generate_series(1, CAST(copies AS INT))) AS BIGINT) AS copy_id
+         |FROM c WHERE copies > 0
+         |ORDER BY doc_id, copy_id""".stripMargin,
     "q47_curation_pipeline" ->
       s"""WITH scored AS (
          |  SELECT doc_id, text,
