@@ -89,6 +89,39 @@ object TextAnalysis {
       )
       .orderBy("doc_id")
 
+  /** q33b: adaptive length filter — keep the middle 80% of the corpus by
+    * n_chars, thresholds derived FROM the data (the "drop the tails"
+    * step real curation pipelines run before training). Semantics in
+    * pure integer rank arithmetic so both engines agree bit-for-bit
+    * (interpolated percentiles differ across engines by ulps, which
+    * flips membership of boundary documents): keep a document iff
+    *   cume_dist  = |docs with n_chars ≤ mine| / n > 0.10   and
+    *   lower_frac = |docs with n_chars < mine| / n < 0.90
+    * compared as `10·cum_le > n` and `10·cum_lt < 9·n` — no division,
+    * no floats, reproducible everywhere.
+    *
+    * Scale shape: one hash aggregate per DISTINCT length (bounded by the
+    * max document length, not the corpus), a cumulative-sum window over
+    * that small per-length frame — NOT over the corpus — and an
+    * unhinted equi-join back on n_chars (AQE broadcasts the per-length
+    * frame when it is small, which it always is). The corpus streams
+    * once; nothing corpus-sized is sorted or single-partitioned.
+    */
+  private def q33b(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs(s, dir)
+    val perLength = d.groupBy("n_chars").agg(count(lit(1)).as("c"))
+    val cum = perLength
+      .withColumn("cum_le", sum("c").over(Window.orderBy("n_chars")))
+      .withColumn("cum_lt", col("cum_le") - col("c"))
+    val total = d.agg(count(lit(1)).as("n"))
+    d.join(cum, "n_chars")
+      .crossJoin(broadcast(total)) // 1-row count: bounded by construction
+      .filter(col("cum_le") * 10 > col("n") && col("cum_lt") * 10 < col("n") * 9)
+      .select(col("doc_id"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
   // ----------------------------------------------- q34: token counting
 
   /** Whitespace tokens and a BPE-ish regex tokenization ([a-z]+ words,
@@ -282,6 +315,7 @@ object TextAnalysis {
     "q55_repetition" -> q55,
     "q57_surprisal" -> q57,
     "q33_quality_score" -> q33,
+    "q33b_length_filter" -> q33b,
     "q34_token_count" -> q34,
     "q34b_vocab_topk" -> q34b,
     "q35_fingerprint" -> q35,
@@ -289,6 +323,17 @@ object TextAnalysis {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q33b_length_filter" ->
+      """WITH lc AS (SELECT n_chars, count(*) AS c FROM documents GROUP BY n_chars),
+        |cum AS (SELECT n_chars,
+        |          sum(c) OVER (ORDER BY n_chars) AS cum_le,
+        |          sum(c) OVER (ORDER BY n_chars) - c AS cum_lt
+        |        FROM lc),
+        |t AS (SELECT count(*) AS n FROM documents)
+        |SELECT doc_id, d.n_chars
+        |FROM documents d JOIN cum ON d.n_chars = cum.n_chars CROSS JOIN t
+        |WHERE 10 * cum_le > n AND 10 * cum_lt < 9 * n
+        |ORDER BY doc_id""".stripMargin,
     "q34b_vocab_topk" ->
       """SELECT w, count(*) AS cnt
         |FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)

@@ -94,4 +94,16 @@ object StreamingAggregates {
         col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR")
     ).select(col("user_id"), col("p_id"), col("v_id"), col("p_ts"), col("v_ts"))
   }
+
+  /** Stream-static enrichment join — the streaming analog of q06's
+    * broadcast dim join: each micro-batch of the stream equi-joins a
+    * static (batch) dimension. No watermark and no state: the static
+    * side is re-resolved per micro-batch (so a dim table updated between
+    * batches is picked up), and Spark plans it as an ordinary
+    * broadcast/shuffle join inside the batch — state size zero, the
+    * streaming side never waits. This is the canonical 100 TB enrichment
+    * shape: the stream stays narrow, the dim is broadcast per batch.
+    */
+  def enrichWithStatic(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
+    stream.join(dim, key)
 }

@@ -283,6 +283,45 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("stream-static join enriches each micro-batch against a batch dimension") {
+    import org.apache.spark.sql.types._
+    val base = tmpDir("graft-stream-static")
+    val in = s"$base/in"; Files.createDirectories(Paths.get(in))
+    Files.writeString(
+      Paths.get(in, "events.csv"),
+      "2024-01-01T00:01:00,1,click,1.0\n" +
+        "2024-01-01T00:02:00,2,view,2.0\n" +
+        "2024-01-01T00:03:00,9,click,3.0\n" // no dim row: inner join drops
+    )
+    val schema = StructType(
+      Seq(
+        StructField("ts", TimestampType),
+        StructField("user_id", LongType),
+        StructField("event_type", StringType),
+        StructField("value", DoubleType)
+      )
+    )
+    import spark.implicits._
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val stream = spark.readStream.schema(schema).csv(in)
+    val q = StreamingAggregates
+      .enrichWithStatic(stream, dim, "user_id")
+      .writeStream
+      .format("memory")
+      .queryName("graft_enriched")
+      .outputMode("append")
+      .start()
+    try {
+      q.processAllAvailable()
+      val rows = spark
+        .sql("SELECT user_id, tier FROM graft_enriched ORDER BY user_id")
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+        .toSeq
+      assert(rows == Seq((1L, "gold"), (2L, "basic")))
+    } finally q.stop()
+  }
+
   test("streaming dedup within watermark drops in-stream duplicates") {
     import org.apache.spark.sql.types._
     val base = tmpDir("graft-stream-dedup")
