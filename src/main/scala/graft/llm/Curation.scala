@@ -126,8 +126,15 @@ object Curation {
     * millions of domains, so AQE decides broadcast-vs-shuffle from
     * runtime sizes per the zero-assumption-bounded-hints policy), then a
     * narrow 1→N `explode(sequence(...))` — no driver loop, no second
-    * shuffle of the expanded rows.
+    * shuffle of the expanded rows. Copy counts are capped at
+    * [[MaxCopies]] (every real mixing recipe caps oversampling — an
+    * epoch that repeats one document hundreds of times is a training
+    * bug, and an uncapped w = total/(n_sources·n_docs) would hand a
+    * 1-doc source in a skewed corpus a copies-length array big enough
+    * to OOM its task); the cap is applied identically in the oracle.
     */
+  val MaxCopies = 100
+
   private def q56b(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.table(s, dir, "documents").select(col("doc_id"), col("source"))
     val bySource = d.groupBy("source").agg(count(lit(1)).as("n_docs"))
@@ -146,8 +153,11 @@ object Curation {
       .withColumn("u", Sampling.bucket100(col("doc_id")) / lit(100.0))
       .withColumn(
         "copies",
-        floor(col("w")).cast("long") +
-          when(col("u") < col("w") - floor(col("w")), 1L).otherwise(0L)
+        least(
+          floor(col("w")).cast("long") +
+            when(col("u") < col("w") - floor(col("w")), 1L).otherwise(0L),
+          lit(MaxCopies.toLong)
+        )
       )
       .filter(col("copies") > 0)
       .select(
@@ -244,9 +254,9 @@ object Curation {
          |        CAST(total_docs AS DOUBLE) / (n_sources * n_docs) AS w
          |      FROM s CROSS JOIN t),
          |c AS (SELECT d.doc_id, d.source,
-         |        CAST(floor(w) AS BIGINT) +
-         |        CASE WHEN (${Sampling.BucketSql}) / 100.0 < w - floor(w)
-         |             THEN 1 ELSE 0 END AS copies
+         |        least(CAST(floor(w) AS BIGINT) +
+         |          CASE WHEN (${Sampling.BucketSql}) / 100.0 < w - floor(w)
+         |               THEN 1 ELSE 0 END, $MaxCopies) AS copies
          |      FROM documents d JOIN w ON d.source = w.source)
          |SELECT doc_id, source,
          |  CAST(unnest(generate_series(1, CAST(copies AS INT))) AS BIGINT) AS copy_id

@@ -52,7 +52,10 @@ object SimplifyNormalizedCosine extends Rule[LogicalPlan] {
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan =
-    if (!conf.getConfString(EnabledKey, "true").toBoolean) plan
+    // lenient parse: only the literal "false" disables the fold — a
+    // malformed value must not make every optimizer invocation throw an
+    // error that never names this conf key
+    if (conf.getConfString(EnabledKey, "true").trim.equalsIgnoreCase("false")) plan
     else plan.transformAllExpressions {
       case FloatVectorCosine(l, r)
           if l.isInstanceOf[FloatVectorNormalize] ||

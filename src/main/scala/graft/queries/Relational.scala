@@ -1059,6 +1059,22 @@ object Relational {
 
   private val flowCte = graft.etl.FlowLogCorpus.oracleCte
 
+  /** Shared DuckDB cosine emulation over the embeddings self-join — one
+    * definition for q20 (Column path) and q20d (injected-SQL path) so the
+    * two oracles can never drift; only the pair offset differs.
+    */
+  private def cosinePairsSql(offset: Int): String =
+    s"""SELECT a.vec_id AS va, b.vec_id AS vb,
+       |  round(
+       |    list_sum(list_transform(generate_series(1, len(a.embedding)),
+       |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+       |    / nullif(
+       |      sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       |       * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 0),
+       |  4) AS cos_sim
+       |FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + $offset
+       |ORDER BY va""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "q01_flow_filter_sort" ->
       s"""$flowCte
@@ -1331,7 +1347,7 @@ object Relational {
       """SELECT event_id,
         |  json_extract_string(props, '$.k') AS jk,
         |  CAST(to_json(struct_pack(t := coalesce(event_type, ''),
-        |                           v := coalesce(CAST(floor(value) AS INT), -1))) AS VARCHAR) AS js,
+        |                           v := coalesce(TRY_CAST(floor(value) AS INT), -1))) AS VARCHAR) AS js,
         |  event_type AS smt
         |FROM events ORDER BY event_id""".stripMargin,
     "q20c_array_set_fns" ->
@@ -1361,28 +1377,8 @@ object Relational {
         |  list_sort(ints, 'DESC')[3] AS third_desc,
         |  CAST(len(list_filter(ints, x -> x > 0)) AS BIGINT) AS n_pos
         |FROM ii ORDER BY vec_id""".stripMargin,
-    "q20_array_cosine" ->
-      """SELECT a.vec_id AS va, b.vec_id AS vb,
-        |  round(
-        |    list_sum(list_transform(generate_series(1, len(a.embedding)),
-        |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
-        |    / nullif(
-        |      sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-        |       * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 0),
-        |  4) AS cos_sim
-        |FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 17
-        |ORDER BY va""".stripMargin,
-    "q20d_sql_kernel" ->
-      """SELECT a.vec_id AS va, b.vec_id AS vb,
-        |  round(
-        |    list_sum(list_transform(generate_series(1, len(a.embedding)),
-        |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
-        |    / nullif(
-        |      sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-        |       * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 0),
-        |  4) AS cos_sim
-        |FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 9
-        |ORDER BY va""".stripMargin,
+    "q20_array_cosine" -> cosinePairsSql(17),
+    "q20d_sql_kernel" -> cosinePairsSql(9),
     "q21_correlated_subquery" ->
       """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
         |FROM orders o

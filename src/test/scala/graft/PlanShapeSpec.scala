@@ -229,11 +229,16 @@ class PlanShapeSpec extends SparkSpec {
         plan.contains("ShuffledHashJoin"),
       s"source join is not an equi join:\n$plan"
     )
-    assert(plan.contains("Generate"), s"explode(sequence) missing:\n$plan")
-    // the expanded rows reach the output without an extra exchange: the
-    // only sort is the oracle-determinism ORDER BY
-    val generateIdx = plan.indexOf("Generate")
-    assert(generateIdx >= 0)
+    val finalPlan = plan.split("== Initial Plan ==").head
+    assert(finalPlan.contains("Generate"), s"explode(sequence) missing:\n$plan")
+    // the expanded rows reach the output without an extra hash exchange:
+    // everything above the Generate (downstream of it in dataflow) may
+    // only contain the oracle-determinism ORDER BY's rangepartitioning
+    val aboveGenerate = finalPlan.substring(0, finalPlan.indexOf("Generate"))
+    assert(
+      !aboveGenerate.contains("Exchange hashpartitioning"),
+      s"expanded rows re-shuffled after the Generate:\n$plan"
+    )
   }
 
   test("runtime bloom filter prunes the fact side of a selective shuffle join") {
