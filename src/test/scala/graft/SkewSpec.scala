@@ -131,4 +131,26 @@ class SkewSpec extends SparkSpec {
       case (k, None)    => spark.conf.unset(k)
     }
   }
+
+  test("aggregation needs NO skew mitigation: partial aggregation absorbs the hot key map-side") {
+    // The fourth arm of the skew story, and the reason the repo salts
+    // joins but never aggregates: a hash aggregate pre-aggregates each
+    // input partition BEFORE the shuffle, so the hot key contributes at
+    // most one row per map task to the exchange — the reduce-side task
+    // for key 0 receives #map-tasks rows, not 30% of the corpus.
+    val fact = skewedFact(1000000L)
+    val agg = fact.groupBy("k").agg(count(lit(1)).as("n"), sum("payload").as("s"))
+    val plan = agg.queryExecution.executedPlan.toString
+    // partial_count/partial_sum below the exchange = map-side combine
+    val partialIdx = plan.indexOf("partial_count")
+    val exchangeIdx = plan.indexOf("Exchange hashpartitioning")
+    assert(partialIdx >= 0, s"no partial aggregation in plan:\n$plan")
+    assert(exchangeIdx >= 0 && exchangeIdx < partialIdx,
+      s"partial agg not below the exchange (plans print top-down):\n$plan")
+    // and the result is exactly right on the skewed data
+    val row0 = agg.filter(col("k") === 0).collect()(0)
+    val total = agg.agg(sum("n")).collect()(0).getLong(0)
+    assert(total == 1000000L)
+    assert(row0.getLong(1) > 250000L, s"hot key smaller than built: ${row0.getLong(1)}")
+  }
 }
