@@ -38,14 +38,19 @@ object AnnQuality {
     val brutePairs = nProbes * (corpusN - 1)
     val lshCand = Similarity.lshCandidates(spark, sfDir).count()
     val ivfCand = Similarity.ivfCandidates(spark, sfDir).count()
+    // PQ: the ADC scan touches every code row (8 bytes/vector, 32× below
+    // full vectors); "candidates" = full-vector fetches for exact re-rank
+    val pqCand = Similarity.pqCandidates(spark, sfDir).count()
 
     val rLsh = recallOf("q31_knn_lsh")
     val rIvf = recallOf("q31b_knn_ivf")
+    val rPq = recallOf("q31c_knn_pq")
     println(
       f"""{"sf":"$sfDir","k":$k,"n_probes":$nProbes,"corpus_n":$corpusN,""" +
         f""""brute_pairs":$brutePairs,""" +
         f""""q31_lsh":{"recall_at_$k":$rLsh%.3f,"candidates":$lshCand,"candidate_ratio":${lshCand.toDouble / brutePairs}%.3f},""" +
-        f""""q31b_ivf":{"recall_at_$k":$rIvf%.3f,"candidates":$ivfCand,"candidate_ratio":${ivfCand.toDouble / brutePairs}%.3f}}"""
+        f""""q31b_ivf":{"recall_at_$k":$rIvf%.3f,"candidates":$ivfCand,"candidate_ratio":${ivfCand.toDouble / brutePairs}%.3f},""" +
+        f""""q31c_pq":{"recall_at_$k":$rPq%.3f,"candidates":$pqCand,"candidate_ratio":${pqCand.toDouble / brutePairs}%.3f}}"""
     )
     spark.stop()
   }

@@ -15,7 +15,13 @@ import org.apache.spark.sql.functions._
   *    set is itself huge: bucket both sides by signature bands and only
   *    score within buckets (equi-join), trading recall for a bound on
   *    scored pairs. Approximate ⇒ no SQL oracle; recall vs q30 is asserted
-  *    in SimilaritySpec.
+  *    in LlmOpsSpec.
+  *  - q31b: IVF — route queries to nprobe of ncells coarse cells; bounds
+  *    the scored fraction at nprobe/ncells by construction.
+  *  - q31c: product quantization (ADC) — the compression scale path: the
+  *    per-probe scan reads 8 one-byte codes per vector (32× below raw),
+  *    full vectors fetched only for the top-PqRerank survivors.
+  *    Deterministic ⇒ full DuckDB oracle, plus a recall spec.
   */
 object Similarity {
 
@@ -199,10 +205,123 @@ object Similarity {
       .filter(col("neighbor_id") =!= col("probe_id"))
   }
 
+  // ------------------------------------ q31c: product-quantization ANN
+
+  private[graft] val PqSub = 8 // subspaces
+  private val PqSubDim = Dim / PqSub // 8 dims each
+  private[graft] val PqK = 16 // codewords per subspace
+  private[graft] val PqRerank = 100 // ADC candidates re-ranked exactly
+
+  /** PQ codebook: the first PqK corpus vectors, L2-normalized and split
+    * into PqSub sub-vectors — the deterministic stand-in for k-means
+    * training (same policy as the IVF centroids). The collect is bounded
+    * BY CONSTRUCTION to exactly PqK=16 rows (`vec_id < PqK`), i.e. a
+    * model parameter, not a data-sized driver pull.
+    */
+  private def pqCodebook(
+      s: SparkSession,
+      dir: String
+  ): Array[Array[Array[Float]]] = {
+    val base: Array[Array[Float]] = emb(s, dir)
+      .filter(col("vec_id") < PqK)
+      .orderBy("vec_id")
+      .select(VectorOps.normalize(col("embedding")).as("ne"))
+      .collect()
+      .map(_.getSeq[Float](0).toArray)
+    require(base.length == PqK, s"expected $PqK codebook rows, got ${base.length}")
+    Array.tabulate(PqSub, PqK)((m, k) =>
+      base(k).slice(m * PqSubDim, (m + 1) * PqSubDim)
+    )
+  }
+
+  private def subVec(e: Column, m: Int): Column =
+    slice(e, m * PqSubDim + 1, PqSubDim)
+
+  private def cbLit(cb: Array[Array[Array[Float]]], m: Int, k: Int): Column =
+    array(cb(m)(k).toIndexedSeq.map(v => lit(v)): _*)
+
+  /** PQ ANN with asymmetric-distance (ADC) scan + exact re-rank — the
+    * compression scale path: each corpus vector is encoded once to PqSub
+    * one-byte codes (32× smaller than 64 float32s), the per-probe scan
+    * touches only those codes through a broadcast lookup table, and full
+    * vectors are fetched for just the top-PqRerank candidates per probe.
+    * Encoding: per subspace, nearest codeword by L2 over the normalized
+    * vector (argmax of dot − ‖c‖²/2; first-max ⇒ smallest code on ties),
+    * so the ADC sum of codeword dots approximates cosine. Everything is
+    * deterministic — unlike q31/q31b this approximate path has a full
+    * value-level DuckDB oracle replaying encode, ADC scan, and re-rank.
+    */
+  private def q31c(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    // exact re-rank: fetch full vectors for the ADC survivors only
+    val probeEmb = e
+      .filter(col("vec_id") < NumProbes)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+    val corpusEmb =
+      e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
+    scoreTopK(
+      pqCandidates(s, dir)
+        .join(broadcast(probeEmb), Seq("probe_id"))
+        .join(corpusEmb, Seq("neighbor_id"))
+    )
+  }
+
+  /** PQ candidate pairs: the top-PqRerank ADC survivors per probe — the
+    * set q31c fetches full vectors for and re-ranks exactly; exposed for
+    * AnnQuality's candidate-count report (same definition the query runs).
+    */
+  private[graft] def pqCandidates(s: SparkSession, dir: String): DataFrame = {
+    val cb = pqCodebook(s, dir)
+    val e = emb(s, dir)
+
+    // corpus → one row per vector carrying only (id, 8 codes); the
+    // argmax is a pure column expression, so encoding is map-only
+    val codeCols: Seq[Column] = (0 until PqSub).map { m =>
+      val norm2 = cb(m).map(c =>
+        c.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble)
+      )
+      val scores = array((0 until PqK).map { k =>
+        VectorOps.dot(subVec(col("ne"), m), cbLit(cb, m, k)) -
+          lit(0.5 * norm2(k))
+      }: _*)
+      array_position(scores, array_max(scores)).cast("int").as(s"code$m")
+    }
+    val corpusCodes = e
+      .select(col("vec_id").as("neighbor_id"), VectorOps.normalize(col("embedding")).as("ne"))
+      .select(col("neighbor_id") +: codeCols: _*)
+
+    // probes → per-subspace lookup tables of codeword dots (PqK doubles
+    // each); NumProbes rows, broadcast against the code scan
+    val lutCols: Seq[Column] = (0 until PqSub).map { m =>
+      array((0 until PqK).map { k =>
+        VectorOps.dot(subVec(col("ne"), m), cbLit(cb, m, k))
+      }: _*).as(s"lut$m")
+    }
+    val probeLuts = e
+      .filter(col("vec_id") < NumProbes)
+      .select(col("vec_id").as("probe_id"), VectorOps.normalize(col("embedding")).as("ne"))
+      .select(col("probe_id") +: lutCols: _*)
+
+    // ADC scan: Σ_m lut_m[code_m], summed in fixed subspace order (the
+    // oracle replays the same left-to-right order) — no full vectors here
+    val adc = (0 until PqSub)
+      .map(m => element_at(col(s"lut$m"), col(s"code$m")))
+      .reduce(_ + _)
+    val aw = Window.partitionBy(col("probe_id")).orderBy(desc("adc"), col("neighbor_id"))
+    corpusCodes
+      .crossJoin(broadcast(probeLuts))
+      .filter(col("neighbor_id") =!= col("probe_id"))
+      .withColumn("adc", adc)
+      .withColumn("arank", row_number().over(aw))
+      .filter(col("arank") <= PqRerank)
+      .select("probe_id", "neighbor_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_knn_brute" -> q30,
     "q31_knn_lsh" -> q31,
-    "q31b_knn_ivf" -> q31b
+    "q31b_knn_ivf" -> q31b,
+    "q31c_knn_pq" -> q31c
   )
 
   private val cosineSql =
@@ -222,6 +341,62 @@ object Similarity {
          |  SELECT probe_id, neighbor_id, c,
          |    row_number() OVER (PARTITION BY probe_id
          |                       ORDER BY c DESC, neighbor_id) AS rnk
+         |  FROM cos)
+         |SELECT probe_id, neighbor_id, rnk AS rank, round(c, 4) AS cos_sim
+         |FROM ranked WHERE rnk <= $TopK
+         |ORDER BY probe_id, rnk""".stripMargin,
+    // q31c is approximate-but-deterministic: codebook = first PqK
+    // normalized vectors, L2 encode (first-max ⇒ smallest code), ADC sum
+    // in subspace order (list(d ORDER BY m) ⇒ same left-to-right fold as
+    // the Spark reduce), exact-cosine re-rank — every stage replayed here.
+    "q31c_knn_pq" ->
+      s"""WITH nv AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) / n AS FLOAT)) AS ne
+         |  FROM (SELECT vec_id, embedding,
+         |          sqrt(list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))) AS n
+         |        FROM embeddings)),
+         |cb AS (
+         |  SELECT m, vec_id AS k, list_slice(ne, m*$PqSubDim+1, m*$PqSubDim+$PqSubDim) AS c,
+         |    list_sum(list_transform(list_slice(ne, m*$PqSubDim+1, m*$PqSubDim+$PqSubDim),
+         |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS n2
+         |  FROM nv CROSS JOIN generate_series(0, ${PqSub - 1}) g(m)
+         |  WHERE vec_id < $PqK),
+         |enc0 AS (
+         |  SELECT nv.vec_id, cb.m, cb.k,
+         |    list_sum(list_transform(generate_series(1, $PqSubDim), i ->
+         |      CAST(list_slice(nv.ne, cb.m*$PqSubDim+1, cb.m*$PqSubDim+$PqSubDim)[i] AS DOUBLE) * CAST(cb.c[i] AS DOUBLE)))
+         |      - 0.5 * cb.n2 AS score
+         |  FROM nv CROSS JOIN cb),
+         |enc AS (
+         |  SELECT vec_id, m, k AS code FROM (
+         |    SELECT vec_id, m, k,
+         |      row_number() OVER (PARTITION BY vec_id, m ORDER BY score DESC, k) AS rn
+         |    FROM enc0) WHERE rn = 1),
+         |padc AS (
+         |  SELECT p.vec_id AS probe_id, enc.vec_id AS neighbor_id, enc.m,
+         |    list_sum(list_transform(generate_series(1, $PqSubDim), i ->
+         |      CAST(list_slice(p.ne, enc.m*$PqSubDim+1, enc.m*$PqSubDim+$PqSubDim)[i] AS DOUBLE) * CAST(cb.c[i] AS DOUBLE))) AS d
+         |  FROM nv p
+         |  JOIN enc ON enc.vec_id <> p.vec_id
+         |  JOIN cb ON cb.m = enc.m AND cb.k = enc.code
+         |  WHERE p.vec_id < $NumProbes),
+         |adc AS (
+         |  SELECT probe_id, neighbor_id, list_sum(list(d ORDER BY m)) AS a
+         |  FROM padc GROUP BY 1, 2),
+         |cand AS (
+         |  SELECT probe_id, neighbor_id FROM (
+         |    SELECT probe_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY probe_id ORDER BY a DESC, neighbor_id) AS rn
+         |    FROM adc) WHERE rn <= $PqRerank),
+         |cos AS (
+         |  SELECT cd.probe_id, cd.neighbor_id,
+         |    $cosineSql AS c
+         |  FROM cand cd
+         |  JOIN embeddings p ON p.vec_id = cd.probe_id
+         |  JOIN embeddings e ON e.vec_id = cd.neighbor_id),
+         |ranked AS (
+         |  SELECT probe_id, neighbor_id, c,
+         |    row_number() OVER (PARTITION BY probe_id ORDER BY c DESC, neighbor_id) AS rnk
          |  FROM cos)
          |SELECT probe_id, neighbor_id, rnk AS rank, round(c, 4) AS cos_sim
          |FROM ranked WHERE rnk <= $TopK
