@@ -380,6 +380,51 @@ object Dedup {
       .orderBy("va", "vb")
   }
 
+  // ------------------- q29b: cluster-bucketed embedding dedup (SemDeDup)
+
+  private val SemCells = 16
+
+  /** SemDeDup-shaped semantic dedup: assign every vector to its nearest
+    * coarse centroid (the deterministic first-SemCells sample, same
+    * policy as the IVF quantizer), then find near-dup pairs ONLY within
+    * a cell and drop the higher id of each pair. The scale trade vs
+    * q29's all-pairs form: the pair join is an EQUI-join on cell id —
+    * candidate pairs bounded at Σ(cell size)² instead of N², and the
+    * shuffle co-locates by cell. Cross-cell near-dups are missed by
+    * design (the SemDeDup recall trade); the oracle replays the same
+    * clustered semantics, so the result is still value-exact.
+    */
+  private def q29b(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.table(s, dir, "embeddings")
+    val centroids = e
+      .filter(col("vec_id") < SemCells)
+      .select(col("vec_id").as("cell"), col("embedding").as("ce"))
+    // one-pass argmax cell assignment (map-side-combined; ties → smallest
+    // cell), the q31b corpus-side pattern
+    val cells = e
+      .crossJoin(broadcast(centroids))
+      .withColumn("csim", VectorOps.cosine(col("embedding"), col("ce")))
+      .groupBy(col("vec_id"))
+      .agg(
+        max_by(
+          struct(col("cell"), col("embedding")),
+          struct(col("csim"), -col("cell"))
+        ).as("best")
+      )
+      .select(col("vec_id"), col("best.cell").as("cell"), col("best.embedding").as("emb"))
+
+    val a = cells.select(col("cell"), col("vec_id").as("va"), col("emb").as("ea"))
+    val b = cells.select(col("cell"), col("vec_id").as("vb"), col("emb").as("eb"))
+    a.join(b, Seq("cell")) // equi-join on cell — never a cross product
+      .filter(col("va") < col("vb"))
+      .withColumn("cos", VectorOps.cosine(col("ea"), col("eb")))
+      .filter(col("cos") >= CosineThreshold)
+      .groupBy(col("vb"), col("cell"))
+      .agg(min(col("va")).as("keeper_id"), round(max(col("cos")), 4).as("max_sim"))
+      .select(col("vb").as("dropped_id"), col("keeper_id"), col("cell"), col("max_sim"))
+      .orderBy("dropped_id")
+  }
+
   // ------------------------------------------------------------------ maps
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -388,7 +433,8 @@ object Dedup {
     "q26_dedup_ngram_jaccard" -> q26,
     "q27_dedup_minhash_lsh" -> q27,
     "q28_dedup_simhash" -> q28,
-    "q29_dedup_embedding_cosine" -> q29
+    "q29_dedup_embedding_cosine" -> q29,
+    "q29b_dedup_semantic_clustered" -> q29b
   )
 
   /** Shared DuckDB shingle CTE (1-based list indexing over there); also
@@ -438,6 +484,34 @@ object Dedup {
         |       * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS c
         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
         |SELECT va, vb, round(c, 4) AS cos_sim FROM cos
-        |WHERE c >= 0.4 ORDER BY va, vb""".stripMargin
+        |WHERE c >= 0.4 ORDER BY va, vb""".stripMargin,
+    // q29b replays the clustered semantics exactly: nearest-of-16 cell
+    // assignment (ties → smallest cell), within-cell pairs only
+    "q29b_dedup_semantic_clustered" ->
+      s"""WITH cs AS (
+         |  SELECT e.vec_id, c.vec_id AS cell,
+         |    list_sum(list_transform(generate_series(1, len(e.embedding)),
+         |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+         |    / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+         |       * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS csim
+         |  FROM embeddings e JOIN embeddings c ON c.vec_id < $SemCells),
+         |cells AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT vec_id, cell,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS rn
+         |    FROM cs) WHERE rn = 1),
+         |pr AS (
+         |  SELECT ca.cell, a.vec_id AS va, b.vec_id AS vb,
+         |    list_sum(list_transform(generate_series(1, len(a.embedding)),
+         |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+         |    / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+         |       * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS c
+         |  FROM embeddings a
+         |  JOIN cells ca ON ca.vec_id = a.vec_id
+         |  JOIN embeddings b ON a.vec_id < b.vec_id
+         |  JOIN cells cb ON cb.vec_id = b.vec_id AND cb.cell = ca.cell)
+         |SELECT vb AS dropped_id, min(va) AS keeper_id, cell, round(max(c), 4) AS max_sim
+         |FROM pr WHERE c >= $CosineThreshold
+         |GROUP BY vb, cell ORDER BY dropped_id""".stripMargin
   )
 }

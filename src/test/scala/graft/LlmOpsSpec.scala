@@ -82,6 +82,26 @@ class LlmOpsSpec extends SparkSpec {
     assert(mean >= 0.4, s"mean recall $mean too low")
   }
 
+  test("clustered semantic dedup decisions are a subset of exact near-dup pairs") {
+    val exact = SparkEntry
+      .queries("q29_dedup_embedding_cosine")(spark, sf)
+      .select("va", "vb")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val sem = SparkEntry
+      .queries("q29b_dedup_semantic_clustered")(spark, sf)
+      .select("keeper_id", "dropped_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(sem.nonEmpty, "no within-cell near-dups found?")
+    // every (keeper, dropped) decision must be backed by an exact
+    // cosine>=threshold pair — clustering may MISS pairs, never invent them
+    val invented = sem.filterNot { case (k, d) => exact.contains((k min d, k max d)) }
+    assert(invented.isEmpty, s"cluster dedup invented pairs: $invented")
+  }
+
   test("exact text dedup keeps every distinct text once") {
     val total = graft.queries.Tables.table(spark, sf, "documents").count()
     val res = SparkEntry.queries("q25_dedup_exact_text")(spark, sf)
