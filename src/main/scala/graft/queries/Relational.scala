@@ -500,6 +500,61 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** Time-RANGE window frame: per-user trailing-hour count/sum over event
+    * TIME (RANGE BETWEEN 3600 PRECEDING on epoch seconds, not row
+    * counts) — however many events fall in the trailing hour, all enter
+    * the frame. Epoch seconds via floor on both engines (Spark's
+    * timestamp→long cast truncates; the oracle floors explicitly).
+    */
+  private def q15b(s: SparkSession, dir: String): DataFrame = {
+    val w = Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("sec"))
+      .rangeBetween(-3600, Window.currentRow)
+    t(s, dir, "events")
+      .withColumn("sec", col("ts").cast("long"))
+      .select(
+        col("event_id"),
+        col("user_id"),
+        count(lit(1)).over(w).as("n_trailing_hour"),
+        r2(sum(col("value")).over(w)).as("sum_trailing_hour")
+      )
+      .orderBy("event_id")
+  }
+
+  /** Gap-fill + LOCF resample: per-user hourly grid from first to last
+    * active hour (`sequence` + `explode` — generated DISTRIBUTED, one
+    * span row per user, never a driver loop), left-joined against the
+    * real per-hour aggregate; empty buckets get count 0 and carry the
+    * last observed sum forward (`last(_, ignoreNulls)` over the
+    * per-user time window). Bounded to users < 50 to keep the gate-SF
+    * grid small; at scale the grid size is (active span / granularity)
+    * per key, independent of event count.
+    */
+  private def q59(s: SparkSession, dir: String): DataFrame = {
+    val hourly = t(s, dir, "events")
+      .filter(col("user_id") < 50)
+      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hr"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sv"))
+    val grid = hourly
+      .groupBy("user_id")
+      .agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
+      .select(
+        col("user_id"),
+        explode(sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("hr")
+      )
+    val w = Window.partitionBy(col("user_id")).orderBy(col("hr"))
+    grid
+      .join(hourly, Seq("user_id", "hr"), "left")
+      .select(
+        col("user_id"),
+        col("hr"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        r2(last(col("sv"), ignoreNulls = true).over(w)).as("locf_sum")
+      )
+      .orderBy("user_id", "hr")
+  }
+
   /** Set ops: UNION / INTERSECT / EXCEPT between event-type user sets. */
   private def q16(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "events")
@@ -1023,6 +1078,8 @@ object Relational {
     "q14_window_rank" -> q14,
     "q14b_window_ranks_full" -> q14b,
     "q15_window_analytic" -> q15,
+    "q15b_window_range_frame" -> q15b,
+    "q59_resample_gapfill" -> q59,
     "q16_set_ops" -> q16,
     "q16b_set_ops_all" -> q16b,
     "q17_string_fns" -> q17,
@@ -1300,6 +1357,29 @@ object Relational {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |ORDER BY event_id""".stripMargin,
+    "q15b_window_range_frame" ->
+      """SELECT event_id, user_id,
+        |  count(*) OVER w AS n_trailing_hour,
+        |  round(sum(value) OVER w, 2) AS sum_trailing_hour
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+        |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+    "q59_resample_gapfill" ->
+      """WITH hourly AS (
+        |  SELECT user_id, date_trunc('hour', ts) AS hr,
+        |    count(*) AS n, sum(value) AS sv
+        |  FROM events WHERE user_id < 50 GROUP BY 1, 2),
+        |spans AS (SELECT user_id, min(hr) AS h0, max(hr) AS h1 FROM hourly GROUP BY 1),
+        |grid AS (
+        |  SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hr
+        |  FROM spans)
+        |SELECT g.user_id, g.hr,
+        |  CAST(coalesce(h.n, 0) AS BIGINT) AS n_events,
+        |  round(last_value(h.sv IGNORE NULLS)
+        |    OVER (PARTITION BY g.user_id ORDER BY g.hr), 2) AS locf_sum
+        |FROM grid g LEFT JOIN hourly h ON h.user_id = g.user_id AND h.hr = g.hr
+        |ORDER BY g.user_id, g.hr""".stripMargin,
     "q16_set_ops" ->
       """SELECT 'except' AS op, count(*) AS cnt FROM (
         |  SELECT DISTINCT user_id FROM events WHERE event_type = 'click'

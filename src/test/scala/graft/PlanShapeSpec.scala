@@ -289,4 +289,16 @@ class PlanShapeSpec extends SparkSpec {
     val salted = summarize(SaltedJoin.inner(orders, customer, "o_custkey", 7))
     assert(plain == salted)
   }
+
+  test("q59 gap-fill grid is a distributed Generate and an equi left join") {
+    val plan = executedPlan(SparkEntry.queries("q59_resample_gapfill")(spark, sf))
+    val finalPlan = plan.split("== Initial Plan ==").head
+    // the hourly grid comes from explode(sequence) on executors — a
+    // Generate node — never a driver-side loop or a nested-loop join
+    assert(finalPlan.contains("Generate"), s"grid explode missing:\n$plan")
+    assert(
+      !finalPlan.contains("NestedLoopJoin") && !finalPlan.contains("CartesianProduct"),
+      s"gap-fill join degenerated to a non-equi join:\n$plan"
+    )
+  }
 }
