@@ -193,6 +193,32 @@ object TextAnalysis {
       .orderBy(desc("cnt"), col("w"))
       .limit(20)
 
+  /** q34c: adjacent-pair (bigram) frequency — the merge-candidate count
+    * at the heart of one BPE training iteration, at token granularity.
+    * The pair column materializes inside a Generate (`explode` of a
+    * `zip_with` over two shifted slices — no self-join, no shuffle of
+    * the corpus beyond the final pair aggregation, which partial-aggs
+    * map-side); top-20 with a full deterministic tie-break.
+    */
+  private def q34c(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    docs(s, dir)
+      .filter(size(toks) >= 2)
+      .select(
+        explode(
+          zip_with(
+            slice(toks, lit(1), size(toks) - 1),
+            slice(toks, lit(2), size(toks) - 1),
+            (a, b) => concat_ws(" ", a, b)
+          )
+        ).as("pair")
+      )
+      .groupBy("pair")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), col("pair"))
+      .limit(20)
+  }
+
   /** q51: TF-IDF top-3 terms per document — the classic salient-term
     * profile used for topic tagging and template detection in corpus
     * curation. Shape at scale: tf is the only corpus-sized frame (one
@@ -318,11 +344,20 @@ object TextAnalysis {
     "q33b_length_filter" -> q33b,
     "q34_token_count" -> q34,
     "q34b_vocab_topk" -> q34b,
+    "q34c_bpe_pairs" -> q34c,
     "q35_fingerprint" -> q35,
     "q51_tfidf" -> q51
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q34c_bpe_pairs" ->
+      """WITH toks AS (SELECT string_split(text, ' ') AS w FROM documents),
+        |pairs AS (
+        |  SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+        |    i -> w[i] || ' ' || w[i+1])) AS pair
+        |  FROM toks WHERE len(w) >= 2)
+        |SELECT pair, count(*) AS cnt FROM pairs
+        |GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20""".stripMargin,
     "q33b_length_filter" ->
       """WITH lc AS (SELECT n_chars, count(*) AS c FROM documents GROUP BY n_chars),
         |cum AS (SELECT n_chars,
