@@ -807,6 +807,27 @@ object Relational {
     """)
   }
 
+  /** Correlated LATERAL subquery with per-row ORDER BY + LIMIT: each
+    * nation's top-2 customers by balance. Catalyst decorrelates the
+    * lateral into row_number over (nationkey) with WindowGroupLimit
+    * (partial map-side + final — per-group state bounded at k, no
+    * per-nation re-execution) feeding a broadcast hash join; one pass
+    * over customer (plan-pinned in PlanShapeSpec). The DuckDB oracle
+    * runs the same LATERAL spelling.
+    */
+  private def q21b(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "nation").createOrReplaceTempView("graft_nation")
+    t(s, dir, "customer").createOrReplaceTempView("graft_customer")
+    s.sql("""
+      SELECT n.n_name, l.c_name, round(l.c_acctbal, 2) AS acctbal
+      FROM graft_nation n, LATERAL (
+        SELECT c_name, c_acctbal FROM graft_customer c
+        WHERE c.c_nationkey = n.n_nationkey
+        ORDER BY c_acctbal DESC, c_name LIMIT 2) l
+      ORDER BY n.n_name, acctbal DESC, l.c_name
+    """)
+  }
+
   /** Sliding event-time window (10-minute length, 5-minute slide): each
     * event lands in two overlapping windows via the Expand operator.
     */
@@ -1093,6 +1114,7 @@ object Relational {
     "q20c_array_set_fns" -> q20c,
     "q20d_sql_kernel" -> q20d,
     "q21_correlated_subquery" -> q21,
+    "q21b_lateral_topk" -> q21b,
     "q22_tumbling_window" -> q22,
     "q22b_sliding_window" -> q22b,
     "q23_session_window" -> q23,
@@ -1465,6 +1487,13 @@ object Relational {
         |WHERE o_totalprice > (SELECT 1.25 * avg(o_totalprice)
         |                      FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
         |ORDER BY o_orderkey""".stripMargin,
+    "q21b_lateral_topk" ->
+      """SELECT n.n_name, l.c_name, round(l.c_acctbal, 2) AS acctbal
+        |FROM nation n, LATERAL (
+        |  SELECT c_name, c_acctbal FROM customer c
+        |  WHERE c.c_nationkey = n.n_nationkey
+        |  ORDER BY c_acctbal DESC, c_name LIMIT 2) l
+        |ORDER BY n.n_name, acctbal DESC, l.c_name""".stripMargin,
     "q22_tumbling_window" ->
       """SELECT time_bucket(INTERVAL '10 minutes', ts) AS win_start,
         |  count(*) AS cnt, round(sum(value), 2) AS sum_value

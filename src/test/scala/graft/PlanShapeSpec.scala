@@ -290,6 +290,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(plain == salted)
   }
 
+  test("q21b lateral top-k decorrelates to WindowGroupLimit + equi join") {
+    val plan = executedPlan(SparkEntry.queries("q21b_lateral_topk")(spark, sf))
+    val finalPlan = plan.split("== Initial Plan ==").head
+    // the correlated LIMIT must become a per-group window limit (state
+    // bounded at k), never a per-outer-row re-execution or nested loop
+    assert(finalPlan.contains("WindowGroupLimit"), s"no WindowGroupLimit:\n$plan")
+    assert(
+      !finalPlan.contains("NestedLoopJoin") && !finalPlan.contains("CartesianProduct"),
+      s"lateral join degenerated to a nested loop:\n$plan"
+    )
+  }
+
   test("q59 gap-fill grid is a distributed Generate and an equi left join") {
     val plan = executedPlan(SparkEntry.queries("q59_resample_gapfill")(spark, sf))
     val finalPlan = plan.split("== Initial Plan ==").head
