@@ -1,0 +1,108 @@
+package graft
+
+import graft.catalog.Layout
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
+
+/** The sorted-layout pruning story, proven at both levels:
+  * parquet footer statistics (disjoint per-file key ranges) and the
+  * scan's own output-row metric (row groups skipped for a point filter).
+  */
+class LayoutSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.01"
+
+  /** (min, max) of bigint column `c` per file, from the parquet footers. */
+  private def fileRanges(dir: String, c: String): Seq[(Long, Long)] = {
+    val conf = new Configuration()
+    new java.io.File(dir)
+      .listFiles()
+      .filter(f => f.getName.endsWith(".parquet"))
+      .toSeq
+      .map { f =>
+        val rd = ParquetFileReader.open(
+          HadoopInputFile.fromPath(new Path(f.getPath), conf)
+        )
+        try {
+          val stats = rd.getFooter.getBlocks.asScala.map { b =>
+            val cc = b.getColumns.asScala
+              .find(_.getPath.toDotString == c)
+              .getOrElse(fail(s"column $c not in footer of ${f.getName}"))
+            val s = cc.getStatistics
+            (
+              s.genericGetMin.asInstanceOf[java.lang.Long].longValue(),
+              s.genericGetMax.asInstanceOf[java.lang.Long].longValue()
+            )
+          }
+          (stats.map(_._1).min, stats.map(_._2).max)
+        } finally rd.close()
+      }
+  }
+
+  /** Sum of the parquet scan leaves' numOutputRows after executing `df` —
+    * rows that survived row-group pruning and reached Spark.
+    */
+  private def scannedRows(df: DataFrame): Long = {
+    df.collect()
+    val executed = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p                        => p
+    }
+    executed.collectLeaves().map(_.metrics("numOutputRows").value).sum
+  }
+
+  test("writeSorted yields disjoint file ranges and a pruning point scan") {
+    val events = graft.queries.Tables.table(spark, sf, "events")
+      .select("event_id", "user_id", "value")
+    val base = tmpDir("graft-layout")
+    val sorted = s"$base/sorted"
+    val control = s"$base/control"
+    Layout.writeSorted(events, sorted, numFiles = 8, "user_id")
+    events.repartition(8).write.parquet(control) // random layout twin
+
+    // footer level: sorted files carry pairwise-disjoint user_id ranges;
+    // the random layout has every file spanning ~the whole domain
+    val sr = fileRanges(sorted, "user_id").sortBy(_._1)
+    assert(sr.size > 1, s"expected several files, got $sr")
+    sr.sliding(2).foreach {
+      case Seq((_, hi), (lo, _)) => assert(hi <= lo, s"overlap in $sr")
+      case _                     =>
+    }
+    val cr = fileRanges(control, "user_id")
+    assert(
+      cr.exists { case (lo, hi) => lo != hi && !sr.contains((lo, hi)) },
+      s"control layout unexpectedly clustered: $cr"
+    )
+
+    // scan level: a point filter over the sorted layout must read at most
+    // one file's worth of rows; the random layout reads ~everything
+    // (every row group's [min,max] straddles the probe key)
+    val probe = events.agg(max("user_id")).collect()(0).getLong(0) / 2
+    def pointRead(path: String): Long =
+      scannedRows(spark.read.parquet(path).filter(col("user_id") === probe))
+    val total = events.count()
+    val sortedRead = pointRead(sorted)
+    val controlRead = pointRead(control)
+    assert(
+      sortedRead <= total / 4,
+      s"sorted layout did not prune: read $sortedRead of $total"
+    )
+    assert(
+      controlRead > sortedRead,
+      s"control read $controlRead <= sorted read $sortedRead?"
+    )
+
+    // and the layout never changes results
+    val a = spark.read.parquet(sorted).filter(col("user_id") === probe)
+      .orderBy("event_id").collect().toSeq
+    val b = spark.read.parquet(control).filter(col("user_id") === probe)
+      .orderBy("event_id").collect().toSeq
+    assert(a == b)
+  }
+}
