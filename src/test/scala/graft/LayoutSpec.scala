@@ -5,8 +5,6 @@ import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.parquet.hadoop.ParquetFileReader
 import org.apache.parquet.hadoop.util.HadoopInputFile
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.apache.spark.sql.functions._
 import scala.jdk.CollectionConverters._
 
@@ -43,18 +41,6 @@ class LayoutSpec extends SparkSpec {
           (stats.map(_._1).min, stats.map(_._2).max)
         } finally rd.close()
       }
-  }
-
-  /** Sum of the parquet scan leaves' numOutputRows after executing `df` —
-    * rows that survived row-group pruning and reached Spark.
-    */
-  private def scannedRows(df: DataFrame): Long = {
-    df.collect()
-    val executed = df.queryExecution.executedPlan match {
-      case a: AdaptiveSparkPlanExec => a.executedPlan
-      case p                        => p
-    }
-    executed.collectLeaves().map(_.metrics("numOutputRows").value).sum
   }
 
   test("writeSorted yields disjoint file ranges and a pruning point scan") {
