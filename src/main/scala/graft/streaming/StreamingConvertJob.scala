@@ -82,6 +82,78 @@ object StreamingConvertJob {
     queries.foreach(_.awaitTermination())
   }
 
+  /** Convert with a `foreachBatch` sink — the custom-per-batch-logic
+    * surface the declarative file sink cannot express: each micro-batch
+    * appends to the partitioned base table AND refreshes the
+    * per-partition summary (`catalog.IncrementalAgg`) for exactly the
+    * partitions that batch touched, so the summary tracks the base
+    * table batch-by-batch with no history rescans.
+    *
+    * Semantics, honestly: `foreachBatch` trades the file sink's commit
+    * log for arbitrary logic, so Spark replays an uncommitted batch
+    * after a crash (at-least-once). A per-batch commit marker under the
+    * checkpoint narrows the duplicate-append window to the instants
+    * between append and marker creation; the summary refresh is
+    * idempotent and recomputes FROM the base table, so summary and base
+    * can never drift from each other regardless of replays. When plain
+    * partitioned output with exactly-once is all that's needed, use
+    * [[start]] (the commit-log sink) — this job is for multi-action
+    * batches.
+    */
+  def startWithSummary(
+      spark: SparkSession,
+      config: Config,
+      summaryPath: String
+  ): StreamingQuery = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.{DataFrame, SaveMode}
+    val reader = spark.readStream
+    config.maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    val withKeys = FlowLogParser
+      .withPartitionKey(FlowLogParser.parse(reader.text(config.inputDir)).good)
+      .drop("ts")
+
+    val trigger =
+      if (config.availableNow) Trigger.AvailableNow()
+      else Trigger.ProcessingTime("10 seconds")
+
+    withKeys.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", config.checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val fs = new Path(config.outputDir)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        val marker =
+          new Path(s"${config.checkpointDir}/graft_batch_commits/$batchId")
+        batch.persist()
+        try {
+          // partitions this batch touches — bounded by (accounts × days)
+          // per batch, a handful, never data-sized
+          val touched = batch
+            .select(FlowLogSchema.partitionColumns.map(batch.col): _*)
+            .distinct()
+            .collect()
+            .map(r => (r.getString(0), r.getString(1)))
+            .toSeq
+          if (touched.nonEmpty) {
+            if (!fs.exists(marker)) { // replayed batch: skip the append
+              batch.write
+                .mode(SaveMode.Append)
+                .partitionBy(FlowLogSchema.partitionColumns: _*)
+                .parquet(config.outputDir)
+              fs.mkdirs(marker)
+            }
+            graft.catalog.IncrementalAgg
+              .update(s, config.outputDir, summaryPath, touched)
+          }
+        } finally batch.unpersist()
+        ()
+      }
+      .start()
+  }
+
   /** Drain available input, then retire the output for batch consumption:
     * drop the sink's `_spark_metadata` log and compact micro-batch file
     * debris (each trigger leaves one file per touched partition — a

@@ -223,6 +223,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("foreachBatch convert maintains the incremental summary batch-by-batch") {
+    import graft.catalog.IncrementalAgg
+    val base = tmpDir("graft-febatch")
+    val in = s"$base/in"; Files.createDirectories(Paths.get(in))
+    (1 to 3).foreach(i => copyInto(in, s"f$i.log", "/root/reference/samples/sample1.log"))
+    val cfg = StreamingConvertJob.Config(
+      inputDir = in,
+      outputDir = s"$base/out",
+      checkpointDir = s"$base/chk",
+      maxFilesPerTrigger = Some(1) // 3 data micro-batches
+    )
+    val summary = s"$base/summary"
+
+    val q = StreamingConvertJob.startWithSummary(spark, cfg, summary)
+    q.awaitTermination()
+    assert(q.recentProgress.count(_.numInputRows > 0) == 3)
+
+    // base table holds all converted rows; summary equals a fresh full
+    // recompute of the base after the last batch
+    val converted = graft.etl.ConvertJob.readConverted(spark, cfg.outputDir)
+    assert(converted.count() == 6) // 3 files × 2 data rows
+    val full = IncrementalAgg
+      .partials(converted)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getAs[Long]("n_rows")))
+      .toSet
+    val got = spark.read
+      .parquet(summary)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getAs[Long]("n_rows")))
+      .toSet
+    assert(got == full, s"summary $got != recompute $full")
+
+    // restart over the same drained input: no new batches, nothing changes
+    val q2 = StreamingConvertJob.startWithSummary(spark, cfg, summary)
+    q2.awaitTermination()
+    assert(graft.etl.ConvertJob.readConverted(spark, cfg.outputDir).count() == 6)
+    assert(spark.read.parquet(summary).collect().length == full.size)
+  }
+
   test("maxFilesPerTrigger backpressure: backlog drains in capped micro-batches with per-batch registration") {
     import org.apache.spark.sql.streaming.StreamingQueryListener
     import org.apache.spark.sql.streaming.StreamingQueryListener._
