@@ -387,6 +387,21 @@ object Relational {
         asc_nulls_first("n_name")
       )
 
+  /** Arbitrary GROUPING SETS — the mixed grain rollup/cube cannot
+    * express ((type, day), (type), ()); one aggregation over an Expand
+    * of the chosen sets, not three unioned jobs over the base table.
+    */
+  private def q13d(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "events").createOrReplaceTempView("graft_events")
+    s.sql("""
+      WITH e AS (SELECT event_type, to_date(ts) AS d FROM graft_events)
+      SELECT event_type, d, grouping_id(event_type, d) AS gid, count(*) AS cnt
+      FROM e
+      GROUP BY GROUPING SETS ((event_type, d), (event_type), ())
+      ORDER BY gid, event_type ASC NULLS FIRST, d ASC NULLS FIRST
+    """)
+  }
+
   private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
 
   /** PIVOT: event_type values to columns, one row per day. The pivot
@@ -1096,6 +1111,7 @@ object Relational {
     "q13_rollup" -> q13,
     "q13b_cube" -> q13b,
     "q13c_grouping_id" -> q13c,
+    "q13d_grouping_sets" -> q13d,
     "q14_window_rank" -> q14,
     "q14b_window_ranks_full" -> q14b,
     "q15_window_analytic" -> q15,
@@ -1313,6 +1329,12 @@ object Relational {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP (r_name, n_name)
         |ORDER BY gid, r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin,
+    "q13d_grouping_sets" ->
+      """WITH e AS (SELECT event_type, CAST(ts AS DATE) AS d FROM events)
+        |SELECT event_type, d, GROUPING(event_type, d) AS gid, count(*) AS cnt
+        |FROM e
+        |GROUP BY GROUPING SETS ((event_type, d), (event_type), ())
+        |ORDER BY gid, event_type ASC NULLS FIRST, d ASC NULLS FIRST""".stripMargin,
     "q42_pivot" ->
       """SELECT CAST(ts AS DATE) AS d,
         |  count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
