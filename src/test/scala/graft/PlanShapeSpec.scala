@@ -290,6 +290,23 @@ class PlanShapeSpec extends SparkSpec {
     assert(plain == salted)
   }
 
+  test("q31c PQ scan: one codes-vs-LUT broadcast cross, equi re-rank, map-side top-R") {
+    val plan = executedPlan(SparkEntry.queries("q31c_knn_pq")(spark, sf))
+    val finalPlan = plan.split("== Initial Plan ==").head
+    // exactly one nested-loop join — the ADC scan of (id, 8 codes) rows
+    // against the broadcast probe LUTs; full vectors re-attach via
+    // BroadcastHashJoin equi joins only
+    val nlj = finalPlan.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(nlj == 1, s"expected exactly 1 code-scan cross join, got $nlj:\n$plan")
+    assert(finalPlan.contains("BroadcastHashJoin"), s"re-rank not equi:\n$plan")
+    // the top-R selection must run as a partial WindowGroupLimit BEFORE
+    // the shuffle — per-partition state bounded at R, map-side
+    assert(
+      finalPlan.contains("row_number(), " + graft.llm.Similarity.PqRerank + ", Partial"),
+      s"no map-side partial top-R:\n$plan"
+    )
+  }
+
   test("q21b lateral top-k decorrelates to WindowGroupLimit + equi join") {
     val plan = executedPlan(SparkEntry.queries("q21b_lateral_topk")(spark, sf))
     val finalPlan = plan.split("== Initial Plan ==").head
