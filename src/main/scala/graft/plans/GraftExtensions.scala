@@ -61,6 +61,14 @@ object SimplifyNormalizedCosine extends Rule[LogicalPlan] {
           if l.isInstanceOf[FloatVectorNormalize] ||
             r.isInstanceOf[FloatVectorNormalize] =>
         FloatVectorCosine(strip(l), strip(r))
+      // the other common spelling of the same algebra: a dot product of
+      // two unit-normalized vectors IS their cosine — fold the two
+      // normalization passes into the cosine kernel's own divide. Only
+      // when BOTH sides are normalized (a one-sided dot(normalize(a), b)
+      // is a different value and stays untouched). Null surface is
+      // unchanged for the same reason as the cosine fold.
+      case FloatVectorDot(l: FloatVectorNormalize, r: FloatVectorNormalize) =>
+        FloatVectorCosine(strip(l), strip(r))
     }
 }
 

@@ -156,6 +156,35 @@ class ExtensionRuleSpec extends SparkSpec {
     )
   }
 
+  test("dot(normalize(a), normalize(b)) folds to cosine(a, b); one-sided dot does not") {
+    val both = pairs.select(
+      VectorOps
+        .dot(VectorOps.normalize(col("ea")), VectorOps.normalize(col("eb")))
+        .as("c")
+    )
+    val opt = both.queryExecution.optimizedPlan.toString
+    assert(opt.contains("float_vector_cosine"), s"dot fold missing:\n$opt")
+    assert(!opt.contains("float_vector_normalize"), s"normalize not folded:\n$opt")
+    // value parity: dot over normalized float32 vs cosine over raw —
+    // same float32-rounding class as the cosine fold
+    spark.conf.set(graft.plans.SimplifyNormalizedCosine.EnabledKey, "false")
+    val unfolded =
+      try both.collect().map(_.getDouble(0))
+      finally spark.conf.unset(graft.plans.SimplifyNormalizedCosine.EnabledKey)
+    val folded = both.collect().map(_.getDouble(0))
+    unfolded.zip(folded).foreach { case (u, f) =>
+      assert(math.abs(u - f) <= 1e-6, s"fold moved value $u -> $f")
+    }
+
+    // dot(normalize(a), b) is a DIFFERENT value — must not fold
+    val oneSided = pairs.select(
+      VectorOps.dot(VectorOps.normalize(col("ea")), col("eb")).as("c")
+    )
+    val opt2 = oneSided.queryExecution.optimizedPlan.toString
+    assert(opt2.contains("float_vector_normalize"), s"one-sided dot folded:\n$opt2")
+    assert(opt2.contains("float_vector_dot"), s"dot kernel vanished:\n$opt2")
+  }
+
   test("normalize: unit result, null on zero vector") {
     import spark.implicits._
     val df = Seq(Array(3.0f, 4.0f), Array(0.0f, 0.0f)).toDF("a")
