@@ -90,11 +90,18 @@ object ConvertJob {
     * the row's own columns — a row-id-based salt would change on task
     * retry and let a recovered shuffle duplicate/drop rows.
     */
+  /** `codec`: "snappy" is the reference's pinned choice (`parquet.go:35`)
+    * and stays the default for byte-layout parity; "zstd" writes 1.8×
+    * smaller at the same write/read speed on this data (measured table
+    * in SCALE.md) — at production scale the storage and scan-I/O win
+    * usually dominates, flip it per deployment.
+    */
   def writePartitioned(
       df: DataFrame,
       outPath: String,
       mode: SaveMode,
-      filesPerPartition: Int = 1
+      filesPerPartition: Int = 1,
+      codec: String = "snappy"
   ): Unit = {
     import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
     val salt = pmod(
@@ -106,6 +113,7 @@ object ConvertJob {
       .write
       .mode(mode)
       .option("maxRecordsPerFile", 5000000)
+      .option("compression", codec)
       .partitionBy(FlowLogSchema.partitionColumns: _*)
       .parquet(outPath)
   }
