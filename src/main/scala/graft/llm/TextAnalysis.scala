@@ -193,6 +193,41 @@ object TextAnalysis {
       .orderBy(desc("cnt"), col("w"))
       .limit(20)
 
+  /** q34d: vocabulary coverage / OOV rate — the go/no-go metric for a
+    * fixed tokenizer vocabulary over a new corpus: what fraction of
+    * token occurrences the top-K vocabulary covers, per language. The
+    * vocab frame is top-K by construction (LIMIT), so its broadcast is
+    * bounded no matter the corpus; the token stream joins it map-side
+    * and aggregates with partial counts — one pass, one shuffle on lang.
+    */
+  private val VocabK = 20
+
+  private def q34d(s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir)
+      .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+    val vocab = toks
+      .groupBy("w")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), col("w"))
+      .limit(VocabK)
+      .select(col("w"), lit(1).as("in_vocab"))
+    toks
+      .join(broadcast(vocab), Seq("w"), "left") // bounded: VocabK rows
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("in_vocab"), lit(0))).cast("long").as("covered")
+      )
+      .select(
+        col("lang"),
+        col("n_tokens"),
+        col("covered"),
+        round(col("covered") / col("n_tokens").cast("double"), 4).as("coverage")
+      )
+      .orderBy("lang")
+  }
+
   /** q34c: adjacent-pair (bigram) frequency — the merge-candidate count
     * at the heart of one BPE training iteration, at token granularity.
     * The pair column materializes inside a Generate (`explode` of a
@@ -345,11 +380,25 @@ object TextAnalysis {
     "q34_token_count" -> q34,
     "q34b_vocab_topk" -> q34b,
     "q34c_bpe_pairs" -> q34c,
+    "q34d_vocab_coverage" -> q34d,
     "q35_fingerprint" -> q35,
     "q51_tfidf" -> q51
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q34d_vocab_coverage" ->
+      s"""WITH tok AS (
+        |  SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents),
+        |tok2 AS (SELECT lang, w FROM tok WHERE w <> ''),
+        |vocab AS (
+        |  SELECT w FROM (
+        |    SELECT w, count(*) AS cnt FROM tok2 GROUP BY w
+        |    ORDER BY cnt DESC, w LIMIT $VocabK))
+        |SELECT lang, count(*) AS n_tokens,
+        |  CAST(count(v.w) AS BIGINT) AS covered,
+        |  round(CAST(count(v.w) AS DOUBLE) / count(*), 4) AS coverage
+        |FROM tok2 LEFT JOIN vocab v USING (w)
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     "q34c_bpe_pairs" ->
       """WITH toks AS (SELECT string_split(text, ' ') AS w FROM documents),
         |pairs AS (
