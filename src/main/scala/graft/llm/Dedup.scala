@@ -380,6 +380,31 @@ object Dedup {
       .orderBy("va", "vb")
   }
 
+  /** q25b: normalized exact dedup — the fuzzy-exact step real curation
+    * pipelines run before near-dup detection (lowercase, strip
+    * non-alphanumerics, collapse whitespace, then hash-group): catches
+    * trivially reformatted copies that byte-exact q25 misses, at the
+    * same one-shuffle cost. The normalization is a pure column pipeline
+    * whose regexes mean the same thing in Spark (Java, global by
+    * default) and DuckDB (RE2 with the 'g' flag).
+    */
+  private def q25b(s: SparkSession, dir: String): DataFrame = {
+    val norm = trim(
+      regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""),
+        " +",
+        " "
+      )
+    )
+    Tables
+      .table(s, dir, "documents")
+      .select(col("doc_id"), norm.as("norm"))
+      .groupBy(md5(col("norm")))
+      .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
+      .select("keep_doc_id", "n_copies")
+      .orderBy("keep_doc_id")
+  }
+
   // ------------------- q29b: cluster-bucketed embedding dedup (SemDeDup)
 
   private val SemCells = 16
@@ -430,6 +455,7 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q24_dedup_keys" -> q24,
     "q25_dedup_exact_text" -> q25,
+    "q25b_dedup_normalized" -> q25b,
     "q26_dedup_ngram_jaccard" -> q26,
     "q27_dedup_minhash_lsh" -> q27,
     "q28_dedup_simhash" -> q28,
@@ -469,6 +495,13 @@ object Dedup {
     "q25_dedup_exact_text" ->
       """SELECT min(doc_id) AS keep_doc_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY keep_doc_id""".stripMargin,
+    "q25b_dedup_normalized" ->
+      """SELECT min(doc_id) AS keep_doc_id, count(*) AS n_copies
+        |FROM (SELECT doc_id,
+        |        trim(regexp_replace(regexp_replace(lower(text),
+        |          '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
+        |      FROM documents)
+        |GROUP BY md5(norm) ORDER BY keep_doc_id""".stripMargin,
     "q26_dedup_ngram_jaccard" -> s"$shingleCte\n$jaccardSelect",
     // LSH with 16×4 banding has recall ≈ 1 at the 0.6 threshold (the
     // planted near-dups sit at jac ≥ 0.9, where miss probability is
