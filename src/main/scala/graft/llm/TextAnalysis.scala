@@ -193,6 +193,43 @@ object TextAnalysis {
       .orderBy(desc("cnt"), col("w"))
       .limit(20)
 
+  /** q57b: bigram-LM surprisal — mean negative log conditional
+    * probability -avg(ln P(w2|w1)) with P(w2|w1) = c(w1 w2)/c(w1·),
+    * both counts from the corpus itself (the step from q57's unigram
+    * stand-in toward real perplexity filtering; repetitive/templated
+    * docs score near 0, token-salad scores high). The bigram table is
+    * vocabulary²-sized so BOTH count joins run unhinted (the q51/q57
+    * rationale: AQE broadcasts only what it measures small); the pair
+    * stream comes from the same Generate shape as q34c — no self-join.
+    */
+  private def q57b(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val pairs = docs(s, dir)
+      .filter(size(toks) >= 2)
+      .select(
+        col("doc_id"),
+        explode(
+          zip_with(
+            slice(toks, lit(1), size(toks) - 1),
+            slice(toks, lit(2), size(toks) - 1),
+            (a, b) => struct(a.as("w1"), b.as("w2"))
+          )
+        ).as("p")
+      )
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val big = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val pre = pairs.groupBy("w1").agg(count(lit(1)).as("c1"))
+    pairs
+      .join(big, Seq("w1", "w2"))
+      .join(pre, Seq("w1"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        round(-avg(log(col("c12") / col("c1"))), 4).as("bigram_surprisal")
+      )
+      .orderBy("doc_id")
+  }
+
   /** q34d: vocabulary coverage / OOV rate — the go/no-go metric for a
     * fixed tokenizer vocabulary over a new corpus: what fraction of
     * token occurrences the top-K vocabulary covers, per language. The
@@ -375,6 +412,7 @@ object TextAnalysis {
     "q53_scrub" -> q53,
     "q55_repetition" -> q55,
     "q57_surprisal" -> q57,
+    "q57b_bigram_surprisal" -> q57b,
     "q33_quality_score" -> q33,
     "q33b_length_filter" -> q33b,
     "q34_token_count" -> q34,
@@ -493,6 +531,20 @@ object TextAnalysis {
         |SELECT doc_id, count(*) AS n_tokens,
         |  round(-avg(ln(freq * 1.0 / n_total)), 4) AS surprisal
         |FROM toks JOIN freq USING (w) CROSS JOIN tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q57b_bigram_surprisal" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |pp AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(generate_series(1, len(w) - 1), i -> w[i])) AS w1,
+        |    unnest(list_transform(generate_series(1, len(w) - 1), i -> w[i+1])) AS w2
+        |  FROM toks WHERE len(w) >= 2),
+        |big AS (SELECT w1, w2, count(*) AS c12 FROM pp GROUP BY 1, 2),
+        |pre AS (SELECT w1, count(*) AS c1 FROM pp GROUP BY 1)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  round(-avg(ln(c12 * 1.0 / c1)), 4) AS bigram_surprisal
+        |FROM pp JOIN big USING (w1, w2) JOIN pre USING (w1)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q51_tfidf" ->
       """WITH words AS (
