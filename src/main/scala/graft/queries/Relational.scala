@@ -332,6 +332,27 @@ object Relational {
       .agg(approx_count_distinct(col("user_id")).as("approx_users"))
       .orderBy("event_type")
 
+  /** Mergeable-sketch rollup: per-day HLL sketches of distinct users,
+    * union-merged to weekly estimates — the no-rescan distinct-count
+    * pattern at 100 TB (store a sketch per partition like
+    * IncrementalAgg's algebraic partials; answer any coarser grain by
+    * merging registers, never re-reading data). HLL register merge is
+    * lossless and order-independent, so the merged weekly estimate is
+    * BIT-EQUAL to a direct sketch of the week's rows — QueriesSpec
+    * asserts that equality exactly; DuckDB has no sketch twin, so the
+    * driver records rows-only.
+    */
+  private def q12c(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      .groupBy(to_date(date_trunc("week", col("d"))).as("wk"))
+      .agg(
+        count(lit(1)).as("n_days"),
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_users")
+      )
+      .orderBy("wk")
+
   /** ROLLUP over region → nation (Expand operator). */
   private def q13(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "customer")
@@ -1108,6 +1129,7 @@ object Relational {
     "q11_agg_having" -> q11,
     "q12_distinct_agg" -> q12,
     "q12b_approx_distinct" -> q12b,
+    "q12c_sketch_rollup" -> q12c,
     "q13_rollup" -> q13,
     "q13b_cube" -> q13b,
     "q13c_grouping_id" -> q13c,

@@ -27,6 +27,36 @@ class QueriesSpec extends SparkSpec {
     assert(unknown.isEmpty, s"oracleSql keys without queries: $unknown")
   }
 
+  test("q12c merged weekly sketch is BIT-EQUAL to a direct sketch of the week") {
+    import org.apache.spark.sql.functions._
+    val e = graft.queries.Tables.table(spark, sf, "events")
+    // direct: one sketch straight over each week's rows (no daily stage)
+    val direct = e
+      .groupBy(to_date(date_trunc("week", col("ts"))).as("wk"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("est"))
+      .collect()
+      .map(r => r.getDate(0).toString -> r.getLong(1))
+      .toMap
+    val merged = SparkEntry
+      .queries("q12c_sketch_rollup")(spark, sf)
+      .collect()
+      .map(r => r.getDate(0).toString -> r.getAs[Long]("est_users"))
+      .toMap
+    // register merge is lossless and order-independent: EXACT equality,
+    // not a tolerance — any drift means the rollup lost sketch state
+    assert(merged == direct, s"merged $merged != direct $direct")
+    // and the estimate tracks exact distincts within HLL's usual bound
+    val exact = e
+      .groupBy(to_date(date_trunc("week", col("ts"))).as("wk"))
+      .agg(countDistinct(col("user_id")).as("n"))
+      .collect()
+      .map(r => r.getDate(0).toString -> r.getLong(1))
+      .toMap
+    exact.foreach { case (wk, n) =>
+      assert(math.abs(merged(wk) - n).toDouble / n <= 0.05, s"$wk: ${merged(wk)} vs $n")
+    }
+  }
+
   test("approx_count_distinct within 5% of exact (q12 vs q12b)") {
     val exact = SparkEntry
       .queries("q12_distinct_agg")(spark, sf)
