@@ -219,13 +219,86 @@ object Multimodal {
       )
       .orderBy("modality")
 
+  /** q36d: multimodal retrieval — the CLIP-shaped composition: stub
+    * feature extraction (the mapPartitions batch path) feeding cosine
+    * top-k retrieval. Probes are the 5 smallest image-modality ids
+    * (bounded by LIMIT, broadcastable by construction); every media row
+    * of any modality is a candidate — cross-modal by design. The stub
+    * embeddings are deterministic functions of the payload checksum, so
+    * the WHOLE pipeline (decode → embed → score → rank) replays in the
+    * DuckDB oracle value-exactly.
+    */
+  private def q36d(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val feats = extractFeatures(mediaFromDocuments(s, dir))
+      .select(col("media_id"), col("modality"), col("embedding"))
+    val probes = feats
+      .filter(col("modality") === "image")
+      .orderBy("media_id")
+      .limit(5)
+      .select(col("media_id").as("probe_id"), col("embedding").as("pe"))
+    val corpus = feats.select(
+      col("media_id").as("neighbor_id"),
+      col("modality").as("n_modality"),
+      col("embedding").as("ne")
+    )
+    val w = Window.partitionBy(col("probe_id")).orderBy(desc("cos"), col("neighbor_id"))
+    corpus
+      .crossJoin(broadcast(probes))
+      .filter(col("neighbor_id") =!= col("probe_id"))
+      .withColumn("cos", VectorOps.cosine(col("pe"), col("ne")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(
+        col("probe_id"),
+        col("neighbor_id"),
+        col("n_modality"),
+        col("rank"),
+        round(col("cos"), 4).as("cos_sim")
+      )
+      .orderBy("probe_id", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q36_multimodal_features" -> q36,
     "q36b_multimodal_resize" -> q36b,
-    "q36c_multimodal_frames" -> q36c
+    "q36c_multimodal_frames" -> q36c,
+    "q36d_multimodal_retrieval" -> q36d
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q36d_multimodal_retrieval" ->
+      """WITH feat AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |         WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS modality,
+        |    list_reduce(
+        |      list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+        |      (acc, c) -> (acc * 31 + c) % 2147483647) AS h
+        |  FROM documents),
+        |emb AS (
+        |  SELECT doc_id, modality,
+        |    list_transform(generate_series(0, 7),
+        |      k -> CAST(CAST((h * (2*k + 1)) % 1000 AS DOUBLE) / 1000.0 AS FLOAT)) AS e
+        |  FROM feat),
+        |probes AS (
+        |  SELECT doc_id AS probe_id, e AS pe FROM emb
+        |  WHERE modality = 'image' ORDER BY doc_id LIMIT 5),
+        |cos AS (
+        |  SELECT p.probe_id, n.doc_id AS neighbor_id, n.modality AS n_modality,
+        |    list_sum(list_transform(generate_series(1, 8),
+        |      i -> CAST(p.pe[i] AS DOUBLE) * CAST(n.e[i] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(p.pe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(n.e, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS c
+        |  FROM probes p JOIN emb n ON n.doc_id <> p.probe_id),
+        |ranked AS (
+        |  SELECT probe_id, neighbor_id, n_modality, c,
+        |    row_number() OVER (PARTITION BY probe_id ORDER BY c DESC, neighbor_id) AS rnk
+        |  FROM cos)
+        |SELECT probe_id, neighbor_id, n_modality, rnk AS rank, round(c, 4) AS cos_sim
+        |FROM ranked WHERE rnk <= 5
+        |ORDER BY probe_id, rnk""".stripMargin,
     // replays the stub decode arithmetically: text here is ascii, so
     // utf-8 bytes == character codes
     "q36_multimodal_features" ->
@@ -259,6 +332,38 @@ object Multimodal {
         |      list_transform(string_split(rt, ''), c -> CAST(ascii(c) AS BIGINT))),
         |    (acc, c) -> (acc * 31 + c) % 2147483647)) AS BIGINT) AS checksum_sum
         |FROM rz GROUP BY modality ORDER BY modality""".stripMargin,
+    "q36d_multimodal_retrieval" ->
+      """WITH feat AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |         WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS modality,
+        |    list_reduce(
+        |      list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+        |      (acc, c) -> (acc * 31 + c) % 2147483647) AS h
+        |  FROM documents),
+        |emb AS (
+        |  SELECT doc_id, modality,
+        |    list_transform(generate_series(0, 7),
+        |      k -> CAST(CAST((h * (2*k + 1)) % 1000 AS DOUBLE) / 1000.0 AS FLOAT)) AS e
+        |  FROM feat),
+        |probes AS (
+        |  SELECT doc_id AS probe_id, e AS pe FROM emb
+        |  WHERE modality = 'image' ORDER BY doc_id LIMIT 5),
+        |cos AS (
+        |  SELECT p.probe_id, n.doc_id AS neighbor_id, n.modality AS n_modality,
+        |    list_sum(list_transform(generate_series(1, 8),
+        |      i -> CAST(p.pe[i] AS DOUBLE) * CAST(n.e[i] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(p.pe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(n.e, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS c
+        |  FROM probes p JOIN emb n ON n.doc_id <> p.probe_id),
+        |ranked AS (
+        |  SELECT probe_id, neighbor_id, n_modality, c,
+        |    row_number() OVER (PARTITION BY probe_id ORDER BY c DESC, neighbor_id) AS rnk
+        |  FROM cos)
+        |SELECT probe_id, neighbor_id, n_modality, rnk AS rank, round(c, 4) AS cos_sim
+        |FROM ranked WHERE rnk <= 5
+        |ORDER BY probe_id, rnk""".stripMargin,
     "q36c_multimodal_frames" ->
       """WITH fr AS (
         |  SELECT doc_id,
