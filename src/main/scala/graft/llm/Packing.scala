@@ -83,8 +83,45 @@ object Packing {
       .orderBy("doc_id")
   }
 
+  /** q52b: pack-boundary segments — the attention-mask metadata packing
+    * actually feeds training: for every context window, the ordered
+    * segments (doc, local start, length) occupying it, one row per
+    * segment (a doc spanning windows contributes one segment per
+    * window it touches via a Generate over its bin range — never a
+    * self-join). The per-window ordering ranks inside a bin-partitioned
+    * window, so no corpus-sized sort materializes.
+    */
+  private def q52b(s: SparkSession, dir: String): DataFrame = {
+    val L = ContextLen
+    val segs = q52(s, dir)
+      .withColumn("b1", expr(s"(start_off + n_tokens - 1) div $L"))
+      .select(
+        col("doc_id"),
+        col("start_off"),
+        col("n_tokens"),
+        explode(sequence(col("bin"), col("b1"))).as("win")
+      )
+      .withColumn("seg_start", greatest(col("start_off"), col("win") * L) - col("win") * L)
+      .withColumn(
+        "seg_len",
+        least(col("start_off") + col("n_tokens"), (col("win") + 1) * L) -
+          greatest(col("start_off"), col("win") * L)
+      )
+    val w = Window.partitionBy("win").orderBy("seg_start", "doc_id")
+    segs
+      .select(
+        col("win"),
+        row_number().over(w).as("seg_idx"),
+        col("doc_id"),
+        col("seg_start"),
+        col("seg_len")
+      )
+      .orderBy("win", "seg_idx")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q52_sequence_packing" -> q52
+    "q52_sequence_packing" -> q52,
+    "q52b_pack_boundaries" -> q52b
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -102,6 +139,30 @@ object Packing {
          |  start_off // $ContextLen AS bin,
          |  (start_off + n_tokens - 1) // $ContextLen > start_off // $ContextLen
          |    AS spans
-         |FROM o ORDER BY doc_id""".stripMargin
+         |FROM o ORDER BY doc_id""".stripMargin,
+    "q52b_pack_boundaries" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+         |  FROM documents),
+         |o AS (
+         |  SELECT doc_id, n_tokens,
+         |    CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |      AS start_off
+         |  FROM t),
+         |segs AS (
+         |  SELECT doc_id, start_off, n_tokens,
+         |    unnest(generate_series(start_off // $ContextLen,
+         |                           (start_off + n_tokens - 1) // $ContextLen)) AS win
+         |  FROM o),
+         |seg2 AS (
+         |  SELECT win, doc_id,
+         |    greatest(start_off, win * $ContextLen) - win * $ContextLen AS seg_start,
+         |    least(start_off + n_tokens, (win + 1) * $ContextLen)
+         |      - greatest(start_off, win * $ContextLen) AS seg_len
+         |  FROM segs)
+         |SELECT win, CAST(row_number() OVER (PARTITION BY win ORDER BY seg_start, doc_id) AS INT) AS seg_idx,
+         |  doc_id, seg_start, seg_len
+         |FROM seg2 ORDER BY win, seg_idx""".stripMargin
   )
 }
