@@ -3,10 +3,10 @@ package graft
 import graft.llm.Similarity
 import org.apache.spark.sql.functions._
 
-/** Measured ANN quality report for BASELINE.md: recall@k of the two
-  * approximate kNN paths (q31 random-hyperplane LSH, q31b IVF) against
-  * the q30 exact brute-force baseline, plus the candidate-count ratio vs
-  * brute force — the accuracy/cost trade the approximate paths buy.
+/** Measured ANN quality report for BASELINE.md: recall@k of the three
+  * approximate kNN paths (q31 random-hyperplane LSH, q31b IVF, q31c PQ)
+  * against the q30 exact brute-force baseline, plus the candidate-count
+  * ratio vs brute force — the accuracy/cost trade each path buys.
   *
   * Recall@k = |approx top-k ∩ exact top-k| / k, averaged over probes.
   * Candidate ratio = scored candidate pairs / brute-force pairs
