@@ -1,0 +1,54 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+/** JSON-lines corpus source — the wire format LLM training corpora
+  * actually arrive in (one JSON document per line, usually gzip'd;
+  * gzip is transparent here exactly as for the flow-log text source).
+  *
+  * Scale rules this encodes:
+  *  - the schema is DECLARED, never inferred: schema inference is a
+  *    full extra pass over the input before the real read, and its
+  *    result depends on which files exist today (the SchemaEvolution
+  *    argument, applied to ingestion);
+  *  - corrupt lines are kept, loudly, not dropped: PERMISSIVE mode
+  *    routes any unparseable line's raw text into a corrupt-record
+  *    column, and the caller gets it as a quarantine frame — the same
+  *    side-output policy as the flow-log parser (`FlowLogParser`
+  *    quarantine; deviation from the reference's abort-the-object
+  *    documented at SURVEY §7.4).
+  */
+object JsonlSource {
+
+  val CorruptCol = "_corrupt_record"
+
+  final case class Read(good: DataFrame, quarantined: DataFrame)
+
+  /** Read JSONL under the declared schema. `good` carries the schema
+    * columns for rows that parsed; `quarantined` carries the raw line
+    * of every row that did not. Both derive from ONE pass (a cached
+    * scan serves both filters; at 100 TB the alternative — two reads —
+    * doubles ingest I/O).
+    */
+  def read(spark: SparkSession, path: String, schema: StructType): Read = {
+    val withCorrupt = StructType(
+      schema.fields.toSeq :+ StructField(CorruptCol, StringType)
+    )
+    val raw = spark.read
+      .schema(withCorrupt)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", CorruptCol)
+      .json(path)
+      .cache()
+    Read(
+      good = raw
+        .filter(col(CorruptCol).isNull)
+        .select(schema.fieldNames.map(col).toSeq: _*),
+      quarantined = raw
+        .filter(col(CorruptCol).isNotNull)
+        .select(col(CorruptCol).as("raw_line"))
+    )
+  }
+}
