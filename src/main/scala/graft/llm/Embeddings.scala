@@ -28,8 +28,56 @@ object Embeddings {
       )
       .orderBy("label", "i")
 
+  // ------------------- q54b: random-projection dimensionality reduction
+
+  private val InDim = 64
+  private val OutDim = 16
+
+  /** Deterministic Rademacher-style sign for matrix cell (i, k): a fixed
+    * integer mix both engines compute exactly (stub-grade hashing — a
+    * production deployment would use a seeded Gaussian matrix; the
+    * OPERATOR SHAPE is identical). 0-based i and k.
+    */
+  private def sign(i: Int, k: Int): Double = {
+    val h = ((i.toLong * 73L + k.toLong * 151L) * 2654435761L) % 97L
+    if (h % 2 == 0) 1.0 else -1.0
+  }
+
+  /** q54b: project 64-dim embeddings to 16 dims with a fixed ±1 sign
+    * matrix (the Johnson–Lindenstrauss shape behind cheap ANN
+    * pre-filters and clustering at scale: 4× fewer bytes per vector,
+    * distances preserved in expectation — EmbeddingsSpec pins the
+    * E[‖Px‖²] = OutDim·‖x‖² energy ratio on this corpus). The matrix
+    * is plan-time literals per output dim, the fold is the same
+    * left-to-right double accumulation as the DuckDB oracle's
+    * list_sum, so the projection is value-exact across engines. Output
+    * is one row per (vec_id, k) — the same streaming-friendly shape as
+    * q54's centroids.
+    */
+  private def q54b(s: SparkSession, dir: String): DataFrame = {
+    val projCols: Seq[org.apache.spark.sql.Column] =
+      (0 until OutDim).map { k =>
+        val signs = array((0 until InDim).map(i => lit(sign(i, k))): _*)
+        aggregate(
+          zip_with(col("embedding"), signs, (x, sg) => x.cast("double") * sg),
+          lit(0.0),
+          (a, x) => a + x
+        )
+      }
+    Tables
+      .table(s, dir, "embeddings")
+      .select(col("vec_id"), posexplode(array(projCols: _*)).as(Seq("k0", "v")))
+      .select(
+        col("vec_id"),
+        (col("k0") + 1).as("k"),
+        round(col("v"), 4).as("proj")
+      )
+      .orderBy("vec_id", "k")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q54_embedding_centroids" -> q54
+    "q54_embedding_centroids" -> q54,
+    "q54b_random_projection" -> q54b
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -44,6 +92,18 @@ object Embeddings {
         |SELECT label, i,
         |  round(avg(CAST(embedding[i] AS DOUBLE)), 4) AS centroid,
         |  count(*) AS n_vecs
-        |FROM e GROUP BY label, i ORDER BY label, i""".stripMargin
+        |FROM e GROUP BY label, i ORDER BY label, i""".stripMargin,
+    // replays the sign formula with SQL's 1-based i mapped to the
+    // Scala 0-based one; same left-to-right double fold
+    "q54b_random_projection" ->
+      s"""WITH p AS (
+         |  SELECT vec_id, k,
+         |    list_sum(list_transform(generate_series(1, $InDim), i ->
+         |      CAST(embedding[i] AS DOUBLE) *
+         |      (CASE WHEN ((((i - 1) * 73 + k * 151) * 2654435761) % 97) % 2 = 0
+         |            THEN 1.0 ELSE -1.0 END))) AS v
+         |  FROM embeddings CROSS JOIN generate_series(0, ${OutDim - 1}) g(k))
+         |SELECT vec_id, CAST(k + 1 AS INT) AS k, round(v, 4) AS proj
+         |FROM p ORDER BY vec_id, k""".stripMargin
   )
 }
