@@ -24,7 +24,13 @@ object JsonlSource {
 
   val CorruptCol = "_corrupt_record"
 
-  final case class Read(good: DataFrame, quarantined: DataFrame)
+  /** `release()` drops the shared scan cache once both frames are
+    * consumed — a long-lived session ingesting many corpora must not
+    * accumulate executor storage.
+    */
+  final case class Read(good: DataFrame, quarantined: DataFrame, private val raw: DataFrame) {
+    def release(): Unit = { raw.unpersist(); () }
+  }
 
   /** Read JSONL under the declared schema. `good` carries the schema
     * columns for rows that parsed; `quarantined` carries the raw line
@@ -48,7 +54,8 @@ object JsonlSource {
         .select(schema.fieldNames.map(col).toSeq: _*),
       quarantined = raw
         .filter(col(CorruptCol).isNotNull)
-        .select(col(CorruptCol).as("raw_line"))
+        .select(col(CorruptCol).as("raw_line")),
+      raw = raw
     )
   }
 }

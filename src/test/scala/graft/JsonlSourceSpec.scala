@@ -38,6 +38,7 @@ class JsonlSourceSpec extends SparkSpec {
     val q = r.quarantined.collect().map(_.getString(0)).toSet
     assert(q.size == 2)
     assert(q.exists(_.contains("missing comma")) && q.contains("not json at all"))
+    r.release()
   }
 
   test("gzip'd jsonl reads transparently") {
@@ -49,5 +50,6 @@ class JsonlSourceSpec extends SparkSpec {
     out.close()
     val r = JsonlSource.read(spark, dir, schema)
     assert(r.good.count() == 3 && r.quarantined.count() == 2)
+    r.release()
   }
 }
