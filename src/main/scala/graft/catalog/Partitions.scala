@@ -133,4 +133,28 @@ object Partitions {
     */
   def repair(spark: SparkSession, table: String): Unit =
     spark.sql(s"MSCK REPAIR TABLE $table")
+
+  /** Collect table statistics (size/row count; optionally per-column
+    * NDV/min/max histograms) into the catalog — what turns the
+    * cost-based optimizer on for this table: join reorder, broadcast
+    * decisions and skew estimates all read these numbers
+    * (`spark.sql.cbo.enabled`). At production scale run it per newly
+    * registered partition batch, like `IncrementalAgg` — statistics on
+    * an append-only table only ever need topping up, never a full
+    * recompute (Spark's ANALYZE scans what the catalog maps, so keep
+    * the scan bounded by analyzing after each registration, not once a
+    * quarter). PartitionsStatsSpec pins that the optimizer actually
+    * SEES the numbers (plan stats expose the analyzed row count).
+    */
+  def analyze(
+      spark: SparkSession,
+      table: String,
+      columns: Seq[String] = Nil
+  ): Unit = {
+    spark.sql(s"ANALYZE TABLE $table COMPUTE STATISTICS")
+    if (columns.nonEmpty)
+      spark.sql(
+        s"ANALYZE TABLE $table COMPUTE STATISTICS FOR COLUMNS ${columns.mkString(", ")}"
+      )
+  }
 }
