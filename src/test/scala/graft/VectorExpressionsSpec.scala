@@ -87,4 +87,17 @@ class VectorExpressionsSpec extends SparkSpec {
     val v = df.select(VectorOps.cosine(col("a"), col("b")).as("c")).collect()(0).getDouble(0)
     assert(math.abs(v - 1.0) < 1e-12)
   }
+
+  test("kernels survive with codegen fallback DISABLED (hot path stays compiled)") {
+    // spark.sql.codegen.fallback=false turns any doGenCode failure into
+    // a hard error instead of a silent interpreted (slow) fallback —
+    // this pins that the ANN hot path actually runs compiled
+    val prev = spark.conf.get("spark.sql.codegen.fallback")
+    try {
+      spark.conf.set("spark.sql.codegen.fallback", "false")
+      val sf = "/root/testdata/sf0.001"
+      assert(SparkEntry.queries("q30_knn_brute")(spark, sf).count() > 0)
+      assert(SparkEntry.queries("q31c_knn_pq")(spark, sf).count() > 0)
+    } finally spark.conf.set("spark.sql.codegen.fallback", prev)
+  }
 }
