@@ -520,6 +520,30 @@ object Relational {
       .orderBy("o_custkey", "rn")
   }
 
+  /** IGNORE NULLS navigation functions: first/last/nth non-null over a
+    * sparse column (nulls synthesized deterministically from value<5 so
+    * both engines null the same rows) — how gaps are skipped when
+    * reading the "latest known" measurement per key.
+    */
+  private def q14c(s: SparkSession, dir: String): DataFrame = {
+    val w = Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    t(s, dir, "events")
+      .filter(col("user_id") < 50)
+      .withColumn("sv", when(col("value") >= 5, r2(col("value"))))
+      .select(
+        col("event_id"),
+        col("user_id"),
+        col("sv"),
+        first(col("sv"), ignoreNulls = true).over(w).as("first_nn"),
+        last(col("sv"), ignoreNulls = true).over(w).as("last_nn"),
+        nth_value(col("sv"), 2, ignoreNulls = true).over(w).as("second_nn")
+      )
+      .orderBy("event_id")
+  }
+
   /** Analytic window + frame: lag and a 4-row running sum per user. */
   private def q15(s: SparkSession, dir: String): DataFrame = {
     val w = Window
@@ -1136,6 +1160,7 @@ object Relational {
     "q13d_grouping_sets" -> q13d,
     "q14_window_rank" -> q14,
     "q14b_window_ranks_full" -> q14b,
+    "q14c_window_ignore_nulls" -> q14c,
     "q15_window_analytic" -> q15,
     "q15b_window_range_frame" -> q15b,
     "q59_resample_gapfill" -> q59,
@@ -1415,6 +1440,19 @@ object Relational {
         |FROM orders WHERE o_custkey < 50
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         |ORDER BY o_custkey, rn""".stripMargin,
+    "q14c_window_ignore_nulls" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, ts,
+        |    CASE WHEN value >= 5 THEN round(value, 2) END AS sv
+        |  FROM events WHERE user_id < 50)
+        |SELECT event_id, user_id, sv,
+        |  first_value(sv IGNORE NULLS) OVER w AS first_nn,
+        |  last_value(sv IGNORE NULLS) OVER w AS last_nn,
+        |  nth_value(sv, 2 IGNORE NULLS) OVER w AS second_nn
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY event_id""".stripMargin,
     "q15_window_analytic" ->
       """SELECT event_id, user_id, round(value, 2) AS value,
         |  round(lag(value, 1) OVER w, 2) AS prev_value,
