@@ -32,6 +32,55 @@ object JsonlSource {
     def release(): Unit = { raw.unpersist(); () }
   }
 
+  /** Streaming ingest: corpora land incrementally (a crawler drop per
+    * hour), so the same declared-schema + corrupt-routing read runs as
+    * a file-source stream. One `foreachBatch` query SPLITS each batch
+    * into the good and quarantine sinks from a single cached read —
+    * two independent streaming queries over the source would each keep
+    * their own file log and read every input file twice. AvailableNow
+    * by default (the drain-and-stop shape); the checkpoint makes
+    * re-runs incremental.
+    */
+  def streamIngest(
+      spark: SparkSession,
+      inPath: String,
+      schema: StructType,
+      goodPath: String,
+      quarantinePath: String,
+      checkpointDir: String
+  ): org.apache.spark.sql.streaming.StreamingQuery = {
+    val withCorrupt = StructType(
+      schema.fields.toSeq :+ StructField(CorruptCol, StringType)
+    )
+    spark.readStream
+      .schema(withCorrupt)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", CorruptCol)
+      .json(inPath)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.persist()
+        try {
+          batch
+            .filter(col(CorruptCol).isNull)
+            .select(schema.fieldNames.map(col).toSeq: _*)
+            .write
+            .mode("append")
+            .parquet(goodPath)
+          batch
+            .filter(col(CorruptCol).isNotNull)
+            .select(col(CorruptCol).as("raw_line"))
+            .write
+            .mode("append")
+            .parquet(quarantinePath)
+        } finally batch.unpersist()
+        ()
+      }
+      .start()
+  }
+
   /** Read JSONL under the declared schema. `good` carries the schema
     * columns for rows that parsed; `quarantined` carries the raw line
     * of every row that did not. Both derive from ONE pass (a cached

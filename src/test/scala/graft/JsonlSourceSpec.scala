@@ -41,6 +41,31 @@ class JsonlSourceSpec extends SparkSpec {
     r.release()
   }
 
+  test("streaming ingest splits good/quarantine per batch and picks up new files") {
+    val base = tmpDir("graft-jsonl-stream")
+    val in = s"$base/in"
+    Files.createDirectories(Paths.get(in))
+    Files.write(Paths.get(in, "drop1.jsonl"), lines.mkString("\n").getBytes)
+    def run(): Unit = {
+      val q = JsonlSource.streamIngest(
+        spark, in, schema, s"$base/good", s"$base/quar", s"$base/chk"
+      )
+      q.awaitTermination()
+    }
+    run()
+    assert(spark.read.parquet(s"$base/good").count() == 3)
+    assert(spark.read.parquet(s"$base/quar").count() == 2)
+
+    // a later crawler drop: only the new file is read on the next drain
+    Files.write(
+      Paths.get(in, "drop2.jsonl"),
+      """{"doc_id": 5, "text": "new", "lang": "en"}""".getBytes
+    )
+    run()
+    assert(spark.read.parquet(s"$base/good").count() == 4)
+    assert(spark.read.parquet(s"$base/quar").count() == 2)
+  }
+
   test("gzip'd jsonl reads transparently") {
     val dir = tmpDir("graft-jsonl-gz")
     val out = new GZIPOutputStream(
