@@ -405,6 +405,27 @@ object Dedup {
       .orderBy("keep_doc_id")
   }
 
+  /** q25c: incremental (cross-snapshot) dedup — the nightly-crawl
+    * question: which of today's documents are NEW against everything
+    * already ingested? The seen set is a digest table (here: the
+    * doc_id%3==0 slice standing in for yesterday's corpus), today's
+    * docs anti-join it on content digest. Scale shape: a left_anti
+    * equi-join on the 16-byte digest — never on the text — so the
+    * shuffle carries digests; with a persisted seen-table this is the
+    * one join a daily ingest pays (optionally pre-filtered by a bloom
+    * of the seen digests, the q58 pattern).
+    */
+  private def q25c(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).withColumn("digest", md5(col("text")))
+    val seen = d
+      .filter(col("doc_id") % 3 === 0)
+      .select(col("digest"))
+      .distinct()
+    d.join(seen, Seq("digest"), "left_anti")
+      .select(col("doc_id"), col("digest"))
+      .orderBy("doc_id")
+  }
+
   // ------------------- q29b: cluster-bucketed embedding dedup (SemDeDup)
 
   private val SemCells = 16
@@ -456,6 +477,7 @@ object Dedup {
     "q24_dedup_keys" -> q24,
     "q25_dedup_exact_text" -> q25,
     "q25b_dedup_normalized" -> q25b,
+    "q25c_dedup_incremental" -> q25c,
     "q26_dedup_ngram_jaccard" -> q26,
     "q27_dedup_minhash_lsh" -> q27,
     "q28_dedup_simhash" -> q28,
@@ -502,6 +524,12 @@ object Dedup {
         |          '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
         |      FROM documents)
         |GROUP BY md5(norm) ORDER BY keep_doc_id""".stripMargin,
+    "q25c_dedup_incremental" ->
+      """WITH d AS (SELECT doc_id, md5(text) AS digest FROM documents),
+        |seen AS (SELECT DISTINCT digest FROM d WHERE doc_id % 3 = 0)
+        |SELECT doc_id, digest FROM d
+        |WHERE NOT EXISTS (SELECT 1 FROM seen WHERE seen.digest = d.digest)
+        |ORDER BY doc_id""".stripMargin,
     "q26_dedup_ngram_jaccard" -> s"$shingleCte\n$jaccardSelect",
     // LSH with 16×4 banding has recall ≈ 1 at the 0.6 threshold (the
     // planted near-dups sit at jac ≥ 0.9, where miss probability is
