@@ -173,4 +173,66 @@ object Maintenance {
     }
     dropped
   }
+
+  /** Targeted row deletion across the partitioned store — the
+    * right-to-be-forgotten / bad-source purge a 100 TB table eventually
+    * owes. Parquet files are immutable, so deletion means REWRITING the
+    * partitions that contain matches — and only those: every partition
+    * is first probed with the predicate pushed into the parquet scan
+    * (row-group statistics make a no-match probe a footer read, not a
+    * data read), untouched partitions keep their exact files. Rewrites
+    * go through the same `_tmp_`/`_old_` crash-safe swap as compaction;
+    * a partition left empty by the delete is removed outright (and its
+    * empty account dir swept), not left as a zero-row husk. Incremental
+    * by construction: one partition at a time, like every job in this
+    * module. Returns (partitions rewritten, partitions removed).
+    *
+    * `predicate` is a SQL boolean expression over the 14 data columns
+    * (e.g. "srcaddr = '10.0.0.1'") — rows MATCHING it are deleted.
+    */
+  def deleteWhere(
+      spark: SparkSession,
+      location: String,
+      predicate: String
+  ): (Int, Int) = {
+    import org.apache.spark.sql.functions.expr
+    val root = new Path(location)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var rewritten = 0
+    var removed = 0
+    Partitions.partitionKeys(fs, root).foreach { case (_, _, dtDir) =>
+      val part = spark.read
+        .schema(FlowLogSchema.schema)
+        .parquet(dtDir.toString)
+      val hasMatch = !part.filter(expr(predicate)).isEmpty
+      if (hasMatch) {
+        val keep = part.filter(!expr(predicate))
+        if (keep.isEmpty) {
+          if (!fs.delete(dtDir, true))
+            throw new java.io.IOException(s"delete: cannot remove $dtDir")
+          removed += 1
+        } else {
+          val tmp = new Path(dtDir.getParent, "_tmp_" + dtDir.getName)
+          val old = new Path(dtDir.getParent, "_old_" + dtDir.getName)
+          if (fs.exists(old)) { // self-heal, as compactPartition
+            if (!fs.exists(dtDir)) fs.rename(old, dtDir) else fs.delete(old, true)
+          }
+          if (fs.exists(tmp)) fs.delete(tmp, true)
+          keep.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+          if (!fs.rename(dtDir, old))
+            throw new java.io.IOException(s"delete: cannot move $dtDir aside")
+          if (!fs.rename(tmp, dtDir)) {
+            fs.rename(old, dtDir)
+            throw new java.io.IOException(s"delete: cannot publish $tmp")
+          }
+          fs.delete(old, true)
+          rewritten += 1
+        }
+      }
+    }
+    Partitions.partDirs(fs, root, "account=").foreach { case (_, accountDir) =>
+      if (fs.listStatus(accountDir).isEmpty) fs.delete(accountDir, false)
+    }
+    (rewritten, removed)
+  }
 }

@@ -32,6 +32,57 @@ class MaintenanceSpec extends SparkSpec {
     assert(ConvertJob.readConverted(spark, root).count() == before)
   }
 
+  test("deleteWhere rewrites only partitions with matches; others keep their files") {
+    import org.apache.spark.sql.functions.col
+    val root = convertCorpus()
+    val all = ConvertJob.readConverted(spark, root)
+    // a srcaddr that exists in SOME partitions
+    val victim = all
+      .filter(col("srcaddr").isNotNull)
+      .select("srcaddr")
+      .first()
+      .getString(0)
+    val nVictim = all.filter(col("srcaddr") === victim).count()
+    val total = all.count()
+    assert(nVictim > 0)
+
+    // fingerprint every partition's files before the delete
+    def files(): Map[String, Set[(String, Long)]] = {
+      val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      graft.catalog.Partitions
+        .partitionKeys(fs, new org.apache.hadoop.fs.Path(root))
+        .map { case (a, d, dir) =>
+          s"$a/$d" -> fs
+            .listStatus(dir)
+            .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+            .map(f => (f.getPath.getName, f.getLen))
+            .toSet
+        }
+        .toMap
+    }
+    val before = files()
+    val touched = all
+      .filter(col("srcaddr") === victim)
+      .select("account", "dt")
+      .distinct()
+      .collect()
+      .map(r => s"${r.getString(0)}/${r.getString(1)}")
+      .toSet
+
+    val (rewritten, removed) =
+      Maintenance.deleteWhere(spark, root, s"srcaddr = '$victim'")
+    assert(rewritten + removed == touched.size)
+
+    val after = ConvertJob.readConverted(spark, root)
+    assert(after.filter(col("srcaddr") === victim).count() == 0)
+    assert(after.count() == total - nVictim)
+    // untouched partitions kept their exact files
+    val post = files()
+    before.foreach { case (k, v) =>
+      if (!touched.contains(k)) assert(post(k) == v, s"untouched $k changed")
+    }
+  }
+
   test("compactPartition self-heals a crash between the swap renames") {
     val root = convertCorpus()
     val dirs = new java.io.File(root).listFiles().filter(_.isDirectory)
