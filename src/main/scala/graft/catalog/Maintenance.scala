@@ -206,7 +206,14 @@ object Maintenance {
         .parquet(dtDir.toString)
       val hasMatch = !part.filter(expr(predicate)).isEmpty
       if (hasMatch) {
-        val keep = part.filter(!expr(predicate))
+        // three-valued logic: a row where the predicate is NULL is NOT a
+        // match and must be KEPT — a bare NOT(pred) filter would drop it
+        // silently (NULL is filtered), turning a targeted purge into
+        // collateral data loss
+        val keep = part.filter(
+          org.apache.spark.sql.functions
+            .coalesce(!expr(predicate), org.apache.spark.sql.functions.lit(true))
+        )
         if (keep.isEmpty) {
           if (!fs.delete(dtDir, true))
             throw new java.io.IOException(s"delete: cannot remove $dtDir")

@@ -83,6 +83,28 @@ class MaintenanceSpec extends SparkSpec {
     }
   }
 
+  test("deleteWhere keeps rows where the predicate is NULL (three-valued logic)") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val root = convertCorpus()
+    val part = new java.io.File(root)
+      .listFiles().filter(_.isDirectory).head
+      .listFiles().filter(_.isDirectory).head.getPath
+    // inject a null-srcaddr row: 'srcaddr = x' is NULL for it, so a
+    // purge of x must not take it as collateral
+    val one = spark.read.schema(graft.etl.FlowLogSchema.schema).parquet(part).limit(1)
+    one.withColumn("srcaddr", lit(null).cast("string"))
+      .write.mode("append").parquet(part)
+    val victim = spark.read
+      .schema(graft.etl.FlowLogSchema.schema).parquet(part)
+      .filter(col("srcaddr").isNotNull)
+      .select("srcaddr").first().getString(0)
+
+    Maintenance.deleteWhere(spark, root, s"srcaddr = '$victim'")
+    val after = ConvertJob.readConverted(spark, root)
+    assert(after.filter(col("srcaddr") === victim).count() == 0)
+    assert(after.filter(col("srcaddr").isNull).count() == 1, "null row purged!")
+  }
+
   test("compactPartition self-heals a crash between the swap renames") {
     val root = convertCorpus()
     val dirs = new java.io.File(root).listFiles().filter(_.isDirectory)
