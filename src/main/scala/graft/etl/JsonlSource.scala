@@ -24,6 +24,18 @@ object JsonlSource {
 
   val CorruptCol = "_corrupt_record"
 
+  /** Declared schema + the corrupt-record column; loud if the caller's
+    * schema already claims that name (the routing filters would then
+    * misclassify every row).
+    */
+  private def corruptSchema(schema: StructType): StructType = {
+    require(
+      !schema.fieldNames.contains(CorruptCol),
+      s"schema must not declare $CorruptCol — it is the corrupt-routing column"
+    )
+    StructType(schema.fields.toSeq :+ StructField(CorruptCol, StringType))
+  }
+
   /** `release()` drops the shared scan cache once both frames are
     * consumed — a long-lived session ingesting many corpora must not
     * accumulate executor storage.
@@ -49,9 +61,7 @@ object JsonlSource {
       quarantinePath: String,
       checkpointDir: String
   ): org.apache.spark.sql.streaming.StreamingQuery = {
-    val withCorrupt = StructType(
-      schema.fields.toSeq :+ StructField(CorruptCol, StringType)
-    )
+    val withCorrupt = corruptSchema(schema)
     spark.readStream
       .schema(withCorrupt)
       .option("mode", "PERMISSIVE")
@@ -88,9 +98,7 @@ object JsonlSource {
     * doubles ingest I/O).
     */
   def read(spark: SparkSession, path: String, schema: StructType): Read = {
-    val withCorrupt = StructType(
-      schema.fields.toSeq :+ StructField(CorruptCol, StringType)
-    )
+    val withCorrupt = corruptSchema(schema)
     val raw = spark.read
       .schema(withCorrupt)
       .option("mode", "PERMISSIVE")
