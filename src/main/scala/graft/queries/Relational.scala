@@ -107,6 +107,33 @@ object Relational {
       .agg(count(lit(1)).as("cnt"), r2(avg(col("bytes"))).as("avg_bytes"))
       .orderBy("bucket")
 
+  /** Equi-DEPTH histogram (deciles of events.value): bucket edges come
+    * from the DATA, computed with the q33b integer-rank pattern —
+    * per-cent-value counts, a cumulative sum over that BOUNDED frame
+    * (distinct cents, not the corpus), bucket = (10·cum_lt) div total —
+    * instead of a global `ntile(10)` window, which would sort the whole
+    * corpus in ONE task. Pure integer arithmetic ⇒ cross-engine exact;
+    * heavily-tied values land whole in one bucket (correct equi-depth
+    * semantics: a tie cannot straddle an edge).
+    */
+  private def q46b(s: SparkSession, dir: String): DataFrame = {
+    val pv = t(s, dir, "events")
+      .groupBy(r2(col("value")).as("v"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    val total = t(s, dir, "events").agg(count(lit(1)).as("total"))
+    pv.withColumn("cum_lt", coalesce(sum("c").over(w), lit(0L)))
+      .crossJoin(broadcast(total)) // 1-row count: bounded by construction
+      .withColumn("bucket", expr("(cum_lt * 10) div total"))
+      .groupBy("bucket")
+      .agg(
+        sum(col("c")).as("n"),
+        min(col("v")).as("lo"),
+        max(col("v")).as("hi")
+      )
+      .orderBy("bucket")
+  }
+
   /** Conditional / null functions as a first-class checked query (they
     * appear throughout the inventory, but the COVERAGE row deserves its
     * own oracle): multi-branch CASE, IN-list predicate, NULLIF/COALESCE
@@ -1194,6 +1221,7 @@ object Relational {
     "q44_ip_enrich" -> q44,
     "q45_conditional_fns" -> q45,
     "q46_histogram" -> q46,
+    "q46b_equidepth_histogram" -> q46b,
     "q49_join_null_safe" -> q49,
     "q49b_in_list" -> q49b,
     "q49c_exists" -> q49c
@@ -1267,6 +1295,19 @@ object Relational {
         |                  WHERE o.o_custkey = c.c_custkey
         |                    AND o.o_orderpriority = '1-URGENT')
         |ORDER BY c_custkey""".stripMargin,
+    "q46b_equidepth_histogram" ->
+      """WITH pv AS (
+        |  SELECT round(value, 2) AS v, count(*) AS c FROM events GROUP BY 1),
+        |cum AS (
+        |  SELECT v, c,
+        |    CAST(coalesce(sum(c) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_lt
+        |  FROM pv),
+        |tot AS (SELECT count(*) AS total FROM events)
+        |SELECT (cum_lt * 10) // total AS bucket,
+        |  CAST(sum(c) AS BIGINT) AS n, min(v) AS lo, max(v) AS hi
+        |FROM cum CROSS JOIN tot
+        |GROUP BY 1 ORDER BY bucket""".stripMargin,
     "q45_conditional_fns" ->
       """SELECT o_orderkey,
         |  CASE WHEN o_orderstatus = 'F' THEN 'finished'
