@@ -84,9 +84,43 @@ object SkewBench {
 
     val salted = time("salted_join_f8")(agg(SaltedJoin.inner(fact, dim, "k", 8)))
 
+    // ---- keyed-aggregate-after-join arm: the shape where salting WINS.
+    // groupBy(join key) directly downstream reuses the join's hash
+    // partitioning, so OptimizeSkewedJoin declines to split the hot
+    // partition rather than add a shuffle (SkewSpec pins this in the
+    // plan) — the AQE arm degenerates to the unmitigated one and the
+    // whole hot key lands in ONE task through join AND aggregate. The
+    // salt bounds that task by construction: the join runs on
+    // (k, salt), the partial aggregation collapses each salt shard
+    // map-side, and the final groupBy(k) shuffles saltFactor rows per
+    // hot key, not 30% of the corpus.
+    def aggKeyed(joined: DataFrame): Long =
+      joined
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("cnt"), sum(col("payload") * col("weight")).as("s"))
+        .agg(count(lit(1)))
+        .head()
+        .getLong(0)
+
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+    val unmitigatedKeyed =
+      time("keyed_plain_smj")(aggKeyed(fact.join(dim, Seq("k"))))
+
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32MB")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8MB")
+    val aqeKeyed = time("keyed_aqe_skew_join")(aggKeyed(fact.join(dim, Seq("k"))))
+    spark.conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
+    spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+
+    val saltedKeyed =
+      time("keyed_salted_join_f8")(aggKeyed(SaltedJoin.inner(fact, dim, "k", 8)))
+
     println(
       f"""{"n":$n,"hot_share":${hotPct / 100.0}%.2f,"unmitigated_sec":$unmitigated%.3f,""" +
-        f""""aqe_skew_sec":$aqe%.3f,"salted_sec":$salted%.3f}"""
+        f""""aqe_skew_sec":$aqe%.3f,"salted_sec":$salted%.3f,""" +
+        f""""keyed_unmitigated_sec":$unmitigatedKeyed%.3f,""" +
+        f""""keyed_aqe_sec":$aqeKeyed%.3f,"keyed_salted_sec":$saltedKeyed%.3f}"""
     )
     spark.stop()
   }

@@ -21,6 +21,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.etl.EtlBenchQuery.queries ++
+      graft.etl.JsonlGateQuery.queries ++
       graft.queries.Relational.queries ++
       graft.llm.Dedup.queries ++
       graft.llm.Clustering.queries ++
@@ -39,6 +40,7 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     graft.etl.EtlBenchQuery.oracleSql ++
+      graft.etl.JsonlGateQuery.oracleSql ++
       graft.queries.Relational.oracleSql ++
       graft.llm.Dedup.oracleSql ++
       graft.llm.Clustering.oracleSql ++

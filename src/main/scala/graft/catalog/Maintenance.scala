@@ -181,26 +181,41 @@ object Maintenance {
     * is first probed with the predicate pushed into the parquet scan
     * (row-group statistics make a no-match probe a footer read, not a
     * data read), untouched partitions keep their exact files. Rewrites
-    * go through the same `_tmp_`/`_old_` crash-safe swap as compaction;
-    * a partition left empty by the delete is removed outright (and its
-    * empty account dir swept), not left as a zero-row husk. Incremental
-    * by construction: one partition at a time, like every job in this
-    * module. Returns (partitions rewritten, partitions removed).
+    * go through the same `_tmp_`/`_old_` crash-safe swap as compaction,
+    * sized like compactPartition (`ceil(bytes / targetBytes)` outputs —
+    * a large surviving partition must not collapse to one oversized
+    * file); a partition left empty by the delete is removed outright
+    * (and its empty account dir swept), not left as a zero-row husk.
+    * Incremental by construction: one partition at a time, like every
+    * job in this module. Returns (partitions rewritten, partitions
+    * removed).
     *
     * `predicate` is a SQL boolean expression over the 14 data columns
     * (e.g. "srcaddr = '10.0.0.1'") — rows MATCHING it are deleted.
+    *
+    * `table`: when the store is registered as an external table, pass
+    * its name so a fully-emptied partition's catalog entry is dropped
+    * BEFORE its directory (dropOlderThan's ordering — readers stop
+    * seeing the partition first, so the catalog can never point at a
+    * missing location). Rewritten-in-place partitions keep their entry:
+    * same directory, new files. Without `table` the purge is
+    * path-read-only; a registered catalog then needs a follow-up
+    * `Partitions.registerAll` (or MSCK REPAIR) if any partition was
+    * fully emptied.
     */
   def deleteWhere(
       spark: SparkSession,
       location: String,
-      predicate: String
+      predicate: String,
+      table: Option[String] = None,
+      targetBytes: Long = 128L * 1024 * 1024
   ): (Int, Int) = {
     import org.apache.spark.sql.functions.expr
     val root = new Path(location)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     var rewritten = 0
     var removed = 0
-    Partitions.partitionKeys(fs, root).foreach { case (_, _, dtDir) =>
+    Partitions.partitionKeys(fs, root).foreach { case (account, dt, dtDir) =>
       val part = spark.read
         .schema(FlowLogSchema.schema)
         .parquet(dtDir.toString)
@@ -215,6 +230,16 @@ object Maintenance {
             .coalesce(!expr(predicate), org.apache.spark.sql.functions.lit(true))
         )
         if (keep.isEmpty) {
+          // catalog first (dropOlderThan's contract): a reader between
+          // the two steps sees a missing partition, never a registered
+          // location with no directory behind it
+          table.foreach { t =>
+            spark.sql(
+              s"ALTER TABLE $t DROP IF EXISTS PARTITION " +
+                s"(account='${Partitions.escapeSqlString(account)}', " +
+                s"dt='${Partitions.escapeSqlString(dt)}')"
+            )
+          }
           if (!fs.delete(dtDir, true))
             throw new java.io.IOException(s"delete: cannot remove $dtDir")
           removed += 1
@@ -225,7 +250,17 @@ object Maintenance {
             if (!fs.exists(dtDir)) fs.rename(old, dtDir) else fs.delete(old, true)
           }
           if (fs.exists(tmp)) fs.delete(tmp, true)
-          keep.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+          // size the rewrite like compactPartition — surviving bytes
+          // (pre-delete size is the upper bound; cheap and stable) over
+          // targetBytes, never a hard-coded single file
+          val partBytes = fs
+            .listStatus(dtDir)
+            .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+            .map(_.getLen)
+            .sum
+          val nOut =
+            math.max(1, math.ceil(partBytes.toDouble / targetBytes).toInt)
+          keep.coalesce(nOut).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
           if (!fs.rename(dtDir, old))
             throw new java.io.IOException(s"delete: cannot move $dtDir aside")
           if (!fs.rename(tmp, dtDir)) {

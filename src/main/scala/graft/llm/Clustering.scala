@@ -70,6 +70,14 @@ object Clustering {
         .withColumn("component", col("id"))
     )
 
+    // Near-dup graphs converge in ≤3 rounds (cluster diameter 1-2), so
+    // the first convergence counts are almost surely "not yet": skip the
+    // count ACTION for the first two rounds. The rounds stay lazy until
+    // the first check materializes the whole chain — same computed work,
+    // two fewer driver barriers per call (each barrier is a full job
+    // round-trip, and contended machines multiply that cost — the r4-r7
+    // driver-bench variance magnet).
+    val skipChecks = 2.min(maxIters - 1)
     var iters = 0
     var converged = false
     while (!converged && iters < maxIters) {
@@ -94,7 +102,8 @@ object Clustering {
             (coalesce(col("nbr"), col("component")) < col("component")).as("chg")
           )
       )
-      converged = next.filter(col("chg")).limit(1).count() == 0
+      converged =
+        iters >= skipChecks && next.filter(col("chg")).limit(1).count() == 0
       // next is materialized: release the superseded round's blocks (the
       // edge frame stays — it feeds the join in EVERY round)
       labelsRdd.unpersist()

@@ -254,7 +254,7 @@ object Multimodal {
         col("neighbor_id"),
         col("n_modality"),
         col("rank"),
-        round(col("cos"), 4).as("cos_sim")
+        (round(col("cos"), 4) + lit(0d)).as("cos_sim")
       )
       .orderBy("probe_id", "rank")
   }
@@ -296,7 +296,7 @@ object Multimodal {
         |  SELECT probe_id, neighbor_id, n_modality, c,
         |    row_number() OVER (PARTITION BY probe_id ORDER BY c DESC, neighbor_id) AS rnk
         |  FROM cos)
-        |SELECT probe_id, neighbor_id, n_modality, rnk AS rank, round(c, 4) AS cos_sim
+        |SELECT probe_id, neighbor_id, n_modality, rnk AS rank, round(c, 4) + 0.0 AS cos_sim
         |FROM ranked WHERE rnk <= 5
         |ORDER BY probe_id, rnk""".stripMargin,
     // replays the stub decode arithmetically: text here is ascii, so
@@ -332,38 +332,6 @@ object Multimodal {
         |      list_transform(string_split(rt, ''), c -> CAST(ascii(c) AS BIGINT))),
         |    (acc, c) -> (acc * 31 + c) % 2147483647)) AS BIGINT) AS checksum_sum
         |FROM rz GROUP BY modality ORDER BY modality""".stripMargin,
-    "q36d_multimodal_retrieval" ->
-      """WITH feat AS (
-        |  SELECT doc_id,
-        |    CASE WHEN doc_id % 3 = 0 THEN 'image'
-        |         WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS modality,
-        |    list_reduce(
-        |      list_prepend(CAST(0 AS BIGINT),
-        |        list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
-        |      (acc, c) -> (acc * 31 + c) % 2147483647) AS h
-        |  FROM documents),
-        |emb AS (
-        |  SELECT doc_id, modality,
-        |    list_transform(generate_series(0, 7),
-        |      k -> CAST(CAST((h * (2*k + 1)) % 1000 AS DOUBLE) / 1000.0 AS FLOAT)) AS e
-        |  FROM feat),
-        |probes AS (
-        |  SELECT doc_id AS probe_id, e AS pe FROM emb
-        |  WHERE modality = 'image' ORDER BY doc_id LIMIT 5),
-        |cos AS (
-        |  SELECT p.probe_id, n.doc_id AS neighbor_id, n.modality AS n_modality,
-        |    list_sum(list_transform(generate_series(1, 8),
-        |      i -> CAST(p.pe[i] AS DOUBLE) * CAST(n.e[i] AS DOUBLE)))
-        |    / (sqrt(list_sum(list_transform(p.pe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-        |       * sqrt(list_sum(list_transform(n.e, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS c
-        |  FROM probes p JOIN emb n ON n.doc_id <> p.probe_id),
-        |ranked AS (
-        |  SELECT probe_id, neighbor_id, n_modality, c,
-        |    row_number() OVER (PARTITION BY probe_id ORDER BY c DESC, neighbor_id) AS rnk
-        |  FROM cos)
-        |SELECT probe_id, neighbor_id, n_modality, rnk AS rank, round(c, 4) AS cos_sim
-        |FROM ranked WHERE rnk <= 5
-        |ORDER BY probe_id, rnk""".stripMargin,
     "q36c_multimodal_frames" ->
       """WITH fr AS (
         |  SELECT doc_id,

@@ -14,10 +14,13 @@ import org.apache.spark.sql.functions._
   *  - q31: random-hyperplane LSH variant — the scale path when the probe
   *    set is itself huge: bucket both sides by signature bands and only
   *    score within buckets (equi-join), trading recall for a bound on
-  *    scored pairs. Approximate ⇒ no SQL oracle; recall vs q30 is asserted
-  *    in LlmOpsSpec.
+  *    scored pairs. The hyperplanes are FIXED (seeded), so the whole
+  *    pipeline is deterministic and carries a full value-level DuckDB
+  *    oracle (plane floats embedded as literals); recall vs q30 is
+  *    additionally asserted in LlmOpsSpec.
   *  - q31b: IVF — route queries to nprobe of ncells coarse cells; bounds
-  *    the scored fraction at nprobe/ncells by construction.
+  *    the scored fraction at nprobe/ncells by construction. Deterministic
+  *    coarse quantizer (first IvfCells vectors) ⇒ full DuckDB oracle too.
   *  - q31c: product quantization (ADC) — the compression scale path: the
   *    per-probe scan reads 8 one-byte codes per vector (32× below raw),
   *    full vectors fetched only for the top-PqRerank survivors.
@@ -49,7 +52,9 @@ object Similarity {
         col("probe_id"),
         col("neighbor_id"),
         col("rank"),
-        round(col("cos"), 4).as("cos_sim")
+        // + 0.0 normalizes IEEE signed zero — see Relational's parity
+        // conventions (DuckDB round preserves the sign bit, Spark doesn't)
+        (round(col("cos"), 4) + lit(0d)).as("cos_sim")
       )
       .orderBy("probe_id", "rank")
   }
@@ -330,7 +335,85 @@ object Similarity {
       |    / (sqrt(list_sum(list_transform(p.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
       |       * sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))""".stripMargin
 
+  /** The seeded hyperplanes as a DuckDB VALUES list — shortest-repr float
+    * literals round-trip exactly (decimal → DOUBLE → FLOAT recovers the
+    * original float), so the oracle multiplies the SAME plane floats the
+    * Spark kernel sees via `lit(v.toFloat)`.
+    */
+  private def planesValuesSql: String =
+    planes.zipWithIndex
+      .map { case (p, pi) =>
+        s"($pi, [${p.map(_.toFloat.toString).mkString(", ")}]::FLOAT[])"
+      }
+      .mkString(",\n         |    ")
+
+  /** Shared ANN oracle tail: exact cosine over the candidate pairs,
+    * per-probe top-k, identical tie-break — the SQL twin of scoreTopK.
+    */
+  private def scoreTopKSql(candCte: String): String =
+    s"""$candCte,
+       |cos AS (
+       |  SELECT cd.probe_id, cd.neighbor_id,
+       |    $cosineSql AS c
+       |  FROM cand cd
+       |  JOIN embeddings p ON p.vec_id = cd.probe_id
+       |  JOIN embeddings e ON e.vec_id = cd.neighbor_id),
+       |ranked AS (
+       |  SELECT probe_id, neighbor_id, c,
+       |    row_number() OVER (PARTITION BY probe_id ORDER BY c DESC, neighbor_id) AS rnk
+       |  FROM cos)
+       |SELECT probe_id, neighbor_id, rnk AS rank, round(c, 4) + 0.0 AS cos_sim
+       |FROM ranked WHERE rnk <= $TopK
+       |ORDER BY probe_id, rnk""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    // q31 is approximate-but-DETERMINISTIC (fixed seeded hyperplanes), so
+    // the full pipeline replays in SQL: same plane floats (literal VALUES),
+    // same double dot fold, same sign bits → 3-bit band values → candidate
+    // pairs via (band, bval) equi-join + DISTINCT, exact-cosine top-k.
+    "q31_knn_lsh" ->
+      s"""WITH planes AS (
+         |  SELECT * FROM (VALUES
+         |    $planesValuesSql) v(pi, pl)),
+         |bits AS (
+         |  SELECT e.vec_id, p.pi,
+         |    CASE WHEN list_sum(list_transform(generate_series(1, $Dim),
+         |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(p.pl[i] AS DOUBLE))) > 0
+         |      THEN 1 ELSE 0 END AS bit
+         |  FROM embeddings e CROSS JOIN planes p),
+         |bands AS (
+         |  SELECT vec_id, pi // $BandBits AS band,
+         |    sum(bit * CASE pi % $BandBits WHEN 0 THEN 1 WHEN 1 THEN 2 ELSE 4 END) AS bval
+         |  FROM bits GROUP BY 1, 2),
+         |${scoreTopKSql(s"""cand AS (
+         |  SELECT DISTINCT pb.vec_id AS probe_id, nb.vec_id AS neighbor_id
+         |  FROM bands pb JOIN bands nb ON nb.band = pb.band AND nb.bval = pb.bval
+         |  WHERE pb.vec_id < $NumProbes AND nb.vec_id <> pb.vec_id)""".stripMargin)}""".stripMargin,
+    // q31b: deterministic coarse quantizer (first IvfCells vectors), same
+    // nearest-cell argmax (ties → smallest cell) on both engines, candidate
+    // pairs via the cell equi-join, exact-cosine top-k.
+    "q31b_knn_ivf" ->
+      s"""WITH cs AS (
+         |  SELECT e.vec_id, c.vec_id AS cell,
+         |    list_sum(list_transform(generate_series(1, $Dim),
+         |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+         |    / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+         |       * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS csim
+         |  FROM embeddings e JOIN embeddings c ON c.vec_id < $IvfCells),
+         |corpus_cells AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT vec_id, cell,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS rn
+         |    FROM cs) WHERE rn = 1),
+         |probe_cells AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT vec_id, cell,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS rn
+         |    FROM cs WHERE vec_id < $NumProbes) WHERE rn <= $IvfProbes),
+         |${scoreTopKSql(s"""cand AS (
+         |  SELECT pc.vec_id AS probe_id, cc.vec_id AS neighbor_id
+         |  FROM probe_cells pc JOIN corpus_cells cc ON cc.cell = pc.cell
+         |  WHERE cc.vec_id <> pc.vec_id)""".stripMargin)}""".stripMargin,
     "q30_knn_brute" ->
       s"""WITH cos AS (
          |  SELECT p.vec_id AS probe_id, e.vec_id AS neighbor_id,
@@ -342,7 +425,7 @@ object Similarity {
          |    row_number() OVER (PARTITION BY probe_id
          |                       ORDER BY c DESC, neighbor_id) AS rnk
          |  FROM cos)
-         |SELECT probe_id, neighbor_id, rnk AS rank, round(c, 4) AS cos_sim
+         |SELECT probe_id, neighbor_id, rnk AS rank, round(c, 4) + 0.0 AS cos_sim
          |FROM ranked WHERE rnk <= $TopK
          |ORDER BY probe_id, rnk""".stripMargin,
     // q31c is approximate-but-deterministic: codebook = first PqK
@@ -398,7 +481,7 @@ object Similarity {
          |  SELECT probe_id, neighbor_id, c,
          |    row_number() OVER (PARTITION BY probe_id ORDER BY c DESC, neighbor_id) AS rnk
          |  FROM cos)
-         |SELECT probe_id, neighbor_id, rnk AS rank, round(c, 4) AS cos_sim
+         |SELECT probe_id, neighbor_id, rnk AS rank, round(c, 4) + 0.0 AS cos_sim
          |FROM ranked WHERE rnk <= $TopK
          |ORDER BY probe_id, rnk""".stripMargin
   )

@@ -18,7 +18,12 @@ import org.apache.spark.sql.functions._
   *  - deterministic ORDER BY on a full key;
   *  - DOUBLE aggregates wrapped in round(x, 2) (4 for cosines);
   *  - DuckDB integer SUMs cast to BIGINT (DuckDB widens to HUGEINT);
-  *  - no division that can hit zero without a nullif guard (ANSI-safe).
+  *  - no division that can hit zero without a nullif guard (ANSI-safe);
+  *  - any rounded metric that can go NEGATIVE adds `+ 0.0` after the
+  *    round ON BOTH ENGINES: DuckDB's round preserves the sign bit
+  *    (round(-2e-5, 4) = -0.0) while Spark's BigDecimal round returns
+  *    +0.0 — numerically equal, hash-different. IEEE -0.0 + 0.0 = +0.0
+  *    normalizes both (r7's q20d failure; NegativeZeroSpec guards it).
   */
 object Relational {
 
@@ -26,6 +31,9 @@ object Relational {
     Tables.table(s, dir, name)
 
   private def r2(c: Column): Column = round(c, 2)
+
+  /** Signed-zero-normalizing round for metrics that can go negative. */
+  private def rz(c: Column, scale: Int): Column = round(c, scale) + lit(0d)
 
   // ---------------------------------------------------------------- q01-q04
   // Flow queries over our own converted table (SURVEY §2.4 Q1-Q4).
@@ -109,20 +117,56 @@ object Relational {
 
   /** Equi-DEPTH histogram (deciles of events.value): bucket edges come
     * from the DATA, computed with the q33b integer-rank pattern —
-    * per-cent-value counts, a cumulative sum over that BOUNDED frame
-    * (distinct cents, not the corpus), bucket = (10·cum_lt) div total —
-    * instead of a global `ntile(10)` window, which would sort the whole
-    * corpus in ONE task. Pure integer arithmetic ⇒ cross-engine exact;
+    * per-cent-value counts, a cumulative sum over that frame (distinct
+    * cents, not the corpus), bucket = (10·cum_lt) div total — instead of
+    * a global `ntile(10)` window, which would sort the whole corpus in
+    * ONE task. Pure integer arithmetic ⇒ cross-engine exact;
     * heavily-tied values land whole in one bucket (correct equi-depth
     * semantics: a tie cannot straddle an edge).
+    *
+    * The cumulative sum itself is the Packing.scala two-pass scan, not a
+    * single `Window.orderBy`: distinct ROUNDED DOUBLES are bounded only
+    * by the data's value range, so on a wide-range metric the
+    * unpartitioned frame becomes one straggler task. Sharding by
+    * `floor(v / 16)` (order-preserving, data-derived ⇒ deterministic
+    * under any physical partitioning) caps per-task window state at
+    * 1600 cent-values per shard; the shards-sized offset frame is the
+    * only unpartitioned window left, bounded by range/16 rows. NULL
+    * values are filtered EXPLICITLY on both engines (Spark windows sort
+    * NULL first, DuckDB last — edges must not depend on that): deciles
+    * are of the observed values.
     */
   private def q46b(s: SparkSession, dir: String): DataFrame = {
     val pv = t(s, dir, "events")
+      .filter(col("value").isNotNull)
       .groupBy(r2(col("value")).as("v"))
       .agg(count(lit(1)).as("c"))
-    val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
-    val total = t(s, dir, "events").agg(count(lit(1)).as("total"))
-    pv.withColumn("cum_lt", coalesce(sum("c").over(w), lit(0L)))
+      .withColumn("shard", floor(col("v") / 16).cast("long"))
+    val offsets = pv
+      .groupBy("shard")
+      .agg(sum("c").as("shard_c"))
+      .withColumn(
+        "shard_offset",
+        coalesce(
+          sum("shard_c").over(
+            Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)
+          ),
+          lit(0L)
+        )
+      )
+      .select("shard", "shard_offset")
+    val local = Window
+      .partitionBy("shard")
+      .orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val total = t(s, dir, "events")
+      .filter(col("value").isNotNull)
+      .agg(count(lit(1)).as("total"))
+    pv.join(broadcast(offsets), "shard")
+      .withColumn(
+        "cum_lt",
+        col("shard_offset") + coalesce(sum("c").over(local), lit(0L))
+      )
       .crossJoin(broadcast(total)) // 1-row count: bounded by construction
       .withColumn("bucket", expr("(cum_lt * 10) div total"))
       .groupBy("bucket")
@@ -858,7 +902,7 @@ object Relational {
       .select(
         col("va"),
         col("vb"),
-        round(graft.llm.VectorOps.cosine(col("ea"), col("eb")), 4).as("cos_sim")
+        rz(graft.llm.VectorOps.cosine(col("ea"), col("eb")), 4).as("cos_sim")
       )
       .orderBy("va")
   }
@@ -874,7 +918,7 @@ object Relational {
     t(s, dir, "embeddings").createOrReplaceTempView("graft_embeddings")
     s.sql("""
       SELECT a.vec_id AS va, b.vec_id AS vb,
-             round(float_vector_cosine(a.embedding, b.embedding), 4) AS cos_sim
+             round(float_vector_cosine(a.embedding, b.embedding), 4) + 0.0 AS cos_sim
       FROM graft_embeddings a JOIN graft_embeddings b ON b.vec_id = a.vec_id + 9
       ORDER BY va""")
   }
@@ -991,8 +1035,8 @@ object Relational {
       .agg(
         r2(stddev_samp(col("l_quantity"))).as("sd_qty"),
         r2(var_samp(col("l_quantity"))).as("var_qty"),
-        round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qty_price"),
-        r2(covar_samp(col("l_quantity"), col("l_discount"))).as("covar_qty_disc"),
+        rz(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qty_price"),
+        rz(covar_samp(col("l_quantity"), col("l_discount")), 2).as("covar_qty_disc"),
         // extreme prices are unique per group at every SF (checked), so
         // plain max_by/min_by are deterministic here; with ties both
         // engines would need a composite ordering value
@@ -1241,7 +1285,7 @@ object Relational {
        |    / nullif(
        |      sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
        |       * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 0),
-       |  4) AS cos_sim
+       |  4) + 0.0 AS cos_sim
        |FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + $offset
        |ORDER BY va""".stripMargin
 
@@ -1297,13 +1341,14 @@ object Relational {
         |ORDER BY c_custkey""".stripMargin,
     "q46b_equidepth_histogram" ->
       """WITH pv AS (
-        |  SELECT round(value, 2) AS v, count(*) AS c FROM events GROUP BY 1),
+        |  SELECT round(value, 2) AS v, count(*) AS c FROM events
+        |  WHERE value IS NOT NULL GROUP BY 1),
         |cum AS (
         |  SELECT v, c,
         |    CAST(coalesce(sum(c) OVER (ORDER BY v
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_lt
         |  FROM pv),
-        |tot AS (SELECT count(*) AS total FROM events)
+        |tot AS (SELECT count(*) AS total FROM events WHERE value IS NOT NULL)
         |SELECT (cum_lt * 10) // total AS bucket,
         |  CAST(sum(c) AS BIGINT) AS n, min(v) AS lo, max(v) AS hi
         |FROM cum CROSS JOIN tot
@@ -1682,8 +1727,8 @@ object Relational {
       """SELECT l_returnflag,
         |  round(stddev_samp(l_quantity), 2) AS sd_qty,
         |  round(var_samp(l_quantity), 2) AS var_qty,
-        |  round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
-        |  round(covar_samp(l_quantity, l_discount), 2) AS covar_qty_disc,
+        |  round(corr(l_quantity, l_extendedprice), 4) + 0.0 AS corr_qty_price,
+        |  round(covar_samp(l_quantity, l_discount), 2) + 0.0 AS covar_qty_disc,
         |  max_by(l_orderkey, l_extendedprice) AS priciest_order,
         |  min_by(l_orderkey, l_extendedprice) AS cheapest_order
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,

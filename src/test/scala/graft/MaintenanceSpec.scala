@@ -105,6 +105,34 @@ class MaintenanceSpec extends SparkSpec {
     assert(after.filter(col("srcaddr").isNull).count() == 1, "null row purged!")
   }
 
+  test("deleteWhere with a table drops emptied partitions' catalog entries (catalog-first)") {
+    import org.apache.spark.sql.functions.col
+    val root = convertCorpus()
+    val tbl = "graft_deletewhere_cat"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    Partitions.createExternalTable(spark, tbl, root)
+    Partitions.registerAll(spark, tbl, root)
+    val before = spark.sql(s"SHOW PARTITIONS $tbl").count()
+    val total = spark.table(tbl).count()
+    // day-0 rows all carry start_ts == BaseTs exactly, so this predicate
+    // empties the dt=BaseDate partition of EVERY account and nothing else
+    val (rewritten, removed) = Maintenance.deleteWhere(
+      spark,
+      root,
+      s"start_ts = ${FlowLogCorpus.BaseTs}",
+      table = Some(tbl)
+    )
+    assert(removed == FlowLogCorpus.Accounts, s"removed $removed")
+    assert(rewritten == 0, s"rewritten $rewritten — predicate leaked past day 0")
+    assert(spark.sql(s"SHOW PARTITIONS $tbl").count() == before - removed)
+    // the catalog points at no missing location: a full scan through the
+    // table works and sees exactly the surviving rows
+    val after = spark.table(tbl).count()
+    assert(after < total)
+    assert(spark.table(tbl).filter(col("dt") === FlowLogCorpus.BaseDate).count() == 0)
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
   test("compactPartition self-heals a crash between the swap renames") {
     val root = convertCorpus()
     val dirs = new java.io.File(root).listFiles().filter(_.isDirectory)

@@ -41,7 +41,10 @@ def normalize(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return v  # exact: driver may hash raw values
+        # repr round-trips doubles exactly AND distinguishes -0.0 from 0.0
+        # (python == treats them equal, the driver's hash does not — the
+        # r7 q20d escape); bit-level compare mimics the driver faithfully
+        return repr(v)
     if hasattr(v, "isoformat"):
         return v.isoformat()[:26]
     if isinstance(v, bytes):
