@@ -201,11 +201,76 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** q62: FUZZY train/eval decontamination — q58 flags exact word-3-gram
+    * overlap; this flags NEAR-duplicate contamination (a paraphrased or
+    * lightly-edited eval document hiding in the training split) the way
+    * production pipelines do: MinHash-LSH candidates ACROSS the split
+    * boundary, verified with exact Jaccard ≥ 0.6, aggregated per
+    * training doc (match count + strongest match — the evidence a
+    * removal pass logs). Reuses q27's banded-signature frame
+    * (Dedup.bandedBuckets) and q43's md5 split.
+    *
+    * Scale shape: signatures cost q27's one partial-aggregate shuffle
+    * over the shared shingle corpus; candidates come from an equi-join
+    * of train-side band rows against the much smaller eval-side band
+    * rows on (band, bucket) — never a train×eval product; exact
+    * verification touches candidate docs only (q27's semi-join
+    * prefilter recipe). Oracle: at 16×4 banding, LSH recall on the
+    * planted jac ≥ 0.9 clusters is ≈ 1 (miss probability ~1e-11), so
+    * the exact cross-split Jaccard replayed in DuckDB is the same set.
+    */
+  private def q62(s: SparkSession, dir: String): DataFrame = {
+    // sb = split bucket (bands already carries an LSH "bucket" column)
+    val split = Tables
+      .table(s, dir, "documents")
+      .select(col("doc_id"), Sampling.bucket100(col("doc_id")).as("sb"))
+    val bands = Dedup.bandedBuckets(s, dir)
+    val trainBands = bands
+      .join(split.filter(col("sb") < 90).select("doc_id"), "doc_id")
+      .select(col("doc_id").as("da"), col("band"), col("bucket"))
+    val evalBands = bands
+      .join(split.filter(col("sb") >= 90).select("doc_id"), "doc_id")
+      .select(col("doc_id").as("db"), col("band"), col("bucket"))
+    // cached: cand feeds the two semi-filters AND the verify join
+    val cand = Dedup.tcache(
+      s,
+      trainBands
+        .join(evalBands, Seq("band", "bucket"))
+        .select("da", "db")
+        .distinct()
+    )
+
+    val sh = Dedup.cachedShingles(s, dir)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val a = sh
+      .select(col("doc_id").as("da"), col("g"))
+      .join(cand.select("da").distinct(), Seq("da"), "left_semi")
+    val b = sh
+      .select(col("doc_id").as("db"), col("g"))
+      .join(cand.select("db").distinct(), Seq("db"), "left_semi")
+    val inter = cand
+      .join(a, Seq("da"))
+      .join(b, Seq("db", "g"))
+      .groupBy("da", "db")
+      .agg(count(lit(1)).as("i"))
+
+    Dedup
+      .jaccardOf(inter, sizes)
+      .filter(col("jac") >= Dedup.JaccardThreshold)
+      .groupBy(col("da").as("doc_id"))
+      .agg(
+        count(lit(1)).as("n_eval_matches"),
+        round(max(col("jac")), 4).as("max_jac")
+      )
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q47_curation_pipeline" -> q47,
     "q56_mix_weights" -> q56,
     "q56b_apply_mix" -> q56b,
-    "q58_decontaminate" -> q58
+    "q58_decontaminate" -> q58,
+    "q62_fuzzy_decontaminate" -> q62
   )
 
   private def scoreSql(lang: String): String =
@@ -288,6 +353,29 @@ object Curation {
          |  FROM deduped)
          |SELECT split, count(*) AS n_docs,
          |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens
-         |FROM assigned GROUP BY split ORDER BY split""".stripMargin
+         |FROM assigned GROUP BY split ORDER BY split""".stripMargin,
+    // exact cross-split Jaccard — the LSH candidate step has recall ≈ 1
+    // at the 0.6 threshold (see q62 scaladoc), so exact == LSH-verified.
+    // shingleCte's trailing `inter` CTE is unused here (DuckDB inlines
+    // CTEs; an unreferenced one costs nothing).
+    "q62_fuzzy_decontaminate" ->
+      s"""${Dedup.shingleCte},
+         |b AS (SELECT doc_id, ${Sampling.BucketSql} AS bucket FROM documents),
+         |xinter AS (
+         |  SELECT a.doc_id AS da, b2.doc_id AS db, count(*) AS i
+         |  FROM sh a JOIN sh b2 ON a.g = b2.g
+         |  JOIN b ba ON ba.doc_id = a.doc_id
+         |  JOIN b bb ON bb.doc_id = b2.doc_id
+         |  WHERE ba.bucket < 90 AND bb.bucket >= 90
+         |  GROUP BY 1, 2),
+         |j AS (
+         |  SELECT da, db, i * 1.0 / (sa.n + sb.n - i) AS jac
+         |  FROM xinter
+         |  JOIN sz sa ON sa.doc_id = da
+         |  JOIN sz sb ON sb.doc_id = db)
+         |SELECT da AS doc_id, count(*) AS n_eval_matches,
+         |  round(max(jac), 4) AS max_jac
+         |FROM j WHERE jac >= ${Dedup.JaccardThreshold}
+         |GROUP BY da ORDER BY doc_id""".stripMargin
   )
 }

@@ -62,7 +62,7 @@ object Dedup {
   private val trackedCaches =
     scala.collection.mutable.Buffer.empty[(SparkSession, DataFrame)]
 
-  private def tcache(s: SparkSession, df: DataFrame): DataFrame =
+  private[llm] def tcache(s: SparkSession, df: DataFrame): DataFrame =
     synchronized {
       val c = df.cache()
       trackedCaches += ((s, c))
@@ -110,7 +110,7 @@ object Dedup {
     * candidate frame is small (LSH output) or the full shingle self-join
     * (oracle baseline); sizes are computed once and joined twice.
     */
-  private def jaccardOf(
+  private[llm] def jaccardOf(
       inter: DataFrame, // (da, db, i)
       sizes: DataFrame // (doc_id, n)
   ): DataFrame =
@@ -119,7 +119,7 @@ object Dedup {
       .join(sizes.withColumnRenamed("doc_id", "db").withColumnRenamed("n", "nb"), "db")
       .withColumn("jac", col("i") / (col("na") + col("nb") - col("i")))
 
-  private val JaccardThreshold = 0.6
+  private[llm] val JaccardThreshold = 0.6
 
   // ------------------------------------------------- q24: key dedup (events)
 
@@ -207,23 +207,23 @@ object Dedup {
     * the 64-separate-min-columns declarative form it replaced, with a far
     * smaller codegen footprint.
     */
-  private def q27(s: SparkSession, dir: String): DataFrame = {
+  /** Cached (doc_id, band, bucket) LSH banding rows — q27's signature +
+    * banding stages, shared with Curation's fuzzy decontamination (q62).
+    * Tracked-cached because every consumer joins the frame against itself
+    * or a filtered copy: uncached, the whole shingle→signature pipeline
+    * would execute once per join side (observed 18 s → 3 s at sf0.1).
+    * The cached frame is NumBands small-int rows per doc — cheaper to
+    * hold than the signature arrays it replaces.
+    */
+  private[llm] def bandedBuckets(s: SparkSession, dir: String): DataFrame = {
     val sh = cachedShingles(s, dir)
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-
     val withH = sh.withColumn("h", pmod(xxhash64(col("g")), lit(MinHashP)))
     val minhash = udaf(
       new graft.functions.MinHashAggregator(hashA, hashB, MinHashP)
     )
-    // cache: the bands frame feeds BOTH sides of the candidate self-join —
-    // without it the whole shingle→signature pipeline executes twice
-    // (observed 18 s → 3 s at sf0.1).
-    val sig = tcache(
-      s,
-      withH
-        .groupBy("doc_id")
-        .agg(minhash(col("h")).as("sig"))
-    )
+    val sig = withH
+      .groupBy("doc_id")
+      .agg(minhash(col("h")).as("sig"))
 
     val rowsPerBand = NumHashes / NumBands
     val bandCols = (0 until NumBands).map { bi =>
@@ -231,10 +231,19 @@ object Dedup {
         .map(j => element_at(col("sig"), j + 1))
       hash(lit(bi) +: cols: _*)
     }
-    val bands = sig.select(
-      col("doc_id"),
-      posexplode(array(bandCols: _*)).as(Seq("band", "bucket"))
+    tcache(
+      s,
+      sig.select(
+        col("doc_id"),
+        posexplode(array(bandCols: _*)).as(Seq("band", "bucket"))
+      )
     )
+  }
+
+  private def q27(s: SparkSession, dir: String): DataFrame = {
+    val sh = cachedShingles(s, dir)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val bands = bandedBuckets(s, dir)
 
     val x = bands.select(col("doc_id").as("da"), col("band"), col("bucket"))
     val y = bands.select(col("doc_id").as("db"), col("band"), col("bucket"))
@@ -471,6 +480,76 @@ object Dedup {
       .orderBy("dropped_id")
   }
 
+  // -------------------------------------- q61: paragraph-level dedup
+
+  /** Paragraph stand-in: the corpus has no newlines, so fixed 20-word
+    * windows play the role of paragraph boundaries. The machinery is
+    * identical either way — only the splitter changes.
+    */
+  private val ChunkWords = 20
+
+  /** q61: corpus-wide paragraph dedup (the CCNet/RefinedWeb line-dedup
+    * step): every repeated paragraph occurrence is dropped except the
+    * globally-first one (smallest (doc_id, pos)), and each document is
+    * reassembled from its surviving paragraphs in original order.
+    *
+    * Scale shape: Generate (chunk explode) → hash aggregate
+    * min(struct(doc_id, pos)) per content digest [one shuffle, map-side
+    * partial] → equi join digest→first-occurrence (the build side is ONE
+    * row per distinct paragraph; AQE's skew split handles a
+    * mega-duplicated paragraph on the probe side, which a
+    * PARTITION BY digest row_number window could not — the whole
+    * duplicate group would land on a single task) → reassembly
+    * groupBy(doc_id) [one shuffle]. No all-pairs, no global sort, no
+    * unbounded window partitions.
+    */
+  private def q61(s: SparkSession, dir: String): DataFrame = {
+    // cached: the chunk frame feeds both the first-occurrence aggregate
+    // and the keep-join probe side — uncached, the scan + explode + md5
+    // would execute twice
+    val chunks = tcache(
+      s,
+      docs(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .select(
+          col("doc_id"),
+          posexplode(
+            expr(
+              "CASE WHEN size(w) >= 1 THEN " +
+                s"transform(sequence(0, cast(ceil(size(w) / $ChunkWords.0) as int) - 1), " +
+                s"i -> array_join(slice(w, i * $ChunkWords + 1, $ChunkWords), ' ')) " +
+                "ELSE array() END"
+            )
+          ).as(Seq("pos", "chunk"))
+        )
+        .withColumn("h", md5(col("chunk")))
+    )
+
+    val firsts = chunks
+      .groupBy("h")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("first"))
+
+    chunks
+      .join(firsts, "h")
+      .withColumn(
+        "keep",
+        col("doc_id") === col("first.doc_id") && col("pos") === col("first.pos")
+      )
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        // collect_list skips the NULLs the CASE emits for dropped chunks;
+        // array_sort on the (pos, chunk) struct restores document order
+        expr(
+          "array_join(transform(array_sort(" +
+            "collect_list(CASE WHEN keep THEN struct(pos, chunk) END)), " +
+            "x -> x.chunk), ' ')"
+        ).as("clean_text")
+      )
+      .orderBy("doc_id")
+  }
+
   // ------------------------------------------------------------------ maps
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -482,7 +561,8 @@ object Dedup {
     "q27_dedup_minhash_lsh" -> q27,
     "q28_dedup_simhash" -> q28,
     "q29_dedup_embedding_cosine" -> q29,
-    "q29b_dedup_semantic_clustered" -> q29b
+    "q29b_dedup_semantic_clustered" -> q29b,
+    "q61_paragraph_dedup" -> q61
   )
 
   /** Shared DuckDB shingle CTE (1-based list indexing over there); also
@@ -573,6 +653,28 @@ object Dedup {
          |  JOIN cells cb ON cb.vec_id = b.vec_id AND cb.cell = ca.cell)
          |SELECT vb AS dropped_id, min(va) AS keeper_id, cell, round(max(c), 4) AS max_sim
          |FROM pr WHERE c >= $CosineThreshold
-         |GROUP BY vb, cell ORDER BY dropped_id""".stripMargin
+         |GROUP BY vb, cell ORDER BY dropped_id""".stripMargin,
+    // the oracle's row_number keep-first is value-identical to the Spark
+    // side's min(struct(doc_id, pos)) aggregation — the window spelling
+    // is fine HERE because DuckDB runs at oracle scale only
+    "q61_paragraph_dedup" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |ch AS (
+         |  SELECT doc_id, t.i AS pos,
+         |    array_to_string(list_slice(w,
+         |      t.i * $ChunkWords + 1, t.i * $ChunkWords + $ChunkWords), ' ') AS chunk
+         |  FROM toks, LATERAL unnest(generate_series(0,
+         |    CAST(ceil(len(w) / $ChunkWords.0) AS INT) - 1)) AS t(i)),
+         |rk AS (
+         |  SELECT doc_id, pos, chunk,
+         |    row_number() OVER (PARTITION BY md5(chunk)
+         |                       ORDER BY doc_id, pos) AS rn
+         |  FROM ch)
+         |SELECT doc_id, count(*) AS n_chunks,
+         |  count(*) FILTER (WHERE rn = 1) AS n_kept,
+         |  coalesce(string_agg(chunk, ' ' ORDER BY pos) FILTER (WHERE rn = 1),
+         |           '') AS clean_text
+         |FROM rk GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }

@@ -1045,6 +1045,36 @@ object Relational {
       )
       .orderBy("l_returnflag")
 
+  /** Higher-moment aggregates + deterministic mode: Spark's `skewness` /
+    * `kurtosis` built-ins (population central moments: g1 = m3/m2^1.5,
+    * excess g2 = m4/m2² − 3 — DuckDB's same-named functions are
+    * SAMPLE-adjusted, so the oracle recomputes Spark's definition from
+    * raw moments) and the modal quantity per group with a deterministic
+    * tie-break (most frequent, ties → smallest value — Spark's own
+    * `mode()` is tie-nondeterministic, so the composite max_by spelling
+    * is the cross-engine-safe form). Two hash aggregations, map-side
+    * partial both times; the per-(group, value) count frame is bounded
+    * by the value domain, never the row count.
+    */
+  private def q38b(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val moments = li
+      .groupBy(col("l_returnflag"))
+      .agg(
+        rz(skewness(col("l_quantity")), 4).as("skew_qty"),
+        rz(kurtosis(col("l_quantity")), 4).as("kurt_qty")
+      )
+    val mode = li
+      .groupBy(col("l_returnflag"), col("l_quantity"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        max_by(col("l_quantity"), struct(col("cnt"), col("l_quantity") * -1))
+          .as("mode_qty")
+      )
+    moments.join(mode, "l_returnflag").orderBy("l_returnflag")
+  }
+
   /** Exact interpolated percentiles (the continuous-quantile family). */
   private def q39(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders")
@@ -1254,6 +1284,7 @@ object Relational {
     "q23_session_window" -> q23,
     "q37_asof_join" -> q37,
     "q38_stats_agg" -> q38,
+    "q38b_moment_aggs" -> q38b,
     "q39_percentiles" -> q39,
     "q39b_approx_percentiles" -> q39b,
     "q40_math_fns" -> q40,
@@ -1732,6 +1763,35 @@ object Relational {
         |  max_by(l_orderkey, l_extendedprice) AS priciest_order,
         |  min_by(l_orderkey, l_extendedprice) AS cheapest_order
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // Spark's population-moment definitions recomputed from raw moments
+    // (DuckDB's skewness/kurtosis are sample-adjusted — different
+    // formulas, not a precision matter)
+    "q38b_moment_aggs" ->
+      """WITH mu AS (
+        |  SELECT l_returnflag, avg(l_quantity) AS mu
+        |  FROM lineitem GROUP BY l_returnflag),
+        |m AS (
+        |  SELECT l.l_returnflag,
+        |    avg(pow(l.l_quantity - mu.mu, 2)) AS m2,
+        |    avg(pow(l.l_quantity - mu.mu, 3)) AS m3,
+        |    avg(pow(l.l_quantity - mu.mu, 4)) AS m4
+        |  FROM lineitem l JOIN mu ON l.l_returnflag = mu.l_returnflag
+        |  GROUP BY l.l_returnflag),
+        |cnt AS (
+        |  SELECT l_returnflag, l_quantity, count(*) AS c
+        |  FROM lineitem GROUP BY l_returnflag, l_quantity),
+        |md AS (
+        |  SELECT l_returnflag, l_quantity AS mode_qty FROM (
+        |    SELECT l_returnflag, l_quantity,
+        |      row_number() OVER (PARTITION BY l_returnflag
+        |                         ORDER BY c DESC, l_quantity ASC) AS rn
+        |    FROM cnt) WHERE rn = 1)
+        |SELECT m.l_returnflag,
+        |  round(m3 / pow(m2, 1.5), 4) + 0.0 AS skew_qty,
+        |  round(m4 / (m2 * m2) - 3, 4) + 0.0 AS kurt_qty,
+        |  mode_qty
+        |FROM m JOIN md ON m.l_returnflag = md.l_returnflag
+        |ORDER BY m.l_returnflag""".stripMargin,
     "q39_percentiles" ->
       """SELECT o_orderstatus,
         |  round(quantile_cont(o_totalprice, 0.25), 2) AS p25,

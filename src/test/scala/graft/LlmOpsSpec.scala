@@ -117,4 +117,70 @@ class LlmOpsSpec extends SparkSpec {
     val distinct = fp.select("fingerprint").distinct().count()
     assert(distinct > n * 9 / 10)
   }
+
+  test("paragraph dedup replays exactly in plain Scala") {
+    // independent full replay: chunk every doc into 20-word windows,
+    // keep the globally-first occurrence of each distinct chunk
+    // (smallest (doc_id, pos)), reassemble — must equal the query's
+    // output row for row
+    val texts = graft.queries.Tables
+      .table(spark, sf, "documents")
+      .select("doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+      .sortBy(_._1)
+    val chunked = texts.map { case (id, txt) =>
+      id -> txt.split(" ").grouped(20).map(_.mkString(" ")).toVector
+    }
+    val firstOwner = scala.collection.mutable.Map.empty[String, (Long, Int)]
+    for ((id, chunks) <- chunked; (c, pos) <- chunks.zipWithIndex)
+      if (!firstOwner.contains(c)) firstOwner(c) = (id, pos)
+    val expected = chunked.map { case (id, chunks) =>
+      val kept = chunks.zipWithIndex.collect {
+        case (c, pos) if firstOwner(c) == (id, pos) => c
+      }
+      (id, chunks.size.toLong, kept.size.toLong, kept.mkString(" "))
+    }
+    val got = SparkEntry
+      .queries("q61_paragraph_dedup")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got.toSeq == expected.toSeq)
+    // and the corpus actually contains duplicate chunks (non-vacuous)
+    assert(expected.map(_._3).sum < expected.map(_._2).sum)
+  }
+
+  test("fuzzy decontamination = exact cross-split near-dup pairs") {
+    val split = graft.queries.Tables
+      .table(spark, sf, "documents")
+      .select(
+        col("doc_id"),
+        (conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 15), 16, 10)
+          .cast("long") % 100).as("b")
+      )
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    val exactCross = SparkEntry
+      .queries("q26_dedup_ngram_jaccard")(spark, sf)
+      .select("da", "db")
+      .collect()
+      .flatMap { r =>
+        val (x, y) = (r.getLong(0), r.getLong(1))
+        // q26 emits da < db unordered by split; orient as (train, eval)
+        Seq((x, y), (y, x)).filter { case (tr, ev) =>
+          split(tr) < 90 && split(ev) >= 90
+        }
+      }
+      .map(_._1)
+      .toSet
+    val flagged = SparkEntry
+      .queries("q62_fuzzy_decontaminate")(spark, sf)
+      .select("doc_id")
+      .collect()
+      .map(_.getLong(0))
+      .toSet
+    assert(flagged == exactCross, s"missed ${exactCross -- flagged}, extra ${flagged -- exactCross}")
+    assert(flagged.forall(split(_) < 90), "flagged a non-train doc")
+  }
 }
