@@ -330,4 +330,31 @@ class PlanShapeSpec extends SparkSpec {
       s"gap-fill join degenerated to a non-equi join:\n$plan"
     )
   }
+
+  test("q61 keep-first is an aggregate + equi join — no window, no nested loop") {
+    val plan = executedPlan(SparkEntry.queries("q61_paragraph_dedup")(spark, sf))
+    val finalPlan = plan.split("== Initial Plan ==").head
+    // the design claim: first-occurrence selection must be the
+    // min(struct) HASH AGGREGATE (map-side partial, AQE-splittable
+    // probe), never a PARTITION BY digest window that lands a
+    // mega-duplicated paragraph whole on one task
+    assert(
+      !finalPlan.contains("WindowExec") && !finalPlan.contains("Window "),
+      s"q61 regressed to a window-based keep-first:\n$plan"
+    )
+    assert(
+      !finalPlan.contains("NestedLoopJoin") && !finalPlan.contains("CartesianProduct"),
+      s"q61 digest join degenerated:\n$plan"
+    )
+    assert(finalPlan.contains("Generate"), s"chunk explode missing:\n$plan")
+  }
+
+  test("q62 cross-split candidate + verify joins stay equi joins") {
+    val plan = executedPlan(SparkEntry.queries("q62_fuzzy_decontaminate")(spark, sf))
+    val finalPlan = plan.split("== Initial Plan ==").head
+    assert(
+      !finalPlan.contains("NestedLoopJoin") && !finalPlan.contains("CartesianProduct"),
+      s"q62 degenerated to a non-equi join:\n$plan"
+    )
+  }
 }
