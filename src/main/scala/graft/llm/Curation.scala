@@ -265,12 +265,135 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** md5-derived signed integer weight in [−1000, 1000] for a token — the
+    * deterministic stand-in for a trained classifier's per-feature weight
+    * (the container has no model runtime; what matters is the Spark-side
+    * shape, and an md5-derived weight lets the DuckDB oracle replay every
+    * score bit-for-bit). Integer weights on purpose: the per-doc score is
+    * an EXACT BIGINT sum, so the keep decision (score > 0) can never flip
+    * on float-summation order the way a double-weight model's would.
+    */
+  private def tokenWeight(w: Column): Column =
+    conv(substring(md5(w.cast("binary")), 1, 15), 16, 10).cast("long") % 2001 - 1000
+
+  private val TokenWeightSql =
+    "CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) % 2001 - 1000"
+
+  /** q63: linear quality-classifier scoring — the fastText-style model
+    * filter (CCNet / LLaMA-pipeline "quality classifier" stage) as a
+    * Spark plan: a bounded feature vocabulary (top-[[ClassifierVocabK]]
+    * corpus tokens) carries one weight per token; each document scores
+    * sum(weight of its in-vocab tokens), normalized through a sigmoid.
+    *
+    * Scale shape: the vocab is LIMIT-bounded by construction (the one
+    * case the broadcast-hint policy allows), so scoring is a map-side
+    * broadcast join over the token stream plus ONE per-doc hash
+    * aggregation — the corpus streams once, nothing vocabulary-sized
+    * shuffles. A real trained model swaps the md5 weights for learned
+    * ones; the plan is identical.
+    */
+  private val ClassifierVocabK = 200
+
+  private def q63(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables
+      .table(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+    val vocab = toks
+      .groupBy("w")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), col("w"))
+      .limit(ClassifierVocabK)
+      .select(col("w"), tokenWeight(col("w")).as("wt"))
+    toks
+      .join(broadcast(vocab), Seq("w"), "left") // bounded: ≤ VocabK rows
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        count(col("wt")).as("n_feats"),
+        sum(coalesce(col("wt"), lit(0L))).as("score_int")
+      )
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        col("n_feats"),
+        col("score_int"),
+        // sigmoid of the mean per-mille weight; always > 0, no −0.0 risk
+        round(
+          lit(1.0) / (lit(1.0) + exp(-col("score_int") / (col("n_tokens") * lit(1000.0)))),
+          4
+        ).as("quality_prob"),
+        (col("score_int") > 0).as("keep")
+      )
+      .orderBy("doc_id")
+  }
+
+  /** q64: DSIR-style importance weighting (Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling"): score
+    * every raw document by how much more likely its hashed-feature
+    * profile is under a TARGET distribution (here the `lang = 'en'`
+    * subset standing in for "high-quality domain") than under the raw
+    * corpus — the per-doc mean log-likelihood ratio
+    * avg_tokens[ln p_target(bucket) − ln p_raw(bucket)] with hashed
+    * unigram features (md5 mod [[DsirBuckets]]) and Laplace smoothing.
+    * A resampler then keeps documents proportionally to exp(llr); the
+    * score column is the operator.
+    *
+    * Scale shape: both distributions are ONE hash aggregation over a
+    * [[DsirBuckets]]-row frame — bounded by construction regardless of
+    * corpus size (that is the point of hashed features: vocabulary
+    * explodes, buckets don't), so the score join is a broadcast of a
+    * ≤ 256-row table plus one per-doc aggregation. The corpus streams
+    * twice (once to count, once to score) and nothing vocabulary- or
+    * corpus-sized ever shuffles.
+    */
+  private val DsirBuckets = 256
+
+  private def q64(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables
+      .table(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .withColumn(
+        "b",
+        conv(substring(md5(col("w").cast("binary")), 1, 15), 16, 10)
+          .cast("long") % DsirBuckets
+      )
+    val buckets = toks
+      .groupBy("b")
+      .agg(
+        count(lit(1)).as("c_raw"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("c_tgt")
+      )
+    val totals = toks.agg(
+      count(lit(1)).as("n_raw"),
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_tgt")
+    )
+    toks
+      .join(broadcast(buckets), Seq("b")) // bounded: ≤ DsirBuckets rows
+      .crossJoin(broadcast(totals)) //       bounded: 1 row
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        (round(
+          avg(
+            log((col("c_tgt") + 1.0) / (col("n_tgt") + lit(DsirBuckets))) -
+              log((col("c_raw") + 1.0) / (col("n_raw") + lit(DsirBuckets)))
+          ),
+          4
+        ) + lit(0d)).as("dsir_llr") // + 0.0: signed-zero parity convention
+      )
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q47_curation_pipeline" -> q47,
     "q56_mix_weights" -> q56,
     "q56b_apply_mix" -> q56b,
     "q58_decontaminate" -> q58,
-    "q62_fuzzy_decontaminate" -> q62
+    "q62_fuzzy_decontaminate" -> q62,
+    "q63_classifier_score" -> q63,
+    "q64_dsir_importance" -> q64
   )
 
   private def scoreSql(lang: String): String =
@@ -376,6 +499,45 @@ object Curation {
          |SELECT da AS doc_id, count(*) AS n_eval_matches,
          |  round(max(jac), 4) AS max_jac
          |FROM j WHERE jac >= ${Dedup.JaccardThreshold}
-         |GROUP BY da ORDER BY doc_id""".stripMargin
+         |GROUP BY da ORDER BY doc_id""".stripMargin,
+    "q63_classifier_score" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+         |tok2 AS (SELECT doc_id, w FROM tok WHERE w <> ''),
+         |vocab AS (
+         |  SELECT w, $TokenWeightSql AS wt
+         |  FROM (SELECT w, count(*) AS cnt FROM tok2 GROUP BY w
+         |        ORDER BY cnt DESC, w LIMIT $ClassifierVocabK)),
+         |agg AS (
+         |  SELECT doc_id, count(*) AS n_tokens, count(wt) AS n_feats,
+         |    CAST(sum(coalesce(wt, 0)) AS BIGINT) AS score_int
+         |  FROM tok2 LEFT JOIN vocab USING (w) GROUP BY doc_id)
+         |SELECT doc_id, n_tokens, n_feats, score_int,
+         |  round(1.0 / (1.0 + exp(-score_int / (n_tokens * 1000.0))), 4)
+         |    AS quality_prob,
+         |  score_int > 0 AS keep
+         |FROM agg ORDER BY doc_id""".stripMargin,
+    "q64_dsir_importance" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+         |  FROM documents),
+         |tok2 AS (
+         |  SELECT doc_id, lang,
+         |    CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) % $DsirBuckets AS b
+         |  FROM tok WHERE w <> ''),
+         |buckets AS (
+         |  SELECT b, count(*) AS c_raw,
+         |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS c_tgt
+         |  FROM tok2 GROUP BY b),
+         |totals AS (
+         |  SELECT count(*) AS n_raw,
+         |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_tgt
+         |  FROM tok2)
+         |SELECT doc_id, count(*) AS n_tokens,
+         |  round(avg(ln((c_tgt + 1.0) / (n_tgt + $DsirBuckets)) -
+         |            ln((c_raw + 1.0) / (n_raw + $DsirBuckets))), 4) + 0.0
+         |    AS dsir_llr
+         |FROM tok2 JOIN buckets USING (b) CROSS JOIN totals
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }

@@ -183,4 +183,66 @@ class LlmOpsSpec extends SparkSpec {
     assert(flagged == exactCross, s"missed ${exactCross -- flagged}, extra ${flagged -- exactCross}")
     assert(flagged.forall(split(_) < 90), "flagged a non-train doc")
   }
+
+  private def md5Long15(s: String): Long = {
+    val d = java.security.MessageDigest
+      .getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.map("%02x".format(_)).mkString.take(15), 16)
+  }
+
+  test("classifier scoring replays exactly in plain Scala") {
+    val texts = graft.queries.Tables
+      .table(spark, sf, "documents")
+      .select("doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").filter(_.nonEmpty).toSeq)
+      .sortBy(_._1)
+    val counts = texts.flatMap(_._2).groupBy(identity).view.mapValues(_.size).toMap
+    val vocab = counts.toSeq
+      .sortBy { case (w, c) => (-c, w) }
+      .take(200)
+      .map { case (w, _) => w -> (md5Long15(w) % 2001 - 1000) }
+      .toMap
+    val expected = texts.map { case (id, toks) =>
+      val feats = toks.filter(vocab.contains)
+      (id, toks.size.toLong, feats.size.toLong, feats.map(vocab).sum)
+    }
+    val got = SparkEntry
+      .queries("q63_classifier_score")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(5)))
+    assert(got.map(t => (t._1, t._2, t._3, t._4)).toSeq == expected.toSeq)
+    got.foreach { case (id, _, _, score, keep) =>
+      assert(keep == (score > 0), s"doc $id keep flag disagrees with score $score")
+    }
+    // non-vacuous: both kept and dropped docs exist under md5 weights
+    assert(got.exists(_._5) && got.exists(!_._5))
+  }
+
+  test("DSIR importance scores rank target-language docs above others") {
+    val byLang = graft.queries.Tables
+      .table(spark, sf, "documents")
+      .select("doc_id", "lang")
+      .collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+      .toMap
+    val scores = SparkEntry
+      .queries("q64_dsir_importance")(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) -> r.getDouble(2))
+      .toMap
+    assert(scores.size == byLang.size, "every doc must be scored")
+    def mean(lang: String): Double = {
+      val xs = scores.collect { case (id, s) if byLang(id) == lang => s }
+      xs.sum / xs.size
+    }
+    // en docs' hashed-feature profile must look more target-like than
+    // every other language's, and zh (least shared vocabulary) least
+    val en = mean("en")
+    Seq("de", "es", "fr", "zh").foreach { l =>
+      assert(en > mean(l), s"mean llr: en $en <= $l ${mean(l)}")
+    }
+    assert(mean("zh") < Seq("de", "es", "fr").map(mean).min)
+  }
 }
