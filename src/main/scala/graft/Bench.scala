@@ -47,7 +47,8 @@ object Bench {
 
     if (new java.io.File(warmDir).isDirectory) {
       SparkEntry.queries.foreach { case (name, fn) =>
-        if (name != "q00_etl_convert") {
+        if (name != "q00_etl_convert" &&
+            sys.env.get("SPARK_GRAFT_QUERY_FILTER").forall(name.contains)) {
           try fn(spark, warmDir).count()
           catch { case _: Throwable => () }
         }
@@ -64,7 +65,11 @@ object Bench {
     }
 
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // dev-loop filter (substring); the driver sets no env so times everything
+    val nameFilter = sys.env.get("SPARK_GRAFT_QUERY_FILTER")
+    val results = SparkEntry.queries
+      .filter { case (name, _) => nameFilter.forall(name.contains) }
+      .map { case (name, fn) =>
       val times = (1 to iters).flatMap { _ =>
         if (errors.contains(name)) None // failed once: don't retry N times
         else {

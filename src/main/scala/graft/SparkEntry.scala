@@ -22,11 +22,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.etl.EtlBenchQuery.queries ++
       graft.etl.JsonlGateQuery.queries ++
+      graft.etl.CsvGateQuery.queries ++
       graft.queries.Relational.queries ++
+      graft.queries.Outliers.queries ++
       graft.llm.Dedup.queries ++
       graft.llm.Clustering.queries ++
       graft.llm.Similarity.queries ++
       graft.llm.TextAnalysis.queries ++
+      graft.llm.Chunking.queries ++
       graft.llm.FrequentItems.queries ++
       graft.llm.Packing.queries ++
       graft.llm.Embeddings.queries ++
@@ -41,11 +44,14 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     graft.etl.EtlBenchQuery.oracleSql ++
       graft.etl.JsonlGateQuery.oracleSql ++
+      graft.etl.CsvGateQuery.oracleSql ++
       graft.queries.Relational.oracleSql ++
+      graft.queries.Outliers.oracleSql ++
       graft.llm.Dedup.oracleSql ++
       graft.llm.Clustering.oracleSql ++
       graft.llm.Similarity.oracleSql ++
       graft.llm.TextAnalysis.oracleSql ++
+      graft.llm.Chunking.oracleSql ++
       graft.llm.FrequentItems.oracleSql ++
       graft.llm.Packing.oracleSql ++
       graft.llm.Embeddings.oracleSql ++

@@ -407,7 +407,64 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** q67: per-language corpus statistics — the health dashboard a corpus
+    * build emits per snapshot: document/token/type counts, type-token
+    * ratio, hapax-legomenon count, and the Zipf slope (regr_slope of
+    * ln(freq) on ln(rank) over the top-100 terms; natural text ≈ −1,
+    * template/boilerplate corpora flatten toward 0 — a cheap drift
+    * alarm between crawls).
+    *
+    * Scale shape: one token-count aggregation (vocabulary-sized, the
+    * q51/q57 rationale), then everything downstream operates on
+    * per-language or vocabulary-sized frames — the rank window
+    * partitions BY LANGUAGE over the vocab frame, never the corpus, and
+    * the regression runs over ≤100 rows per language. regr_slope is
+    * algebraic (partial-aggregable sums), so Spark computes it with
+    * map-side combine — no value collection anywhere.
+    */
+  private def q67(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs(s, dir)
+    val toks = d
+      .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+    val tf = toks.groupBy("lang", "w").agg(count(lit(1)).as("c"))
+    val stats = tf
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_types"),
+        sum("c").as("n_tokens"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("hapax")
+      )
+    val nDocs = d.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+    val zipf = tf
+      .withColumn(
+        "rn",
+        row_number().over(
+          Window.partitionBy("lang").orderBy(col("c").desc, col("w"))
+        )
+      )
+      .filter(col("rn") <= 100)
+      .select(col("lang"), log(col("c")).as("ln_c"), log(col("rn")).as("ln_rn"))
+      .groupBy("lang")
+      .agg((round(expr("regr_slope(ln_c, ln_rn)"), 4) + 0.0).as("zipf_slope"))
+    stats
+      .join(nDocs, "lang")
+      .join(zipf, "lang")
+      .select(
+        col("lang"),
+        col("n_docs"),
+        col("n_tokens"),
+        col("n_types"),
+        round(col("n_types") * lit(1.0) / col("n_tokens"), 4).as("type_token_ratio"),
+        col("hapax"),
+        col("zipf_slope")
+      )
+      .orderBy("lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q67_corpus_stats" -> q67,
     "q32_lang_id" -> q32,
     "q53_scrub" -> q53,
     "q55_repetition" -> q55,
@@ -424,6 +481,27 @@ object TextAnalysis {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q67_corpus_stats" ->
+      """WITH tok AS (
+        |  SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents),
+        |t2 AS (SELECT lang, w FROM tok WHERE w <> ''),
+        |tf AS (SELECT lang, w, count(*) AS c FROM t2 GROUP BY 1, 2),
+        |stats AS (
+        |  SELECT lang, count(*) AS n_types, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |         CAST(count(*) FILTER (c = 1) AS BIGINT) AS hapax
+        |  FROM tf GROUP BY lang),
+        |nd AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+        |ranked AS (
+        |  SELECT lang, c, row_number() OVER (
+        |    PARTITION BY lang ORDER BY c DESC, w) AS rn FROM tf),
+        |zipf AS (
+        |  SELECT lang, round(regr_slope(ln(c), ln(rn)), 4) + 0.0 AS zipf_slope
+        |  FROM ranked WHERE rn <= 100 GROUP BY lang)
+        |SELECT lang, n_docs, n_tokens, n_types,
+        |       round(n_types * 1.0 / n_tokens, 4) AS type_token_ratio,
+        |       hapax, zipf_slope
+        |FROM stats JOIN nd USING (lang) JOIN zipf USING (lang)
+        |ORDER BY lang""".stripMargin,
     "q34d_vocab_coverage" ->
       s"""WITH tok AS (
         |  SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents),

@@ -245,4 +245,43 @@ class LlmOpsSpec extends SparkSpec {
     }
     assert(mean("zh") < Seq("de", "es", "fr").map(mean).min)
   }
+
+  test("q67 corpus stats replay in plain Scala; Zipf slope is Zipf-shaped") {
+    val docs = graft.queries.Tables
+      .table(spark, sf, "documents")
+      .select("lang", "text")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val expected = docs.groupBy(_._1).map { case (lang, ds) =>
+      val toks = ds.flatMap(_._2.split(" ", -1)).filter(_.nonEmpty)
+      val tf = toks.groupBy(identity).view.mapValues(_.length.toLong).toMap
+      val top = tf.toSeq.sortBy { case (w, c) => (-c, w) }.take(100)
+      val pts = top.zipWithIndex.map { case ((_, c), i) =>
+        (math.log(i + 1.0), math.log(c.toDouble))
+      }
+      val n = pts.size
+      val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+      val sxy = pts.map(p => p._1 * p._2).sum
+      val sxx = pts.map(p => p._1 * p._1).sum
+      val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      (lang, ds.size.toLong, toks.size.toLong, tf.size.toLong,
+        tf.count(_._2 == 1L).toLong, slope)
+    }
+    val got = SparkEntry
+      .queries("q67_corpus_stats")(spark, sf)
+      .collect()
+      .map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(5), r.getDouble(6))
+      )
+      .toSeq
+    assert(got.map(t => (t._1, t._2, t._3, t._4, t._5)).toSet ==
+      expected.map(t => (t._1, t._2, t._3, t._4, t._5)).toSet)
+    val slopes = expected.map(t => t._1 -> t._6).toMap
+    got.foreach { case (lang, _, _, _, _, s) =>
+      assert(math.abs(s - slopes(lang)) < 1e-3, s"$lang slope $s vs ${slopes(lang)}")
+      // natural-language rank/frequency: steep negative, nowhere near flat
+      assert(s < -0.2 && s > -3.0, s"$lang slope $s not Zipf-shaped")
+    }
+  }
 }

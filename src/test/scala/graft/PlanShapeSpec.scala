@@ -357,4 +357,31 @@ class PlanShapeSpec extends SparkSpec {
       s"q62 degenerated to a non-equi join:\n$plan"
     )
   }
+
+  test("q65 chunking is map-side only: no shuffle before the output sort") {
+    val plan = executedPlan(SparkEntry.queries("q65_chunking")(spark, sf))
+    val finalPlan = plan.split("== Initial Plan ==").head
+    // the operator itself is scan → split → explode → slice; the ONLY
+    // exchange allowed is the gate-presentation range sort
+    assert(!finalPlan.contains("hashpartitioning"), s"q65 shuffles:\n$plan")
+    assert(
+      !finalPlan.contains("HashAggregate") && !finalPlan.contains("Join"),
+      s"q65 grew non-map operators:\n$plan"
+    )
+    assert(finalPlan.contains("Generate"), s"chunk explode missing:\n$plan")
+  }
+
+  test("q67 top-100 rank filter pushes down as WindowGroupLimit") {
+    val plan = executedPlan(SparkEntry.queries("q67_corpus_stats")(spark, sf))
+    assert(plan.contains("WindowGroupLimit"), s"rank filter not pushed:\n$plan")
+  }
+
+  test("q68 per-type median/MAD frames broadcast onto the fact") {
+    val plan = executedPlan(SparkEntry.queries("q68_outlier_mad")(spark, sf))
+    val finalPlan = plan.split("== Initial Plan ==").head
+    assert(
+      !finalPlan.contains("SortMergeJoin"),
+      s"q68 shuffled the fact to join a per-type frame:\n$plan"
+    )
+  }
 }
