@@ -463,7 +463,65 @@ object TextAnalysis {
       .orderBy("lang")
   }
 
+  /** q69: token-distribution drift between corpus splits — Laplace-
+    * smoothed unigram KL (both directions) and Jensen-Shannon divergence
+    * between the q43 train bucket (md5 < 80) and the rest, per language.
+    * The alarm a corpus build runs between snapshots / between train and
+    * validation: a drifting crawl or a skewed split shows up as rising
+    * divergence long before eval metrics move.
+    *
+    * Scale shape: ONE token aggregation produces both splits' counts
+    * (sum-of-when, no join of two token streams), per-language totals
+    * broadcast back (a #languages-row frame, bounded by construction),
+    * and the divergences are algebraic sums over the vocabulary frame —
+    * map-side combinable, nothing corpus-sized past the first aggregate.
+    * Smoothing is over the UNION vocabulary, so both distributions sum
+    * to exactly 1 and absent-in-one-split tokens contribute their full
+    * penalty instead of being dropped.
+    */
+  private def q69(s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir)
+      .select(
+        col("lang"),
+        (Sampling.bucket100(col("doc_id")) < 80).as("is_a"),
+        explode(split(col("text"), " ")).as("w")
+      )
+      .filter(col("w") =!= "")
+    val cnt = toks
+      .groupBy("lang", "w")
+      .agg(
+        sum(when(col("is_a"), 1L).otherwise(0L)).as("ca"),
+        sum(when(!col("is_a"), 1L).otherwise(0L)).as("cb")
+      )
+    val tot = cnt
+      .groupBy("lang")
+      .agg(sum("ca").as("na"), sum("cb").as("nb"), count(lit(1)).as("vocab"))
+    val pq = cnt
+      .join(broadcast(tot), "lang")
+      .select(
+        col("lang"),
+        ((col("ca") + lit(1.0)) / (col("na") + col("vocab"))).as("p"),
+        ((col("cb") + lit(1.0)) / (col("nb") + col("vocab"))).as("q")
+      )
+    val agg = pq
+      .groupBy("lang")
+      .agg(
+        (round(sum(col("p") * log(col("p") / col("q"))), 4) + 0.0).as("kl_ab"),
+        (round(sum(col("q") * log(col("q") / col("p"))), 4) + 0.0).as("kl_ba"),
+        (round(
+          lit(0.5) * sum(col("p") * log(col("p") / ((col("p") + col("q")) / 2))) +
+            lit(0.5) * sum(col("q") * log(col("q") / ((col("p") + col("q")) / 2))),
+          4
+        ) + 0.0).as("js")
+      )
+    agg
+      .join(tot, "lang")
+      .select("lang", "na", "nb", "vocab", "kl_ab", "kl_ba", "js")
+      .orderBy("lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q69_distribution_drift" -> q69,
     "q67_corpus_stats" -> q67,
     "q32_lang_id" -> q32,
     "q53_scrub" -> q53,
@@ -481,6 +539,36 @@ object TextAnalysis {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q69_distribution_drift" -> {
+      val b = Sampling.BucketSql
+      s"""WITH d AS (
+         |  SELECT lang, text, ($b < 80) AS is_a FROM documents),
+         |tok AS (SELECT lang, is_a, unnest(string_split(text, ' ')) AS w FROM d),
+         |t2 AS (SELECT lang, is_a, w FROM tok WHERE w <> ''),
+         |cnt AS (
+         |  SELECT lang, w,
+         |         CAST(count(*) FILTER (is_a) AS BIGINT) AS ca,
+         |         CAST(count(*) FILTER (NOT is_a) AS BIGINT) AS cb
+         |  FROM t2 GROUP BY 1, 2),
+         |tot AS (
+         |  SELECT lang, CAST(sum(ca) AS BIGINT) AS na,
+         |         CAST(sum(cb) AS BIGINT) AS nb, count(*) AS vocab
+         |  FROM cnt GROUP BY lang),
+         |pq AS (
+         |  SELECT lang, (ca + 1.0) / (na + vocab) AS p,
+         |         (cb + 1.0) / (nb + vocab) AS q
+         |  FROM cnt JOIN tot USING (lang)),
+         |agg AS (
+         |  SELECT lang,
+         |    round(sum(p * ln(p / q)), 4) + 0.0 AS kl_ab,
+         |    round(sum(q * ln(q / p)), 4) + 0.0 AS kl_ba,
+         |    round(0.5 * sum(p * ln(p / ((p + q) / 2)))
+         |        + 0.5 * sum(q * ln(q / ((p + q) / 2))), 4) + 0.0 AS js
+         |  FROM pq GROUP BY lang)
+         |SELECT lang, na, nb, vocab, kl_ab, kl_ba, js
+         |FROM agg JOIN tot USING (lang)
+         |ORDER BY lang""".stripMargin
+    },
     "q67_corpus_stats" ->
       """WITH tok AS (
         |  SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents),

@@ -246,6 +246,28 @@ class LlmOpsSpec extends SparkSpec {
     assert(mean("zh") < Seq("de", "es", "fr").map(mean).min)
   }
 
+  test("q69 drift divergences: KL >= JS >= 0, JS <= ln 2, near-zero here") {
+    val rows = SparkEntry
+      .queries("q69_distribution_drift")(spark, sf)
+      .collect()
+      .map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4), r.getDouble(5), r.getDouble(6))
+      )
+    assert(rows.nonEmpty)
+    rows.foreach { case (lang, na, nb, vocab, klAb, klBa, js) =>
+      assert(na > 0 && nb > 0, s"$lang: empty split (na=$na nb=$nb)")
+      assert(vocab > 0)
+      // information-theoretic bounds (hold for ANY pair of distributions)
+      assert(klAb >= 0 && klBa >= 0, s"$lang: negative KL")
+      assert(js >= 0 && js <= math.log(2) + 1e-9, s"$lang: JS $js out of [0, ln 2]")
+      assert(js <= klAb.max(klBa) + 1e-9, s"$lang: JS above max KL")
+      // the q43 split is an unbiased hash of the same corpus — the two
+      // halves must look alike (drift alarm quiet on a non-drifted split)
+      assert(js < 0.2, s"$lang: js=$js on an unbiased split?")
+    }
+  }
+
   test("q67 corpus stats replay in plain Scala; Zipf slope is Zipf-shaped") {
     val docs = graft.queries.Tables
       .table(spark, sf, "documents")
