@@ -25,6 +25,8 @@ object SparkEntry {
       graft.etl.CsvGateQuery.queries ++
       graft.queries.Relational.queries ++
       graft.queries.Outliers.queries ++
+      graft.queries.Graph.queries ++
+      graft.llm.KMeans.queries ++
       graft.llm.Dedup.queries ++
       graft.llm.Clustering.queries ++
       graft.llm.Similarity.queries ++
@@ -47,6 +49,8 @@ object SparkEntry {
       graft.etl.CsvGateQuery.oracleSql ++
       graft.queries.Relational.oracleSql ++
       graft.queries.Outliers.oracleSql ++
+      graft.queries.Graph.oracleSql ++
+      graft.llm.KMeans.oracleSql ++
       graft.llm.Dedup.oracleSql ++
       graft.llm.Clustering.oracleSql ++
       graft.llm.Similarity.oracleSql ++

@@ -62,7 +62,7 @@ object Dedup {
   private val trackedCaches =
     scala.collection.mutable.Buffer.empty[(SparkSession, DataFrame)]
 
-  private[llm] def tcache(s: SparkSession, df: DataFrame): DataFrame =
+  private[graft] def tcache(s: SparkSession, df: DataFrame): DataFrame =
     synchronized {
       val c = df.cache()
       trackedCaches += ((s, c))

@@ -1,0 +1,168 @@
+package graft.llm
+
+import graft.queries.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** q70: distributed k-means (Lloyd's algorithm) over the embedding
+  * corpus — the clustering step a curation pipeline runs upstream of
+  * SemDeDup cell-bucketing (q29b) and IVF coarse quantization (q31b),
+  * both of which deterministically stubbed it with "first-k vectors".
+  * Reference scope: the reference engine has no ML ops at all (its
+  * query half delegates to Athena, which also has none) — this is part
+  * of the training-data-pipeline extension surface.
+  *
+  * Determinism contract (what makes a full value-level DuckDB oracle
+  * possible for an iterative ML op):
+  *   - init = the first K corpus vectors (vec_id < K), the same policy
+  *     the IVF/PQ quantizers document;
+  *   - squared-L2 via the dot expansion ‖x‖² − 2·x·c + ‖c‖², each term
+  *     a sequential left-to-right double fold (FloatVectorDot's codegen
+  *     loop ≡ DuckDB's list_sum(list_transform(...)));
+  *   - argmin ties break to the smallest cell id (struct array_min ≡
+  *     the oracle's row_number ORDER BY d, cell);
+  *   - updated centroid coordinates are round(·,6)::FLOAT on BOTH
+  *     engines, re-synchronizing the one order-sensitive reduction
+  *     (the per-dimension mean) before it feeds the next iteration;
+  *   - an emptied cell keeps its previous centroid (COALESCE in the
+  *     oracle, a driver-side fallback here).
+  *
+  * Scale shape (the part that must survive 100 TB): centroids are
+  * MODEL PARAMETERS (K×Dim floats), not data — they live on the driver
+  * and enter the plan as literal arrays, so each Lloyd pass is
+  *   assignment: a map-only projection over the corpus (array_min over
+  *     K dist structs, whole-stage codegen'd, zero shuffle, zero join);
+  *   update: one partial-aggregated groupBy(cluster, dim) — the shuffle
+  *     carries at most K×Dim rows per map task (map-side combine), and
+  *     the collect is K×Dim = 640 values, a model pull, not a data pull.
+  * That is the canonical broadcast-centroid k-means; nothing in the
+  * plan grows with corpus size except the embarrassingly-parallel scan.
+  */
+object KMeans {
+
+  private[graft] val K = 10
+  private[graft] val Dim = 64
+  private[graft] val Iterations = 2 // Lloyd updates; output = final assignment
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.table(s, dir, "embeddings")
+
+  /** Assignment projection under literal centroids: per row, the best
+    * (dist², cell) struct via array_min — map-only, codegen'd.
+    */
+  private def assigned(e: DataFrame, cent: Array[Array[Float]]): DataFrame = {
+    val cells: Seq[Column] = cent.toIndexedSeq.zipWithIndex.map { case (c, j) =>
+      val cLit = array(c.toIndexedSeq.map(v => lit(v)): _*)
+      // ‖c‖² folded driver-side in the same left-to-right order as the
+      // kernel's loop and the oracle's list_sum
+      val cc = c.foldLeft(0.0)((a, v) => a + v.toDouble * v.toDouble)
+      struct(
+        (col("xx") - lit(2.0) * VectorOps.dot(col("embedding"), cLit) + lit(cc))
+          .as("d"),
+        lit(j).as("cell")
+      )
+    }
+    e.withColumn("xx", VectorOps.dot(col("embedding"), col("embedding")))
+      .withColumn("best", array_min(array(cells: _*)))
+      .select(
+        col("vec_id"),
+        col("embedding"),
+        col("best.cell").as("cluster"),
+        col("best.d").as("d2")
+      )
+  }
+
+  /** One Lloyd update: per-(cluster, dim) mean, round(·,6)::FLOAT (the
+    * cross-engine numeric re-sync), collected as K×Dim model values.
+    * An emptied cell keeps its previous centroid.
+    */
+  private def updated(
+      a: DataFrame,
+      prev: Array[Array[Float]]
+  ): Array[Array[Float]] = {
+    val rows = a
+      .select(col("cluster"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("cluster", "pos")
+      .agg(round(avg(col("v").cast("double")), 6).cast("float").as("m"))
+      .collect()
+    val next = Array.tabulate(K)(j => prev(j).clone())
+    rows.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getFloat(2))
+    next
+  }
+
+  private def q70(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    // init: first K vectors — a K-row collect, bounded by construction
+    // (a model parameter, not a data pull; same policy as pqCodebook)
+    val init: Array[Array[Float]] = e
+      .filter(col("vec_id") < K)
+      .orderBy("vec_id")
+      .select("embedding")
+      .collect()
+      .map(_.getSeq[Float](0).toArray)
+    require(init.length == K, s"expected $K init vectors, got ${init.length}")
+    val cFinal = (0 until Iterations).foldLeft(init) { (c, _) =>
+      updated(assigned(e, c), c)
+    }
+    assigned(e, cFinal)
+      .select(
+        col("vec_id"),
+        col("cluster"),
+        // + 0.0: the expansion can land an exact-member distance at a
+        // tiny negative → round → -0.0 (signed-zero parity convention)
+        (round(col("d2"), 4) + lit(0d)).as("dist2")
+      )
+      .orderBy("vec_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q70_kmeans" -> q70
+  )
+
+  // The oracle replays init → (assign → update) × 2 → final assign with
+  // the IDENTICAL fold order, tie-break, and round(·,6)::FLOAT centroid
+  // re-sync; `dim` is 1-based there, 0-based here — engine-internal only.
+  private val distSql =
+    """list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+      |      - 2.0 * list_sum(list_transform(generate_series(1, 64),
+      |          i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.ce[i] AS DOUBLE)))
+      |      + list_sum(list_transform(c.ce, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))""".stripMargin
+
+  private def distCteSql(cN: String): String =
+    s"""SELECT e.vec_id, c.cell, $distSql AS d
+       |  FROM e CROSS JOIN $cN c""".stripMargin
+
+  private def argminSql(dN: String): String =
+    s"""SELECT vec_id, cell, d FROM (
+       |  SELECT vec_id, cell, d,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+       |  FROM $dN) WHERE rn = 1""".stripMargin
+
+  private def updateSql(aN: String, prevC: String): String =
+    s"""SELECT $prevC.cell, coalesce(u.ce, $prevC.ce) AS ce
+       |  FROM $prevC LEFT JOIN (
+       |    SELECT cell, list(m ORDER BY i) AS ce FROM (
+       |      SELECT a.cell, dim.i,
+       |        CAST(round(avg(CAST(e.embedding[dim.i] AS DOUBLE)), 6) AS FLOAT) AS m
+       |      FROM $aN a JOIN e USING (vec_id) CROSS JOIN dim
+       |      GROUP BY a.cell, dim.i)
+       |    GROUP BY cell) u USING (cell)""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "q70_kmeans" ->
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         |dim AS (SELECT unnest(generate_series(1, 64)) AS i),
+         |c0 AS (SELECT vec_id AS cell, embedding AS ce FROM e WHERE vec_id < $K),
+         |d0 AS (${distCteSql("c0")}),
+         |a0 AS (${argminSql("d0")}),
+         |c1 AS (${updateSql("a0", "c0")}),
+         |d1 AS (${distCteSql("c1")}),
+         |a1 AS (${argminSql("d1")}),
+         |c2 AS (${updateSql("a1", "c1")}),
+         |d2 AS (${distCteSql("c2")}),
+         |a2 AS (${argminSql("d2")})
+         |SELECT vec_id, CAST(cell AS INTEGER) AS cluster,
+         |  round(d, 4) + 0.0 AS dist2
+         |FROM a2 ORDER BY vec_id""".stripMargin
+  )
+}
