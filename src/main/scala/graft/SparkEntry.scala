@@ -31,6 +31,8 @@ object SparkEntry {
       graft.llm.Clustering.queries ++
       graft.llm.Similarity.queries ++
       graft.llm.TextAnalysis.queries ++
+      graft.llm.Collocations.queries ++
+      graft.llm.Winnowing.queries ++
       graft.llm.Chunking.queries ++
       graft.llm.FrequentItems.queries ++
       graft.llm.Packing.queries ++
@@ -55,6 +57,8 @@ object SparkEntry {
       graft.llm.Clustering.oracleSql ++
       graft.llm.Similarity.oracleSql ++
       graft.llm.TextAnalysis.oracleSql ++
+      graft.llm.Collocations.oracleSql ++
+      graft.llm.Winnowing.oracleSql ++
       graft.llm.Chunking.oracleSql ++
       graft.llm.FrequentItems.oracleSql ++
       graft.llm.Packing.oracleSql ++

@@ -1,0 +1,103 @@
+package graft.llm
+
+import graft.queries.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** q73: winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+  * SIGMOD'03 — the MOSS algorithm): hash every K-word shingle, slide a
+  * W-hash window, keep each window's MINIMUM hash. The guarantee that
+  * makes this the local-similarity fingerprint (vs q35's whole-doc
+  * rolling hash or q27's global MinHash): any shared run of at least
+  * W+K-1 words between two documents is certain to contribute at least
+  * one COMMON fingerprint, while storage stays ~2/(W+1) of the shingle
+  * count. Variant note: we keep the window-min VALUE (not (value,pos)),
+  * the set-matching flavor; position-robust but slightly denser than
+  * the positional original.
+  *
+  * Scale shape: the entire computation is ONE map-side projection per
+  * document — gram hashing, window minima, and the distinct-set
+  * reduction all happen inside array HOFs over the token array (zero
+  * shuffle, zero join, whole-stage codegen; plan-pinned). The hash is
+  * the repo's cross-engine md5-prefix bigint (Sampling.bucket100's
+  * policy), so every fingerprint is deterministic in both engines and
+  * the summary columns are exact integers (the mod-sum is
+  * order-insensitive by commutativity — no float anywhere).
+  */
+object Winnowing {
+
+  private[graft] val K = 4 // words per shingle
+  private[graft] val W = 5 // hashes per winnow window
+  private val ModP = 1000003L
+
+  /** md5-prefix (15 hex digits) of a string column as a positive long —
+    * identical to DuckDB's CAST('0x' || substr(md5(s), 1, 15) AS BIGINT).
+    */
+  private def md5Long(s: Column): Column =
+    conv(substring(md5(s.cast("binary")), 1, 15), 16, 10).cast("long")
+
+  private def q73(s: SparkSession, dir: String): DataFrame =
+    summarized(Tables.table(s, dir, "documents"))
+
+  /** The full fingerprint pipeline over any (doc_id, text) frame —
+    * exposed so the winnowing guarantee (a shared ≥ W+K-1-word run ⇒ a
+    * shared fingerprint) is property-testable on planted corpora.
+    */
+  private[graft] def fingerprinted(d: DataFrame): DataFrame = {
+    val words = split(col("text"), " ")
+    val grams = transform(
+      sequence(lit(1), size(col("ws")) - (K - 1)),
+      i => md5Long(concat_ws(" ", slice(col("ws"), i, lit(K))))
+    )
+    val mins = transform(
+      // docs shorter than W+K-1 words get a single (truncated) window
+      sequence(lit(1), greatest(lit(1), size(col("h")) - (W - 1))),
+      j => array_min(slice(col("h"), j, lit(W)))
+    )
+    d
+      .select(col("doc_id"), words.as("ws"))
+      .filter(size(col("ws")) >= K)
+      .select(col("doc_id"), grams.as("h"))
+      .select(col("doc_id"), size(col("h")).as("n_grams"), mins.as("mins"))
+      .withColumn("fp", array_distinct(col("mins")))
+  }
+
+  private def summarized(d: DataFrame): DataFrame =
+    fingerprinted(d)
+      .select(
+        col("doc_id"),
+        col("n_grams"),
+        size(col("fp")).as("n_fp"),
+        array_min(col("fp")).as("fp_min"),
+        array_max(col("fp")).as("fp_max"),
+        aggregate(col("fp"), lit(0L), (acc, v) => acc + v % ModP)
+          .as("fp_modsum")
+      )
+      .orderBy("doc_id")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q73_winnowing" -> q73
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q73_winnowing" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |g AS (
+         |  SELECT doc_id,
+         |    list_transform(generate_series(1, len(ws) - ${K - 1}),
+         |      i -> CAST('0x' || substr(md5(array_to_string(ws[i:i+${K - 1}], ' ')), 1, 15)
+         |           AS BIGINT)) AS h
+         |  FROM d WHERE len(ws) >= $K),
+         |w AS (
+         |  SELECT doc_id, len(h) AS n_grams,
+         |    list_distinct(list_transform(
+         |      generate_series(1, greatest(1, len(h) - ${W - 1})),
+         |      j -> list_min(h[j:j+${W - 1}]))) AS fp
+         |  FROM g)
+         |SELECT doc_id, CAST(n_grams AS INTEGER) AS n_grams,
+         |  CAST(len(fp) AS INTEGER) AS n_fp,
+         |  list_min(fp) AS fp_min, list_max(fp) AS fp_max,
+         |  CAST(list_sum(list_transform(fp, v -> v % $ModP)) AS BIGINT) AS fp_modsum
+         |FROM w ORDER BY doc_id""".stripMargin
+  )
+}
