@@ -45,24 +45,35 @@ object Graph {
   private def q71(s: SparkSession, dir: String): DataFrame = {
     val orders = Tables.table(s, dir, "orders")
     val lineitem = Tables.table(s, dir, "lineitem")
-    val pairs = lineitem
-      .join(orders, lineitem("l_orderkey") === orders("o_orderkey"))
-      .groupBy(
-        concat(lit("C"), col("o_custkey")).as("ca"),
-        concat(lit("S"), col("l_suppkey")).as("sb")
-      )
-      .agg(count(lit(1)).as("w"))
+    // the one corpus-sized stage (fact⋈dim + aggregate) runs ONCE: the
+    // aggregated pair frame (≤ |C|×|S| rows, typically ≪ fact) is cached
+    // and everything downstream — both union directions, out-weights,
+    // the node count, the per-iteration joins — derives from it.
+    // Node ids are INTEGERS (custkey→2k, suppkey→2k+1, disjoint by
+    // parity): every shuffle/join/aggregate key in the loop is 8 bytes,
+    // not a rendered string — the dictionary-encoding any production
+    // graph engine applies; labels materialize only in the TopN output.
+    // Tracked via Dedup.tcache so Bench/Verify release it between runs.
+    val pairs = graft.llm.Dedup.tcache(
+      s,
+      lineitem
+        .join(orders, lineitem("l_orderkey") === orders("o_orderkey"))
+        .groupBy(
+          (col("o_custkey") * 2).as("ca"),
+          (col("l_suppkey") * 2 + 1).as("sb")
+        )
+        .agg(count(lit(1)).as("w"))
+    )
     val und = pairs
       .select(col("ca").as("src"), col("sb").as("dst"), col("w"))
       .unionAll(pairs.select(col("sb").as("src"), col("ca").as("dst"), col("w")))
-    // out-weight attached once; cached pre-partitioned on the join key so
-    // every iteration's join reuses this layout and only ranks shuffle.
-    // Tracked via Dedup.tcache so Bench/Verify release it between runs.
+    // out-weight attached once; the und⋈wout equi-join already leaves
+    // its output hash-partitioned on src (no explicit repartition — that
+    // would be a second full shuffle of the edge frame), and the cache
+    // preserves that layout so every iteration's join reuses it and only
+    // the node-sized rank frame shuffles
     val wout = und.groupBy("src").agg(sum("w").as("wout"))
-    val edges = graft.llm.Dedup.tcache(
-      s,
-      und.join(wout, "src").repartition(col("src"))
-    )
+    val edges = graft.llm.Dedup.tcache(s, und.join(wout, "src"))
     val nodes = und.select(col("src").as("node")).distinct()
     val n = nodes.count() // scalar action: |V|, never the data
     val base = 0.15 / n // same IEEE division the oracle performs
@@ -87,7 +98,13 @@ object Graph {
         )
       )
       .filter(col("pos") <= TopN)
-      .select(col("pos"), col("node"), (round(col("r"), 8) + lit(0d)).as("rank"))
+      .select(
+        col("pos"),
+        when(col("node") % 2 === 0, concat(lit("C"), expr("node div 2")))
+          .otherwise(concat(lit("S"), expr("(node - 1) div 2")))
+          .as("node"),
+        (round(col("r"), 8) + lit(0d)).as("rank")
+      )
       .orderBy("pos")
     out
   }
@@ -108,7 +125,7 @@ object Graph {
   val oracleSql: Map[String, String] = Map(
     "q71_pagerank" ->
       s"""WITH pairs AS (
-         |  SELECT 'C' || o_custkey AS ca, 'S' || l_suppkey AS sb,
+         |  SELECT o_custkey * 2 AS ca, l_suppkey * 2 + 1 AS sb,
          |         CAST(count(*) AS BIGINT) AS w
          |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          |  GROUP BY 1, 2),
@@ -128,7 +145,10 @@ object Graph {
          |  SELECT node, r,
          |    row_number() OVER (ORDER BY r DESC, node) AS pos
          |  FROM r3)
-         |SELECT pos, node, round(r, 8) + 0.0 AS rank
+         |SELECT pos,
+         |  CASE WHEN node % 2 = 0 THEN 'C' || (node // 2)
+         |       ELSE 'S' || ((node - 1) // 2) END AS node,
+         |  round(r, 8) + 0.0 AS rank
          |FROM ranked WHERE pos <= $TopN
          |ORDER BY pos""".stripMargin
   )

@@ -97,9 +97,10 @@ class GraphKMeansSpec extends SparkSpec {
       .collect()
       .map(r => (r.getLong(0), r.getLong(1)))
 
-    val w = scala.collection.mutable.Map.empty[(String, String), Long]
+    // integer node ids, parity-disjoint: custkey→2k, suppkey→2k+1
+    val w = scala.collection.mutable.Map.empty[(Long, Long), Long]
     li.foreach { case (ok, sk) =>
-      val key = ("C" + ord(ok), "S" + sk)
+      val key = (ord(ok) * 2, sk * 2 + 1)
       w(key) = w.getOrElse(key, 0L) + 1
     }
     val edges = w.toSeq.flatMap { case ((c, s2), n) =>
@@ -110,7 +111,7 @@ class GraphKMeansSpec extends SparkSpec {
     val n = nodes.length
     var r = nodes.map(_ -> 1.0 / n).toMap
     for (_ <- 1 to 3) {
-      val acc = scala.collection.mutable.Map.empty[String, Double]
+      val acc = scala.collection.mutable.Map.empty[Long, Double]
       edges.foreach { case (u, v, ew) =>
         acc(v) = acc.getOrElse(v, 0.0) + r(u) * ew / wout(u)
       }
@@ -119,11 +120,13 @@ class GraphKMeansSpec extends SparkSpec {
     // symmetric edges ⇒ no dangling mass: Σr stays 1 up to rounding
     assert(math.abs(r.values.sum - 1.0) < 1e-6)
 
+    def label(id: Long): String =
+      if (id % 2 == 0) "C" + (id / 2) else "S" + ((id - 1) / 2)
     val expected = r.toSeq
       .sortBy { case (node, rv) => (-rv, node) }
       .take(30)
       .zipWithIndex
-      .map { case ((node, rv), i) => (i + 1, node, rnd(rv, 8) + 0.0) }
+      .map { case ((node, rv), i) => (i + 1, label(node), rnd(rv, 8) + 0.0) }
     val got = SparkEntry
       .queries("q71_pagerank")(spark, sf)
       .collect()
