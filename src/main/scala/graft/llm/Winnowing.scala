@@ -75,29 +75,94 @@ object Winnowing {
       )
       .orderBy("doc_id")
 
+  // --------------------------- q73b: fingerprint-join near-dup candidates
+
+  private[graft] val DfCap = 50 // posting-list cap (boilerplate cutoff)
+  private val JacThreshold = 0.5
+
+  /** q73b: MOSS-style similarity detection — the USE of q73's
+    * fingerprints: explode each document's fingerprint set into postings,
+    * drop fingerprints shared by more than DfCap documents (the
+    * boilerplate/stopword cutoff every posting-list system applies — and
+    * the SKEW BOUND: after the cap, a single fingerprint contributes at
+    * most DfCap² candidate pairs, so the self-join cannot degenerate on a
+    * hot fingerprint however large the corpus), equi-join postings on the
+    * fingerprint, and keep pairs whose Jaccard over the capped
+    * fingerprint universe clears the threshold. The winnowing guarantee
+    * transfers: two documents sharing enough long runs share many
+    * fingerprints, while q26's quadratic shingle self-join is replaced by
+    * a bounded candidate join — same candidates-by-construction argument
+    * as q27's LSH banding, with fingerprints instead of band buckets.
+    */
+  private def q73b(s: SparkSession, dir: String): DataFrame = {
+    val fp = fingerprinted(Tables.table(s, dir, "documents"))
+      .select(col("doc_id"), explode(col("fp")).as("f"))
+    val dfc = fp.groupBy("f").agg(count(lit(1)).as("df"))
+    val keep = fp.join(dfc.filter(col("df") <= DfCap), "f")
+    val sizes = keep.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val pairs = keep
+      .select(col("doc_id").as("da"), col("f"))
+      .join(keep.select(col("doc_id").as("db"), col("f")), "f")
+      .filter(col("da") < col("db"))
+      .groupBy("da", "db")
+      .agg(count(lit(1)).as("c"))
+    pairs
+      .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), "da")
+      .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), "db")
+      .withColumn("jac", col("c") * lit(1.0) / (col("na") + col("nb") - col("c")))
+      .filter(col("jac") >= JacThreshold)
+      .select(col("da"), col("db"), col("c"), (round(col("jac"), 4) + lit(0d)).as("jac"))
+      .orderBy("da", "db")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q73_winnowing" -> q73
+    "q73_winnowing" -> q73,
+    "q73b_fingerprint_dedup" -> q73b
   )
+
+  /** Shared oracle CTE: per-doc fingerprint lists (d → grams → winnowed
+    * distinct minima) — q73 summarizes it, q73b joins over it.
+    */
+  private val fpCte: String =
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |g AS (
+       |  SELECT doc_id,
+       |    list_transform(generate_series(1, len(ws) - ${K - 1}),
+       |      i -> CAST('0x' || substr(md5(array_to_string(ws[i:i+${K - 1}], ' ')), 1, 15)
+       |           AS BIGINT)) AS h
+       |  FROM d WHERE len(ws) >= $K),
+       |w AS (
+       |  SELECT doc_id, len(h) AS n_grams,
+       |    list_distinct(list_transform(
+       |      generate_series(1, greatest(1, len(h) - ${W - 1})),
+       |      j -> list_min(h[j:j+${W - 1}]))) AS fp
+       |  FROM g)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "q73_winnowing" ->
-      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-         |g AS (
-         |  SELECT doc_id,
-         |    list_transform(generate_series(1, len(ws) - ${K - 1}),
-         |      i -> CAST('0x' || substr(md5(array_to_string(ws[i:i+${K - 1}], ' ')), 1, 15)
-         |           AS BIGINT)) AS h
-         |  FROM d WHERE len(ws) >= $K),
-         |w AS (
-         |  SELECT doc_id, len(h) AS n_grams,
-         |    list_distinct(list_transform(
-         |      generate_series(1, greatest(1, len(h) - ${W - 1})),
-         |      j -> list_min(h[j:j+${W - 1}]))) AS fp
-         |  FROM g)
+      s"""$fpCte
          |SELECT doc_id, CAST(n_grams AS INTEGER) AS n_grams,
          |  CAST(len(fp) AS INTEGER) AS n_fp,
          |  list_min(fp) AS fp_min, list_max(fp) AS fp_max,
          |  CAST(list_sum(list_transform(fp, v -> v % $ModP)) AS BIGINT) AS fp_modsum
-         |FROM w ORDER BY doc_id""".stripMargin
+         |FROM w ORDER BY doc_id""".stripMargin,
+    "q73b_fingerprint_dedup" ->
+      s"""$fpCte,
+         |post AS (SELECT doc_id, unnest(fp) AS f FROM w),
+         |dfc AS (SELECT f, count(*) AS df FROM post GROUP BY f),
+         |keep AS (SELECT doc_id, post.f FROM post JOIN dfc USING (f) WHERE df <= $DfCap),
+         |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM keep GROUP BY doc_id),
+         |pairs AS (
+         |  SELECT a.doc_id AS da, b.doc_id AS db, CAST(count(*) AS BIGINT) AS c
+         |  FROM keep a JOIN keep b ON a.f = b.f AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |scored AS (
+         |  SELECT da, db, c, c * 1.0 / (sa.n + sb.n - c) AS jac
+         |  FROM pairs
+         |  JOIN sizes sa ON sa.doc_id = da
+         |  JOIN sizes sb ON sb.doc_id = db)
+         |SELECT da, db, c, round(jac, 4) + 0.0 AS jac
+         |FROM scored WHERE jac >= $JacThreshold
+         |ORDER BY da, db""".stripMargin
   )
 }

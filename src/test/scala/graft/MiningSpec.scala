@@ -114,6 +114,23 @@ class MiningSpec extends SparkSpec {
     assert(fps(1L).intersect(fps(2L)).nonEmpty, "winnowing guarantee violated")
   }
 
+  test("q73b recovers every strong (jac >= 0.9) exact-shingle near-dup pair") {
+    val exact = SparkEntry
+      .queries("q26_dedup_ngram_jaccard")(spark, sf)
+      .collect()
+      .filter(_.getDouble(2) >= 0.9)
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val fp = SparkEntry
+      .queries("q73b_fingerprint_dedup")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(exact.nonEmpty, "no strong planted near-dups at this SF?")
+    val missed = exact -- fp
+    assert(missed.isEmpty, s"fingerprint join missed strong pairs: $missed")
+  }
+
   test("q73 plan is map-only: no join, no aggregate exchange") {
     val plan = SparkEntry
       .queries("q73_winnowing")(spark, sf)
