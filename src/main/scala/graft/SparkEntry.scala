@@ -23,6 +23,7 @@ object SparkEntry {
     graft.etl.EtlBenchQuery.queries ++
       graft.etl.JsonlGateQuery.queries ++
       graft.etl.CsvGateQuery.queries ++
+      graft.etl.OrcGateQuery.queries ++
       graft.queries.Relational.queries ++
       graft.queries.Outliers.queries ++
       graft.queries.Graph.queries ++
@@ -49,6 +50,7 @@ object SparkEntry {
     graft.etl.EtlBenchQuery.oracleSql ++
       graft.etl.JsonlGateQuery.oracleSql ++
       graft.etl.CsvGateQuery.oracleSql ++
+      graft.etl.OrcGateQuery.oracleSql ++
       graft.queries.Relational.oracleSql ++
       graft.queries.Outliers.oracleSql ++
       graft.queries.Graph.oracleSql ++

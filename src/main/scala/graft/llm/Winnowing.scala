@@ -33,7 +33,7 @@ object Winnowing {
   /** md5-prefix (15 hex digits) of a string column as a positive long —
     * identical to DuckDB's CAST('0x' || substr(md5(s), 1, 15) AS BIGINT).
     */
-  private def md5Long(s: Column): Column =
+  private[graft] def md5Long(s: Column): Column =
     conv(substring(md5(s.cast("binary")), 1, 15), 16, 10).cast("long")
 
   private def q73(s: SparkSession, dir: String): DataFrame =
