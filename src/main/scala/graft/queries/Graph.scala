@@ -90,14 +90,18 @@ object Graph {
         )
         .select(col("node"), col("r"))
     }
+    // top-N via orderBy+limit (TakeOrderedAndProject: per-partition heaps
+    // over the |V|-sized rank frame — not a single-task global window);
+    // the rank window then numbers only the TopN survivors
     val out = r
+      .orderBy(desc("r"), col("node"))
+      .limit(TopN)
       .withColumn(
         "pos",
         row_number().over(
           org.apache.spark.sql.expressions.Window.orderBy(desc("r"), col("node"))
         )
       )
-      .filter(col("pos") <= TopN)
       .select(
         col("pos"),
         when(col("node") % 2 === 0, concat(lit("C"), expr("node div 2")))

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+
+/** Repo-wide plan audit: every query whose EXECUTED plan contains an
+  * unpartitioned Window (all rows into ONE task — the straggler shape
+  * the q46b rework eliminated) must be on the documented allowlist, and
+  * each allowlisted frame must be bounded by construction (it runs over
+  * an already-aggregated, cardinality-bounded frame — shards, top-k
+  * survivors, #languages — never the corpus).
+  *
+  * The audit walks the post-AQE physical plan, so it catches both
+  * planner regressions and new queries that sneak in a global
+  * `Window.orderBy` over something corpus-sized.
+  */
+class GlobalWindowAuditSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Queries allowed an unpartitioned WindowExec, with the bound that
+    * justifies each. The audit proved these are the ONLY two repo-wide
+    * (every other ranking/cumulative frame is partitioned, top-k'd via
+    * TakeOrderedAndProject, or runs post-LIMIT). Keep in sync with
+    * SCALE.md "Known scale limits".
+    */
+  private val allowlist: Map[String, String] = Map(
+    "q33b_length_filter" -> "cum window over per-length aggregates (≤ distinct doc lengths rows)",
+    "q46b_equidepth_histogram" -> "two-level cumulation: window over SHARD offsets (≤ range/16 rows)",
+    "q52_sequence_packing" -> "prefix offsets over #shards rows (the Packing two-pass scan)",
+    "q52b_pack_boundaries" -> "same #shards-row offset frame as q52",
+    "q71_pagerank" -> "row numbering AFTER limit(TopN): ≤ 30 rows by construction",
+    "q72_pmi_collocations" -> "row numbering AFTER limit(TopN): ≤ 30 rows by construction"
+  )
+
+  private def globalWindows(p: SparkPlan): Seq[SparkPlan] =
+    p.collect {
+      case w: WindowExec if w.partitionSpec.isEmpty           => Seq(w: SparkPlan)
+      case w: WindowGroupLimitExec if w.partitionSpec.isEmpty => Seq(w: SparkPlan)
+      case q: QueryStageExec                                  => globalWindows(q.plan)
+      case a: AdaptiveSparkPlanExec                           => globalWindows(a.executedPlan)
+    }.flatten
+
+  test("every unpartitioned window is allowlisted with a documented bound") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val df =
+        try fn(spark, sf)
+        catch { case e: Throwable => fail(s"$name failed to build: $e") }
+      df.collect() // materialize so AQE finalizes the executed plan
+      val gw = globalWindows(df.queryExecution.executedPlan)
+      if (gw.nonEmpty) Some(name) else None
+    }
+    val unexpected = offenders.filterNot(allowlist.contains)
+    assert(
+      unexpected.isEmpty,
+      s"unpartitioned Window in non-allowlisted queries: $unexpected — " +
+        "either partition/shard the window or add a documented bound here"
+    )
+    // prune stale allowlist entries so the documentation stays honest
+    val stale = allowlist.keySet -- offenders.toSet
+    assert(
+      stale.isEmpty,
+      s"allowlist entries no longer triggering a global window: $stale — remove them"
+    )
+  }
+}
