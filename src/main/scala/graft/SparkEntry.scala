@@ -25,6 +25,8 @@ object SparkEntry {
       graft.etl.CsvGateQuery.queries ++
       graft.etl.OrcGateQuery.queries ++
       graft.queries.Relational.queries ++
+      graft.queries.BloomJoin.queries ++
+      graft.queries.Merge.queries ++
       graft.queries.Outliers.queries ++
       graft.queries.Graph.queries ++
       graft.llm.KMeans.queries ++
@@ -52,6 +54,8 @@ object SparkEntry {
       graft.etl.CsvGateQuery.oracleSql ++
       graft.etl.OrcGateQuery.oracleSql ++
       graft.queries.Relational.oracleSql ++
+      graft.queries.BloomJoin.oracleSql ++
+      graft.queries.Merge.oracleSql ++
       graft.queries.Outliers.oracleSql ++
       graft.queries.Graph.oracleSql ++
       graft.llm.KMeans.oracleSql ++

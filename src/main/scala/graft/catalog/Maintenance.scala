@@ -277,4 +277,144 @@ object Maintenance {
     }
     (rewritten, removed)
   }
+
+  /** Partition-aware upsert (MERGE): rows of `updates` replace existing
+    * rows with the same `keyCols` value, and rows with new keys are
+    * inserted — late-arriving corrections and re-delivered batches, the
+    * operation a mutable-table engine spells `MERGE INTO`. Plain-parquet
+    * stores get it here as the same incremental partition rewrite the
+    * rest of this module uses: only partitions NAMED BY THE UPDATES are
+    * touched (an update must carry its partition columns — key identity
+    * includes placement, and a corrected row never silently migrates
+    * between partitions); untouched partitions keep their exact files.
+    *
+    * Per touched partition: existing rows anti-joined against the
+    * partition's update keys (a broadcast-sized build — updates are
+    * batch-sized, never corpus-sized), unioned with the updates,
+    * rewritten through the `_tmp_`/`_old_` crash-safe swap sized by
+    * `targetBytes`. A partition new to the store is written directly.
+    * Catalog note: newly-created partitions need `Partitions.registerAll`
+    * (or MSCK) to become visible to an external table — same contract as
+    * the streaming sink's per-batch registration; rewritten partitions
+    * keep their entry (same directory, new files).
+    *
+    * `updates` must have the full data schema plus the `account`/`dt`
+    * partition columns; duplicate keys WITHIN `updates` are the caller's
+    * bug and rejected loudly (which copy wins would otherwise be
+    * nondeterministic at scale).
+    *
+    * Read-modify-write safety: an update batch routinely DERIVES from
+    * the store it corrects (read rows, fix a column, merge back). The
+    * lazy plan would then re-list the partition's original files after
+    * the swap replaced them — so the batch is eagerly materialized
+    * (cache + force) before the first mutation and released after. The
+    * cache pins a batch-sized dataset, not the store; a deployment that
+    * cannot afford recomputation-on-block-loss semantics writes the
+    * batch to a staging path first and passes that read instead.
+    *
+    * Returns (partitions rewritten, partitions created).
+    */
+  def upsert(
+      spark: SparkSession,
+      location: String,
+      updates: org.apache.spark.sql.DataFrame,
+      keyCols: Seq[String],
+      targetBytes: Long = 128L * 1024 * 1024
+  ): (Int, Int) = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName
+    import org.apache.spark.sql.functions.{col, count, lit}
+    require(keyCols.nonEmpty, "upsert: keyCols must be non-empty")
+    val partCols = Seq("account", "dt")
+    val dataCols = FlowLogSchema.schema.fieldNames.toSeq
+    updates.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      updates.count() // force: snapshot the batch before any file mutates
+      upsertMaterialized(spark, location, updates, keyCols, partCols, dataCols, targetBytes)
+    } finally updates.unpersist()
+  }
+
+  private def upsertMaterialized(
+      spark: SparkSession,
+      location: String,
+      updates: org.apache.spark.sql.DataFrame,
+      keyCols: Seq[String],
+      partCols: Seq[String],
+      dataCols: Seq[String],
+      targetBytes: Long
+  ): (Int, Int) = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val dupKeys = updates
+      .groupBy((partCols ++ keyCols).map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+    if (!dupKeys.isEmpty)
+      throw new IllegalArgumentException(
+        "upsert: updates contain duplicate keys within a partition — " +
+          "resolve (e.g. keep-latest) before merging"
+      )
+
+    val root = new Path(location)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // touched-partition pull: bounded by the update batch's partition
+    // spread (the StreamingConvertJob per-batch registration bound),
+    // never by store size
+    val touched = updates
+      .select(partCols.map(col): _*)
+      .distinct()
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    var rewrittenN = 0
+    var createdN = 0
+    touched.foreach { case (account, dt) =>
+      val dtDir = new Path(
+        new Path(root, "account=" + escapePathName(account)),
+        "dt=" + escapePathName(dt)
+      )
+      val partUpdates = updates
+        .filter(col("account") === account && col("dt") === dt)
+        .select(dataCols.map(col): _*)
+      if (!fs.exists(dtDir)) {
+        partUpdates.write.mode(SaveMode.ErrorIfExists).parquet(dtDir.toString)
+        createdN += 1
+      } else {
+        val tmp = new Path(dtDir.getParent, "_tmp_" + dtDir.getName)
+        val old = new Path(dtDir.getParent, "_old_" + dtDir.getName)
+        if (fs.exists(old)) { // self-heal, as compactPartition
+          if (!fs.exists(dtDir)) fs.rename(old, dtDir) else fs.delete(old, true)
+        }
+        if (fs.exists(tmp)) fs.delete(tmp, true)
+        val existing = spark.read
+          .schema(FlowLogSchema.schema)
+          .parquet(dtDir.toString)
+        val kept = existing.join(
+          partUpdates.select(keyCols.map(col): _*),
+          keyCols,
+          "left_anti"
+        )
+        val partBytes = fs
+          .listStatus(dtDir)
+          .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+          .map(_.getLen)
+          .sum
+        val nOut =
+          math.max(1, math.ceil(partBytes.toDouble / targetBytes).toInt)
+        kept
+          .unionByName(partUpdates)
+          .coalesce(nOut)
+          .write
+          .mode(SaveMode.Overwrite)
+          .parquet(tmp.toString)
+        if (!fs.rename(dtDir, old))
+          throw new java.io.IOException(s"upsert: cannot move $dtDir aside")
+        if (!fs.rename(tmp, dtDir)) {
+          fs.rename(old, dtDir)
+          throw new java.io.IOException(s"upsert: cannot publish $tmp")
+        }
+        fs.delete(old, true)
+        rewrittenN += 1
+      }
+    }
+    (rewrittenN, createdN)
+  }
 }

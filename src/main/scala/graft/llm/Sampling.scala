@@ -63,9 +63,41 @@ object Sampling {
       .orderBy("doc_id")
   }
 
+  /** q77: count-adaptive per-domain cap — downsample each source toward
+    * a target of ~`cap` documents, with the keep rate COMPUTED from the
+    * source's own size (`cap / n`) instead of q43b's static table. This
+    * is the over-represented-domain control every web-scale corpus
+    * needs ("no single site exceeds its budget"), in the shape that
+    * scales: a domain-cardinality count aggregate broadcast back onto
+    * the corpus and a per-row hash threshold — NO per-group sort, no
+    * window, unlike a row_number cap which pays a full per-domain
+    * ordering at 100 TB for the same statistical effect.
+    *
+    * The decision hash is SALTED ('cap:' prefix) so it is independent
+    * of q43/q43b's split/sample decisions — reusing one hash for
+    * multiple sampling decisions would correlate them (a doc kept here
+    * would always be the doc landing in 'train' there). Integer
+    * cross-multiplication (`bucket · n < cap · 100`) keeps the
+    * threshold compare exact on both engines — no float division.
+    */
+  private def q77(s: SparkSession, dir: String): DataFrame = {
+    val cap = 10
+    val docs = Tables.table(s, dir, "documents")
+    val counts = docs.groupBy("source").agg(count(lit(1)).as("n_src"))
+    docs
+      .join(broadcast(counts), "source")
+      .filter(
+        bucket100(concat(lit("cap:"), col("doc_id").cast("string")))
+          * col("n_src") < cap * 100
+      )
+      .select(col("doc_id"), col("source"), col("n_src"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q43_hash_split" -> q43,
-    "q43b_stratified_sample" -> q43b
+    "q43b_stratified_sample" -> q43b,
+    "q77_domain_cap" -> q77
   )
 
   private[llm] val BucketSql =
@@ -83,6 +115,14 @@ object Sampling {
          |WHERE $BucketSql <
          |  CASE WHEN source = 'src0' THEN 50
          |       WHEN source = 'src1' THEN 25 ELSE 10 END
-         |ORDER BY doc_id""".stripMargin
+         |ORDER BY doc_id""".stripMargin,
+    "q77_domain_cap" ->
+      """WITH counts AS (
+        |  SELECT source, count(*) AS n_src FROM documents GROUP BY source)
+        |SELECT doc_id, d.source, n_src
+        |FROM documents d JOIN counts USING (source)
+        |WHERE (CAST('0x' || substr(md5('cap:' || CAST(doc_id AS VARCHAR)), 1, 15)
+        |        AS BIGINT) % 100) * n_src < 10 * 100
+        |ORDER BY doc_id""".stripMargin
   )
 }

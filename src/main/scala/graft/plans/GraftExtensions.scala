@@ -3,7 +3,8 @@ package graft.plans
 import graft.functions.{FloatVectorCosine, FloatVectorDot, FloatVectorNormalize}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 
@@ -147,6 +148,53 @@ object GraftExtensions {
               s"float_vector_normalize expects 1 argument (array<float>), got ${children.length}"
             )
           FloatVectorNormalize(children.head)
+        }
+      ),
+      // The bloom-filter pair InjectRuntimeFilter plants internally,
+      // surfaced as SQL so the explicit pruning pattern (BloomJoin /
+      // q75) is writable as a scalar subquery from pure spark.sql.
+      // Both take PRE-HASHED int64 keys (xxhash64) per the aggregate's
+      // contract; the analyzer wraps the bare AggregateFunction itself.
+      (
+        FunctionIdentifier("graft_bloom_filter_agg"),
+        description(
+          "graft_bloom_filter_agg",
+          classOf[BloomFilterAggregate],
+          "_FUNC_(xxhash64_key[, expected_items]) - build a bloom filter (binary) over pre-hashed int64 keys."
+        ),
+        (children: Seq[Expression]) =>
+          children match {
+            case Seq(key) => new BloomFilterAggregate(key)
+            case Seq(key, nExp) =>
+              // SQL integer literals parse as INT; the aggregate's type
+              // check demands a foldable BIGINT — a foldable Cast
+              // satisfies both and folds before execution
+              new BloomFilterAggregate(
+                key,
+                org.apache.spark.sql.catalyst.expressions.Cast(
+                  nExp,
+                  org.apache.spark.sql.types.LongType
+                )
+              )
+            case other =>
+              throw new IllegalArgumentException(
+                s"graft_bloom_filter_agg expects 1-2 arguments (xxhash64 key [, expected items]), got ${other.length}"
+              )
+          }
+      ),
+      (
+        FunctionIdentifier("graft_might_contain"),
+        description(
+          "graft_might_contain",
+          classOf[BloomFilterMightContain],
+          "_FUNC_(bloom, xxhash64_key) - true if the pre-hashed key might be in the bloom filter (false = definitely absent)."
+        ),
+        (children: Seq[Expression]) => {
+          if (children.length != 2)
+            throw new IllegalArgumentException(
+              s"graft_might_contain expects 2 arguments (bloom binary, xxhash64 key), got ${children.length}"
+            )
+          BloomFilterMightContain(children(0), children(1))
         }
       )
     )

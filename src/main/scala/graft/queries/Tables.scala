@@ -9,14 +9,22 @@ object Tables {
 
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     import org.apache.spark.sql.functions.expr
-    import org.apache.spark.sql.types.LongType
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    // events.ts is Parquet TIMESTAMP(NANOS), which Spark only reads as a
-    // long (spark.sql.legacy.parquet.nanosAsLong=true, set in our session
-    // entry points). Convert to a microsecond TimestampType; DuckDB's
-    // client truncates ns→µs identically.
+    // Normalize events.ts to a microsecond TimestampType (UTC session)
+    // whichever physical encoding the driver generated it with:
+    //  - TIMESTAMP(NANOS): Spark only reads it as a long
+    //    (spark.sql.legacy.parquet.nanosAsLong=true, set in our session
+    //    entry points) → convert ns → µs instant;
+    //  - timestamp[us] without timezone (current testdata): reads as
+    //    TIMESTAMP_NTZ → cast reinterprets the wall-clock in the UTC
+    //    session, the same instant the nanos path produced. DuckDB reads
+    //    both as its (naive) TIMESTAMP, so oracle semantics are
+    //    unchanged either way.
     if (name == "events" && df.schema("ts").dataType == LongType)
       df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else if (name == "events" && df.schema("ts").dataType == TimestampNTZType)
+      df.withColumn("ts", expr("CAST(ts AS TIMESTAMP)"))
     else df
   }
 

@@ -223,4 +223,79 @@ class MaintenanceSpec extends SparkSpec {
     assert(leftover.isEmpty, s"dead account dirs: ${leftover.mkString(",")}")
     spark.sql("DROP TABLE flowlogs_maint")
   }
+
+  test("upsert replaces matched keys, inserts new ones, touches only named partitions") {
+    import org.apache.spark.sql.functions._
+    val root = convertCorpus()
+    val all = ConvertJob.readConverted(spark, root)
+    val total = all.count()
+    // key identity for flowlogs: the 5-tuple + capture start
+    val keys = Seq("srcaddr", "dstaddr", "srcport", "dstport", "protocol", "start_ts")
+
+    // one existing partition to correct, one brand-new partition to create
+    val (acct, dt) = {
+      val r = all.select("account", "dt").distinct().orderBy("account", "dt").head()
+      (r.getString(0), r.getString(1))
+    }
+    val victim = all
+      .filter(col("account") === acct && col("dt") === dt)
+      .dropDuplicates(keys) // the corpus repeats key tuples; updates must not
+      .orderBy("start_ts", "srcaddr", "srcport")
+      .limit(2)
+    val corrections = victim.withColumn("bytes", lit(999999))
+    val newPartRows = victim.withColumn("dt", lit("2030-01-01"))
+    val updates = corrections.unionByName(newPartRows)
+
+    def partFiles(): Map[String, Set[(String, Long)]] = {
+      val fs = org.apache.hadoop.fs.FileSystem
+        .get(spark.sparkContext.hadoopConfiguration)
+      Partitions
+        .partitionKeys(fs, new org.apache.hadoop.fs.Path(root))
+        .map { case (a, d, dir) =>
+          s"$a/$d" -> fs
+            .listStatus(dir)
+            .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+            .map(f => (f.getPath.getName, f.getLen))
+            .toSet
+        }
+        .toMap
+    }
+    val before = partFiles()
+
+    // duplicate keys within the update batch are a loud error (checked
+    // before any mutation — dup derives from the pristine store)
+    val dup = corrections.unionByName(corrections)
+    val e = intercept[IllegalArgumentException] {
+      Maintenance.upsert(spark, root, dup, keys)
+    }
+    assert(e.getMessage.contains("duplicate keys"))
+
+    // MERGE semantics: EVERY store row matching an updated key is
+    // replaced by that key's single update row (the corpus repeats key
+    // tuples, so this can shrink the partition)
+    val matched = all
+      .filter(col("account") === acct && col("dt") === dt)
+      .join(victim.select(keys.map(col): _*), keys, "left_semi")
+      .count()
+
+    val (rewritten, created) = Maintenance.upsert(spark, root, updates, keys)
+    assert(rewritten == 1 && created == 1, s"($rewritten, $created)")
+
+    val after = ConvertJob.readConverted(spark, root)
+    assert(after.count() == total - matched + 2 + 2)
+    assert(
+      after
+        .filter(col("account") === acct && col("dt") === dt)
+        .filter(col("bytes") === 999999)
+        .count() == 2
+    )
+    assert(
+      after.filter(col("dt") === "2030-01-01").count() == 2
+    )
+    // every partition not named by the updates keeps its exact files
+    val post = partFiles()
+    before.keys.filterNot(_ == s"$acct/$dt").foreach { k =>
+      assert(post(k) == before(k), s"untouched partition $k was rewritten")
+    }
+  }
 }
