@@ -27,6 +27,7 @@ object SparkEntry {
       graft.queries.Relational.queries ++
       graft.queries.BloomJoin.queries ++
       graft.queries.Merge.queries ++
+      graft.queries.Behavior.queries ++
       graft.queries.Outliers.queries ++
       graft.queries.Graph.queries ++
       graft.llm.KMeans.queries ++
@@ -56,6 +57,7 @@ object SparkEntry {
       graft.queries.Relational.oracleSql ++
       graft.queries.BloomJoin.oracleSql ++
       graft.queries.Merge.oracleSql ++
+      graft.queries.Behavior.oracleSql ++
       graft.queries.Outliers.oracleSql ++
       graft.queries.Graph.oracleSql ++
       graft.llm.KMeans.oracleSql ++

@@ -1,0 +1,148 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Behavioral / product-analytics operators over the event stream — the
+  * query family an events table exists for, and a capability gap neither
+  * the relational inventory (windows, joins) nor the LLM family covers
+  * as a NAMED operation: ordered-sequence matching (funnel) and
+  * cohort-relative activity (retention).
+  *
+  * Both are built from the same two primitives — per-entity conditional
+  * aggregation and equi-joins on the entity key — because that is the
+  * shape that scales: every stage is a map-side partial aggregate into
+  * one user-keyed shuffle, later stages operate on monotonically
+  * SHRINKING frames (only users who reached step k are joined for step
+  * k+1), and nothing ever sorts a user's full history or collects a
+  * corpus-sized window. Timestamps compare as exact integer µs on both
+  * engines (`unix_micros` / `epoch_us`), so sequencing decisions can
+  * never diverge on float rounding.
+  */
+object Behavior {
+
+  /** q78: strict-order conversion funnel view → click → purchase.
+    * Step k's timestamp is the EARLIEST event of that type strictly
+    * after the user's step-(k−1) timestamp (the standard "first
+    * qualifying path" funnel semantics — a click before the first view
+    * does not count). Emits one row per user who entered the funnel,
+    * with how deep they got, the step times, and whether the full path
+    * completed within 24 h of entry.
+    *
+    * Scale shape: three filtered aggregates, each joined to the (strictly
+    * smaller) previous step frame on user_id. No window over event
+    * history, no self-join of the raw stream; at 100 TB each stage is
+    * one partial-aggregated shuffle of the users still alive in the
+    * funnel.
+    */
+  private def q78(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables
+      .table(s, dir, "events")
+      .select(
+        col("user_id"),
+        col("event_type"),
+        unix_micros(col("ts")).as("us")
+      )
+    val step1 = ev
+      .filter(col("event_type") === "view")
+      .groupBy("user_id")
+      .agg(min("us").as("t1"))
+    val step2 = ev
+      .filter(col("event_type") === "click")
+      .join(step1, "user_id")
+      .filter(col("us") > col("t1"))
+      .groupBy("user_id")
+      .agg(min("us").as("t2"))
+    val step3 = ev
+      .filter(col("event_type") === "purchase")
+      .join(step2, "user_id")
+      .filter(col("us") > col("t2"))
+      .groupBy("user_id")
+      .agg(min("us").as("t3"))
+    step1
+      .join(step2, Seq("user_id"), "left")
+      .join(step3, Seq("user_id"), "left")
+      .select(
+        col("user_id"),
+        col("t1"),
+        col("t2"),
+        col("t3"),
+        (lit(1) + when(col("t2").isNotNull, 1).otherwise(0)
+          + when(col("t3").isNotNull, 1).otherwise(0)).as("funnel_depth"),
+        (col("t3").isNotNull &&
+          col("t3") - col("t1") <= lit(86400000000L)).as("converted_24h")
+      )
+      .orderBy("user_id")
+  }
+
+  /** q79: weekly cohort retention — users grouped by the week of their
+    * FIRST event (the cohort), then for each later week-offset the
+    * number of cohort members still active. The matrix behind every
+    * "retention curve" dashboard.
+    *
+    * Scale shape: one aggregate for first-seen (cohort assignment), one
+    * distinct user-week activity frame (map-side distinct before the
+    * shuffle), one equi-join on user_id, one final count aggregate.
+    * Week arithmetic is integer floor-division of epoch DAYS (µs →
+    * days → /7) so both engines bucket identically at any timestamp;
+    * no session-timezone-dependent date_trunc is involved.
+    */
+  private def q79(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables
+      .table(s, dir, "events")
+      // `div` is exact integer floor-division on longs; `/` would route
+      // through double and can mis-bucket at a week boundary
+      .select(
+        col("user_id"),
+        expr("(unix_micros(ts) div 86400000000) div 7").as("week")
+      )
+    val cohort = ev.groupBy("user_id").agg(min("week").as("cohort_week"))
+    val active = ev.distinct()
+    active
+      .join(cohort, "user_id")
+      .withColumn("offset", col("week") - col("cohort_week"))
+      .groupBy("cohort_week", "offset")
+      .agg(countDistinct("user_id").as("n_active"))
+      .orderBy("cohort_week", "offset")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q78_funnel" -> q78,
+    "q79_cohort_retention" -> q79
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q78_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |s1 AS (
+        |  SELECT user_id, min(us) AS t1 FROM e
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (
+        |  SELECT e.user_id, min(us) AS t2 FROM e JOIN s1 USING (user_id)
+        |  WHERE event_type = 'click' AND us > t1 GROUP BY e.user_id),
+        |s3 AS (
+        |  SELECT e.user_id, min(us) AS t3 FROM e JOIN s2 USING (user_id)
+        |  WHERE event_type = 'purchase' AND us > t2 GROUP BY e.user_id)
+        |SELECT s1.user_id, t1, t2, t3,
+        |       1 + CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END
+        |         + CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END AS funnel_depth,
+        |       coalesce(t3 IS NOT NULL AND t3 - t1 <= 86400000000, false)
+        |         AS converted_24h
+        |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+        |ORDER BY user_id""".stripMargin,
+    "q79_cohort_retention" ->
+      """WITH e AS (
+        |  SELECT DISTINCT user_id,
+        |         CAST(epoch_us(ts) // 86400000000 // 7 AS BIGINT) AS week
+        |  FROM events),
+        |cohort AS (
+        |  SELECT user_id, min(week) AS cohort_week FROM e GROUP BY user_id)
+        |SELECT cohort_week, week - cohort_week AS "offset",
+        |       count(DISTINCT user_id) AS n_active
+        |FROM e JOIN cohort USING (user_id)
+        |GROUP BY cohort_week, week - cohort_week
+        |ORDER BY cohort_week, "offset"""".stripMargin
+  )
+}

@@ -113,8 +113,88 @@ object Graph {
     out
   }
 
+  /** q80: triangle counting over the supplier co-occurrence graph
+    * (suppliers appearing in the same order are connected) — the graph
+    * statistic behind clustering-coefficient / community-density
+    * signals, and the classic test of whether a distributed engine can
+    * do better than the naive 3-way self-join.
+    *
+    * Scale shape — degree-ordered orientation (the standard trick):
+    * orient every undirected edge from its lower-(degree, id) endpoint
+    * to the higher one. Every triangle then has EXACTLY ONE node with
+    * two out-edges, so counting (wedge ⋈ closing-edge) over the
+    * DIRECTED frame counts each triangle once, and the wedge frame is
+    * Σ C(outdeg⁺, 2) where orientation bounds outdeg⁺ at O(√m) — a hub
+    * with a million co-occurrences contributes ~no wedges because its
+    * edges all point INTO it. The naive undirected wedge join is
+    * Σ C(deg, 2), quadratic in the hub degree; orientation is the
+    * difference between a bounded shuffle and a blown-up one at 100 TB.
+    * The triangle COUNT is orientation-invariant, so the oracle replays
+    * the naive a<b<c 3-way join and must land on the same integer.
+    *
+    * Everything is exact integer arithmetic; the edge-building self-join
+    * is bounded per order by (items-per-order choose 2), never by
+    * corpus size.
+    */
+  private def q80(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables
+      .table(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+      .distinct()
+    // canonical undirected edges a < b (by id), kept only when the pair
+    // co-occurs MORE than the average pair does — the data-adaptive
+    // support threshold that yields real structure at any SF (a fixed
+    // absolute cutoff is complete-graph at one scale and empty at
+    // another; the testdata's raw co-occurrence graph is K_n). avg is
+    // sum/count of exact integers, IEEE-identical on both engines.
+    val counted = li
+      .as("x")
+      .join(li.as("y"), col("x.ok") === col("y.ok") && col("x.sk") < col("y.sk"))
+      .groupBy(col("x.sk").as("a"), col("y.sk").as("b"))
+      .agg(count(lit(1)).as("c"))
+    val edges = counted
+      .crossJoin(broadcast(counted.agg(avg("c").as("cavg"))))
+      .filter(col("c") > col("cavg"))
+      .select("a", "b")
+    val deg = edges
+      .select(col("a").as("v"))
+      .unionAll(edges.select(col("b").as("v")))
+      .groupBy("v")
+      .agg(count(lit(1)).as("deg"))
+    // orient low-(deg, id) → high-(deg, id)
+    val directed = edges
+      .join(deg.select(col("v").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("deg").as("db")), "b")
+      .select(
+        when(
+          col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
+          struct(col("a").as("src"), col("b").as("dst"))
+        ).otherwise(struct(col("b").as("src"), col("a").as("dst")))
+          .as("e")
+      )
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+    // wedges at each center (two out-neighbors, canonical by id) close
+    // against the UNDIRECTED canonical edge set
+    val wedges = directed
+      .as("e1")
+      .join(
+        directed.as("e2"),
+        col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst")
+      )
+      .select(col("e1.dst").as("a"), col("e2.dst").as("b"))
+    // three 1-row aggregates cross-joined in-plan (bounded by
+    // construction; no driver-side count actions)
+    deg
+      .agg(count(lit(1)).as("n_nodes"))
+      .crossJoin(edges.agg(count(lit(1)).as("n_edges")))
+      .crossJoin(
+        wedges.join(edges, Seq("a", "b")).agg(count(lit(1)).as("n_triangles"))
+      )
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q71_pagerank" -> q71
+    "q71_pagerank" -> q71,
+    "q80_triangle_count" -> q80
   )
 
   // One power iteration as SQL — contribution spelled r * w / wout and
@@ -154,6 +234,22 @@ object Graph {
          |       ELSE 'S' || ((node - 1) // 2) END AS node,
          |  round(r, 8) + 0.0 AS rank
          |FROM ranked WHERE pos <= $TopN
-         |ORDER BY pos""".stripMargin
+         |ORDER BY pos""".stripMargin,
+    // naive a<b<c 3-way join — orientation-invariant count, so the
+    // oracle needn't replay the degree ordering
+    "q80_triangle_count" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
+        |            FROM lineitem),
+        |ec AS (SELECT x.sk AS a, y.sk AS b, count(*) AS c
+        |       FROM li x JOIN li y ON x.ok = y.ok AND x.sk < y.sk
+        |       GROUP BY x.sk, y.sk),
+        |e AS (SELECT a, b FROM ec WHERE c > (SELECT avg(c) FROM ec)),
+        |nodes AS (SELECT a AS v FROM e UNION SELECT b FROM e)
+        |SELECT (SELECT count(*) FROM nodes) AS n_nodes,
+        |       (SELECT count(*) FROM e) AS n_edges,
+        |       (SELECT count(*)
+        |        FROM e e1 JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+        |                  JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b)
+        |         AS n_triangles""".stripMargin
   )
 }
