@@ -1,7 +1,7 @@
 package graft.catalog
 
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions.{col, expr, floor, least, lit, shiftleft, unhex}
 
 /** Data-layout control for scan pruning — the write-side half of
   * predicate pushdown. Parquet stores min/max statistics per row group
@@ -40,4 +40,76 @@ object Layout {
       .write
       .mode("overwrite")
       .parquet(path)
+
+  /** Morton (Z-order) interleave of two numeric columns, each first
+    * scaled to `bits` levels over its [lo, hi] range. Pure column
+    * arithmetic (floor-scale, then bit-spread via shift/mask folds), so
+    * the whole computation codegens — no UDF.
+    */
+  private[graft] def zValue(
+      a: Column,
+      aLo: Double,
+      aHi: Double,
+      b: Column,
+      bLo: Double,
+      bHi: Double,
+      bits: Int = 16
+  ): Column = {
+    def scale(c: Column, lo: Double, hi: Double): Column =
+      least(
+        floor((c.cast("double") - lo) / (hi - lo) * (1 << bits)).cast("long"),
+        lit((1 << bits) - 1L)
+      )
+    // spread the low `bits` bits of x so bit i lands at position 2i —
+    // the classic mask-fold sequence, valid for bits <= 16
+    def spread(x: Column): Column = {
+      val s1 = x.bitwiseOR(shiftleft(x, 8)).bitwiseAND(lit(0x00FF00FFL))
+      val s2 = s1.bitwiseOR(shiftleft(s1, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+      val s3 = s2.bitwiseOR(shiftleft(s2, 2)).bitwiseAND(lit(0x33333333L))
+      s3.bitwiseOR(shiftleft(s3, 1)).bitwiseAND(lit(0x55555555L))
+    }
+    val sa = scale(a, aLo, aHi)
+    val sb = scale(b, bLo, bHi)
+    spread(sa) + shiftleft(spread(sb), 1)
+  }
+
+  /** Write `df` clustered on the Morton (Z-order) curve over TWO filter
+    * columns. [[writeSorted]] prunes perfectly on its leading column and
+    * not at all on the second (every file spans the full second-column
+    * domain once the first column dominates the sort); the Z-curve
+    * interleaves the two columns' bits so every file covers a small
+    * RECTANGLE of the (a, b) domain — point/range filters on EITHER
+    * column (or both) skip most files via footer min/max. The curve
+    * value is pure codegen'd column arithmetic; the only driver traffic
+    * is the 1-row min/max frame that fixes the scaling grid.
+    *
+    * This is the single-table analog of what lakehouse formats call
+    * OPTIMIZE ZORDER BY; at 100 TB the write costs one range shuffle
+    * (same as a sort) and buys two-dimensional scan pruning on every
+    * subsequent query.
+    */
+  def writeZOrdered(
+      df: DataFrame,
+      path: String,
+      numFiles: Int,
+      colA: String,
+      colB: String,
+      bits: Int = 16
+  ): Unit = {
+    import org.apache.spark.sql.functions.{max, min}
+    val r = df.agg(min(col(colA)), max(col(colA)), min(col(colB)), max(col(colB))).head()
+    def d(i: Int): Double = r.get(i) match {
+      case n: Number => n.doubleValue()
+      case other => throw new IllegalArgumentException(s"non-numeric z-order column value: $other")
+    }
+    val (aLo, aHi, bLo, bHi) = (d(0), d(1), d(2), d(3))
+    require(aHi > aLo && bHi > bLo, "z-order columns must be non-constant")
+    df.withColumn("_z", zValue(col(colA), aLo, aHi, col(colB), bLo, bHi, bits))
+      .repartitionByRange(numFiles, col("_z"))
+      .sortWithinPartitions("_z")
+      .drop("_z")
+      .write
+      .mode("overwrite")
+      .parquet(path)
+  }
 }

@@ -94,10 +94,48 @@ object Sampling {
       .orderBy("doc_id")
   }
 
+  /** q81: weighted sampling without replacement (Efraimidis–Spirakis
+    * A-ES): per source, keep the top-3 documents by the key
+    * `ln(u) / w` — the rank-equivalent of `u^(1/w)` — where `u` is a
+    * deterministic md5-uniform in (0, 1] and the weight `w` is the
+    * document length (the quality-weight stand-in). Longer docs are
+    * proportionally likelier to be drawn, yet every decision replays
+    * bit-for-bit: this is how a curation pipeline samples by quality
+    * score WITHOUT rand()'s retry/re-run nondeterminism.
+    *
+    * Scale shape: key assignment is a pure per-row projection; the
+    * top-3-per-source rank compiles to WindowGroupLimit (per-partition
+    * top-k heaps before the shuffle), never a full per-source sort.
+    *
+    * Float parity: `u` is exact on both engines ((52-bit int + 1) /
+    * (2^52 + 1) — one IEEE division of exact integers); `ln` is the one
+    * libm call, so the key is round(·, 6)-gridded BEFORE ranking with a
+    * doc_id tie-break — a last-ulp ln divergence would need to straddle
+    * a 1e-6 grid edge to flip the selection.
+    */
+  private def q81(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val u = (conv(
+      substring(md5(concat(lit("wrs:"), col("doc_id").cast("string")).cast("binary")), 1, 13),
+      16,
+      10
+    ).cast("long") + 1).cast("double") / 4503599627370497.0
+    val key = round(log(u) / col("n_chars"), 6) + 0.0
+    val w = Window.partitionBy("source").orderBy(col("k").desc, col("doc_id"))
+    Tables
+      .table(s, dir, "documents")
+      .withColumn("k", key)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("source"), col("doc_id"), col("k"), col("rn"))
+      .orderBy("source", "rn")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q43_hash_split" -> q43,
     "q43b_stratified_sample" -> q43b,
-    "q77_domain_cap" -> q77
+    "q77_domain_cap" -> q77,
+    "q81_weighted_sample" -> q81
   )
 
   private[llm] val BucketSql =
@@ -123,6 +161,18 @@ object Sampling {
         |FROM documents d JOIN counts USING (source)
         |WHERE (CAST('0x' || substr(md5('cap:' || CAST(doc_id AS VARCHAR)), 1, 15)
         |        AS BIGINT) % 100) * n_src < 10 * 100
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+    "q81_weighted_sample" ->
+      """WITH k AS (
+        |  SELECT source, doc_id,
+        |    round(ln((CAST('0x' || substr(md5('wrs:' || CAST(doc_id AS VARCHAR)), 1, 13)
+        |               AS BIGINT) + 1) / 4503599627370497.0) / n_chars, 6) + 0.0 AS k
+        |  FROM documents),
+        |r AS (
+        |  SELECT source, doc_id, k,
+        |    row_number() OVER (PARTITION BY source ORDER BY k DESC, doc_id) AS rn
+        |  FROM k)
+        |SELECT source, doc_id, k, rn FROM r WHERE rn <= 3
+        |ORDER BY source, rn""".stripMargin
   )
 }

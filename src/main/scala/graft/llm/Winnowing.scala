@@ -95,10 +95,40 @@ object Winnowing {
     * as q27's LSH banding, with fingerprints instead of band buckets.
     */
   private def q73b(s: SparkSession, dir: String): DataFrame = {
-    val fp = fingerprinted(Tables.table(s, dir, "documents"))
-      .select(col("doc_id"), explode(col("fp")).as("f"))
-    val dfc = fp.groupBy("f").agg(count(lit(1)).as("df"))
-    val keep = fp.join(dfc.filter(col("df") <= DfCap), "f")
+    // Two plan disciplines this query lives or dies by (round-8 lesson:
+    // the naive spelling ran 312 s at sf0.1 where this one runs ~1 s):
+    //  1. PARALLELIZE THE EXPENSIVE MAP. The fingerprint pipeline is
+    //     ~100 md5 calls per document; a low-file-count corpus (the
+    //     gate's single parquet file ⇒ ONE scan task) would run it
+    //     sequentially however many cores exist. Round-robin the raw
+    //     docs first — the text shuffle is tiny next to the hashing it
+    //     parallelizes. (A many-file 100 TB corpus already scans wide;
+    //     the extra exchange is then noise, not a second scan.)
+    //  2. COMPUTE IT ONCE. DataFrame references duplicate their
+    //     subtree: postings feed dfc, keep (twice — the self-join),
+    //     and sizes, so the spelling below would inline the md5
+    //     pipeline EIGHT times. Pinning one canonical hash-by-f
+    //     exchange right after the explode makes every downstream
+    //     reference a child of the SAME shuffle — AQE stage reuse
+    //     materializes the expensive map once and replays its output.
+    //  3. explode_outer, NOT explode. Plain explode plants an implicit
+    //     `size(fp) > 0` pre-filter that Catalyst pushes below the
+    //     repartition, INLINING the whole fingerprint expression into a
+    //     Filter — where the gram array is re-evaluated inside the
+    //     window lambda PER POSITION: O(n_grams²) md5 calls per doc, on
+    //     the unparallelized scan. explode_outer has no such filter;
+    //     the null row an empty fp would emit is dropped after the
+    //     Generate for the same semantics at projection cost.
+    val posts = fingerprinted(
+      Tables
+        .table(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+    )
+      .select(col("doc_id"), explode_outer(col("fp")).as("f"))
+      .filter(col("f").isNotNull)
+      .repartition(col("f"))
+    val dfc = posts.groupBy("f").agg(count(lit(1)).as("df"))
+    val keep = posts.join(dfc.filter(col("df") <= DfCap), "f")
     val sizes = keep.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val pairs = keep
       .select(col("doc_id").as("da"), col("f"))

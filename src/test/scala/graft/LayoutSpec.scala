@@ -91,4 +91,52 @@ class LayoutSpec extends SparkSpec {
       .orderBy("event_id").collect().toSeq
     assert(a == b)
   }
+
+  test("writeZOrdered prunes on BOTH dimensions; lexicographic sort only on the leading one") {
+    val li = graft.queries.Tables.table(spark, sf, "lineitem")
+      .select("l_orderkey", "l_partkey", "l_suppkey")
+    val base = tmpDir("graft-zorder")
+    val zpath = s"$base/z"
+    val lexpath = s"$base/lex"
+    Layout.writeZOrdered(li, zpath, numFiles = 16, "l_partkey", "l_suppkey")
+    Layout.writeSorted(li, lexpath, numFiles = 16, "l_partkey", "l_suppkey")
+
+    val total = li.count()
+    // narrow range probes on each dimension separately; 16 files give a
+    // 4×4 z-grid, so probes sit INSIDE one grid column (a band that
+    // straddles a cell boundary pays for both cells — the honest
+    // granularity statement, not a test artifact to dodge)
+    val (pLo, pHi) = (600L, 700L)  // l_partkey ∈ [0, 2000): inside [500, 1000)
+    val (sLo, sHi) = (30L, 40L)    // l_suppkey ∈ [0, 100):  inside [25, 50)
+    def read(path: String, c: String, lo: Long, hi: Long): Long =
+      scannedRows(
+        spark.read.parquet(path).filter(col(c) >= lo && col(c) < hi)
+      )
+
+    // leading column: both layouts prune
+    val zA = read(zpath, "l_partkey", pLo, pHi)
+    val lexA = read(lexpath, "l_partkey", pLo, pHi)
+    assert(zA < total / 2, s"z-order did not prune on dim A: $zA of $total")
+    assert(lexA < total / 2, s"lex sort did not prune on dim A: $lexA of $total")
+
+    // second column: the z-layout keeps pruning, the lexicographic one
+    // cannot (every file spans the full l_suppkey domain)
+    val zB = read(zpath, "l_suppkey", sLo, sHi)
+    val lexB = read(lexpath, "l_suppkey", sLo, sHi)
+    assert(
+      zB < lexB,
+      s"z-order read $zB rows on dim B, not better than lex $lexB"
+    )
+    // one 4×4 grid column = 1/4 of the table (plus boundary slop)
+    assert(zB <= total / 3, s"z-order did not prune on dim B: $zB of $total")
+
+    // layout never changes results
+    val a = spark.read.parquet(zpath)
+      .filter(col("l_suppkey") >= sLo && col("l_suppkey") < sHi)
+      .orderBy("l_orderkey", "l_partkey", "l_suppkey").collect().toSeq
+    val b = spark.read.parquet(lexpath)
+      .filter(col("l_suppkey") >= sLo && col("l_suppkey") < sHi)
+      .orderBy("l_orderkey", "l_partkey", "l_suppkey").collect().toSeq
+    assert(a == b)
+  }
 }

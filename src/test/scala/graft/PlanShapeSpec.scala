@@ -37,6 +37,10 @@ class PlanShapeSpec extends SparkSpec {
       .contains("WindowGroupLimit"))
     assert(executedPlan(SparkEntry.queries("q37_asof_join")(spark, sf))
       .contains("WindowGroupLimit"))
+    // q81's per-source weighted top-3 must take the same per-partition
+    // heap path — a full per-source sort would pay corpus-sized ordering
+    assert(executedPlan(SparkEntry.queries("q81_weighted_sample")(spark, sf))
+      .contains("WindowGroupLimit"))
   }
 
   test("q51 per-doc top-3 ranks under WindowGroupLimit") {
@@ -328,6 +332,25 @@ class PlanShapeSpec extends SparkSpec {
     assert(
       !finalPlan.contains("NestedLoopJoin") && !finalPlan.contains("CartesianProduct"),
       s"gap-fill join degenerated to a non-equi join:\n$plan"
+    )
+  }
+
+  test("q73b fingerprint map runs once (ReusedExchange) and never inside a Filter") {
+    val plan = executedPlan(SparkEntry.queries("q73b_fingerprint_dedup")(spark, sf))
+    // the round-8 312-second lesson, pinned:
+    //  (a) plain explode's implicit size>0 pre-filter must never return —
+    //      pushed down, it inlines the gram array INTO the winnow lambda
+    //      (O(n_grams²) md5 per doc) on the unparallelized scan
+    assert(
+      !plan.split("\n").exists(l => l.contains("Filter") && l.contains("md5")),
+      s"md5 fingerprinting leaked into a Filter (quadratic pushdown):\n$plan"
+    )
+    //  (b) the canonical hash-by-f exchange must be REUSED by the dfc /
+    //      keep / sizes / pair consumers — without it the md5 pipeline
+    //      re-executes once per reference
+    assert(
+      plan.contains("ReusedExchange"),
+      s"posts exchange not reused — fingerprint map duplicated:\n$plan"
     )
   }
 
