@@ -28,6 +28,7 @@ object SparkEntry {
       graft.queries.BloomJoin.queries ++
       graft.queries.Merge.queries ++
       graft.queries.Behavior.queries ++
+      graft.queries.IntervalJoin.queries ++
       graft.queries.Outliers.queries ++
       graft.queries.Graph.queries ++
       graft.llm.KMeans.queries ++
@@ -58,6 +59,7 @@ object SparkEntry {
       graft.queries.BloomJoin.oracleSql ++
       graft.queries.Merge.oracleSql ++
       graft.queries.Behavior.oracleSql ++
+      graft.queries.IntervalJoin.oracleSql ++
       graft.queries.Outliers.oracleSql ++
       graft.queries.Graph.oracleSql ++
       graft.llm.KMeans.oracleSql ++

@@ -107,12 +107,81 @@ object Behavior {
       .orderBy("cohort_week", "offset")
   }
 
+  /** q83: truncated EWMA smoothing — per user, the exponentially-
+    * weighted moving average of `value` over the last K events
+    * (α = 0.2, weights 0.8^k, normalized over the terms that exist near
+    * the partition head). The time-series smoother behind every
+    * "trend vs spike" signal.
+    *
+    * Spelled as K explicit lag() terms in ONE window pass (WindowExec
+    * evaluates all K lags over a single sort of each user's frame), not
+    * a collect_list + array fold: no per-row array materialization, and
+    * the numerator/denominator are fixed left-to-right sums whose
+    * float evaluation order is identical in both engines by
+    * construction — the ORDER of additions is part of the operator's
+    * cross-engine contract, since reassociating a float sum changes
+    * bits. Weights are Scala-computed double literals; the same shortest-
+    * repr strings parse back to identical doubles in DuckDB.
+    */
+  private def q83(s: SparkSession, dir: String): DataFrame = {
+    val K = 20
+    val alpha = 0.8
+    val w = Window
+      .partitionBy("user_id")
+      .orderBy("us", "event_id")
+    val terms = (0 until K).map { k =>
+      val wk = math.pow(alpha, k)
+      val l = lag(col("value"), k).over(w)
+      (coalesce(l, lit(0.0)) * wk, when(l.isNotNull, wk).otherwise(0.0))
+    }
+    val num = terms.map(_._1).reduceLeft(_ + _)
+    val den = terms.map(_._2).reduceLeft(_ + _)
+    Tables
+      .table(s, dir, "events")
+      .select(
+        col("event_id"),
+        col("user_id"),
+        unix_micros(col("ts")).as("us"),
+        col("value")
+      )
+      .withColumn("ewma", round(num / den, 4) + 0.0)
+      .select("event_id", "user_id", "value", "ewma")
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q78_funnel" -> q78,
-    "q79_cohort_retention" -> q79
+    "q79_cohort_retention" -> q79,
+    "q83_ewma" -> q83
   )
 
+  /** q83's oracle, generated from the SAME K/α so the term list, weight
+    * literals, and left-to-right addition order can never drift from
+    * the Spark spelling.
+    */
+  private val EwmaOracleSql: String = {
+    val K = 20
+    val alpha = 0.8
+    val terms = (0 until K).map { k =>
+      val wk = math.pow(alpha, k)
+      (
+        s"coalesce(lag(value, $k) OVER w, 0.0) * $wk",
+        s"CASE WHEN lag(value, $k) OVER w IS NOT NULL THEN $wk ELSE 0.0 END"
+      )
+    }
+    val num = terms.map(_._1).mkString(" + ")
+    val den = terms.map(_._2).mkString(" + ")
+    s"""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us, value
+       |           FROM events)
+       |SELECT event_id, user_id, value,
+       |       round(($num) / ($den), 4) + 0.0 AS ewma
+       |FROM e
+       |WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+       |ORDER BY event_id""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q83_ewma" -> EwmaOracleSql,
     "q78_funnel" ->
       """WITH e AS (
         |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events),

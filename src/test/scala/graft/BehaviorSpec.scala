@@ -88,6 +88,42 @@ class BehaviorSpec extends SparkSpec {
     }
   }
 
+  test("EWMA matches a per-user sequential fold within the truncation window") {
+    import spark.implicits._
+    val out = Behavior
+      .queries("q83_ewma")(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    // replay one user's history sequentially in plain Scala
+    val ev = graft.queries.Tables
+      .table(spark, sf, "events")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val user = ev.head._2
+    val hist = ev.filter(_._2 == user).sortBy(t => (t._3, t._1))
+    hist.zipWithIndex.foreach { case ((eid, _, _, _), i) =>
+      val window = hist.slice(math.max(0, i - 19), i + 1).reverse
+      val num = window.zipWithIndex.map { case ((_, _, _, v), k) => v * math.pow(0.8, k) }.sum
+      val den = window.indices.map(k => math.pow(0.8, k)).sum
+      val expected = num / den
+      val got = out(eid)._3
+      assert(
+        math.abs(got - expected) < 1e-3,
+        s"event $eid: ewma $got vs replay $expected"
+      )
+    }
+    // smoothing: the EWMA series varies less than the raw series
+    val raw = hist.map(_._4)
+    val smooth = hist.map(t => out(t._1)._3)
+    def sd(xs: Seq[Double]): Double = {
+      val m = xs.sum / xs.size
+      math.sqrt(xs.map(x => (x - m) * (x - m)).sum / xs.size)
+    }
+    assert(sd(smooth) < sd(raw), s"EWMA did not smooth: ${sd(smooth)} >= ${sd(raw)}")
+  }
+
   test("triangle count matches the closed form on a crafted graph") {
     import spark.implicits._
     // two orders: {1,2,3} (one triangle) and {3,4,5,6} (K4 = 4 triangles);
