@@ -29,6 +29,7 @@ object SparkEntry {
       graft.queries.Merge.queries ++
       graft.queries.Behavior.queries ++
       graft.queries.IntervalJoin.queries ++
+      graft.queries.Cdc.queries ++
       graft.queries.Outliers.queries ++
       graft.queries.Graph.queries ++
       graft.llm.KMeans.queries ++
@@ -60,6 +61,7 @@ object SparkEntry {
       graft.queries.Merge.oracleSql ++
       graft.queries.Behavior.oracleSql ++
       graft.queries.IntervalJoin.oracleSql ++
+      graft.queries.Cdc.oracleSql ++
       graft.queries.Outliers.oracleSql ++
       graft.queries.Graph.oracleSql ++
       graft.llm.KMeans.oracleSql ++

@@ -1,0 +1,87 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** q84: CDC apply — reduce an ordered change log (INSERT / UPDATE /
+  * DELETE with a sequence number) to final table state. The batch half
+  * of change-data-capture ingestion: replaying a Debezium-style feed
+  * into a snapshot, the operation `MERGE`-capable formats run on every
+  * sync.
+  *
+  * Scale shape: ONE hash aggregate — `max_by(payload-struct, seq)` per
+  * key picks the latest change, then a filter drops keys whose last op
+  * is DELETE. No window over the log (a PARTITION BY key window would
+  * sort every key's history; max_by is a map-side-combinable aggregate,
+  * so a hot key's churn collapses to one row per map task before the
+  * shuffle — the same asymmetry SkewSpec pins for aggregations vs
+  * joins). Sequence numbers are unique per key by construction (CDC
+  * feeds guarantee per-key ordering), so the pick is deterministic.
+  *
+  * The log derives from `orders` in four deterministic waves: full
+  * insert, +10 price update (every 5th key), delete (every 11th),
+  * half-price re-insert (every 33rd — exercising delete-then-reinsert:
+  * the later seq must win and the key must SURVIVE).
+  */
+object Cdc {
+
+  private def q84(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables
+      .table(s, dir, "orders")
+      .select(col("o_orderkey").as("k"), col("o_totalprice").as("p"))
+    val log = o
+      .select(col("k"), lit("I").as("op"), col("p").as("payload"), lit(1L).as("seq"))
+      .unionByName(
+        o.filter(col("k") % 5 === 0)
+          .select(col("k"), lit("U").as("op"), (col("p") + 10.0).as("payload"), lit(2L).as("seq"))
+      )
+      .unionByName(
+        o.filter(col("k") % 11 === 0)
+          .select(col("k"), lit("D").as("op"), lit(null).cast("double").as("payload"), lit(3L).as("seq"))
+      )
+      .unionByName(
+        o.filter(col("k") % 33 === 0)
+          .select(col("k"), lit("I").as("op"), (col("p") / 2).as("payload"), lit(4L).as("seq"))
+      )
+    log
+      .groupBy("k")
+      .agg(
+        expr("max_by(op, seq)").as("last_op"),
+        expr("max_by(payload, seq)").as("price"),
+        max("seq").as("last_seq")
+      )
+      .filter(col("last_op") =!= "D")
+      // deterministic sample of survivors: every touched key plus a
+      // slice of insert-only pass-through
+      .filter(col("last_seq") > 1 || col("k") % 7 === 0)
+      .select(col("k"), col("last_op"), col("price"), col("last_seq"))
+      .orderBy("k")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q84_cdc_apply" -> q84
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q84_cdc_apply" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_totalprice AS p FROM orders),
+        |log AS (
+        |  SELECT k, 'I' AS op, p AS payload, 1 AS seq FROM o
+        |  UNION ALL
+        |  SELECT k, 'U', p + 10.0, 2 FROM o WHERE k % 5 = 0
+        |  UNION ALL
+        |  SELECT k, 'D', NULL, 3 FROM o WHERE k % 11 = 0
+        |  UNION ALL
+        |  SELECT k, 'I', p / 2, 4 FROM o WHERE k % 33 = 0),
+        |state AS (
+        |  SELECT k,
+        |         arg_max(op, seq) AS last_op,
+        |         arg_max(payload, seq) AS price,
+        |         max(seq) AS last_seq
+        |  FROM log GROUP BY k)
+        |SELECT k, last_op, price, CAST(last_seq AS BIGINT) AS last_seq
+        |FROM state
+        |WHERE last_op <> 'D' AND (last_seq > 1 OR k % 7 = 0)
+        |ORDER BY k""".stripMargin
+  )
+}

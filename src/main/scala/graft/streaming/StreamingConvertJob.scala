@@ -170,4 +170,57 @@ object StreamingConvertJob {
     runAvailableNow(spark, config)
     graft.catalog.Maintenance.retireStreamOutput(spark, config.outputDir, minFiles)
   }
+
+  /** Streaming CDC apply: corrections arrive as flow-log text files
+    * (late fixes, re-delivered batches with amended fields) and each
+    * micro-batch MERGES into an existing store via
+    * `Maintenance.upsert` — rows with matching `keyCols` are replaced,
+    * new keys insert, only update-named partitions rewrite. The
+    * streaming twin of q84's batch CDC reduction: the file source +
+    * checkpoint give exactly-once BATCHES, and upsert itself is
+    * idempotent per batch (re-applying the same keys yields the same
+    * state), so a replayed batch after a crash converges instead of
+    * duplicating — the property an append sink needs commit markers
+    * for, MERGE gets from its semantics.
+    *
+    * `config.outputDir` is the EXISTING store being corrected (not a
+    * fresh sink), so this does not interact with any `_spark_metadata`
+    * sink log — reads go through the catalog/path listing as with
+    * every Maintenance job.
+    */
+  def startUpsertApply(
+      spark: SparkSession,
+      config: Config,
+      keyCols: Seq[String]
+  ): StreamingQuery = {
+    val reader = spark.readStream
+    config.maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    val withKeys = FlowLogParser
+      .withPartitionKey(FlowLogParser.parse(reader.text(config.inputDir)).good)
+      .drop("ts")
+    val trigger =
+      if (config.availableNow) Trigger.AvailableNow()
+      else Trigger.ProcessingTime("10 seconds")
+    withKeys.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", config.checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          graft.catalog.Maintenance
+            .upsert(batch.sparkSession, config.outputDir, batch, keyCols)
+        }
+        ()
+      }
+      .start()
+  }
+
+  def runUpsertApplyAvailableNow(
+      spark: SparkSession,
+      config: Config,
+      keyCols: Seq[String]
+  ): Unit = {
+    val q = startUpsertApply(spark, config.copy(availableNow = true), keyCols)
+    q.awaitTermination()
+  }
 }

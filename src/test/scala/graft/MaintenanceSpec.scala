@@ -298,4 +298,76 @@ class MaintenanceSpec extends SparkSpec {
       assert(post(k) == before(k), s"untouched partition $k was rewritten")
     }
   }
+
+  test("streaming upsert-apply merges correction files into the store idempotently") {
+    import org.apache.spark.sql.functions._
+    val root = convertCorpus()
+    val base = new java.io.File(root).getParent
+    val in = s"$base/corrections"
+    val ckpt = s"$base/upsert_ckpt"
+    new java.io.File(in).mkdirs()
+    val keys = Seq("srcaddr", "dstaddr", "srcport", "dstport", "protocol", "start_ts")
+
+    val all = ConvertJob.readConverted(spark, root)
+    val total = all.count()
+    // render two existing rows as correction lines with amended bytes
+    val victims = all
+      .dropDuplicates(keys)
+      .orderBy("start_ts", "srcaddr", "srcport")
+      .limit(2)
+      .collect()
+    val lines = victims.map { r =>
+      Seq(
+        r.getAs[Int]("version"),
+        r.getAs[String]("accountid"),
+        r.getAs[String]("interfaceid"),
+        r.getAs[String]("srcaddr"),
+        r.getAs[String]("dstaddr"),
+        r.getAs[Int]("srcport"),
+        r.getAs[Int]("dstport"),
+        r.getAs[Int]("protocol"),
+        r.getAs[Int]("packets"),
+        777777, // the correction
+        r.getAs[Long]("start_ts"),
+        r.getAs[Long]("end_ts"),
+        r.getAs[String]("action"),
+        r.getAs[String]("logstatus")
+      ).mkString(" ")
+    }
+    // rows the merge will replace: same key IN THE SAME PARTITION — a
+    // key tuple recurring in another (account, dt) is not touched
+    val matched = all
+      .join(
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(victims.toIndexedSeq),
+          victims.head.schema
+        ).select((keys ++ Seq("account", "dt")).map(col): _*),
+        keys ++ Seq("account", "dt"),
+        "left_semi"
+      )
+      .count()
+
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(in, "fix1.log"),
+      lines.mkString("\n").getBytes
+    )
+    val cfg = graft.streaming.StreamingConvertJob
+      .Config(inputDir = in, outputDir = root, checkpointDir = ckpt)
+    graft.streaming.StreamingConvertJob.runUpsertApplyAvailableNow(spark, cfg, keys)
+
+    val after = ConvertJob.readConverted(spark, root)
+    assert(after.filter(col("bytes") === 777777).count() == 2)
+    assert(after.count() == total - matched + 2)
+
+    // a re-delivered identical correction file converges (MERGE
+    // idempotence), never duplicates
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(in, "fix2.log"),
+      lines.mkString("\n").getBytes
+    )
+    graft.streaming.StreamingConvertJob.runUpsertApplyAvailableNow(spark, cfg, keys)
+    val again = ConvertJob.readConverted(spark, root)
+    assert(again.filter(col("bytes") === 777777).count() == 2)
+    assert(again.count() == total - matched + 2)
+  }
 }
