@@ -149,10 +149,61 @@ object Behavior {
       .orderBy("event_id")
   }
 
+  /** q85: sliding-window distinct counts — distinct active users per
+    * (event_type, day) over a trailing W=2-day window. The "rolling
+    * DAU/WAU" metric, and an operator Spark CANNOT express natively:
+    * `COUNT(DISTINCT) OVER (RANGE ...)` is unsupported, and the naive
+    * form joins every window position against every event
+    * (O(days × events)).
+    *
+    * Decomposition (exact, not a sketch): per (type, user), reduce to
+    * DISTINCT activity days, lag() the previous day, and observe that
+    * an activity on day `a` with previous activity `p` is the user's
+    * FIRST activity inside window `e` exactly for
+    * e ∈ [max(a, p+W), a+W−1] — at most W rows per activity, exploded
+    * and counted with one hash aggregate. Each user contributes exactly
+    * once per window (first-in-window is unique), so the counts are
+    * exact. Work is O(activities × W): linear in the data, no
+    * window-position join, no per-window state. The oracle computes the
+    * SAME numbers by the naive days×events join — two independent
+    * algorithms agreeing per row.
+    */
+  private def q85(s: SparkSession, dir: String): DataFrame = {
+    val W = 2
+    val e = Tables
+      .table(s, dir, "events")
+      .select(
+        col("event_type"),
+        col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("day")
+      )
+      .distinct()
+    val w = Window.partitionBy("event_type", "user_id").orderBy("day")
+    val contrib = e
+      .withColumn("p", lag(col("day"), 1).over(w))
+      .select(
+        col("event_type"),
+        explode(
+          sequence(
+            greatest(col("day"), coalesce(col("p") + W, col("day"))),
+            col("day") + (W - 1)
+          )
+        ).as("day")
+      )
+    val observed = e.select("event_type", "day").distinct()
+    observed
+      .join(
+        contrib.groupBy("event_type", "day").agg(count(lit(1)).as("n_users")),
+        Seq("event_type", "day")
+      )
+      .orderBy("event_type", "day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q78_funnel" -> q78,
     "q79_cohort_retention" -> q79,
-    "q83_ewma" -> q83
+    "q83_ewma" -> q83,
+    "q85_sliding_distinct" -> q85
   )
 
   /** q83's oracle, generated from the SAME K/α so the term list, weight
@@ -182,6 +233,19 @@ object Behavior {
 
   val oracleSql: Map[String, String] = Map(
     "q83_ewma" -> EwmaOracleSql,
+    // deliberately the NAIVE algorithm (window-position × events join):
+    // the gate then cross-checks two independent computations
+    "q85_sliding_distinct" ->
+      """WITH e AS (
+        |  SELECT event_type, user_id,
+        |         CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+        |  FROM events),
+        |days AS (SELECT DISTINCT event_type, day FROM e)
+        |SELECT d.event_type, d.day, count(DISTINCT user_id) AS n_users
+        |FROM days d JOIN e ON e.event_type = d.event_type
+        |                   AND e.day BETWEEN d.day - 1 AND d.day
+        |GROUP BY d.event_type, d.day
+        |ORDER BY d.event_type, d.day""".stripMargin,
     "q78_funnel" ->
       """WITH e AS (
         |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events),

@@ -124,6 +124,31 @@ class BehaviorSpec extends SparkSpec {
     assert(sd(smooth) < sd(raw), s"EWMA did not smooth: ${sd(smooth)} >= ${sd(raw)}")
   }
 
+  test("sliding distinct decomposition: consecutive-day user counts once per window") {
+    import spark.implicits._
+    val dayUs = 86400000000L
+    // user 1 active days 10, 11, 13; user 2 active day 11 only.
+    // W=2 windows: day10 {u1}=1, day11 {u1,u2}=2, day13 {u1}=1 —
+    // u1's day-11 activity must NOT double-count in window 11 (their
+    // day-10 activity is already first-in-window)
+    val rows = Seq(
+      (1L, 1L, 10L), (2L, 1L, 11L), (3L, 1L, 13L), (4L, 2L, 11L)
+    ).toDF("event_id", "user_id", "day")
+      .withColumn("ts", timestamp_micros(col("day") * dayUs + 1000L))
+      .withColumn("event_type", lit("click"))
+      .withColumn("value", lit(0.0))
+      .withColumn("props", lit("{}"))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = tmpDir("sd_events")
+    rows.write.parquet(s"$dir/events.parquet")
+    val out = Behavior
+      .queries("q85_sliding_distinct")(spark, dir)
+      .collect()
+      .map(r => r.getLong(1) -> r.getLong(2))
+      .toMap
+    assert(out == Map(10L -> 1L, 11L -> 2L, 13L -> 1L), s"got $out")
+  }
+
   test("triangle count matches the closed form on a crafted graph") {
     import spark.implicits._
     // two orders: {1,2,3} (one triangle) and {3,4,5,6} (K4 = 4 triangles);
