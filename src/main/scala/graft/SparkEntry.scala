@@ -30,6 +30,7 @@ object SparkEntry {
       graft.queries.Behavior.queries ++
       graft.queries.IntervalJoin.queries ++
       graft.queries.Cdc.queries ++
+      graft.queries.Stats.queries ++
       graft.queries.Outliers.queries ++
       graft.queries.Graph.queries ++
       graft.llm.KMeans.queries ++
@@ -62,6 +63,7 @@ object SparkEntry {
       graft.queries.Behavior.oracleSql ++
       graft.queries.IntervalJoin.oracleSql ++
       graft.queries.Cdc.oracleSql ++
+      graft.queries.Stats.oracleSql ++
       graft.queries.Outliers.oracleSql ++
       graft.queries.Graph.oracleSql ++
       graft.llm.KMeans.oracleSql ++

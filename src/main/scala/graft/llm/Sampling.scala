@@ -27,7 +27,7 @@ object Sampling {
     * not-guaranteed-parseable) string form and the SQL parser, so any
     * caller-supplied column expression works.
     */
-  private[llm] def bucket100(c: Column): Column =
+  private[graft] def bucket100(c: Column): Column =
     conv(substring(md5(c.cast("string").cast("binary")), 1, 15), 16, 10)
       .cast("long") % 100
 
