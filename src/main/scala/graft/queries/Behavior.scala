@@ -199,11 +199,54 @@ object Behavior {
       .orderBy("event_type", "day")
   }
 
+  /** q88: session path mining — the most common event-type sequences
+    * (first 5 events of each user-day session), the "what do users DO"
+    * sequence report. Per session: rank events by time, keep the head,
+    * assemble the path string with an ORDER-CARRYING aggregate
+    * (array_sort over (rank, type) structs, then join — collect_list
+    * alone has NO deterministic order in a distributed shuffle, the
+    * classic correctness trap this query exists to pin), count paths,
+    * top-20 via orderBy+limit (TakeOrderedAndProject per-partition
+    * heaps, no global sort).
+    */
+  private def q88(s: SparkSession, dir: String): DataFrame = {
+    val w = Window
+      .partitionBy("user_id", "day")
+      .orderBy("us", "event_id")
+    val paths = Tables
+      .table(s, dir, "events")
+      .select(
+        col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        unix_micros(col("ts")).as("us"),
+        col("event_id"),
+        col("event_type")
+      )
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .groupBy("user_id", "day")
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("rn"), col("event_type")))),
+            x => x.getField("event_type")
+          ),
+          ">"
+        ).as("path")
+      )
+    paths
+      .groupBy("path")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q78_funnel" -> q78,
     "q79_cohort_retention" -> q79,
     "q83_ewma" -> q83,
-    "q85_sliding_distinct" -> q85
+    "q85_sliding_distinct" -> q85,
+    "q88_session_paths" -> q88
   )
 
   /** q83's oracle, generated from the SAME K/α so the term list, weight
@@ -233,6 +276,22 @@ object Behavior {
 
   val oracleSql: Map[String, String] = Map(
     "q83_ewma" -> EwmaOracleSql,
+    "q88_session_paths" ->
+      """WITH r AS (
+        |  SELECT user_id,
+        |         CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+        |         event_type,
+        |         row_number() OVER (
+        |           PARTITION BY user_id,
+        |             CAST(epoch_us(ts) // 86400000000 AS BIGINT)
+        |           ORDER BY epoch_us(ts), event_id) AS rn
+        |  FROM events),
+        |p AS (
+        |  SELECT user_id, day,
+        |         string_agg(event_type, '>' ORDER BY rn) AS path
+        |  FROM r WHERE rn <= 5 GROUP BY user_id, day)
+        |SELECT path, count(*) AS n FROM p
+        |GROUP BY path ORDER BY n DESC, path LIMIT 20""".stripMargin,
     // deliberately the NAIVE algorithm (window-position × events join):
     // the gate then cross-checks two independent computations
     "q85_sliding_distinct" ->
