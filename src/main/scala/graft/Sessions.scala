@@ -58,6 +58,18 @@ object Sessions {
         "spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
       )
+      // FileOutputCommitter v2: task outputs commit directly to the
+      // destination instead of a per-file job-commit rename pass — on
+      // the 150-directory partitioned ETL write the v1 rename storm is
+      // the measured source of 20 s-class q00 outliers under disk
+      // throttling (v2 measured 7.0/3.0/2.2/5.5 s vs v1 7.6/3.0/24.8/
+      // 3.8 s back-to-back). Caveat, documented deliberately: v2 gives
+      // up job-level atomicity (a failed job can leave partial files
+      // without _SUCCESS); every graft write path is idempotent-rerun
+      // or goes through Maintenance's own _tmp_/_old_ swap, and readers
+      // that need the guarantee check _SUCCESS. On a real object store
+      // neither v1 nor v2 is right — use a manifest committer.
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
