@@ -98,16 +98,21 @@ class LayoutSpec extends SparkSpec {
     val base = tmpDir("graft-zorder")
     val zpath = s"$base/z"
     val lexpath = s"$base/lex"
-    Layout.writeZOrdered(li, zpath, numFiles = 16, "l_partkey", "l_suppkey")
-    Layout.writeSorted(li, lexpath, numFiles = 16, "l_partkey", "l_suppkey")
+    // 64 files = an 8×8 z-grid: repartitionByRange SAMPLES its
+    // boundaries, so file cuts drift off the cell grid run-to-run — at
+    // 4×4 a drifted probe column reached 50%+slop of the table and
+    // flaked the bound twice; at 8×8 the worst drifted read is ~2 of 8
+    // columns (~25%), leaving real margin under the robust < total/2
+    // assertion
+    Layout.writeZOrdered(li, zpath, numFiles = 64, "l_partkey", "l_suppkey")
+    Layout.writeSorted(li, lexpath, numFiles = 64, "l_partkey", "l_suppkey")
 
     val total = li.count()
-    // narrow range probes on each dimension separately; 16 files give a
-    // 4×4 z-grid, so probes sit INSIDE one grid column (a band that
-    // straddles a cell boundary pays for both cells — the honest
-    // granularity statement, not a test artifact to dodge)
-    val (pLo, pHi) = (600L, 700L)  // l_partkey ∈ [0, 2000): inside [500, 1000)
-    val (sLo, sHi) = (30L, 40L)    // l_suppkey ∈ [0, 100):  inside [25, 50)
+    // narrow range probes on each dimension, each INSIDE one 8-grid
+    // column (a band straddling a cell boundary pays for both cells —
+    // the honest granularity statement, not a test artifact to dodge)
+    val (pLo, pHi) = (600L, 700L)  // l_partkey ∈ [0, 2000): inside [500, 750)
+    val (sLo, sHi) = (27L, 37L)    // l_suppkey ∈ [0, 100):  inside [25, 37.5)
     def read(path: String, c: String, lo: Long, hi: Long): Long =
       scannedRows(
         spark.read.parquet(path).filter(col(c) >= lo && col(c) < hi)
@@ -127,11 +132,6 @@ class LayoutSpec extends SparkSpec {
       zB < lexB,
       s"z-order read $zB rows on dim B, not better than lex $lexB"
     )
-    // one 4×4 grid column = 1/4 of the table in the aligned case, but
-    // repartitionByRange SAMPLES its boundaries, so file cuts drift off
-    // the cell grid run-to-run (measured 15000–21449 of 60000 across
-    // suite runs) — assert the robust claim: strictly under half, where
-    // the lexicographic layout reads everything
     assert(zB < total / 2, s"z-order did not prune on dim B: $zB of $total")
 
     // layout never changes results
