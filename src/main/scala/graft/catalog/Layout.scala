@@ -55,6 +55,10 @@ object Layout {
       bHi: Double,
       bits: Int = 16
   ): Column = {
+    require(
+      bits >= 1 && bits <= 16,
+      s"zValue: bits must be in [1, 16] (mask-fold spread is 16-bit); got $bits"
+    )
     def scale(c: Column, lo: Double, hi: Double): Column =
       least(
         floor((c.cast("double") - lo) / (hi - lo) * (1 << bits)).cast("long"),

@@ -374,16 +374,27 @@ object Maintenance {
       val partUpdates = updates
         .filter(col("account") === account && col("dt") === dt)
         .select(dataCols.map(col): _*)
+      val tmp = new Path(dtDir.getParent, "_tmp_" + dtDir.getName)
+      val old = new Path(dtDir.getParent, "_old_" + dtDir.getName)
+      // Self-heal BEFORE branching on dtDir existence (as compactPartition
+      // does): a crash between the two publish renames leaves the data in
+      // `_old_` with dtDir absent — if the restore lived inside the
+      // else-branch, the next upsert would take the create path and
+      // silently orphan every prior row of the partition.
+      if (fs.exists(old)) {
+        if (!fs.exists(dtDir)) fs.rename(old, dtDir) else fs.delete(old, true)
+      }
+      if (fs.exists(tmp)) fs.delete(tmp, true)
       if (!fs.exists(dtDir)) {
-        partUpdates.write.mode(SaveMode.ErrorIfExists).parquet(dtDir.toString)
+        // Create path stages through `_tmp_` + rename like the rewrite
+        // path: a crashed create can leave partial files (committer v2),
+        // and a direct ErrorIfExists write would then fail every replay
+        // instead of converging.
+        partUpdates.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+        if (!fs.rename(tmp, dtDir))
+          throw new java.io.IOException(s"upsert: cannot publish $tmp")
         createdN += 1
       } else {
-        val tmp = new Path(dtDir.getParent, "_tmp_" + dtDir.getName)
-        val old = new Path(dtDir.getParent, "_old_" + dtDir.getName)
-        if (fs.exists(old)) { // self-heal, as compactPartition
-          if (!fs.exists(dtDir)) fs.rename(old, dtDir) else fs.delete(old, true)
-        }
-        if (fs.exists(tmp)) fs.delete(tmp, true)
         val existing = spark.read
           .schema(FlowLogSchema.schema)
           .parquet(dtDir.toString)

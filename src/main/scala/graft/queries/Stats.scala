@@ -37,9 +37,15 @@ object Stats {
       .join(broadcast(rowTot), "event_type")
       .join(broadcast(colTot), "tier")
       .crossJoin(broadcast(grand))
+      // Cast the margins to double BEFORE the multiply: row_n·col_n is a
+      // long·long product that can wrap at ~1e12-row margins (100 TB
+      // territory) in non-ANSI Spark while DuckDB promotes to HUGEINT —
+      // cross-engine divergence exactly at scale. Double first on both
+      // engines keeps the arithmetic identical (and exact: counts here
+      // stay below 2^53).
       .withColumn(
         "expected",
-        col("row_n") * col("col_n") / col("n")
+        col("row_n").cast("double") * col("col_n").cast("double") / col("n").cast("double")
       )
       .select(
         col("event_type"),
@@ -81,15 +87,26 @@ object Stats {
         when(graft.llm.Sampling.bucket100(col("user_id")) < 50, "A")
           .otherwise("B")
       )
+    // Every division below runs on explicit doubles (cast once, here) and
+    // the emitted counts are explicit BIGINTs. Rationale: DuckDB types
+    // sum(int) as HUGEINT and its `/` result typing has shifted across
+    // versions — the only way the driver-side oracle hashes bit-identically
+    // regardless of its DuckDB build is to pin every operand type in BOTH
+    // spellings. The z statistic is additionally gridded round(·,6) →
+    // round(·,4) (the q81 convention) so no ulp of engine drift can flip
+    // the 4th decimal.
     val g = users
       .groupBy("variant")
-      .agg(count(lit(1)).as("n"), sum("conv").as("k"))
+      .agg(count(lit(1)).as("n"), sum("conv").cast("long").as("k"))
     val a = g.filter(col("variant") === "A").select(col("n").as("na"), col("k").as("ka"))
     val b = g.filter(col("variant") === "B").select(col("n").as("nb"), col("k").as("kb"))
     a.crossJoin(b) // two 1-row frames
-      .withColumn("pa", col("ka") / col("na"))
-      .withColumn("pb", col("kb") / col("nb"))
-      .withColumn("pp", (col("ka") + col("kb")) / (col("na") + col("nb")))
+      .withColumn("pa", col("ka").cast("double") / col("na").cast("double"))
+      .withColumn("pb", col("kb").cast("double") / col("nb").cast("double"))
+      .withColumn(
+        "pp",
+        (col("ka") + col("kb")).cast("double") / (col("na") + col("nb")).cast("double")
+      )
       .select(
         col("na"),
         col("ka"),
@@ -98,9 +115,13 @@ object Stats {
         col("kb"),
         (round(col("pb"), 6) + 0.0).as("rate_b"),
         (round(
-          (col("pa") - col("pb")) /
-            sqrt(col("pp") * (lit(1.0) - col("pp"))
-              * (lit(1.0) / col("na") + lit(1.0) / col("nb"))),
+          round(
+            (col("pa") - col("pb")) /
+              sqrt(col("pp") * (lit(1.0d) - col("pp"))
+                * (lit(1.0d) / col("na").cast("double")
+                  + lit(1.0d) / col("nb").cast("double"))),
+            6
+          ),
           4
         ) + 0.0).as("z_stat")
       )
@@ -120,10 +141,14 @@ object Stats {
         |ct AS (SELECT tier, sum(obs) AS col_n FROM obs GROUP BY 1),
         |g AS (SELECT sum(obs) AS n FROM obs)
         |SELECT o.event_type, o.tier, o.obs,
-        |       round(row_n * col_n / n, 4) + 0.0 AS expected,
-        |       round((o.obs - row_n * col_n / n)
-        |             * (o.obs - row_n * col_n / n)
-        |             / (row_n * col_n / n), 6) + 0.0 AS chi2_cell
+        |       round(CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE)
+        |             / CAST(n AS DOUBLE), 4) + 0.0 AS expected,
+        |       round((o.obs - CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE)
+        |                      / CAST(n AS DOUBLE))
+        |             * (o.obs - CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE)
+        |                        / CAST(n AS DOUBLE))
+        |             / (CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE)
+        |                / CAST(n AS DOUBLE)), 6) + 0.0 AS chi2_cell
         |FROM obs o JOIN rt USING (event_type) JOIN ct USING (tier), g
         |ORDER BY o.event_type, o.tier""".stripMargin,
     "q87_ab_test" ->
@@ -134,16 +159,23 @@ object Stats {
         |    CASE WHEN CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
         |              AS BIGINT) % 100 < 50 THEN 'A' ELSE 'B' END AS variant
         |  FROM events GROUP BY user_id),
-        |g AS (SELECT variant, count(*) AS n, sum(conv) AS k
+        |g AS (SELECT variant, CAST(count(*) AS BIGINT) AS n,
+        |             CAST(sum(conv) AS BIGINT) AS k
         |      FROM u GROUP BY variant),
         |a AS (SELECT n AS na, k AS ka FROM g WHERE variant = 'A'),
-        |b AS (SELECT n AS nb, k AS kb FROM g WHERE variant = 'B')
-        |SELECT na, ka, round(ka / na, 6) + 0.0 AS rate_a,
-        |       nb, kb, round(kb / nb, 6) + 0.0 AS rate_b,
-        |       round((ka / na - kb / nb) /
-        |             sqrt(((ka + kb) / (na + nb))
-        |                  * (1.0 - (ka + kb) / (na + nb))
-        |                  * (1.0 / na + 1.0 / nb)), 4) + 0.0 AS z_stat
-        |FROM a, b""".stripMargin
+        |b AS (SELECT n AS nb, k AS kb FROM g WHERE variant = 'B'),
+        |p AS (SELECT na, ka, nb, kb,
+        |             CAST(ka AS DOUBLE) / CAST(na AS DOUBLE) AS pa,
+        |             CAST(kb AS DOUBLE) / CAST(nb AS DOUBLE) AS pb,
+        |             CAST(ka + kb AS DOUBLE) / CAST(na + nb AS DOUBLE) AS pp
+        |      FROM a, b)
+        |SELECT na, ka, round(pa, 6) + 0.0 AS rate_a,
+        |       nb, kb, round(pb, 6) + 0.0 AS rate_b,
+        |       round(round((pa - pb) /
+        |             sqrt(pp * (CAST(1 AS DOUBLE) - pp)
+        |                  * (CAST(1 AS DOUBLE) / CAST(na AS DOUBLE)
+        |                     + CAST(1 AS DOUBLE) / CAST(nb AS DOUBLE))), 6),
+        |             4) + 0.0 AS z_stat
+        |FROM p""".stripMargin
   )
 }

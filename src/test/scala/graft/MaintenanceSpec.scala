@@ -154,6 +154,87 @@ class MaintenanceSpec extends SparkSpec {
     )
   }
 
+  test("upsert self-heals a crash between the swap renames (no silent data loss)") {
+    import org.apache.spark.sql.functions._
+    val root = convertCorpus()
+    val keys = Seq("srcaddr", "dstaddr", "srcport", "dstport", "protocol", "start_ts")
+    val all = ConvertJob.readConverted(spark, root)
+    val (acct, dt) = {
+      val r = all.select("account", "dt").distinct().orderBy("account", "dt").head()
+      (r.getString(0), r.getString(1))
+    }
+    val partRows = all.filter(col("account") === acct && col("dt") === dt)
+    val before = partRows.count()
+    // materialize the update batch into local rows BEFORE the simulated
+    // crash: a lazy frame over the store would re-list the renamed-away
+    // files (a real caller's updates come from a correction feed, not
+    // from the partition being repaired)
+    val updateRows = partRows
+      .dropDuplicates(keys)
+      .orderBy("start_ts", "srcaddr", "srcport")
+      .limit(1)
+      .withColumn("bytes", lit(424242))
+      .collect()
+    val updates = spark.createDataFrame(
+      spark.sparkContext.parallelize(updateRows.toIndexedSeq),
+      updateRows.head.schema
+    )
+    val matched = partRows
+      .join(updates.select(keys.map(col): _*), keys, "left_semi")
+      .count()
+
+    // simulate the crash window of a PRIOR upsert: partition moved aside
+    // to `_old_`, publish rename never ran — dtDir is absent. The next
+    // upsert of this partition must restore `_old_` and merge, NOT take
+    // the create branch and write only the update rows.
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val dtDir = new org.apache.hadoop.fs.Path(
+      s"$root/account=$acct/dt=$dt"
+    )
+    val old = new org.apache.hadoop.fs.Path(dtDir.getParent, "_old_" + dtDir.getName)
+    assert(fs.rename(dtDir, old))
+    assert(!fs.exists(dtDir))
+
+    val (rewritten, created) = Maintenance.upsert(spark, root, updates, keys)
+    assert(rewritten == 1 && created == 0, s"($rewritten, $created)")
+    assert(fs.exists(dtDir) && !fs.exists(old))
+    val after = spark.read.schema(graft.etl.FlowLogSchema.schema).parquet(dtDir.toString)
+    assert(after.count() == before - matched + 1)
+    assert(after.filter(col("bytes") === 424242).count() == 1)
+  }
+
+  test("upsert create path converges on replay after a partial staged write") {
+    import org.apache.spark.sql.functions._
+    val root = convertCorpus()
+    val keys = Seq("srcaddr", "dstaddr", "srcport", "dstport", "protocol", "start_ts")
+    val all = ConvertJob.readConverted(spark, root)
+    val newRows = all
+      .dropDuplicates(keys)
+      .orderBy("start_ts", "srcaddr", "srcport")
+      .limit(2)
+      .withColumn("dt", lit("2031-05-05"))
+    val acct = newRows.select("account").head().getString(0)
+
+    // simulate a crashed earlier create: junk debris left in the staging
+    // dir (committer v2 can leave partial files). A replayed batch must
+    // overwrite the debris and publish — not fail permanently.
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(
+      s"$root/account=$acct/_tmp_dt=2031-05-05"
+    )
+    fs.mkdirs(tmp)
+    val junk = fs.create(new org.apache.hadoop.fs.Path(tmp, "part-00000.parquet"))
+    junk.write("not parquet".getBytes); junk.close()
+
+    val (rewritten, created) = Maintenance.upsert(spark, root, newRows, keys)
+    assert(rewritten == 0 && created >= 1, s"($rewritten, $created)")
+    assert(!fs.exists(tmp))
+    val dtDir = s"$root/account=$acct/dt=2031-05-05"
+    assert(
+      spark.read.schema(graft.etl.FlowLogSchema.schema).parquet(dtDir).count() >= 1
+    )
+  }
+
   test("retireStreamOutput drops the sink log and compacts micro-batch debris") {
     val base = Files.createTempDirectory("graft_retire").toString
     val in = s"$base/in"
