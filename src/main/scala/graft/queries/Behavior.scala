@@ -241,12 +241,73 @@ object Behavior {
       .limit(20)
   }
 
+  /** q89: gap-based session assembly — the BATCH twin of the streaming
+    * flatMapGroupsWithState sessionizer (`streaming/Sessionize.scala`),
+    * with identical gap semantics: an event within `gap` of the previous
+    * event (t − prev ≤ gap, inclusive) extends the session; beyond it, a
+    * new session starts. Emits one row per closed session: bounds (exact
+    * integer µs on both engines), event count, and value sum.
+    *
+    * The batch spelling is the classic islands construction: lag() marks
+    * gap boundaries, a running sum of boundary flags numbers each user's
+    * sessions, one hash aggregate per (user, session) finishes. Both
+    * windows share ONE partition-ordering (user_id, ordered by us,
+    * event_id), so the plan sorts each user's history exactly once and
+    * the aggregate reuses that shuffle — at 100 TB this is a single
+    * user-keyed exchange, no self-join, no per-event state. SessionizeSpec
+    * proves batch/streaming equivalence on the same corpus.
+    */
+  /** The islands construction over a (user_id, us, event_id, value)
+    * frame — shared by q89 and the batch/streaming equivalence spec.
+    */
+  private[graft] def assembleSessions(events: DataFrame, gapUs: Long): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    events
+      .withColumn(
+        "new_sess",
+        when(col("us") - lag("us", 1).over(w) <= gapUs, 0).otherwise(1)
+      )
+      .withColumn(
+        "sess",
+        sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0))
+      )
+      .groupBy("user_id", "sess")
+      .agg(
+        min("us").as("session_start_us"),
+        max("us").as("session_end_us"),
+        count(lit(1)).as("cnt"),
+        (round(sum("value"), 4) + 0.0).as("sum_value")
+      )
+      .select(
+        col("user_id"),
+        col("session_start_us"),
+        col("session_end_us"),
+        col("cnt"),
+        col("sum_value")
+      )
+      .orderBy("user_id", "session_start_us")
+  }
+
+  private def q89(s: SparkSession, dir: String): DataFrame =
+    assembleSessions(
+      Tables
+        .table(s, dir, "events")
+        .select(
+          col("user_id"),
+          unix_micros(col("ts")).as("us"),
+          col("event_id"),
+          col("value")
+        ),
+      gapUs = 30L * 60 * 1000000 // 30 min, the Sessionize default
+    )
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q78_funnel" -> q78,
     "q79_cohort_retention" -> q79,
     "q83_ewma" -> q83,
     "q85_sliding_distinct" -> q85,
-    "q88_session_paths" -> q88
+    "q88_session_paths" -> q88,
+    "q89_sessionize" -> q89
   )
 
   /** q83's oracle, generated from the SAME K/α so the term list, weight
@@ -276,6 +337,26 @@ object Behavior {
 
   val oracleSql: Map[String, String] = Map(
     "q83_ewma" -> EwmaOracleSql,
+    "q89_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS us, event_id, value FROM events),
+        |f AS (
+        |  SELECT user_id, us, event_id, value,
+        |         CASE WHEN us - lag(us) OVER w <= 1800000000
+        |              THEN 0 ELSE 1 END AS new_sess
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |g AS (
+        |  SELECT user_id, us, value,
+        |         sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |                             ROWS UNBOUNDED PRECEDING) AS sess
+        |  FROM f)
+        |SELECT user_id,
+        |       min(us) AS session_start_us,
+        |       max(us) AS session_end_us,
+        |       count(*) AS cnt,
+        |       round(sum(value), 4) + 0.0 AS sum_value
+        |FROM g GROUP BY user_id, sess
+        |ORDER BY user_id, session_start_us""".stripMargin,
     "q88_session_paths" ->
       """WITH r AS (
         |  SELECT user_id,

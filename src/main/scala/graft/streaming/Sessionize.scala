@@ -96,7 +96,14 @@ object Sessionize {
         }
         cur.foreach { s =>
           state.update(s)
-          state.setTimeoutTimestamp(s.lastMs + gapMs)
+          // clamp: a late-but-in-watermark event can land in a session
+          // whose close time (last + gap) is already behind the current
+          // watermark — setTimeoutTimestamp rejects past timestamps, and
+          // the session SHOULD close at the next opportunity, so fire at
+          // watermark + 1ms in that case
+          state.setTimeoutTimestamp(
+            math.max(s.lastMs + gapMs, state.getCurrentWatermarkMs() + 1)
+          )
         }
         closed.result().iterator
       }

@@ -123,4 +123,98 @@ class SessionizeSpec extends SparkSpec {
       )
     } finally q.stop()
   }
+
+  test("batch q89 islands construction matches the streaming sessionizer") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.functions.{col, unix_micros, monotonically_increasing_id}
+    val base = tmpDir("graft-sessionize-twin")
+    val in = s"$base/in"
+    Files.createDirectories(Paths.get(in))
+
+    // a corpus exercising every boundary: multi-event session, exact-gap
+    // event (30:00 later — inclusive, same session), gap+1s (new
+    // session), interleaved users, single-event session
+    val corpus = Seq(
+      "2024-01-01T00:00:00,1,1.0",
+      "2024-01-01T00:10:00,1,2.0",
+      "2024-01-01T00:40:00,1,3.0", // exactly 30 min after prev: SAME session
+      "2024-01-01T01:10:01,1,4.0", // 30 min + 1 s: NEW session
+      "2024-01-01T00:15:00,2,5.0", // after b1 watermark (00:10) — not dropped as late
+      "2024-01-01T03:00:00,2,6.0",
+      "2024-01-01T02:00:00,3,7.0"
+    )
+    // split across micro-batches (delivered IN ORDER — the equivalence
+    // claim is for in-order streams; late-event merge is a documented
+    // streaming-only semantic), plus a sentinel user far in the future to
+    // push the watermark past every close time
+    Files.writeString(Paths.get(in, "b1.csv"), corpus.take(3).mkString("", "\n", "\n"))
+
+    val schema = StructType(
+      Seq(
+        StructField("ts", TimestampType),
+        StructField("user_id", LongType),
+        StructField("value", DoubleType)
+      )
+    )
+    val stream = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .csv(in)
+      .selectExpr("user_id", "ts", "value")
+      .as[UserEvent]
+    val q = Sessionize
+      .sessions(stream, gapMinutes = 30)
+      .writeStream
+      .format("memory")
+      .queryName("graft_sessionize_twin")
+      .outputMode("append")
+      .start()
+    val streamed =
+      try {
+        q.processAllAvailable()
+        Files.writeString(Paths.get(in, "b2.csv"), corpus.drop(3).mkString("", "\n", "\n"))
+        q.processAllAvailable()
+        Files.writeString(Paths.get(in, "b3.csv"), "2024-06-01T00:00:00,99,0.0\n")
+        q.processAllAvailable()
+        Files.writeString(Paths.get(in, "b4.csv"), "2024-12-01T00:00:00,99,0.0\n")
+        q.processAllAvailable()
+        spark
+          .sql(
+            """SELECT user_id, unix_micros(session_start) AS s,
+              |       unix_micros(session_end) AS e, cnt, sum_value
+              |FROM graft_sessionize_twin WHERE user_id < 99
+              |ORDER BY user_id, s""".stripMargin
+          )
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3), r.getDouble(4)))
+          .toSeq
+      } finally q.stop()
+
+    val batch = graft.queries.Behavior
+      .assembleSessions(
+        spark.read
+          .schema(schema)
+          .csv(s"$in/b1.csv", s"$in/b2.csv")
+          .select(
+            col("user_id"),
+            unix_micros(col("ts")).as("us"),
+            monotonically_increasing_id().as("event_id"),
+            col("value")
+          ),
+        gapUs = 30L * 60 * 1000000
+      )
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toSeq
+
+    assert(
+      streamed.map(t => (t._1, t._2, t._3, t._4.toLong, t._5)) == batch,
+      s"streamed=$streamed batch=$batch"
+    )
+    // and the boundary semantics themselves: user 1 has exactly 2 sessions,
+    // the first containing the exact-gap event
+    assert(batch.count(_._1 == 1L) == 2)
+    assert(batch.find(_._1 == 1L).get._4 == 3L)
+  }
 }
