@@ -67,15 +67,33 @@ object Graph {
     val und = pairs
       .select(col("ca").as("src"), col("sb").as("dst"), col("w"))
       .unionAll(pairs.select(col("sb").as("src"), col("ca").as("dst"), col("w")))
-    // out-weight attached once; the und⋈wout equi-join already leaves
-    // its output hash-partitioned on src (no explicit repartition — that
-    // would be a second full shuffle of the edge frame), and the cache
-    // preserves that layout so every iteration's join reuses it and only
-    // the node-sized rank frame shuffles
+    // out-weight attached once and FOLDED into a normalized contribution
+    // weight w/wout at cache time: the cached frame is 3 narrow columns
+    // and each iteration multiplies instead of re-dividing exact
+    // integers — same IEEE result (w/wout each iteration vs once is the
+    // identical double), smaller cache, less per-iteration work. The
+    // und⋈wout equi-join leaves its output hash-partitioned on src and
+    // the cache preserves that layout, so every iteration's join reuses
+    // it and only the node-sized rank frame shuffles.
     val wout = und.groupBy("src").agg(sum("w").as("wout"))
-    val edges = graft.llm.Dedup.tcache(s, und.join(wout, "src"))
+    val edges = graft.llm.Dedup.tcache(
+      s,
+      und.join(wout, "src")
+        .select(
+          col("src"),
+          col("dst"),
+          (col("w").cast("double") / col("wout").cast("double")).as("wn")
+        )
+    )
     val nodes = und.select(col("src").as("node")).distinct()
-    val n = nodes.count() // scalar action: |V|, never the data
+    // |V| via bipartite identity: node ids are disjoint by parity, so
+    // |V| = |distinct customers| + |distinct suppliers| — ONE pass over
+    // the small cached pair frame, not a distinct over the 2×-unioned
+    // edge frame
+    val n = pairs
+      .agg((countDistinct("ca") + countDistinct("sb")).as("n"))
+      .head()
+      .getLong(0)
     val base = 0.15 / n // same IEEE division the oracle performs
     var r = nodes.select(col("node"), (lit(1.0) / n).as("r"))
     for (_ <- 1 to 3) {
@@ -84,7 +102,7 @@ object Graph {
         .groupBy(col("dst").as("node"))
         .agg(
           round(
-            lit(base) + lit(Damping) * sum(col("r") * col("w") / col("wout")),
+            lit(base) + lit(Damping) * sum(col("r") * col("wn")),
             12
           ).as("r")
         )
@@ -136,32 +154,70 @@ object Graph {
     * is bounded per order by (items-per-order choose 2), never by
     * corpus size.
     */
-  private def q80(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables
+  /** Canonical thresholded co-occurrence edges (a < b by id), shared by
+    * q80/q80b. ONE corpus shuffle: per-order supplier sets are assembled
+    * with collect_set (items-per-order is bounded by order size, so the
+    * arrays are tiny and skew-free) and pairs expand MAP-SIDE inside the
+    * sorted array — vs the previous self-join spelling, which shuffled
+    * the fact frame twice and hash-joined it against itself. Edges are
+    * kept only when the pair co-occurs MORE than the average pair does —
+    * the data-adaptive support threshold that yields real structure at
+    * any SF (a fixed absolute cutoff is complete-graph at one scale and
+    * empty at another). avg is sum/count of exact integers,
+    * IEEE-identical on both engines.
+    */
+  private def cooccurrenceEdges(s: SparkSession, dir: String): DataFrame = {
+    val grouped = Tables
       .table(s, dir, "lineitem")
       .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
-      .distinct()
-    // canonical undirected edges a < b (by id), kept only when the pair
-    // co-occurs MORE than the average pair does — the data-adaptive
-    // support threshold that yields real structure at any SF (a fixed
-    // absolute cutoff is complete-graph at one scale and empty at
-    // another; the testdata's raw co-occurrence graph is K_n). avg is
-    // sum/count of exact integers, IEEE-identical on both engines.
-    val counted = li
-      .as("x")
-      .join(li.as("y"), col("x.ok") === col("y.ok") && col("x.sk") < col("y.sk"))
-      .groupBy(col("x.sk").as("a"), col("y.sk").as("b"))
-      .agg(count(lit(1)).as("c"))
-    val edges = counted
+      .groupBy("ok")
+      .agg(sort_array(collect_set("sk")).as("s"))
+    // (s[i], s[j]) for i < j: the array is sorted, so pairs are canonical
+    // a < b by construction
+    val pairs = grouped
+      .select(
+        explode(
+          expr(
+            "flatten(transform(s, (x, i) -> " +
+              "transform(slice(s, i + 2, size(s)), y -> struct(x AS a, y AS b))))"
+          )
+        ).as("p")
+      )
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+    // the counted frame feeds BOTH the avg threshold and the filter —
+    // cache it so the corpus-sided pair expansion runs once, not twice
+    val counted = graft.llm.Dedup.tcache(
+      s,
+      pairs.groupBy("a", "b").agg(count(lit(1)).as("c"))
+    )
+    counted
       .crossJoin(broadcast(counted.agg(avg("c").as("cavg"))))
       .filter(col("c") > col("cavg"))
       .select("a", "b")
+  }
+
+  /** (n_nodes, n_edges, n_triangles) for a canonical a<b edge frame via
+    * the EDGE-ITERATOR algorithm: orient low-(degree, id) → high, build
+    * each node's out-neighbor array, and count per directed edge (u, v)
+    * the intersection |N⁺(u) ∩ N⁺(v)| — every triangle has exactly one
+    * node with two out-edges, so each is counted once. The intersection
+    * happens INSIDE a codegen'd expression (array_intersect) on
+    * node-sized adjacency arrays: unlike the wedge-join spelling, the
+    * Σ C(outdeg⁺, 2) wedge frame (28.7M rows at sf0.1, super-linear in
+    * density) is never materialized or shuffled — the only shuffled
+    * frames are edge-sized and node-sized, which is what survives a
+    * 100× scale-up. Orientation still bounds the per-edge work: both
+    * arrays are out-neighbor lists, O(√m) long at the worst hub.
+    * `edges` must be cached by the caller (three consumers).
+    */
+  private def triangleStats(edges: DataFrame): DataFrame = {
     val deg = edges
       .select(col("a").as("v"))
       .unionAll(edges.select(col("b").as("v")))
       .groupBy("v")
       .agg(count(lit(1)).as("deg"))
-    // orient low-(deg, id) → high-(deg, id)
+    // orient low-(deg, id) → high-(deg, id); deg is node-sized, AQE
+    // picks the broadcast side
     val directed = edges
       .join(deg.select(col("v").as("a"), col("deg").as("da")), "a")
       .join(deg.select(col("v").as("b"), col("deg").as("db")), "b")
@@ -173,36 +229,67 @@ object Graph {
           .as("e")
       )
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
-    // wedges at each center (two out-neighbors, canonical by id) close
-    // against the UNDIRECTED canonical edge set
-    val wedges = directed
-      .as("e1")
-      .join(
-        directed.as("e2"),
-        col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst")
-      )
-      .select(col("e1.dst").as("a"), col("e2.dst").as("b"))
-    // three 1-row aggregates cross-joined in-plan (bounded by
-    // construction; no driver-side count actions)
+    val adj = directed
+      .groupBy("src")
+      .agg(sort_array(collect_list("dst")).as("nbrs"))
+    // inner joins drop edges whose endpoint has no out-neighbors — those
+    // close no triangle at that edge, so the sum is unchanged; coalesce
+    // covers the all-dropped (e.g. star-graph) case
+    val perEdge = directed
+      .join(adj.select(col("src").as("src"), col("nbrs").as("nu")), "src")
+      .join(adj.select(col("src").as("dst"), col("nbrs").as("nv")), "dst")
+      .select(size(array_intersect(col("nu"), col("nv"))).cast("long").as("k"))
     deg
       .agg(count(lit(1)).as("n_nodes"))
       .crossJoin(edges.agg(count(lit(1)).as("n_edges")))
       .crossJoin(
-        wedges.join(edges, Seq("a", "b")).agg(count(lit(1)).as("n_triangles"))
+        perEdge.agg(coalesce(sum("k"), lit(0L)).as("n_triangles"))
+      )
+  }
+
+  private def q80(s: SparkSession, dir: String): DataFrame =
+    triangleStats(graft.llm.Dedup.tcache(s, cooccurrenceEdges(s, dir)))
+
+  /** q80b: DOULION-style sampled triangle estimate — the documented
+    * 100 TB swap-in for q80. Sparsify the edge frame FIRST with a
+    * deterministic hash keep (p = 1/5 via the q43 md5-bucket convention,
+    * so the sample is identical across engines, retries, and re-runs —
+    * never rand()), run the exact edge-iterator count on the sparsified
+    * graph, and scale by 1/p³ = 125. Expected work drops by p on edges
+    * and ~p³ on intersection hits; the estimator is unbiased
+    * (Tsourakakis et al., DOULION, KDD'09) with relative error
+    * O(1/√(p³·T)) — tiny for any graph big enough to need sampling.
+    * All-integer output (125·count), so the gate hash-checks exactly.
+    */
+  private def q80b(s: SparkSession, dir: String): DataFrame = {
+    val sampled = graft.llm.Dedup.tcache(
+      s,
+      cooccurrenceEdges(s, dir).filter(
+        graft.llm.Sampling.bucket100(concat_ws(",", col("a"), col("b"))) < 20
+      )
+    )
+    triangleStats(sampled)
+      .select(
+        col("n_nodes"),
+        col("n_edges"),
+        col("n_triangles").as("n_triangles_sampled"),
+        (col("n_triangles") * 125).as("est_triangles")
       )
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q71_pagerank" -> q71,
-    "q80_triangle_count" -> q80
+    "q80_triangle_count" -> q80,
+    "q80b_triangle_sample" -> q80b
   )
 
-  // One power iteration as SQL — contribution spelled r * w / wout and
-  // the update 0.15/N + 0.85 * sum(...), the exact operand order and
-  // associativity of the Spark column expression above.
+  // One power iteration as SQL — contribution spelled r * wn (wn the
+  // pre-normalized w/wout, divided ONCE exactly as the Spark cache
+  // does) and the update 0.15/N + 0.85 * sum(...), the exact operand
+  // order and associativity of the Spark column expression above.
   private def iterSql(prev: String): String =
     s"""SELECT e.dst AS node,
-       |    round(0.15 / (SELECT n FROM nn) + 0.85 * sum(p.r * e.w / e.wout), 12) AS r
+       |    round(0.15 / (SELECT n FROM nn) + 0.85 * sum(p.r * e.wn), 12) AS r
        |  FROM edges e JOIN $prev p ON p.node = e.src
        |  GROUP BY e.dst""".stripMargin
 
@@ -218,7 +305,9 @@ object Graph {
          |  UNION ALL
          |  SELECT sb AS src, ca AS dst, w FROM pairs),
          |wo AS (SELECT src, CAST(sum(w) AS BIGINT) AS wout FROM und GROUP BY src),
-         |edges AS (SELECT u.src, u.dst, u.w, wo.wout FROM und u JOIN wo USING (src)),
+         |edges AS (SELECT u.src, u.dst,
+         |            CAST(u.w AS DOUBLE) / CAST(wo.wout AS DOUBLE) AS wn
+         |          FROM und u JOIN wo USING (src)),
          |nodes AS (SELECT DISTINCT src AS node FROM und),
          |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
          |r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS r FROM nodes),
@@ -250,6 +339,29 @@ object Graph {
         |       (SELECT count(*)
         |        FROM e e1 JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
         |                  JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b)
-        |         AS n_triangles""".stripMargin
+        |         AS n_triangles""".stripMargin,
+    // same naive replay over the hash-sparsified edge set (the md5
+    // bucket spelling shared with q43); the triangle count is
+    // orientation-invariant, so only the sample filter is new
+    "q80b_triangle_sample" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
+        |            FROM lineitem),
+        |ec AS (SELECT x.sk AS a, y.sk AS b, count(*) AS c
+        |       FROM li x JOIN li y ON x.ok = y.ok AND x.sk < y.sk
+        |       GROUP BY x.sk, y.sk),
+        |e0 AS (SELECT a, b FROM ec WHERE c > (SELECT avg(c) FROM ec)),
+        |e AS (SELECT a, b FROM e0
+        |      WHERE CAST('0x' || substr(
+        |              md5(CAST(a AS VARCHAR) || ',' || CAST(b AS VARCHAR)),
+        |              1, 15) AS BIGINT) % 100 < 20),
+        |nodes AS (SELECT a AS v FROM e UNION SELECT b FROM e),
+        |t AS (SELECT count(*) AS n_triangles_sampled
+        |      FROM e e1 JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+        |                JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b)
+        |SELECT (SELECT count(*) FROM nodes) AS n_nodes,
+        |       (SELECT count(*) FROM e) AS n_edges,
+        |       n_triangles_sampled,
+        |       n_triangles_sampled * 125 AS est_triangles
+        |FROM t""".stripMargin
   )
 }

@@ -212,4 +212,22 @@ class BehaviorSpec extends SparkSpec {
     assert(r.getLong(0) == 9 && r.getLong(1) == 8 && r.getLong(2) == 0,
       s"star graph: ${r.toSeq}")
   }
+
+  test("DOULION sampled estimate lands within 5% of the exact triangle count (sf0.01)") {
+    // the sample is a DETERMINISTIC hash keep (p = 1/5), so this is a
+    // fixed number for fixed testdata, not a flaky random draw; DOULION's
+    // relative error is O(1/√(p³·T)) ≈ 2.3% at T = 24,175 — the 5% bound
+    // is ~2σ. sf0.001 is below the estimator's working regime (21 edges
+    // survive the support threshold, the 1/5 sample keeps ~4) and is
+    // deliberately not asserted.
+    val dir = "/root/testdata/sf0.01"
+    val exact = Graph.queries("q80_triangle_count")(spark, dir).head().getLong(2)
+    val est = Graph
+      .queries("q80b_triangle_sample")(spark, dir)
+      .head()
+      .getAs[Long]("est_triangles")
+    assert(exact > 1000, s"support threshold degenerated: $exact triangles")
+    val relErr = math.abs(est - exact).toDouble / exact
+    assert(relErr < 0.05, s"DOULION est $est vs exact $exact: relErr $relErr")
+  }
 }
