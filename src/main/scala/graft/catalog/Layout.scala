@@ -100,7 +100,7 @@ object Layout {
       colB: String,
       bits: Int = 16
   ): Unit = {
-    import org.apache.spark.sql.functions.{max, min}
+    import org.apache.spark.sql.functions.{array, element_at, max, min, shiftright}
     val r = df.agg(min(col(colA)), max(col(colA)), min(col(colB)), max(col(colB))).head()
     def d(i: Int): Double = r.get(i) match {
       case n: Number => n.doubleValue()
@@ -108,12 +108,54 @@ object Layout {
     }
     val (aLo, aHi, bLo, bHi) = (d(0), d(1), d(2), d(3))
     require(aHi > aLo && bHi > bLo, "z-order columns must be non-constant")
-    df.withColumn("_z", zValue(col(colA), aLo, aHi, col(colB), bLo, bHi, bits))
-      .repartitionByRange(numFiles, col("_z"))
+    require(
+      numFiles >= 2 && (numFiles & (numFiles - 1)) == 0 &&
+        numFiles <= (1 << math.min(2 * bits, 30)),
+      s"writeZOrdered: numFiles must be a power of two <= 4^bits; got $numFiles"
+    )
+    val zdf = df.withColumn("_z", zValue(col(colA), aLo, aHi, col(colB), bLo, bHi, bits))
+    // File cuts sit on the Z-GRID'S OWN CELL BOUNDARIES — each file is
+    // the top-log2(numFiles) bits of the curve value, i.e. exactly one
+    // rectangle of the (a, b) grid. Fully deterministic (round 9;
+    // previously `repartitionByRange` sampled its boundaries per run,
+    // so file ranges straddled cells unpredictably and pruning
+    // fractions wobbled), needs no quantile pass, and a range probe on
+    // either column touches exactly the files of the grid cells it
+    // intersects — no boundary-straddling files at all. Trade-off vs
+    // quantile cuts: file SIZES follow the data's cell occupancy
+    // (skewed data → uneven files) while pruning precision is exact;
+    // for a pruning layout that is the right side of the trade.
+    val k = 31 - Integer.numberOfLeadingZeros(numFiles)
+    val bucket = shiftright(col("_z"), 2 * bits - k).cast("int")
+    // the route literal per bucket is chosen so Spark's murmur3 hash
+    // partitioning sends every bucket to its OWN partition — a
+    // deterministic 1:1 cell→file mapping, verified in LayoutSpec
+    val routes = routeValues(numFiles)
+    zdf
+      .withColumn("_rt", element_at(array(routes.map(lit): _*), bucket + 1))
+      .repartition(numFiles, col("_rt"))
       .sortWithinPartitions("_z")
-      .drop("_z")
+      .drop("_z", "_rt")
       .write
       .mode("overwrite")
       .parquet(path)
+  }
+
+  /** For each partition slot i in [0, n): a long v with
+    * pmod(murmur3(v, 42), n) == i — the seed/algorithm pair Spark's
+    * HashPartitioning applies to a single LongType expression. Probing
+    * upward from 0 is deterministic and terminates in ~n·H(n) steps.
+    */
+  private def routeValues(n: Int): Seq[Long] = {
+    val found = new Array[java.lang.Long](n)
+    var remaining = n
+    var v = 0L
+    while (remaining > 0) {
+      val h = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashLong(v, 42)
+      val slot = ((h % n) + n) % n
+      if (found(slot) == null) { found(slot) = v; remaining -= 1 }
+      v += 1
+    }
+    found.toSeq.map(_.longValue)
   }
 }

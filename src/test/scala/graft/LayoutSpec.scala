@@ -98,12 +98,12 @@ class LayoutSpec extends SparkSpec {
     val base = tmpDir("graft-zorder")
     val zpath = s"$base/z"
     val lexpath = s"$base/lex"
-    // 64 files = an 8×8 z-grid: repartitionByRange SAMPLES its
-    // boundaries, so file cuts drift off the cell grid run-to-run — at
-    // 4×4 a drifted probe column reached 50%+slop of the table and
-    // flaked the bound twice; at 8×8 the worst drifted read is ~2 of 8
-    // columns (~25%), leaving real margin under the robust < total/2
-    // assertion
+    // 64 files = an 8×8 z-grid. writeZOrdered cuts files exactly at the
+    // grid's own cell boundaries (round 9; previously
+    // repartitionByRange's sampled boundaries drifted run-to-run and
+    // twice flaked a tight bound): a probe inside one grid column reads
+    // exactly that column's 8 cells ≈ total/8 with NO straddling files,
+    // so the assertions below pin < total/4 with 2× margin
     Layout.writeZOrdered(li, zpath, numFiles = 64, "l_partkey", "l_suppkey")
     Layout.writeSorted(li, lexpath, numFiles = 64, "l_partkey", "l_suppkey")
 
@@ -121,7 +121,7 @@ class LayoutSpec extends SparkSpec {
     // leading column: both layouts prune
     val zA = read(zpath, "l_partkey", pLo, pHi)
     val lexA = read(lexpath, "l_partkey", pLo, pHi)
-    assert(zA < total / 2, s"z-order did not prune on dim A: $zA of $total")
+    assert(zA < total / 4, s"z-order did not prune on dim A: $zA of $total")
     assert(lexA < total / 2, s"lex sort did not prune on dim A: $lexA of $total")
 
     // second column: the z-layout keeps pruning, the lexicographic one
@@ -132,7 +132,7 @@ class LayoutSpec extends SparkSpec {
       zB < lexB,
       s"z-order read $zB rows on dim B, not better than lex $lexB"
     )
-    assert(zB < total / 2, s"z-order did not prune on dim B: $zB of $total")
+    assert(zB < total / 4, s"z-order did not prune on dim B: $zB of $total")
 
     // layout never changes results
     val a = spark.read.parquet(zpath)
