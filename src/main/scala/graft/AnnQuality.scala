@@ -14,42 +14,92 @@ import org.apache.spark.sql.functions._
   * queries score (Similarity.lshCandidates / ivfCandidates), not a
   * re-derivation.
   *
-  * Usage: tools/run_main.sh graft.AnnQuality [sfDir]
+  * Two modes:
+  *   tools/run_main.sh graft.AnnQuality [sfDir]   — the driver testdata
+  *   tools/run_main.sh graft.AnnQuality synth N   — a deterministic
+  *     N-vector synthetic corpus (seeded gaussian unit vectors, the same
+  *     near-uniform-cosine family as the testdata embeddings), used to
+  *     extend the recall table a scale decade beyond sf0.1's N=2000 and
+  *     to sweep LSH band width / IVF cell count at that size — the
+  *     parameter-scaling curve SCALE.md's occupancy sizing note relies
+  *     on.
   */
 object AnnQuality {
 
+  private def synthesize(
+      s: org.apache.spark.sql.SparkSession,
+      n: Int,
+      out: String
+  ): Unit = {
+    // driver-built model-sized corpus (n×64 floats, a few MB at n=20k):
+    // a bench input builder, not a query path
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until n).map { i =>
+      val v = Array.fill(64)(rnd.nextGaussian().toFloat)
+      val norm = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      (i.toLong, v.map(_ / norm).toSeq, i % 10)
+    }
+    import s.implicits._
+    rows
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(4)
+      .write
+      .mode("overwrite")
+      .parquet(s"$out/embeddings.parquet")
+  }
+
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"), "graft-annquality")
+    val sfDir = args.headOption match {
+      case Some("synth") =>
+        val n = args.lift(1).map(_.toInt).getOrElse(20000)
+        val dir = graft.TempDirs.deleteOnExit(
+          new java.io.File(sys.props("java.io.tmpdir"), s"graft_ann_synth_$n").getPath
+        )
+        synthesize(spark, n, dir)
+        dir
+      case Some(d) => d
+      case None    => "/root/testdata/sf0.1"
+    }
 
     val k = Similarity.TopK
     val exact = SparkEntry.queries("q30_knn_brute")(spark, sfDir)
       .select("probe_id", "neighbor_id").cache()
     val nProbes = exact.select("probe_id").distinct().count()
 
-    def recallOf(name: String): Double = {
-      val approx = SparkEntry.queries(name)(spark, sfDir)
-        .select("probe_id", "neighbor_id")
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val approx = df.select("probe_id", "neighbor_id")
       val hits = exact.join(approx, Seq("probe_id", "neighbor_id")).count()
       hits.toDouble / (nProbes * k)
     }
 
     val corpusN = graft.queries.Tables.table(spark, sfDir, "embeddings").count()
     val brutePairs = nProbes * (corpusN - 1)
-    val lshCand = Similarity.lshCandidates(spark, sfDir).count()
-    val ivfCand = Similarity.ivfCandidates(spark, sfDir).count()
-    // PQ: the ADC scan touches every code row (8 bytes/vector, 32× below
-    // full vectors); "candidates" = full-vector fetches for exact re-rank
-    val pqCand = Similarity.pqCandidates(spark, sfDir).count()
 
-    val rLsh = recallOf("q31_knn_lsh")
-    val rIvf = recallOf("q31b_knn_ivf")
-    val rPq = recallOf("q31c_knn_pq")
+    def lshLine(planes: Int, bits: Int): String = {
+      val cand = Similarity.lshCandidates(spark, sfDir, planes, bits).count()
+      val r = recallOf(Similarity.lshKnn(spark, sfDir, planes, bits))
+      f""""lsh_${planes}p_${bits}b":{"recall_at_$k":$r%.3f,"candidates":$cand,"candidate_ratio":${cand.toDouble / brutePairs}%.3f}"""
+    }
+    def ivfLine(cells: Int, nprobe: Int): String = {
+      val cand = Similarity.ivfCandidates(spark, sfDir, cells, nprobe).count()
+      val r = recallOf(Similarity.ivfKnn(spark, sfDir, cells, nprobe))
+      f""""ivf_${cells}c_${nprobe}p":{"recall_at_$k":$r%.3f,"candidates":$cand,"candidate_ratio":${cand.toDouble / brutePairs}%.3f}"""
+    }
+    val pqCand = Similarity.pqCandidates(spark, sfDir).count()
+    val rPq = recallOf(SparkEntry.queries("q31c_knn_pq")(spark, sfDir))
+
+    val sweeps = Seq(
+      lshLine(24, 3), // the q31 instance
+      lshLine(32, 4),
+      lshLine(48, 6),
+      ivfLine(16, 4), // the q31b instance
+      ivfLine(64, 8)
+    )
     println(
       f"""{"sf":"$sfDir","k":$k,"n_probes":$nProbes,"corpus_n":$corpusN,""" +
         f""""brute_pairs":$brutePairs,""" +
-        f""""q31_lsh":{"recall_at_$k":$rLsh%.3f,"candidates":$lshCand,"candidate_ratio":${lshCand.toDouble / brutePairs}%.3f},""" +
-        f""""q31b_ivf":{"recall_at_$k":$rIvf%.3f,"candidates":$ivfCand,"candidate_ratio":${ivfCand.toDouble / brutePairs}%.3f},""" +
+        sweeps.mkString(",") + "," +
         f""""q31c_pq":{"recall_at_$k":$rPq%.3f,"candidates":$pqCand,"candidate_ratio":${pqCand.toDouble / brutePairs}%.3f}}"""
     )
     spark.stop()

@@ -83,22 +83,29 @@ object Similarity {
   private val BandBits = 3
   private val Dim = 64
 
-  /** Fixed random hyperplanes (seeded, standard normal). */
+  /** Fixed random hyperplanes (seeded, standard normal). More planes
+    * than the q31 default exist so AnnQuality can sweep band width at a
+    * larger corpus without changing the query's own 24-plane prefix.
+    */
   private lazy val planes: Array[Array[Double]] = {
     val rnd = new scala.util.Random(7)
-    Array.fill(NumPlanes, Dim)(rnd.nextGaussian())
+    Array.fill(64, Dim)(rnd.nextGaussian())
   }
 
-  private def signatureBands(e: Column): Seq[Column] = {
-    val bits: Seq[Column] = planes.toIndexedSeq.map { p =>
+  private def signatureBands(
+      e: Column,
+      numPlanes: Int = NumPlanes,
+      bandBits: Int = BandBits
+  ): Seq[Column] = {
+    val bits: Seq[Column] = planes.toIndexedSeq.take(numPlanes).map { p =>
       // float literals so the codegen'd FloatVectorDot applies directly
       val planeCol = array(p.toIndexedSeq.map(v => lit(v.toFloat)): _*)
       when(VectorOps.dot(e, planeCol) > 0, lit(1)).otherwise(lit(0))
     }
-    // pack BandBits bits per band
-    (0 until NumPlanes / BandBits).map { bi =>
-      (0 until BandBits)
-        .map(j => bits(bi * BandBits + j) * lit(1 << j))
+    // pack bandBits bits per band
+    (0 until numPlanes / bandBits).map { bi =>
+      (0 until bandBits)
+        .map(j => bits(bi * bandBits + j) * lit(1 << j))
         .reduce(_ + _)
     }
   }
@@ -107,12 +114,17 @@ object Similarity {
     * exposed so AnnQuality can report the measured candidate-count ratio
     * vs brute force from the SAME definition the query runs.
     */
-  private[graft] def lshCandidates(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def lshCandidates(
+      s: SparkSession,
+      dir: String,
+      numPlanes: Int = NumPlanes,
+      bandBits: Int = BandBits
+  ): DataFrame = {
     val e = emb(s, dir)
     def banded(df: DataFrame, idCol: String): DataFrame =
       df.select(
         col("vec_id").as(idCol),
-        posexplode(array(signatureBands(col("embedding")): _*))
+        posexplode(array(signatureBands(col("embedding"), numPlanes, bandBits): _*))
           .as(Seq("band", "bval"))
       )
     val probes = banded(e.filter(col("vec_id") < NumProbes), "probe_id")
@@ -131,7 +143,15 @@ object Similarity {
       .distinct()
   }
 
-  private def q31(s: SparkSession, dir: String): DataFrame = {
+  /** Parametrized LSH kNN (AnnQuality sweeps band width at larger
+    * corpora); q31 is the (24, 3) instance.
+    */
+  private[graft] def lshKnn(
+      s: SparkSession,
+      dir: String,
+      numPlanes: Int = NumPlanes,
+      bandBits: Int = BandBits
+  ): DataFrame = {
     val e = emb(s, dir)
     val probeEmb = e
       .filter(col("vec_id") < NumProbes)
@@ -139,11 +159,21 @@ object Similarity {
     val corpusEmb =
       e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
     scoreTopK(
-      lshCandidates(s, dir)
+      lshCandidates(s, dir, numPlanes, bandBits)
         .join(broadcast(probeEmb), Seq("probe_id"))
         .join(corpusEmb, Seq("neighbor_id"))
     )
   }
+
+  private def q31(s: SparkSession, dir: String): DataFrame = lshKnn(s, dir)
+
+  /** Parametrized IVF kNN; q31b is the (16, 4) instance. */
+  private[graft] def ivfKnn(
+      s: SparkSession,
+      dir: String,
+      cells: Int = IvfCells,
+      nprobe: Int = IvfProbes
+  ): DataFrame = scoreTopK(ivfCandidates(s, dir, cells, nprobe))
 
   // --------------------------------------------- q31b: IVF-bucketed ANN
 
@@ -168,10 +198,15 @@ object Similarity {
     * pre-scoring set q31b ranks) — exposed for AnnQuality's
     * candidate-count report, same definition the query runs.
     */
-  private[graft] def ivfCandidates(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def ivfCandidates(
+      s: SparkSession,
+      dir: String,
+      cells: Int = IvfCells,
+      nprobe: Int = IvfProbes
+  ): DataFrame = {
     val e = emb(s, dir)
     val centroids = e
-      .filter(col("vec_id") < IvfCells)
+      .filter(col("vec_id") < cells)
       .select(col("vec_id").as("cell"), col("embedding").as("ce"))
 
     def withCsim(df: DataFrame): DataFrame =
@@ -200,7 +235,7 @@ object Similarity {
     val pw = Window.partitionBy(col("vec_id")).orderBy(desc("csim"), col("cell"))
     val probeCells = withCsim(e.filter(col("vec_id") < NumProbes))
       .withColumn("crank", row_number().over(pw))
-      .filter(col("crank") <= IvfProbes)
+      .filter(col("crank") <= nprobe)
       .select(col("vec_id").as("probe_id"), col("embedding").as("pe"), col("cell"))
 
     // no distinct needed: each corpus vector lives in exactly one cell and
@@ -341,7 +376,9 @@ object Similarity {
     * Spark kernel sees via `lit(v.toFloat)`.
     */
   private def planesValuesSql: String =
-    planes.zipWithIndex
+    planes
+      .take(NumPlanes) // the q31 instance's prefix — NOT the sweep pool
+      .zipWithIndex
       .map { case (p, pi) =>
         s"($pi, [${p.map(_.toFloat.toString).mkString(", ")}]::FLOAT[])"
       }
