@@ -46,6 +46,7 @@ object SparkEntry {
       graft.llm.Embeddings.queries ++
       graft.llm.Sampling.queries ++
       graft.llm.Curation.queries ++
+      graft.llm.Retrieval.queries ++
       graft.llm.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -79,5 +80,6 @@ object SparkEntry {
       graft.llm.Embeddings.oracleSql ++
       graft.llm.Sampling.oracleSql ++
       graft.llm.Curation.oracleSql ++
+      graft.llm.Retrieval.oracleSql ++
       graft.llm.Multimodal.oracleSql
 }

@@ -1,0 +1,223 @@
+package graft.llm
+
+import graft.queries.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Retrieval-scoring and preference-pair operators over the documents
+  * table — the ranking half of a curation pipeline: BM25 (mine the
+  * corpus for documents relevant to a probe query, the standard
+  * retrieval baseline TF-IDF ranking lacks length normalization for)
+  * and best/worst preference-pair assembly (the DPO/RLHF training-pair
+  * construction step).
+  *
+  * Reference scope: none (no text ops in the reference — extension
+  * surface like the rest of graft.llm). Both queries follow the family
+  * conventions: whitespace tokenization (`split(text, ' ')`, the q34
+  * convention), integer counts everywhere until one final float
+  * formula, a round(·, 4) grid on emitted floats, and a deterministic
+  * ORDER BY with id tie-breaks.
+  */
+object Retrieval {
+
+  // BM25 free parameters — the universal defaults (Robertson/Walker).
+  private val K1 = 1.2
+  private val B = 0.75
+
+  /** The probe query: three corpus terms with different df, so the idf
+    * spread is real. A production caller parameterizes this list; the
+    * gate needs it fixed.
+    */
+  private[graft] val QueryTerms = Seq("spark", "join", "filter")
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.table(s, dir, "documents")
+
+  /** q90: BM25 top-20 — score =
+    * Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)) with
+    * idf = ln((N − df + 0.5)/(df + 0.5) + 1) (the Lucene positivity
+    * variant).
+    *
+    * Determinism contract: the per-term contributions are PIVOTED into
+    * fixed columns (each an aggregate over ≤1 row, so no float sum of
+    * shuffle-ordered operands) and the final score is the literal
+    * expression c1 + c2 + c3 in query-term order — the exact operand
+    * order and associativity the oracle spells. ln is the one libm
+    * call; the q51/q57 precedent (log under a round-4 grid) holds.
+    *
+    * Scale shape: ONE pass over the corpus (explode → filter to the
+    * 3-term dictionary BEFORE the aggregate, so the shuffled frame is
+    * bounded by docs×|query|, not corpus tokens), df/N/avgdl are
+    * 3-row/1-row broadcast frames, top-20 via orderBy+limit
+    * (TakeOrderedAndProject per-partition heaps).
+    */
+  private def q90(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(
+      col("doc_id"),
+      split(col("text"), " ").as("toks")
+    )
+    val dl = d.select(col("doc_id"), size(col("toks")).as("dl"))
+    val stats = dl.agg(
+      count(lit(1)).as("n_docs"),
+      (sum("dl").cast("double") / count(lit(1)).cast("double")).as("avgdl")
+    )
+    val tf = d
+      .select(col("doc_id"), explode(col("toks")).as("w"))
+      .filter(col("w").isin(QueryTerms: _*))
+      .groupBy("doc_id", "w")
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("w").agg(count(lit(1)).as("df"))
+
+    val contrib = tf
+      .join(broadcast(df), "w")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn(
+        "idf",
+        log(
+          (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5))
+            / (col("df").cast("double") + lit(0.5)) + lit(1.0)
+        )
+      )
+      .withColumn(
+        "c",
+        col("idf") * (col("tf").cast("double") * lit(K1 + 1.0)) /
+          (col("tf").cast("double") +
+            lit(K1) * (lit(1.0) - lit(B) + lit(B) * col("dl").cast("double") / col("avgdl")))
+      )
+    // pivot to fixed per-term columns: each aggregate folds ≤1 row, so
+    // the + below is a FIXED-ORDER float sum on both engines
+    val termCols = QueryTerms.map(t =>
+      coalesce(max(when(col("w") === t, col("c"))), lit(0.0)).as(s"c_$t")
+    )
+    val byTerm = contrib
+      .groupBy("doc_id")
+      .agg(termCols.head, termCols.tail: _*)
+    byTerm
+      .withColumn(
+        "score",
+        round(QueryTerms.map(t => col(s"c_$t")).reduce(_ + _), 4) + 0.0
+      )
+      .select(col("doc_id"), col("score"))
+      .orderBy(desc("score"), col("doc_id"))
+      .limit(20)
+  }
+
+  /** q91: preference-pair assembly — per (source, lang) strata, the
+    * highest- and lowest-reward documents become a (chosen, rejected)
+    * pair, the DPO/RLHF pair-mining shape. Reward here is the q33-style
+    * alphabetic-character ratio (any scored column slots in); ties
+    * break on doc_id in OPPOSITE directions for the two ends so the
+    * pair is unique and deterministic. Strata with fewer than 2
+    * documents emit nothing (no self-pairs).
+    *
+    * Scale shape: reward is a map-side expression; the two extremes
+    * come from ONE hash aggregate via max_by/min_by over (reward,
+    * ±doc_id) structs — no per-stratum sort, no window over the corpus.
+    */
+  private def q91(s: SparkSession, dir: String): DataFrame = {
+    val scored = docs(s, dir).select(
+      col("source"),
+      col("lang"),
+      col("doc_id"),
+      (round(
+        length(regexp_replace(col("text"), "[^a-z]", ""))
+          .cast("double") / nullif(length(col("text")), lit(0)).cast("double"),
+        4
+      ) + 0.0).as("reward")
+    )
+    scored
+      .groupBy("source", "lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        max_by(
+          struct(col("doc_id"), col("reward")),
+          // highest reward; ties → SMALLEST id (negate for max_by)
+          struct(col("reward"), -col("doc_id"))
+        ).as("ch"),
+        min_by(
+          struct(col("doc_id"), col("reward")),
+          // lowest reward; ties → smallest id too (min over (r, id))
+          struct(col("reward"), col("doc_id"))
+        ).as("rj")
+      )
+      .filter(col("n_docs") >= 2)
+      .select(
+        col("source"),
+        col("lang"),
+        col("n_docs"),
+        col("ch.doc_id").as("chosen_id"),
+        (col("ch.reward") + 0.0).as("chosen_reward"),
+        col("rj.doc_id").as("rejected_id"),
+        (col("rj.reward") + 0.0).as("rejected_reward"),
+        (round(col("ch.reward") - col("rj.reward"), 4) + 0.0).as("margin")
+      )
+      .orderBy("source", "lang")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q90_bm25" -> q90,
+    "q91_preference_pairs" -> q91
+  )
+
+  private val termsSqlList = QueryTerms.map(t => s"'$t'").mkString(", ")
+
+  val oracleSql: Map[String, String] = Map(
+    "q90_bm25" -> {
+      val cCols = QueryTerms
+        .map(t =>
+          s"coalesce(max(CASE WHEN w = '$t' THEN c END), 0.0) AS c_$t"
+        )
+        .mkString(",\n        |    ")
+      val scoreSum = QueryTerms.map(t => s"c_$t").mkString(" + ")
+      s"""WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |dl AS (SELECT doc_id, len(toks) AS dl FROM d),
+        |stats AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |         CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+        |  FROM dl),
+        |tok AS (SELECT doc_id, unnest(toks) AS w FROM d),
+        |tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+        |       FROM tok WHERE w IN ($termsSqlList) GROUP BY 1, 2),
+        |df AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |contrib AS (
+        |  SELECT tf.doc_id, tf.w,
+        |    ln((CAST(n_docs AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5)
+        |       / (CAST(df.df AS DOUBLE) + 0.5) + 1.0)
+        |    * (CAST(tf.tf AS DOUBLE) * ${K1 + 1.0})
+        |    / (CAST(tf.tf AS DOUBLE)
+        |       + $K1 * (1.0 - $B + $B * CAST(dl.dl AS DOUBLE) / avgdl)) AS c
+        |  FROM tf JOIN df USING (w) JOIN dl USING (doc_id), stats),
+        |byterm AS (
+        |  SELECT doc_id,
+        |    $cCols
+        |  FROM contrib GROUP BY doc_id)
+        |SELECT doc_id, round($scoreSum, 4) + 0.0 AS score
+        |FROM byterm
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+    },
+    "q91_preference_pairs" ->
+      """WITH scored AS (
+        |  SELECT source, lang, doc_id,
+        |    round(length(regexp_replace(text, '[^a-z]', '', 'g'))
+        |          / CAST(nullif(length(text), 0) AS DOUBLE), 4) + 0.0 AS reward
+        |  FROM documents),
+        |ranked AS (
+        |  SELECT source, lang, doc_id, reward,
+        |    row_number() OVER (PARTITION BY source, lang
+        |                       ORDER BY reward DESC, doc_id) AS r_hi,
+        |    row_number() OVER (PARTITION BY source, lang
+        |                       ORDER BY reward ASC, doc_id) AS r_lo,
+        |    count(*) OVER (PARTITION BY source, lang) AS n_docs
+        |  FROM scored)
+        |SELECT h.source, h.lang, h.n_docs,
+        |       h.doc_id AS chosen_id, h.reward + 0.0 AS chosen_reward,
+        |       l.doc_id AS rejected_id, l.reward + 0.0 AS rejected_reward,
+        |       round(h.reward - l.reward, 4) + 0.0 AS margin
+        |FROM ranked h
+        |JOIN ranked l ON l.source = h.source AND l.lang = h.lang
+        |WHERE h.r_hi = 1 AND l.r_lo = 1 AND h.n_docs >= 2
+        |ORDER BY h.source, h.lang""".stripMargin
+  )
+}
