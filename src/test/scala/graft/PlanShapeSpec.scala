@@ -407,4 +407,34 @@ class PlanShapeSpec extends SparkSpec {
       s"q68 shuffled the fact to join a per-type frame:\n$plan"
     )
   }
+
+  test("q89 sessionize: both windows and the aggregate share the user partitioning, no join") {
+    val plan = executedPlan(SparkEntry.queries("q89_sessionize")(spark, sf))
+    // every window frame is user-partitioned (the islands construction
+    // never sorts the corpus globally) and the whole query is
+    // window+aggregate — no join of any kind
+    plan.linesIterator.filter(_.contains("windowspecdefinition")).foreach { l =>
+      assert(l.contains("user_id#"), s"non-user-partitioned window:\n$l")
+    }
+    assert(!plan.contains("Join"), s"q89 grew a join:\n$plan")
+  }
+
+  test("q90 BM25: top-20 via TakeOrderedAndProject; only the 1-row stats frame nested-loops") {
+    val plan = executedPlan(SparkEntry.queries("q90_bm25")(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"), s"full sort for top-20:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in BM25 plan:\n$plan")
+  }
+
+  test("q91 preference pairs: one aggregate, no window, no join") {
+    val plan = executedPlan(SparkEntry.queries("q91_preference_pairs")(spark, sf))
+    val finalPlan = plan.split("== Initial Plan ==").head
+    assert(!finalPlan.contains("Window"), s"per-stratum window crept in:\n$plan")
+    assert(!finalPlan.contains("Join"), s"q91 grew a join:\n$plan")
+  }
+
+  test("q80 triangle count: edge-iterator intersect, no cartesian, no wedge frame") {
+    val plan = executedPlan(SparkEntry.queries("q80_triangle_count")(spark, sf))
+    assert(plan.contains("array_intersect"), s"edge-iterator intersect missing:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in triangle plan:\n$plan")
+  }
 }
