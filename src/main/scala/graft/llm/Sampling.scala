@@ -63,6 +63,34 @@ object Sampling {
       .orderBy("doc_id")
   }
 
+  /** q43c: GROUP-INTEGRITY split — the leakage-safe variant of q43: the
+    * split decision hashes the GROUP key (source — the domain/site in a
+    * web corpus), so every document of a group lands in the same split.
+    * Row-level splits leak: near-duplicate documents from one site
+    * straddle train/test and the eval is contaminated by construction;
+    * hashing the group key is the standard fix (and composes with the
+    * dedup family, which dedups WITHIN what this keeps together). The
+    * salt prefix decorrelates this hash from q43's row split so using
+    * both in one pipeline is sound. Pure map-side projection — the
+    * grouping never shuffles; the oracle checks every assignment AND
+    * the per-split group counts it implies.
+    */
+  private def q43c(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .table(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        col("source"),
+        bucket100(concat(lit("grp:"), col("source"))).as("bucket")
+      )
+      .withColumn(
+        "split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "valid")
+          .otherwise("test")
+      )
+      .orderBy("doc_id")
+
   /** q77: count-adaptive per-domain cap — downsample each source toward
     * a target of ~`cap` documents, with the keep rate COMPUTED from the
     * source's own size (`cap / n`) instead of q43b's static table. This
@@ -134,6 +162,7 @@ object Sampling {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q43_hash_split" -> q43,
     "q43b_stratified_sample" -> q43b,
+    "q43c_group_split" -> q43c,
     "q77_domain_cap" -> q77,
     "q81_weighted_sample" -> q81
   )
@@ -154,6 +183,17 @@ object Sampling {
          |  CASE WHEN source = 'src0' THEN 50
          |       WHEN source = 'src1' THEN 25 ELSE 10 END
          |ORDER BY doc_id""".stripMargin,
+    "q43c_group_split" ->
+      """WITH b AS (
+        |  SELECT doc_id, source,
+        |    CAST('0x' || substr(md5('grp:' || source), 1, 15) AS BIGINT) % 100
+        |      AS bucket
+        |  FROM documents)
+        |SELECT doc_id, source, bucket,
+        |  CASE WHEN bucket < 80 THEN 'train'
+        |       WHEN bucket < 90 THEN 'valid'
+        |       ELSE 'test' END AS split
+        |FROM b ORDER BY doc_id""".stripMargin,
     "q77_domain_cap" ->
       """WITH counts AS (
         |  SELECT source, count(*) AS n_src FROM documents GROUP BY source)
