@@ -47,6 +47,7 @@ object SparkEntry {
       graft.llm.Sampling.queries ++
       graft.llm.Curation.queries ++
       graft.llm.Retrieval.queries ++
+      graft.llm.Sft.queries ++
       graft.llm.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -81,5 +82,6 @@ object SparkEntry {
       graft.llm.Sampling.oracleSql ++
       graft.llm.Curation.oracleSql ++
       graft.llm.Retrieval.oracleSql ++
+      graft.llm.Sft.oracleSql ++
       graft.llm.Multimodal.oracleSql
 }

@@ -119,9 +119,81 @@ object Packing {
       .orderBy("win", "seg_idx")
   }
 
+  // ------------------------------------------- q95: curriculum ordering
+
+  private val CurrBuckets = 10 // length-difficulty buckets (short first)
+  private val CurrHashMod = 1000000L // within-bucket shuffle-key space
+  private val CurrSubshards = 32L // order-preserving scan shards
+  private val OutShards = 8 // output data-parallel shard count
+
+  /** q95: curriculum ordering — assign every document a GLOBAL training
+    * position ordered by (difficulty bucket ASC, deterministic shuffle
+    * hash, doc_id): the short-first length curriculum with a reproducible
+    * within-bucket shuffle (salted md5, the q43 hash convention — never
+    * rand(), so retries and re-runs emit the identical order). The
+    * position also fixes the output shard (`position % OutShards`), i.e.
+    * which data-parallel reader consumes the sample.
+    *
+    * The global position is NOT a global `Window.orderBy` (one-task
+    * bottleneck): it reuses q52's two-level distributed scan with an
+    * order-preserving compound shard key — (bucket, hv div width) blocks
+    * are lexicographically aligned with the target order, so per-shard
+    * row numbers plus a window over the ≤ CurrBuckets × CurrSubshards
+    * offset rows (tiny, allowlisted) reconstruct the exact global rank.
+    * Every corpus-sized window is partitioned by the compound key.
+    */
+  private def q95(s: SparkSession, dir: String): DataFrame = {
+    val hv = conv(
+      substring(
+        md5(concat(lit("cur:"), col("doc_id").cast("string")).cast("binary")),
+        1,
+        13
+      ),
+      16,
+      10
+    ).cast("long") % CurrHashMod
+    val width = CurrHashMod / CurrSubshards
+    val keyed = Tables
+      .table(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        least(expr("n_chars div 200"), lit(CurrBuckets - 1)).as("bucket"),
+        hv.as("hv")
+      )
+      .withColumn("subshard", expr(s"hv div $width"))
+    val offsets = keyed
+      .groupBy("bucket", "subshard")
+      .agg(count(lit(1)).as("n"))
+      .withColumn(
+        "off",
+        coalesce(
+          sum("n").over(
+            Window
+              .orderBy("bucket", "subshard")
+              .rowsBetween(Window.unboundedPreceding, -1)
+          ),
+          lit(0L)
+        )
+      )
+      .select("bucket", "subshard", "off")
+    val local = Window.partitionBy("bucket", "subshard").orderBy("hv", "doc_id")
+    keyed
+      .join(broadcast(offsets), Seq("bucket", "subshard"))
+      .withColumn("position", col("off") + row_number().over(local) - 1)
+      .select(
+        col("doc_id"),
+        col("bucket"),
+        col("hv"),
+        col("position"),
+        (col("position") % OutShards).as("out_shard")
+      )
+      .orderBy("position")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q52_sequence_packing" -> q52,
-    "q52b_pack_boundaries" -> q52b
+    "q52b_pack_boundaries" -> q52b,
+    "q95_curriculum_order" -> q95
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -163,6 +235,21 @@ object Packing {
          |  FROM segs)
          |SELECT win, CAST(row_number() OVER (PARTITION BY win ORDER BY seg_start, doc_id) AS INT) AS seg_idx,
          |  doc_id, seg_start, seg_len
-         |FROM seg2 ORDER BY win, seg_idx""".stripMargin
+         |FROM seg2 ORDER BY win, seg_idx""".stripMargin,
+    // the oracle replays the two-level scan as ONE global rank — valid
+    // because the compound shard key is order-preserving (same argument
+    // as q52's single window-cumsum oracle)
+    "q95_curriculum_order" ->
+      s"""WITH k AS (
+         |  SELECT doc_id,
+         |    least(n_chars // 200, ${CurrBuckets - 1}) AS bucket,
+         |    CAST('0x' || substr(md5('cur:' || CAST(doc_id AS VARCHAR)), 1, 13)
+         |         AS BIGINT) % $CurrHashMod AS hv
+         |  FROM documents)
+         |SELECT doc_id, bucket, hv,
+         |  row_number() OVER (ORDER BY bucket, hv, doc_id) - 1 AS position,
+         |  (row_number() OVER (ORDER BY bucket, hv, doc_id) - 1) % $OutShards
+         |    AS out_shard
+         |FROM k ORDER BY position""".stripMargin
   )
 }

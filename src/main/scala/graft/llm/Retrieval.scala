@@ -51,7 +51,14 @@ object Retrieval {
     * 3-row/1-row broadcast frames, top-20 via orderBy+limit
     * (TakeOrderedAndProject per-partition heaps).
     */
-  private def q90(s: SparkSession, dir: String): DataFrame = {
+  /** Shared per-term frames for the rankers: document lengths, corpus
+    * stats (1 row), per-(doc, term) tf and per-term df — one corpus pass
+    * regardless of how many rankers consume them.
+    */
+  private def termStats(
+      s: SparkSession,
+      dir: String
+  ): (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val d = docs(s, dir).select(
       col("doc_id"),
       split(col("text"), " ").as("toks")
@@ -67,7 +74,15 @@ object Retrieval {
       .groupBy("doc_id", "w")
       .agg(count(lit(1)).as("tf"))
     val df = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    (dl, stats, tf, df)
+  }
 
+  /** Per-document BM25 score with the q90 determinism contract (fixed
+    * per-term pivot columns, literal-order sum). Un-rounded — callers
+    * grid to their own precision.
+    */
+  private def bm25Scores(s: SparkSession, dir: String): DataFrame = {
+    val (dl, stats, tf, df) = termStats(s, dir)
     val contrib = tf
       .join(broadcast(df), "w")
       .join(dl, "doc_id")
@@ -93,14 +108,97 @@ object Retrieval {
     val byTerm = contrib
       .groupBy("doc_id")
       .agg(termCols.head, termCols.tail: _*)
-    byTerm
-      .withColumn(
-        "score",
-        round(QueryTerms.map(t => col(s"c_$t")).reduce(_ + _), 4) + 0.0
-      )
+    byTerm.withColumn(
+      "score_raw",
+      QueryTerms.map(t => col(s"c_$t")).reduce(_ + _)
+    )
+  }
+
+  private def q90(s: SparkSession, dir: String): DataFrame =
+    bm25Scores(s, dir)
+      .withColumn("score", round(col("score_raw"), 4) + 0.0)
       .select(col("doc_id"), col("score"))
       .orderBy(desc("score"), col("doc_id"))
       .limit(20)
+
+  /** Per-document length-normalized TF-IDF score for the same probe —
+    * the second, independently-biased ranker q92 fuses (BM25 saturates
+    * tf and penalizes long docs via avgdl; raw TF-IDF does neither, so
+    * the two lists genuinely disagree). Same determinism contract as
+    * BM25: fixed per-term pivot columns, literal-order sum.
+    */
+  private def tfidfScores(s: SparkSession, dir: String): DataFrame = {
+    val (dl, stats, tf, df) = termStats(s, dir)
+    val contrib = tf
+      .join(broadcast(df), "w")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn(
+        "c",
+        (col("tf").cast("double") / col("dl").cast("double")) *
+          log(col("n_docs").cast("double") / col("df").cast("double"))
+      )
+    val termCols = QueryTerms.map(t =>
+      coalesce(max(when(col("w") === t, col("c"))), lit(0.0)).as(s"t_$t")
+    )
+    contrib
+      .groupBy("doc_id")
+      .agg(termCols.head, termCols.tail: _*)
+      .withColumn(
+        "score_raw",
+        QueryTerms.map(t => col(s"t_$t")).reduce(_ + _)
+      )
+  }
+
+  private val RrfK = 60 // the standard reciprocal-rank-fusion constant
+  private val RrfDepth = 50 // per-ranker list depth fed into the fusion
+
+  /** q92: reciprocal rank fusion — the standard hybrid-retrieval
+    * combiner (Cormack/Clarke/Büttcher, SIGIR'09): each ranker
+    * contributes 1/(k + rank) for the documents in its top-[[RrfDepth]]
+    * list, k = [[RrfK]]; documents missing from a list contribute
+    * nothing there. Fuses the BM25 and TF-IDF rankers — in a production
+    * pipeline the second list is typically the embedding-ANN ranking
+    * (q30/q31), which slots into the same full-outer + coalesce shape.
+    *
+    * Determinism contract: list membership and ranks come from scores
+    * gridded at round(·, 6) with doc_id tie-breaks (the q81 ranking
+    * convention); the fused score is then a fixed-order sum of two
+    * exact IEEE divisions of integers — engine-exact, with one final
+    * cosmetic round(·, 6) grid.
+    *
+    * Scale shape: each list is a TakeOrderedAndProject top-50 (per-
+    * partition heaps, no global sort); the rank window runs AFTER the
+    * limit (≤ 50 rows, allowlisted in GlobalWindowAuditSpec); the
+    * fusion join touches ≤ 2·depth rows. The corpus is scanned once —
+    * both rankers read the one shared term-stats pass.
+    */
+  private def q92(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def topList(scores: DataFrame, rankCol: String): DataFrame = {
+      val g = scores
+        .withColumn("s6", round(col("score_raw"), 6) + 0.0)
+        .orderBy(desc("s6"), col("doc_id"))
+        .limit(RrfDepth)
+      g.withColumn(
+        rankCol,
+        row_number().over(Window.orderBy(desc("s6"), col("doc_id")))
+      ).select(col("doc_id"), col(rankCol))
+    }
+    val a = topList(bm25Scores(s, dir), "rank_bm25")
+    val b = topList(tfidfScores(s, dir), "rank_tfidf")
+    a.join(b, Seq("doc_id"), "full_outer")
+      .withColumn(
+        "rrf",
+        round(
+          coalesce(lit(1.0) / (lit(RrfK) + col("rank_bm25")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(RrfK) + col("rank_tfidf")), lit(0.0)),
+          6
+        ) + 0.0
+      )
+      .orderBy(desc("rrf"), col("doc_id"))
+      .limit(20)
+      .select(col("doc_id"), col("rank_bm25"), col("rank_tfidf"), col("rrf"))
   }
 
   /** q91: preference-pair assembly — per (source, lang) strata, the
@@ -157,7 +255,8 @@ object Retrieval {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q90_bm25" -> q90,
-    "q91_preference_pairs" -> q91
+    "q91_preference_pairs" -> q91,
+    "q92_rrf_fusion" -> q92
   )
 
   private val termsSqlList = QueryTerms.map(t => s"'$t'").mkString(", ")
@@ -196,6 +295,64 @@ object Retrieval {
         |SELECT doc_id, round($scoreSum, 4) + 0.0 AS score
         |FROM byterm
         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+    },
+    "q92_rrf_fusion" -> {
+      val bCols = QueryTerms
+        .map(t =>
+          s"coalesce(max(CASE WHEN w = '$t' THEN c END), 0.0) AS c_$t"
+        )
+        .mkString(",\n        |    ")
+      val tCols = QueryTerms
+        .map(t =>
+          s"coalesce(max(CASE WHEN w = '$t' THEN c END), 0.0) AS t_$t"
+        )
+        .mkString(",\n        |    ")
+      val bSum = QueryTerms.map(t => s"c_$t").mkString(" + ")
+      val tSum = QueryTerms.map(t => s"t_$t").mkString(" + ")
+      s"""WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |dl AS (SELECT doc_id, len(toks) AS dl FROM d),
+        |stats AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |         CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+        |  FROM dl),
+        |tok AS (SELECT doc_id, unnest(toks) AS w FROM d),
+        |tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+        |       FROM tok WHERE w IN ($termsSqlList) GROUP BY 1, 2),
+        |df AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |bcon AS (
+        |  SELECT tf.doc_id, tf.w,
+        |    ln((CAST(n_docs AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5)
+        |       / (CAST(df.df AS DOUBLE) + 0.5) + 1.0)
+        |    * (CAST(tf.tf AS DOUBLE) * ${K1 + 1.0})
+        |    / (CAST(tf.tf AS DOUBLE)
+        |       + $K1 * (1.0 - $B + $B * CAST(dl.dl AS DOUBLE) / avgdl)) AS c
+        |  FROM tf JOIN df USING (w) JOIN dl USING (doc_id), stats),
+        |bterm AS (SELECT doc_id,
+        |    $bCols
+        |  FROM bcon GROUP BY doc_id),
+        |btop AS (
+        |  SELECT doc_id, row_number() OVER (ORDER BY s6 DESC, doc_id) AS rank_bm25
+        |  FROM (SELECT doc_id, round($bSum, 6) + 0.0 AS s6 FROM bterm)
+        |  ORDER BY s6 DESC, doc_id LIMIT $RrfDepth),
+        |tcon AS (
+        |  SELECT tf.doc_id, tf.w,
+        |    (CAST(tf.tf AS DOUBLE) / CAST(dl.dl AS DOUBLE))
+        |    * ln(CAST(n_docs AS DOUBLE) / CAST(df.df AS DOUBLE)) AS c
+        |  FROM tf JOIN df USING (w) JOIN dl USING (doc_id), stats),
+        |tterm AS (SELECT doc_id,
+        |    $tCols
+        |  FROM tcon GROUP BY doc_id),
+        |ttop AS (
+        |  SELECT doc_id, row_number() OVER (ORDER BY s6 DESC, doc_id) AS rank_tfidf
+        |  FROM (SELECT doc_id, round($tSum, 6) + 0.0 AS s6 FROM tterm)
+        |  ORDER BY s6 DESC, doc_id LIMIT $RrfDepth)
+        |SELECT coalesce(a.doc_id, b.doc_id) AS doc_id, a.rank_bm25, b.rank_tfidf,
+        |  round(coalesce(CAST(1 AS DOUBLE) / ($RrfK + a.rank_bm25), CAST(0 AS DOUBLE))
+        |        + coalesce(CAST(1 AS DOUBLE) / ($RrfK + b.rank_tfidf), CAST(0 AS DOUBLE)),
+        |        6) + 0.0 AS rrf
+        |FROM btop a FULL OUTER JOIN ttop b ON a.doc_id = b.doc_id
+        |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin
     },
     "q91_preference_pairs" ->
       """WITH scored AS (

@@ -357,11 +357,77 @@ object Similarity {
       .select("probe_id", "neighbor_id")
   }
 
+  // ------------------------------------------ q93: hard-negative mining
+
+  private[graft] val NumAnchors = 20
+
+  /** q93: contrastive-pair mining — for each anchor vector, the top-1
+    * same-label neighbor (the positive) and the top-1 OTHER-label
+    * neighbor (the hard negative), the triplet/InfoNCE training-pair
+    * construction step of embedding-model pipelines. The margin
+    * (pos_cos − neg_cos) can go negative — exactly the anchors a
+    * curriculum of hard examples wants first.
+    *
+    * Scale shape: anchors are a broadcast frame (NumAnchors × dim
+    * floats); the corpus streams once through a codegen'd cosine
+    * projection; the two per-anchor extremes come from ONE hash
+    * aggregate via max_by over (gridded cos, −id) structs — no
+    * per-anchor sort, no window over the candidate frame. At 100 TB
+    * this composes with the ANN family: swap the crossJoin candidate
+    * generator for q31/q31b's bucketed candidates and the aggregate
+    * shape is unchanged.
+    *
+    * Determinism: cosines are gridded round(·, 6) BEFORE the argmax
+    * (the q81 rank convention) with the smallest-id tie-break spelled
+    * as −neighbor_id inside the max_by ordering struct.
+    */
+  private def q93(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val anchors = e
+      .filter(col("vec_id") < NumAnchors)
+      .select(
+        col("vec_id").as("anchor_id"),
+        col("label").as("a_label"),
+        col("embedding").as("ae")
+      )
+    val scored = e
+      .select(col("vec_id").as("neighbor_id"), col("label").as("n_label"), col("embedding").as("ne"))
+      .crossJoin(broadcast(anchors))
+      .filter(col("neighbor_id") =!= col("anchor_id"))
+      .withColumn("c6", round(VectorOps.cosine(col("ne"), col("ae")), 6) + 0.0)
+    def top1(df: DataFrame): Column =
+      max_by(
+        struct(col("neighbor_id"), col("c6")),
+        struct(col("c6"), -col("neighbor_id"))
+      )
+    val pos = scored
+      .filter(col("n_label") === col("a_label"))
+      .groupBy("anchor_id", "a_label")
+      .agg(top1(scored).as("p"))
+    val neg = scored
+      .filter(col("n_label") =!= col("a_label"))
+      .groupBy("anchor_id")
+      .agg(top1(scored).as("n"))
+    pos
+      .join(neg, "anchor_id")
+      .select(
+        col("anchor_id"),
+        col("a_label").as("label"),
+        col("p.neighbor_id").as("pos_id"),
+        (col("p.c6") + 0.0).as("pos_cos"),
+        col("n.neighbor_id").as("neg_id"),
+        (col("n.c6") + 0.0).as("neg_cos"),
+        (round(col("p.c6") - col("n.c6"), 6) + 0.0).as("margin")
+      )
+      .orderBy("anchor_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_knn_brute" -> q30,
     "q31_knn_lsh" -> q31,
     "q31b_knn_ivf" -> q31b,
-    "q31c_knn_pq" -> q31c
+    "q31c_knn_pq" -> q31c,
+    "q93_hard_negatives" -> q93
   )
 
   private val cosineSql =
@@ -520,6 +586,32 @@ object Similarity {
          |  FROM cos)
          |SELECT probe_id, neighbor_id, rnk AS rank, round(c, 4) + 0.0 AS cos_sim
          |FROM ranked WHERE rnk <= $TopK
-         |ORDER BY probe_id, rnk""".stripMargin
+         |ORDER BY probe_id, rnk""".stripMargin,
+    // q93: p = anchor, e = candidate (the cosineSql alias convention);
+    // argmax replayed as a rank-1 window per (anchor, same-label side)
+    "q93_hard_negatives" ->
+      s"""WITH cand AS (
+         |  SELECT p.vec_id AS anchor_id, p.label AS a_label,
+         |    e.vec_id AS neighbor_id, e.label AS n_label,
+         |    round($cosineSql, 6) + 0.0 AS c6
+         |  FROM embeddings p JOIN embeddings e ON e.vec_id <> p.vec_id
+         |  WHERE p.vec_id < $NumAnchors),
+         |pos AS (
+         |  SELECT anchor_id, a_label, neighbor_id, c6,
+         |    row_number() OVER (PARTITION BY anchor_id
+         |                       ORDER BY c6 DESC, neighbor_id) AS rn
+         |  FROM cand WHERE n_label = a_label),
+         |neg AS (
+         |  SELECT anchor_id, neighbor_id, c6,
+         |    row_number() OVER (PARTITION BY anchor_id
+         |                       ORDER BY c6 DESC, neighbor_id) AS rn
+         |  FROM cand WHERE n_label <> a_label)
+         |SELECT p.anchor_id, p.a_label AS label,
+         |  p.neighbor_id AS pos_id, p.c6 + 0.0 AS pos_cos,
+         |  n.neighbor_id AS neg_id, n.c6 + 0.0 AS neg_cos,
+         |  round(p.c6 - n.c6, 6) + 0.0 AS margin
+         |FROM pos p JOIN neg n USING (anchor_id)
+         |WHERE p.rn = 1 AND n.rn = 1
+         |ORDER BY p.anchor_id""".stripMargin
   )
 }

@@ -1236,6 +1236,40 @@ object Relational {
     """)
   }
 
+  /** Quantified comparison subqueries (`> ALL` / `> ANY`), including the
+    * empty-set edge (ALL over ∅ is TRUE, ANY over ∅ is FALSE). Spark SQL
+    * has no quantified-predicate syntax, so the engine-side spelling is
+    * the standard aggregate rewrite — `x > ALL S ⇔ x > max(S)` and
+    * `x > ANY S ⇔ x > min(S)` (valid because c_acctbal is NOT NULL in
+    * this schema), with ±Infinity coalesces reproducing the empty-set
+    * truth values. Catalyst plans each scalar subquery as a one-row
+    * aggregate broadcast into the projection — no per-row subquery
+    * execution, the shape that scales (the comparison set is reduced
+    * once, not re-scanned per probe row). The oracle spells the real
+    * quantified predicates, so the rewrite's semantics are value-checked
+    * row by row; nationkey 999 matches nothing, pinning the ∅ edge.
+    */
+  private def q49d(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "customer").createOrReplaceTempView("graft_customer")
+    s.sql("""
+      SELECT c_custkey, round(c_acctbal, 2) AS acctbal,
+        c_acctbal > coalesce((SELECT max(c2.c_acctbal) FROM graft_customer c2
+                              WHERE c2.c_nationkey = 3),
+                             double('-Infinity')) AS gt_all_n3,
+        c_acctbal > coalesce((SELECT min(c2.c_acctbal) FROM graft_customer c2
+                              WHERE c2.c_nationkey = 3),
+                             double('Infinity')) AS gt_any_n3,
+        c_acctbal > coalesce((SELECT max(c2.c_acctbal) FROM graft_customer c2
+                              WHERE c2.c_nationkey = 999),
+                             double('-Infinity')) AS gt_all_empty,
+        c_acctbal > coalesce((SELECT min(c2.c_acctbal) FROM graft_customer c2
+                              WHERE c2.c_nationkey = 999),
+                             double('Infinity')) AS gt_any_empty
+      FROM graft_customer
+      ORDER BY c_custkey
+    """)
+  }
+
   // ------------------------------------------------------------------ maps
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1299,7 +1333,8 @@ object Relational {
     "q46b_equidepth_histogram" -> q46b,
     "q49_join_null_safe" -> q49,
     "q49b_in_list" -> q49b,
-    "q49c_exists" -> q49c
+    "q49c_exists" -> q49c,
+    "q49d_quantified" -> q49d
   )
 
   private val flowCte = graft.etl.FlowLogCorpus.oracleCte
@@ -1370,6 +1405,17 @@ object Relational {
         |                  WHERE o.o_custkey = c.c_custkey
         |                    AND o.o_orderpriority = '1-URGENT')
         |ORDER BY c_custkey""".stripMargin,
+    "q49d_quantified" ->
+      """SELECT c_custkey, round(c_acctbal, 2) AS acctbal,
+        |  c_acctbal > ALL (SELECT c2.c_acctbal FROM customer c2
+        |                   WHERE c2.c_nationkey = 3) AS gt_all_n3,
+        |  c_acctbal > ANY (SELECT c2.c_acctbal FROM customer c2
+        |                   WHERE c2.c_nationkey = 3) AS gt_any_n3,
+        |  c_acctbal > ALL (SELECT c2.c_acctbal FROM customer c2
+        |                   WHERE c2.c_nationkey = 999) AS gt_all_empty,
+        |  c_acctbal > ANY (SELECT c2.c_acctbal FROM customer c2
+        |                   WHERE c2.c_nationkey = 999) AS gt_any_empty
+        |FROM customer ORDER BY c_custkey""".stripMargin,
     "q46b_equidepth_histogram" ->
       """WITH pv AS (
         |  SELECT round(value, 2) AS v, count(*) AS c FROM events

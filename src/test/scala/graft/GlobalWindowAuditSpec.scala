@@ -31,7 +31,9 @@ class GlobalWindowAuditSpec extends SparkSpec {
     "q52_sequence_packing" -> "prefix offsets over #shards rows (the Packing two-pass scan)",
     "q52b_pack_boundaries" -> "same #shards-row offset frame as q52",
     "q71_pagerank" -> "row numbering AFTER limit(TopN): ≤ 30 rows by construction",
-    "q72_pmi_collocations" -> "row numbering AFTER limit(TopN): ≤ 30 rows by construction"
+    "q72_pmi_collocations" -> "row numbering AFTER limit(TopN): ≤ 30 rows by construction",
+    "q92_rrf_fusion" -> "per-ranker row numbering AFTER limit(RrfDepth): ≤ 50 rows each",
+    "q95_curriculum_order" -> "prefix offsets over bucket×subshard rows (≤ 320)"
   )
 
   private def globalWindows(p: SparkPlan): Seq[SparkPlan] =

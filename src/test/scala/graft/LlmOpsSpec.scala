@@ -306,4 +306,50 @@ class LlmOpsSpec extends SparkSpec {
       assert(s < -0.2 && s > -3.0, s"$lang slope $s not Zipf-shaped")
     }
   }
+
+  test("hard negatives: labels honor the contract and extremes replay brute-force") {
+    val labels = graft.queries.Tables
+      .table(spark, sf, "embeddings")
+      .select("vec_id", "label")
+      .collect()
+      .map(r => r.getLong(0) -> r.getInt(1))
+      .toMap
+    val rows = SparkEntry.queries("q93_hard_negatives")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (anchor, lab) = (r.getLong(0), r.getInt(1))
+      val (posId, posCos) = (r.getLong(2), r.getDouble(3))
+      val (negId, negCos) = (r.getLong(4), r.getDouble(5))
+      assert(labels(anchor) == lab)
+      assert(labels(posId) == lab, s"positive $posId has wrong label")
+      assert(labels(negId) != lab, s"negative $negId shares the anchor label")
+      assert(posId != anchor && negId != anchor)
+      val margin = r.getDouble(6)
+      assert(
+        math.abs(margin - BigDecimal(posCos - negCos)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-12
+      )
+    }
+    // the positive really is the same-label argmax: replay one anchor
+    // brute-force in plain Scala
+    val embs = graft.queries.Tables
+      .table(spark, sf, "embeddings")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+        i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val a0 = embs.find(_._1 == rows.head.getLong(0)).get
+    val best = embs
+      .filter(e => e._3 == a0._3 && e._1 != a0._1)
+      .map(e => (BigDecimal(cos(e._2, a0._2)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, e._1))
+      .max(Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long.reverse))
+    assert(rows.head.getLong(2) == best._2, s"anchor ${a0._1}: positive should be ${best._2}")
+  }
 }

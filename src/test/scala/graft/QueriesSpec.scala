@@ -133,4 +133,36 @@ class QueriesSpec extends SparkSpec {
       .count()
     assert(bad == 0)
   }
+
+  test("q49d quantified rewrite honors ALL/ANY empty-set truth values") {
+    val rows = SparkEntry.queries("q49d_quantified")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getBoolean(4), "x > ALL(empty) must be TRUE")
+      assert(!r.getBoolean(5), "x > ANY(empty) must be FALSE")
+      // ALL is strictly stronger than ANY over the same non-empty set
+      if (r.getBoolean(2)) assert(r.getBoolean(3), "gt_all without gt_any")
+    }
+    // both truth values must occur on the non-empty set, else the pin is vacuous
+    assert(rows.exists(_.getBoolean(3)) && rows.exists(!_.getBoolean(3)))
+  }
+
+  test("q95 curriculum positions are a permutation ordered by (bucket, hv, id)") {
+    val rows = SparkEntry
+      .queries("q95_curriculum_order")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    // positions 0..N-1 exactly once, emitted in order
+    assert(rows.map(_._4).toSeq == (0L until rows.length.toLong))
+    rows.foreach { case (_, _, _, pos, shard) => assert(shard == pos % 8) }
+    // the distributed two-level scan reproduced the global sort order
+    val resorted = rows.sortBy { case (id, b, hv, _, _) => (b, hv, id) }
+    assert(resorted.map(_._4).toSeq == (0L until rows.length.toLong), "order key mismatch")
+    // curriculum property: bucket is non-decreasing along the schedule
+    rows.map(_._2).sliding(2).foreach {
+      case Array(a, b) => assert(a <= b)
+      case _           =>
+    }
+  }
 }

@@ -2,8 +2,9 @@ package graft
 
 import graft.llm.Retrieval
 
-/** BM25 (q90) and preference-pair assembly (q91): semantic invariants
-  * beyond the DuckDB hash gate.
+/** BM25 (q90), preference-pair assembly (q91), RRF fusion (q92) and SFT
+  * sample assembly (q94): semantic invariants beyond the DuckDB hash
+  * gate.
   */
 class RetrievalSpec extends SparkSpec {
 
@@ -44,5 +45,72 @@ class RetrievalSpec extends SparkSpec {
       assert(math.abs(margin - BigDecimal(chR - rjR).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
       assert(r.getLong(2) >= 2, "stratum with < 2 docs emitted a pair")
     }
+  }
+
+  test("rrf fusion: score follows from the ranks, order correct, both lists contribute") {
+    val rows = Retrieval
+      .queries("q92_rrf_fusion")(spark, sf)
+      .collect()
+      .map { r =>
+        val ra = if (r.isNullAt(1)) None else Some(r.getInt(1))
+        val rb = if (r.isNullAt(2)) None else Some(r.getInt(2))
+        (r.getLong(0), ra, rb, r.getDouble(3))
+      }
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, ra, rb, rrf) =>
+      val expect = ra.map(r => 1.0 / (60 + r)).getOrElse(0.0) +
+        rb.map(r => 1.0 / (60 + r)).getOrElse(0.0)
+      assert(
+        math.abs(rrf - BigDecimal(expect).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-12,
+        s"doc $id: rrf $rrf != formula($ra, $rb)"
+      )
+      assert(ra.nonEmpty || rb.nonEmpty, s"doc $id in fusion but in neither list")
+    }
+    rows.sliding(2).foreach {
+      case Array((id1, _, _, s1), (id2, _, _, s2)) =>
+        assert(s1 > s2 || (s1 == s2 && id1 < id2), "fusion order violated")
+      case _ =>
+    }
+    // a doc ranked top-5 by BOTH lists must out-score any doc present in
+    // only one list at rank >= 5 — the property fusion exists to provide
+    val dual = rows.filter(r => r._2.exists(_ <= 5) && r._3.exists(_ <= 5)).map(_._4)
+    val single = rows.filter(r => r._2.isEmpty || r._3.isEmpty).map(_._4)
+    if (dual.nonEmpty && single.nonEmpty)
+      assert(dual.min > single.max, "dual-list doc outranked by single-list doc")
+  }
+
+  test("sft assembly: budget respected, md5/token counts replay in plain Scala") {
+    val out = graft.llm.Sft
+      .queries("q94_sft_assembly")(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2), r.getString(3)))
+      .toMap
+    assert(out.nonEmpty)
+    val docs = graft.queries.Tables
+      .table(spark, sf, "documents")
+      .select("doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    var checked = 0
+    docs.foreach { case (id, text) =>
+      val p = text.indexOf('.')
+      val (prompt, response) =
+        if (p >= 0) (text.substring(0, p + 1), text.substring(p + 1).replaceAll("^ +", ""))
+        else (text, "")
+      val rendered = s"<|user|>\n$prompt\n<|assistant|>\n$response"
+      val nTok = rendered.split(" ", -1).length
+      if (nTok >= 8 && nTok <= 512) {
+        val md = java.security.MessageDigest
+          .getInstance("MD5")
+          .digest(rendered.getBytes("UTF-8"))
+          .map("%02x".format(_))
+          .mkString
+        val (gotTok, gotChars, gotMd5) =
+          out.getOrElse(id, fail(s"doc $id within budget but missing from q94"))
+        assert(gotTok == nTok && gotChars == rendered.length && gotMd5 == md, s"doc $id mismatch")
+        checked += 1
+      } else assert(!out.contains(id), s"doc $id outside budget but emitted")
+    }
+    assert(checked == out.size)
   }
 }
