@@ -437,4 +437,47 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("array_intersect"), s"edge-iterator intersect missing:\n$plan")
     assert(!plan.contains("CartesianProduct"), s"cartesian in triangle plan:\n$plan")
   }
+
+  test("q92 RRF: both lists top-k via TakeOrderedAndProject, no cartesian") {
+    val plan = executedPlan(SparkEntry.queries("q92_rrf_fusion")(spark, sf))
+    // three TakeOrderedAndProject: one per ranker list + the fused top-20
+    val topk = plan.linesIterator.count(_.contains("TakeOrderedAndProject"))
+    assert(topk >= 3, s"expected >= 3 TakeOrderedAndProject, got $topk:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in RRF plan:\n$plan")
+  }
+
+  test("q93 hard negatives: anchors broadcast, no sort-merge join, no window") {
+    val plan = executedPlan(SparkEntry.queries("q93_hard_negatives")(spark, sf))
+    val finalPlan = plan.split("== Initial Plan ==").head
+    assert(finalPlan.contains("BroadcastNestedLoopJoin"), s"anchor frame not broadcast:\n$plan")
+    assert(!finalPlan.contains("SortMergeJoin"), s"corpus-shuffling join crept in:\n$plan")
+    assert(!finalPlan.contains("Window"), s"candidate window crept in (max_by regressed):\n$plan")
+  }
+
+  test("q94 SFT assembly: map-only — no exchange except the output sort") {
+    val plan = executedPlan(SparkEntry.queries("q94_sft_assembly")(spark, sf))
+    val finalPlan = plan.split("== Initial Plan ==").head
+    val exchanges = finalPlan.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("rangepartitioning")
+    )
+    assert(exchanges == 0, s"q94 grew a non-sort shuffle:\n$plan")
+    assert(!finalPlan.contains("Join"), s"q94 grew a join:\n$plan")
+  }
+
+  test("q95 curriculum: corpus windows keyed by (bucket, subshard); offsets broadcast") {
+    val plan = executedPlan(SparkEntry.queries("q95_curriculum_order")(spark, sf))
+    val finalPlan = plan.split("== Initial Plan ==").head
+    // the corpus-sized rank window must carry the compound partition key
+    val rowNumberFrames = finalPlan.linesIterator.filter(l =>
+      l.contains("row_number") && l.contains("windowspecdefinition")
+    )
+    rowNumberFrames.foreach { l =>
+      assert(
+        l.contains("bucket#") && l.contains("subshard#"),
+        s"corpus rank window lost the compound shard key:\n$l"
+      )
+    }
+    assert(finalPlan.contains("BroadcastHashJoin"), s"offset frame not broadcast:\n$plan")
+    assert(!finalPlan.contains("SortMergeJoin"), s"corpus shuffled to meet offsets:\n$plan")
+  }
 }
