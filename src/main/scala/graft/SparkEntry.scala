@@ -32,6 +32,7 @@ object SparkEntry {
       graft.queries.Cdc.queries ++
       graft.queries.Stats.queries ++
       graft.queries.Outliers.queries ++
+      graft.queries.Profile.queries ++
       graft.queries.Graph.queries ++
       graft.llm.KMeans.queries ++
       graft.llm.Dedup.queries ++
@@ -67,6 +68,7 @@ object SparkEntry {
       graft.queries.Cdc.oracleSql ++
       graft.queries.Stats.oracleSql ++
       graft.queries.Outliers.oracleSql ++
+      graft.queries.Profile.oracleSql ++
       graft.queries.Graph.oracleSql ++
       graft.llm.KMeans.oracleSql ++
       graft.llm.Dedup.oracleSql ++
