@@ -1236,6 +1236,72 @@ object Relational {
     """)
   }
 
+  /** q59b: gap-fill with LINEAR INTERPOLATION — q59 carries the last
+    * known value forward (LOCF); this estimates interior gaps from BOTH
+    * neighbors, the standard telemetry/sensor resampling step:
+    * v(t) = pv + (nv − pv)·(t − pt)/(nt − pt) for grid points between
+    * two known hours, the exact value at known points (the fraction
+    * degenerates to 0 there), NULL on leading/trailing gaps (no second
+    * endpoint to interpolate toward — where LOCF is the honest choice,
+    * q59 provides it).
+    *
+    * Scale shape: same grid build as q59 (per-series span + Generate);
+    * the four neighbor columns come from TWO frames over ONE
+    * user-partitioned sort (inclusive-preceding last + strict-following
+    * first, both IGNORE NULLS) — no self-join of the grid against the
+    * observations, which is the naive O(gaps × observations) spelling.
+    *
+    * Exactness: interpolating 2-decimal endpoints at rational time
+    * fractions produces values EXACTLY at decimal-grid midpoints (an
+    * odd centi-gap at fraction 1/2 → .XXX5), where Spark's
+    * decimal-string HALF_UP and DuckDB's binary rounding structurally
+    * disagree — no output grid fixes that. So the whole computation is
+    * EXACT INTEGER arithmetic in centi-units: endpoints snap to BIGINT
+    * centis (safe: `value` is centi-aligned by construction, so
+    * sv·100 sits next to an integer, never near a .5), and the
+    * interpolation is the positively-weighted form
+    * (pv·(nt−t) + nv·(t−pt)) div (nt−pt) — all operands non-negative,
+    * so Spark's truncating `div` and DuckDB's flooring `//` agree.
+    */
+  private def q59b(s: SparkSession, dir: String): DataFrame = {
+    val hourly = t(s, dir, "events")
+      .filter(col("user_id") < 50)
+      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hr"))
+      .agg(sum(col("value")).as("sv"))
+    val grid = hourly
+      .groupBy("user_id")
+      .agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
+      .select(
+        col("user_id"),
+        explode(sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("hr")
+      )
+    val joined = grid
+      .join(hourly, Seq("user_id", "hr"), "left")
+      .withColumn("t", (unix_timestamp(col("hr")) / 3600L).cast("long"))
+      .withColumn("kt", when(col("sv").isNotNull, col("t")))
+      .withColumn("kc", round(col("sv") * 100.0, 0).cast("long"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("hr"))
+    val wPrev = w.rowsBetween(Window.unboundedPreceding, 0)
+    val wNext = w.rowsBetween(1, Window.unboundedFollowing)
+    joined
+      .withColumn("pv", last(col("kc"), ignoreNulls = true).over(wPrev))
+      .withColumn("pt", last(col("kt"), ignoreNulls = true).over(wPrev))
+      .withColumn("nv", first(col("kc"), ignoreNulls = true).over(wNext))
+      .withColumn("nt", first(col("kt"), ignoreNulls = true).over(wNext))
+      .select(
+        col("user_id"),
+        col("hr"),
+        col("sv").isNull.as("is_gap"),
+        when(
+          col("pv").isNotNull && (col("nv").isNotNull || col("t") === col("pt")),
+          when(col("t") === col("pt"), col("pv")).otherwise(
+            expr("(pv * (nt - t) + nv * (t - pt)) div (nt - pt)")
+          )
+        ).as("interp_centi")
+      )
+      .orderBy("user_id", "hr")
+  }
+
   /** Quantified comparison subqueries (`> ALL` / `> ANY`), including the
     * empty-set edge (ALL over ∅ is TRUE, ANY over ∅ is FALSE). Spark SQL
     * has no quantified-predicate syntax, so the engine-side spelling is
@@ -1299,6 +1365,7 @@ object Relational {
     "q15_window_analytic" -> q15,
     "q15b_window_range_frame" -> q15b,
     "q59_resample_gapfill" -> q59,
+    "q59b_resample_interp" -> q59b,
     "q16_set_ops" -> q16,
     "q16b_set_ops_all" -> q16b,
     "q17_string_fns" -> q17,
@@ -1647,6 +1714,40 @@ object Relational {
         |    OVER (PARTITION BY g.user_id ORDER BY g.hr), 2) AS locf_sum
         |FROM grid g LEFT JOIN hourly h ON h.user_id = g.user_id AND h.hr = g.hr
         |ORDER BY g.user_id, g.hr""".stripMargin,
+    "q59b_resample_interp" ->
+      """WITH hourly AS (
+        |  SELECT user_id, date_trunc('hour', ts) AS hr, sum(value) AS sv
+        |  FROM events WHERE user_id < 50 GROUP BY 1, 2),
+        |spans AS (SELECT user_id, min(hr) AS h0, max(hr) AS h1 FROM hourly GROUP BY 1),
+        |grid AS (
+        |  SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hr
+        |  FROM spans),
+        |j AS (
+        |  SELECT g.user_id, g.hr, h.sv,
+        |    CAST(epoch(g.hr) AS BIGINT) // 3600 AS t,
+        |    CASE WHEN h.sv IS NOT NULL
+        |         THEN CAST(epoch(g.hr) AS BIGINT) // 3600 END AS kt,
+        |    CAST(round(h.sv * 100.0, 0) AS BIGINT) AS kc
+        |  FROM grid g LEFT JOIN hourly h ON h.user_id = g.user_id AND h.hr = g.hr),
+        |n AS (
+        |  SELECT user_id, hr, sv, t,
+        |    last_value(kc IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY hr) AS pv,
+        |    last_value(kt IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY hr) AS pt,
+        |    first_value(kc IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY hr
+        |            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv,
+        |    first_value(kt IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY hr
+        |            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nt
+        |  FROM j)
+        |SELECT user_id, hr, sv IS NULL AS is_gap,
+        |  CASE WHEN pv IS NOT NULL AND (nv IS NOT NULL OR t = pt)
+        |    THEN CASE WHEN t = pt THEN pv
+        |         ELSE (pv * (nt - t) + nv * (t - pt)) // (nt - pt) END
+        |  END AS interp_centi
+        |FROM n ORDER BY user_id, hr""".stripMargin,
     "q16_set_ops" ->
       """SELECT 'except' AS op, count(*) AS cnt FROM (
         |  SELECT DISTINCT user_id FROM events WHERE event_type = 'click'

@@ -147,6 +147,32 @@ class QueriesSpec extends SparkSpec {
     assert(rows.exists(_.getBoolean(3)) && rows.exists(!_.getBoolean(3)))
   }
 
+  test("q59b interpolated gap values lie between their two endpoints") {
+    val rows = SparkEntry
+      .queries("q59b_resample_interp")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getBoolean(2), if (r.isNullAt(3)) None else Some(r.getLong(3))))
+    assert(rows.exists(_._2), "no gaps in the grid?")
+    // scan per user: every interpolated gap is bounded by the known
+    // centi-values on either side (a floored positively-weighted mean
+    // of integer endpoints cannot leave [min, max])
+    rows.groupBy(_._1).foreach { case (_, series) =>
+      var lastKnown: Option[Long] = None
+      var pendingGaps = List.empty[Long]
+      series.foreach {
+        case (_, false, Some(v)) =>
+          lastKnown.foreach { lk =>
+            val (lo, hi) = (math.min(lk, v), math.max(lk, v))
+            pendingGaps.foreach(g => assert(g >= lo && g <= hi, s"gap $g outside [$lo,$hi]"))
+          }
+          pendingGaps = Nil
+          lastKnown = Some(v)
+        case (_, true, g) => pendingGaps = g.toList ::: pendingGaps
+        case _            =>
+      }
+    }
+  }
+
   test("q95 curriculum positions are a permutation ordered by (bucket, hv, id)") {
     val rows = SparkEntry
       .queries("q95_curriculum_order")(spark, sf)
