@@ -58,8 +58,66 @@ object Cdc {
       .orderBy("k")
   }
 
+  /** Shared deterministic change log (the q84 four-wave derivation). */
+  private def changeLog(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables
+      .table(s, dir, "orders")
+      .select(col("o_orderkey").as("k"), col("o_totalprice").as("p"))
+    o.select(col("k"), lit("I").as("op"), col("p").as("payload"), lit(1L).as("seq"))
+      .unionByName(
+        o.filter(col("k") % 5 === 0)
+          .select(col("k"), lit("U").as("op"), (col("p") + 10.0).as("payload"), lit(2L).as("seq"))
+      )
+      .unionByName(
+        o.filter(col("k") % 11 === 0)
+          .select(col("k"), lit("D").as("op"), lit(null).cast("double").as("payload"), lit(3L).as("seq"))
+      )
+      .unionByName(
+        o.filter(col("k") % 33 === 0)
+          .select(col("k"), lit("I").as("op"), (col("p") / 2).as("payload"), lit(4L).as("seq"))
+      )
+  }
+
+  /** q84b: SCD Type-2 history build — the OTHER half of CDC ingestion:
+    * where q84 reduces the log to current state, this materializes the
+    * full slowly-changing-dimension history: one row per (key, version)
+    * with [valid_from, valid_to) sequence bounds, DELETE closing the
+    * open version without emitting a row of its own (the reinserted
+    * key's next version reopens), and `is_current` marking versions no
+    * later change closed.
+    *
+    * Scale shape: unlike q84 (where max_by beats a window because only
+    * the LAST change matters), history construction inherently needs
+    * each key's change order — so the canonical plan IS the key-
+    * partitioned window, and all three frames (lead, version numbering,
+    * per-key count) share ONE sort over the per-key histories, which
+    * CDC feeds keep short by nature. No global window, no self-join of
+    * the log against itself (the naive interval spelling).
+    */
+  private def q84b(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("k").orderBy("seq")
+    changeLog(s, dir)
+      .withColumn("valid_to", lead(col("seq"), 1).over(w))
+      .filter(col("op") =!= "D")
+      .withColumn("version", row_number().over(w))
+      .withColumn("n_versions", count(lit(1)).over(Window.partitionBy("k")))
+      .filter(col("n_versions") > 1 || col("k") % 7 === 0)
+      .select(
+        col("k"),
+        col("version"),
+        col("op"),
+        col("payload").as("price"),
+        col("seq").as("valid_from"),
+        col("valid_to"),
+        col("valid_to").isNull.as("is_current")
+      )
+      .orderBy("k", "version")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q84_cdc_apply" -> q84
+    "q84_cdc_apply" -> q84,
+    "q84b_scd2_history" -> q84b
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -82,6 +140,30 @@ object Cdc {
         |SELECT k, last_op, price, CAST(last_seq AS BIGINT) AS last_seq
         |FROM state
         |WHERE last_op <> 'D' AND (last_seq > 1 OR k % 7 = 0)
-        |ORDER BY k""".stripMargin
+        |ORDER BY k""".stripMargin,
+    "q84b_scd2_history" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_totalprice AS p FROM orders),
+        |log AS (
+        |  SELECT k, 'I' AS op, p AS payload, CAST(1 AS BIGINT) AS seq FROM o
+        |  UNION ALL
+        |  SELECT k, 'U', p + 10.0, 2 FROM o WHERE k % 5 = 0
+        |  UNION ALL
+        |  SELECT k, 'D', NULL, 3 FROM o WHERE k % 11 = 0
+        |  UNION ALL
+        |  SELECT k, 'I', p / 2, 4 FROM o WHERE k % 33 = 0),
+        |v AS (
+        |  SELECT k, op, payload, seq,
+        |    lead(seq) OVER (PARTITION BY k ORDER BY seq) AS valid_to
+        |  FROM log),
+        |nd AS (
+        |  SELECT k, op, payload AS price, seq AS valid_from, valid_to,
+        |    CAST(row_number() OVER (PARTITION BY k ORDER BY seq) AS INT)
+        |      AS version,
+        |    count(*) OVER (PARTITION BY k) AS n_versions
+        |  FROM v WHERE op <> 'D')
+        |SELECT k, version, op, price, valid_from, valid_to,
+        |  valid_to IS NULL AS is_current
+        |FROM nd WHERE n_versions > 1 OR k % 7 = 0
+        |ORDER BY k, version""".stripMargin
   )
 }

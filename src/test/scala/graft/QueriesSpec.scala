@@ -173,6 +173,43 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("q84b SCD2 versions chain correctly with at most one current per key") {
+    val rows = SparkEntry
+      .queries("q84b_scd2_history")(spark, sf)
+      .collect()
+      .map(r =>
+        (r.getLong(0), r.getInt(1), r.getLong(4),
+          if (r.isNullAt(5)) None else Some(r.getLong(5)), r.getBoolean(6))
+      )
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (k, vs) =>
+      val sorted = vs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1 to sorted.length), s"key $k version gap")
+      sorted.foreach { case (_, _, from, to, current) =>
+        to.foreach(t => assert(t > from, s"key $k: empty interval"))
+        assert(current == to.isEmpty)
+      }
+      // versions never overlap; a gap means a DELETE separated them
+      sorted.sliding(2).foreach {
+        case Array((_, _, _, Some(to1), _), (_, _, from2, _, _)) =>
+          assert(from2 >= to1, s"key $k: overlapping versions")
+        case Array((_, _, _, None, _), _) => fail(s"key $k: closed version after open one")
+        case _                            =>
+      }
+      assert(vs.count(_._5) <= 1, s"key $k: multiple current versions")
+    }
+    // the delete-then-reinsert shape exists in the sample: some key has a
+    // closed version followed by an open one with a sequence gap
+    assert(
+      rows.groupBy(_._1).exists { case (_, vs) =>
+        val s = vs.sortBy(_._2)
+        s.length >= 2 && s.init.forall(_._4.nonEmpty) &&
+        s.last._4.isEmpty && s.last._3 > s.init.last._4.get
+      },
+      "no delete-then-reinsert history in the sample"
+    )
+  }
+
   test("q95 curriculum positions are a permutation ordered by (bucket, hv, id)") {
     val rows = SparkEntry
       .queries("q95_curriculum_order")(spark, sf)
