@@ -115,9 +115,58 @@ object Cdc {
       .orderBy("k", "version")
   }
 
+  /** q84c: point-in-time (as-of) lookup against the SCD2 history — the
+    * consumption side of q84b: each fact row carries an event sequence
+    * and must see the dimension version that was valid THEN
+    * (valid_from ≤ t < valid_to), the bitemporal-correctness join that
+    * prevents training/reporting on future attribute values. Facts
+    * whose instant falls in a deleted gap (or before the first version)
+    * match nothing and are kept with NULL attributes — the honest
+    * outcome a LEFT join surfaces and an inner join would silently drop.
+    *
+    * Scale shape: the join is EQUI on the key (Catalyst hashes on k;
+    * the interval condition rides along as a join filter), so unlike a
+    * pure range join there is no candidate blowup — each fact meets
+    * only its own key's ≤4 versions. No window, no per-fact sort; the
+    * version frame is history-sized, facts stream through.
+    *
+    * The fact instant derives deterministically from the key
+    * (t = 1 + k % 4 — covering every regime: initial version, updated
+    * version, deleted gap, reinserted version).
+    */
+  private def q84c(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("k").orderBy("seq")
+    val versions = changeLog(s, dir)
+      .withColumn("valid_to", lead(col("seq"), 1).over(w))
+      .filter(col("op") =!= "D")
+      .select(col("k"), col("payload").as("price"), col("seq").as("valid_from"), col("valid_to"))
+    val facts = Tables
+      .table(s, dir, "orders")
+      .select(col("o_orderkey").as("k"))
+      .withColumn("t", lit(1L) + col("k") % 4)
+    facts
+      .join(
+        versions,
+        facts("k") === versions("k") &&
+          col("t") >= col("valid_from") &&
+          (col("valid_to").isNull || col("t") < col("valid_to")),
+        "left"
+      )
+      .select(
+        facts("k"),
+        col("t"),
+        col("price"),
+        col("valid_from"),
+        col("price").isNotNull.as("matched")
+      )
+      .orderBy(facts("k"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q84_cdc_apply" -> q84,
-    "q84b_scd2_history" -> q84b
+    "q84b_scd2_history" -> q84b,
+    "q84c_pit_lookup" -> q84c
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -164,6 +213,32 @@ object Cdc {
         |SELECT k, version, op, price, valid_from, valid_to,
         |  valid_to IS NULL AS is_current
         |FROM nd WHERE n_versions > 1 OR k % 7 = 0
-        |ORDER BY k, version""".stripMargin
+        |ORDER BY k, version""".stripMargin,
+    "q84c_pit_lookup" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_totalprice AS p FROM orders),
+        |log AS (
+        |  SELECT k, 'I' AS op, p AS payload, CAST(1 AS BIGINT) AS seq FROM o
+        |  UNION ALL
+        |  SELECT k, 'U', p + 10.0, 2 FROM o WHERE k % 5 = 0
+        |  UNION ALL
+        |  SELECT k, 'D', NULL, 3 FROM o WHERE k % 11 = 0
+        |  UNION ALL
+        |  SELECT k, 'I', p / 2, 4 FROM o WHERE k % 33 = 0),
+        |v AS (
+        |  SELECT k, op, payload, seq,
+        |    lead(seq) OVER (PARTITION BY k ORDER BY seq) AS valid_to
+        |  FROM log),
+        |versions AS (
+        |  SELECT k, payload AS price, seq AS valid_from, valid_to
+        |  FROM v WHERE op <> 'D'),
+        |facts AS (
+        |  SELECT o_orderkey AS k, CAST(1 + o_orderkey % 4 AS BIGINT) AS t
+        |  FROM orders)
+        |SELECT f.k, f.t, ver.price, ver.valid_from,
+        |  ver.price IS NOT NULL AS matched
+        |FROM facts f LEFT JOIN versions ver
+        |  ON ver.k = f.k AND f.t >= ver.valid_from
+        |     AND (ver.valid_to IS NULL OR f.t < ver.valid_to)
+        |ORDER BY f.k""".stripMargin
   )
 }

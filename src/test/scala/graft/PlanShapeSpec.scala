@@ -438,6 +438,23 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), s"cartesian in triangle plan:\n$plan")
   }
 
+  test("q84c point-in-time lookup joins EQUI on the key, never a nested loop") {
+    val plan = executedPlan(SparkEntry.queries("q84c_pit_lookup")(spark, sf))
+    val finalPlan = plan.split("== Initial Plan ==").head
+    // the interval condition must ride as a join filter on a hash/merge
+    // equi join — a BroadcastNestedLoopJoin here means Catalyst lost the
+    // k equality and every fact scans every version
+    assert(
+      !finalPlan.contains("BroadcastNestedLoopJoin") && !finalPlan.contains("CartesianProduct"),
+      s"q84c degenerated to a non-equi join:\n$plan"
+    )
+    assert(
+      finalPlan.contains("BroadcastHashJoin") || finalPlan.contains("SortMergeJoin") ||
+        finalPlan.contains("ShuffledHashJoin"),
+      s"no equi join in q84c plan:\n$plan"
+    )
+  }
+
   test("q92 RRF: both lists top-k via TakeOrderedAndProject, no cartesian") {
     val plan = executedPlan(SparkEntry.queries("q92_rrf_fusion")(spark, sf))
     // three TakeOrderedAndProject: one per ranker list + the fused top-20

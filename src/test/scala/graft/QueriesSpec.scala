@@ -210,6 +210,21 @@ class QueriesSpec extends SparkSpec {
     )
   }
 
+  test("q84c point-in-time lookup: one row per fact, deleted gaps unmatched") {
+    val facts = graft.queries.Tables.table(spark, sf, "orders").count()
+    val rows = SparkEntry.queries("q84c_pit_lookup")(spark, sf).collect()
+    assert(rows.length.toLong == facts, "PIT join duplicated or dropped facts")
+    val unmatched = rows.filter(!_.getBoolean(4))
+    assert(unmatched.nonEmpty, "no deleted-gap fact in the sample")
+    // unmatched facts are exactly those whose instant falls in a deleted
+    // period: key deleted at seq 3, t = 3, not yet reinserted (reinsert
+    // opens at 4), or deleted with no reinsert and t >= 3
+    unmatched.foreach { r =>
+      val (k, t) = (r.getLong(0), r.getLong(1))
+      assert(k % 11 == 0 && t >= 3 && (t < 4 || k % 33 != 0), s"fact ($k, $t) wrongly unmatched")
+    }
+  }
+
   test("q95 curriculum positions are a permutation ordered by (bucket, hv, id)") {
     val rows = SparkEntry
       .queries("q95_curriculum_order")(spark, sf)
