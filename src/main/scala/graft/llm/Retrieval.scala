@@ -150,6 +150,46 @@ object Retrieval {
       )
   }
 
+  private val SnippetCtx = 40 // chars of context on each side of a hit
+
+  /** q90b: keyword-in-context snippet extraction — the presentation
+    * half of retrieval: for every (document, query term) hit, the
+    * ±[[SnippetCtx]]-char window around the term's FIRST occurrence,
+    * the snippet a RAG pipeline or search UI shows (and what a
+    * context-assembly step feeds an LLM instead of whole documents).
+    * One row per (doc, term) present; position is the 1-based char
+    * offset.
+    *
+    * Scale shape: pure map-side — a per-term locate + substring
+    * projection with a bounded ≤|terms| Generate per doc, no shuffle
+    * except the oracle-compare ORDER BY; composes with q90/q92 (filter
+    * to their top-k doc_ids) without changing shape.
+    *
+    * Parity: locate/strpos are both 1-based 0-when-absent; substring
+    * start/len are computed in exact integer arithmetic with identical
+    * clamping (greatest at the left edge; right overrun truncates
+    * identically on both engines).
+    */
+  private def q90b(s: SparkSession, dir: String): DataFrame = {
+    val hits = QueryTerms.map(t =>
+      struct(lit(t).as("term"), locate(t, col("text")).as("pos"))
+    )
+    docs(s, dir)
+      .select(col("doc_id"), col("text"), explode(array(hits: _*)).as("h"))
+      .select(col("doc_id"), col("text"), col("h.term").as("term"), col("h.pos").as("pos"))
+      .filter(col("pos") > 0)
+      .withColumn("snip_start", greatest(col("pos") - SnippetCtx, lit(1)))
+      .select(
+        col("doc_id"),
+        col("term"),
+        col("pos").cast("long").as("pos"),
+        expr(
+          s"substring(text, snip_start, pos - snip_start + char_length(term) + $SnippetCtx)"
+        ).as("snippet")
+      )
+      .orderBy("doc_id", "term")
+  }
+
   private val RrfK = 60 // the standard reciprocal-rank-fusion constant
   private val RrfDepth = 50 // per-ranker list depth fed into the fusion
 
@@ -255,6 +295,7 @@ object Retrieval {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q90_bm25" -> q90,
+    "q90b_snippets" -> q90b,
     "q91_preference_pairs" -> q91,
     "q92_rrf_fusion" -> q92
   )
@@ -295,6 +336,21 @@ object Retrieval {
         |SELECT doc_id, round($scoreSum, 4) + 0.0 AS score
         |FROM byterm
         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+    },
+    "q90b_snippets" -> {
+      val termRows = QueryTerms
+        .map(t => s"SELECT doc_id, text, '$t' AS term, strpos(text, '$t') AS pos FROM documents")
+        .mkString("\n        |  UNION ALL\n        |  ")
+      s"""WITH hits AS (
+        |  $termRows),
+        |f AS (
+        |  SELECT doc_id, text, term, pos,
+        |    greatest(pos - $SnippetCtx, 1) AS snip_start
+        |  FROM hits WHERE pos > 0)
+        |SELECT doc_id, term, CAST(pos AS BIGINT) AS pos,
+        |  substring(text, snip_start,
+        |            pos - snip_start + length(term) + $SnippetCtx) AS snippet
+        |FROM f ORDER BY doc_id, term""".stripMargin
     },
     "q92_rrf_fusion" -> {
       val bCols = QueryTerms

@@ -79,6 +79,26 @@ class RetrievalSpec extends SparkSpec {
       assert(dual.min > single.max, "dual-list doc outranked by single-list doc")
   }
 
+  test("snippets contain their term at the expected offset, bounded length") {
+    val rows = graft.llm.Retrieval
+      .queries("q90b_snippets")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, term, pos, snippet) =>
+      assert(pos >= 1)
+      // the term sits at (pos - snip_start) inside the snippet
+      val expectAt = (pos - math.max(pos - 40, 1)).toInt
+      assert(
+        snippet.regionMatches(expectAt, term, 0, term.length),
+        s"doc $id '$term': term not at offset $expectAt in '$snippet'"
+      )
+      assert(snippet.length <= term.length + 80, s"doc $id snippet overlong")
+    }
+    // each (doc, term) appears at most once — first occurrence only
+    assert(rows.map(r => (r._1, r._2)).distinct.length == rows.length)
+  }
+
   test("sft assembly: budget respected, md5/token counts replay in plain Scala") {
     val out = graft.llm.Sft
       .queries("q94_sft_assembly")(spark, sf)
