@@ -61,6 +61,45 @@ object TextAnalysis {
 
   // ---------------------------------------------- q33: quality scoring
 
+  /** q33c: character-entropy quality signal — Shannon entropy of each
+    * document's a–z letter distribution, the Gopher-family screen that
+    * catches keyboard-mash and single-character spam which length and
+    * stopword ratios (q33) miss (natural English sits near ~2.9 nats;
+    * degenerate text collapses toward 0).
+    *
+    * Determinism contract: NO explode and NO data-dependent float sum —
+    * the alphabet is a FIXED 26-letter vocabulary, so per-letter counts
+    * are 26 map-side `length(replace(...))` integer columns and the
+    * entropy is a LITERAL a→z-ordered sum of 26 terms with exact
+    * rational p = c/total inputs; the only libm call is ln (the
+    * q51/q57/q90 precedent) under the round-4 grid. Corpus cost: one
+    * map-only pass, zero shuffles beyond the oracle-compare sort.
+    */
+  private def q33c(s: SparkSession, dir: String): DataFrame = {
+    val letters = ('a' to 'z').map(_.toString)
+    val base = docs(s, dir).select(
+      (col("doc_id") +: letters.map(ch =>
+        (length(col("text")) - length(expr(s"replace(text, '$ch', '')"))).as(s"c_$ch")
+      )): _*
+    )
+    val total = letters.map(ch => col(s"c_$ch")).reduce(_ + _)
+    val withTotal = base.withColumn("n_letters", total.cast("long"))
+    val terms = letters.map { ch =>
+      val p = col(s"c_$ch").cast("double") / col("n_letters").cast("double")
+      when(col(s"c_$ch") > 0, p * log(p)).otherwise(lit(0.0))
+    }
+    withTotal
+      .select(
+        col("doc_id"),
+        col("n_letters"),
+        when(
+          col("n_letters") > 0,
+          round(-terms.reduce(_ + _), 4) + lit(0.0)
+        ).as("char_entropy")
+      )
+      .orderBy("doc_id")
+  }
+
   private def q33(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
       .select(col("doc_id"), col("text"), split(col("text"), " ").as("w"))
@@ -530,6 +569,7 @@ object TextAnalysis {
     "q57b_bigram_surprisal" -> q57b,
     "q33_quality_score" -> q33,
     "q33b_length_filter" -> q33b,
+    "q33c_char_entropy" -> q33c,
     "q34_token_count" -> q34,
     "q34b_vocab_topk" -> q34b,
     "q34c_bpe_pairs" -> q34c,
@@ -539,6 +579,28 @@ object TextAnalysis {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q33c_char_entropy" -> {
+      val letters = ('a' to 'z').map(_.toString)
+      val countCols = letters
+        .map(ch => s"length(text) - length(replace(text, '$ch', '')) AS c_$ch")
+        .mkString(",\n        |    ")
+      val totalSum = letters.map(ch => s"c_$ch").mkString(" + ")
+      val termSum = letters
+        .map(ch =>
+          s"CASE WHEN c_$ch > 0 THEN (CAST(c_$ch AS DOUBLE) / CAST(n_letters AS DOUBLE))" +
+            s" * ln(CAST(c_$ch AS DOUBLE) / CAST(n_letters AS DOUBLE)) ELSE CAST(0 AS DOUBLE) END"
+        )
+        .mkString("\n        |    + ")
+      s"""WITH c AS (
+        |  SELECT doc_id,
+        |    $countCols
+        |  FROM documents),
+        |t AS (SELECT *, CAST($totalSum AS BIGINT) AS n_letters FROM c)
+        |SELECT doc_id, n_letters,
+        |  CASE WHEN n_letters > 0 THEN round(-($termSum), 4) + 0.0 END
+        |    AS char_entropy
+        |FROM t ORDER BY doc_id""".stripMargin
+    },
     "q69_distribution_drift" -> {
       val b = Sampling.BucketSql
       s"""WITH d AS (

@@ -307,6 +307,30 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("char entropy: bounded by ln(26), replays in plain Scala, detects degenerate text") {
+    val rows = SparkEntry
+      .queries("q33c_char_entropy")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    assert(rows.nonEmpty)
+    val lnA = math.log(26.0)
+    rows.foreach { case (id, n, e) =>
+      e.foreach(v => assert(v >= 0 && v <= lnA + 1e-9, s"doc $id entropy $v out of [0, ln26]"))
+      assert(e.isDefined == (n > 0))
+    }
+    // replay one document brute-force
+    val d0 = graft.queries.Tables
+      .table(spark, sf, "documents")
+      .filter(col("doc_id") === rows.head._1)
+      .select("text")
+      .head()
+      .getString(0)
+    val counts = ('a' to 'z').map(ch => d0.count(_ == ch).toDouble)
+    val total = counts.sum
+    val expect = -counts.filter(_ > 0).foldLeft(0.0)((acc, c) => acc + (c / total) * math.log(c / total))
+    rows.head._3.foreach(v => assert(math.abs(v - expect) < 1e-3, s"$v vs $expect"))
+  }
+
   test("hard negatives: labels honor the contract and extremes replay brute-force") {
     val labels = graft.queries.Tables
       .table(spark, sf, "embeddings")
