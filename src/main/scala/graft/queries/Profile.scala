@@ -87,8 +87,60 @@ object Profile {
       .orderBy("column")
   }
 
+  /** q96b: per-group feature scaling — the standard ML feature-prep
+    * transforms (z-score and min-max normalization) computed per
+    * stratum (l_returnflag), the step that turns raw fact columns into
+    * model inputs without leaking cross-group statistics.
+    *
+    * Scale shape: ONE hash aggregate produces the per-group stats frame
+    * (3 rows), broadcast back onto the fact scan; the normalization
+    * itself is a map-side projection — the corpus is touched twice
+    * (stats + transform) and shuffled zero times beyond the tiny stats
+    * aggregate, the textbook alternative to a per-group window (which
+    * would sort the full fact table for the same numbers).
+    *
+    * Float parity: mean/stddev are order-dependent float aggregates, so
+    * they are gridded round(·, 6) BEFORE entering the formulas (their
+    * ulp-level cross-engine drift is ~1e-9 here, far under the grid);
+    * min/max are exact; the outputs carry the family's round(·, 4)+0.0
+    * grid with formula operand order spelled identically in the oracle.
+    */
+  private def q96b(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables
+      .table(s, dir, "lineitem")
+      .filter(col("l_orderkey") < 2000)
+      .select(
+        col("l_orderkey"),
+        col("l_linenumber"),
+        col("l_returnflag"),
+        col("l_extendedprice").as("x")
+      )
+    val stats = li
+      .groupBy("l_returnflag")
+      .agg(
+        (round(avg(col("x")), 6) + 0.0).as("mu"),
+        (round(stddev_samp(col("x")), 6) + 0.0).as("sigma"),
+        min(col("x")).as("lo"),
+        max(col("x")).as("hi")
+      )
+    li.join(broadcast(stats), "l_returnflag")
+      .select(
+        col("l_orderkey"),
+        col("l_linenumber"),
+        col("l_returnflag"),
+        col("x"),
+        (round((col("x") - col("mu")) / col("sigma"), 4) + 0.0).as("zscore"),
+        (round(
+          (col("x") - col("lo")) / (col("hi") - col("lo")),
+          4
+        ) + 0.0).as("minmax")
+      )
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q96_data_profile" -> q96
+    "q96_data_profile" -> q96,
+    "q96b_feature_scale" -> q96b
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -126,6 +178,21 @@ object Profile {
         |SELECT b."column", n_rows, n_null, n_distinct, min_v, max_v,
         |  r.v AS top_v, r.cnt AS top_n
         |FROM base b JOIN ranked r ON r."column" = b."column" AND r.rn = 1
-        |ORDER BY b."column"""".stripMargin
+        |ORDER BY b."column"""".stripMargin,
+    "q96b_feature_scale" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice AS x
+        |  FROM lineitem WHERE l_orderkey < 2000),
+        |stats AS (
+        |  SELECT l_returnflag,
+        |    round(avg(x), 6) + 0.0 AS mu,
+        |    round(stddev_samp(x), 6) + 0.0 AS sigma,
+        |    min(x) AS lo, max(x) AS hi
+        |  FROM li GROUP BY 1)
+        |SELECT l_orderkey, l_linenumber, l_returnflag, x,
+        |  round((x - mu) / sigma, 4) + 0.0 AS zscore,
+        |  round((x - lo) / (hi - lo), 4) + 0.0 AS minmax
+        |FROM li JOIN stats USING (l_returnflag)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin
   )
 }

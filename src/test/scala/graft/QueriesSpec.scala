@@ -210,6 +210,23 @@ class QueriesSpec extends SparkSpec {
     )
   }
 
+  test("q96b scaled features: z-scores centered per group, minmax in [0,1]") {
+    val rows = SparkEntry
+      .queries("q96b_feature_scale")(spark, sf)
+      .collect()
+      .map(r => (r.getString(2), r.getDouble(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, _, mm) => assert(mm >= 0.0 && mm <= 1.0) }
+    rows.groupBy(_._1).foreach { case (g, vs) =>
+      val zs = vs.map(_._2)
+      // mean ~0 within the rounding grid noise, extremes span both signs
+      assert(math.abs(zs.sum / zs.length) < 0.01, s"group $g z-mean off-center")
+      assert(zs.min < 0 && zs.max > 0, s"group $g z-scores one-sided")
+      val ms = vs.map(_._3)
+      assert(ms.min == 0.0 && ms.max == 1.0, s"group $g minmax not spanning [0,1]")
+    }
+  }
+
   test("q84c point-in-time lookup: one row per fact, deleted gaps unmatched") {
     val facts = graft.queries.Tables.table(spark, sf, "orders").count()
     val rows = SparkEntry.queries("q84c_pit_lookup")(spark, sf).collect()
