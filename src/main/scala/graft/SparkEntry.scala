@@ -33,6 +33,7 @@ object SparkEntry {
       graft.queries.Stats.queries ++
       graft.queries.Outliers.queries ++
       graft.queries.Profile.queries ++
+      graft.queries.SkewReport.queries ++
       graft.queries.Graph.queries ++
       graft.llm.KMeans.queries ++
       graft.llm.Dedup.queries ++
@@ -69,6 +70,7 @@ object SparkEntry {
       graft.queries.Stats.oracleSql ++
       graft.queries.Outliers.oracleSql ++
       graft.queries.Profile.oracleSql ++
+      graft.queries.SkewReport.oracleSql ++
       graft.queries.Graph.oracleSql ++
       graft.llm.KMeans.oracleSql ++
       graft.llm.Dedup.oracleSql ++

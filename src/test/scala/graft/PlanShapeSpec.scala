@@ -455,6 +455,11 @@ class PlanShapeSpec extends SparkSpec {
     )
   }
 
+  test("q98 skew report: top-5 rank pushes down as WindowGroupLimit") {
+    val plan = executedPlan(SparkEntry.queries("q98_skew_report")(spark, sf))
+    assert(plan.contains("WindowGroupLimit"), s"rank filter not pushed:\n$plan")
+  }
+
   test("q92 RRF: both lists top-k via TakeOrderedAndProject, no cartesian") {
     val plan = executedPlan(SparkEntry.queries("q92_rrf_fusion")(spark, sf))
     // three TakeOrderedAndProject: one per ranker list + the fused top-20
