@@ -422,12 +422,43 @@ object Similarity {
       .orderBy("anchor_id")
   }
 
+  /** q99: retrieval evaluation as a first-class query — per-probe
+    * recall@k of the LSH path (q31) against the exact baseline (q30),
+    * the eval loop an ANN deployment runs on every index/parameter
+    * change, expressed as data flow rather than a driver-side script.
+    * Both inputs are deterministic pipelines, so unlike typical ANN
+    * evals this one is value-level oracle-checkable: the oracle
+    * composes the two existing oracle pipelines verbatim (they can
+    * never drift from what the queries compute).
+    *
+    * Scale shape: a left-semi join of the exact top-k id pairs against
+    * the approximate ones (probe-keyed, k-bounded frames on both
+    * sides — the corpora were already reduced by the underlying
+    * queries), one count aggregate per probe; recall is an exact
+    * integer ratio under one gridded division.
+    */
+  private def q99(s: SparkSession, dir: String): DataFrame = {
+    val exact = q30(s, dir).select(col("probe_id"), col("neighbor_id"))
+    val approx = q31(s, dir).select(col("probe_id"), col("neighbor_id"))
+    exact
+      .join(approx, Seq("probe_id", "neighbor_id"), "left_semi")
+      .groupBy("probe_id")
+      .agg(count(lit(1)).as("n_hits"))
+      .select(
+        col("probe_id"),
+        col("n_hits"),
+        (round(col("n_hits").cast("double") / TopK, 4) + 0.0).as("recall_at_k")
+      )
+      .orderBy("probe_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_knn_brute" -> q30,
     "q31_knn_lsh" -> q31,
     "q31b_knn_ivf" -> q31b,
     "q31c_knn_pq" -> q31c,
-    "q93_hard_negatives" -> q93
+    "q93_hard_negatives" -> q93,
+    "q99_ann_recall_eval" -> q99
   )
 
   private val cosineSql =
@@ -469,7 +500,7 @@ object Similarity {
        |FROM ranked WHERE rnk <= $TopK
        |ORDER BY probe_id, rnk""".stripMargin
 
-  val oracleSql: Map[String, String] = Map(
+  private val oracleSqlBase: Map[String, String] = Map(
     // q31 is approximate-but-DETERMINISTIC (fixed seeded hyperplanes), so
     // the full pipeline replays in SQL: same plane floats (literal VALUES),
     // same double dot fold, same sign bits → 3-bit band values → candidate
@@ -613,5 +644,27 @@ object Similarity {
          |FROM pos p JOIN neg n USING (anchor_id)
          |WHERE p.rn = 1 AND n.rn = 1
          |ORDER BY p.anchor_id""".stripMargin
+  )
+
+  /** q99's oracle COMPOSES the q30/q31 oracle pipelines verbatim as
+    * subqueries — the eval can never check against a drifted
+    * re-spelling of what the underlying queries compute.
+    */
+  val oracleSql: Map[String, String] = oracleSqlBase + (
+    "q99_ann_recall_eval" ->
+      s"""WITH exact AS (
+         |  SELECT probe_id, neighbor_id FROM (${oracleSqlBase("q30_knn_brute")})),
+         |approx AS (
+         |  SELECT probe_id, neighbor_id FROM (${oracleSqlBase("q31_knn_lsh")})),
+         |hits AS (
+         |  SELECT e.probe_id, CAST(count(*) AS BIGINT) AS n_hits
+         |  FROM exact e
+         |  WHERE EXISTS (SELECT 1 FROM approx a
+         |                WHERE a.probe_id = e.probe_id
+         |                  AND a.neighbor_id = e.neighbor_id)
+         |  GROUP BY 1)
+         |SELECT probe_id, n_hits,
+         |  round(CAST(n_hits AS DOUBLE) / $TopK, 4) + 0.0 AS recall_at_k
+         |FROM hits ORDER BY probe_id""".stripMargin
   )
 }

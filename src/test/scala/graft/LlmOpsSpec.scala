@@ -53,6 +53,17 @@ class LlmOpsSpec extends SparkSpec {
     }
     val mean = recalls.sum / recalls.size
     assert(mean >= 0.5, s"mean recall $mean too low")
+    // the gated eval query (q99) must report the very same per-probe
+    // hit counts this spec derives independently
+    val evalHits = SparkEntry
+      .queries("q99_ann_recall_eval")(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    brute.keys.foreach { p =>
+      val expect = (brute(p) intersect lsh(p)).size.toLong
+      assert(evalHits.getOrElse(p, 0L) == expect, s"probe $p: q99 hits disagree")
+    }
   }
 
   test("knn IVF (nprobe=4/16 cells) recall vs brute force >= 0.3 at k=10") {
