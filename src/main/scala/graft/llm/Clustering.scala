@@ -137,31 +137,106 @@ object Clustering {
       .select(col("id").as("doc_id"), col("component").as("cluster_id"))
       .orderBy("doc_id")
 
+  /** q50b: cluster representative selection — the DECISION step that
+    * completes the dedup pipeline: within each q50 near-dup cluster,
+    * keep the highest-QUALITY document (the q91 reward metric:
+    * alphabetic-character ratio, round-4 gridded, smallest-id
+    * tie-break) rather than q50's positional smallest-id label, and
+    * emit every clustered doc with its verdict — the keep-list/drop-list
+    * a curation pipeline materializes and joins downstream.
+    *
+    * Scale shape: quality is a map-side expression over the (already
+    * cluster-labeled, near-dup-only) frame; the per-cluster argmax is
+    * ONE hash aggregate via max_by over (reward, −id) structs — no
+    * per-cluster sort — broadcast back onto the cluster-sized frame.
+    */
+  private def q50b(s: SparkSession, dir: String): DataFrame = {
+    val labels = connectedComponents(
+      Dedup
+        .exactJaccardPairs(s, dir)
+        .select(col("da").as("src"), col("db").as("dst"))
+    ).select(col("id").as("doc_id"), col("component").as("cluster_id"))
+    val quality = graft.queries.Tables
+      .table(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        (round(
+          length(regexp_replace(col("text"), "[^a-z]", ""))
+            .cast("double") / nullif(length(col("text")), lit(0)).cast("double"),
+          4
+        ) + 0.0).as("reward")
+      )
+    val scored = labels.join(quality, "doc_id")
+    val keep = scored
+      .groupBy("cluster_id")
+      .agg(
+        max_by(col("doc_id"), struct(col("reward"), -col("doc_id"))).as("kept_id")
+      )
+    scored
+      .join(broadcast(keep), "cluster_id")
+      .select(
+        col("doc_id"),
+        col("cluster_id"),
+        col("reward"),
+        col("kept_id"),
+        (col("doc_id") === col("kept_id")).as("keep")
+      )
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q50_dedup_clusters" -> q50
+    "q50_dedup_clusters" -> q50,
+    "q50b_dedup_keep_list" -> q50b
   )
+
+  /** Shared oracle closure: shingles → exact-Jaccard pairs → recursive
+    * transitive reach → per-doc cluster labels (min reachable id).
+    */
+  private val clusterLabelsSql: String =
+    Dedup.shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      """,
+        |pairs AS (
+        |  SELECT da, db FROM inter
+        |  JOIN sz sa ON sa.doc_id = da
+        |  JOIN sz sb ON sb.doc_id = db
+        |  WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.6),
+        |und AS (
+        |  SELECT da AS a, db AS b FROM pairs
+        |  UNION SELECT db AS a, da AS b FROM pairs),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM und
+        |  UNION
+        |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+        |labels AS (
+        |  SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+        |  FROM reach GROUP BY a)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     // Transitive closure by recursive CTE (fine at oracle scale; the
     // Spark side is the scalable iterative form). reach(a,b) enumerates
     // every reachable pair, so min(b) over it is the component label.
     "q50_dedup_clusters" -> (
-      Dedup.shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      clusterLabelsSql +
+        "\nSELECT doc_id, cluster_id FROM labels ORDER BY doc_id"
+    ),
+    "q50b_dedup_keep_list" -> (
+      clusterLabelsSql +
         """,
-          |pairs AS (
-          |  SELECT da, db FROM inter
-          |  JOIN sz sa ON sa.doc_id = da
-          |  JOIN sz sb ON sb.doc_id = db
-          |  WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.6),
-          |und AS (
-          |  SELECT da AS a, db AS b FROM pairs
-          |  UNION SELECT db AS a, da AS b FROM pairs),
-          |reach(a, b) AS (
-          |  SELECT a, b FROM und
-          |  UNION
-          |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a)
-          |SELECT a AS doc_id, least(a, min(b)) AS cluster_id
-          |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin
+          |quality AS (
+          |  SELECT doc_id,
+          |    round(length(regexp_replace(text, '[^a-z]', '', 'g'))
+          |          / CAST(nullif(length(text), 0) AS DOUBLE), 4) + 0.0 AS reward
+          |  FROM documents),
+          |ranked AS (
+          |  SELECT l.doc_id, l.cluster_id, q.reward,
+          |    row_number() OVER (PARTITION BY l.cluster_id
+          |                       ORDER BY q.reward DESC, l.doc_id) AS rn
+          |  FROM labels l JOIN quality q USING (doc_id)),
+          |keep AS (SELECT cluster_id, doc_id AS kept_id FROM ranked WHERE rn = 1)
+          |SELECT r.doc_id, r.cluster_id, r.reward, k.kept_id,
+          |  r.doc_id = k.kept_id AS keep
+          |FROM ranked r JOIN keep k USING (cluster_id)
+          |ORDER BY r.doc_id""".stripMargin
     )
   )
 }

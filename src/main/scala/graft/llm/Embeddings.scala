@@ -23,7 +23,10 @@ object Embeddings {
       .select(col("label"), posexplode(col("embedding")).as(Seq("i0", "v")))
       .groupBy(col("label"), (col("i0") + 1).as("i"))
       .agg(
-        round(avg(col("v").cast("double")), 4).as("centroid"),
+        // + 0.0 signed-zero grid: a tiny negative mean rounds to -0.0 in
+        // DuckDB (sign-preserving round) but 0.0 in Spark — latent at
+        // sf0.01, first real instance at sf0.1 (label 1, dim 182)
+        (round(avg(col("v").cast("double")), 4) + lit(0d)).as("centroid"),
         count(lit(1)).as("n_vecs")
       )
       .orderBy("label", "i")
@@ -90,7 +93,7 @@ object Embeddings {
         |    unnest(generate_series(1, len(embedding))) AS i
         |  FROM embeddings)
         |SELECT label, i,
-        |  round(avg(CAST(embedding[i] AS DOUBLE)), 4) AS centroid,
+        |  round(avg(CAST(embedding[i] AS DOUBLE)), 4) + 0.0 AS centroid,
         |  count(*) AS n_vecs
         |FROM e GROUP BY label, i ORDER BY label, i""".stripMargin,
     // replays the sign formula with SQL's 1-based i mapped to the

@@ -318,6 +318,31 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("dedup keep-list: one representative per cluster, max reward, coverage matches q50") {
+    val clusters = SparkEntry
+      .queries("q50_dedup_clusters")(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    val rows = SparkEntry
+      .queries("q50b_dedup_keep_list")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3), r.getBoolean(4)))
+    assert(rows.map(r => r._1 -> r._2).toMap == clusters, "keep-list docs != q50 clusters")
+    rows.groupBy(_._2).foreach { case (c, vs) =>
+      val kept = vs.filter(_._5)
+      assert(kept.length == 1, s"cluster $c: ${kept.length} representatives")
+      val k = kept.head
+      assert(vs.forall(_._4 == k._1), s"cluster $c: kept_id inconsistent")
+      vs.foreach { v =>
+        assert(
+          v._3 < k._3 || (v._3 == k._3 && v._1 >= k._1),
+          s"cluster $c: ${v._1} (reward ${v._3}) beats kept ${k._1} (${k._3})"
+        )
+      }
+    }
+  }
+
   test("char entropy: bounded by ln(26), replays in plain Scala, detects degenerate text") {
     val rows = SparkEntry
       .queries("q33c_char_entropy")(spark, sf)
