@@ -149,6 +149,9 @@ object Clustering {
     * cluster-labeled, near-dup-only) frame; the per-cluster argmax is
     * ONE hash aggregate via max_by over (reward, −id) structs — no
     * per-cluster sort — broadcast back onto the cluster-sized frame.
+    * The gated form recomputes the component labels so its oracle is
+    * self-contained; a production pipeline joins against q50's
+    * MATERIALIZED labels instead, making this step argmax-only.
     */
   private def q50b(s: SparkSession, dir: String): DataFrame = {
     val labels = connectedComponents(
