@@ -20,8 +20,9 @@ import org.apache.spark.sql.functions._
 object DocsBench {
 
   private val Queries =
-    Seq("q90_bm25", "q91_preference_pairs", "q92_rrf_fusion",
-      "q94_sft_assembly", "q95_curriculum_order")
+    Seq("q90_bm25", "q90b_snippets", "q91_preference_pairs",
+      "q92_rrf_fusion", "q33c_char_entropy", "q94_sft_assembly",
+      "q95_curriculum_order")
 
   private def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
 
