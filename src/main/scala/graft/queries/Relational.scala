@@ -1236,6 +1236,48 @@ object Relational {
     """)
   }
 
+  /** q13e: top-N + "other" rollup — the long-tail folding every
+    * reporting surface needs (and GROUPING SETS can't express): per
+    * language, the top-2 sources by document count as named rows plus
+    * ONE "other" row aggregating the remaining sources (docs summed,
+    * fold width reported). Entirely integer/string — no float anywhere.
+    *
+    * Scale shape: one (lang, source) count aggregate (group-cardinality
+    * sized), a lang-partitioned rank over that SMALL frame (never the
+    * corpus — the corpus was already reduced), and a group-sized
+    * re-aggregate of the tail. Determinism: rank ties break on source
+    * name; the "other" row carries rank 3 so output order is total.
+    */
+  private def q13e(s: SparkSession, dir: String): DataFrame = {
+    val counts = graft.queries.Tables
+      .table(s, dir, "documents")
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy("lang").orderBy(desc("n_docs"), col("source"))
+    val ranked = counts.withColumn("rnk", row_number().over(w))
+    val top = ranked
+      .filter(col("rnk") <= 2)
+      .select(
+        col("lang"),
+        col("source").as("source_bucket"),
+        col("n_docs"),
+        lit(1L).as("n_sources"),
+        col("rnk").as("rank")
+      )
+    val other = ranked
+      .filter(col("rnk") > 2)
+      .groupBy("lang")
+      .agg(sum("n_docs").as("n_docs"), count(lit(1)).as("n_sources"))
+      .select(
+        col("lang"),
+        lit("other").as("source_bucket"),
+        col("n_docs"),
+        col("n_sources"),
+        lit(3).as("rank")
+      )
+    top.unionByName(other).orderBy("lang", "rank")
+  }
+
   /** q59b: gap-fill with LINEAR INTERPOLATION — q59 carries the last
     * known value forward (LOCF); this estimates interior gaps from BOTH
     * neighbors, the standard telemetry/sensor resampling step:
@@ -1359,6 +1401,7 @@ object Relational {
     "q13b_cube" -> q13b,
     "q13c_grouping_id" -> q13c,
     "q13d_grouping_sets" -> q13d,
+    "q13e_topn_other" -> q13e,
     "q14_window_rank" -> q14,
     "q14b_window_ranks_full" -> q14b,
     "q14c_window_ignore_nulls" -> q14c,
@@ -1472,6 +1515,23 @@ object Relational {
         |                  WHERE o.o_custkey = c.c_custkey
         |                    AND o.o_orderpriority = '1-URGENT')
         |ORDER BY c_custkey""".stripMargin,
+    "q13e_topn_other" ->
+      """WITH counts AS (
+        |  SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM documents GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT lang, source, n_docs,
+        |    CAST(row_number() OVER (PARTITION BY lang
+        |                            ORDER BY n_docs DESC, source) AS INT) AS rnk
+        |  FROM counts)
+        |SELECT lang, source AS source_bucket, n_docs,
+        |  CAST(1 AS BIGINT) AS n_sources, rnk AS rank
+        |FROM ranked WHERE rnk <= 2
+        |UNION ALL
+        |SELECT lang, 'other', CAST(sum(n_docs) AS BIGINT),
+        |  CAST(count(*) AS BIGINT), 3
+        |FROM ranked WHERE rnk > 2 GROUP BY lang
+        |ORDER BY lang, rank""".stripMargin,
     "q49d_quantified" ->
       """SELECT c_custkey, round(c_acctbal, 2) AS acctbal,
         |  c_acctbal > ALL (SELECT c2.c_acctbal FROM customer c2

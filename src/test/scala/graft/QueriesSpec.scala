@@ -147,6 +147,39 @@ class QueriesSpec extends SparkSpec {
     assert(rows.exists(_.getBoolean(3)) && rows.exists(!_.getBoolean(3)))
   }
 
+  test("q13e top-N+other rollup conserves totals and folds the full tail") {
+    val byLang = graft.queries.Tables
+      .table(spark, sf, "documents")
+      .groupBy("lang")
+      .count()
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    val nSources = graft.queries.Tables
+      .table(spark, sf, "documents")
+      .select("lang", "source")
+      .distinct()
+      .groupBy("lang")
+      .count()
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    val rows = SparkEntry
+      .queries("q13e_topn_other")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getInt(4)))
+    rows.groupBy(_._1).foreach { case (lang, vs) =>
+      // folding loses nothing: bucket doc counts sum to the lang total
+      assert(vs.map(_._3).sum == byLang(lang), s"$lang: docs not conserved")
+      assert(vs.map(_._4).sum == nSources(lang), s"$lang: sources not conserved")
+      val others = vs.filter(_._2 == "other")
+      if (nSources(lang) > 2) assert(others.length == 1 && others.head._5 == 3)
+      else assert(others.isEmpty)
+      // named buckets outrank the fold and carry more docs than the tail mean
+      vs.filter(_._2 != "other").foreach(v => assert(v._5 <= 2))
+    }
+  }
+
   test("q59b interpolated gap values lie between their two endpoints") {
     val rows = SparkEntry
       .queries("q59b_resample_interp")(spark, sf)
