@@ -395,7 +395,10 @@ object Similarity {
       .crossJoin(broadcast(anchors))
       .filter(col("neighbor_id") =!= col("anchor_id"))
       .withColumn("c6", round(VectorOps.cosine(col("ne"), col("ae")), 6) + 0.0)
-    def top1(df: DataFrame): Column =
+    // frame-independent by construction (bare column refs resolved
+    // against whichever aggregation it lands in) — a val, not a df-taking
+    // helper, so nothing suggests it is bound to a particular frame
+    val top1: Column =
       max_by(
         struct(col("neighbor_id"), col("c6")),
         struct(col("c6"), -col("neighbor_id"))
@@ -403,11 +406,11 @@ object Similarity {
     val pos = scored
       .filter(col("n_label") === col("a_label"))
       .groupBy("anchor_id", "a_label")
-      .agg(top1(scored).as("p"))
+      .agg(top1.as("p"))
     val neg = scored
       .filter(col("n_label") =!= col("a_label"))
       .groupBy("anchor_id")
-      .agg(top1(scored).as("n"))
+      .agg(top1.as("n"))
     pos
       .join(neg, "anchor_id")
       .select(
@@ -440,14 +443,24 @@ object Similarity {
   private def q99(s: SparkSession, dir: String): DataFrame = {
     val exact = q30(s, dir).select(col("probe_id"), col("neighbor_id"))
     val approx = q31(s, dir).select(col("probe_id"), col("neighbor_id"))
-    exact
+    val hits = exact
       .join(approx, Seq("probe_id", "neighbor_id"), "left_semi")
       .groupBy("probe_id")
-      .agg(count(lit(1)).as("n_hits"))
+      .agg(count(lit(1)).as("h"))
+    // every probe must appear — a probe where LSH misses the ENTIRE exact
+    // top-k is exactly the worst case a recall eval exists to surface, and
+    // the semi-join+groupBy alone would silently drop it. Left-join the
+    // hit counts back onto the distinct probe frame and coalesce to 0 so
+    // recall_at_k = 0.0 rows are emitted.
+    exact
+      .select("probe_id")
+      .distinct()
+      .join(hits, Seq("probe_id"), "left")
       .select(
         col("probe_id"),
-        col("n_hits"),
-        (round(col("n_hits").cast("double") / TopK, 4) + 0.0).as("recall_at_k")
+        coalesce(col("h"), lit(0L)).as("n_hits"),
+        (round(coalesce(col("h"), lit(0L)).cast("double") / TopK, 4) + 0.0)
+          .as("recall_at_k")
       )
       .orderBy("probe_id")
   }
@@ -657,14 +670,18 @@ object Similarity {
          |approx AS (
          |  SELECT probe_id, neighbor_id FROM (${oracleSqlBase("q31_knn_lsh")})),
          |hits AS (
-         |  SELECT e.probe_id, CAST(count(*) AS BIGINT) AS n_hits
+         |  SELECT e.probe_id, CAST(count(*) AS BIGINT) AS h
          |  FROM exact e
          |  WHERE EXISTS (SELECT 1 FROM approx a
          |                WHERE a.probe_id = e.probe_id
          |                  AND a.neighbor_id = e.neighbor_id)
-         |  GROUP BY 1)
-         |SELECT probe_id, n_hits,
-         |  round(CAST(n_hits AS DOUBLE) / $TopK, 4) + 0.0 AS recall_at_k
-         |FROM hits ORDER BY probe_id""".stripMargin
+         |  GROUP BY 1),
+         |probes AS (SELECT DISTINCT probe_id FROM exact)
+         |SELECT p.probe_id,
+         |  CAST(coalesce(h.h, 0) AS BIGINT) AS n_hits,
+         |  round(CAST(coalesce(h.h, 0) AS DOUBLE) / $TopK, 4) + 0.0
+         |    AS recall_at_k
+         |FROM probes p LEFT JOIN hits h USING (probe_id)
+         |ORDER BY p.probe_id""".stripMargin
   )
 }

@@ -123,15 +123,23 @@ object Profile {
         min(col("x")).as("lo"),
         max(col("x")).as("hi")
       )
+    // degenerate groups are NULL by construction on BOTH engines: a
+    // single-row group has sigma NULL (stddev_samp) and hi = lo, a
+    // constant-valued group has sigma 0 — and Spark's non-ANSI /0 → NULL
+    // while DuckDB's IEEE float /0 → ±inf/NaN would diverge the gate, so
+    // both denominators go through nullif(·, 0) here and in the oracle
     li.join(broadcast(stats), "l_returnflag")
       .select(
         col("l_orderkey"),
         col("l_linenumber"),
         col("l_returnflag"),
         col("x"),
-        (round((col("x") - col("mu")) / col("sigma"), 4) + 0.0).as("zscore"),
         (round(
-          (col("x") - col("lo")) / (col("hi") - col("lo")),
+          (col("x") - col("mu")) / nullif(col("sigma"), lit(0.0)),
+          4
+        ) + 0.0).as("zscore"),
+        (round(
+          (col("x") - col("lo")) / nullif(col("hi") - col("lo"), lit(0.0)),
           4
         ) + 0.0).as("minmax")
       )
@@ -190,8 +198,8 @@ object Profile {
         |    min(x) AS lo, max(x) AS hi
         |  FROM li GROUP BY 1)
         |SELECT l_orderkey, l_linenumber, l_returnflag, x,
-        |  round((x - mu) / sigma, 4) + 0.0 AS zscore,
-        |  round((x - lo) / (hi - lo), 4) + 0.0 AS minmax
+        |  round((x - mu) / nullif(sigma, 0.0), 4) + 0.0 AS zscore,
+        |  round((x - lo) / nullif(hi - lo, 0.0), 4) + 0.0 AS minmax
         |FROM li JOIN stats USING (l_returnflag)
         |ORDER BY l_orderkey, l_linenumber""".stripMargin
   )

@@ -1301,9 +1301,14 @@ object Relational {
     * EXACT INTEGER arithmetic in centi-units: endpoints snap to BIGINT
     * centis (safe: `value` is centi-aligned by construction, so
     * sv·100 sits next to an integer, never near a .5), and the
-    * interpolation is the positively-weighted form
-    * (pv·(nt−t) + nv·(t−pt)) div (nt−pt) — all operands non-negative,
-    * so Spark's truncating `div` and DuckDB's flooring `//` agree.
+    * interpolation is an explicit FLOOR division on both engines:
+    * DuckDB's `//` floors natively; Spark's `div` truncates toward
+    * zero, so the engine side spells floor structurally as
+    * (num − pmod(num, d)) div d (pmod ≥ 0 for d > 0, so the adjusted
+    * numerator is an exact multiple of d and `div` IS the floor). The
+    * parity therefore no longer depends on the numerator being
+    * non-negative — a corpus with negative `value`s interpolates
+    * identically on both engines.
     */
   private def q59b(s: SparkSession, dir: String): DataFrame = {
     val hourly = t(s, dir, "events")
@@ -1337,7 +1342,12 @@ object Relational {
         when(
           col("pv").isNotNull && (col("nv").isNotNull || col("t") === col("pt")),
           when(col("t") === col("pt"), col("pv")).otherwise(
-            expr("(pv * (nt - t) + nv * (t - pt)) div (nt - pt)")
+            // floor((pv·(nt−t) + nv·(t−pt)) / (nt−pt)) in exact integer
+            // arithmetic — matches DuckDB's flooring `//` for ANY sign
+            expr(
+              "(pv * (nt - t) + nv * (t - pt) " +
+                "- pmod(pv * (nt - t) + nv * (t - pt), nt - pt)) div (nt - pt)"
+            )
           )
         ).as("interp_centi")
       )

@@ -60,9 +60,13 @@ class LlmOpsSpec extends SparkSpec {
       .collect()
       .map(r => r.getLong(0) -> r.getLong(1))
       .toMap
+    // EVERY probe must be present — including zero-recall probes, which
+    // the eval exists to surface (they arrive as explicit n_hits = 0
+    // rows, never by absence)
+    assert(evalHits.keySet == brute.keySet, "q99 dropped probes")
     brute.keys.foreach { p =>
       val expect = (brute(p) intersect lsh(p)).size.toLong
-      assert(evalHits.getOrElse(p, 0L) == expect, s"probe $p: q99 hits disagree")
+      assert(evalHits(p) == expect, s"probe $p: q99 hits disagree")
     }
   }
 
