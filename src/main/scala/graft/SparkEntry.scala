@@ -24,6 +24,7 @@ object SparkEntry {
       graft.etl.JsonlGateQuery.queries ++
       graft.etl.CsvGateQuery.queries ++
       graft.etl.OrcGateQuery.queries ++
+      graft.catalog.BucketedGateQuery.queries ++
       graft.queries.Relational.queries ++
       graft.queries.BloomJoin.queries ++
       graft.queries.Merge.queries ++
@@ -61,6 +62,7 @@ object SparkEntry {
       graft.etl.JsonlGateQuery.oracleSql ++
       graft.etl.CsvGateQuery.oracleSql ++
       graft.etl.OrcGateQuery.oracleSql ++
+      graft.catalog.BucketedGateQuery.oracleSql ++
       graft.queries.Relational.oracleSql ++
       graft.queries.BloomJoin.oracleSql ++
       graft.queries.Merge.oracleSql ++

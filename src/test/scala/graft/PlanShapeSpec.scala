@@ -211,6 +211,22 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q100 gated bucketed SMB join: zero hash exchanges end-to-end") {
+    // the driver-gated query itself (not just the utility above): both
+    // sides are pre-bucketed on the join key, the MERGE hint pins the
+    // 100 TB join strategy, and the groupBy on the bucket key rides the
+    // join's output partitioning — scan → sort → SMB join → agg with NO
+    // hash-partitioning Exchange; the only Exchange allowed is the
+    // range partition for the deterministic output ORDER BY
+    val df = SparkEntry.queries("q100_bucketed_smb_join")(spark, sf)
+    val plan = executedPlan(df)
+    assert(plan.contains("SortMergeJoin"), s"not a sort-merge join:\n$plan")
+    assert(
+      !plan.contains("Exchange hashpartitioning"),
+      s"bucketed gate still hash-shuffles:\n$plan"
+    )
+  }
+
   test("q33b corpus join is an equi join; only the 1-row totals frame nested-loops") {
     val plan = executedPlan(SparkEntry.queries("q33b_length_filter")(spark, sf))
     // the documents⋈per-length-cum join must be hash/merge on n_chars,
