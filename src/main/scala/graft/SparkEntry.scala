@@ -25,6 +25,7 @@ object SparkEntry {
       graft.etl.CsvGateQuery.queries ++
       graft.etl.OrcGateQuery.queries ++
       graft.catalog.BucketedGateQuery.queries ++
+      graft.catalog.SchemaEvoGateQuery.queries ++
       graft.queries.Relational.queries ++
       graft.queries.BloomJoin.queries ++
       graft.queries.Merge.queries ++
@@ -63,6 +64,7 @@ object SparkEntry {
       graft.etl.CsvGateQuery.oracleSql ++
       graft.etl.OrcGateQuery.oracleSql ++
       graft.catalog.BucketedGateQuery.oracleSql ++
+      graft.catalog.SchemaEvoGateQuery.oracleSql ++
       graft.queries.Relational.oracleSql ++
       graft.queries.BloomJoin.oracleSql ++
       graft.queries.Merge.oracleSql ++

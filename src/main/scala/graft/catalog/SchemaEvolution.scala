@@ -29,19 +29,26 @@ import org.apache.spark.sql.types.StructType
   */
 object SchemaEvolution {
 
-  /** Union schema of the files under `path`, discovered from footers. */
-  def discoverMerged(spark: SparkSession, path: String): DataFrame =
-    spark.read.option("mergeSchema", "true").parquet(path)
+  /** Union schema of the files under `paths`, discovered from footers.
+    * Widens COLUMN SETS only — Spark's schema merge deliberately refuses
+    * physical-type widening (INT32 vs INT64 throws CANNOT_MERGE_SCHEMAS);
+    * that case is [[readWithSchema]]'s, where the declared type drives
+    * the reader's upcast.
+    */
+  def discoverMerged(spark: SparkSession, paths: String*): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(paths: _*)
 
   /** Steady-state read under the declared canonical schema: no footer
-    * sampling; columns absent in older files come back null.
+    * sampling; columns absent in older files come back null, and
+    * narrower physical types (INT32 under a declared BIGINT) upcast in
+    * the parquet reader itself.
     */
   def readWithSchema(
       spark: SparkSession,
-      path: String,
-      canonical: StructType
+      canonical: StructType,
+      paths: String*
   ): DataFrame =
-    spark.read.schema(canonical).parquet(path)
+    spark.read.schema(canonical).parquet(paths: _*)
 
   /** Name-based union of frames carrying different schema generations;
     * columns missing on one side become nulls there.

@@ -43,7 +43,7 @@ class SchemaEvolutionSpec extends SparkSpec {
         StructField("vpcid", StringType)
       )
     )
-    val steady = SchemaEvolution.readWithSchema(spark, base, canonical)
+    val steady = SchemaEvolution.readWithSchema(spark, canonical, base)
     assert(
       steady.select("version", "accountid", "bytes", "vpcid").collect().toSet ==
         merged.select("version", "accountid", "bytes", "vpcid").collect().toSet
