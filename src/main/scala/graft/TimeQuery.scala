@@ -33,13 +33,21 @@ object TimeQuery {
     val t0 = System.nanoTime()
     graft.llm.Dedup.warmShingles(spark, sfDir)
     println(f"shingle_warm ${(System.nanoTime() - t0) / 1e9}%.3f s")
-    val t1 = System.nanoTime()
-    graft.queries.Graph.warmEdges(spark, sfDir)
-    println(f"edge_warm ${(System.nanoTime() - t1) / 1e9}%.3f s")
+    // SPARK_GRAFT_COLD_GRAPH=1 → measure the graph family COLD: skip the
+    // shared co-occurrence warm AND drop it between iterations, so q80
+    // pays its full pair-count build every run (how the q80b-cheaper-
+    // than-q80 swap-in claim is measured; SCALE.md graph table)
+    val coldGraph = sys.env.get("SPARK_GRAFT_COLD_GRAPH").contains("1")
+    if (!coldGraph) {
+      val t1 = System.nanoTime()
+      graft.queries.Graph.warmEdges(spark, sfDir)
+      println(f"edge_warm ${(System.nanoTime() - t1) / 1e9}%.3f s")
+    }
 
     selected.foreach { case (name, fn) =>
       val times = (1 to iters).map { i =>
         graft.llm.Dedup.releaseTrackedCaches(spark)
+        if (coldGraph) graft.queries.Graph.releaseCaches(spark)
         val s0 = System.nanoTime()
         val n = fn(spark, sfDir).count()
         val dt = (System.nanoTime() - s0) / 1e9

@@ -166,7 +166,13 @@ object Graph {
     * empty at another). avg is sum/count of exact integers,
     * IEEE-identical on both engines.
     */
-  private def cooccurrenceEdges(s: SparkSession, dir: String): DataFrame = {
+  /** The raw per-order co-occurring supplier pair stream (a < b
+    * canonical by the sorted-array construction) — ONE map-side expand,
+    * no shuffle; shared by the exact build (which counts ALL of it) and
+    * the q80b sampled build (which filters it by pair key FIRST, so the
+    * count shuffle itself shrinks by the sampling rate).
+    */
+  private def pairStream(s: SparkSession, dir: String): DataFrame = {
     val grouped = Tables
       .table(s, dir, "lineitem")
       .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
@@ -174,7 +180,7 @@ object Graph {
       .agg(sort_array(collect_set("sk")).as("s"))
     // (s[i], s[j]) for i < j: the array is sorted, so pairs are canonical
     // a < b by construction
-    val pairs = grouped
+    grouped
       .select(
         explode(
           expr(
@@ -184,6 +190,10 @@ object Graph {
         ).as("p")
       )
       .select(col("p.a").as("a"), col("p.b").as("b"))
+  }
+
+  private def cooccurrenceEdges(s: SparkSession, dir: String): DataFrame = {
+    val pairs = pairStream(s, dir)
     // the counted frame feeds BOTH the avg threshold and the filter, and
     // BOTH q80 and q80b build from it — cache it once per (session, dir)
     // like the q26/q27 shingle corpus: in production the co-occurrence
@@ -280,22 +290,42 @@ object Graph {
     triangleStats(graft.llm.Dedup.tcache(s, cooccurrenceEdges(s, dir)))
 
   /** q80b: DOULION-style sampled triangle estimate — the documented
-    * 100 TB swap-in for q80. Sparsify the edge frame FIRST with a
-    * deterministic hash keep (p = 1/5 via the q43 md5-bucket convention,
-    * so the sample is identical across engines, retries, and re-runs —
-    * never rand()), run the exact edge-iterator count on the sparsified
-    * graph, and scale by 1/p³ = 125. Expected work drops by p on edges
-    * and ~p³ on intersection hits; the estimator is unbiased
-    * (Tsourakakis et al., DOULION, KDD'09) with relative error
-    * O(1/√(p³·T)) — tiny for any graph big enough to need sampling.
+    * 100 TB swap-in for q80, with the sampling applied where it saves
+    * real work: the PAIR STREAM is filtered by a deterministic hash keep
+    * on the pair key (p = 1/5 via the q43 md5-bucket convention — never
+    * rand(), so the sample is identical across engines, retries, and
+    * re-runs) BEFORE the groupBy count, so the dominant corpus-sized
+    * count shuffle itself shrinks by p; kept keys retain their EXACT
+    * counts (key-sampling, not occurrence-sampling). The support
+    * threshold is recomputed on the sampled counts — a uniform key
+    * sample, so avg(c) is an unbiased estimate of the full-graph
+    * threshold (error measured in SCALE.md alongside the triangle
+    * estimator's). The edge-iterator count then runs on the sparsified
+    * graph and scales by 1/p³ = 125 (Tsourakakis et al., DOULION,
+    * KDD'09; relative error O(1/√(p³·T))). Unlike the round-9 spelling,
+    * NOTHING here touches the full pair-count frame — q80b cold is
+    * strictly cheaper than q80 cold, which is what a swap-in is for.
     * All-integer output (125·count), so the gate hash-checks exactly.
     */
   private def q80b(s: SparkSession, dir: String): DataFrame = {
+    // cached (released per Bench iteration): the sampled counts feed the
+    // threshold aggregate AND the edge filter — the exact path's
+    // `counted` convention at 1/5 the size
+    val sampledCounts = graft.llm.Dedup.tcache(
+      s,
+      pairStream(s, dir)
+        .filter(
+          graft.llm.Sampling.bucket100(concat_ws(",", col("a"), col("b"))) < 20
+        )
+        .groupBy("a", "b")
+        .agg(count(lit(1)).as("c"))
+    )
     val sampled = graft.llm.Dedup.tcache(
       s,
-      cooccurrenceEdges(s, dir).filter(
-        graft.llm.Sampling.bucket100(concat_ws(",", col("a"), col("b"))) < 20
-      )
+      sampledCounts
+        .crossJoin(broadcast(sampledCounts.agg(avg("c").as("cavg"))))
+        .filter(col("c") > col("cavg"))
+        .select("a", "b")
     )
     triangleStats(sampled)
       .select(
@@ -369,20 +399,21 @@ object Graph {
         |        FROM e e1 JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
         |                  JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b)
         |         AS n_triangles""".stripMargin,
-    // same naive replay over the hash-sparsified edge set (the md5
-    // bucket spelling shared with q43); the triangle count is
-    // orientation-invariant, so only the sample filter is new
+    // naive replay with the SAME pre-count key-sampling: the md5 keep
+    // (q43 bucket spelling) applies to the pair stream BEFORE the count,
+    // and the support threshold is avg(c) over the SAMPLED counts — the
+    // triangle count over the resulting edge set is orientation-
+    // invariant, so the tail is unchanged
     "q80b_triangle_sample" ->
       """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
         |            FROM lineitem),
         |ec AS (SELECT x.sk AS a, y.sk AS b, count(*) AS c
         |       FROM li x JOIN li y ON x.ok = y.ok AND x.sk < y.sk
+        |       WHERE CAST('0x' || substr(
+        |               md5(CAST(x.sk AS VARCHAR) || ',' || CAST(y.sk AS VARCHAR)),
+        |               1, 15) AS BIGINT) % 100 < 20
         |       GROUP BY x.sk, y.sk),
-        |e0 AS (SELECT a, b FROM ec WHERE c > (SELECT avg(c) FROM ec)),
-        |e AS (SELECT a, b FROM e0
-        |      WHERE CAST('0x' || substr(
-        |              md5(CAST(a AS VARCHAR) || ',' || CAST(b AS VARCHAR)),
-        |              1, 15) AS BIGINT) % 100 < 20),
+        |e AS (SELECT a, b FROM ec WHERE c > (SELECT avg(c) FROM ec)),
         |nodes AS (SELECT a AS v FROM e UNION SELECT b FROM e),
         |t AS (SELECT count(*) AS n_triangles_sampled
         |      FROM e e1 JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
