@@ -25,24 +25,20 @@ import org.apache.spark.sql.functions._
   */
 object Cdc {
 
-  private def q84(s: SparkSession, dir: String): DataFrame = {
-    val o = Tables
-      .table(s, dir, "orders")
-      .select(col("o_orderkey").as("k"), col("o_totalprice").as("p"))
-    val log = o
-      .select(col("k"), lit("I").as("op"), col("p").as("payload"), lit(1L).as("seq"))
-      .unionByName(
-        o.filter(col("k") % 5 === 0)
-          .select(col("k"), lit("U").as("op"), (col("p") + 10.0).as("payload"), lit(2L).as("seq"))
-      )
-      .unionByName(
-        o.filter(col("k") % 11 === 0)
-          .select(col("k"), lit("D").as("op"), lit(null).cast("double").as("payload"), lit(3L).as("seq"))
-      )
-      .unionByName(
-        o.filter(col("k") % 33 === 0)
-          .select(col("k"), lit("I").as("op"), (col("p") / 2).as("payload"), lit(4L).as("seq"))
-      )
+  private def q84(s: SparkSession, dir: String): DataFrame =
+    applyLog(changeLog(s, dir))
+      // deterministic sample of survivors: every touched key plus a
+      // slice of insert-only pass-through
+      .filter(col("last_seq") > 1 || col("k") % 7 === 0)
+      .select(col("k"), col("last_op"), col("price"), col("last_seq"))
+      .orderBy("k")
+
+  /** CDC apply over ANY (k, op, payload, seq) change log: one hash
+    * aggregate (max_by per key), delete-filtered. Shared by q84 and the
+    * CdcBench 10×/100× hot-key stress, so the stressed plan IS the
+    * gated plan.
+    */
+  def applyLog(log: DataFrame): DataFrame =
     log
       .groupBy("k")
       .agg(
@@ -51,12 +47,41 @@ object Cdc {
         max("seq").as("last_seq")
       )
       .filter(col("last_op") =!= "D")
-      // deterministic sample of survivors: every touched key plus a
-      // slice of insert-only pass-through
-      .filter(col("last_seq") > 1 || col("k") % 7 === 0)
-      .select(col("k"), col("last_op"), col("price"), col("last_seq"))
-      .orderBy("k")
+
+  /** SCD2 version frame over ANY change log: the key-partitioned window
+    * (lead + row_number + per-key count share ONE per-key sort). Shared
+    * by q84b/q84c and CdcBench.
+    */
+  def scd2Versions(log: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("k").orderBy("seq")
+    log
+      .withColumn("valid_to", lead(col("seq"), 1).over(w))
+      .filter(col("op") =!= "D")
+      .withColumn("version", row_number().over(w))
+      .withColumn("n_versions", count(lit(1)).over(Window.partitionBy("k")))
   }
+
+  /** Point-in-time lookup of `facts` (k, t) against an SCD2 version
+    * frame: EQUI join on k with the interval condition riding along as
+    * a join filter. Shared by q84c and CdcBench.
+    */
+  def pitLookup(facts: DataFrame, versions: DataFrame): DataFrame =
+    facts
+      .join(
+        versions,
+        facts("k") === versions("k") &&
+          col("t") >= col("valid_from") &&
+          (col("valid_to").isNull || col("t") < col("valid_to")),
+        "left"
+      )
+      .select(
+        facts("k"),
+        col("t"),
+        col("price"),
+        col("valid_from"),
+        col("price").isNotNull.as("matched")
+      )
 
   /** Shared deterministic change log (the q84 four-wave derivation). */
   private def changeLog(s: SparkSession, dir: String): DataFrame = {
@@ -95,13 +120,7 @@ object Cdc {
     * the log against itself (the naive interval spelling).
     */
   private def q84b(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("k").orderBy("seq")
-    changeLog(s, dir)
-      .withColumn("valid_to", lead(col("seq"), 1).over(w))
-      .filter(col("op") =!= "D")
-      .withColumn("version", row_number().over(w))
-      .withColumn("n_versions", count(lit(1)).over(Window.partitionBy("k")))
+    scd2Versions(changeLog(s, dir))
       .filter(col("n_versions") > 1 || col("k") % 7 === 0)
       .select(
         col("k"),
@@ -145,22 +164,7 @@ object Cdc {
       .table(s, dir, "orders")
       .select(col("o_orderkey").as("k"))
       .withColumn("t", lit(1L) + col("k") % 4)
-    facts
-      .join(
-        versions,
-        facts("k") === versions("k") &&
-          col("t") >= col("valid_from") &&
-          (col("valid_to").isNull || col("t") < col("valid_to")),
-        "left"
-      )
-      .select(
-        facts("k"),
-        col("t"),
-        col("price"),
-        col("valid_from"),
-        col("price").isNotNull.as("matched")
-      )
-      .orderBy(facts("k"))
+    pitLookup(facts, versions).orderBy(col("k"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
