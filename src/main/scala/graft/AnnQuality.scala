@@ -29,13 +29,38 @@ object AnnQuality {
   private def synthesize(
       s: org.apache.spark.sql.SparkSession,
       n: Int,
-      out: String
+      out: String,
+      clusters: Int = 0,
+      sigma: Double = 0.35
   ): Unit = {
     // driver-built model-sized corpus (n×64 floats, a few MB at n=20k):
-    // a bench input builder, not a query path
+    // a bench input builder, not a query path.
+    //  clusters == 0 → the near-uniform-cosine family (iid gaussian unit
+    //    vectors, the testdata embeddings' shape);
+    //  clusters  > 0 → a mixture of `clusters` Gaussians: unit centers
+    //    plus sigma-scaled noise, renormalized — the CLUSTERED cosine
+    //    structure real embedding corpora have, which changes LSH band
+    //    occupancy (same-cluster vectors share band values far more
+    //    often) and IVF routing (cells align with true clusters).
     val rnd = new scala.util.Random(11)
+    // uniform mode must not consume center draws — the round-9 decade
+    // table was produced from this exact seed/draw sequence and stays
+    // reproducible
+    val centers =
+      if (clusters == 0) Array.empty[Array[Double]]
+      else
+        Array.fill(clusters) {
+          val c = Array.fill(64)(rnd.nextGaussian())
+          val norm = math.sqrt(c.map(x => x * x).sum)
+          c.map(_ / norm)
+        }
     val rows = (0 until n).map { i =>
-      val v = Array.fill(64)(rnd.nextGaussian().toFloat)
+      val v =
+        if (clusters == 0) Array.fill(64)(rnd.nextGaussian().toFloat)
+        else {
+          val c = centers(i % clusters)
+          Array.tabulate(64)(j => (c(j) + sigma * rnd.nextGaussian()).toFloat)
+        }
       val norm = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
       (i.toLong, v.map(_ / norm).toSeq, i % 10)
     }
@@ -57,6 +82,17 @@ object AnnQuality {
           new java.io.File(sys.props("java.io.tmpdir"), s"graft_ann_synth_$n").getPath
         )
         synthesize(spark, n, dir)
+        dir
+      case Some("clustered") =>
+        val n = args.lift(1).map(_.toInt).getOrElse(20000)
+        val c = args.lift(2).map(_.toInt).getOrElse(50)
+        val dir = graft.TempDirs.deleteOnExit(
+          new java.io.File(
+            sys.props("java.io.tmpdir"),
+            s"graft_ann_clustered_${n}_$c"
+          ).getPath
+        )
+        synthesize(spark, n, dir, clusters = c)
         dir
       case Some(d) => d
       case None    => "/root/testdata/sf0.1"
@@ -94,7 +130,8 @@ object AnnQuality {
       lshLine(32, 4),
       lshLine(48, 6),
       ivfLine(16, 4), // the q31b instance
-      ivfLine(64, 8)
+      ivfLine(64, 8),
+      ivfLine(144, 8) // cells ≈ √N at N=20k (the sizing-note scaling)
     )
     println(
       f"""{"sf":"$sfDir","k":$k,"n_probes":$nProbes,"corpus_n":$corpusN,""" +
