@@ -26,6 +26,7 @@ object SparkEntry {
       graft.etl.OrcGateQuery.queries ++
       graft.catalog.BucketedGateQuery.queries ++
       graft.catalog.SchemaEvoGateQuery.queries ++
+      graft.catalog.LayoutGateQuery.queries ++
       graft.queries.Relational.queries ++
       graft.queries.BloomJoin.queries ++
       graft.queries.Merge.queries ++
@@ -65,6 +66,7 @@ object SparkEntry {
       graft.etl.OrcGateQuery.oracleSql ++
       graft.catalog.BucketedGateQuery.oracleSql ++
       graft.catalog.SchemaEvoGateQuery.oracleSql ++
+      graft.catalog.LayoutGateQuery.oracleSql ++
       graft.queries.Relational.oracleSql ++
       graft.queries.BloomJoin.oracleSql ++
       graft.queries.Merge.oracleSql ++

@@ -143,4 +143,28 @@ class LayoutSpec extends SparkSpec {
       .orderBy("l_orderkey", "l_partkey", "l_suppkey").collect().toSeq
     assert(a == b)
   }
+
+  test("q102 gated rectangle probe scans a pruned fraction of the z-layout") {
+    // the driver-gated query itself: its rectangle covers 70/2000 of
+    // partkey × 5/100 of suppkey at sf0.01 — the curve layout must
+    // keep the scan's row metric well under the full table (the oracle
+    // separately proves no pruned row was a needed row)
+    SparkEntry.queries("q102_zorder_pruned_scan")(spark, sf).collect()
+    val total = graft.queries.Tables.table(spark, sf, "lineitem").count()
+    val zdir = new java.io.File(sys.props("java.io.tmpdir"))
+      .listFiles()
+      .filter(_.getName.startsWith(
+        s"graft_zorder_gate_${spark.sparkContext.applicationId}"))
+      .head
+      .getPath
+    val read = scannedRows(
+      spark.read
+        .parquet(zdir)
+        .filter(
+          col("l_partkey") >= 20 && col("l_partkey") < 90 &&
+            col("l_suppkey") >= 2 && col("l_suppkey") < 7
+        )
+    )
+    assert(read < total / 4, s"rectangle probe read $read of $total rows")
+  }
 }
