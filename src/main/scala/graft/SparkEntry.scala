@@ -27,6 +27,7 @@ object SparkEntry {
       graft.catalog.BucketedGateQuery.queries ++
       graft.catalog.SchemaEvoGateQuery.queries ++
       graft.catalog.LayoutGateQuery.queries ++
+      graft.catalog.IncrementalGateQuery.queries ++
       graft.queries.Relational.queries ++
       graft.queries.BloomJoin.queries ++
       graft.queries.Merge.queries ++
@@ -67,6 +68,7 @@ object SparkEntry {
       graft.catalog.BucketedGateQuery.oracleSql ++
       graft.catalog.SchemaEvoGateQuery.oracleSql ++
       graft.catalog.LayoutGateQuery.oracleSql ++
+      graft.catalog.IncrementalGateQuery.oracleSql ++
       graft.queries.Relational.oracleSql ++
       graft.queries.BloomJoin.oracleSql ++
       graft.queries.Merge.oracleSql ++

@@ -36,8 +36,15 @@ object Tables {
     * the same formulas (FlowLogCorpus.oracleCte) — it never reads this
     * directory.
     */
-  def flowlogs(spark: SparkSession): DataFrame = synchronized {
-    import graft.etl.{ConvertJob, FlowLogCorpus}
+  def flowlogs(spark: SparkSession): DataFrame =
+    graft.etl.ConvertJob.readConverted(spark, flowlogsPath(spark))
+
+  /** Ensure the converted corpus exists and return its path — for
+    * consumers that need the DIRECTORY (partition maintenance gates),
+    * not just the frame.
+    */
+  def flowlogsPath(spark: SparkSession): String = synchronized {
+    import graft.etl.FlowLogCorpus
     val out = graft.TempDirs.deleteOnExit(
       new java.io.File(
         sys.props("java.io.tmpdir"),
@@ -47,6 +54,6 @@ object Tables {
     if (!new java.io.File(out, "_SUCCESS").exists()) {
       FlowLogCorpus.convertTo(spark, out)
     }
-    ConvertJob.readConverted(spark, out)
+    out
   }
 }
