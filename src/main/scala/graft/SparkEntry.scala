@@ -28,6 +28,7 @@ object SparkEntry {
       graft.catalog.SchemaEvoGateQuery.queries ++
       graft.catalog.LayoutGateQuery.queries ++
       graft.catalog.IncrementalGateQuery.queries ++
+      graft.catalog.MaintenanceGateQuery.queries ++
       graft.queries.Relational.queries ++
       graft.queries.BloomJoin.queries ++
       graft.queries.Merge.queries ++
@@ -69,6 +70,7 @@ object SparkEntry {
       graft.catalog.SchemaEvoGateQuery.oracleSql ++
       graft.catalog.LayoutGateQuery.oracleSql ++
       graft.catalog.IncrementalGateQuery.oracleSql ++
+      graft.catalog.MaintenanceGateQuery.oracleSql ++
       graft.queries.Relational.oracleSql ++
       graft.queries.BloomJoin.oracleSql ++
       graft.queries.Merge.oracleSql ++
