@@ -76,10 +76,16 @@ object AnnQuality {
   def main(args: Array[String]): Unit = {
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"), "graft-annquality")
     val sfDir = args.headOption match {
+      // app-id-keyed (the q100/q102/q103 gate convention): two
+      // overlapping runs must neither overwrite each other's corpus
+      // mid-sweep nor delete it out from under each other at exit
       case Some("synth") =>
         val n = args.lift(1).map(_.toInt).getOrElse(20000)
         val dir = graft.TempDirs.deleteOnExit(
-          new java.io.File(sys.props("java.io.tmpdir"), s"graft_ann_synth_$n").getPath
+          new java.io.File(
+            sys.props("java.io.tmpdir"),
+            s"graft_ann_synth_${spark.sparkContext.applicationId}_$n"
+          ).getPath
         )
         synthesize(spark, n, dir)
         dir
@@ -89,7 +95,7 @@ object AnnQuality {
         val dir = graft.TempDirs.deleteOnExit(
           new java.io.File(
             sys.props("java.io.tmpdir"),
-            s"graft_ann_clustered_${n}_$c"
+            s"graft_ann_clustered_${spark.sparkContext.applicationId}_${n}_$c"
           ).getPath
         )
         synthesize(spark, n, dir, clusters = c)

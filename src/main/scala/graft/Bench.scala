@@ -166,7 +166,10 @@ object Bench {
     // adjudicable record. Falls back to /tmp only if the repo dir is
     // unwritable.
     val loadEnd = loadAvg
-    val q00LoadJson = q00Loads.map(v => f"$v%.2f").mkString("[", ",", "]")
+    // Double.toString, never the f-interpolator: String.format is
+    // locale-sensitive and a comma-decimal locale would render "1,23"
+    // inside the JSON array (loadAvg already rounds to 2 places)
+    val q00LoadJson = q00Loads.map(_.toString).mkString("[", ",", "]")
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""errors":$errJson,"failures":${errors.size},"iters":$iters,""" +
@@ -178,19 +181,41 @@ object Bench {
         s""""wall_clock_ms":${System.currentTimeMillis()},""" +
         s""""sf":${jstr(sfDir)}}"""
     val detailPath = {
+      // default: the repo checkout if this IS the known checkout,
+      // otherwise the working directory — never mkdirs() a phantom
+      // absolute path on a foreign machine (it would "succeed" into a
+      // directory no git history sees)
       val preferred = sys.env.getOrElse(
         "SPARK_GRAFT_DETAIL_DIR",
-        "/root/repo/bench_detail"
+        if (new java.io.File("/root/repo/.git").isDirectory)
+          "/root/repo/bench_detail"
+        else "bench_detail"
       )
       def write(dir: java.io.File): String = {
         dir.mkdirs()
+        val bytes = (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        // latest.json: write-then-atomic-rename so a concurrent bench
+        // run can never leave a half-written file
         val latest = new java.io.File(dir, "latest.json")
-        val w = new java.io.PrintWriter(latest, "UTF-8")
-        try w.println(full)
-        finally w.close()
-        val h = new java.io.FileWriter(new java.io.File(dir, "history.jsonl"), true)
-        try h.write(full + "\n")
-        finally h.close()
+        val stage = new java.io.File(dir, s".latest_${System.nanoTime()}.tmp")
+        java.nio.file.Files.write(stage.toPath, bytes)
+        java.nio.file.Files.move(
+          stage.toPath,
+          latest.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE
+        )
+        // history.jsonl: ONE O_APPEND write call for the whole line (a
+        // buffered FileWriter splits >8 KiB lines into several syscalls
+        // that concurrent runs could interleave mid-line)
+        val ch = java.nio.channels.FileChannel.open(
+          new java.io.File(dir, "history.jsonl").toPath,
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.WRITE,
+          java.nio.file.StandardOpenOption.APPEND
+        )
+        try ch.write(java.nio.ByteBuffer.wrap(bytes))
+        finally ch.close()
         latest.getAbsolutePath
       }
       try write(new java.io.File(preferred))

@@ -124,25 +124,28 @@ object CdcBench {
 
     // consume EVERY output column (hash-checksum aggregate): a bare
     // count() would let Catalyst prune the window/join columns and time
-    // a hollowed-out plan (measured: scd2's whole window vanished)
-    def consume(df: DataFrame): Unit = {
-      df.agg(sum(hash(df.columns.map(col): _*))).head()
-      ()
+    // a hollowed-out plan (measured: scd2's whole window vanished).
+    // Returns the executed aggregate frame — its finalized plan CONTAINS
+    // the shape's window/join operators, so the audit below inspects the
+    // very plan that was timed instead of re-executing the 100× pipeline
+    // a fourth time just to finalize AQE.
+    def consume(df: DataFrame): DataFrame = {
+      val out = df.agg(sum(hash(df.columns.map(col): _*)))
+      out.head()
+      out
     }
     shapes.foreach { case (name, mk) =>
-      def run(d: String): Double =
+      var lastBig: DataFrame = null
+      def run(d: String, trackLast: Boolean): Double =
         median((1 to iters).map { _ =>
           val t0 = System.nanoTime()
-          consume(mk(d))
+          val executed = consume(mk(d))
+          if (trackLast) lastBig = executed
           (System.nanoTime() - t0) / 1e9
         })
-      val baseMed = run(dirs.head._2)
-      val bigMed = run(dirs.last._2)
-      val df = mk(dirs.last._2)
-      // finalize AQE on df's OWN QueryExecution (full column set, no
-      // driver-side rows) so the audited plan is the one that ran
-      df.queryExecution.toRdd.foreach(_ => ())
-      val bad = findBad(df.queryExecution.executedPlan)
+      val baseMed = run(dirs.head._2, trackLast = false)
+      val bigMed = run(dirs.last._2, trackLast = true)
+      val bad = findBad(lastBig.queryExecution.executedPlan)
       println(
         f"[stress] $name%-14s base $baseMed%6.2f s  ${mult}x $bigMed%6.2f s  ratio ${bigMed / baseMed}%5.2f  planFlags=${bad.mkString(",")}"
       )

@@ -38,9 +38,9 @@ object IncrementalGateQuery {
         s"graft_incr_summary_${s.sparkContext.applicationId}"
       ).getPath
     )
-    // the partition list is catalog-sized by contract (accounts × days =
-    // 150 here) — the same driver-side bound Partitions.registerAll
-    // documents
+    // the partition list is catalog-sized by contract (7 accounts ×
+    // 20 days = 140 here) — the same driver-side bound
+    // Partitions.registerAll documents
     val parts = graft.etl.ConvertJob
       .readConverted(s, base)
       .select("account", "dt")

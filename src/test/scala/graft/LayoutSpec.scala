@@ -151,12 +151,16 @@ class LayoutSpec extends SparkSpec {
     // separately proves no pruned row was a needed row)
     SparkEntry.queries("q102_zorder_pruned_scan")(spark, sf).collect()
     val total = graft.queries.Tables.table(spark, sf, "lineitem").count()
-    val zdir = new java.io.File(sys.props("java.io.tmpdir"))
-      .listFiles()
-      .filter(_.getName.startsWith(
-        s"graft_zorder_gate_${spark.sparkContext.applicationId}"))
-      .head
-      .getPath
+    // the EXACT dir the gate built for THIS sf — other suites run the
+    // query inventory at sf0.001 under the same shared session, so a
+    // bare appId-prefix match could pick the wrong SF's layout and pass
+    // vacuously (tiny scan vs this SF's total)
+    val zdir = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      s"graft_zorder_gate_${spark.sparkContext.applicationId}_" +
+        sf.replaceAll("[^a-zA-Z0-9.]", "_")
+    ).getPath
+    assert(new java.io.File(zdir).isDirectory, s"gate layout missing: $zdir")
     val read = scannedRows(
       spark.read
         .parquet(zdir)
