@@ -241,6 +241,74 @@ object Retrieval {
       .select(col("doc_id"), col("rank_bm25"), col("rank_tfidf"), col("rrf"))
   }
 
+  private val ContextBudget = 1000L // tokens; the context-window cap
+
+  /** q105: RAG context assembly — the step between retrieval and the
+    * LLM call: take the ranked top-k list (q90's BM25 top-20, composed
+    * verbatim), fetch the documents, and pack them into ONE context
+    * string in rank order under a fixed token budget — the PREFIX rule:
+    * the running token total is monotone in rank, so `cum ≤ budget`
+    * keeps the longest relevance-ordered prefix that fits and drops
+    * everything from the first overflow on (a skip-and-continue greedy
+    * variant would change only this filter). The
+    * output is one summary row: documents considered / included, token
+    * total, and the assembled context pinned by exact length + md5
+    * prefix (the full string is deterministic; the digest keeps the
+    * gate row small).
+    *
+    * Scale shape: everything after q90's corpus pass is k-bounded
+    * (≤20 rows): the rank/cumsum windows and the ordered assembly run
+    * on the top-k frame only — post-limit bounded frames, the q92
+    * allowlist class. Order-carrying assembly is the q88 convention
+    * (sort_array over (rank, text) structs then concat — a plain
+    * collect_list has NO deterministic order after a shuffle).
+    *
+    * Parity: token counts via whitespace split (the q34/q90 `dl`
+    * convention); the separator is rendered via chr(10) in the oracle
+    * (the q94 newline convention); both engines rank by the SAME
+    * rounded score with doc_id tie-break.
+    */
+  private def q105(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val top = q90(s, dir) // (doc_id, score) — ≤20 rows by construction
+    val ranked = top
+      .join(docs(s, dir).select(col("doc_id"), col("text")), "doc_id")
+      .withColumn(
+        "rank",
+        row_number().over(Window.orderBy(desc("score"), col("doc_id")))
+      )
+      .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
+      .withColumn(
+        "cum",
+        sum(col("n_tok")).over(
+          Window
+            .orderBy("rank")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+      )
+    val included = ranked.filter(col("cum") <= ContextBudget)
+    included
+      .agg(
+        count(lit(1)).as("n_included"),
+        sum(col("n_tok")).as("total_tokens"),
+        array_join(
+          transform(
+            sort_array(collect_list(struct(col("rank"), col("text")))),
+            e => e.getField("text")
+          ),
+          "\n---\n"
+        ).as("ctx")
+      )
+      .crossJoin(broadcast(top.agg(count(lit(1)).as("n_considered"))))
+      .select(
+        col("n_considered"),
+        col("n_included"),
+        col("total_tokens"),
+        length(col("ctx")).cast("long").as("context_chars"),
+        substring(md5(col("ctx")), 1, 16).as("context_digest")
+      )
+  }
+
   /** q91: preference-pair assembly — per (source, lang) strata, the
     * highest- and lowest-reward documents become a (chosen, rejected)
     * pair, the DPO/RLHF pair-mining shape. Reward here is the q33-style
@@ -297,12 +365,13 @@ object Retrieval {
     "q90_bm25" -> q90,
     "q90b_snippets" -> q90b,
     "q91_preference_pairs" -> q91,
-    "q92_rrf_fusion" -> q92
+    "q92_rrf_fusion" -> q92,
+    "q105_rag_context" -> q105
   )
 
   private val termsSqlList = QueryTerms.map(t => s"'$t'").mkString(", ")
 
-  val oracleSql: Map[String, String] = Map(
+  private val oracleSqlBase: Map[String, String] = Map(
     "q90_bm25" -> {
       val cCols = QueryTerms
         .map(t =>
@@ -432,5 +501,35 @@ object Retrieval {
         |JOIN ranked l ON l.source = h.source AND l.lang = h.lang
         |WHERE h.r_hi = 1 AND l.r_lo = 1 AND h.n_docs >= 2
         |ORDER BY h.source, h.lang""".stripMargin
+  )
+
+  /** q105's oracle COMPOSES the q90 oracle verbatim (the q99
+    * convention — the assembly can never be checked against a drifted
+    * re-spelling of the list it packs).
+    */
+  val oracleSql: Map[String, String] = oracleSqlBase + (
+    "q105_rag_context" ->
+      s"""WITH top AS (${oracleSqlBase("q90_bm25")}),
+         |rnked AS (
+         |  SELECT t.doc_id, t.score, d.text,
+         |    row_number() OVER (ORDER BY t.score DESC, t.doc_id) AS rnk,
+         |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tok
+         |  FROM top t JOIN documents d USING (doc_id)),
+         |c2 AS (
+         |  SELECT *, sum(n_tok) OVER (ORDER BY rnk
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM rnked),
+         |inc AS (SELECT * FROM c2 WHERE cum <= $ContextBudget),
+         |asm AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_included,
+         |         CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+         |         string_agg(text, chr(10) || '---' || chr(10)
+         |                    ORDER BY rnk) AS ctx
+         |  FROM inc)
+         |SELECT (SELECT CAST(count(*) AS BIGINT) FROM top) AS n_considered,
+         |  n_included, total_tokens,
+         |  CAST(length(ctx) AS BIGINT) AS context_chars,
+         |  substr(md5(ctx), 1, 16) AS context_digest
+         |FROM asm""".stripMargin
   )
 }
