@@ -144,6 +144,42 @@ class LayoutSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("zValue == reference bit-interleave for random inputs; cells contain their points") {
+    // reference Morton: bit i of (scaled a) → position 2i, of b → 2i+1
+    def scale(x: Double, lo: Double, hi: Double, bits: Int): Long =
+      math.min(math.floor((x - lo) / (hi - lo) * (1 << bits)).toLong, (1 << bits) - 1L)
+    def interleave(sa: Long, sb: Long, bits: Int): Long =
+      (0 until bits).foldLeft(0L) { (acc, i) =>
+        acc | ((sa >> i & 1L) << (2 * i)) | ((sb >> i & 1L) << (2 * i + 1))
+      }
+    val rnd = new scala.util.Random(31)
+    val bits = 8
+    val (aLo, aHi, bLo, bHi) = (0.0, 1000.0, -50.0, 50.0)
+    val pts = Seq.fill(200)((rnd.nextDouble() * 1000.0, rnd.nextDouble() * 100.0 - 50.0)) ++
+      Seq((0.0, -50.0), (1000.0, 50.0), (999.999, 49.999)) // domain edges incl. the hi clamp
+    import SparkSpec.spark.implicits._
+    val got = pts
+      .toDF("a", "b")
+      .select(
+        graft.catalog.Layout
+          .zValue(col("a"), aLo, aHi, col("b"), bLo, bHi, bits)
+          .as("z")
+      )
+      .collect()
+      .map(_.getLong(0))
+    pts.zip(got).foreach { case ((a, b), z) =>
+      val expect = interleave(scale(a, aLo, aHi, bits), scale(b, bLo, bHi, bits), bits)
+      assert(z == expect, s"zValue($a, $b) = $z, reference $expect")
+      // cell containment — the property writeZOrdered's grid-aligned
+      // file cuts rest on: the top-2k bits of z ARE the (a, b) grid cell
+      val k = 3 // 64-file layout → top 6 bits
+      val cell = z >> (2 * bits - 2 * k)
+      val ca = scale(a, aLo, aHi, bits) >> (bits - k)
+      val cb = scale(b, bLo, bHi, bits) >> (bits - k)
+      assert(cell == interleave(ca, cb, k), s"cell bits wrong for ($a, $b)")
+    }
+  }
+
   test("q102 gated rectangle probe scans a pruned fraction of the z-layout") {
     // the driver-gated query itself: its rectangle covers 70/2000 of
     // partkey × 5/100 of suppkey at sf0.01 — the curve layout must
