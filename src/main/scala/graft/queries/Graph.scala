@@ -336,10 +336,52 @@ object Graph {
       )
   }
 
+  /** q106: recursive CTE (WITH RECURSIVE, new in Spark 4.x) — the
+    * hierarchical/reachability SQL surface the DataFrame loop queries
+    * (q50's checkpointed label propagation, q71's unrolled power
+    * iterations) express imperatively: BFS hop levels from the
+    * smallest supplier over the thresholded co-occurrence graph, depth
+    * ≤ 2, entirely inside ONE declarative SQL statement. Spark plans
+    * each recursion step as a join against the previous frontier (a
+    * UnionLoop in the plan), so per-step work is frontier×degree-
+    * bounded — the frontier is never collected to the driver, unlike a
+    * driver-side BFS loop.
+    *
+    * Semantics: the naive UNION ALL recursion re-reaches nodes along
+    * every path, so the outer min(hops) per node is what makes the
+    * result the BFS level function; depth is capped at 2 because the
+    * co-occurrence graph is dense (avg degree ~430 at sf0.1 — level
+    * explosion is a property of THIS graph's density, documented, not
+    * of the operator). Output: per hop level, node count + id extremes
+    * + an exact id checksum. All integers; the seed (min node id) is
+    * deterministic on both engines.
+    */
+  private def q106(s: SparkSession, dir: String): DataFrame = {
+    val edges = cooccurrenceEdges(s, dir)
+    edges
+      .select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(edges.select(col("b").as("src"), col("a").as("dst")))
+      .createOrReplaceTempView("graft_q106_und")
+    s.sql(
+      """WITH RECURSIVE reach(node, hops) AS (
+        |  SELECT (SELECT min(src) FROM graft_q106_und) AS node, 0 AS hops
+        |  UNION ALL
+        |  SELECT u.dst AS node, r.hops + 1 AS hops
+        |  FROM reach r JOIN graft_q106_und u ON u.src = r.node
+        |  WHERE r.hops < 2),
+        |lvl AS (SELECT node, min(hops) AS hops FROM reach GROUP BY node)
+        |SELECT hops, count(*) AS n_nodes,
+        |  min(node) AS min_node, max(node) AS max_node,
+        |  sum(node) AS node_sum
+        |FROM lvl GROUP BY hops ORDER BY hops""".stripMargin
+    )
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q71_pagerank" -> q71,
     "q80_triangle_count" -> q80,
-    "q80b_triangle_sample" -> q80b
+    "q80b_triangle_sample" -> q80b,
+    "q106_recursive_reachability" -> q106
   )
 
   // One power iteration as SQL — contribution spelled r * wn (wn the
@@ -422,6 +464,29 @@ object Graph {
         |       (SELECT count(*) FROM e) AS n_edges,
         |       n_triangles_sampled,
         |       n_triangles_sampled * 125 AS est_triangles
-        |FROM t""".stripMargin
+        |FROM t""".stripMargin,
+    // the identical recursive CTE over the identically-derived edge set
+    // — DuckDB's native WITH RECURSIVE against Spark's
+    "q106_recursive_reachability" ->
+      """WITH RECURSIVE
+        |li AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
+        |       FROM lineitem),
+        |ec AS (SELECT x.sk AS a, y.sk AS b, count(*) AS c
+        |       FROM li x JOIN li y ON x.ok = y.ok AND x.sk < y.sk
+        |       GROUP BY x.sk, y.sk),
+        |e AS (SELECT a, b FROM ec WHERE c > (SELECT avg(c) FROM ec)),
+        |und AS (SELECT a AS src, b AS dst FROM e
+        |        UNION ALL SELECT b AS src, a AS dst FROM e),
+        |reach(node, hops) AS (
+        |  SELECT (SELECT min(src) FROM und) AS node, 0 AS hops
+        |  UNION ALL
+        |  SELECT u.dst AS node, r.hops + 1 AS hops
+        |  FROM reach r JOIN und u ON u.src = r.node
+        |  WHERE r.hops < 2),
+        |lvl AS (SELECT node, min(hops) AS hops FROM reach GROUP BY node)
+        |SELECT CAST(hops AS INT) AS hops, CAST(count(*) AS BIGINT) AS n_nodes,
+        |  min(node) AS min_node, max(node) AS max_node,
+        |  CAST(sum(node) AS BIGINT) AS node_sum
+        |FROM lvl GROUP BY hops ORDER BY hops""".stripMargin
   )
 }
