@@ -1,0 +1,140 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The Spark 4.x-era SQL surfaces, gated: the VARIANT semi-structured
+  * type (q107) and pipe-syntax SQL (q108). Reference scope: none (the
+  * reference's only semi-structured handling is the SNS envelope JSON,
+  * `main.go:95-135`); these are the surfaces a consumer migrating a
+  * modern warehouse workload onto the engine asks for, and both are
+  * new-in-Spark-4 paths whose cross-engine semantics deserve a gate of
+  * their own rather than an assumption.
+  */
+object Modern {
+
+  /** q107: VARIANT ingestion + typed navigation. Each orders row
+    * renders a deterministic nested JSON document (object, nested
+    * object, array, string — every shape `variant_get` navigates),
+    * parsed ONCE into a VARIANT column, then extracted with typed
+    * paths: `$.id` long, `$.cust.tier` string, `$.items[1]` array
+    * element, and a MISSING path through `try_variant_get` (must be
+    * NULL, never an error). Aggregated per tier so the gate row set is
+    * 3 rows at any SF.
+    *
+    * Scale shape: parse + navigation are per-row map-side expressions
+    * over the binary VARIANT encoding (no schema inference pass, the
+    * point of VARIANT vs from_json at 100 TB: one parse, many typed
+    * reads); ONE hash aggregate.
+    *
+    * Oracle: DuckDB renders the IDENTICAL strings and extracts with
+    * its native JSON path functions — VARIANT navigation must agree
+    * with JSON-text semantics value-for-value.
+    */
+  private def q107(s: SparkSession, dir: String): DataFrame = {
+    val j = Tables
+      .table(s, dir, "orders")
+      .filter(col("o_orderkey") < 5000)
+      .select(
+        concat(
+          lit("""{"id": """),
+          col("o_orderkey"),
+          lit(""", "cust": {"key": """),
+          col("o_custkey"),
+          lit(""", "tier": "t"""),
+          col("o_orderkey") % 3,
+          lit(""""}, "items": ["""),
+          col("o_orderkey") % 7,
+          lit(", "),
+          col("o_orderkey") % 11,
+          lit(", "),
+          col("o_orderkey") % 13,
+          lit("""], "status": """"),
+          col("o_orderstatus"),
+          lit(""""}""")
+        ).as("doc")
+      )
+      .select(parse_json(col("doc")).as("v"))
+    j.select(
+      expr("variant_get(v, '$.cust.tier', 'string')").as("tier"),
+      expr("variant_get(v, '$.id', 'long')").as("id_l"),
+      expr("variant_get(v, '$.items[1]', 'long')").as("item1"),
+      expr("variant_get(v, '$.status', 'string')").as("status"),
+      expr("try_variant_get(v, '$.nope', 'long')").as("missing")
+    ).groupBy("tier")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("id_l")).as("sum_id"),
+        sum(col("item1")).as("sum_item1"),
+        countDistinct(col("status")).as("n_status"),
+        count(col("missing")).as("n_missing") // 0: absent path → NULL
+      )
+      .orderBy("tier")
+  }
+
+  /** q108: pipe-syntax SQL (`|>`, Spark 4.x) — the linear dataflow
+    * spelling of scan → filter → aggregate → post-aggregate filter →
+    * order → limit, gated against the classic GROUP BY/HAVING spelling
+    * in DuckDB: the new PARSER path must produce the same relation the
+    * standard syntax describes. Centi-snapped sums per the q100
+    * convention; the pipe `WHERE` after `AGGREGATE` is the HAVING
+    * clause's pipe form.
+    */
+  private def q108(s: SparkSession, dir: String): DataFrame = {
+    Tables.table(s, dir, "lineitem").createOrReplaceTempView("graft_q108_li")
+    s.sql(
+      """FROM graft_q108_li
+        ||> WHERE l_quantity >= 30
+        ||> AGGREGATE count(*) AS n,
+        |     CAST(sum(CAST(round(l_quantity * 100.0, 0) AS BIGINT)) AS BIGINT)
+        |       / CAST(100.0 AS DOUBLE) AS sum_qty,
+        |     CAST(sum(CAST(round(l_extendedprice * 100.0, 0) AS BIGINT))
+        |          AS BIGINT) / CAST(100.0 AS DOUBLE) AS sum_price
+        |   GROUP BY l_returnflag, l_linestatus
+        ||> WHERE n > 10
+        ||> ORDER BY l_returnflag, l_linestatus
+        ||> LIMIT 10""".stripMargin
+    )
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q107_variant_json" -> q107,
+    "q108_pipe_sql" -> q108
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q107_variant_json" ->
+      """WITH j AS (
+        |  SELECT '{"id": ' || o_orderkey
+        |      || ', "cust": {"key": ' || o_custkey
+        |      || ', "tier": "t' || (o_orderkey % 3)
+        |      || '"}, "items": [' || (o_orderkey % 7) || ', '
+        |      || (o_orderkey % 11) || ', ' || (o_orderkey % 13)
+        |      || '], "status": "' || o_orderstatus || '"}' AS doc
+        |  FROM orders WHERE o_orderkey < 5000),
+        |x AS (
+        |  SELECT json_extract_string(doc, '$.cust.tier') AS tier,
+        |    CAST(json_extract(doc, '$.id') AS BIGINT) AS id_l,
+        |    CAST(json_extract(doc, '$.items[1]') AS BIGINT) AS item1,
+        |    json_extract_string(doc, '$.status') AS status,
+        |    CAST(json_extract(doc, '$.nope') AS BIGINT) AS missing
+        |  FROM j)
+        |SELECT tier, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(id_l) AS BIGINT) AS sum_id,
+        |  CAST(sum(item1) AS BIGINT) AS sum_item1,
+        |  CAST(count(DISTINCT status) AS BIGINT) AS n_status,
+        |  CAST(count(missing) AS BIGINT) AS n_missing
+        |FROM x GROUP BY tier ORDER BY tier""".stripMargin,
+    "q108_pipe_sql" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(round(l_quantity * 100.0, 0) AS BIGINT)) AS BIGINT)
+        |    / CAST(100.0 AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(round(l_extendedprice * 100.0, 0) AS BIGINT))
+        |       AS BIGINT) / CAST(100.0 AS DOUBLE) AS sum_price
+        |FROM lineitem WHERE l_quantity >= 30
+        |GROUP BY l_returnflag, l_linestatus
+        |HAVING count(*) > 10
+        |ORDER BY l_returnflag, l_linestatus LIMIT 10""".stripMargin
+  )
+}
