@@ -21,7 +21,7 @@ object DocsBench {
 
   private val Queries =
     Seq("q90_bm25", "q90b_snippets", "q91_preference_pairs",
-      "q92_rrf_fusion", "q33c_char_entropy", "q94_sft_assembly",
+      "q92_rrf_fusion", "q105_rag_context", "q33c_char_entropy", "q94_sft_assembly",
       "q95_curriculum_order")
 
   private def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
@@ -101,7 +101,8 @@ object DocsBench {
         // the only allowed unpartitioned frames are the post-limit rank
         // windows (q92) and the ≤320-row offset frame (q95) — both
         // bounded by construction; anything corpus-sized is a regression
-        val names = Set("q92_rrf_fusion", "q95_curriculum_order")
+        val names =
+          Set("q92_rrf_fusion", "q95_curriculum_order", "q105_rag_context")
         if (!names.contains(name))
           println(s"[stress] WARNING: $name acquired an unpartitioned window at ${mult}x")
       }
