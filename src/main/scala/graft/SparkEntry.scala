@@ -38,6 +38,7 @@ object SparkEntry {
       graft.queries.Cdc.queries ++
       graft.queries.Stats.queries ++
       graft.queries.Outliers.queries ++
+      graft.queries.Anomaly.queries ++
       graft.queries.Profile.queries ++
       graft.queries.SkewReport.queries ++
       graft.queries.Graph.queries ++
@@ -45,6 +46,8 @@ object SparkEntry {
       graft.llm.Dedup.queries ++
       graft.llm.Clustering.queries ++
       graft.llm.Similarity.queries ++
+      graft.llm.SimJoin.queries ++
+      graft.llm.Eval.queries ++
       graft.llm.TextAnalysis.queries ++
       graft.llm.Collocations.queries ++
       graft.llm.Winnowing.queries ++
@@ -81,6 +84,7 @@ object SparkEntry {
       graft.queries.Cdc.oracleSql ++
       graft.queries.Stats.oracleSql ++
       graft.queries.Outliers.oracleSql ++
+      graft.queries.Anomaly.oracleSql ++
       graft.queries.Profile.oracleSql ++
       graft.queries.SkewReport.oracleSql ++
       graft.queries.Graph.oracleSql ++
@@ -88,6 +92,8 @@ object SparkEntry {
       graft.llm.Dedup.oracleSql ++
       graft.llm.Clustering.oracleSql ++
       graft.llm.Similarity.oracleSql ++
+      graft.llm.SimJoin.oracleSql ++
+      graft.llm.Eval.oracleSql ++
       graft.llm.TextAnalysis.oracleSql ++
       graft.llm.Collocations.oracleSql ++
       graft.llm.Winnowing.oracleSql ++

@@ -279,6 +279,21 @@ object Curation {
   private val TokenWeightSql =
     "CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) % 2001 - 1000"
 
+  /** DuckDB CTE replaying [[classifierScoreFrame]] (ends in `agg`):
+    * shared by the q63 oracle and the model-eval oracles (Eval). */
+  private[llm] lazy val classifierScoreCte =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+       |tok2 AS (SELECT doc_id, w FROM tok WHERE w <> ''),
+       |vocab AS (
+       |  SELECT w, $TokenWeightSql AS wt
+       |  FROM (SELECT w, count(*) AS cnt FROM tok2 GROUP BY w
+       |        ORDER BY cnt DESC, w LIMIT $ClassifierVocabK)),
+       |agg AS (
+       |  SELECT doc_id, count(*) AS n_tokens, count(wt) AS n_feats,
+       |    CAST(sum(coalesce(wt, 0)) AS BIGINT) AS score_int
+       |  FROM tok2 LEFT JOIN vocab USING (w) GROUP BY doc_id)""".stripMargin
+
   /** q63: linear quality-classifier scoring — the fastText-style model
     * filter (CCNet / LLaMA-pipeline "quality classifier" stage) as a
     * Spark plan: a bounded feature vocabulary (top-[[ClassifierVocabK]]
@@ -294,7 +309,12 @@ object Curation {
     */
   private val ClassifierVocabK = 200
 
-  private def q63(s: SparkSession, dir: String): DataFrame = {
+  /** The q63 scoring pipeline up to the per-doc aggregate —
+    * (doc_id, n_tokens, n_feats, score_int) — shared with the model-eval
+    * family (Eval.q111/q111b/q112), which grades these scores against
+    * the target-language label.
+    */
+  private[llm] def classifierScoreFrame(s: SparkSession, dir: String): DataFrame = {
     val toks = Tables
       .table(s, dir, "documents")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
@@ -313,6 +333,10 @@ object Curation {
         count(col("wt")).as("n_feats"),
         sum(coalesce(col("wt"), lit(0L))).as("score_int")
       )
+  }
+
+  private def q63(s: SparkSession, dir: String): DataFrame =
+    classifierScoreFrame(s, dir)
       .select(
         col("doc_id"),
         col("n_tokens"),
@@ -326,7 +350,6 @@ object Curation {
         (col("score_int") > 0).as("keep")
       )
       .orderBy("doc_id")
-  }
 
   /** q64: DSIR-style importance weighting (Xie et al. 2023, "Data
     * Selection for Language Models via Importance Resampling"): score
@@ -501,17 +524,7 @@ object Curation {
          |FROM j WHERE jac >= ${Dedup.JaccardThreshold}
          |GROUP BY da ORDER BY doc_id""".stripMargin,
     "q63_classifier_score" ->
-      s"""WITH tok AS (
-         |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
-         |tok2 AS (SELECT doc_id, w FROM tok WHERE w <> ''),
-         |vocab AS (
-         |  SELECT w, $TokenWeightSql AS wt
-         |  FROM (SELECT w, count(*) AS cnt FROM tok2 GROUP BY w
-         |        ORDER BY cnt DESC, w LIMIT $ClassifierVocabK)),
-         |agg AS (
-         |  SELECT doc_id, count(*) AS n_tokens, count(wt) AS n_feats,
-         |    CAST(sum(coalesce(wt, 0)) AS BIGINT) AS score_int
-         |  FROM tok2 LEFT JOIN vocab USING (w) GROUP BY doc_id)
+      s"""$classifierScoreCte
          |SELECT doc_id, n_tokens, n_feats, score_int,
          |  round(1.0 / (1.0 + exp(-score_int / (n_tokens * 1000.0))), 4)
          |    AS quality_prob,

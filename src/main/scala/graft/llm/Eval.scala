@@ -1,0 +1,310 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.queries.Tables
+
+/** Model-evaluation operators over the q63 quality-classifier scores —
+  * the metrics a curation pipeline computes before TRUSTING a filter
+  * model with 100 TB of keep/drop decisions: ranking quality (ROC AUC),
+  * probability calibration (reliability bins / ECE inputs), and
+  * chance-corrected agreement (Cohen's κ), plus a corpus-concentration
+  * diagnostic (per-source Gini) for the mixing stage. Ground truth
+  * throughout is the target-language label (lang = 'en'), the same
+  * stand-in target q64's DSIR weighting uses.
+  *
+  * Reference scope: none (no model-eval surface in the reference);
+  * LLM-pipeline extension per the build brief. Every metric is computed
+  * from EXACT integer aggregates (counts, scaled sums, rank sums) with
+  * one closed-form float step at the end, spelled identically in the
+  * DuckDB oracle — the q86/q87 statistics convention.
+  */
+object Eval {
+
+  private def scoredWithLabel(s: SparkSession, dir: String): DataFrame =
+    Curation
+      .classifierScoreFrame(s, dir)
+      .join(
+        Tables
+          .table(s, dir, "documents")
+          .select(col("doc_id"), (col("lang") === "en").cast("int").as("pos")),
+        "doc_id"
+      )
+
+  /** q111: exact tie-corrected ROC AUC of score_int against the
+    * target-language label, via the rank-sum identity
+    *   AUC = Σ_s p_s · (neg_below(s) + n_s/2) / (P·N)
+    * over the DISTINCT-score frame — kept exact by scaling ×2
+    * (auc_num = Σ p_s·(2·neg_below + n_s), a BIGINT; BIGINT holds it up
+    * to P·N ~ 4·10^18 — beyond that the sum moves to DECIMAL(38)).
+    *
+    * Scale shape: one hash aggregate corpus → per-score counts, then the
+    * q46b TWO-LEVEL cumulation for neg_below — a global window ONLY over
+    * shard subtotals (≤ score-range/256 rows, allowlisted) and a
+    * partitioned within-shard window — never a single-task scan of the
+    * distinct-score frame. The final metric is one scalar aggregate.
+    */
+  private def q111(s: SparkSession, dir: String): DataFrame = {
+    val perScore = scoredWithLabel(s, dir)
+      .groupBy(col("score_int").as("sc"))
+      .agg(
+        sum("pos").cast("long").as("p"),
+        (count(lit(1)) - sum("pos")).cast("long").as("neg")
+      )
+      // structural floor division (q59b lesson): sc spans negatives, and
+      // Spark `div` truncates toward zero while the shard must stay
+      // monotone in sc — (sc − pmod(sc,256)) div 256 floors on any sign
+      .withColumn("shard", expr("(sc - pmod(sc, 256)) div 256"))
+    val offsets = perScore
+      .groupBy("shard")
+      .agg(sum("neg").as("sn"))
+      .withColumn(
+        "shard_off",
+        coalesce(
+          sum("sn").over(
+            Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)
+          ),
+          lit(0L)
+        )
+      )
+      .select("shard", "shard_off")
+    val local = Window
+      .partitionBy("shard")
+      .orderBy("sc")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    perScore
+      .join(broadcast(offsets), "shard")
+      .withColumn(
+        "neg_lt",
+        col("shard_off") + coalesce(sum("neg").over(local), lit(0L))
+      )
+      .agg(
+        sum("p").as("n_pos"),
+        sum("neg").as("n_neg"),
+        sum(col("p") * (col("neg_lt") * 2 + col("neg"))).as("auc_num")
+      )
+      .select(
+        col("n_pos"),
+        col("n_neg"),
+        col("auc_num"),
+        round(
+          col("auc_num").cast("double")
+            / (lit(2.0) * col("n_pos") * col("n_neg")),
+          6
+        ).as("auc")
+      )
+  }
+
+  /** q111b: reliability (calibration) table — ten equal-width bins over
+    * the q63 predicted probability, each with its mean prediction vs the
+    * empirical positive rate and the |gap| an ECE weights. The round-4
+    * probability is snapped to an exact 0..10000 integer FIRST (the
+    * centi-unit convention), so every per-bin mean is a ratio of exact
+    * integers and the float step is one closed-form division per bin.
+    * One corpus aggregate; the bin frame is ≤ 10 rows by construction.
+    */
+  private def q111b(s: SparkSession, dir: String): DataFrame =
+    scoredWithLabel(s, dir)
+      .withColumn(
+        "p10k",
+        round(
+          round(
+            lit(1.0) / (lit(1.0) + exp(-col("score_int") / (col("n_tokens") * lit(1000.0)))),
+            4
+          ) * 10000
+        ).cast("long")
+      )
+      // p10k ≥ 0 (sigmoid > 0), so truncating div == floor div here
+      .withColumn("bin", least(expr("p10k div 1000"), lit(9L)))
+      .groupBy("bin")
+      .agg(
+        count(lit(1)).as("n"),
+        sum("pos").cast("long").as("n_pos"),
+        sum("p10k").as("sp")
+      )
+      .select(
+        col("bin"),
+        col("n"),
+        col("n_pos"),
+        round(col("sp").cast("double") / (col("n") * lit(10000.0)), 6)
+          .as("mean_pred"),
+        round(col("n_pos").cast("double") / col("n").cast("double"), 6)
+          .as("frac_pos"),
+        round(
+          abs(
+            col("sp").cast("double") / (col("n") * lit(10000.0))
+              - col("n_pos").cast("double") / col("n").cast("double")
+          ),
+          6
+        ).as("gap")
+      )
+      .orderBy("bin")
+
+  /** q112: Cohen's κ between the classifier's keep decision
+    * (score_int > 0) and target-language membership — the
+    * chance-corrected agreement a labeling pipeline reports instead of
+    * raw accuracy when classes are imbalanced. One corpus aggregate into
+    * the 2×2 contingency counts; κ = (p_o − p_e)/(1 − p_e) closed-form
+    * from exact integers, nullif-guarded (degenerate all-one-cell
+    * inputs yield NULL on both engines, not an engine-specific inf).
+    */
+  private def q112(s: SparkSession, dir: String): DataFrame =
+    scoredWithLabel(s, dir)
+      .withColumn("a", (col("score_int") > 0).cast("int"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("a") * col("pos")).cast("long").as("n11"),
+        sum(col("a") * (lit(1) - col("pos"))).cast("long").as("n10"),
+        sum((lit(1) - col("a")) * col("pos")).cast("long").as("n01"),
+        sum((lit(1) - col("a")) * (lit(1) - col("pos"))).cast("long").as("n00")
+      )
+      .withColumn(
+        "po",
+        (col("n11") + col("n00")).cast("double") / col("n").cast("double")
+      )
+      .withColumn(
+        "pe",
+        (col("n11") + col("n10")).cast("double") / col("n").cast("double")
+          * ((col("n11") + col("n01")).cast("double") / col("n").cast("double"))
+          + (col("n01") + col("n00")).cast("double") / col("n").cast("double")
+          * ((col("n10") + col("n00")).cast("double") / col("n").cast("double"))
+      )
+      .select(
+        col("n"),
+        col("n11"),
+        col("n10"),
+        col("n01"),
+        col("n00"),
+        (round(col("po"), 6) + 0.0).as("p_observed"),
+        (round(
+          (col("po") - col("pe")) / nullif(lit(1.0) - col("pe"), lit(0.0)),
+          6
+        ) + 0.0).as("kappa")
+      )
+
+  /** q114: per-source Gini coefficient of document lengths — the
+    * concentration diagnostic a mixing stage (q56) reads to see whether
+    * a source's token budget is spread across its documents or owned by
+    * a few giants. Rank formula G = (2·Σ rank·x − (n+1)·Σx)/(n·Σx)
+    * under the deterministic (n_chars, doc_id) total order: the rank
+    * window is PARTITIONED by source, Σ rank·x is an exact BIGINT, and
+    * the one float step is the closed-form ratio. G = 0 ⇔ all equal;
+    * the formula is exact-integer until the final division, so no
+    * negative-zero or ulp drift is possible.
+    */
+  private def q114(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("source").orderBy(col("n_chars"), col("doc_id"))
+    Tables
+      .table(s, dir, "documents")
+      .select(col("source"), col("n_chars"), col("doc_id"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_chars").as("total_chars"),
+        sum(col("n_chars") * col("rk")).as("rx")
+      )
+      .select(
+        col("source"),
+        col("n_docs"),
+        col("total_chars"),
+        round(
+          (lit(2.0) * col("rx") - (col("n_docs") + 1).cast("double") * col("total_chars"))
+            / nullif(col("n_docs").cast("double") * col("total_chars"), lit(0.0)),
+          6
+        ).as("gini")
+      )
+      .orderBy("source")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q111_roc_auc" -> q111,
+    "q111b_calibration" -> q111b,
+    "q112_cohens_kappa" -> q112,
+    "q114_gini_concentration" -> q114
+  )
+
+  private def labeledCte: String =
+    s"""${Curation.classifierScoreCte},
+       |lab AS (
+       |  SELECT a.doc_id, a.n_tokens, a.score_int,
+       |         CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS pos
+       |  FROM agg a JOIN documents d USING (doc_id))""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    // naive single-window cumulation — the oracle may scan; Spark may not
+    "q111_roc_auc" ->
+      s"""$labeledCte,
+         |ps AS (
+         |  SELECT score_int AS sc, CAST(sum(pos) AS BIGINT) AS p,
+         |         CAST(count(*) - sum(pos) AS BIGINT) AS neg
+         |  FROM lab GROUP BY 1),
+         |c AS (
+         |  SELECT p, neg,
+         |    coalesce(sum(neg) OVER (ORDER BY sc
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS neg_lt
+         |  FROM ps)
+         |SELECT CAST(sum(p) AS BIGINT) AS n_pos,
+         |       CAST(sum(neg) AS BIGINT) AS n_neg,
+         |       CAST(sum(p * (neg_lt * 2 + neg)) AS BIGINT) AS auc_num,
+         |       round(CAST(sum(p * (neg_lt * 2 + neg)) AS DOUBLE)
+         |             / (2.0 * CAST(sum(p) AS BIGINT) * CAST(sum(neg) AS BIGINT)),
+         |             6) AS auc
+         |FROM c""".stripMargin,
+    "q111b_calibration" ->
+      s"""$labeledCte,
+         |pp AS (
+         |  SELECT pos,
+         |    CAST(round(round(1.0 / (1.0 + exp(-score_int / (n_tokens * 1000.0))), 4)
+         |               * 10000) AS BIGINT) AS p10k
+         |  FROM lab),
+         |b AS (
+         |  SELECT least(p10k // 1000, 9) AS bin, count(*) AS n,
+         |         CAST(sum(pos) AS BIGINT) AS n_pos,
+         |         CAST(sum(p10k) AS BIGINT) AS sp
+         |  FROM pp GROUP BY 1)
+         |SELECT bin, n, n_pos,
+         |  round(CAST(sp AS DOUBLE) / (n * 10000.0), 6) AS mean_pred,
+         |  round(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), 6) AS frac_pos,
+         |  round(abs(CAST(sp AS DOUBLE) / (n * 10000.0)
+         |            - CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS gap
+         |FROM b ORDER BY bin""".stripMargin,
+    "q112_cohens_kappa" ->
+      s"""$labeledCte,
+         |ct AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(CASE WHEN score_int > 0 AND pos = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+         |    CAST(sum(CASE WHEN score_int > 0 AND pos = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+         |    CAST(sum(CASE WHEN score_int <= 0 AND pos = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+         |    CAST(sum(CASE WHEN score_int <= 0 AND pos = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n00
+         |  FROM lab),
+         |k AS (
+         |  SELECT n, n11, n10, n01, n00,
+         |    CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE) AS po,
+         |    CAST(n11 + n10 AS DOUBLE) / CAST(n AS DOUBLE)
+         |      * (CAST(n11 + n01 AS DOUBLE) / CAST(n AS DOUBLE))
+         |    + CAST(n01 + n00 AS DOUBLE) / CAST(n AS DOUBLE)
+         |      * (CAST(n10 + n00 AS DOUBLE) / CAST(n AS DOUBLE)) AS pe
+         |  FROM ct)
+         |SELECT n, n11, n10, n01, n00,
+         |  round(po, 6) + 0.0 AS p_observed,
+         |  round((po - pe) / nullif(1.0 - pe, 0.0), 6) + 0.0 AS kappa
+         |FROM k""".stripMargin,
+    "q114_gini_concentration" ->
+      """WITH r AS (
+        |  SELECT source, n_chars,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars, doc_id) AS BIGINT) AS rk
+        |  FROM documents),
+        |g AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |         CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |         CAST(sum(n_chars * rk) AS BIGINT) AS rx
+        |  FROM r GROUP BY source)
+        |SELECT source, n_docs, total_chars,
+        |  round((2.0 * rx - CAST(n_docs + 1 AS DOUBLE) * total_chars)
+        |        / nullif(CAST(n_docs AS DOUBLE) * total_chars, 0.0), 6) AS gini
+        |FROM g ORDER BY source""".stripMargin
+  )
+}

@@ -1,0 +1,181 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.queries.Tables
+
+/** Exact similarity JOINS with sub-quadratic candidate generation — the
+  * two classic lossless-filter algorithms a 100 TB dedup/linkage stage
+  * runs when it needs EXACT results (unlike q27/q28's probabilistic
+  * LSH) without the all-pairs blowup of q26's full inverted index:
+  *
+  *  - q109: prefix-filtering set-similarity join (SSJoin/PPJoin family,
+  *    Chaudhuri et al. ICDE'06, Xiao et al. WWW'08) — index only each
+  *    set's PREFIX under a global rarest-first token order; any pair
+  *    with Jaccard ≥ t must collide inside the prefixes, so the
+  *    candidate join runs over a frame that shrinks with t while the
+  *    verified output is bit-identical to the naive join.
+  *  - q110: edit-distance self-join via deletion neighborhoods (FastSS,
+  *    Bocek et al. 2007) — for distance ≤ 1, two strings must share a
+  *    member of {s} ∪ {s minus one char}; the neighborhood explode is
+  *    map-side ×(len+1) and the equi-join on variants replaces the
+  *    O(n²) pairwise scan, with a levenshtein verify on the candidates.
+  *
+  * Reference scope: none (no similarity joins in the reference or its
+  * Athena templates); LLM-pipeline extension surface per the build
+  * brief. Both oracles replay the NAIVE quadratic/full-index spelling —
+  * structurally different algorithms that must land on identical rows.
+  */
+object SimJoin {
+
+  /** q109 Jaccard threshold — higher than q26's 0.6 on purpose: the
+    * prefix length |s| − ⌈t·|s|⌉ + 1 shrinks as t grows, which is the
+    * algorithm's whole leverage (at t=0.7 only ~a third of each set is
+    * indexed; the full-index q26 plan indexes every token).
+    */
+  private val T10 = 7 // threshold numerator over denominator 10 (t = 0.7)
+
+  /** q109: exact set-similarity self-join over the q26 word-3-gram
+    * shingle sets at jac ≥ 0.7, candidates from PREFIX collisions only.
+    *
+    * Plan at scale:
+    *   1. token df: one hash aggregate over the shingle frame;
+    *   2. per-doc sorted set under the global (df ASC, g ASC) order —
+    *      rarest shingles first, so prefixes collide as rarely as the
+    *      data allows (the PPJoin ordering heuristic);
+    *   3. explode ONLY the prefix (|s| − ⌈t·|s|⌉ + 1 tokens) → self
+    *      equi-join on the prefix token, with the exact-integer length
+    *      filter 10·min ≥ 7·max riding the join condition (jac ≥ t
+    *      implies t·max(|a|,|b|) ≤ min(|a|,|b|); both lossless);
+    *   4. verify candidates with one codegen'd array_intersect over the
+    *      two full sorted sets — candidate-sized work, never pairs².
+    * Nothing all-pairs: the only self-join runs on the prefix-token
+    * posting lists, which the rarest-first order keeps short (a token
+    * shared by every document sorts LAST and never enters a prefix
+    * unless a set is almost all common tokens).
+    */
+  private def q109(s: SparkSession, dir: String): DataFrame = {
+    val sh = Dedup.cachedShingles(s, dir) // (doc_id, g), distinct
+    val df = sh.groupBy("g").agg(count(lit(1)).as("df"))
+    // per-doc shingle array sorted by the global (df, g) order; cached:
+    // it feeds the prefix explode AND both verify sides
+    val ordered = Dedup.tcache(
+      s,
+      sh.join(df, "g")
+        .groupBy("doc_id")
+        .agg(sort_array(collect_list(struct(col("df"), col("g")))).as("sg"))
+        .select(
+          col("doc_id"),
+          expr("transform(sg, x -> x.g)").as("gs"),
+          size(col("sg")).as("n")
+        )
+    )
+    // prefix length n − ⌈t·n⌉ + 1 with ⌈7n/10⌉ = (7n+9) div 10 — exact
+    // integer arithmetic, no float boundary
+    val pref = ordered.select(
+      col("doc_id"),
+      col("n"),
+      explode(expr(s"slice(gs, 1, size(gs) - (($T10*size(gs)+9) div 10) + 1)"))
+        .as("g")
+    )
+    val cand = pref
+      .as("a")
+      .join(
+        pref.as("b"),
+        col("a.g") === col("b.g")
+          && col("a.doc_id") < col("b.doc_id")
+          && col("a.n") * 10 >= col("b.n") * T10
+          && col("b.n") * 10 >= col("a.n") * T10
+      )
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .distinct()
+    cand
+      .join(
+        ordered.select(col("doc_id").as("da"), col("gs").as("ga"), col("n").as("na")),
+        "da"
+      )
+      .join(
+        ordered.select(col("doc_id").as("db"), col("gs").as("gb"), col("n").as("nb")),
+        "db"
+      )
+      .withColumn("i", size(array_intersect(col("ga"), col("gb"))))
+      .withColumn(
+        "jac",
+        col("i").cast("double") / (col("na") + col("nb") - col("i")).cast("double")
+      )
+      .filter(col("jac") >= T10 / 10.0)
+      .select(col("da"), col("db"), round(col("jac"), 4).as("jac"))
+      .orderBy("da", "db")
+  }
+
+  /** q110: edit-distance ≤ 1 self-join over supplier names (the
+    * spell-variant / near-identical-key linkage primitive). Each name
+    * explodes map-side into its deletion neighborhood {s} ∪ {del_i(s)}
+    * (array_union dedups repeated-character collisions); a distance-1
+    * pair MUST share a neighborhood member (substitution at i ⇒ equal
+    * i-th deletions; insert/delete ⇒ the shorter string is a deletion
+    * variant of the longer AND of itself), so one equi-join on the
+    * variant string yields a candidate superset that a levenshtein
+    * verify prunes — false positives exist (equal deletions at
+    * DIFFERENT positions can be distance 2), correctness never depends
+    * on the blocking.
+    *
+    * Scale shape: ×(len+1) map-side explode, one hash equi-join on the
+    * variant, candidate-sized verify — vs the oracle's O(n²) pairwise
+    * levenshtein, the canonical naive spelling. No window, no sort
+    * until the final candidate-sized ORDER BY.
+    */
+  private def q110(s: SparkSession, dir: String): DataFrame = {
+    val variants = Tables
+      .table(s, dir, "supplier")
+      .select(
+        col("s_name"),
+        explode(
+          expr(
+            "array_union(array(s_name), " +
+              "transform(sequence(0, length(s_name) - 1), " +
+              "i -> concat(substring(s_name, 1, i), substring(s_name, i + 2))))"
+          )
+        ).as("v")
+      )
+    variants
+      .as("a")
+      .join(
+        variants.as("b"),
+        col("a.v") === col("b.v") && col("a.s_name") < col("b.s_name")
+      )
+      .select(col("a.s_name").as("name_a"), col("b.s_name").as("name_b"))
+      .distinct()
+      .filter(levenshtein(col("name_a"), col("name_b")) <= 1)
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .orderBy("name_a", "name_b")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q109_prefix_jaccard_join" -> q109,
+    "q110_edit_distance_join" -> q110
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    // naive full-inverted-index replay (the q26 oracle shape) at t=0.7 —
+    // prefix filtering is lossless, so the rows must match exactly
+    "q109_prefix_jaccard_join" ->
+      s"""${Dedup.shingleCte}
+         |SELECT da, db, round(i * 1.0 / (sa.n + sb.n - i), 4) AS jac
+         |FROM inter
+         |JOIN sz sa ON sa.doc_id = da
+         |JOIN sz sb ON sb.doc_id = db
+         |WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.7
+         |ORDER BY da, db""".stripMargin,
+    // naive pairwise levenshtein; the |len| ≤ 1 filter is implied by
+    // distance ≤ 1 (lossless), spelled to bound the quadratic replay
+    "q110_edit_distance_join" ->
+      """SELECT a.s_name AS name_a, b.s_name AS name_b,
+        |       CAST(levenshtein(a.s_name, b.s_name) AS INT) AS dist
+        |FROM supplier a JOIN supplier b
+        |  ON a.s_name < b.s_name
+        | AND abs(length(a.s_name) - length(b.s_name)) <= 1
+        |WHERE levenshtein(a.s_name, b.s_name) <= 1
+        |ORDER BY name_a, name_b""".stripMargin
+  )
+}

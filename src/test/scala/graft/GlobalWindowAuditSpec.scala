@@ -34,7 +34,8 @@ class GlobalWindowAuditSpec extends SparkSpec {
     "q72_pmi_collocations" -> "row numbering AFTER limit(TopN): ≤ 30 rows by construction",
     "q92_rrf_fusion" -> "per-ranker row numbering AFTER limit(RrfDepth): ≤ 50 rows each",
     "q105_rag_context" -> "rank + cumsum AFTER q90's limit(20): ≤ 20-row frames",
-    "q95_curriculum_order" -> "prefix offsets over bucket×subshard rows (≤ 320)"
+    "q95_curriculum_order" -> "prefix offsets over bucket×subshard rows (≤ 320)",
+    "q111_roc_auc" -> "two-level cumulation: window over SHARD offsets (≤ score-range/256 rows)"
   )
 
   private def globalWindows(p: SparkPlan): Seq[SparkPlan] =
