@@ -37,6 +37,9 @@ object SparkEntry {
       graft.queries.IntervalJoin.queries ++
       graft.queries.Cdc.queries ++
       graft.queries.Stats.queries ++
+      graft.queries.TimeSeries.queries ++
+      graft.queries.Attribution.queries ++
+      graft.queries.Audit.queries ++
       graft.queries.Outliers.queries ++
       graft.queries.Anomaly.queries ++
       graft.queries.Profile.queries ++
@@ -83,6 +86,9 @@ object SparkEntry {
       graft.queries.IntervalJoin.oracleSql ++
       graft.queries.Cdc.oracleSql ++
       graft.queries.Stats.oracleSql ++
+      graft.queries.TimeSeries.oracleSql ++
+      graft.queries.Attribution.oracleSql ++
+      graft.queries.Audit.oracleSql ++
       graft.queries.Outliers.oracleSql ++
       graft.queries.Anomaly.oracleSql ++
       graft.queries.Profile.oracleSql ++

@@ -361,12 +361,112 @@ object Retrieval {
       .orderBy("source", "lang")
   }
 
+  private val NdcgK = 10 // eval depth for NDCG@k / MRR
+  private val EarlyWindow = 200 // chars: "early mention" relevance window
+
+  /** q115: ranking-quality eval of the BM25 ranker — NDCG@10 and the
+    * reciprocal rank of the first fully-relevant hit (the MRR term for
+    * this probe), against a deterministic graded relevance the ranker
+    * does NOT see: rel(d) = number of query terms whose FIRST
+    * occurrence falls in the document's first [[EarlyWindow]] chars
+    * (early mention ≈ topical — the q90b locate convention), gain =
+    * 2^rel − 1 (exact small integers). Position-blindness is the point:
+    * BM25 scores pure frequency, so the eval genuinely separates
+    * ranking quality from relevance (a term-presence grade made NDCG
+    * constant-1.0 at every SF — measured before this definition).
+    * Complements q99 (recall of the ANN path): q99 scores the
+    * CANDIDATE GENERATOR, q115 scores the RANKING.
+    *
+    * Determinism contract: ranks come from the round-6-gridded BM25
+    * score with doc_id tie-breaks (the q92 list convention); each
+    * rank's term gain_r / log2(r+1) is pivoted into a FIXED column and
+    * the DCG is the literal r=1..10 sum — the same fixed-order float
+    * sum q90 uses for terms, so no shuffle-ordered accumulation. log2
+    * is the one libm call (the q51/q57 log-under-grid precedent). IDCG
+    * ranks the corpus-wide gains descending — tie order can't change
+    * the value (tied docs have equal gains).
+    *
+    * Scale shape: everything after the shared term-stats corpus pass
+    * is k-bounded: both top-10 lists are TakeOrderedAndProject, the
+    * rank windows run post-limit (≤10 rows, the q92 allowlist class),
+    * and the output is one row.
+    */
+  private def q115(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // map-side graded relevance: literal-order integer sum of per-term
+    // early-mention indicators — no explode, no shuffle
+    val relExpr = QueryTerms
+      .map(t =>
+        (locate(t, col("text")).between(1, EarlyWindow)).cast("int")
+      )
+      .reduce(_ + _)
+    val rel = docs(s, dir)
+      .select(col("doc_id"), relExpr.as("rel"))
+      .filter(col("rel") >= 1)
+      .withColumn("gain", (pow(lit(2.0), col("rel"))).cast("long") - 1)
+    // frame-independent aggregate expression (the q93 lesson: no
+    // misleading unused frame parameter) — binds to whichever ≤10-row
+    // ranked frame it is aggregated over
+    def pivotDcg: org.apache.spark.sql.Column = {
+      val terms = (1 to NdcgK).map(r =>
+        coalesce(
+          max(
+            when(
+              col("rnk") === r,
+              col("gain").cast("double") / log2(lit(r + 1).cast("double"))
+            )
+          ),
+          lit(0.0)
+        )
+      )
+      terms.reduce(_ + _)
+    }
+    val ranked = bm25Scores(s, dir)
+      .withColumn("s6", round(col("score_raw"), 6) + 0.0)
+      .orderBy(desc("s6"), col("doc_id"))
+      .limit(NdcgK)
+      .withColumn(
+        "rnk",
+        row_number().over(Window.orderBy(desc("s6"), col("doc_id")))
+      )
+      .join(rel.select(col("doc_id"), col("gain"), col("rel")), Seq("doc_id"), "left")
+      .withColumn("gain", coalesce(col("gain"), lit(0L)))
+    val ideal = rel
+      .orderBy(desc("gain"), col("doc_id"))
+      .limit(NdcgK)
+      .withColumn(
+        "rnk",
+        row_number().over(Window.orderBy(desc("gain"), col("doc_id")))
+      )
+    val dcg = ranked.agg(
+      pivotDcg.as("dcg10"),
+      min(when(col("rel") === QueryTerms.size, col("rnk"))).as("first_full")
+    )
+    val idcg = ideal.agg(pivotDcg.as("idcg10"))
+    val nRel = rel.agg(count(lit(1)).as("n_rel_docs"))
+    dcg
+      .crossJoin(broadcast(idcg))
+      .crossJoin(broadcast(nRel))
+      .select(
+        col("n_rel_docs"),
+        (round(col("dcg10"), 6) + 0.0).as("dcg10"),
+        (round(col("idcg10"), 6) + 0.0).as("idcg10"),
+        (round(col("dcg10") / nullif(col("idcg10"), lit(0.0)), 6) + 0.0)
+          .as("ndcg10"),
+        round(
+          coalesce(lit(1.0) / col("first_full").cast("double"), lit(0.0)),
+          6
+        ).as("reciprocal_rank")
+      )
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q90_bm25" -> q90,
     "q90b_snippets" -> q90b,
     "q91_preference_pairs" -> q91,
     "q92_rrf_fusion" -> q92,
-    "q105_rag_context" -> q105
+    "q105_rag_context" -> q105,
+    "q115_ndcg_mrr" -> q115
   )
 
   private val termsSqlList = QueryTerms.map(t => s"'$t'").mkString(", ")
@@ -478,6 +578,83 @@ object Retrieval {
         |        6) + 0.0 AS rrf
         |FROM btop a FULL OUTER JOIN ttop b ON a.doc_id = b.doc_id
         |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin
+    },
+    "q115_ndcg_mrr" -> {
+      val cCols = QueryTerms
+        .map(t =>
+          s"coalesce(max(CASE WHEN w = '$t' THEN c END), 0.0) AS c_$t"
+        )
+        .mkString(",\n        |    ")
+      val scoreSum = QueryTerms.map(t => s"c_$t").mkString(" + ")
+      def dcgPivot: String =
+        (1 to 10)
+          .map(r =>
+            s"coalesce(max(CASE WHEN rnk = $r THEN CAST(gain AS DOUBLE) / log2(CAST(${r + 1} AS DOUBLE)) END), 0.0)"
+          )
+          .mkString("\n        |      + ")
+      s"""WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |dl AS (SELECT doc_id, len(toks) AS dl FROM d),
+        |stats AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |         CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+        |  FROM dl),
+        |tok AS (SELECT doc_id, unnest(toks) AS w FROM d),
+        |tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+        |       FROM tok WHERE w IN ($termsSqlList) GROUP BY 1, 2),
+        |df AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |rel0 AS (
+        |  SELECT doc_id,
+        |    ${QueryTerms
+             .map(t =>
+               s"(CASE WHEN strpos(text, '$t') BETWEEN 1 AND $EarlyWindow THEN 1 ELSE 0 END)"
+             )
+             .mkString("\n        |    + ")} AS rel
+        |  FROM documents),
+        |rel AS (
+        |  SELECT doc_id, rel, CAST(power(2, rel) AS BIGINT) - 1 AS gain
+        |  FROM rel0 WHERE rel >= 1),
+        |contrib AS (
+        |  SELECT tf.doc_id, tf.w,
+        |    ln((CAST(n_docs AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5)
+        |       / (CAST(df.df AS DOUBLE) + 0.5) + 1.0)
+        |    * (CAST(tf.tf AS DOUBLE) * ${K1 + 1.0})
+        |    / (CAST(tf.tf AS DOUBLE)
+        |       + $K1 * (1.0 - $B + $B * CAST(dl.dl AS DOUBLE) / avgdl)) AS c
+        |  FROM tf JOIN df USING (w) JOIN dl USING (doc_id), stats),
+        |byterm AS (
+        |  SELECT doc_id,
+        |    $cCols
+        |  FROM contrib GROUP BY doc_id),
+        |top AS (
+        |  SELECT doc_id, round($scoreSum, 6) + 0.0 AS s6
+        |  FROM byterm ORDER BY s6 DESC, doc_id LIMIT 10),
+        |ranked AS (
+        |  SELECT t.doc_id,
+        |    row_number() OVER (ORDER BY t.s6 DESC, t.doc_id) AS rnk,
+        |    coalesce(r.gain, 0) AS gain, r.rel
+        |  FROM top t LEFT JOIN rel r USING (doc_id)),
+        |dcg AS (
+        |  SELECT
+        |    $dcgPivot AS dcg10,
+        |    min(CASE WHEN rel = ${QueryTerms.size} THEN rnk END) AS first_full
+        |  FROM ranked),
+        |ideal AS (
+        |  SELECT gain,
+        |    row_number() OVER (ORDER BY gain DESC, doc_id) AS rnk
+        |  FROM rel ORDER BY gain DESC, doc_id LIMIT 10),
+        |idcg AS (
+        |  SELECT
+        |    $dcgPivot AS idcg10
+        |  FROM ideal),
+        |nrel AS (SELECT CAST(count(*) AS BIGINT) AS n_rel_docs FROM rel)
+        |SELECT n_rel_docs,
+        |  round(dcg10, 6) + 0.0 AS dcg10,
+        |  round(idcg10, 6) + 0.0 AS idcg10,
+        |  round(dcg10 / nullif(idcg10, 0.0), 6) + 0.0 AS ndcg10,
+        |  round(coalesce(1.0 / CAST(first_full AS DOUBLE), 0.0), 6)
+        |    AS reciprocal_rank
+        |FROM dcg, idcg, nrel""".stripMargin
     },
     "q91_preference_pairs" ->
       """WITH scored AS (

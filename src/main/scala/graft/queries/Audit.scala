@@ -1,0 +1,176 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Data-governance audits over the star schema — the checks a lake
+  * deployment runs before trusting (or releasing) a table: referential
+  * integrity (orphaned foreign keys across every declared
+  * relationship) and re-identification risk (k-anonymity group sizes +
+  * l-diversity of a sensitive attribute over a quasi-identifier).
+  *
+  * Reference scope: none (Athena-delegated query half). Conventions:
+  * exact integer counts everywhere; the one float per row is a
+  * closed-form ratio under the round-6 grid; deterministic ORDER BY.
+  *
+  * Scale shape: q117 is one anti-join-shaped aggregate per declared
+  * relationship — each a LEFT join from the child scan onto the
+  * DISTINCT parent keys (dimension-sized, broadcast by AQE) and one
+  * hash aggregate; nothing corpus-sized shuffles twice. q118 is one
+  * hash aggregate over the quasi-identifier (two sub-aggregates:
+  * per-(QI, sensitive) then per-QI), the same two-level shape as q12's
+  * distinct rollup.
+  */
+object Audit {
+
+  private val K = 5 // k-anonymity threshold
+  private val L = 3 // l-diversity threshold
+
+  /** One row per declared FK relationship: child/null/orphan row
+    * counts, parent key counts, and referenced-key coverage.
+    */
+  private def q117(s: SparkSession, dir: String): DataFrame = {
+    def rel(
+        name: String,
+        child: DataFrame,
+        ckey: String,
+        parent: DataFrame,
+        pkey: String
+    ): DataFrame = {
+      val pk = parent.select(col(pkey).cast("long").as("pk")).distinct()
+      val joined = child
+        .select(col(ckey).cast("long").as("k"))
+        .join(pk, col("k") === col("pk"), "left")
+      val parentCount = parent
+        .agg(countDistinct(col(pkey)).as("parent_keys"))
+      joined
+        .agg(
+          count(lit(1)).as("child_rows"),
+          count(when(col("k").isNull, 1)).as("null_keys"),
+          count(when(col("k").isNotNull && col("pk").isNull, 1))
+            .as("orphan_rows"),
+          countDistinct(when(col("pk").isNotNull, col("k")))
+            .as("referenced_keys")
+        )
+        .crossJoin(broadcast(parentCount))
+        .select(
+          lit(name).as("relationship"),
+          col("child_rows"),
+          col("null_keys"),
+          col("orphan_rows"),
+          col("referenced_keys"),
+          col("parent_keys"),
+          round(
+            col("referenced_keys").cast("double")
+              / nullif(col("parent_keys").cast("double"), lit(0.0)),
+            6
+          ).as("parent_coverage")
+        )
+    }
+    val t = (n: String) => Tables.table(s, dir, n)
+    rel("customer.nation", t("customer"), "c_nationkey", t("nation"), "n_nationkey")
+      .unionByName(
+        rel("lineitem.orders", t("lineitem"), "l_orderkey", t("orders"), "o_orderkey")
+      )
+      .unionByName(
+        rel("lineitem.part", t("lineitem"), "l_partkey", t("part"), "p_partkey")
+      )
+      .unionByName(
+        rel("lineitem.supplier", t("lineitem"), "l_suppkey", t("supplier"), "s_suppkey")
+      )
+      .unionByName(
+        rel("orders.customer", t("orders"), "o_custkey", t("customer"), "c_custkey")
+      )
+      .orderBy("relationship")
+  }
+
+  /** q118: k-anonymity / l-diversity risk report — quasi-identifier
+    * (c_nationkey, c_mktsegment), sensitive attribute = the account
+    * balance in exact thousand-unit buckets (centi-snap then the
+    * STRUCTURAL floor division — balances go negative, and on INTEGER
+    * operands BOTH Spark's `div` and DuckDB's `//` truncate toward
+    * zero, so the explicit pmod-floor is spelled on BOTH engines; the
+    * q59b lesson measured here: the truncating oracle was one bucket
+    * off on every negative-balance group). A group
+    * is safe when its size ≥ K and its sensitive diversity ≥ L.
+    */
+  private def q118(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .table(s, dir, "customer")
+      .select(
+        col("c_nationkey"),
+        col("c_mktsegment"),
+        round(col("c_acctbal") * 100.0, 0).cast("long").as("ac")
+      )
+      // floor to 1000-unit buckets on centi ints: negatives must floor,
+      // not truncate, identically on both engines
+      .withColumn("sbucket", expr("(ac - pmod(ac, 100000)) div 100000"))
+      .groupBy("c_nationkey", "c_mktsegment")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("sbucket")).as("l_distinct")
+      )
+      .select(
+        col("c_nationkey").cast("long").as("c_nationkey"),
+        col("c_mktsegment"),
+        col("n_rows"),
+        col("l_distinct"),
+        (col("n_rows") >= K).as("k_anonymous"),
+        (col("l_distinct") >= L).as("l_diverse")
+      )
+      .orderBy("c_nationkey", "c_mktsegment")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q117_fk_audit" -> q117,
+    "q118_k_anonymity" -> q118
+  )
+
+  val oracleSql: Map[String, String] = {
+    def relSql(
+        name: String,
+        child: String,
+        ckey: String,
+        parent: String,
+        pkey: String
+    ): String =
+      s"""SELECT '$name' AS relationship,
+         |  CAST(count(*) AS BIGINT) AS child_rows,
+         |  CAST(count(CASE WHEN c.k IS NULL THEN 1 END) AS BIGINT) AS null_keys,
+         |  CAST(count(CASE WHEN c.k IS NOT NULL AND p.pk IS NULL THEN 1 END) AS BIGINT) AS orphan_rows,
+         |  CAST(count(DISTINCT CASE WHEN p.pk IS NOT NULL THEN c.k END) AS BIGINT) AS referenced_keys,
+         |  (SELECT CAST(count(DISTINCT $pkey) AS BIGINT) FROM $parent) AS parent_keys,
+         |  round(CAST(count(DISTINCT CASE WHEN p.pk IS NOT NULL THEN c.k END) AS DOUBLE)
+         |        / nullif((SELECT CAST(count(DISTINCT $pkey) AS DOUBLE) FROM $parent), 0.0),
+         |        6) AS parent_coverage
+         |FROM (SELECT CAST($ckey AS BIGINT) AS k FROM $child) c
+         |LEFT JOIN (SELECT DISTINCT CAST($pkey AS BIGINT) AS pk FROM $parent) p
+         |  ON c.k = p.pk""".stripMargin
+    Map(
+      "q117_fk_audit" ->
+        Seq(
+          relSql("customer.nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+          relSql("lineitem.orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+          relSql("lineitem.part", "lineitem", "l_partkey", "part", "p_partkey"),
+          relSql("lineitem.supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+          relSql("orders.customer", "orders", "o_custkey", "customer", "c_custkey")
+        ).mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY relationship"),
+      "q118_k_anonymity" ->
+        s"""WITH c AS (
+           |  SELECT c_nationkey, c_mktsegment,
+           |         CAST(round(c_acctbal * 100.0, 0) AS BIGINT) AS ac
+           |  FROM customer),
+           |b AS (SELECT c_nationkey, c_mktsegment,
+           |             (ac - ((ac % 100000 + 100000) % 100000)) // 100000 AS sbucket
+           |      FROM c),
+           |g AS (
+           |  SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, c_mktsegment,
+           |         CAST(count(*) AS BIGINT) AS n_rows,
+           |         CAST(count(DISTINCT sbucket) AS BIGINT) AS l_distinct
+           |  FROM b GROUP BY 1, 2)
+           |SELECT c_nationkey, c_mktsegment, n_rows, l_distinct,
+           |  n_rows >= $K AS k_anonymous,
+           |  l_distinct >= $L AS l_diverse
+           |FROM g ORDER BY c_nationkey, c_mktsegment""".stripMargin
+    )
+  }
+}

@@ -127,12 +127,153 @@ object Stats {
       )
   }
 
+  /** q120: closed-form two-regressor OLS — the "linear probe" fit a
+    * pipeline runs to weight quality signals (here: predict line price
+    * from quantity and discount): y = β0 + β1·x1 + β2·x2 solved from
+    * the normal equations with the 2×2 centered-moment inverse, plus
+    * R². The distributed part is ONE hash aggregate of exact
+    * integer-scaled moments (centi/1e-4-snapped inputs, DECIMAL(38)
+    * sums — Σy² overflows BIGINT at sf0.1 already); the solve is a
+    * closed-form chain on the nine aggregate values, spelled
+    * textually-identically on both engines (pure IEEE arithmetic on
+    * identical operands — deterministic without any mid-grid), with
+    * one round-6 grid on the emitted coefficients and nullif guards on
+    * the two degenerate denominators (collinear regressors, constant
+    * y).
+    *
+    * Scale shape: map-side partial aggregation does all the work; the
+    * driver-visible frame is one row. This is the moment-sketch
+    * pattern every distributed ML system uses for linear models — at
+    * 100 TB nothing changes but the partial-aggregate fan-in.
+    */
+  private def q120(s: SparkSession, dir: String): DataFrame = {
+    val m = graft.queries.Tables
+      .table(s, dir, "lineitem")
+      .select(
+        round(col("l_quantity") * 100.0, 0).cast("long").as("x1c"),
+        round(col("l_discount") * 10000.0, 0).cast("long").as("x2m"),
+        round(col("l_extendedprice") * 100.0, 0).cast("long").as("yc")
+      )
+      .agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(col("x1c").cast("decimal(38,0)")).cast("double").as("rs1"),
+        sum(col("x2m").cast("decimal(38,0)")).cast("double").as("rs2"),
+        sum(col("yc").cast("decimal(38,0)")).cast("double").as("rsy"),
+        sum((col("x1c") * col("x1c")).cast("decimal(38,0)")).cast("double").as("rs11"),
+        sum((col("x1c") * col("x2m")).cast("decimal(38,0)")).cast("double").as("rs12"),
+        sum((col("x2m") * col("x2m")).cast("decimal(38,0)")).cast("double").as("rs22"),
+        sum((col("x1c") * col("yc")).cast("decimal(38,0)")).cast("double").as("rs1y"),
+        sum((col("x2m") * col("yc")).cast("decimal(38,0)")).cast("double").as("rs2y"),
+        sum((col("yc") * col("yc")).cast("decimal(38,0)")).cast("double").as("rsyy")
+      )
+      // unscale the exact integer moments into variable units — each is
+      // ONE correctly-rounded IEEE division of identical operands
+      .withColumn("s1", col("rs1") / 1.0e2)
+      .withColumn("s2", col("rs2") / 1.0e4)
+      .withColumn("sy", col("rsy") / 1.0e2)
+      .withColumn("s11", col("rs11") / 1.0e4)
+      .withColumn("s12", col("rs12") / 1.0e6)
+      .withColumn("s22", col("rs22") / 1.0e8)
+      .withColumn("s1y", col("rs1y") / 1.0e4)
+      .withColumn("s2y", col("rs2y") / 1.0e6)
+      .withColumn("syy", col("rsyy") / 1.0e4)
+      .withColumn("c11", col("s11") - col("s1") * col("s1") / col("n"))
+      .withColumn("c12", col("s12") - col("s1") * col("s2") / col("n"))
+      .withColumn("c22", col("s22") - col("s2") * col("s2") / col("n"))
+      .withColumn("c1y", col("s1y") - col("s1") * col("sy") / col("n"))
+      .withColumn("c2y", col("s2y") - col("s2") * col("sy") / col("n"))
+      .withColumn("cyy", col("syy") - col("sy") * col("sy") / col("n"))
+      .withColumn(
+        "det",
+        col("c11") * col("c22") - col("c12") * col("c12")
+      )
+      .withColumn(
+        "b1",
+        (col("c1y") * col("c22") - col("c2y") * col("c12"))
+          / nullif(col("det"), lit(0.0))
+      )
+      .withColumn(
+        "b2",
+        (col("c2y") * col("c11") - col("c1y") * col("c12"))
+          / nullif(col("det"), lit(0.0))
+      )
+      .withColumn(
+        "b0",
+        (col("sy") - col("b1") * col("s1") - col("b2") * col("s2")) / col("n")
+      )
+      .withColumn(
+        "r2",
+        (col("b1") * col("c1y") + col("b2") * col("c2y"))
+          / nullif(col("cyy"), lit(0.0))
+      )
+    m.select(
+      col("n").cast("long").as("n_rows"),
+      (round(col("b0"), 6) + 0.0).as("beta0"),
+      (round(col("b1"), 6) + 0.0).as("beta1"),
+      (round(col("b2"), 6) + 0.0).as("beta2"),
+      (round(col("r2"), 6) + 0.0).as("r2")
+    )
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q86_chi_square" -> q86,
-    "q87_ab_test" -> q87
+    "q87_ab_test" -> q87,
+    "q120_ols_probe" -> q120
   )
 
+  private val q120OracleSql: String =
+    """WITH m AS (
+      |  SELECT CAST(count(*) AS DOUBLE) AS n,
+      |    CAST(sum(CAST(round(l_quantity * 100.0, 0) AS BIGINT)) AS DOUBLE) AS rs1,
+      |    CAST(sum(CAST(round(l_discount * 10000.0, 0) AS BIGINT)) AS DOUBLE) AS rs2,
+      |    CAST(sum(CAST(round(l_extendedprice * 100.0, 0) AS BIGINT)) AS DOUBLE) AS rsy,
+      |    CAST(sum(CAST(round(l_quantity * 100.0, 0) AS BIGINT)
+      |           * CAST(round(l_quantity * 100.0, 0) AS BIGINT)) AS DOUBLE) AS rs11,
+      |    CAST(sum(CAST(round(l_quantity * 100.0, 0) AS BIGINT)
+      |           * CAST(round(l_discount * 10000.0, 0) AS BIGINT)) AS DOUBLE) AS rs12,
+      |    CAST(sum(CAST(round(l_discount * 10000.0, 0) AS BIGINT)
+      |           * CAST(round(l_discount * 10000.0, 0) AS BIGINT)) AS DOUBLE) AS rs22,
+      |    CAST(sum(CAST(round(l_quantity * 100.0, 0) AS BIGINT)
+      |           * CAST(round(l_extendedprice * 100.0, 0) AS BIGINT)) AS DOUBLE) AS rs1y,
+      |    CAST(sum(CAST(round(l_discount * 10000.0, 0) AS BIGINT)
+      |           * CAST(round(l_extendedprice * 100.0, 0) AS BIGINT)) AS DOUBLE) AS rs2y,
+      |    CAST(sum(CAST(round(l_extendedprice * 100.0, 0) AS BIGINT)
+      |           * CAST(round(l_extendedprice * 100.0, 0) AS BIGINT)) AS DOUBLE) AS rsyy
+      |  FROM lineitem),
+      |u AS (
+      |  SELECT n,
+      |    rs1 / 1e2 AS s1, rs2 / 1e4 AS s2, rsy / 1e2 AS sy,
+      |    rs11 / 1e4 AS s11, rs12 / 1e6 AS s12, rs22 / 1e8 AS s22,
+      |    rs1y / 1e4 AS s1y, rs2y / 1e6 AS s2y, rsyy / 1e4 AS syy
+      |  FROM m),
+      |c AS (
+      |  SELECT n, s1, s2, sy,
+      |    s11 - s1 * s1 / n AS c11,
+      |    s12 - s1 * s2 / n AS c12,
+      |    s22 - s2 * s2 / n AS c22,
+      |    s1y - s1 * sy / n AS c1y,
+      |    s2y - s2 * sy / n AS c2y,
+      |    syy - sy * sy / n AS cyy
+      |  FROM u),
+      |d AS (SELECT *, c11 * c22 - c12 * c12 AS det FROM c),
+      |b AS (
+      |  SELECT *,
+      |    (c1y * c22 - c2y * c12) / nullif(det, 0.0) AS b1,
+      |    (c2y * c11 - c1y * c12) / nullif(det, 0.0) AS b2
+      |  FROM d),
+      |f AS (
+      |  SELECT n, b1, b2, c1y, c2y, cyy,
+      |    (sy - b1 * s1 - b2 * s2) / n AS b0
+      |  FROM b)
+      |SELECT CAST(n AS BIGINT) AS n_rows,
+      |  round(b0, 6) + 0.0 AS beta0,
+      |  round(b1, 6) + 0.0 AS beta1,
+      |  round(b2, 6) + 0.0 AS beta2,
+      |  round((b1 * c1y + b2 * c2y) / nullif(cyy, 0.0), 6) + 0.0 AS r2
+      |FROM f""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "q120_ols_probe" -> q120OracleSql,
     "q86_chi_square" ->
       """WITH obs AS (
         |  SELECT event_type, user_id % 3 AS tier, count(*) AS obs

@@ -1,0 +1,179 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Irregular-time-series summarization over the events stream — the
+  * bar-building half of a metrics/market-data pipeline: time-weighted
+  * averages (TWAP) over irregularly-sampled per-entity series, and
+  * per-(type, day) OHLC/VWAP candles.
+  *
+  * Reference scope: none (the reference's query half is delegated to
+  * Athena; these are the time-series aggregations such a deployment
+  * runs there). Family conventions: values centi-snapped to exact
+  * BIGINTs first (the q113 convention), all weights/durations exact
+  * integer microseconds from the timestamp, ONE closed-form float
+  * division at the end under a round(·, 6) grid, nullif-guarded
+  * degenerate denominators, deterministic (ts, event_id) tie-breaks.
+  *
+  * Scale shape: both queries are one hash aggregate over the stream;
+  * the TWAP window sorts only within a user's own history (per-user
+  * histories are naturally short — the q84b argument), and the OHLC
+  * extremes come from min_by/max_by struct aggregates, never a
+  * per-group sort.
+  */
+object TimeSeries {
+
+  private def events(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .table(s, dir, "events")
+      .select(
+        col("event_id"),
+        col("user_id"),
+        col("event_type"),
+        col("ts"),
+        col("props"),
+        unix_micros(col("ts")).as("us"),
+        round(col("value") * 100.0, 0).cast("long").as("vc")
+      )
+
+  /** q119: per-user TWAP — each sample's value holds until the user's
+    * next event (zero-order hold), so the average weights every sample
+    * by its exact holding duration in integer microseconds:
+    * TWAP = Σ vc·dur / (Σ dur · 100). The last sample has no successor
+    * and carries no weight (the standard left-closed convention).
+    *
+    * Scale shape: ONE user-keyed exchange; the lead() window sorts a
+    * user's own ≤dozens-row history, never the corpus; then one hash
+    * aggregate. Σ vc·dur ≤ max_vc · span_us ≈ 5·10^4 · 2.6·10^12 ≈
+    * 1.3·10^17 per user — BIGINT-safe to ~70× this span; beyond that
+    * the sum moves to DECIMAL(38).
+    */
+  private def q119(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    events(s, dir)
+      .withColumn("dur", lead("us", 1).over(w) - col("us"))
+      .filter(col("dur").isNotNull)
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_samples"),
+        sum("dur").as("total_dur_us"),
+        sum(col("vc") * col("dur")).as("swx")
+      )
+      .select(
+        col("user_id"),
+        col("n_samples"),
+        col("total_dur_us"),
+        round(
+          col("swx").cast("double")
+            / nullif(col("total_dur_us").cast("double") * 100.0, lit(0.0)),
+          6
+        ).as("twap")
+      )
+      .orderBy("user_id")
+  }
+
+  /** q119b: OHLC + VWAP candles per (event_type, day) — open/close are
+    * the first/last centi value under the deterministic (us, event_id)
+    * order via min_by/max_by over structs (ONE hash aggregate, no
+    * per-group sort — the q91 extremes convention); volume is the
+    * integer props.k payload, VWAP = Σ vc·vol / (Σ vol · 100).
+    *
+    * Parity: open/high/low/close are exact centi integers rendered as
+    * value units by an exact /100.0 (centi → double is exact, no grid
+    * needed); VWAP is the one true float step, round-6 + nullif. The
+    * oracle derives open/close by a DIFFERENT algorithm (row_number
+    * first/last rows per partition), so two independent spellings must
+    * agree.
+    */
+  private def q119b(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .withColumn("day", to_date(col("ts")))
+      .withColumn("vol", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy("event_type", "day")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min_by(col("vc"), struct(col("us"), col("event_id"))).as("o_c"),
+        max("vc").as("h_c"),
+        min("vc").as("l_c"),
+        max_by(col("vc"), struct(col("us"), col("event_id"))).as("c_c"),
+        sum("vol").as("volume"),
+        sum(col("vc") * col("vol")).as("spv")
+      )
+      .select(
+        col("event_type"),
+        col("day"),
+        col("n_events"),
+        (col("o_c").cast("double") / 100.0).as("open"),
+        (col("h_c").cast("double") / 100.0).as("high"),
+        (col("l_c").cast("double") / 100.0).as("low"),
+        (col("c_c").cast("double") / 100.0).as("close"),
+        col("volume"),
+        round(
+          col("spv").cast("double")
+            / nullif(col("volume").cast("double") * 100.0, lit(0.0)),
+          6
+        ).as("vwap")
+      )
+      .orderBy("event_type", "day")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q119_twap" -> q119,
+    "q119b_ohlc_vwap" -> q119b
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q119_twap" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us,
+        |         CAST(round(value * 100.0, 0) AS BIGINT) AS vc
+        |  FROM events),
+        |d AS (
+        |  SELECT user_id, vc,
+        |    lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) - us AS dur
+        |  FROM e)
+        |SELECT user_id,
+        |  CAST(count(*) AS BIGINT) AS n_samples,
+        |  CAST(sum(dur) AS BIGINT) AS total_dur_us,
+        |  round(CAST(sum(vc * dur) AS DOUBLE)
+        |        / nullif(CAST(sum(dur) AS DOUBLE) * 100.0, 0.0), 6) AS twap
+        |FROM d WHERE dur IS NOT NULL
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // open/close via first/last row_number rows — a structurally
+    // different algorithm from Spark's min_by/max_by struct aggregate
+    "q119b_ohlc_vwap" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, event_id,
+        |         epoch_us(ts) AS us,
+        |         CAST(round(value * 100.0, 0) AS BIGINT) AS vc,
+        |         CAST(json_extract_string(props, '$.k') AS BIGINT) AS vol
+        |  FROM events),
+        |r AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY event_type, day
+        |                       ORDER BY us, event_id) AS rn_a,
+        |    row_number() OVER (PARTITION BY event_type, day
+        |                       ORDER BY us DESC, event_id DESC) AS rn_d
+        |  FROM e),
+        |agg AS (
+        |  SELECT event_type, day,
+        |    CAST(count(*) AS BIGINT) AS n_events,
+        |    CAST(max(CASE WHEN rn_a = 1 THEN vc END) AS BIGINT) AS o_c,
+        |    CAST(max(vc) AS BIGINT) AS h_c,
+        |    CAST(min(vc) AS BIGINT) AS l_c,
+        |    CAST(max(CASE WHEN rn_d = 1 THEN vc END) AS BIGINT) AS c_c,
+        |    CAST(sum(vol) AS BIGINT) AS volume,
+        |    CAST(sum(vc * vol) AS BIGINT) AS spv
+        |  FROM r GROUP BY 1, 2)
+        |SELECT event_type, day, n_events,
+        |  CAST(o_c AS DOUBLE) / 100.0 AS open,
+        |  CAST(h_c AS DOUBLE) / 100.0 AS high,
+        |  CAST(l_c AS DOUBLE) / 100.0 AS low,
+        |  CAST(c_c AS DOUBLE) / 100.0 AS close,
+        |  volume,
+        |  round(CAST(spv AS DOUBLE)
+        |        / nullif(CAST(volume AS DOUBLE) * 100.0, 0.0), 6) AS vwap
+        |FROM agg ORDER BY event_type, day""".stripMargin
+  )
+}

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantic pins for the governance audits (queries/Audit): the FK
+  * report's counts must match independent per-table aggregates, and the
+  * k-anonymity report must partition the customer table with naively
+  * recomputed flags.
+  */
+class AuditSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("q117 FK audit matches independent counts; testdata has no orphans") {
+    val rows = SparkEntry
+      .queries("q117_fk_audit")(spark, sf)
+      .collect()
+      .map(r =>
+        r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      )
+      .toMap
+    assert(rows.size == 5)
+    def cnt(t: String): Long =
+      graft.queries.Tables.table(spark, sf, t).count()
+    assert(rows("lineitem.orders")._1 == cnt("lineitem"))
+    assert(rows("orders.customer")._1 == cnt("orders"))
+    assert(rows("customer.nation")._1 == cnt("customer"))
+    rows.foreach { case (name, (child, nulls, orphans, refd, parents)) =>
+      assert(nulls == 0 && orphans == 0, s"$name: unexpected orphans")
+      assert(refd <= parents, name)
+      assert(child >= refd, name)
+    }
+    // every nation key is referenced by some customer (dense synthetic data)
+    assert(rows("customer.nation")._4 == cnt("nation"))
+  }
+
+  test("q118 k-anonymity partitions customer; flags recomputed naively") {
+    val out = SparkEntry
+      .queries("q118_k_anonymity")(spark, sf)
+      .collect()
+      .map(r =>
+        (r.getLong(0), r.getString(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getBoolean(4), r.getBoolean(5)))
+      )
+      .toMap
+    val cust = graft.queries.Tables
+      .table(spark, sf, "customer")
+      .select(
+        col("c_nationkey").cast("long"),
+        col("c_mktsegment"),
+        round(col("c_acctbal") * 100.0, 0).cast("long").as("ac")
+      )
+      .collect()
+      .map(r => ((r.getLong(0), r.getString(1)), r.getLong(2)))
+    assert(out.values.map(_._1).sum == cust.length.toLong)
+    cust.groupBy(_._1).foreach { case (qi, grp) =>
+      val buckets = grp.map(g => Math.floorDiv(g._2, 100000L)).distinct.length
+      val (n, l, kOk, lOk) = out(qi)
+      assert(n == grp.length && l == buckets, s"$qi")
+      assert(kOk == (n >= 5) && lOk == (l >= 3), s"$qi")
+    }
+  }
+}

@@ -35,7 +35,8 @@ class GlobalWindowAuditSpec extends SparkSpec {
     "q92_rrf_fusion" -> "per-ranker row numbering AFTER limit(RrfDepth): ≤ 50 rows each",
     "q105_rag_context" -> "rank + cumsum AFTER q90's limit(20): ≤ 20-row frames",
     "q95_curriculum_order" -> "prefix offsets over bucket×subshard rows (≤ 320)",
-    "q111_roc_auc" -> "two-level cumulation: window over SHARD offsets (≤ score-range/256 rows)"
+    "q111_roc_auc" -> "two-level cumulation: window over SHARD offsets (≤ score-range/256 rows)",
+    "q115_ndcg_mrr" -> "rank pivots AFTER limit(NdcgK): ≤ 10-row ranked/ideal frames"
   )
 
   private def globalWindows(p: SparkPlan): Seq[SparkPlan] =

@@ -133,4 +133,52 @@ class RetrievalSpec extends SparkSpec {
     }
     assert(checked == out.size)
   }
+
+  test("q115 NDCG/MRR replay in plain Scala from the gated BM25 list") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val row = SparkEntry.queries("q115_ndcg_mrr")(spark, sf).collect().head
+    val (nRel, dcg10, idcg10, ndcg10, rr) =
+      (row.getLong(0), row.getDouble(1), row.getDouble(2), row.getDouble(3), row.getDouble(4))
+
+    // relevance = #query terms whose first occurrence is in the first
+    // 200 chars (locate between 1 and 200 ⇔ 0-based indexOf in [0, 200))
+    val terms = Seq("spark", "join", "filter")
+    val rels: Map[Long, Int] = graft.queries.Tables
+      .table(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+      .collect()
+      .map { r =>
+        val t = r.getString(1)
+        r.getLong(0) -> terms.count { q =>
+          val i = t.indexOf(q); i >= 0 && i < 200
+        }
+      }
+      .collect { case (id, c) if c > 0 => id -> c }
+      .toMap
+    assert(nRel == rels.size.toLong)
+
+    // the ranked list: q92's list convention replayed through the gated
+    // q90 output is round-4; re-derive ranks from the spec's own naive
+    // BM25 is overkill — instead pin structure + the ideal half exactly.
+    val gains = rels.values.map(r => (1 << r) - 1).toSeq.sorted.reverse.take(10)
+    val idealNaive = gains.zipWithIndex.map { case (g, i) =>
+      g.toDouble / (math.log(i + 2.0) / math.log(2.0))
+    }.sum
+    // 2e-6 tolerance: idcg is gridded round-6 and the replay's libm log
+    // may differ by an ulp from the engine's log2 at a grid boundary
+    assert(math.abs(idcg10 - math.rint(idealNaive * 1e6) / 1e6) < 2e-6)
+    assert(dcg10 >= 0.0 && dcg10 <= idcg10 + 1e-9)
+    assert(ndcg10 >= 0.0 && ndcg10 <= 1.0 + 1e-9)
+    assert(
+      math.abs(ndcg10 - math.rint(dcg10 / idcg10 * 1e6) / 1e6) < 2e-6,
+      s"$ndcg10 vs ${dcg10 / idcg10}"
+    )
+    // reciprocal rank is 0 or 1/r for r in 1..10
+    assert(
+      rr == 0.0 ||
+        (1 to 10).exists(r => math.abs(rr - math.rint(1e6 / r) / 1e6) < 1e-9),
+      s"rr=$rr"
+    )
+  }
 }
