@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.queries.Tables
 
@@ -151,9 +151,72 @@ object SimJoin {
       .orderBy("name_a", "name_b")
   }
 
+  /** q121 Jaro-Winkler acceptance threshold (0.85 keeps ~140 of the
+    * ~2000 possible distinct-name pairs — a real shortlist, not the
+    * near-everything a sequential-ID column would match).
+    */
+  private val JwT = 0.85
+
+  /** Jaro-Winkler similarity as a Column — the codegen'd
+    * [[graft.functions.JaroWinkler]] expression (see its Scaladoc for
+    * the pinned textbook semantics and the DuckDB bit-parity contract).
+    */
+  private def jaroWinkler(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expr => cexpr}
+    column(graft.functions.JaroWinkler(cexpr(a), cexpr(b)))
+  }
+
+  /** q121: Jaro-Winkler name linkage — the third similarity-join
+    * flavor: q109 matches SETS (Jaccard), q110 matches strings at a
+    * FIXED edit budget, q121 scores GRADED character-level similarity
+    * with prefix emphasis, the standard scorer for entity-resolution /
+    * master-data name matching (Winkler's census linkage). Self-join
+    * over the DISTINCT part names, scored by the custom codegen'd
+    * expression, kept at ≥ [[JwT]].
+    *
+    * The length filter riding the join is LOSSLESS: jw = j + ℓ·0.1·(1−j)
+    * ≤ 0.6·j + 0.4 (ℓ ≤ 4), so jw ≥ 0.85 ⇒ j ≥ 0.75; with m ≤ min(l1,l2)
+    * and t ≥ 0, j ≤ (min/max + 2)/3 ⇒ min/max ≥ 1/4 ⇒ 4·min ≥ max —
+    * exact integer arithmetic on both engines.
+    *
+    * Scale shape: names are a DISTINCT-values frame (vocabulary-sized,
+    * orders smaller than the corpus — the master-data regime); the
+    * self-join broadcasts it. For corpus-sized string sets the
+    * candidate generator composes: q110's deletion neighborhoods or
+    * q109's prefix filter block first, q121's scorer ranks the
+    * survivors. The threshold filter runs on the RAW double (both
+    * engines compute bit-identical values — JaroWinklerSpec), the
+    * round-6 grid is display-only.
+    */
+  private def q121(s: SparkSession, dir: String): DataFrame = {
+    val names = Tables.table(s, dir, "part").select(col("p_name")).distinct()
+    q121Over(names)
+  }
+
+  /** The joinable core, parameterized for the spec's crafted corpus. */
+  private[graft] def q121Over(names: DataFrame): DataFrame =
+    names
+      .select(col("p_name").as("name_a"))
+      .as("a")
+      .join(
+        names.select(col("p_name").as("name_b")).as("b"),
+        col("name_a") < col("name_b") &&
+          lit(4) * least(length(col("name_a")), length(col("name_b")))
+          >= greatest(length(col("name_a")), length(col("name_b")))
+      )
+      .withColumn("jw_raw", jaroWinkler(col("name_a"), col("name_b")))
+      .filter(col("jw_raw") >= JwT)
+      .select(
+        col("name_a"),
+        col("name_b"),
+        round(col("jw_raw"), 6).as("jw")
+      )
+      .orderBy("name_a", "name_b")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q109_prefix_jaccard_join" -> q109,
-    "q110_edit_distance_join" -> q110
+    "q110_edit_distance_join" -> q110,
+    "q121_jaro_winkler_linkage" -> q121
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -176,6 +239,20 @@ object SimJoin {
         |  ON a.s_name < b.s_name
         | AND abs(length(a.s_name) - length(b.s_name)) <= 1
         |WHERE levenshtein(a.s_name, b.s_name) <= 1
-        |ORDER BY name_a, name_b""".stripMargin
+        |ORDER BY name_a, name_b""".stripMargin,
+    // DuckDB's NATIVE jaro_winkler_similarity against the custom
+    // codegen'd Spark expression — two independent implementations of
+    // the textbook algorithm must agree bit-for-bit on every pair AND
+    // on every threshold decision (the filter runs on the raw double)
+    "q121_jaro_winkler_linkage" ->
+      s"""WITH n AS (SELECT DISTINCT p_name FROM part)
+         |SELECT a.p_name AS name_a, b.p_name AS name_b,
+         |       round(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS jw
+         |FROM n a JOIN n b
+         |  ON a.p_name < b.p_name
+         | AND 4 * least(length(a.p_name), length(b.p_name))
+         |     >= greatest(length(a.p_name), length(b.p_name))
+         |WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= $JwT
+         |ORDER BY name_a, name_b""".stripMargin
   )
 }
