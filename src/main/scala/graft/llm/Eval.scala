@@ -218,11 +218,68 @@ object Eval {
       .orderBy("source")
   }
 
+  /** q123: Weight-of-Evidence / Information-Value binning — the
+    * scorecard-modeling diagnostic that ranks a feature's predictive
+    * power before it enters a filter model (the supervised complement
+    * of q46's unsupervised histograms): document length in fixed
+    * 500-char bins (capped at 10, the q111b shape) against the
+    * target-language label; per bin
+    * WOE = ln((pos_rate)/(neg_rate)) and IV contribution
+    * (pos_rate − neg_rate)·WOE, both Laplace-adjusted (+0.5 per bin,
+    * +5.0 = 0.5·bins on the totals) so empty-side bins stay finite.
+    *
+    * Exactness: counts are integers from ONE corpus hash aggregate;
+    * totals broadcast (1-row frame); ln is the one libm call under the
+    * round-6 grid; WOE can go negative → the +0.0 signed-zero guard.
+    * IV contributions are ≥ 0 by construction ((a−b)·ln(a/b) — same
+    * sign both factors).
+    */
+  private def q123(s: SparkSession, dir: String): DataFrame = {
+    val binned = Tables
+      .table(s, dir, "documents")
+      .select(
+        least(expr("n_chars div 500"), lit(9L)).as("bin"),
+        (col("lang") === "en").cast("int").as("pos")
+      )
+      .groupBy("bin")
+      .agg(
+        sum("pos").cast("long").as("n_pos"),
+        (count(lit(1)) - sum("pos")).cast("long").as("n_neg")
+      )
+    val totals = binned.agg(
+      sum("n_pos").as("g"),
+      sum("n_neg").as("b")
+    )
+    binned
+      .crossJoin(broadcast(totals))
+      .withColumn(
+        "pr",
+        (col("n_pos").cast("double") + lit(0.5))
+          / (col("g").cast("double") + lit(5.0))
+      )
+      .withColumn(
+        "nr",
+        (col("n_neg").cast("double") + lit(0.5))
+          / (col("b").cast("double") + lit(5.0))
+      )
+      .withColumn("woe_raw", log(col("pr") / col("nr")))
+      .select(
+        col("bin"),
+        col("n_pos"),
+        col("n_neg"),
+        (round(col("woe_raw"), 6) + 0.0).as("woe"),
+        (round((col("pr") - col("nr")) * col("woe_raw"), 6) + 0.0)
+          .as("iv_contrib")
+      )
+      .orderBy("bin")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q111_roc_auc" -> q111,
     "q111b_calibration" -> q111b,
     "q112_cohens_kappa" -> q112,
-    "q114_gini_concentration" -> q114
+    "q114_gini_concentration" -> q114,
+    "q123_woe_iv" -> q123
   )
 
   private def labeledCte: String =
@@ -291,6 +348,23 @@ object Eval {
          |  round(po, 6) + 0.0 AS p_observed,
          |  round((po - pe) / nullif(1.0 - pe, 0.0), 6) + 0.0 AS kappa
          |FROM k""".stripMargin,
+    "q123_woe_iv" ->
+      """WITH binned AS (
+        |  SELECT least(n_chars // 500, 9) AS bin,
+        |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        |    CAST(count(*) - sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_neg
+        |  FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_pos) AS BIGINT) AS g,
+        |             CAST(sum(n_neg) AS BIGINT) AS b FROM binned),
+        |r AS (
+        |  SELECT bin, n_pos, n_neg,
+        |    (CAST(n_pos AS DOUBLE) + 0.5) / (CAST(g AS DOUBLE) + 5.0) AS pr,
+        |    (CAST(n_neg AS DOUBLE) + 0.5) / (CAST(b AS DOUBLE) + 5.0) AS nr
+        |  FROM binned, t)
+        |SELECT bin, n_pos, n_neg,
+        |  round(ln(pr / nr), 6) + 0.0 AS woe,
+        |  round((pr - nr) * ln(pr / nr), 6) + 0.0 AS iv_contrib
+        |FROM r ORDER BY bin""".stripMargin,
     "q114_gini_concentration" ->
       """WITH r AS (
         |  SELECT source, n_chars,

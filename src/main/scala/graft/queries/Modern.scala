@@ -97,9 +97,32 @@ object Modern {
     )
   }
 
+  /** q122: GROUP BY ALL / ORDER BY ALL — the analyst-ergonomics SQL
+    * surface (group on every non-aggregate select expression, order by
+    * every output column left-to-right) that originated in DuckDB and
+    * landed in Spark; BOTH engines run their NATIVE inference here, so
+    * the gate proves the two inference rules pick identical grouping
+    * and ordering sets on a mixed expression/aggregate select list.
+    * Centi-snapped sum per the q100 convention; plain hash-aggregate
+    * plan — the surface is parser/analyzer sugar, not a new operator.
+    */
+  private def q122(s: SparkSession, dir: String): DataFrame = {
+    Tables.table(s, dir, "events").createOrReplaceTempView("graft_q122_ev")
+    s.sql(
+      """SELECT event_type, to_date(ts) AS day,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(round(value * 100.0, 0) AS BIGINT)) AS BIGINT) AS sum_centi
+        |FROM graft_q122_ev
+        |WHERE user_id % 4 = 1
+        |GROUP BY ALL
+        |ORDER BY ALL""".stripMargin
+    )
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q107_variant_json" -> q107,
-    "q108_pipe_sql" -> q108
+    "q108_pipe_sql" -> q108,
+    "q122_group_by_all" -> q122
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -135,6 +158,17 @@ object Modern {
         |FROM lineitem WHERE l_quantity >= 30
         |GROUP BY l_returnflag, l_linestatus
         |HAVING count(*) > 10
-        |ORDER BY l_returnflag, l_linestatus LIMIT 10""".stripMargin
+        |ORDER BY l_returnflag, l_linestatus LIMIT 10""".stripMargin,
+    // DuckDB's OWN GROUP BY ALL / ORDER BY ALL inference (the clause
+    // originated there) against Spark's — not a rewrite to explicit
+    // columns: the two engines' inference rules are under test
+    "q122_group_by_all" ->
+      """SELECT event_type, CAST(ts AS DATE) AS day,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(round(value * 100.0, 0) AS BIGINT)) AS BIGINT) AS sum_centi
+        |FROM events
+        |WHERE user_id % 4 = 1
+        |GROUP BY ALL
+        |ORDER BY ALL""".stripMargin
   )
 }

@@ -87,4 +87,32 @@ class EvalSpec extends SparkSpec {
       assert(got(src) >= 0.0 && got(src) < 1.0)
     }
   }
+
+  test("q123 WOE/IV bins replay naively; IV contributions non-negative") {
+    val got = SparkEntry
+      .queries("q123_woe_iv")(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    val docs = graft.queries.Tables
+      .table(spark, sf, "documents")
+      .select("n_chars", "lang")
+      .collect()
+      .map(r => (math.min(r.getLong(0) / 500, 9L), r.getString(1) == "en"))
+    val byBin = docs.groupBy(_._1)
+    assert(got.keySet == byBin.keySet)
+    val g = docs.count(_._2).toDouble
+    val b = docs.size - g
+    byBin.foreach { case (bin, rows) =>
+      val np = rows.count(_._2)
+      val nn = rows.size - np
+      val (gp, gn, woe, iv) = got(bin)
+      assert(gp == np.toLong && gn == nn.toLong, s"bin $bin counts")
+      val pr = (np + 0.5) / (g + 5.0)
+      val nr = (nn + 0.5) / (b + 5.0)
+      assert(math.abs(woe - math.log(pr / nr)) < 1e-6, s"bin $bin woe")
+      assert(math.abs(iv - (pr - nr) * math.log(pr / nr)) < 1e-6, s"bin $bin iv")
+      assert(iv >= 0.0, s"bin $bin: IV contribution must be non-negative")
+    }
+  }
 }
