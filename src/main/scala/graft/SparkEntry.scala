@@ -30,6 +30,7 @@ object SparkEntry {
       graft.catalog.IncrementalGateQuery.queries ++
       graft.catalog.MaintenanceGateQuery.queries ++
       graft.queries.Relational.queries ++
+      graft.queries.AsOfQuery.queries ++
       graft.queries.Modern.queries ++
       graft.queries.BloomJoin.queries ++
       graft.queries.Merge.queries ++
@@ -79,6 +80,7 @@ object SparkEntry {
       graft.catalog.IncrementalGateQuery.oracleSql ++
       graft.catalog.MaintenanceGateQuery.oracleSql ++
       graft.queries.Relational.oracleSql ++
+      graft.queries.AsOfQuery.oracleSql ++
       graft.queries.Modern.oracleSql ++
       graft.queries.BloomJoin.oracleSql ++
       graft.queries.Merge.oracleSql ++

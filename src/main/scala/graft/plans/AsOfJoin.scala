@@ -1,0 +1,260 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{
+  Ascending,
+  Attribute,
+  Expression,
+  GenericInternalRow,
+  JoinedRow,
+  SortOrder,
+  UnsafeProjection
+}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.metric.SQLMetrics
+import org.apache.spark.sql.types.LongType
+
+/** AS-OF JOIN as a first-class operator — the one place in this repo
+  * where Spark's built-ins genuinely cannot express the SEMANTICS in
+  * one operator: the q37 recipe composes a range join (which
+  * materializes EVERY candidate pair inside the tolerance window) with
+  * a row_number de-rank — correct, but the intermediate frame is
+  * candidates-sized, not output-sized. This operator is the direct
+  * physical form: both sides hash-partitioned on the key and sorted by
+  * (key, time), then ONE forward merge pass per partition emits each
+  * left row joined to the latest right row with rightTime ≤ leftTime —
+  * O(|L| + |R|), zero intermediate frame, the classic streaming merge
+  * every time-series store implements natively (and DuckDB ships as
+  * ASOF JOIN — the q124 oracle).
+  *
+  * Spark-first wiring, the (c) tier of the custom-operator preference
+  * order: logical [[AsOfJoin]] node → [[AsOfJoinStrategy]] planner
+  * strategy (injected by [[GraftExtensions]]) → [[AsOfJoinExec]]
+  * physical node that declares ClusteredDistribution + per-side
+  * (key, time) orderings, so EnsureRequirements plants exactly one
+  * exchange per side and co-partitions them — the same contract
+  * SortMergeJoinExec declares; AQE and whole-stage codegen around it
+  * compose untouched.
+  *
+  * Contract: LEFT OUTER as-of semantics (unmatched left rows keep
+  * right columns NULL); times are LongType (exact integer micros, the
+  * q119 convention); a NULL left time or right time never matches; the
+  * two sides must not share attribute ids (alias one side — enforced
+  * loudly in [[AsOf.join]]).
+  */
+case class AsOfJoin(
+    left: LogicalPlan,
+    right: LogicalPlan,
+    leftKey: Expression,
+    rightKey: Expression,
+    leftTime: Expression,
+    rightTime: Expression
+) extends BinaryNode {
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+  override lazy val resolved: Boolean =
+    childrenResolved &&
+      Seq(leftKey, rightKey, leftTime, rightTime).forall(_.resolved)
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan,
+      newRight: LogicalPlan
+  ): LogicalPlan = copy(left = newLeft, right = newRight)
+}
+
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoin(l, r, lk, rk, lt, rt) =>
+      AsOfJoinExec(lk, rk, lt, rt, planLater(l), planLater(r)) :: Nil
+    case _ => Nil
+  }
+}
+
+case class AsOfJoinExec(
+    leftKey: Expression,
+    rightKey: Expression,
+    leftTime: Expression,
+    rightTime: Expression,
+    left: SparkPlan,
+    right: SparkPlan
+) extends SparkPlan
+    with BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override lazy val metrics = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
+    "numMatched" -> SQLMetrics.createMetric(sparkContext, "number of matched left rows")
+  )
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(Seq(leftKey)) :: ClusteredDistribution(Seq(rightKey)) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    Seq(
+      Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
+      Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending))
+    )
+
+  // rows stream out in the left child's (key, time) order, one per left row
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = requiredChildOrdering.head
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    require(
+      leftTime.dataType == LongType && rightTime.dataType == LongType,
+      "as-of times must be LongType (exact integer micros)"
+    )
+    val numOutputRows = longMetric("numOutputRows")
+    val numMatched = longMetric("numMatched")
+    val keyType = leftKey.dataType
+    require(
+      rightKey.dataType == keyType,
+      s"as-of key types differ: $keyType vs ${rightKey.dataType}"
+    )
+    // hoist everything the task closure needs into serializable locals —
+    // capturing a SparkPlan member inside zipPartitions would drag `this`
+    // (non-serializable) into the closure
+    val lOut = left.output
+    val rOut = right.output
+    val allOut = output
+    val lKeyExpr = leftKey
+    val rKeyExpr = rightKey
+    val lTimeExpr = leftTime
+    val rTimeExpr = rightTime
+    val rightWidth = rOut.size
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val lKeyProj = UnsafeProjection.create(Seq(lKeyExpr), lOut)
+      val rKeyProj = UnsafeProjection.create(Seq(rKeyExpr), rOut)
+      val lTimeProj = UnsafeProjection.create(Seq(lTimeExpr), lOut)
+      val rTimeProj = UnsafeProjection.create(Seq(rTimeExpr), rOut)
+      val keyOrd =
+        org.apache.spark.sql.catalyst.expressions.RowOrdering
+          .createNaturalAscendingOrdering(Seq(keyType))
+      // bind against allOut (right side already nullable) so the generated
+      // reads null-check — binding against rOut's original nullability
+      // would skip the check and misread the all-null pad row
+      val resultProj = UnsafeProjection.create(allOut, allOut)
+      val nullRight = new GenericInternalRow(rightWidth)
+      val joined = new JoinedRow
+
+      new Iterator[InternalRow] {
+        // latest right row (copied) whose time ≤ current left time, with its key
+        private var candidate: InternalRow = _
+        private var candidateKey: InternalRow = _
+        // one-row lookahead into the right iterator
+        private var rNext: InternalRow = _
+        private var rNextKey: InternalRow = _
+        private var rNextTime: Long = 0L
+        advanceRight()
+
+        /** Load the next right row with a non-null time (null times can
+          * never match and — sorted NULLS FIRST — would otherwise block
+          * the scan at each key boundary).
+          */
+        private def advanceRight(): Unit = {
+          var loaded = false
+          while (!loaded && rIter.hasNext) {
+            rNext = rIter.next()
+            val t = rTimeProj(rNext)
+            if (!t.isNullAt(0)) {
+              rNextTime = t.getLong(0)
+              rNextKey = rKeyProj(rNext).copy()
+              loaded = true
+            }
+          }
+          if (!loaded) { rNext = null; rNextKey = null }
+        }
+
+        override def hasNext: Boolean = lIter.hasNext
+
+        override def next(): InternalRow = {
+          val lRow = lIter.next()
+          val lKey = lKeyProj(lRow)
+          val lt = lTimeProj(lRow)
+          val ltNull = lt.isNullAt(0)
+          val lTime = if (ltNull) 0L else lt.getLong(0)
+          // consume right rows that can no longer beat future candidates:
+          // stale keys, and same-key rows at or before this left time (the
+          // LAST of which is the as-of match — later left rows only move
+          // forward, so consumed rows are never needed again)
+          var advancing = rNext != null
+          while (advancing) {
+            val cmp = keyOrd.compare(rNextKey, lKey)
+            if (cmp < 0) {
+              advanceRight()
+            } else if (cmp == 0 && !ltNull && rNextTime <= lTime) {
+              candidate = rNext.copy()
+              candidateKey = rNextKey
+              advanceRight()
+            } else advancing = false
+            if (rNext == null) advancing = false
+          }
+          val matched =
+            !ltNull && candidate != null && keyOrd.compare(candidateKey, lKey) == 0
+          numOutputRows += 1
+          if (matched) {
+            numMatched += 1
+            resultProj(joined(lRow, candidate))
+          } else resultProj(joined(lRow, nullRight))
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan,
+      newRight: SparkPlan
+  ): SparkPlan = copy(left = newLeft, right = newRight)
+}
+
+/** Column-API entry point for the operator. */
+object AsOf {
+
+  /** Left-outer as-of join: each left row picks the latest right row
+    * with the same key and rightTime ≤ leftTime. Column NAMES (not
+    * Columns) keep side resolution unambiguous; the sides must not
+    * share attribute ids — alias one side's columns first (a plain
+    * select with fresh names suffices).
+    */
+  def join(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftTime: String,
+      rightTime: String
+  ): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val lPlan = ColumnBridge.plan(left)
+    val rPlan = ColumnBridge.plan(right)
+    val shared = lPlan.outputSet.intersect(rPlan.outputSet)
+    require(
+      shared.isEmpty,
+      s"as-of sides share attributes $shared — alias one side's columns first"
+    )
+    def attr(p: LogicalPlan, n: String): Attribute =
+      p.output
+        .find(_.name == n)
+        .getOrElse(
+          throw new IllegalArgumentException(
+            s"column $n not in [${p.output.map(_.name).mkString(", ")}]"
+          )
+        )
+    ColumnBridge.ofRows(
+      left.sparkSession,
+      AsOfJoin(
+        lPlan,
+        rPlan,
+        attr(lPlan, leftKey),
+        attr(rPlan, rightKey),
+        attr(lPlan, leftTime),
+        attr(rPlan, rightTime)
+      )
+    )
+  }
+}

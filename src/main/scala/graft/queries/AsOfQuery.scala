@@ -1,0 +1,91 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** q124: the custom AS-OF JOIN operator (plans/AsOfJoin.scala) behind
+  * the oracle — each purchase matched to the user's latest view at or
+  * before it (left outer: purchases with no prior view keep NULLs).
+  *
+  * This is q37's semantics through a DIFFERENT execution: q37 composes
+  * range-join + row_number (candidates-sized intermediate), the custom
+  * operator runs one merge pass per co-partition (output-sized). The
+  * oracle is DuckDB's NATIVE ASOF LEFT JOIN — two independent native
+  * implementations of the operator must agree row-for-row, including
+  * the inclusive boundary (vt = pt matches) and the unmatched-left
+  * NULL contract.
+  *
+  * Determinism: view-side ties on (user, ts) are collapsed to one row
+  * (max event_id) BEFORE the join, so "the latest view" is unique by
+  * construction on both engines; times are exact integer micros.
+  *
+  * Scale shape: exactly one hash exchange per side + per-partition
+  * sort (EnsureRequirements fulfilling the operator's declared
+  * ClusteredDistribution/ordering — the SortMergeJoin contract), then
+  * an O(|L|+|R|) streaming merge with zero intermediate frame;
+  * AsOfJoinSpec pins the plan (AsOfJoinExec present, no Window, no
+  * candidate-pair join).
+  */
+object AsOfQuery {
+
+  private def q124(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables
+      .table(s, dir, "events")
+      .select(
+        col("event_id"),
+        col("user_id"),
+        col("event_type"),
+        unix_micros(col("ts")).as("us")
+      )
+    // fresh aliases on BOTH sides: the operator requires disjoint
+    // attribute ids (both frames derive from the same scan)
+    val purchases = e
+      .filter(col("event_type") === "purchase")
+      .select(
+        col("user_id").as("puser"),
+        col("event_id").as("pid"),
+        col("us").as("pt")
+      )
+    // ONE exchange serves both the tie-dedup aggregate and the join:
+    // partitioning by user alone satisfies the aggregate's
+    // ClusteredDistribution(user, us) (same-key rows co-located) AND —
+    // alias-aware — the join's ClusteredDistribution(vuser), so
+    // EnsureRequirements inserts no second right-side shuffle
+    // (plan-pinned: 3 exchanges total, 1/side + the output sort)
+    val views = e
+      .filter(col("event_type") === "view")
+      .repartition(col("user_id"))
+      .groupBy(col("user_id").as("vuser"), col("us").as("vt"))
+      .agg(max("event_id").as("vid"))
+    graft.plans.AsOf
+      .join(purchases, views, "puser", "vuser", "pt", "vt")
+      .select(
+        col("puser"),
+        col("pid"),
+        col("vid"),
+        col("vt"),
+        (col("pt") - col("vt")).as("gap_us")
+      )
+      .orderBy("pid")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q124_asof_custom_operator" -> q124
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q124_asof_custom_operator" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS us
+        |  FROM events),
+        |p AS (SELECT user_id AS puser, event_id AS pid, us AS pt
+        |      FROM e WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id AS vuser, us AS vt,
+        |             CAST(max(event_id) AS BIGINT) AS vid
+        |      FROM e WHERE event_type = 'view' GROUP BY 1, 2)
+        |SELECT p.puser, p.pid, v.vid, v.vt, p.pt - v.vt AS gap_us
+        |FROM p ASOF LEFT JOIN v
+        |  ON p.puser = v.vuser AND p.pt >= v.vt
+        |ORDER BY pid""".stripMargin
+  )
+}

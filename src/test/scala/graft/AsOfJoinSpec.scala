@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Pins for the custom as-of join operator (plans/AsOfJoin.scala):
+  * crafted-corpus semantics (inclusive boundary, key isolation,
+  * unmatched-left NULLs, null-time rows), equality with a naive
+  * driver-side as-of on the real events data, the plan shape (the
+  * custom exec, one exchange per side, no Window / no candidate-pair
+  * join), and the disjoint-attributes guard.
+  */
+class AsOfJoinSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def asOf(
+      l: org.apache.spark.sql.DataFrame,
+      r: org.apache.spark.sql.DataFrame
+  ) = graft.plans.AsOf.join(l, r, "lk", "rk", "lt", "rt")
+
+  test("crafted semantics: inclusive boundary, key isolation, outer NULLs") {
+    val left = Seq(
+      (1L, 10L, "p_a"), // matches rt=10 (inclusive boundary)
+      (1L, 25L, "p_b"), // matches rt=20, not key 2's rt=24
+      (2L, 5L, "p_c"), // before key 2's first right row: NULL
+      (3L, 99L, "p_d") // key with no right rows at all: NULL
+    ).toDF("lk", "lt", "pl")
+    val right = Seq(
+      (1L, 10L, "v10"),
+      (1L, 20L, "v20"),
+      (2L, 24L, "v24")
+    ).toDF("rk", "rt", "pv")
+    val got = asOf(left, right)
+      .select("pl", "pv", "rt")
+      .collect()
+      .map(r => (r.getString(0), Option(r.getString(1)), if (r.isNullAt(2)) -1L else r.getLong(2)))
+      .sortBy(_._1)
+    assert(
+      got.toSeq == Seq(
+        ("p_a", Some("v10"), 10L),
+        ("p_b", Some("v20"), 20L),
+        ("p_c", None, -1L),
+        ("p_d", None, -1L)
+      ),
+      got.mkString(", ")
+    )
+  }
+
+  test("null times never match and never block later right rows") {
+    val left = Seq((1L, Some(30L), "p"), (1L, Option.empty[Long], "pnull"))
+      .toDF("lk", "lt", "pl")
+    val right = Seq((1L, Option.empty[Long], "vnull"), (1L, Some(7L), "v7"))
+      .toDF("rk", "rt", "pv")
+    val got = asOf(left, right)
+      .select("pl", "pv")
+      .collect()
+      .map(r => (r.getString(0), Option(r.getString(1))))
+      .toMap
+    // the null-time right row (sorted NULLS FIRST) must not stop the scan
+    assert(got("p") == Some("v7"))
+    // a null-time left row matches nothing
+    assert(got("pnull").isEmpty)
+  }
+
+  test("equals a naive driver-side as-of on the real events corpus") {
+    val sf = "/root/testdata/sf0.001"
+    val got = SparkEntry
+      .queries("q124_asof_custom_operator")(spark, sf)
+      .collect()
+      .map(r =>
+        r.getLong(1) -> (if (r.isNullAt(3)) None else Some((r.getLong(2), r.getLong(3))))
+      )
+      .toMap
+    val ev = graft.queries.Tables
+      .table(spark, sf, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val viewsByUser = ev
+      .filter(_._3 == "view")
+      .groupBy(e => (e._2, e._4)) // dedup ties: max event_id per (user, ts)
+      .map { case ((u, t), rows) => (u, t, rows.map(_._1).max) }
+      .toSeq
+      .groupBy(_._1)
+    val purchases = ev.filter(_._3 == "purchase")
+    assert(got.size == purchases.length)
+    purchases.foreach { p =>
+      val naive = viewsByUser
+        .getOrElse(p._2, Seq.empty)
+        .filter(_._2 <= p._4)
+        .sortBy(v => (v._2, v._3))
+        .lastOption
+        .map(v => (v._3, v._2))
+      assert(got(p._1) == naive, s"purchase ${p._1}: ${got(p._1)} vs $naive")
+    }
+    assert(got.values.exists(_.nonEmpty) && got.values.exists(_.isEmpty))
+  }
+
+  test("plan: AsOfJoinExec, one exchange per side, no window/candidate join") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, SortMergeJoinExec}
+    val df = SparkEntry.queries("q124_asof_custom_operator")(spark, "/root/testdata/sf0.001")
+    df.collect()
+    def nodes(p: SparkPlan): Seq[SparkPlan] =
+      p.collect {
+        case q: QueryStageExec        => q +: nodes(q.plan)
+        case a: AdaptiveSparkPlanExec => a +: nodes(a.executedPlan)
+        case other                    => Seq(other)
+      }.flatten
+    val all = nodes(df.queryExecution.executedPlan)
+    assert(all.exists(_.isInstanceOf[graft.plans.AsOfJoinExec]), "custom exec missing")
+    assert(!all.exists(_.isInstanceOf[WindowExec]), "no row_number de-rank expected")
+    assert(
+      !all.exists(n => n.isInstanceOf[SortMergeJoinExec] || n.isInstanceOf[BroadcastNestedLoopJoinExec]),
+      "no composed candidate-pair join expected"
+    )
+    val exchanges = all.count(_.isInstanceOf[ShuffleExchangeExec])
+    assert(exchanges <= 3, s"expected ≤3 exchanges (1/side + output sort), got $exchanges")
+  }
+
+  test("shared-attribute sides are rejected loudly") {
+    val base = Seq((1L, 1L)).toDF("lk", "lt")
+    // a bare filter keeps the parent's attribute ids — the broken shape
+    val err = intercept[IllegalArgumentException] {
+      graft.plans.AsOf.join(base, base.filter(col("lk") > 0), "lk", "lk", "lt", "lt")
+    }
+    assert(err.getMessage.contains("alias"))
+  }
+}
