@@ -25,6 +25,7 @@ object SparkEntry {
       graft.etl.CsvGateQuery.queries ++
       graft.etl.OrcGateQuery.queries ++
       graft.catalog.BucketedGateQuery.queries ++
+      graft.catalog.DppGateQuery.queries ++
       graft.catalog.SchemaEvoGateQuery.queries ++
       graft.catalog.LayoutGateQuery.queries ++
       graft.catalog.IncrementalGateQuery.queries ++
@@ -75,6 +76,7 @@ object SparkEntry {
       graft.etl.CsvGateQuery.oracleSql ++
       graft.etl.OrcGateQuery.oracleSql ++
       graft.catalog.BucketedGateQuery.oracleSql ++
+      graft.catalog.DppGateQuery.oracleSql ++
       graft.catalog.SchemaEvoGateQuery.oracleSql ++
       graft.catalog.LayoutGateQuery.oracleSql ++
       graft.catalog.IncrementalGateQuery.oracleSql ++

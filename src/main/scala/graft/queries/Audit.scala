@@ -120,9 +120,48 @@ object Audit {
       )
       .orderBy("c_nationkey", "c_mktsegment")
 
+  /** q127: Benford's-law conformance audit — the classic fabricated-data
+    * screen for financial columns: the first significant digit of
+    * naturally-occurring amounts should follow P(d) = log10(1 + 1/d);
+    * a synthetic or tampered column shows up as a large per-digit
+    * chi-square contribution. One corpus aggregate (9-row output) + one
+    * broadcast total; nothing shuffles twice.
+    *
+    * Determinism: the first digit is taken from the EXACT centi-unit
+    * BIGINT's decimal string (prices >= 0.01, so no leading zeros and
+    * the centi first digit IS the price's first significant digit) —
+    * never from float log10/pow magnitude math, which can put values on
+    * a power-of-ten boundary one ulp off between engines. The expected
+    * frequency is the one libm call, gridded round-6 BEFORE entering
+    * the chi-square arithmetic so both engines square the identical
+    * deviation.
+    */
+  private def q127(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables
+      .table(s, dir, "orders")
+      .select(round(col("o_totalprice") * 100.0, 0).cast("long").as("cents"))
+      .filter(col("cents") > 0)
+      .select(substring(col("cents").cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy("digit")
+      .agg(count(lit(1)).as("n"))
+    val e = round(log10(lit(1.0) + lit(1.0) / col("digit")), 6)
+    val dev = col("n") - col("total") * e
+    counts
+      .crossJoin(broadcast(counts.agg(sum("n").as("total"))))
+      .select(
+        col("digit").cast("long").as("digit"),
+        col("n"),
+        round(col("n") / col("total"), 6).as("observed"),
+        e.as("expected"),
+        round(dev * dev / (col("total") * e), 6).as("chi2_term")
+      )
+      .orderBy("digit")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q117_fk_audit" -> q117,
-    "q118_k_anonymity" -> q118
+    "q118_k_anonymity" -> q118,
+    "q127_benford_audit" -> q127
   )
 
   val oracleSql: Map[String, String] = {
@@ -170,7 +209,24 @@ object Audit {
            |SELECT c_nationkey, c_mktsegment, n_rows, l_distinct,
            |  n_rows >= $K AS k_anonymous,
            |  l_distinct >= $L AS l_diverse
-           |FROM g ORDER BY c_nationkey, c_mktsegment""".stripMargin
+           |FROM g ORDER BY c_nationkey, c_mktsegment""".stripMargin,
+      "q127_benford_audit" ->
+        """WITH c AS (
+          |  SELECT CAST(round(o_totalprice * 100.0, 0) AS BIGINT) AS cents
+          |  FROM orders),
+          |g AS (
+          |  SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INT) AS digit,
+          |         CAST(count(*) AS BIGINT) AS n
+          |  FROM c WHERE cents > 0 GROUP BY 1),
+          |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM g)
+          |SELECT CAST(digit AS BIGINT) AS digit, n,
+          |  round(n / total, 6) AS observed,
+          |  round(log10(1.0 + 1.0 / digit), 6) AS expected,
+          |  round((n - total * round(log10(1.0 + 1.0 / digit), 6))
+          |        * (n - total * round(log10(1.0 + 1.0 / digit), 6))
+          |        / (total * round(log10(1.0 + 1.0 / digit), 6)), 6)
+          |    AS chi2_term
+          |FROM g, t ORDER BY digit""".stripMargin
     )
   }
 }

@@ -301,13 +301,64 @@ object Behavior {
       gapUs = 30L * 60 * 1000000 // 30 min, the Sessionize default
     )
 
+  /** q126: gaps-and-islands — per-user consecutive-activity-DAY streaks,
+    * the calendar-granularity engagement metric (DAU streaks, "7-day
+    * streak" badges) that session windows (q23/q89, time-gap based)
+    * cannot express: a streak survives any intra-day silence but breaks
+    * on a full missed calendar day. Classic islands construction: the
+    * day-index minus the per-user day rank is constant within each run
+    * of consecutive days, so one per-user window + one hash aggregate
+    * finds every island without self-joins.
+    *
+    * Scale shape: the first DISTINCT collapses the stream to ≤
+    * (users × calendar days) rows — at 100 TB of events over a year
+    * that is ~365 rows per user, so the per-user windows (day rank,
+    * best-streak rank) run on bounded frames; every stage after the
+    * first aggregate is user-keyed and reuses one partitioning. Day
+    * arithmetic is exact integers (datediff), never float.
+    */
+  private def q126(s: SparkSession, dir: String): DataFrame = {
+    val days = Tables
+      .table(s, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+      .distinct()
+    val byDay = Window.partitionBy("user_id").orderBy("d")
+    val streaks = days
+      .withColumn(
+        "grp",
+        datediff(col("d"), lit("2024-01-01").cast("date")) -
+          row_number().over(byDay)
+      )
+      .groupBy("user_id", "grp")
+      .agg(count(lit(1)).as("len"), min("d").as("start_d"))
+    val best = Window
+      .partitionBy("user_id")
+      .orderBy(desc("len"), asc("start_d")) // tie → earliest streak
+    streaks
+      .groupBy("user_id")
+      .agg(sum("len").as("n_active_days"), count(lit(1)).as("n_streaks"))
+      .join(
+        streaks
+          .withColumn("rk", row_number().over(best))
+          .filter(col("rk") === 1)
+          .select(
+            col("user_id"),
+            col("len").as("longest_len"),
+            col("start_d").as("longest_start")
+          ),
+        "user_id"
+      )
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q78_funnel" -> q78,
     "q79_cohort_retention" -> q79,
     "q83_ewma" -> q83,
     "q85_sliding_distinct" -> q85,
     "q88_session_paths" -> q88,
-    "q89_sessionize" -> q89
+    "q89_sessionize" -> q89,
+    "q126_activity_streaks" -> q126
   )
 
   /** q83's oracle, generated from the SAME K/α so the term list, weight
@@ -405,6 +456,32 @@ object Behavior {
         |         AS converted_24h
         |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
         |ORDER BY user_id""".stripMargin,
+    "q126_activity_streaks" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        |isl AS (
+        |  SELECT user_id, d,
+        |         datediff('day', DATE '2024-01-01', d)
+        |           - row_number() OVER (PARTITION BY user_id ORDER BY d)
+        |           AS grp
+        |  FROM days),
+        |streaks AS (
+        |  SELECT user_id, grp, CAST(count(*) AS BIGINT) AS len,
+        |         min(d) AS start_d
+        |  FROM isl GROUP BY user_id, grp),
+        |ranked AS (
+        |  SELECT user_id, len, start_d,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY len DESC, start_d) AS rk
+        |  FROM streaks),
+        |agg AS (
+        |  SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days,
+        |         CAST(count(*) AS BIGINT) AS n_streaks
+        |  FROM streaks GROUP BY user_id)
+        |SELECT agg.user_id, n_active_days, n_streaks,
+        |       len AS longest_len, start_d AS longest_start
+        |FROM agg JOIN ranked ON agg.user_id = ranked.user_id AND rk = 1
+        |ORDER BY agg.user_id""".stripMargin,
     "q79_cohort_retention" ->
       """WITH e AS (
         |  SELECT DISTINCT user_id,

@@ -61,4 +61,32 @@ class AuditSpec extends SparkSpec {
       assert(kOk == (n >= 5) && lOk == (l >= 3), s"$qi")
     }
   }
+
+  test("q127 Benford digits partition orders; expected law sums to 1") {
+    val rows = SparkEntry
+      .queries("q127_benford_audit")(spark, sf)
+      .collect()
+    // naive replay: first digit from the exact centi string
+    val naive = graft.queries.Tables
+      .table(spark, sf, "orders")
+      .select(round(col("o_totalprice") * 100.0, 0).cast("long").as("c"))
+      .collect()
+      .map(_.getLong(0))
+      .filter(_ > 0)
+      .groupBy(_.toString.head.asDigit)
+      .map { case (d, v) => d.toLong -> v.length.toLong }
+    assert(rows.map(r => r.getLong(0) -> r.getLong(1)).toMap == naive)
+    assert(rows.map(_.getLong(1)).sum == naive.values.sum)
+    // the gridded Benford mass function must sum to ~1 and each observed
+    // share to exactly n/total
+    val total = naive.values.sum.toDouble
+    assert(math.abs(rows.map(_.getDouble(3)).sum - 1.0) < 1e-5)
+    rows.foreach { r =>
+      assert(
+        math.abs(r.getDouble(2) - r.getLong(1) / total) < 1e-6,
+        s"digit ${r.getLong(0)}"
+      )
+      assert(r.getDouble(4) >= 0.0) // chi-square terms are non-negative
+    }
+  }
 }

@@ -230,4 +230,39 @@ class BehaviorSpec extends SparkSpec {
     val relErr = math.abs(est - exact).toDouble / exact
     assert(relErr < 0.05, s"DOULION est $est vs exact $exact: relErr $relErr")
   }
+
+  test("q126 streaks match a naive per-user consecutive-day fold") {
+    val out = SparkEntry
+      .queries("q126_activity_streaks")(spark, sf)
+      .collect()
+      .map(r =>
+        r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDate(4).toString))
+      )
+      .toMap
+    val days = graft.queries.Tables
+      .table(spark, sf, "events")
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+      .distinct()
+      .collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate))
+      .groupBy(_._1)
+      .map { case (u, rows) => u -> rows.map(_._2).sortBy(_.toEpochDay) }
+    assert(out.keySet == days.keySet)
+    days.foreach { case (u, ds) =>
+      // fold the sorted day list into maximal consecutive runs
+      val runs = ds.foldLeft(List.empty[(java.time.LocalDate, Long)]) {
+        case ((start, len) :: tail, d)
+            if d.toEpochDay == start.toEpochDay + len =>
+          (start, len + 1) :: tail
+        case (acc, d) => (d, 1L) :: acc
+      }.reverse
+      val longest = runs.maxBy { case (s, l) => (l, -s.toEpochDay) }
+      val (nDays, nStreaks, bestLen, bestStart) = out(u)
+      assert(nDays == ds.length.toLong, s"user $u")
+      assert(nStreaks == runs.length.toLong, s"user $u")
+      assert(bestLen == longest._2, s"user $u")
+      assert(bestStart == longest._1.toString, s"user $u tie-break")
+    }
+  }
 }
