@@ -36,6 +36,7 @@ object SparkEntry {
       graft.queries.BloomJoin.queries ++
       graft.queries.Merge.queries ++
       graft.queries.Behavior.queries ++
+      graft.queries.Basket.queries ++
       graft.queries.IntervalJoin.queries ++
       graft.queries.Cdc.queries ++
       graft.queries.Stats.queries ++
@@ -87,6 +88,7 @@ object SparkEntry {
       graft.queries.BloomJoin.oracleSql ++
       graft.queries.Merge.oracleSql ++
       graft.queries.Behavior.oracleSql ++
+      graft.queries.Basket.oracleSql ++
       graft.queries.IntervalJoin.oracleSql ++
       graft.queries.Cdc.oracleSql ++
       graft.queries.Stats.oracleSql ++

@@ -351,6 +351,56 @@ object Behavior {
       .orderBy("user_id")
   }
 
+  /** q128: growth accounting — the daily user-state decomposition every
+    * growth team reports: each active (user, day) is NEW (first day
+    * ever), RETAINED (also active the previous calendar day) or
+    * RESURRECTED (returning after a gap), and a user CHURNS on the day
+    * after their activity run ends. Identity: n_active(d) = n_new +
+    * n_retained + n_resurrected, and day-over-day,
+    * n_active(d) = n_active(d-1) + n_new + n_resurrected - n_churned
+    * (spec-pinned). Complement of q79 (cohort retention matrices) and
+    * q126 (per-user streaks): this is the per-DAY ledger.
+    *
+    * Scale shape: one DISTINCT collapse to (user, day), ONE bounded
+    * per-user window pass computing lag+lead together, then a
+    * day-keyed hash aggregate over the unioned state rows. Day
+    * arithmetic is exact integer datediff; counts exact longs.
+    */
+  private def q128(s: SparkSession, dir: String): DataFrame = {
+    val byDay = Window.partitionBy("user_id").orderBy("d")
+    val f = Tables
+      .table(s, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+      .distinct()
+      .select(
+        col("d"),
+        lag("d", 1).over(byDay).as("prev"),
+        lead("d", 1).over(byDay).as("next")
+      )
+    val active = f.select(
+      col("d"),
+      when(col("prev").isNull, "new")
+        .when(datediff(col("d"), col("prev")) === 1, "retained")
+        .otherwise("resurrected")
+        .as("state")
+    )
+    val churned = f
+      .filter(col("next").isNull || datediff(col("next"), col("d")) > 1)
+      .select(date_add(col("d"), 1).as("d"), lit("churned").as("state"))
+    active
+      .unionByName(churned)
+      .groupBy("d")
+      .agg(
+        sum(when(col("state") =!= "churned", 1).otherwise(0)).as("n_active"),
+        sum(when(col("state") === "new", 1).otherwise(0)).as("n_new"),
+        sum(when(col("state") === "retained", 1).otherwise(0)).as("n_retained"),
+        sum(when(col("state") === "resurrected", 1).otherwise(0))
+          .as("n_resurrected"),
+        sum(when(col("state") === "churned", 1).otherwise(0)).as("n_churned")
+      )
+      .orderBy("d")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q78_funnel" -> q78,
     "q79_cohort_retention" -> q79,
@@ -358,7 +408,8 @@ object Behavior {
     "q85_sliding_distinct" -> q85,
     "q88_session_paths" -> q88,
     "q89_sessionize" -> q89,
-    "q126_activity_streaks" -> q126
+    "q126_activity_streaks" -> q126,
+    "q128_growth_accounting" -> q128
   )
 
   /** q83's oracle, generated from the SAME K/α so the term list, weight
@@ -456,6 +507,33 @@ object Behavior {
         |         AS converted_24h
         |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
         |ORDER BY user_id""".stripMargin,
+    "q128_growth_accounting" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        |f AS (
+        |  SELECT d, lag(d) OVER w AS prev, lead(d) OVER w AS next
+        |  FROM days WINDOW w AS (PARTITION BY user_id ORDER BY d)),
+        |states AS (
+        |  SELECT d,
+        |         CASE WHEN prev IS NULL THEN 'new'
+        |              WHEN datediff('day', prev, d) = 1 THEN 'retained'
+        |              ELSE 'resurrected' END AS state
+        |  FROM f
+        |  UNION ALL
+        |  SELECT d + 1, 'churned' FROM f
+        |  WHERE next IS NULL OR datediff('day', d, next) > 1)
+        |SELECT d,
+        |  CAST(sum(CASE WHEN state <> 'churned' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_active,
+        |  CAST(sum(CASE WHEN state = 'new' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_new,
+        |  CAST(sum(CASE WHEN state = 'retained' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_retained,
+        |  CAST(sum(CASE WHEN state = 'resurrected' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_resurrected,
+        |  CAST(sum(CASE WHEN state = 'churned' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_churned
+        |FROM states GROUP BY d ORDER BY d""".stripMargin,
     "q126_activity_streaks" ->
       """WITH days AS (
         |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),

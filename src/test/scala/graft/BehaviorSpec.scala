@@ -265,4 +265,42 @@ class BehaviorSpec extends SparkSpec {
       assert(bestStart == longest._1.toString, s"user $u tie-break")
     }
   }
+
+  test("q128 growth accounting: states partition user-days, day-over-day ledger balances") {
+    val rows = SparkEntry
+      .queries("q128_growth_accounting")(spark, sf)
+      .collect()
+      .map(r =>
+        r.getDate(0).toLocalDate ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      )
+    val byDay = rows.toMap
+    // naive replay from per-user day sets
+    val userDays = graft.queries.Tables
+      .table(spark, sf, "events")
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+      .distinct()
+      .collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate))
+      .groupBy(_._1)
+      .map { case (u, v) => u -> v.map(_._2.toEpochDay).toSet }
+    rows.foreach { case (d, (act, nw, ret, res, chu)) =>
+      val e = d.toEpochDay
+      val active = userDays.values.count(_.contains(e)).toLong
+      assert(act == active, s"$d n_active")
+      assert(nw == userDays.values.count(s => s.contains(e) && s.min == e), s"$d new")
+      assert(ret == userDays.values.count(s => s.contains(e) && s.contains(e - 1)), s"$d retained")
+      assert(
+        res == userDays.values
+          .count(s => s.contains(e) && !s.contains(e - 1) && s.min < e),
+        s"$d resurrected"
+      )
+      assert(chu == userDays.values.count(s => s.contains(e - 1) && !s.contains(e)), s"$d churned")
+      assert(act == nw + ret + res, s"$d state partition")
+      // day-over-day ledger: active(d) = active(d-1) + new + res - churned
+      val prevActive = byDay.get(d.minusDays(1)).map(_._1).getOrElse(0L)
+      assert(act == prevActive + nw + res - chu, s"$d ledger")
+    }
+    assert(rows.nonEmpty)
+  }
 }

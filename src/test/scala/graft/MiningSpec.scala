@@ -140,4 +140,49 @@ class MiningSpec extends SparkSpec {
     assert(!plan.contains("Join"), s"winnowing must not join:\n$plan")
     assert(!plan.contains("HashAggregate"), s"winnowing must not aggregate:\n$plan")
   }
+
+  test("q129 basket rules replay exactly in plain Scala") {
+    def rnd6(v: Double): Double =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+    val items = graft.queries.Tables
+      .table(spark, sf, "lineitem")
+      .select("l_orderkey", "l_partkey")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .distinct
+    val nOrders = items.map(_._1).distinct.length.toLong
+    val itemCnt = items.groupBy(_._2).map { case (p, v) => p -> v.length.toLong }
+    val pairCnt = items
+      .groupBy(_._1)
+      .values
+      .flatMap { basket =>
+        val ps = basket.map(_._2).sorted
+        for (i <- ps.indices; j <- (i + 1) until ps.length) yield (ps(i), ps(j))
+      }
+      .groupBy(identity)
+      .map { case (p, v) => p -> v.size.toLong }
+      .filter(_._2 >= 2)
+    val expected = pairCnt.toSeq
+      .map { case ((pa, pb), c) =>
+        val lift = rnd6(c.toDouble * nOrders / (itemCnt(pa).toDouble * itemCnt(pb)))
+        (pa, pb, c, itemCnt(pa), itemCnt(pb),
+          rnd6(c.toDouble / nOrders), rnd6(c.toDouble / itemCnt(pa)), lift)
+      }
+      .sortBy { case (pa, pb, _, _, _, _, _, lift) => (-lift, pa, pb) }
+      .take(20)
+    val got = SparkEntry
+      .queries("q129_basket_rules")(spark, sf)
+      .collect()
+      .map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5), r.getDouble(6), r.getDouble(7))
+      )
+      .toSeq
+    assert(got == expected, s"got=${got.take(3)}... expected=${expected.take(3)}...")
+    assert(got.nonEmpty)
+    // sanity on the measure itself: confidence <= 1, support <= confidence
+    got.foreach { case (_, _, _, _, _, sup, conf, _) =>
+      assert(conf <= 1.0 + 1e-9 && sup <= conf + 1e-9)
+    }
+  }
 }
