@@ -27,7 +27,8 @@ object BehaviorBench {
 
   private val Queries =
     Seq("q78_funnel", "q79_cohort_retention", "q85_sliding_distinct",
-      "q88_session_paths", "q89_sessionize")
+      "q88_session_paths", "q89_sessionize", "q126_activity_streaks",
+      "q128_growth_accounting")
 
   private def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
 

@@ -10,14 +10,20 @@ import org.apache.spark.sql.functions._
   * transaction-basket counterpart — same ratio-to-independence idea,
   * different universe and normalization).
   *
-  * Scale shape: the basket self-join explodes C(k,2) pairs per order —
-  * bounded by basket size k (single digits in any order system), never
-  * by corpus size, so the pair stream is a constant factor of the fact
-  * table and partitions by order key. Counting pairs is one hash
-  * aggregate; the per-item counts and the order total are
-  * dimension-sized broadcasts. Everything after the pair count
-  * operates on the (minSupport-thresholded) distinct-pair frame. A
-  * hot ITEM does not explode: pairs form only within an order.
+  * Scale shape: ONE shuffle of the fact by order key builds the sorted
+  * distinct basket array (collect_set folds the dedup into the same
+  * aggregate — no separate DISTINCT pass, no self-join); pairs are then
+  * generated MAP-SIDE by two chained generators (posexplode × sliced
+  * explode), C(k,2) per order — bounded by basket size k (≤ 17 in this
+  * corpus, single digits in any order system), never by corpus size.
+  * Counting pairs is one hash aggregate; the per-item counts derive
+  * from the same basket frame (order-sized, not corpus-sized) and
+  * broadcast with the order total. A hot ITEM does not explode: pairs
+  * form only within an order. (The items⋈items self-join spelling was
+  * measured first at sf0.1: 2.3 s median vs 1.9 s for this shape under
+  * identical conditions — the DISTINCT pre-pass and the join exchange
+  * both fold into the one basket aggregate, whose shuffle the
+  * item-count/total branches then reuse via ReusedExchange.)
   *
   * Determinism: support/confidence/lift are single divisions of exact
   * BIGINT counts, gridded round-6; ordering by (lift, pair keys) is
@@ -29,17 +35,23 @@ object Basket {
   private val TopK = 20
 
   private def q129(s: SparkSession, dir: String): DataFrame = {
-    val items = Tables
+    val baskets = Tables
       .table(s, dir, "lineitem")
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
-    val itemCounts = items.groupBy("pk").agg(count(lit(1)).as("cnt_item"))
-    val totals = items.agg(countDistinct(col("ok")).as("n_orders"))
-    val a = items.select(col("ok"), col("pk").as("pa"))
-    val b = items.select(col("ok"), col("pk").as("pb"))
-    val pairs = a
-      .join(b, Seq("ok"))
-      .filter(col("pa") < col("pb"))
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+    val itemCounts = baskets
+      .select(explode(col("ps")).as("pk"))
+      .groupBy("pk")
+      .agg(count(lit(1)).as("cnt_item"))
+    val totals = baskets.agg(count(lit(1)).as("n_orders"))
+    val pairs = baskets
+      .select(col("ps"), posexplode(col("ps")).as(Seq("i", "pa")))
+      // ps is sorted and deduped, so pairing each element with the
+      // strictly-later slice yields exactly the pa < pb pairs
+      .select(
+        col("pa"),
+        explode(slice(col("ps"), col("i") + lit(2), size(col("ps")))).as("pb")
+      )
       .groupBy("pa", "pb")
       .agg(count(lit(1)).as("cnt_pair"))
       .filter(col("cnt_pair") >= MinSupport)
