@@ -158,10 +158,121 @@ object Audit {
       .orderBy("digit")
   }
 
+  /** q130: replica reconciliation (data diff) — find WHICH rows differ
+    * between two copies of a table without ever full-joining the
+    * copies: per-side, one scan computes a bucket (md5 of the key) and
+    * an order-independent bucket checksum (bit_xor of a row hash over
+    * key + value columns); the two B-row summaries are compared, and
+    * only rows in DIFFERING buckets enter the key-level full join that
+    * names the discrepancies. The anti-entropy pattern every
+    * cross-region lake runs nightly: at 100 TB the summaries are two
+    * scans + a 1024-row compare, and the expensive key join touches
+    * ~(diff density × table) rows instead of the whole table.
+    *
+    * The divergent replica is constructed closed-form inside the gate
+    * (drop ~1/400 of rows, +1-cent perturb ~1/200, both md5-keyed), so
+    * the DuckDB oracle rebuilds the identical replica and the
+    * identical two-stage diff — equality proves bucketing, xor
+    * checksums, and the bucket-pruned join all agree row-for-row.
+    * AuditSpec additionally pins completeness (the bucket prefilter
+    * loses no diff vs a direct full-table compare) and the prune ratio.
+    *
+    * Determinism: md5-derived hashes (the q43 portable spelling),
+    * bit_xor of positive sub-2^60 BIGINTs, exact centi-unit values —
+    * no floats anywhere.
+    */
+  private[graft] def md5Long(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+
+  private val DiffBuckets = 1024
+
+  private[graft] def q130Replicas(
+      s: SparkSession,
+      dir: String
+  ): (DataFrame, DataFrame) = {
+    val a = Tables
+      .table(s, dir, "orders")
+      .select(
+        col("o_orderkey").as("k"),
+        round(col("o_totalprice") * 100.0, 0).cast("long").as("pc"),
+        col("o_orderstatus").as("st")
+      )
+    val b = a
+      .filter(
+        md5Long(concat_ws(":", lit("drop"), col("k").cast("string"))) % 400 =!= 0
+      )
+      .withColumn(
+        "pc",
+        when(
+          md5Long(concat_ws(":", lit("mut"), col("k").cast("string"))) % 200 === 0,
+          col("pc") + 1
+        ).otherwise(col("pc"))
+      )
+    (a, b)
+  }
+
+  private def withDiffCols(df: DataFrame): DataFrame =
+    df.select(
+      col("k"),
+      col("pc"),
+      (md5Long(concat_ws(":", lit("bkt"), col("k").cast("string")))
+        % DiffBuckets).as("bucket"),
+      md5Long(
+        concat_ws(
+          ":",
+          lit("row"),
+          col("k").cast("string"),
+          col("pc").cast("string"),
+          col("st")
+        )
+      ).as("rh")
+    )
+
+  private def q130(s: SparkSession, dir: String): DataFrame = {
+    val (ra, rb) = q130Replicas(s, dir)
+    val a = withDiffCols(ra)
+    val b = withDiffCols(rb)
+    def summary(df: DataFrame): DataFrame =
+      df.groupBy("bucket")
+        .agg(count(lit(1)).as("cnt"), expr("bit_xor(rh)").as("chk"))
+    val diffBuckets = summary(a)
+      .withColumnRenamed("cnt", "cnt_a")
+      .withColumnRenamed("chk", "chk_a")
+      .join(
+        summary(b)
+          .withColumnRenamed("cnt", "cnt_b")
+          .withColumnRenamed("chk", "chk_b"),
+        Seq("bucket"),
+        "full"
+      )
+      .filter(
+        !(coalesce(col("cnt_a"), lit(0L)) === coalesce(col("cnt_b"), lit(0L)) &&
+          coalesce(col("chk_a"), lit(0L)) === coalesce(col("chk_b"), lit(0L)))
+      )
+      .select("bucket")
+    val ka = a
+      .join(broadcast(diffBuckets), Seq("bucket"), "left_semi")
+      .select(col("k").as("ak"), col("pc").as("pc_a"))
+    val kb = b
+      .join(broadcast(diffBuckets), Seq("bucket"), "left_semi")
+      .select(col("k").as("bk"), col("pc").as("pc_b"))
+    ka.join(kb, col("ak") === col("bk"), "full")
+      .select(
+        coalesce(col("ak"), col("bk")).as("o_orderkey"),
+        when(col("bk").isNull, "missing_in_b")
+          .when(col("ak").isNull, "missing_in_a")
+          .when(col("pc_a") =!= col("pc_b"), "value_mismatch")
+          .as("status")
+      )
+      .filter(col("status").isNotNull)
+      .orderBy("o_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q117_fk_audit" -> q117,
     "q118_k_anonymity" -> q118,
-    "q127_benford_audit" -> q127
+    "q127_benford_audit" -> q127,
+    "q130_table_diff" -> q130
   )
 
   val oracleSql: Map[String, String] = {
@@ -226,7 +337,62 @@ object Audit {
           |        * (n - total * round(log10(1.0 + 1.0 / digit), 6))
           |        / (total * round(log10(1.0 + 1.0 / digit), 6)), 6)
           |    AS chi2_term
-          |FROM g, t ORDER BY digit""".stripMargin
+          |FROM g, t ORDER BY digit""".stripMargin,
+      "q130_table_diff" ->
+        """WITH a AS (
+          |  SELECT o_orderkey AS k,
+          |         CAST(round(o_totalprice * 100.0, 0) AS BIGINT) AS pc,
+          |         o_orderstatus AS st
+          |  FROM orders),
+          |b AS (
+          |  SELECT k,
+          |         pc + CASE WHEN CAST('0x' || substr(md5(
+          |                 concat_ws(':', 'mut', CAST(k AS VARCHAR))), 1, 15)
+          |                 AS BIGINT) % 200 = 0 THEN 1 ELSE 0 END AS pc,
+          |         st
+          |  FROM a
+          |  WHERE CAST('0x' || substr(md5(
+          |          concat_ws(':', 'drop', CAST(k AS VARCHAR))), 1, 15)
+          |          AS BIGINT) % 400 <> 0),
+          |ah AS (
+          |  SELECT k, pc,
+          |         CAST('0x' || substr(md5(
+          |           concat_ws(':', 'bkt', CAST(k AS VARCHAR))), 1, 15)
+          |           AS BIGINT) % 1024 AS bucket,
+          |         CAST('0x' || substr(md5(concat_ws(':', 'row',
+          |           CAST(k AS VARCHAR), CAST(pc AS VARCHAR), st)), 1, 15)
+          |           AS BIGINT) AS rh
+          |  FROM a),
+          |bh AS (
+          |  SELECT k, pc,
+          |         CAST('0x' || substr(md5(
+          |           concat_ws(':', 'bkt', CAST(k AS VARCHAR))), 1, 15)
+          |           AS BIGINT) % 1024 AS bucket,
+          |         CAST('0x' || substr(md5(concat_ws(':', 'row',
+          |           CAST(k AS VARCHAR), CAST(pc AS VARCHAR), st)), 1, 15)
+          |           AS BIGINT) AS rh
+          |  FROM b),
+          |sa AS (SELECT bucket, CAST(count(*) AS BIGINT) AS cnt,
+          |              bit_xor(rh) AS chk FROM ah GROUP BY bucket),
+          |sb AS (SELECT bucket, CAST(count(*) AS BIGINT) AS cnt,
+          |              bit_xor(rh) AS chk FROM bh GROUP BY bucket),
+          |db AS (
+          |  SELECT coalesce(sa.bucket, sb.bucket) AS bucket
+          |  FROM sa FULL JOIN sb ON sa.bucket = sb.bucket
+          |  WHERE NOT (coalesce(sa.cnt, 0) = coalesce(sb.cnt, 0)
+          |         AND coalesce(sa.chk, 0) = coalesce(sb.chk, 0))),
+          |ka AS (SELECT k AS ak, pc AS pc_a FROM ah
+          |       WHERE bucket IN (SELECT bucket FROM db)),
+          |kb AS (SELECT k AS bk, pc AS pc_b FROM bh
+          |       WHERE bucket IN (SELECT bucket FROM db))
+          |SELECT o_orderkey, status FROM (
+          |  SELECT coalesce(ak, bk) AS o_orderkey,
+          |         CASE WHEN bk IS NULL THEN 'missing_in_b'
+          |              WHEN ak IS NULL THEN 'missing_in_a'
+          |              WHEN pc_a <> pc_b THEN 'value_mismatch' END AS status
+          |  FROM ka FULL JOIN kb ON ak = bk)
+          |WHERE status IS NOT NULL
+          |ORDER BY o_orderkey""".stripMargin
     )
   }
 }

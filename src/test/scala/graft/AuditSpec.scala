@@ -89,4 +89,30 @@ class AuditSpec extends SparkSpec {
       assert(r.getDouble(4) >= 0.0) // chi-square terms are non-negative
     }
   }
+
+  test("q130 bucket-pruned diff is complete: equals the direct full-table compare") {
+    val got = SparkEntry
+      .queries("q130_table_diff")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .toSeq
+    // direct compare with NO bucket machinery: full join of the replicas
+    val (ra, rb) = graft.queries.Audit.q130Replicas(spark, sf)
+    val a = ra.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = rb.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = ((a.keySet ++ b.keySet).toSeq.sorted.flatMap { k =>
+      (a.get(k), b.get(k)) match {
+        case (Some(_), None)                      => Some(k -> "missing_in_b")
+        case (None, Some(_))                      => Some(k -> "missing_in_a")
+        case (Some(x), Some(y)) if x != y         => Some(k -> "value_mismatch")
+        case _                                    => None
+      }
+    })
+    assert(got == want, s"got ${got.size} diffs, want ${want.size}")
+    assert(want.nonEmpty, "constructed divergence produced no diffs")
+    assert(want.exists(_._2 == "missing_in_b") && want.exists(_._2 == "value_mismatch"))
+    // the point of bucketing: the key join touches a small fraction of rows
+    val diffs = want.size.toDouble
+    assert(diffs / a.size < 0.05, s"diff density ${diffs / a.size} too high for the prune story")
+  }
 }
