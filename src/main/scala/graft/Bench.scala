@@ -226,13 +226,15 @@ object Bench {
       }
     }
     // Compact-line value format: centisecond precision with trailing
-    // zeros trimmed ("0.2", not "0.200"). The driver's line-capture
-    // window is ~2.2 kB; round 9 proved millisecond precision overflows
-    // it at 156 queries (the line front-truncated, losing the total and
-    // 6 queries — "parsed": null). 2-trimmed-decimal keeps 162 queries
-    // at ~1.97 kB measured; a hard guard below degrades to 1 decimal if
-    // a future query-count growth ever crosses 2100 bytes, so the line
-    // CANNOT silently outgrow the window again.
+    // zeros trimmed ("0.2", not "0.200"). The driver's capture window
+    // is the LAST 2000 CHARS of the merged output (measured from the
+    // recorded artifacts: BENCH_r08's "tail" field is exactly 2000
+    // chars and parsed at a ~1.9 kB line; BENCH_r09's line outgrew it
+    // and front-truncated — "parsed": null, total lost). So the line
+    // must stay under 2000 bytes WITH margin whatever the query count.
+    // Degradation ladder below: 2 decimals → 1 decimal → top-K slowest
+    // queries + a "_rest" sum (full per-query precision always lives in
+    // bench_detail/latest.json + history.jsonl in-repo).
     def cs(v: Double, decimals: Int): String =
       // non-finite (NaN, a 0-duration ETL making lines/s Infinity) would
       // throw in BigDecimal AFTER spark.stop() — emitting no final JSON
@@ -254,23 +256,50 @@ object Bench {
         case (p, Seq(only)) => Seq(only -> p)
         case (_, clashing)  => clashing.map(n => n -> n)
       }
-    def line(decimals: Int): String = {
-      val qsCompact = medians
+    // keep only the K slowest queries in the compact map (rest summed
+    // under "_rest"); K = 0 means "all". q00 (the ETL headline) is
+    // always kept.
+    def line(decimals: Int, topK: Int): String = {
+      val ordered = medians.toSeq.sortBy { case (_, v) => -v }
+      val kept =
+        if (topK <= 0 || topK >= ordered.size) ordered
+        else {
+          val top = ordered.take(topK)
+          if (top.exists(_._1 == "q00_etl_convert")) top
+          else top.dropRight(1) :+ ("q00_etl_convert" -> medians("q00_etl_convert"))
+        }
+      val keptNames = kept.map(_._1).toSet
+      val restSum = medians.collect {
+        case (k, v) if !keptNames.contains(k) && v >= 0 => v
+      }.sum
+      val restEntry =
+        if (keptNames.size == medians.size) ""
+        else s""","_rest":${cs(restSum, 1)},"_rest_n":${medians.size - keptNames.size}"""
+      val qsCompact = kept
         .map { case (k, v) => jstr(shortOf(k)) + ":" + cs(v, decimals) }
-        .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${cs(total, 2)},"unit":"sec","queries":$qsCompact,""" +
+        .mkString("{", ",", restEntry + "}")
+      s"""{"metric":"total","value":${cs(total, 2)},"unit":"sec","nq":${medians.size},"queries":$qsCompact,""" +
         s""""failures":${errors.size},"iters":$iters,""" +
         s""""etl_lines_per_sec":${cs(etlLinesPerSec, 1)},""" +
         s""""sf":${jstr(sfDir)}}"""
     }
-    val out2 = line(2)
-    val out = if (out2.length <= 2100) out2 else line(1)
+    // 1900-byte budget leaves 100 chars of the 2000-char window for a
+    // trailing newline or any stray merged-stream chatter
+    val out = (Seq((2, 0), (1, 0)) ++ (150 to 25 by -25).map((1, _)))
+      .iterator
+      .map { case (d, k) => line(d, k) }
+      .find(_.length <= 1900)
+      .getOrElse(line(0, 25))
     // Stop Spark BEFORE printing: nothing (executor shutdown chatter, SLF4J
     // on stdout) may land after the JSON — the driver parses the last line.
+    // The detail pointer goes to stderr BEFORE the JSON: the capture
+    // window holds the last 2000 chars of the MERGED streams, so nothing
+    // of ours may print after the JSON line on either stream.
     spark.stop()
+    System.err.println(s"[bench] detail: $detailPath (${out.length} B line)")
+    System.err.flush()
     System.out.flush()
     println(out)
     System.out.flush()
-    System.err.println(s"[bench] detail: $detailPath (${out.length} B line)")
   }
 }

@@ -518,4 +518,5 @@ class PlanShapeSpec extends SparkSpec {
     assert(finalPlan.contains("BroadcastHashJoin"), s"offset frame not broadcast:\n$plan")
     assert(!finalPlan.contains("SortMergeJoin"), s"corpus shuffled to meet offsets:\n$plan")
   }
+
 }
