@@ -119,10 +119,42 @@ object Modern {
     )
   }
 
+  /** q131: LISTAGG ... WITHIN GROUP (ORDER BY ...) — the ISO ordered
+    * string aggregation that landed in Spark 4 (DuckDB spells it
+    * string_agg with an ORDER BY aggregate modifier): per priority, the
+    * comma-list of its top-5 order keys by value. The per-group top-5
+    * rank prunes under WindowGroupLimit (per-partition heaps, never a
+    * full per-group sort at scale) and the listagg input is then ≤ 5
+    * rows per group, so the ordered aggregation — the part that WOULD
+    * be a scale hazard on unbounded groups — runs on bounded frames by
+    * construction; ties broken by key, centi-exact ordering value.
+    */
+  private def q131(s: SparkSession, dir: String): DataFrame = {
+    Tables.table(s, dir, "orders").createOrReplaceTempView("graft_q131_o")
+    s.sql(
+      """WITH r AS (
+        |  SELECT o_orderpriority, o_orderkey,
+        |         CAST(round(o_totalprice * 100.0, 0) AS BIGINT) AS pc,
+        |         row_number() OVER (
+        |           PARTITION BY o_orderpriority
+        |           ORDER BY round(o_totalprice * 100.0, 0) DESC, o_orderkey
+        |         ) AS rk
+        |  FROM graft_q131_o)
+        |SELECT o_orderpriority,
+        |  listagg(CAST(o_orderkey AS STRING), ',')
+        |    WITHIN GROUP (ORDER BY pc DESC, o_orderkey) AS top_keys,
+        |  CAST(sum(pc) AS BIGINT) AS sum_centi
+        |FROM r WHERE rk <= 5
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin
+    )
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q107_variant_json" -> q107,
     "q108_pipe_sql" -> q108,
-    "q122_group_by_all" -> q122
+    "q122_group_by_all" -> q122,
+    "q131_listagg" -> q131
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -169,6 +201,25 @@ object Modern {
         |FROM events
         |WHERE user_id % 4 = 1
         |GROUP BY ALL
-        |ORDER BY ALL""".stripMargin
+        |ORDER BY ALL""".stripMargin,
+    // DuckDB's native spelling of ordered string aggregation (the
+    // ORDER BY aggregate modifier) vs Spark's ISO LISTAGG ... WITHIN
+    // GROUP — two syntaxes, one semantic, value-identical lists
+    "q131_listagg" ->
+      """WITH r AS (
+        |  SELECT o_orderpriority, o_orderkey,
+        |         CAST(round(o_totalprice * 100.0, 0) AS BIGINT) AS pc,
+        |         row_number() OVER (
+        |           PARTITION BY o_orderpriority
+        |           ORDER BY round(o_totalprice * 100.0, 0) DESC, o_orderkey
+        |         ) AS rk
+        |  FROM orders)
+        |SELECT o_orderpriority,
+        |  string_agg(CAST(o_orderkey AS VARCHAR), ','
+        |             ORDER BY pc DESC, o_orderkey) AS top_keys,
+        |  CAST(sum(pc) AS BIGINT) AS sum_centi
+        |FROM r WHERE rk <= 5
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin
   )
 }

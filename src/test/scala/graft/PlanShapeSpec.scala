@@ -43,6 +43,12 @@ class PlanShapeSpec extends SparkSpec {
       .contains("WindowGroupLimit"))
   }
 
+  test("q131 listagg feeds from a WindowGroupLimit-pruned top-5, never a full per-group sort") {
+    val plan = executedPlan(SparkEntry.queries("q131_listagg")(spark, sf))
+    assert(plan.contains("WindowGroupLimit"), s"rank filter not pushed:\n$plan")
+    assert(plan.contains("listagg"), s"listagg missing from plan:\n$plan")
+  }
+
   test("q51 per-doc top-3 ranks under WindowGroupLimit") {
     val plan = executedPlan(SparkEntry.queries("q51_tfidf")(spark, sf))
     assert(plan.contains("WindowGroupLimit"), s"rank filter not pushed:\n$plan")
