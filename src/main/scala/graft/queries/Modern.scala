@@ -150,11 +150,43 @@ object Modern {
     )
   }
 
+  /** q132: PERCENTILE_DISC ... WITHIN GROUP — the ISO DISCRETE
+    * percentile (ordered-set aggregate family with q131): returns an
+    * ACTUAL data value (first value whose cumulative distribution
+    * reaches the fraction), so unlike interpolated percentiles (q39,
+    * which needs a cross-engine rounding grid) the result is
+    * bit-exact by construction — probed identical on both engines'
+    * even-count boundary rule. Values are exact centi BIGINTs; one
+    * hash-style aggregate per group (percentile aggregates buffer
+    * per-group, which is why the grouping column must be
+    * low-cardinality — l_returnflag has 3 values; for high-cardinality
+    * groups the q46b two-level cumulation is the scale path).
+    */
+  private def q132(s: SparkSession, dir: String): DataFrame = {
+    Tables.table(s, dir, "lineitem").createOrReplaceTempView("graft_q132_l")
+    s.sql(
+      """SELECT l_returnflag,
+        |  count(*) AS n,
+        |  CAST(percentile_disc(0.25) WITHIN GROUP
+        |    (ORDER BY CAST(round(l_extendedprice * 100.0, 0) AS BIGINT)) AS BIGINT) AS p25,
+        |  CAST(percentile_disc(0.5) WITHIN GROUP
+        |    (ORDER BY CAST(round(l_extendedprice * 100.0, 0) AS BIGINT)) AS BIGINT) AS p50,
+        |  CAST(percentile_disc(0.75) WITHIN GROUP
+        |    (ORDER BY CAST(round(l_extendedprice * 100.0, 0) AS BIGINT)) AS BIGINT) AS p75,
+        |  CAST(percentile_disc(0.9) WITHIN GROUP
+        |    (ORDER BY CAST(round(l_extendedprice * 100.0, 0) AS BIGINT)) AS BIGINT) AS p90
+        |FROM graft_q132_l
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin
+    )
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q107_variant_json" -> q107,
     "q108_pipe_sql" -> q108,
     "q122_group_by_all" -> q122,
-    "q131_listagg" -> q131
+    "q131_listagg" -> q131,
+    "q132_percentile_disc" -> q132
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -220,6 +252,22 @@ object Modern {
         |  CAST(sum(pc) AS BIGINT) AS sum_centi
         |FROM r WHERE rk <= 5
         |GROUP BY o_orderpriority
-        |ORDER BY o_orderpriority""".stripMargin
+        |ORDER BY o_orderpriority""".stripMargin,
+    // DuckDB's quantile_disc == ISO PERCENTILE_DISC (probed identical on
+    // the even-count boundary); exact centi ints so no rounding grid
+    "q132_percentile_disc" ->
+      """WITH c AS (
+        |  SELECT l_returnflag,
+        |         CAST(round(l_extendedprice * 100.0, 0) AS BIGINT) AS pc
+        |  FROM lineitem)
+        |SELECT l_returnflag,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(quantile_disc(pc, 0.25) AS BIGINT) AS p25,
+        |  CAST(quantile_disc(pc, 0.5) AS BIGINT) AS p50,
+        |  CAST(quantile_disc(pc, 0.75) AS BIGINT) AS p75,
+        |  CAST(quantile_disc(pc, 0.9) AS BIGINT) AS p90
+        |FROM c
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin
   )
 }
