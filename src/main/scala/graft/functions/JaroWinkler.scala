@@ -34,7 +34,12 @@ object JaroWinklerImpl {
     val l1 = s1.length
     val l2 = s2.length
     if (l1 == 0 || l2 == 0) return 0.0
-    val window = math.max(l1, l2) / 2 - 1
+    // clamp at 0: for max-length-1 pairs ⌊max/2⌋−1 is −1, which would
+    // forbid ANY match and score sim("a","a")=0.0; DuckDB's
+    // jaro_winkler_similarity('a','a') is 1.0 (the oracle), so a zero
+    // window (exact-position matches only) is the correct floor —
+    // max=2 already yields window 0, so only 1-char pairs are affected
+    val window = math.max(0, math.max(l1, l2) / 2 - 1)
     val f1 = new Array[Boolean](l1)
     val f2 = new Array[Boolean](l2)
     var m = 0

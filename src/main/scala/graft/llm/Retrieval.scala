@@ -286,20 +286,28 @@ object Retrieval {
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
       )
-    val included = ranked.filter(col("cum") <= ContextBudget)
-    included
+    // ONE aggregate over the k-bounded ranked frame: n_considered is a
+    // plain count and the included-prefix stats are conditional
+    // aggregates (collect_list skips the NULLs the `when` emits for
+    // overflow rows) — a separate top.agg(count) crossJoin would
+    // re-evaluate the whole q90 corpus-scale term-stats subtree a
+    // second time per execution (the ranked join is lossless: every
+    // q90 doc_id exists in docs by construction, so count(ranked) IS
+    // count(top))
+    val inc = col("cum") <= ContextBudget
+    ranked
       .agg(
-        count(lit(1)).as("n_included"),
-        sum(col("n_tok")).as("total_tokens"),
+        count(lit(1)).as("n_considered"),
+        count(when(inc, 1)).as("n_included"),
+        sum(when(inc, col("n_tok"))).as("total_tokens"),
         array_join(
           transform(
-            sort_array(collect_list(struct(col("rank"), col("text")))),
+            sort_array(collect_list(when(inc, struct(col("rank"), col("text"))))),
             e => e.getField("text")
           ),
           "\n---\n"
         ).as("ctx")
       )
-      .crossJoin(broadcast(top.agg(count(lit(1)).as("n_considered"))))
       .select(
         col("n_considered"),
         col("n_included"),

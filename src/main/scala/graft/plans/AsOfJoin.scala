@@ -152,18 +152,22 @@ case class AsOfJoinExec(
         private var rNextTime: Long = 0L
         advanceRight()
 
-        /** Load the next right row with a non-null time (null times can
-          * never match and — sorted NULLS FIRST — would otherwise block
-          * the scan at each key boundary).
+        /** Load the next right row with a non-null key AND time. Null
+          * times can never match and — sorted NULLS FIRST — would
+          * otherwise block the scan at each key boundary. Null KEYS must
+          * be skipped too: the natural ordering says NULL == NULL, so a
+          * null-key right row would equi-match a null-key left row,
+          * which SQL equi-join (and DuckDB ASOF JOIN) semantics forbid.
           */
         private def advanceRight(): Unit = {
           var loaded = false
           while (!loaded && rIter.hasNext) {
             rNext = rIter.next()
             val t = rTimeProj(rNext)
-            if (!t.isNullAt(0)) {
+            val k = rKeyProj(rNext)
+            if (!t.isNullAt(0) && !k.isNullAt(0)) {
               rNextTime = t.getLong(0)
-              rNextKey = rKeyProj(rNext).copy()
+              rNextKey = k.copy()
               loaded = true
             }
           }
@@ -175,9 +179,12 @@ case class AsOfJoinExec(
         override def next(): InternalRow = {
           val lRow = lIter.next()
           val lKey = lKeyProj(lRow)
-          val lt = lTimeProj(lRow)
-          val ltNull = lt.isNullAt(0)
-          val lTime = if (ltNull) 0L else lt.getLong(0)
+          // a null left key is unmatched by definition (no equi-join
+          // semantics ever match NULL keys); fold it into the same
+          // "cannot match" path as a null left time so the candidate
+          // comparison below never sees a null key on either side
+          val ltNull = lTimeProj(lRow).isNullAt(0) || lKey.isNullAt(0)
+          val lTime = if (ltNull) 0L else lTimeProj(lRow).getLong(0)
           // consume right rows that can no longer beat future candidates:
           // stale keys, and same-key rows at or before this left time (the
           // LAST of which is the as-of match — later left rows only move

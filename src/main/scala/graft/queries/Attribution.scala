@@ -49,10 +49,14 @@ object Attribution {
     */
   private def q116(s: SparkSession, dir: String): DataFrame = {
     val ev = events(s, dir)
+    // both sides derive from the same scan: distinct key names per side
+    // (p_uid/t_uid) instead of purch("user_id") === touch("user_id"),
+    // which trips the analyzer's "trivially true equals predicate" WARN
+    // and leans on version-fragile dataset-id disambiguation
     val purch = ev
       .filter(col("event_type") === "purchase")
       .select(
-        col("user_id"),
+        col("user_id").as("p_uid"),
         col("event_id").as("pid"),
         col("us").as("pus"),
         col("vc")
@@ -60,14 +64,14 @@ object Attribution {
     val touch = ev
       .filter(col("event_type").isin(TouchTypes: _*))
       .select(
-        col("user_id"),
+        col("user_id").as("t_uid"),
         col("event_type").as("channel"),
         col("us").as("tus")
       )
     // equi join on user_id; the window is a ride-along filter (q84c)
     val cand = purch.join(
       touch,
-      purch("user_id") === touch("user_id") &&
+      col("p_uid") === col("t_uid") &&
         col("tus") < col("pus") &&
         col("pus") - col("tus") <= lit(WindowUs)
     )
@@ -94,7 +98,7 @@ object Attribution {
     val unattributed = purch
       .join(
         cand.select(col("pid").as("cpid")).distinct(),
-        purch("pid") === col("cpid"),
+        col("pid") === col("cpid"),
         "left_anti"
       )
       .agg(

@@ -215,6 +215,7 @@ object Audit {
     df.select(
       col("k"),
       col("pc"),
+      col("st"),
       (md5Long(concat_ws(":", lit("bkt"), col("k").cast("string")))
         % DiffBuckets).as("bucket"),
       md5Long(
@@ -230,6 +231,14 @@ object Audit {
 
   private def q130(s: SparkSession, dir: String): DataFrame = {
     val (ra, rb) = q130Replicas(s, dir)
+    tableDiff(ra, rb)
+  }
+
+  /** The bucket-pruned diff over two (k, pc, st) replicas — factored out
+    * of q130 so AuditSpec can drive it with crafted divergences (e.g. an
+    * st-only perturbation) independent of the gate's replica generator.
+    */
+  private[graft] def tableDiff(ra: DataFrame, rb: DataFrame): DataFrame = {
     val a = withDiffCols(ra)
     val b = withDiffCols(rb)
     def summary(df: DataFrame): DataFrame =
@@ -250,18 +259,27 @@ object Audit {
           coalesce(col("chk_a"), lit(0L)) === coalesce(col("chk_b"), lit(0L)))
       )
       .select("bucket")
+    // carry EVERY hashed value column (pc AND st) into the key-level
+    // compare: rh hashes both, so a pair differing only in st lands in
+    // a flagged bucket — without an st branch here it would then be
+    // silently dropped from the report (checksum says diff, report
+    // says clean). The current replica generator only perturbs pc, but
+    // the diff pattern must not under-report on principle.
     val ka = a
       .join(broadcast(diffBuckets), Seq("bucket"), "left_semi")
-      .select(col("k").as("ak"), col("pc").as("pc_a"))
+      .select(col("k").as("ak"), col("pc").as("pc_a"), col("st").as("st_a"))
     val kb = b
       .join(broadcast(diffBuckets), Seq("bucket"), "left_semi")
-      .select(col("k").as("bk"), col("pc").as("pc_b"))
+      .select(col("k").as("bk"), col("pc").as("pc_b"), col("st").as("st_b"))
     ka.join(kb, col("ak") === col("bk"), "full")
       .select(
         coalesce(col("ak"), col("bk")).as("o_orderkey"),
         when(col("bk").isNull, "missing_in_b")
           .when(col("ak").isNull, "missing_in_a")
-          .when(col("pc_a") =!= col("pc_b"), "value_mismatch")
+          .when(
+            col("pc_a") =!= col("pc_b") || col("st_a") =!= col("st_b"),
+            "value_mismatch"
+          )
           .as("status")
       )
       .filter(col("status").isNotNull)
@@ -355,7 +373,7 @@ object Audit {
           |          concat_ws(':', 'drop', CAST(k AS VARCHAR))), 1, 15)
           |          AS BIGINT) % 400 <> 0),
           |ah AS (
-          |  SELECT k, pc,
+          |  SELECT k, pc, st,
           |         CAST('0x' || substr(md5(
           |           concat_ws(':', 'bkt', CAST(k AS VARCHAR))), 1, 15)
           |           AS BIGINT) % 1024 AS bucket,
@@ -364,7 +382,7 @@ object Audit {
           |           AS BIGINT) AS rh
           |  FROM a),
           |bh AS (
-          |  SELECT k, pc,
+          |  SELECT k, pc, st,
           |         CAST('0x' || substr(md5(
           |           concat_ws(':', 'bkt', CAST(k AS VARCHAR))), 1, 15)
           |           AS BIGINT) % 1024 AS bucket,
@@ -381,15 +399,16 @@ object Audit {
           |  FROM sa FULL JOIN sb ON sa.bucket = sb.bucket
           |  WHERE NOT (coalesce(sa.cnt, 0) = coalesce(sb.cnt, 0)
           |         AND coalesce(sa.chk, 0) = coalesce(sb.chk, 0))),
-          |ka AS (SELECT k AS ak, pc AS pc_a FROM ah
+          |ka AS (SELECT k AS ak, pc AS pc_a, st AS st_a FROM ah
           |       WHERE bucket IN (SELECT bucket FROM db)),
-          |kb AS (SELECT k AS bk, pc AS pc_b FROM bh
+          |kb AS (SELECT k AS bk, pc AS pc_b, st AS st_b FROM bh
           |       WHERE bucket IN (SELECT bucket FROM db))
           |SELECT o_orderkey, status FROM (
           |  SELECT coalesce(ak, bk) AS o_orderkey,
           |         CASE WHEN bk IS NULL THEN 'missing_in_b'
           |              WHEN ak IS NULL THEN 'missing_in_a'
-          |              WHEN pc_a <> pc_b THEN 'value_mismatch' END AS status
+          |              WHEN pc_a <> pc_b OR st_a <> st_b
+          |                THEN 'value_mismatch' END AS status
           |  FROM ka FULL JOIN kb ON ak = bk)
           |WHERE status IS NOT NULL
           |ORDER BY o_orderkey""".stripMargin

@@ -998,19 +998,32 @@ object Relational {
     */
   private def q37(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "events")
+    // both sides derive from the same scan: rename the shared key on
+    // each side instead of spelling purchases("user_id") ===
+    // views("user_id") — that form trips the analyzer's "trivially true
+    // equals predicate" WARN and leans on version-fragile dataset-id
+    // disambiguation; distinct names need no magic
     val purchases = e
       .filter(col("event_type") === "purchase")
-      .select(col("user_id"), col("event_id").as("p_id"), col("ts").as("p_ts"))
+      .select(
+        col("user_id").as("p_uid"),
+        col("event_id").as("p_id"),
+        col("ts").as("p_ts")
+      )
     val views = e
       .filter(col("event_type") === "view")
-      .select(col("user_id"), col("event_id").as("v_id"), col("ts").as("v_ts"))
+      .select(
+        col("user_id").as("v_uid"),
+        col("event_id").as("v_id"),
+        col("ts").as("v_ts")
+      )
     val w = Window
       .partitionBy(col("p_id"))
       .orderBy(desc("v_ts"), desc("v_id"))
     purchases
       .join(
         views,
-        purchases("user_id") === views("user_id") &&
+        col("p_uid") === col("v_uid") &&
           col("v_ts") <= col("p_ts") &&
           col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"),
         "left_outer"
@@ -1019,7 +1032,7 @@ object Relational {
       .filter(col("rn") === 1)
       .select(
         col("p_id"),
-        purchases("user_id").as("user_id"),
+        col("p_uid").as("user_id"),
         col("v_id"),
         (unix_micros(col("p_ts")) - unix_micros(col("v_ts"))).as("lag_us")
       )

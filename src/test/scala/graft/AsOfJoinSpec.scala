@@ -62,6 +62,26 @@ class AsOfJoinSpec extends SparkSpec {
     assert(got("pnull").isEmpty)
   }
 
+  test("null keys never match (SQL equi-join semantics, not NULL==NULL)") {
+    val left = Seq(
+      (Option.empty[Long], 30L, "knull"), // null left key: unmatched
+      (Option(1L), 30L, "k1")
+    ).toDF("lk", "lt", "pl")
+    val right = Seq(
+      (Option.empty[Long], 10L, "vnull"), // null right key: invisible
+      (Option(1L), 7L, "v7")
+    ).toDF("rk", "rt", "pv")
+    val got = asOf(left, right)
+      .select("pl", "pv")
+      .collect()
+      .map(r => (r.getString(0), Option(r.getString(1))))
+      .toMap
+    // the natural ordering says NULL == NULL, but equi-join (and DuckDB
+    // ASOF JOIN) never match NULL keys — both null-key paths must be dead
+    assert(got("knull").isEmpty)
+    assert(got("k1") == Some("v7"))
+  }
+
   test("equals a naive driver-side as-of on the real events corpus") {
     val sf = "/root/testdata/sf0.001"
     val got = SparkEntry

@@ -115,4 +115,21 @@ class AuditSpec extends SparkSpec {
     val diffs = want.size.toDouble
     assert(diffs / a.size < 0.05, s"diff density ${diffs / a.size} too high for the prune story")
   }
+
+  test("q130 diff reports st-only divergence (every hashed column is compared)") {
+    import spark.implicits._
+    // rh hashes pc AND st; a pair differing only in st must surface as
+    // value_mismatch, not vanish after the bucket flag (the under-report
+    // an earlier pc-only compare would have produced)
+    val a = Seq((1L, 100L, "O"), (2L, 200L, "F"), (3L, 300L, "P"))
+      .toDF("k", "pc", "st")
+    val b = Seq((1L, 100L, "O"), (2L, 200L, "X"), (3L, 301L, "P"))
+      .toDF("k", "pc", "st")
+    val got = graft.queries.Audit
+      .tableDiff(a, b)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .toSeq
+    assert(got == Seq(2L -> "value_mismatch", 3L -> "value_mismatch"), got.mkString(", "))
+  }
 }

@@ -28,6 +28,12 @@ class JaroWinklerSpec extends SparkSpec {
     assert(sim("abc", "xyz") == 0.0)
     assert(sim("a", "") == 0.0)
     assert(sim("", "") == 0.0) // DuckDB: empty → 0, NOT the s1==s2 shortcut
+    // 1-char pairs: the match window must clamp to 0, not go to −1
+    // (window −1 forbade all matches and scored sim("a","a")=0.0;
+    // DuckDB returns 1.0 / 0.0 here)
+    assert(sim("a", "a") == 1.0)
+    assert(sim("a", "b") == 0.0)
+    assert(sim("a", "ab") == 0.8500000000000001) // window 0, exact-pos match
   }
 
   test("expression matches the static kernel through a codegen plan") {
