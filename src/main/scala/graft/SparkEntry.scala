@@ -24,6 +24,7 @@ object SparkEntry {
       graft.etl.JsonlGateQuery.queries ++
       graft.etl.CsvGateQuery.queries ++
       graft.etl.OrcGateQuery.queries ++
+      graft.etl.AvroGateQuery.queries ++
       graft.catalog.BucketedGateQuery.queries ++
       graft.catalog.DppGateQuery.queries ++
       graft.catalog.SchemaEvoGateQuery.queries ++
@@ -76,6 +77,7 @@ object SparkEntry {
       graft.etl.JsonlGateQuery.oracleSql ++
       graft.etl.CsvGateQuery.oracleSql ++
       graft.etl.OrcGateQuery.oracleSql ++
+      graft.etl.AvroGateQuery.oracleSql ++
       graft.catalog.BucketedGateQuery.oracleSql ++
       graft.catalog.DppGateQuery.oracleSql ++
       graft.catalog.SchemaEvoGateQuery.oracleSql ++

@@ -1,0 +1,437 @@
+package graft.sources
+
+import java.util.OptionalLong
+
+import scala.collection.JavaConverters._
+
+import org.apache.avro.{LogicalTypes, Schema, SchemaBuilder}
+import org.apache.avro.file.{CodecFactory, DataFileStream, DataFileWriter}
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.avro.util.Utf8
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsReportStatistics}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Avro container-file source/sink as a native DataSource V2 connector —
+  * the fourth wire format after JSONL (q60), CSV (q66), and ORC (q74).
+  *
+  * Why a hand-built connector: this distro ships Avro's CORE library
+  * (`avro-1.12.1.jar`) but not the `spark-avro` datasource module, and
+  * the build has zero dependency egress — so the capability is
+  * re-expressed the Spark-first way: a `TableProvider` with a real
+  * scan/write split, registered by class name
+  * (`format(classOf[AvroDataSource].getName)`). Reference scope: the
+  * reference writes parquet only (`parquet.go:18-55`); Avro is the row-
+  * oriented interchange format Kafka/schema-registry shops ask for.
+  *
+  * Layout contract (the same one Spark's own file sources use): a
+  * directory of `part-*.avro` container files plus a `_SUCCESS` marker;
+  * one file per write task, one read partition per file. All I/O goes
+  * through the Hadoop `FileSystem` API, so the connector is
+  * path-scheme-agnostic (local now, HDFS/S3A on a cluster — executors
+  * resolve the filesystem from a default `Configuration`; a deployment
+  * carrying custom FS conf would broadcast it alongside).
+  *
+  * Write protocol, crash-safe: each task streams through
+  * `DataFileWriter` (snappy codec) into a DOT-PREFIXED temp file (the
+  * `_temporary`-style convention: hidden from any concurrent reader's
+  * `part-*` glob), and the driver-side `commit` renames every temp into
+  * place — plus, under `SaveMode.Overwrite` (`SupportsTruncate`),
+  * deletes the previous generation's files at commit time, not at job
+  * start, so a mid-write crash leaves the OLD data fully readable (the
+  * `catalog/Maintenance` swap discipline applied to a connector).
+  *
+  * Type lattice (both directions, nullable via `union(null, T)`):
+  * long/int/double/float/boolean/string/bytes, and timestamp-micros ↔
+  * Spark `TimestampType` — the subset every mainstream Avro producer
+  * emits. Unknown Avro branches fail loudly at schema mapping, never
+  * silently coerce.
+  */
+object GraftAvro {
+
+  /** Spark → Avro schema (write path). Field order preserved. */
+  def toAvroSchema(schema: StructType, recordName: String): Schema = {
+    def base(dt: DataType): Schema = dt match {
+      case LongType    => Schema.create(Schema.Type.LONG)
+      case IntegerType => Schema.create(Schema.Type.INT)
+      case DoubleType  => Schema.create(Schema.Type.DOUBLE)
+      case FloatType   => Schema.create(Schema.Type.FLOAT)
+      case BooleanType => Schema.create(Schema.Type.BOOLEAN)
+      case StringType  => Schema.create(Schema.Type.STRING)
+      case BinaryType  => Schema.create(Schema.Type.BYTES)
+      case TimestampType =>
+        LogicalTypes.timestampMicros().addToSchema(Schema.create(Schema.Type.LONG))
+      case other =>
+        throw new IllegalArgumentException(
+          s"graft-avro does not map Spark type ${other.sql}"
+        )
+    }
+    val fields = schema.fields.map { f =>
+      val t =
+        if (f.nullable)
+          Schema.createUnion(Schema.create(Schema.Type.NULL), base(f.dataType))
+        else base(f.dataType)
+      new Schema.Field(f.name, t, null, if (f.nullable) Schema.Field.NULL_DEFAULT_VALUE else null)
+    }
+    Schema.createRecord(recordName, null, "graft.sources", false, fields.toList.asJava)
+  }
+
+  /** Avro → Spark schema (read/infer path). */
+  def toSparkSchema(schema: Schema): StructType = {
+    def field(s: Schema): (DataType, Boolean) = s.getType match {
+      case Schema.Type.UNION =>
+        val branches = s.getTypes.asScala
+        val nonNull = branches.filter(_.getType != Schema.Type.NULL)
+        require(
+          nonNull.size == 1 && branches.size <= 2,
+          s"graft-avro reads only [null, T] unions, got $s"
+        )
+        (field(nonNull.head)._1, branches.size == 2)
+      case Schema.Type.LONG =>
+        val dt =
+          if (s.getLogicalType != null &&
+              s.getLogicalType.getName == "timestamp-micros") TimestampType
+          else LongType
+        (dt, false)
+      case Schema.Type.INT     => (IntegerType, false)
+      case Schema.Type.DOUBLE  => (DoubleType, false)
+      case Schema.Type.FLOAT   => (FloatType, false)
+      case Schema.Type.BOOLEAN => (BooleanType, false)
+      case Schema.Type.STRING  => (StringType, false)
+      case Schema.Type.BYTES   => (BinaryType, false)
+      case other =>
+        throw new IllegalArgumentException(s"graft-avro does not map Avro type $other")
+    }
+    require(
+      schema.getType == Schema.Type.RECORD,
+      s"graft-avro expects a record schema at top level, got ${schema.getType}"
+    )
+    StructType(schema.getFields.asScala.toSeq.map { f =>
+      val (dt, nullable) = field(f.schema())
+      StructField(f.name(), dt, nullable)
+    })
+  }
+
+  private[sources] def pathOf(options: CaseInsensitiveStringMap): String = {
+    val p = options.get("path")
+    require(p != null && p.nonEmpty, "graft-avro requires a path option")
+    p
+  }
+
+  private[sources] def listDataFiles(dir: Path, fs: FileSystem): Seq[Path] =
+    if (!fs.exists(dir)) Seq.empty
+    else
+      fs.listStatus(dir)
+        .toSeq
+        .filter(st =>
+          st.isFile && st.getPath.getName.startsWith("part-") &&
+            st.getPath.getName.endsWith(".avro")
+        )
+        .sortBy(_.getPath.getName)
+        .map(_.getPath)
+}
+
+/** The `TableProvider` entry point: `format("graft-avro")` (registered
+  * via the META-INF/services DataSourceRegister file) or the
+  * fully-qualified class name — both resolve here.
+  */
+class AvroDataSource extends TableProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-avro"
+
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val dir = new Path(GraftAvro.pathOf(options))
+    val fs = dir.getFileSystem(new Configuration())
+    val files = GraftAvro.listDataFiles(dir, fs)
+    require(
+      files.nonEmpty,
+      s"graft-avro: no part-*.avro files under $dir to infer a schema from"
+    )
+    // container files carry the writer schema in the header; one open
+    // suffices (the write path emits one schema for the whole directory)
+    val in = fs.open(files.head)
+    try {
+      val stream =
+        new DataFileStream[GenericRecord](in, new GenericDatumReader[GenericRecord]())
+      try GraftAvro.toSparkSchema(stream.getSchema)
+      finally stream.close()
+    } finally in.close()
+  }
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: java.util.Map[String, String]
+  ): Table = new AvroTable(schema)
+}
+
+class AvroTable(tableSchema: StructType)
+    extends Table
+    with SupportsRead
+    with SupportsWrite {
+
+  override def name(): String = "graft-avro"
+  // NOT named `schema`: a constructor param of that name would be
+  // shadowed by this very method and recurse
+  override def schema(): StructType = tableSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(
+      TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE
+    )
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new AvroScanBuilder(tableSchema, GraftAvro.pathOf(options))
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new AvroWriteBuilder(info.schema(), GraftAvro.pathOf(info.options()))
+}
+
+// ---------------------------------------------------------------- read
+
+class AvroScanBuilder(schema: StructType, path: String) extends ScanBuilder {
+  override def build(): Scan = new AvroScan(schema, path)
+}
+
+class AvroScan(schema: StructType, path: String)
+    extends Scan
+    with SupportsReportStatistics {
+
+  override def readSchema(): StructType = schema
+  override def description(): String = s"graft-avro $path"
+
+  private lazy val files: Seq[(String, Long)] = {
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(new Configuration())
+    GraftAvro.listDataFiles(dir, fs).map(p => (p.toString, fs.getFileStatus(p).getLen))
+  }
+
+  override def estimateStatistics(): Statistics = new Statistics {
+    // container bytes on disk: enough for the planner's broadcast
+    // decision (the point of reporting anything at all)
+    override def sizeInBytes(): OptionalLong = OptionalLong.of(files.map(_._2).sum)
+    override def numRows(): OptionalLong = OptionalLong.empty()
+  }
+
+  override def toBatch: Batch = new Batch {
+    override def planInputPartitions(): Array[InputPartition] =
+      files.map(f => AvroInputPartition(f._1): InputPartition).toArray
+    override def createReaderFactory(): PartitionReaderFactory =
+      new AvroReaderFactory(schema)
+  }
+}
+
+case class AvroInputPartition(file: String) extends InputPartition
+
+class AvroReaderFactory(schema: StructType) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new AvroPartitionReader(
+      partition.asInstanceOf[AvroInputPartition].file,
+      schema
+    )
+}
+
+class AvroPartitionReader(file: String, schema: StructType)
+    extends PartitionReader[InternalRow] {
+
+  private val path = new Path(file)
+  private val in = path.getFileSystem(new Configuration()).open(path)
+  private val stream =
+    new DataFileStream[GenericRecord](in, new GenericDatumReader[GenericRecord]())
+  // positional mapping: reader trusts the writer's field ORDER matches
+  // the table schema (our writer guarantees it; a foreign file with
+  // reordered fields would fail the name check here, loudly)
+  private val fieldIdx: Array[Int] = schema.fields.map { f =>
+    val af = stream.getSchema.getField(f.name)
+    require(af != null, s"graft-avro: column ${f.name} absent in $file")
+    af.pos()
+  }
+  private val converters: Array[AnyRef => Any] =
+    schema.fields.map(f => AvroConvert.reader(f.dataType))
+  private var record: GenericRecord = _
+  private val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(schema.length)
+
+  override def next(): Boolean =
+    if (stream.hasNext) { record = stream.next(record); true }
+    else false
+
+  override def get(): InternalRow = {
+    var i = 0
+    while (i < fieldIdx.length) {
+      val v = record.get(fieldIdx(i)).asInstanceOf[AnyRef]
+      row.update(i, if (v == null) null else converters(i)(v))
+      i += 1
+    }
+    row
+  }
+
+  override def close(): Unit = {
+    stream.close()
+    in.close()
+  }
+}
+
+// --------------------------------------------------------------- write
+
+class AvroWriteBuilder(schema: StructType, path: String)
+    extends WriteBuilder
+    with SupportsTruncate {
+
+  private var truncateOnCommit = false
+
+  override def truncate(): WriteBuilder = { truncateOnCommit = true; this }
+
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite =
+      new AvroBatchWrite(schema, path, truncateOnCommit)
+  }
+}
+
+case class AvroCommitMessage(tempFile: String, finalFile: String)
+    extends WriterCommitMessage
+
+class AvroBatchWrite(schema: StructType, path: String, truncate: Boolean)
+    extends BatchWrite {
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(new Configuration())
+    fs.mkdirs(dir)
+    new AvroWriterFactory(
+      schema.json,
+      GraftAvro.toAvroSchema(schema, "graft_record").toString,
+      path
+    )
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(new Configuration())
+    // Overwrite semantics land HERE, after every task succeeded: the
+    // old generation stays fully readable until the new one is staged
+    if (truncate)
+      GraftAvro.listDataFiles(dir, fs).foreach(fs.delete(_, false))
+    messages.foreach {
+      case AvroCommitMessage(temp, fin) =>
+        val t = new Path(temp)
+        if (!fs.rename(t, new Path(fin)))
+          throw new java.io.IOException(s"graft-avro: rename $temp -> $fin failed")
+      case other => throw new IllegalStateException(s"unexpected $other")
+    }
+    val ok = fs.create(new Path(dir, "_SUCCESS"), true)
+    ok.close()
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(new Configuration())
+    messages.foreach {
+      case AvroCommitMessage(temp, _) => fs.delete(new Path(temp), false)
+      case _                          => ()
+    }
+  }
+}
+
+class AvroWriterFactory(schemaJson: String, avroSchemaJson: String, path: String)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new AvroDataWriter(
+      DataType.fromJson(schemaJson).asInstanceOf[StructType],
+      new Schema.Parser().parse(avroSchemaJson),
+      path,
+      partitionId,
+      taskId
+    )
+}
+
+class AvroDataWriter(
+    schema: StructType,
+    avroSchema: Schema,
+    path: String,
+    partitionId: Int,
+    taskId: Long
+) extends DataWriter[InternalRow] {
+
+  // dot-prefix: invisible to the reader's part-* listing until commit
+  private val finalName = f"part-$partitionId%05d-$taskId.avro"
+  private val tempPath = new Path(path, s".$finalName.tmp")
+  private val finalPath = new Path(path, finalName)
+  private val fs = tempPath.getFileSystem(new Configuration())
+  private val out = fs.create(tempPath, true)
+  private val writer = {
+    val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](avroSchema))
+    w.setCodec(CodecFactory.snappyCodec())
+    w.create(avroSchema, out)
+  }
+  private val getters: Array[InternalRow => AnyRef] =
+    schema.fields.zipWithIndex.map { case (f, i) =>
+      AvroConvert.writer(f.dataType, i)
+    }
+
+  override def write(row: InternalRow): Unit = {
+    val rec = new GenericData.Record(avroSchema)
+    var i = 0
+    while (i < getters.length) {
+      rec.put(i, if (row.isNullAt(i)) null else getters(i)(row))
+      i += 1
+    }
+    writer.append(rec)
+  }
+
+  override def commit(): WriterCommitMessage = {
+    writer.close() // closes the underlying stream too
+    AvroCommitMessage(tempPath.toString, finalPath.toString)
+  }
+
+  override def abort(): Unit = {
+    try writer.close()
+    catch { case _: Exception => () }
+    fs.delete(tempPath, false)
+  }
+
+  override def close(): Unit = ()
+}
+
+/** Per-type value converters, resolved once per reader/writer — the
+  * row loop stays a flat array dispatch with no type matching.
+  */
+private[sources] object AvroConvert {
+
+  def reader(dt: DataType): AnyRef => Any = dt match {
+    case StringType =>
+      v => UTF8String.fromString(v.asInstanceOf[CharSequence].toString)
+    case BinaryType =>
+      v => {
+        val bb = v.asInstanceOf[java.nio.ByteBuffer]
+        val b = new Array[Byte](bb.remaining())
+        bb.duplicate().get(b)
+        b
+      }
+    // long/int/double/float/boolean (and timestamp-micros, already a
+    // Long of µs — InternalRow's timestamp representation) pass through
+    case _ => v => v
+  }
+
+  def writer(dt: DataType, i: Int): InternalRow => AnyRef = dt match {
+    case LongType | TimestampType => r => java.lang.Long.valueOf(r.getLong(i))
+    case IntegerType              => r => java.lang.Integer.valueOf(r.getInt(i))
+    case DoubleType               => r => java.lang.Double.valueOf(r.getDouble(i))
+    case FloatType                => r => java.lang.Float.valueOf(r.getFloat(i))
+    case BooleanType              => r => java.lang.Boolean.valueOf(r.getBoolean(i))
+    case StringType               => r => new Utf8(r.getUTF8String(i).getBytes)
+    case BinaryType               => r => java.nio.ByteBuffer.wrap(r.getBinary(i))
+    case other =>
+      throw new IllegalArgumentException(s"graft-avro does not write ${other.sql}")
+  }
+}

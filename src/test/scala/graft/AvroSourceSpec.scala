@@ -1,0 +1,115 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.avro.file.DataFileStream
+import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions._
+
+/** Pins for the graft-avro DataSource V2 connector
+  * (`sources/GraftAvro.scala`) and its q133 gate: full-lattice round
+  * trip (nulls, binary, timestamp-micros, int/float/boolean), on-disk
+  * format verified by a FOREIGN reader (the plain Avro library decoding
+  * the container files directly — proof the sink writes real Avro, not
+  * something only the paired source can read), schema inference,
+  * overwrite/truncate semantics with a clean directory, and gate
+  * equality with a recompute from the original parquet.
+  */
+class AvroSourceSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val fmt = classOf[graft.sources.AvroDataSource].getName
+
+  test("round trip preserves the full type lattice incl. nulls") {
+    val dir = tmpDir("graft_avro_spec")
+    val df = Seq(
+      (1L, Some("alpha"), Some(2.5d), Some(3.5f), Some(7), Some(true),
+        Some(Array[Byte](1, 2, 3)), Some(Timestamp.valueOf("2024-03-01 12:00:00.000001"))),
+      (2L, None, None, None, None, None, None, None)
+    ).toDF("id", "s", "d", "f", "i", "b", "bin", "ts")
+    df.write.format(fmt).mode(SaveMode.Overwrite).save(dir)
+    val back = spark.read.format(fmt).load(dir)
+    assert(back.schema == df.schema, s"schema drift: ${back.schema} vs ${df.schema}")
+    val rows = back.orderBy("id").collect()
+    val orig = df.orderBy("id").collect()
+    assert(rows.length == 2)
+    rows.zip(orig).foreach { case (g, w) =>
+      (0 until w.length).foreach { i =>
+        (g.get(i), w.get(i)) match {
+          case (a: Array[Byte], b: Array[Byte]) => assert(a.sameElements(b))
+          case (a, b)                           => assert(a == b, s"col $i: $a vs $b")
+        }
+      }
+    }
+  }
+
+  test("on-disk files decode with the plain Avro library (real wire format)") {
+    val dir = tmpDir("graft_avro_foreign")
+    Seq((10L, "x"), (20L, "yß")).toDF("k", "v")
+      .coalesce(1)
+      .write.format(fmt).mode(SaveMode.Overwrite).save(dir)
+    val parts = new java.io.File(dir)
+      .listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".avro"))
+    assert(parts.length == 1)
+    // a reader that shares NOTHING with the connector but the format spec
+    val in = new java.io.FileInputStream(parts.head)
+    val stream = new DataFileStream[GenericRecord](in, new GenericDatumReader[GenericRecord]())
+    try {
+      assert(stream.getMetaString("avro.codec") == "snappy")
+      val recs = Iterator.continually(stream).takeWhile(_.hasNext).map(_.next()).toList
+      val got = recs.map(r => (r.get("k"), r.get("v").toString)).sortBy(_._2)
+      assert(got == List((10L, "x"), (20L, "yß")), got.toString)
+    } finally { stream.close(); in.close() }
+    assert(new java.io.File(dir, "_SUCCESS").exists())
+  }
+
+  test("overwrite truncates the previous generation; no temp residue") {
+    val dir = tmpDir("graft_avro_trunc")
+    Seq((1L, "gen1"), (2L, "gen1")).toDF("k", "v")
+      .repartition(3) // more files than rows: empty part files too
+      .write.format(fmt).mode(SaveMode.Overwrite).save(dir)
+    Seq((9L, "gen2")).toDF("k", "v")
+      .write.format(fmt).mode(SaveMode.Overwrite).save(dir)
+    val back = spark.read.format(fmt).load(dir).collect()
+    assert(back.map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((9L, "gen2")))
+    // the dot-temp commit protocol leaves nothing behind
+    val stray = new java.io.File(dir).listFiles().filter(_.getName.contains(".tmp"))
+    assert(stray.isEmpty, stray.map(_.getName).mkString(", "))
+  }
+
+  test("schema inference reads the container header (no user schema)") {
+    val dir = tmpDir("graft_avro_infer")
+    Seq((1L, Option("a"), 1.5d)).toDF("k", "v", "w")
+      .write.format(fmt).mode(SaveMode.Overwrite).save(dir)
+    val st = spark.read.format(fmt).load(dir).schema
+    assert(st.fieldNames.toSeq == Seq("k", "v", "w"))
+    assert(!st("k").nullable && st("v").nullable)
+    assert(st("w").dataType == org.apache.spark.sql.types.DoubleType)
+  }
+
+  test("q133 gate equals a recompute from the original parquet") {
+    val sf = "/root/testdata/sf0.001"
+    val got = SparkEntry
+      .queries("q133_avro_roundtrip")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    val want = graft.queries.Tables
+      .table(spark, sf, "documents")
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(graft.llm.Winnowing.md5Long(col("text")) % 1000003L).as("text_digest"),
+        min(col("doc_id")).as("min_id"),
+        max(col("doc_id")).as("max_id")
+      )
+      .orderBy("lang")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(got.sameElements(want), s"${got.toSeq} vs ${want.toSeq}")
+    assert(got.nonEmpty)
+  }
+}
