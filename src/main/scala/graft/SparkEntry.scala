@@ -31,6 +31,7 @@ object SparkEntry {
       graft.catalog.LayoutGateQuery.queries ++
       graft.catalog.IncrementalGateQuery.queries ++
       graft.catalog.MaintenanceGateQuery.queries ++
+      graft.catalog.SnapshotGateQuery.queries ++
       graft.queries.Relational.queries ++
       graft.queries.AsOfQuery.queries ++
       graft.queries.Modern.queries ++
@@ -84,6 +85,7 @@ object SparkEntry {
       graft.catalog.LayoutGateQuery.oracleSql ++
       graft.catalog.IncrementalGateQuery.oracleSql ++
       graft.catalog.MaintenanceGateQuery.oracleSql ++
+      graft.catalog.SnapshotGateQuery.oracleSql ++
       graft.queries.Relational.oracleSql ++
       graft.queries.AsOfQuery.oracleSql ++
       graft.queries.Modern.oracleSql ++
