@@ -58,6 +58,7 @@ object SparkEntry {
       graft.llm.Eval.queries ++
       graft.llm.TextAnalysis.queries ++
       graft.llm.Collocations.queries ++
+      graft.llm.BpeTrain.queries ++
       graft.llm.Winnowing.queries ++
       graft.llm.Chunking.queries ++
       graft.llm.FrequentItems.queries ++
@@ -112,6 +113,7 @@ object SparkEntry {
       graft.llm.Eval.oracleSql ++
       graft.llm.TextAnalysis.oracleSql ++
       graft.llm.Collocations.oracleSql ++
+      graft.llm.BpeTrain.oracleSql ++
       graft.llm.Winnowing.oracleSql ++
       graft.llm.Chunking.oracleSql ++
       graft.llm.FrequentItems.oracleSql ++
