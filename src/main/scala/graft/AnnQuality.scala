@@ -128,22 +128,37 @@ object AnnQuality {
       val r = recallOf(Similarity.ivfKnn(spark, sfDir, cells, nprobe))
       f""""ivf_${cells}c_${nprobe}p":{"recall_at_$k":$r%.3f,"candidates":$cand,"candidate_ratio":${cand.toDouble / brutePairs}%.3f}"""
     }
+    // trained-quantizer twins (q136 / pqTrainedCodebook): same routing,
+    // centroids from KMeans.train instead of the first-K policy — the
+    // first-K-vs-trained comparison BASELINE.md's ANN table records
+    def ivfTrainedLine(cells: Int, nprobe: Int): String = {
+      val cand = Similarity.ivfTrainedCandidates(spark, sfDir, cells, nprobe).count()
+      val r = recallOf(Similarity.ivfTrainedKnn(spark, sfDir, cells, nprobe))
+      f""""ivf_trained_${cells}c_${nprobe}p":{"recall_at_$k":$r%.3f,"candidates":$cand,"candidate_ratio":${cand.toDouble / brutePairs}%.3f}"""
+    }
     val pqCand = Similarity.pqCandidates(spark, sfDir).count()
     val rPq = recallOf(SparkEntry.queries("q31c_knn_pq")(spark, sfDir))
+    val cbT = Similarity.pqTrainedCodebook(spark, sfDir)
+    val pqTrainedCand = Similarity.pqCandidates(spark, sfDir, cbT).count()
+    val rPqTrained = recallOf(Similarity.pqKnn(spark, sfDir, cbT))
 
     val sweeps = Seq(
       lshLine(24, 3), // the q31 instance
       lshLine(32, 4),
       lshLine(48, 6),
       ivfLine(16, 4), // the q31b instance
+      ivfTrainedLine(16, 4), // the q136 instance
       ivfLine(64, 8),
-      ivfLine(144, 8) // cells ≈ √N at N=20k (the sizing-note scaling)
+      ivfTrainedLine(64, 8),
+      ivfLine(144, 8), // cells ≈ √N at N=20k (the sizing-note scaling)
+      ivfTrainedLine(144, 8)
     )
     println(
       f"""{"sf":"$sfDir","k":$k,"n_probes":$nProbes,"corpus_n":$corpusN,""" +
         f""""brute_pairs":$brutePairs,""" +
         sweeps.mkString(",") + "," +
-        f""""q31c_pq":{"recall_at_$k":$rPq%.3f,"candidates":$pqCand,"candidate_ratio":${pqCand.toDouble / brutePairs}%.3f}}"""
+        f""""q31c_pq":{"recall_at_$k":$rPq%.3f,"candidates":$pqCand,"candidate_ratio":${pqCand.toDouble / brutePairs}%.3f},""" +
+        f""""pq_trained":{"recall_at_$k":$rPqTrained%.3f,"candidates":$pqTrainedCand,"candidate_ratio":${pqTrainedCand.toDouble / brutePairs}%.3f}}"""
     )
     spark.stop()
   }

@@ -20,13 +20,21 @@ import org.apache.spark.sql.functions._
   *     the non-empty batches (the number a latency SLO is written
   *     against), median + max.
   *
-  * Usage: tools/run_main.sh graft.StreamingBench [nFiles] [filesPerTrigger]
+  * A third argument switches on the AMORTIZATION mode (round-11
+  * measurement): files are scaled to S3-object size (linesPerFile of
+  * 10⁵–10⁶), the drip-latency stage is skipped, and the headline is
+  * rows/s converging to the batch-ETL rate as the ~1.4 s per-batch
+  * floor amortizes over big batches — the projection SCALE.md's
+  * streaming section makes from the small-file floor table.
+  *
+  * Usage: tools/run_main.sh graft.StreamingBench [nFiles] [filesPerTrigger] [linesPerFile]
   */
 object StreamingBench {
 
   def main(args: Array[String]): Unit = {
     val nFiles = args.headOption.map(_.toInt).getOrElse(50)
     val perTrigger = args.lift(1).map(_.toInt).getOrElse(10)
+    val linesPerFile = args.lift(2).map(_.toLong)
     val spark =
       Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"), "graft-streambench")
 
@@ -37,13 +45,14 @@ object StreamingBench {
       ).getPath
     )
     val inDir = s"$root/in"
+    val totalRows =
+      linesPerFile.map(_ * nFiles).getOrElse(graft.etl.FlowLogCorpus.Rows)
     graft.etl.FlowLogCorpus
-      .lines(spark)
+      .lines(spark, totalRows)
       .repartition(nFiles)
       .write
       .mode("overwrite")
       .text(inDir)
-    val totalRows = graft.etl.FlowLogCorpus.Rows
 
     // ---- 1. AvailableNow drain throughput ----
     val t0 = System.nanoTime()
@@ -71,6 +80,8 @@ object StreamingBench {
         f"wall=${drainSec}%.2f s rows=$totalRows out_rows=$outRows " +
         f"rows_per_sec=${totalRows / drainSec}%.0f files_per_sec=${nFiles / drainSec}%.1f"
     )
+
+    if (linesPerFile.isDefined) { spark.stop(); return }
 
     // ---- 2. Steady-state micro-batch latency ----
     // fresh input dir; files drip in one at a time while a

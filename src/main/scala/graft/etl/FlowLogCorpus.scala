@@ -32,7 +32,15 @@ object FlowLogCorpus {
   val BaseDate = "2023-11-14"
 
   /** Raw text lines (column `value`), header first. */
-  def lines(spark: SparkSession): DataFrame = {
+  def lines(spark: SparkSession): DataFrame = lines(spark, Rows)
+
+  /** The same closed-form corpus over an arbitrary id range —
+    * StreamingBench's big-file amortization mode scales the line count
+    * to S3-object size (10⁵–10⁶ lines/file) without touching the
+    * oracle-pinned 150k default (every field formula is id-pure, so the
+    * partition fan-out stays Accounts × Days at any n).
+    */
+  def lines(spark: SparkSession, n: Long): DataFrame = {
     val id = col("id")
     val nd = id % 97 === 0
     def dash(c: Column): Column = when(nd, lit("-")).otherwise(c)
@@ -67,7 +75,7 @@ object FlowLogCorpus {
       )
     header.union(
       spark
-        .range(0, Rows)
+        .range(0, n)
         .select(when(id % 101 === 100, short).otherwise(full).as("value"))
     )
   }

@@ -371,14 +371,30 @@ object Dedup {
 
   private val CosineThreshold = 0.4
 
+  /** Hard ceiling on the all-pairs baseline: q29 exists to VERIFY the
+    * bucketed scale paths (q29b, q31 family), never to run at corpus
+    * scale — above this the guard fails loudly instead of silently
+    * launching an O(N²) job someone mistook for a production path.
+    * 100k rows ≈ 5e9 scored pairs, the most a verification run should
+    * ever pay; the sf tables are 3 orders of magnitude below it.
+    */
+  private val AllPairsMaxRows = 100000L
+
   /** Exact cosine near-dup over the embedding column: all pairs with
     * cos ≥ 0.4. Dot products in double with left-to-right accumulation on
     * both engines → bit-identical values. The all-pairs form is the
-    * correctness baseline; the LSH-bucketed ANN path is
-    * Similarity.q31 (scale path).
+    * correctness baseline (size-guarded — see AllPairsMaxRows); the
+    * LSH-bucketed ANN path is Similarity.q31 (scale path).
     */
   private def q29(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.table(s, dir, "embeddings")
+    val n = e.count()
+    require(
+      n <= AllPairsMaxRows,
+      s"q29 is the all-pairs verification BASELINE (O(N²) by design): " +
+        s"corpus has $n rows > $AllPairsMaxRows cap. Use the bucketed " +
+        s"scale paths (q29b SemDeDup cells, q31/q31b/q31c ANN) at scale."
+    )
     val a = e.select(col("vec_id").as("va"), col("embedding").as("ea"))
     val b = e.select(col("vec_id").as("vb"), col("embedding").as("eb"))
     a.crossJoin(b)

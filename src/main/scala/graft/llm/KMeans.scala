@@ -50,7 +50,7 @@ object KMeans {
   /** Assignment projection under literal centroids: per row, the best
     * (dist², cell) struct via array_min — map-only, codegen'd.
     */
-  private def assigned(e: DataFrame, cent: Array[Array[Float]]): DataFrame = {
+  private[graft] def assigned(e: DataFrame, cent: Array[Array[Float]]): DataFrame = {
     val cells: Seq[Column] = cent.toIndexedSeq.zipWithIndex.map { case (c, j) =>
       val cLit = array(c.toIndexedSeq.map(v => lit(v)): _*)
       // ‖c‖² folded driver-side in the same left-to-right order as the
@@ -85,25 +85,43 @@ object KMeans {
       .groupBy("cluster", "pos")
       .agg(round(avg(col("v").cast("double")), 6).cast("float").as("m"))
       .collect()
-    val next = Array.tabulate(K)(j => prev(j).clone())
+    val next = Array.tabulate(prev.length)(j => prev(j).clone())
     rows.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getFloat(2))
     next
   }
 
-  private def q70(s: SparkSession, dir: String): DataFrame = {
-    val e = emb(s, dir)
-    // init: first K vectors — a K-row collect, bounded by construction
-    // (a model parameter, not a data pull; same policy as pqCodebook)
-    val init: Array[Array[Float]] = e
-      .filter(col("vec_id") < K)
-      .orderBy("vec_id")
-      .select("embedding")
-      .collect()
-      .map(_.getSeq[Float](0).toArray)
-    require(init.length == K, s"expected $K init vectors, got ${init.length}")
-    val cFinal = (0 until Iterations).foldLeft(init) { (c, _) =>
+  /** Lloyd training over any frame carrying an `embedding` column,
+    * returning the k trained centroids under q70's exact determinism
+    * protocol (first-k init by `vec_id` when present — else the frame's
+    * first k rows — L2 argmin with smallest-cell ties, round(·,6)::FLOAT
+    * centroid re-sync, emptied cells keep their previous centroid).
+    * Exposed so the IVF/PQ quantizers (q136, AnnQuality's trained
+    * sweeps) train with the SAME loop the q70 gate pins — one Lloyd
+    * implementation repo-wide, one oracle replay recipe.
+    */
+  private[graft] def train(
+      e: DataFrame,
+      k: Int,
+      iterations: Int = Iterations
+  ): Array[Array[Float]] = {
+    val init: Array[Array[Float]] =
+      (if (e.columns.contains("vec_id"))
+         e.filter(col("vec_id") < k).orderBy("vec_id")
+       else e.limit(k))
+        .select("embedding")
+        .collect()
+        .map(_.getSeq[Float](0).toArray)
+    require(init.length == k, s"expected $k init vectors, got ${init.length}")
+    (0 until iterations).foldLeft(init) { (c, _) =>
       updated(assigned(e, c), c)
     }
+  }
+
+  private def q70(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    // init + Lloyd loop: the collects are model pulls bounded by K
+    // (first-K init policy, same as pqCodebook)
+    val cFinal = train(e, K, Iterations)
     assigned(e, cFinal)
       .select(
         col("vec_id"),
@@ -128,17 +146,19 @@ object KMeans {
       |          i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.ce[i] AS DOUBLE)))
       |      + list_sum(list_transform(c.ce, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))""".stripMargin
 
-  private def distCteSql(cN: String): String =
+  // private[graft]: q136's oracle composes the SAME training replay with
+  // K=16 — the trained-IVF oracle can never drift from the q70 recipe
+  private[graft] def distCteSql(cN: String): String =
     s"""SELECT e.vec_id, c.cell, $distSql AS d
        |  FROM e CROSS JOIN $cN c""".stripMargin
 
-  private def argminSql(dN: String): String =
+  private[graft] def argminSql(dN: String): String =
     s"""SELECT vec_id, cell, d FROM (
        |  SELECT vec_id, cell, d,
        |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
        |  FROM $dN) WHERE rn = 1""".stripMargin
 
-  private def updateSql(aN: String, prevC: String): String =
+  private[graft] def updateSql(aN: String, prevC: String): String =
     s"""SELECT $prevC.cell, coalesce(u.ce, $prevC.ce) AS ce
        |  FROM $prevC LEFT JOIN (
        |    SELECT cell, list(m ORDER BY i) AS ce FROM (

@@ -245,6 +245,93 @@ object Similarity {
       .filter(col("neighbor_id") =!= col("probe_id"))
   }
 
+  // ------------------------- q136: IVF with k-means-TRAINED centroids
+
+  private[graft] val IvfTrainIters = 2
+
+  /** q136: IVF whose coarse quantizer is TRAINED with q70's Lloyd loop
+    * (KMeans.train, K = IvfCells, 2 updates, first-K init) instead of
+    * q31b's first-K stand-in — the production quantizer the q31b
+    * Scaladoc promises ("a real deployment would k-means them").
+    *
+    * The plan shape IMPROVES on q31b: trained centroids are driver-side
+    * model parameters, so both sides of the routing become MAP-ONLY
+    * literal-centroid projections (q70's assignment discipline) — the
+    * corpus-side argmax needs no crossJoin-against-a-centroid-frame and
+    * no aggregate at all, and the probe side sorts a 16-element struct
+    * array per row (array_sort + slice + explode). The only shuffle
+    * left is the candidate equi-join on cell id. Assignment metric is
+    * squared-L2 (the k-means objective — q31b's cosine routing and L2
+    * coincide up to per-vector norms; trained IVF uses the metric the
+    * training minimized).
+    *
+    * Still fully deterministic ⇒ full value-level DuckDB oracle: the
+    * training replay composes KMeans' OWN oracle CTE builders at K=16
+    * (one Lloyd recipe repo-wide), then routes and scores like q31b's.
+    * Recall vs first-K centroids is measured in AnnQuality (BASELINE.md
+    * "ANN quality" table).
+    */
+  private def q136(s: SparkSession, dir: String): DataFrame =
+    scoreTopK(ivfTrainedCandidates(s, dir))
+
+  private[graft] def ivfTrainedCandidates(
+      s: SparkSession,
+      dir: String,
+      cells: Int = IvfCells,
+      nprobe: Int = IvfProbes,
+      iterations: Int = IvfTrainIters
+  ): DataFrame = {
+    val e = emb(s, dir)
+    val cent = KMeans.train(e, cells, iterations)
+
+    // corpus side: q70's map-only argmin projection — zero joins
+    val corpusCells = KMeans
+      .assigned(e, cent)
+      .select(
+        col("vec_id").as("neighbor_id"),
+        col("embedding").as("ne"),
+        col("cluster").as("cell")
+      )
+
+    // probe side: per-row 16-struct array, sorted ascending by (d, cell)
+    // — identical ordering to the oracle's row_number() OVER (ORDER BY
+    // d, cell) — then the nprobe head exploded; also map-only
+    val cellStructs: Seq[Column] = cent.toIndexedSeq.zipWithIndex.map {
+      case (c, j) =>
+        val cLit = array(c.toIndexedSeq.map(v => lit(v)): _*)
+        // ‖c‖² folded driver-side left-to-right (the KMeans convention)
+        val cc = c.foldLeft(0.0)((a, v) => a + v.toDouble * v.toDouble)
+        struct(
+          (col("xx") - lit(2.0) * VectorOps.dot(col("embedding"), cLit) + lit(cc))
+            .as("d"),
+          lit(j).as("cell")
+        )
+    }
+    val probeCells = e
+      .filter(col("vec_id") < NumProbes)
+      .withColumn("xx", VectorOps.dot(col("embedding"), col("embedding")))
+      .select(
+        col("vec_id").as("probe_id"),
+        col("embedding").as("pe"),
+        explode(slice(array_sort(array(cellStructs: _*)), 1, nprobe)).as("bc")
+      )
+      .select(col("probe_id"), col("pe"), col("bc.cell").as("cell"))
+
+    probeCells
+      .join(corpusCells, Seq("cell"))
+      .filter(col("neighbor_id") =!= col("probe_id"))
+  }
+
+  /** Parametrized trained-IVF kNN for AnnQuality's first-K-vs-trained
+    * sweep; q136 is the (16, 4) instance.
+    */
+  private[graft] def ivfTrainedKnn(
+      s: SparkSession,
+      dir: String,
+      cells: Int = IvfCells,
+      nprobe: Int = IvfProbes
+  ): DataFrame = scoreTopK(ivfTrainedCandidates(s, dir, cells, nprobe))
+
   // ------------------------------------ q31c: product-quantization ANN
 
   private[graft] val PqSub = 8 // subspaces
@@ -274,6 +361,32 @@ object Similarity {
     )
   }
 
+  /** TRAINED PQ codebook: per-subspace k-means over the normalized
+    * sub-vectors (PqSub independent Lloyd loops via KMeans.train, first-K
+    * init = the deterministic codebook above as the starting point) —
+    * the production training the first-K policy stands in for. Used by
+    * AnnQuality's first-K-vs-trained recall sweep; q31c's GATE keeps the
+    * first-K book (its oracle replays encode/scan/re-rank, not training —
+    * the trained-quantizer oracle story lives in q136 where one Lloyd
+    * recipe covers it). Cost: PqSub×iterations corpus aggregations, each
+    * over 8-float sub-vectors; collects are 16×8 model floats.
+    */
+  private[graft] def pqTrainedCodebook(
+      s: SparkSession,
+      dir: String,
+      iterations: Int = IvfTrainIters
+  ): Array[Array[Array[Float]]] = {
+    val nv = emb(s, dir)
+      .select(col("vec_id"), VectorOps.normalize(col("embedding")).as("ne"))
+      .cache()
+    try
+      Array.tabulate(PqSub) { m =>
+        val sub = nv.select(col("vec_id"), subVec(col("ne"), m).as("embedding"))
+        KMeans.train(sub, PqK, iterations)
+      }
+    finally nv.unpersist()
+  }
+
   private def subVec(e: Column, m: Int): Column =
     slice(e, m * PqSubDim + 1, PqSubDim)
 
@@ -291,7 +404,17 @@ object Similarity {
     * deterministic — unlike q31/q31b this approximate path has a full
     * value-level DuckDB oracle replaying encode, ADC scan, and re-rank.
     */
-  private def q31c(s: SparkSession, dir: String): DataFrame = {
+  private def q31c(s: SparkSession, dir: String): DataFrame =
+    pqKnn(s, dir, pqCodebook(s, dir))
+
+  /** PQ kNN under an arbitrary codebook (AnnQuality's trained sweep);
+    * q31c is the first-K-codebook instance.
+    */
+  private[graft] def pqKnn(
+      s: SparkSession,
+      dir: String,
+      cb: Array[Array[Array[Float]]]
+  ): DataFrame = {
     val e = emb(s, dir)
     // exact re-rank: fetch full vectors for the ADC survivors only
     val probeEmb = e
@@ -300,7 +423,7 @@ object Similarity {
     val corpusEmb =
       e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
     scoreTopK(
-      pqCandidates(s, dir)
+      pqCandidates(s, dir, cb)
         .join(broadcast(probeEmb), Seq("probe_id"))
         .join(corpusEmb, Seq("neighbor_id"))
     )
@@ -310,8 +433,14 @@ object Similarity {
     * set q31c fetches full vectors for and re-ranks exactly; exposed for
     * AnnQuality's candidate-count report (same definition the query runs).
     */
-  private[graft] def pqCandidates(s: SparkSession, dir: String): DataFrame = {
-    val cb = pqCodebook(s, dir)
+  private[graft] def pqCandidates(s: SparkSession, dir: String): DataFrame =
+    pqCandidates(s, dir, pqCodebook(s, dir))
+
+  private[graft] def pqCandidates(
+      s: SparkSession,
+      dir: String,
+      cb: Array[Array[Array[Float]]]
+  ): DataFrame = {
     val e = emb(s, dir)
 
     // corpus → one row per vector carrying only (id, 8 codes); the
@@ -470,6 +599,7 @@ object Similarity {
     "q31_knn_lsh" -> q31,
     "q31b_knn_ivf" -> q31b,
     "q31c_knn_pq" -> q31c,
+    "q136_knn_ivf_trained" -> q136,
     "q93_hard_negatives" -> q93,
     "q99_ann_recall_eval" -> q99
   )
@@ -557,6 +687,32 @@ object Similarity {
          |    SELECT vec_id, cell,
          |      row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS rn
          |    FROM cs WHERE vec_id < $NumProbes) WHERE rn <= $IvfProbes),
+         |${scoreTopKSql(s"""cand AS (
+         |  SELECT pc.vec_id AS probe_id, cc.vec_id AS neighbor_id
+         |  FROM probe_cells pc JOIN corpus_cells cc ON cc.cell = pc.cell
+         |  WHERE cc.vec_id <> pc.vec_id)""".stripMargin)}""".stripMargin,
+    // q136: the Lloyd training replays via KMeans' OWN oracle CTE
+    // builders (K = IvfCells, 2 updates — c2 is the trained quantizer),
+    // then the final distance frame d2 serves BOTH sides of the routing:
+    // corpus cell = argmin (rn = 1), probe cells = rn <= nprobe, matching
+    // the Spark array_sort(struct(d, cell)) ordering exactly.
+    "q136_knn_ivf_trained" ->
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         |dim AS (SELECT unnest(generate_series(1, $Dim)) AS i),
+         |c0 AS (SELECT vec_id AS cell, embedding AS ce FROM e WHERE vec_id < $IvfCells),
+         |d0 AS (${KMeans.distCteSql("c0")}),
+         |a0 AS (${KMeans.argminSql("d0")}),
+         |c1 AS (${KMeans.updateSql("a0", "c0")}),
+         |d1 AS (${KMeans.distCteSql("c1")}),
+         |a1 AS (${KMeans.argminSql("d1")}),
+         |c2 AS (${KMeans.updateSql("a1", "c1")}),
+         |d2 AS (${KMeans.distCteSql("c2")}),
+         |corpus_cells AS (${KMeans.argminSql("d2")}),
+         |probe_cells AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT vec_id, cell,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+         |    FROM d2 WHERE vec_id < $NumProbes) WHERE rn <= $IvfProbes),
          |${scoreTopKSql(s"""cand AS (
          |  SELECT pc.vec_id AS probe_id, cc.vec_id AS neighbor_id
          |  FROM probe_cells pc JOIN corpus_cells cc ON cc.cell = pc.cell

@@ -63,6 +63,53 @@ class BpeTrainSpec extends SparkSpec {
     assert(got.exists(m => m._2.length > 1 || m._3.length > 1), got.toString)
   }
 
+  test("q137 encode equals a naive merge-walk replay on the real corpus") {
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.queries.Tables
+      .table(spark, sf, "documents")
+      .select("doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val words = docs
+      .flatMap(_._2.split(" ").filter(_.nonEmpty))
+      .groupBy(identity)
+      .map { case (w, ws) => w -> ws.length.toLong }
+    val merges = naiveBpe(words, 10).map { case (_, a, b, _) => (a, b) }
+    // naive encode: the same textbook walk, per word, merge by merge
+    def encode(w: String): Int =
+      merges
+        .foldLeft(w.toVector.map(_.toString)) { case (syms, (a, b)) =>
+          val res = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+              res += (a + b); i += 2
+            } else { res += syms(i); i += 1 }
+          }
+          res.result()
+        }
+        .length
+    val tokCache = scala.collection.mutable.Map.empty[String, Int]
+    val want = docs
+      .map { case (id, text) =>
+        val ws = text.split(" ").filter(_.nonEmpty)
+        (id, ws.length.toLong, ws.map(_.length.toLong).sum,
+          ws.map(w => tokCache.getOrElseUpdate(w, encode(w)).toLong).sum)
+      }
+      .filter(_._2 > 0)
+      .sortBy(_._1)
+      .toSeq
+    val got = SparkEntry
+      .queries("q137_bpe_encode")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == want)
+    // the tokenizer must actually compress: strictly fewer tokens than
+    // characters overall (at least one merge fires somewhere)
+    assert(got.map(_._4).sum < got.map(_._3).sum)
+  }
+
   test("greedy fold handles overlapping runs (pair (a,a) over aaa...)") {
     // crafted corpus exercising the overlap edge directly through the
     // same naive replay the gate is pinned to

@@ -83,6 +83,31 @@ class LlmOpsSpec extends SparkSpec {
     assert(mean >= 0.3, s"mean recall $mean too low")
   }
 
+  test("knn trained-IVF (q136): training moved the centroids, recall >= q31b floor") {
+    val e = graft.queries.Tables.table(spark, sf, "embeddings")
+    val firstK = e
+      .filter(org.apache.spark.sql.functions.col("vec_id") < 16)
+      .orderBy("vec_id")
+      .select("embedding")
+      .collect()
+      .map(_.getSeq[Float](0).toArray)
+    val trained = graft.llm.KMeans.train(e, 16)
+    // Lloyd actually updated the quantizer (first-K init is NOT a fixed
+    // point on this corpus) — q136 must not silently degrade to q31b
+    assert(
+      trained.zip(firstK).exists { case (t, f) => !t.sameElements(f) },
+      "trained centroids identical to first-K init"
+    )
+    val brute = topNeighbors("q30_knn_brute")
+    val ivf = topNeighbors("q136_knn_ivf_trained")
+    assert(brute.keySet == ivf.keySet)
+    val recalls = brute.keys.map { p =>
+      (brute(p) intersect ivf(p)).size.toDouble / brute(p).size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.3, s"mean recall $mean too low")
+  }
+
   test("knn PQ (8x16 codebook, rerank 100) recall vs brute force >= 0.4 at k=10") {
     val brute = topNeighbors("q30_knn_brute")
     val pq = topNeighbors("q31c_knn_pq")
