@@ -54,6 +54,7 @@ object SparkEntry {
       graft.llm.Dedup.queries ++
       graft.llm.Clustering.queries ++
       graft.llm.Similarity.queries ++
+      graft.llm.AnnIndex.queries ++
       graft.llm.SimJoin.queries ++
       graft.llm.Eval.queries ++
       graft.llm.TextAnalysis.queries ++
@@ -109,6 +110,7 @@ object SparkEntry {
       graft.llm.Dedup.oracleSql ++
       graft.llm.Clustering.oracleSql ++
       graft.llm.Similarity.oracleSql ++
+      graft.llm.AnnIndex.oracleSql ++
       graft.llm.SimJoin.oracleSql ++
       graft.llm.Eval.oracleSql ++
       graft.llm.TextAnalysis.oracleSql ++

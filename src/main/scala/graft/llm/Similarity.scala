@@ -40,7 +40,7 @@ object Similarity {
     * neighbor_id. One definition so rounding/tie semantics cannot drift
     * between the exact baseline and the approximate paths.
     */
-  private def scoreTopK(pairs: DataFrame): DataFrame = {
+  private[graft] def scoreTopK(pairs: DataFrame): DataFrame = {
     val w = Window
       .partitionBy(col("probe_id"))
       .orderBy(desc("cos"), col("neighbor_id"))
@@ -177,8 +177,8 @@ object Similarity {
 
   // --------------------------------------------- q31b: IVF-bucketed ANN
 
-  private val IvfCells = 16 // coarse quantizer size
-  private val IvfProbes = 4 // cells scanned per query
+  private[graft] val IvfCells = 16 // coarse quantizer size
+  private[graft] val IvfProbes = 4 // cells scanned per query
 
   /** IVF (inverted-file) ANN: a coarse quantizer assigns every vector to
     * its nearest "centroid" cell; queries scan only the nprobe nearest
@@ -484,6 +484,138 @@ object Similarity {
       .withColumn("arank", row_number().over(aw))
       .filter(col("arank") <= PqRerank)
       .select("probe_id", "neighbor_id")
+  }
+
+  // ---------------------- residual IVF-PQ (measured composition path)
+
+  /** IVF-PQ: the residual composition of the trained coarse quantizer
+    * (q136) with product quantization (q31c) — the documented fix for
+    * PQ's clustered-corpus recall loss (BASELINE.md "ANN quality"): a
+    * lone codebook spends its 16 centroids/subspace spanning BETWEEN-
+    * cluster variance; quantizing the RESIDUAL r = v − c(cell) instead
+    * re-centers every cell at the origin, so the same 16 codewords
+    * describe WITHIN-cluster structure — where the true neighbors are.
+    *
+    * ADC score: cos(p, v) ≈ p·c(cell) + Σ_m p_m · cb_m[code_m(r)] —
+    * the cell term is exact (nprobe values per probe, computed in the
+    * routing projection), the residual term reads 8 one-byte codes via
+    * broadcast LUTs. Everything is deterministic (Lloyd training via
+    * KMeans.train on both levels, first-K inits); candidates are
+    * cell-bounded BY LAYOUT (only the probed cells' codes are scanned)
+    * and the exact re-rank touches PqRerank full vectors per probe.
+    * Measurement path for AnnQuality (recall table in BASELINE.md);
+    * the gated oracle stories live in the parts: q136 (training +
+    * routing) and q31c (encode + ADC + re-rank).
+    */
+  private[graft] def ivfPqKnn(
+      s: SparkSession,
+      dir: String,
+      cells: Int = IvfCells,
+      nprobe: Int = IvfProbes
+  ): DataFrame = {
+    val e = emb(s, dir)
+    val nv = e
+      .select(col("vec_id"), VectorOps.normalize(col("embedding")).as("embedding"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val cent = KMeans.train(nv, cells)
+      val centLit = array(
+        cent.toIndexedSeq.map(c => array(c.toIndexedSeq.map(v => lit(v)): _*)): _*
+      )
+      // corpus: cell assignment (map-only literal argmin), then the
+      // residual against the cell's centroid — still map-only
+      val resid = KMeans
+        .assigned(nv, cent)
+        .select(
+          col("vec_id"),
+          col("cluster").as("cell"),
+          zip_with(
+            col("embedding"),
+            element_at(centLit, col("cluster") + 1),
+            (a, b) => a - b
+          ).as("embedding")
+        )
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        // per-subspace codebooks trained on the residual slices (the
+        // pqTrainedCodebook recipe, input re-centered per cell)
+        val cb: Array[Array[Array[Float]]] = Array.tabulate(PqSub) { m =>
+          KMeans.train(
+            resid.select(col("vec_id"), subVec(col("embedding"), m).as("embedding")),
+            PqK
+          )
+        }
+        // encode: same argmax-of-(dot − ‖c‖²/2) expression as q31c,
+        // over the residual instead of the normalized vector
+        val codeCols: Seq[Column] = (0 until PqSub).map { m =>
+          val norm2 = cb(m).map(c => c.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))
+          val scores = array((0 until PqK).map { k =>
+            VectorOps.dot(subVec(col("embedding"), m), cbLit(cb, m, k)) -
+              lit(0.5 * norm2(k))
+          }: _*)
+          array_position(scores, array_max(scores)).cast("int").as(s"code$m")
+        }
+        val corpusCodes =
+          resid.select(col("vec_id").as("neighbor_id") +: col("cell") +: codeCols: _*)
+
+        // probes: nprobe nearest cells, carrying the EXACT p·c term per
+        // cell, plus per-subspace LUTs of codeword dots
+        val cellStructs = cent.toIndexedSeq.zipWithIndex.map { case (c, j) =>
+          val cLit = array(c.toIndexedSeq.map(v => lit(v)): _*)
+          val cc = c.foldLeft(0.0)((a, v) => a + v.toDouble * v.toDouble)
+          struct(
+            (col("xx") - lit(2.0) * VectorOps.dot(col("embedding"), cLit) + lit(cc)).as("d"),
+            lit(j).as("cell"),
+            VectorOps.dot(col("embedding"), cLit).as("pc")
+          )
+        }
+        val lutCols: Seq[Column] = (0 until PqSub).map { m =>
+          array((0 until PqK).map { k =>
+            VectorOps.dot(subVec(col("embedding"), m), cbLit(cb, m, k))
+          }: _*).as(s"lut$m")
+        }
+        val probeCells = nv
+          .filter(col("vec_id") < NumProbes)
+          .withColumn("xx", VectorOps.dot(col("embedding"), col("embedding")))
+          .select(
+            col("vec_id").as("probe_id") +:
+              explode(slice(array_sort(array(cellStructs: _*)), 1, nprobe)).as("bc") +:
+              lutCols: _*
+          )
+          .select(
+            col("probe_id") +: col("bc.cell").as("cell") +: col("bc.pc").as("pc") +:
+              (0 until PqSub).map(m => col(s"lut$m")): _*
+          )
+
+        // ADC over the probed cells only, then exact re-rank
+        val adc = col("pc") +
+          (0 until PqSub)
+            .map(m => element_at(col(s"lut$m"), col(s"code$m")))
+            .reduce(_ + _)
+        val aw = Window
+          .partitionBy(col("probe_id"))
+          .orderBy(desc("adc"), col("neighbor_id"))
+        val cand = corpusCodes
+          .join(broadcast(probeCells), Seq("cell"))
+          .filter(col("neighbor_id") =!= col("probe_id"))
+          .withColumn("adc", adc)
+          .withColumn("arank", row_number().over(aw))
+          .filter(col("arank") <= PqRerank)
+          .select("probe_id", "neighbor_id")
+        val probeEmb = e
+          .filter(col("vec_id") < NumProbes)
+          .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+        val corpusEmb =
+          e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
+        val out = scoreTopK(
+          cand
+            .join(broadcast(probeEmb), Seq("probe_id"))
+            .join(corpusEmb, Seq("neighbor_id"))
+        )
+        // materialize before the finally-unpersist releases the inputs
+        out.localCheckpoint(true)
+      } finally resid.unpersist()
+    } finally nv.unpersist()
   }
 
   // ------------------------------------------ q93: hard-negative mining
