@@ -213,10 +213,53 @@ object SimJoin {
       )
       .orderBy("name_a", "name_b")
 
+  /** q139: entity resolution end-to-end — the pipeline the similarity
+    * joins exist to feed: block (q121's lossless length filter), score
+    * (the codegen'd Jaro-Winkler kernel at ≥ [[JwT]]), cluster the match
+    * edges transitively (q50's checkpointed label propagation), and
+    * assign every mention a canonical entity id (the lexicographic min
+    * of its cluster — Winkler's census-linkage shape). Output: one row
+    * per DISTINCT name with its entity and the entity's cluster size;
+    * singletons resolve to themselves, so the assignment is total.
+    *
+    * Scale shape: names are the distinct-values frame (master-data
+    * regime); at corpus scale the block swaps to q110's deletion
+    * neighborhoods or q109's prefix filter, the scorer and the CC loop
+    * are unchanged. The transitive step matters: A~B and B~C without
+    * A~C is COMMON under any threshold scorer, and pair-level dedup
+    * would split the entity.
+    *
+    * The oracle replays blocking + scoring with DuckDB's native
+    * jaro_winkler (bit-parity pinned by q121) and the closure with a
+    * recursive CTE (min reachable name per node) — a fully independent
+    * transitive-closure implementation; equality proves the propagation
+    * loop labels every component exactly.
+    */
+  private def q139(s: SparkSession, dir: String): DataFrame = {
+    val names = Tables.table(s, dir, "part").select(col("p_name")).distinct()
+    val edges = q121Over(names)
+      .select(col("name_a").as("src"), col("name_b").as("dst"))
+    val comps = Clustering.connectedComponents(edges)
+    val lbl = names
+      .select(col("p_name").as("name"))
+      .join(
+        comps.select(col("id").as("name"), col("component").as("entity")),
+        Seq("name"),
+        "left"
+      )
+      .select(col("name"), coalesce(col("entity"), col("name")).as("entity"))
+    val sz = lbl.groupBy("entity").agg(count(lit(1)).as("cluster_size"))
+    lbl
+      .join(sz, "entity")
+      .select(col("name"), col("entity"), col("cluster_size"))
+      .orderBy("name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q109_prefix_jaccard_join" -> q109,
     "q110_edit_distance_join" -> q110,
-    "q121_jaro_winkler_linkage" -> q121
+    "q121_jaro_winkler_linkage" -> q121,
+    "q139_entity_resolution" -> q139
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -244,6 +287,30 @@ object SimJoin {
     // codegen'd Spark expression — two independent implementations of
     // the textbook algorithm must agree bit-for-bit on every pair AND
     // on every threshold decision (the filter runs on the raw double)
+    // transitive closure via a recursive CTE: reach(name, r) = every
+    // node reachable from `name` over the (symmetrized) match edges;
+    // min(r) per name is the canonical entity — an implementation of
+    // connected components entirely independent of the Spark loop
+    "q139_entity_resolution" ->
+      s"""WITH RECURSIVE n AS (SELECT DISTINCT p_name FROM part),
+         |e0 AS (
+         |  SELECT a.p_name AS na, b.p_name AS nb
+         |  FROM n a JOIN n b
+         |    ON a.p_name < b.p_name
+         |   AND 4 * least(length(a.p_name), length(b.p_name))
+         |       >= greatest(length(a.p_name), length(b.p_name))
+         |  WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= $JwT),
+         |edges AS (SELECT na, nb FROM e0 UNION ALL SELECT nb AS na, na AS nb FROM e0),
+         |reach(name, r) AS (
+         |  SELECT p_name, p_name FROM n
+         |  UNION
+         |  SELECT e.na, rch.r FROM edges e JOIN reach rch ON rch.name = e.nb),
+         |lbl AS (SELECT name, min(r) AS entity FROM reach GROUP BY name),
+         |sz AS (SELECT entity, CAST(count(*) AS BIGINT) AS cluster_size
+         |       FROM lbl GROUP BY entity)
+         |SELECT lbl.name, lbl.entity, sz.cluster_size
+         |FROM lbl JOIN sz USING (entity)
+         |ORDER BY lbl.name""".stripMargin,
     "q121_jaro_winkler_linkage" ->
       s"""WITH n AS (SELECT DISTINCT p_name FROM part)
          |SELECT a.p_name AS name_a, b.p_name AS name_b,

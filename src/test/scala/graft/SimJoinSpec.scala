@@ -85,4 +85,39 @@ class SimJoinSpec extends SparkSpec {
     // s_name is unique in TPC-H, so every surviving pair is exactly 1 edit
     assert(fast.forall(_._3 == 1))
   }
+
+  test("q139 entity assignment is total, canonical-min, and transitively closed") {
+    val names = queries.Tables
+      .table(spark, sf, "part")
+      .select(col("p_name"))
+      .distinct()
+      .collect()
+      .map(_.getString(0))
+      .toSet
+    val rows = SparkEntry
+      .queries("q139_entity_resolution")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    // total assignment: exactly one row per distinct name
+    assert(rows.map(_._1).toSet == names && rows.length == names.size)
+    val byEntity = rows.groupBy(_._2)
+    byEntity.foreach { case (e, ms) =>
+      // canonical id is the lexicographic min member, size is the count
+      assert(ms.map(_._1).min == e, s"entity $e is not its cluster's min")
+      assert(ms.forall(_._3 == ms.length), s"entity $e carries a wrong size")
+    }
+    // the match edges must be CONTAINED in the clusters (no edge crosses
+    // entities), and the closure must matter: at least one multi-member
+    // cluster exists on this corpus
+    val entityOf = rows.map(r => r._1 -> r._2).toMap
+    val edges = SparkEntry
+      .queries("q121_jaro_winkler_linkage")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(edges.nonEmpty)
+    edges.foreach { case (a, b) =>
+      assert(entityOf(a) == entityOf(b), s"edge ($a, $b) crosses entities")
+    }
+    assert(byEntity.exists(_._2.length >= 2))
+  }
 }
