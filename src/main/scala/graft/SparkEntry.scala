@@ -27,6 +27,7 @@ object SparkEntry {
       graft.etl.AvroGateQuery.queries ++
       graft.catalog.BucketedGateQuery.queries ++
       graft.catalog.DppGateQuery.queries ++
+      graft.catalog.MvGateQuery.queries ++
       graft.catalog.SchemaEvoGateQuery.queries ++
       graft.catalog.LayoutGateQuery.queries ++
       graft.catalog.IncrementalGateQuery.queries ++
@@ -83,6 +84,7 @@ object SparkEntry {
       graft.etl.AvroGateQuery.oracleSql ++
       graft.catalog.BucketedGateQuery.oracleSql ++
       graft.catalog.DppGateQuery.oracleSql ++
+      graft.catalog.MvGateQuery.oracleSql ++
       graft.catalog.SchemaEvoGateQuery.oracleSql ++
       graft.catalog.LayoutGateQuery.oracleSql ++
       graft.catalog.IncrementalGateQuery.oracleSql ++

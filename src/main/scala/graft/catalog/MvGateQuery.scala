@@ -1,0 +1,81 @@
+package graft.catalog
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** q140: materialized-view query rewrite, driver-gated — the query
+  * addresses the BASE store; `RewriteAggregateToSummary` (injected via
+  * `GraftExtensions`) redirects the plan to the q103-maintained
+  * partials table, so the executed aggregate scans |partitions| summary
+  * rows instead of the full store. The oracle recomputes the totals
+  * closed-form from the corpus formulas (`FlowLogCorpus.oracleCte`) —
+  * DuckDB never sees store or summary — so a green gate proves the
+  * rewrite is value-preserving end-to-end (partials build + algebraic
+  * re-aggregation + exprId-preserving substitution). MvRewriteSpec pins
+  * the MECHANISM: the executed plan scans the summary path (not the
+  * base), the disabled-conf control scans the base, and both agree.
+  *
+  * The gate builds its own DEDICATED base copy of the 150k-line corpus
+  * (one convert per JVM) rather than registering the shared q01–q04
+  * store: registration is global to the session, and silently rewriting
+  * OTHER gates' plans — even value-identically — would make their
+  * measured plans lie.
+  */
+object MvGateQuery {
+
+  /** Build base + summary once per JVM, register the MV. */
+  private def ensure(s: SparkSession): String = synchronized {
+    val root = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      s"graft_mv_${s.sparkContext.applicationId}"
+    )
+    val base = new java.io.File(root, "base").getPath
+    val summary = new java.io.File(root, "summary").getPath
+    if (!new java.io.File(root, "_READY").exists()) {
+      graft.TempDirs.deleteOnExit(root.getPath)
+      graft.etl.FlowLogCorpus.convertTo(s, base)
+      IncrementalAgg
+        .partials(graft.etl.ConvertJob.readConverted(s, base))
+        .coalesce(1)
+        .write
+        .mode("overwrite")
+        .parquet(summary)
+      graft.plans.MvRegistry.register(s, base, summary)
+      new java.io.File(root, "_READY").createNewFile()
+    }
+    base
+  }
+
+  /** The gated frame — exposed for MvRewriteSpec's plan pins. Spelled
+    * against the BASE store on purpose; the optimizer substitutes the
+    * summary.
+    */
+  def q140(s: SparkSession, dir: String): DataFrame = {
+    val base = ensure(s)
+    graft.etl.ConvertJob
+      .readConverted(s, base)
+      .groupBy(col("account"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("bytes").cast("long")).as("sum_bytes"),
+        sum(col("packets").cast("long")).as("sum_packets")
+      )
+      .orderBy("account")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q140_mv_rewrite" -> q140
+  )
+
+  // Closed-form corpus replay per account — independent of store,
+  // summary, and rewrite alike.
+  val oracleSql: Map[String, String] = Map(
+    "q140_mv_rewrite" ->
+      s"""${graft.etl.FlowLogCorpus.oracleCte}
+         |SELECT account,
+         |  CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(sum(bytes) AS BIGINT) AS sum_bytes,
+         |  CAST(sum(packets) AS BIGINT) AS sum_packets
+         |FROM f GROUP BY account ORDER BY account""".stripMargin
+  )
+}

@@ -87,6 +87,7 @@ object SimplifyNormalizedCosine extends Rule[LogicalPlan] {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => SimplifyNormalizedCosine)
+    e.injectOptimizerRule(_ => RewriteAggregateToSummary)
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
     GraftExtensions.functions.foreach(e.injectFunction)
   }
