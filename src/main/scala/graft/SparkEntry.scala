@@ -59,6 +59,7 @@ object SparkEntry {
       graft.llm.SimJoin.queries ++
       graft.llm.Eval.queries ++
       graft.llm.TextAnalysis.queries ++
+      graft.llm.Pii.queries ++
       graft.llm.Collocations.queries ++
       graft.llm.BpeTrain.queries ++
       graft.llm.Winnowing.queries ++
@@ -116,6 +117,7 @@ object SparkEntry {
       graft.llm.SimJoin.oracleSql ++
       graft.llm.Eval.oracleSql ++
       graft.llm.TextAnalysis.oracleSql ++
+      graft.llm.Pii.oracleSql ++
       graft.llm.Collocations.oracleSql ++
       graft.llm.BpeTrain.oracleSql ++
       graft.llm.Winnowing.oracleSql ++
