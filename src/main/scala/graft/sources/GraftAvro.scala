@@ -200,8 +200,27 @@ class AvroTable(tableSchema: StructType)
 
 // ---------------------------------------------------------------- read
 
-class AvroScanBuilder(schema: StructType, path: String) extends ScanBuilder {
-  override def build(): Scan = new AvroScan(schema, path)
+/** Column pruning reaches the Avro DECODER, not just the row: the scan's
+  * pruned schema becomes an Avro READER schema (a field-subset of each
+  * file's writer schema), and Avro schema resolution then SKIPS the
+  * bytes of every unprojected field instead of materializing
+  * strings/boxes for them — the row-format analog of parquet column
+  * pruning (I/O still reads whole blocks; CPU and allocation drop to
+  * the projected width). AvroSourceSpec pins the plan-level contract:
+  * a 1-column projection's BatchScan outputs exactly that column.
+  */
+class AvroScanBuilder(schema: StructType, path: String)
+    extends ScanBuilder
+    with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+
+  private var required: StructType = schema
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    // flat schemas only (the type lattice has no nested fields); Spark
+    // hands back a subset of `schema` in table-field order
+    required = requiredSchema
+
+  override def build(): Scan = new AvroScan(required, path)
 }
 
 class AvroScan(schema: StructType, path: String)
@@ -247,16 +266,37 @@ class AvroPartitionReader(file: String, schema: StructType)
 
   private val path = new Path(file)
   private val in = path.getFileSystem(new Configuration()).open(path)
-  private val stream =
-    new DataFileStream[GenericRecord](in, new GenericDatumReader[GenericRecord]())
-  // positional mapping: reader trusts the writer's field ORDER matches
-  // the table schema (our writer guarantees it; a foreign file with
-  // reordered fields would fail the name check here, loudly)
-  private val fieldIdx: Array[Int] = schema.fields.map { f =>
-    val af = stream.getSchema.getField(f.name)
-    require(af != null, s"graft-avro: column ${f.name} absent in $file")
-    af.pos()
+  private val datumReader = new GenericDatumReader[GenericRecord]()
+  private val stream = new DataFileStream[GenericRecord](in, datumReader)
+  // column pruning at the decode level: resolve against a READER schema
+  // holding only the projected fields — Avro's resolver skips the bytes
+  // of every other field (no string/box materialization for them)
+  private val readerSchema: Schema = {
+    val writer = stream.getSchema
+    schema.fields.foreach { f =>
+      require(writer.getField(f.name) != null, s"graft-avro: column ${f.name} absent in $file")
+    }
+    if (schema.length == writer.getFields.size) writer
+    else {
+      val keep = schema.fields.map(_.name).toSet
+      val fs = writer.getFields.asScala.collect {
+        case f if keep(f.name) =>
+          new Schema.Field(f.name, f.schema, f.doc, f.defaultVal)
+      }
+      val rs = Schema.createRecord(
+        writer.getName,
+        writer.getDoc,
+        writer.getNamespace,
+        false
+      )
+      rs.setFields(fs.toSeq.asJava)
+      rs
+    }
   }
+  datumReader.setExpected(readerSchema)
+  // positions within the RESOLVED (reader-schema) record
+  private val fieldIdx: Array[Int] =
+    schema.fields.map(f => readerSchema.getField(f.name).pos())
   private val converters: Array[AnyRef => Any] =
     schema.fields.map(f => AvroConvert.reader(f.dataType))
   private var record: GenericRecord = _

@@ -112,4 +112,34 @@ class AvroSourceSpec extends SparkSpec {
     assert(got.sameElements(want), s"${got.toSeq} vs ${want.toSeq}")
     assert(got.nonEmpty)
   }
+
+  test("column pruning reaches the scan: projected BatchScan outputs one column") {
+    val dir = tmpDir("graft_avro_prune")
+    queries.Tables
+      .table(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "lang", "text")
+      .write
+      .format(fmt)
+      .mode(SaveMode.Overwrite)
+      .save(dir)
+    val df = spark.read.format(fmt).load(dir).select("lang")
+    // plan pin: the v2 scan's output is pruned to the projection, so the
+    // reader resolves a 1-field Avro reader schema and SKIPS the text
+    // bytes instead of materializing them
+    val scans = df.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(scans.nonEmpty)
+    assert(scans.forall(_.output.map(_.name) == Seq("lang")), scans.map(_.output).toString)
+    // values survive the pruned decode
+    val want = queries.Tables
+      .table(spark, "/root/testdata/sf0.001", "documents")
+      .groupBy("lang")
+      .count()
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    val got = df.groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == want)
+  }
 }
