@@ -84,8 +84,66 @@ object Pii {
     ).orderBy("doc_id")
   }
 
+  // ------------------------------- q142: URL extraction / domain report
+
+  private[graft] val UrlRe = """https?://([A-Za-z0-9.-]+)(/[^ ]*)?"""
+
+  /** q142: URL → domain curation report — the web-pipeline stage between
+    * raw text and a domain-level keep/drop policy (the CommonCrawl-style
+    * blocklist filter, the per-domain cap q77 consumes): extract every
+    * URL, reduce to its domain, and report per-domain URL/document
+    * counts with the blocklist verdict materialized as a column (the
+    * decision a downstream anti-join applies). URLs are injected
+    * in-plan by closed-form doc_id formulas (the q141 discipline) —
+    * every 2nd doc a content URL over 20 rotating domains, every 11th a
+    * blocklisted one — so both engines derive identical text. The
+    * extraction regex stays in the Java∩RE2 subset and the domain is
+    * capture group 1 of regexp_extract_all on both engines.
+    *
+    * Scale shape: map-side extraction + explode (bounded by URLs per
+    * doc), one (domain)-keyed hash aggregate with map-side combine —
+    * the same single-pass profile as every text-quality stage; the
+    * blocklist membership is a pure column predicate here (a real
+    * deployment broadcast-joins its blocklist dim; the verdict column
+    * and the plan shape are identical).
+    */
+  private def q142(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables
+      .table(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        concat(
+          col("text"),
+          when(
+            col("doc_id") % 2 === 0,
+            concat(
+              lit(" see https://site"),
+              col("doc_id") % 20,
+              lit(".example.org/p/"),
+              col("doc_id")
+            )
+          ).otherwise(lit("")),
+          when(
+            col("doc_id") % 11 === 0,
+            concat(lit(" ref http://blocked"), col("doc_id") % 3, lit(".bad.net/x"))
+          ).otherwise(lit(""))
+        ).as("t")
+      )
+    t.select(
+      col("doc_id"),
+      explode(regexp_extract_all(col("t"), lit(UrlRe), lit(1))).as("domain")
+    ).groupBy("domain")
+      .agg(
+        count(lit(1)).as("n_urls"),
+        count_distinct(col("doc_id")).as("n_docs"),
+        max(col("domain").endsWith(".bad.net").cast("int")).cast("boolean").as("blocked")
+      )
+      .orderBy("domain")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q141_pii_redaction" -> q141
+    "q141_pii_redaction" -> q141,
+    "q142_url_domains" -> q142
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -109,6 +167,22 @@ object Pii {
          |    '$EmailRe', '[EMAIL]', 'g'),
          |    '$Ipv4Re', '[IP]', 'g'),
          |    '$PhoneRe', '[PHONE]', 'g')) AS red_digest
-         |FROM t ORDER BY doc_id""".stripMargin
+         |FROM t ORDER BY doc_id""".stripMargin,
+    "q142_url_domains" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, text ||
+         |    CASE WHEN doc_id % 2 = 0
+         |         THEN ' see https://site' || (doc_id % 20) || '.example.org/p/' || doc_id
+         |         ELSE '' END ||
+         |    CASE WHEN doc_id % 11 = 0
+         |         THEN ' ref http://blocked' || (doc_id % 3) || '.bad.net/x' ELSE '' END AS t
+         |  FROM documents),
+         |u AS (
+         |  SELECT doc_id, unnest(regexp_extract_all(t, '$UrlRe', 1)) AS domain FROM t)
+         |SELECT domain,
+         |  CAST(count(*) AS BIGINT) AS n_urls,
+         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |  max(CASE WHEN domain LIKE '%.bad.net' THEN 1 ELSE 0 END) = 1 AS blocked
+         |FROM u GROUP BY domain ORDER BY domain""".stripMargin
   )
 }

@@ -57,4 +57,30 @@ class PiiSpec extends SparkSpec {
       .count()
     assert(residual == 0, s"$residual docs still carry PII after redaction")
   }
+
+  test("q142 domain report matches the injection formulas; blocklist verdicts exact") {
+    val ids = queries.Tables
+      .table(spark, sf, "documents")
+      .select("doc_id")
+      .collect()
+      .map(_.getLong(0))
+    val rows = SparkEntry
+      .queries("q142_url_domains")(spark, sf)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+    // expected: site{k}.example.org for even k (only even doc_ids carry
+    // URLs), blocked{j}.bad.net for j = doc_id % 3 of doc_id % 11 == 0
+    val content = ids.filter(_ % 2 == 0).groupBy(id => s"site${id % 20}.example.org")
+    val blocked = ids.filter(_ % 11 == 0).groupBy(id => s"blocked${id % 3}.bad.net")
+    assert(rows.keySet == content.keySet ++ blocked.keySet)
+    content.foreach { case (d, ms) =>
+      assert(rows(d) == ((ms.length.toLong, ms.distinct.length.toLong, false)), d)
+    }
+    blocked.foreach { case (d, ms) =>
+      assert(rows(d) == ((ms.length.toLong, ms.distinct.length.toLong, true)), d)
+    }
+    // the real corpus text carries no URLs of its own (set equality
+    // above would break on a stray extraction)
+  }
 }
