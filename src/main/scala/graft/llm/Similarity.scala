@@ -612,8 +612,14 @@ object Similarity {
             .join(broadcast(probeEmb), Seq("probe_id"))
             .join(corpusEmb, Seq("neighbor_id"))
         )
-        // materialize before the finally-unpersist releases the inputs
-        out.localCheckpoint(true)
+        // materialize before the finally-unpersist releases the inputs.
+        // NOT localCheckpoint (its blocks are unreachable from
+        // unpersist() and accumulate — the Clustering.scala lesson): the
+        // result is ≤ NumProbes × TopK rows BY CONSTRUCTION, a bounded
+        // model-sized frame, so a driver collect is the honest form.
+        val rows = out.collect().toIndexedSeq
+        import scala.collection.JavaConverters._
+        s.createDataFrame(rows.asJava, out.schema)
       } finally resid.unpersist()
     } finally nv.unpersist()
   }
