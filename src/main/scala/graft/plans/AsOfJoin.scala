@@ -52,7 +52,8 @@ case class AsOfJoin(
     leftKey: Expression,
     rightKey: Expression,
     leftTime: Expression,
-    rightTime: Expression
+    rightTime: Expression,
+    toleranceUs: Option[Long] = None
 ) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -67,8 +68,8 @@ case class AsOfJoin(
 
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lt, rt) =>
-      AsOfJoinExec(lk, rk, lt, rt, planLater(l), planLater(r)) :: Nil
+    case AsOfJoin(l, r, lk, rk, lt, rt, tol) =>
+      AsOfJoinExec(lk, rk, lt, rt, tol, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -78,6 +79,7 @@ case class AsOfJoinExec(
     rightKey: Expression,
     leftTime: Expression,
     rightTime: Expression,
+    toleranceUs: Option[Long],
     left: SparkPlan,
     right: SparkPlan
 ) extends SparkPlan
@@ -127,6 +129,9 @@ case class AsOfJoinExec(
     val lTimeExpr = leftTime
     val rTimeExpr = rightTime
     val rightWidth = rOut.size
+    // tolerance as a primitive with a sentinel: Option boxing inside the
+    // per-row merge would allocate; MaxValue means "unbounded" exactly
+    val tolUs = toleranceUs.getOrElse(Long.MaxValue)
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lKeyProj = UnsafeProjection.create(Seq(lKeyExpr), lOut)
       val rKeyProj = UnsafeProjection.create(Seq(rKeyExpr), rOut)
@@ -143,9 +148,13 @@ case class AsOfJoinExec(
       val joined = new JoinedRow
 
       new Iterator[InternalRow] {
-        // latest right row (copied) whose time ≤ current left time, with its key
+        // latest right row (copied) whose time ≤ current left time, with
+        // its key and time (the time re-checked against the tolerance
+        // per LEFT row — a candidate in range for one left row can be
+        // stale for a later one)
         private var candidate: InternalRow = _
         private var candidateKey: InternalRow = _
+        private var candidateTime: Long = 0L
         // one-row lookahead into the right iterator
         private var rNext: InternalRow = _
         private var rNextKey: InternalRow = _
@@ -197,12 +206,15 @@ case class AsOfJoinExec(
             } else if (cmp == 0 && !ltNull && rNextTime <= lTime) {
               candidate = rNext.copy()
               candidateKey = rNextKey
+              candidateTime = rNextTime
               advanceRight()
             } else advancing = false
             if (rNext == null) advancing = false
           }
           val matched =
-            !ltNull && candidate != null && keyOrd.compare(candidateKey, lKey) == 0
+            !ltNull && candidate != null &&
+              keyOrd.compare(candidateKey, lKey) == 0 &&
+              lTime - candidateTime <= tolUs
           numOutputRows += 1
           if (matched) {
             numMatched += 1
@@ -223,10 +235,13 @@ case class AsOfJoinExec(
 object AsOf {
 
   /** Left-outer as-of join: each left row picks the latest right row
-    * with the same key and rightTime ≤ leftTime. Column NAMES (not
-    * Columns) keep side resolution unambiguous; the sides must not
-    * share attribute ids — alias one side's columns first (a plain
-    * select with fresh names suffices).
+    * with the same key and rightTime ≤ leftTime — and, when a
+    * `toleranceUs` is given, within that many microseconds
+    * (leftTime − rightTime ≤ tolerance; a match beyond it reverts the
+    * row to the unmatched NULL form — the pandas merge_asof tolerance
+    * contract). Column NAMES (not Columns) keep side resolution
+    * unambiguous; the sides must not share attribute ids — alias one
+    * side's columns first (a plain select with fresh names suffices).
     */
   def join(
       left: DataFrame,
@@ -234,7 +249,8 @@ object AsOf {
       leftKey: String,
       rightKey: String,
       leftTime: String,
-      rightTime: String
+      rightTime: String,
+      toleranceUs: Option[Long] = None
   ): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     val lPlan = ColumnBridge.plan(left)
@@ -260,7 +276,8 @@ object AsOf {
         attr(lPlan, leftKey),
         attr(rPlan, rightKey),
         attr(lPlan, leftTime),
-        attr(rPlan, rightTime)
+        attr(rPlan, rightTime),
+        toleranceUs
       )
     )
   }

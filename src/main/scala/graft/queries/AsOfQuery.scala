@@ -69,8 +69,56 @@ object AsOfQuery {
       .orderBy("pid")
   }
 
+  /** q143: the operator's TOLERANCE axis (pandas merge_asof contract —
+    * DuckDB's ASOF has no native equivalent, which is exactly why it's
+    * worth gating): same join as q124 but a match counts only within
+    * one hour (pt − vt ≤ 3.6e9 µs); a staler latest-view reverts the
+    * purchase to the unmatched NULL form rather than silently matching
+    * across any gap. Execution cost is identical to q124 (the bound is
+    * one primitive comparison inside the same merge — no extra frame,
+    * unlike the q37 recipe whose range join PAYS for its window). The
+    * oracle composes DuckDB's native ASOF with a post-projection that
+    * nulls beyond-tolerance matches — semantically the same contract,
+    * independently spelled.
+    */
+  private val TolUs = 3600L * 1000000L
+
+  private def q143(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables
+      .table(s, dir, "events")
+      .select(
+        col("event_id"),
+        col("user_id"),
+        col("event_type"),
+        unix_micros(col("ts")).as("us")
+      )
+    val purchases = e
+      .filter(col("event_type") === "purchase")
+      .select(
+        col("user_id").as("puser"),
+        col("event_id").as("pid"),
+        col("us").as("pt")
+      )
+    val views = e
+      .filter(col("event_type") === "view")
+      .repartition(col("user_id"))
+      .groupBy(col("user_id").as("vuser"), col("us").as("vt"))
+      .agg(max("event_id").as("vid"))
+    graft.plans.AsOf
+      .join(purchases, views, "puser", "vuser", "pt", "vt", Some(TolUs))
+      .select(
+        col("puser"),
+        col("pid"),
+        col("vid"),
+        col("vt"),
+        (col("pt") - col("vt")).as("gap_us")
+      )
+      .orderBy("pid")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q124_asof_custom_operator" -> q124
+    "q124_asof_custom_operator" -> q124,
+    "q143_asof_tolerance" -> q143
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -86,6 +134,26 @@ object AsOfQuery {
         |SELECT p.puser, p.pid, v.vid, v.vt, p.pt - v.vt AS gap_us
         |FROM p ASOF LEFT JOIN v
         |  ON p.puser = v.vuser AND p.pt >= v.vt
-        |ORDER BY pid""".stripMargin
+        |ORDER BY pid""".stripMargin,
+    // native ASOF (no tolerance support) + a post-projection nulling
+    // beyond-tolerance matches — the same contract, independently spelled
+    "q143_asof_tolerance" ->
+      s"""WITH e AS (
+         |  SELECT event_id, user_id, event_type, epoch_us(ts) AS us
+         |  FROM events),
+         |p AS (SELECT user_id AS puser, event_id AS pid, us AS pt
+         |      FROM e WHERE event_type = 'purchase'),
+         |v AS (SELECT user_id AS vuser, us AS vt,
+         |             CAST(max(event_id) AS BIGINT) AS vid
+         |      FROM e WHERE event_type = 'view' GROUP BY 1, 2),
+         |j AS (
+         |  SELECT p.puser, p.pid, v.vid, v.vt, p.pt
+         |  FROM p ASOF LEFT JOIN v
+         |    ON p.puser = v.vuser AND p.pt >= v.vt)
+         |SELECT puser, pid,
+         |  CASE WHEN pt - vt <= ${3600L * 1000000L} THEN vid END AS vid,
+         |  CASE WHEN pt - vt <= ${3600L * 1000000L} THEN vt END AS vt,
+         |  CASE WHEN pt - vt <= ${3600L * 1000000L} THEN pt - vt END AS gap_us
+         |FROM j ORDER BY pid""".stripMargin
   )
 }

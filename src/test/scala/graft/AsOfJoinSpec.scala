@@ -46,6 +46,52 @@ class AsOfJoinSpec extends SparkSpec {
     )
   }
 
+  test("tolerance: beyond-bound matches revert to unmatched, per LEFT row") {
+    val left = Seq(
+      (1L, 15L, "near"), // gap 5 ≤ 10: matches v10
+      (1L, 40L, "far"), // latest is still v10 but gap 30 > 10: NULL
+      (1L, 55L, "near2") // latest is v50, gap 5: matches
+    ).toDF("lk", "lt", "pl")
+    val right = Seq((1L, 10L, "v10"), (1L, 50L, "v50")).toDF("rk", "rt", "pv")
+    val got = graft.plans.AsOf
+      .join(left, right, "lk", "rk", "lt", "rt", Some(10L))
+      .select("pl", "pv")
+      .collect()
+      .map(r => (r.getString(0), Option(r.getString(1))))
+      .sortBy(_._1)
+    // the SAME candidate (v10) is in range for lt=15 and stale for
+    // lt=40 — the bound must be re-checked per left row, not once at
+    // candidate load
+    assert(
+      got.toSeq == Seq(
+        ("far", None),
+        ("near", Some("v10")),
+        ("near2", Some("v50"))
+      ),
+      got.mkString(", ")
+    )
+  }
+
+  test("q143's one-hour bound is load-bearing on the real corpus") {
+    val sf = "/root/testdata/sf0.001"
+    val unbounded = SparkEntry
+      .queries("q124_asof_custom_operator")(spark, sf)
+      .collect()
+    val bounded = SparkEntry
+      .queries("q143_asof_tolerance")(spark, sf)
+      .collect()
+    assert(unbounded.length == bounded.length) // left outer: same rows
+    val reverted = unbounded.zip(bounded).count { case (u, b) =>
+      !u.isNullAt(2) && b.isNullAt(2)
+    }
+    // some purchase's latest view is over an hour stale, and every
+    // surviving match agrees with the unbounded operator
+    assert(reverted > 0, "tolerance never fired — bound not load-bearing")
+    unbounded.zip(bounded).foreach { case (u, b) =>
+      if (!b.isNullAt(2)) assert(u.getLong(2) == b.getLong(2) && u.getLong(4) <= 3600L * 1000000L)
+    }
+  }
+
   test("null times never match and never block later right rows") {
     val left = Seq((1L, Some(30L), "p"), (1L, Option.empty[Long], "pnull"))
       .toDF("lk", "lt", "pl")
