@@ -98,6 +98,24 @@ class LlmOpsSpec extends SparkSpec {
       trained.zip(firstK).exists { case (t, f) => !t.sameElements(f) },
       "trained centroids identical to first-K init"
     )
+    // plan discipline: trained centroids are literals, so routing is
+    // map-only on BOTH sides — exactly ONE join survives in the whole
+    // plan (the cell-id candidate equi-join), and it is never a
+    // nested-loop/cartesian form. q31b by contrast needs its
+    // centroid-frame crossJoins before the argmax.
+    val df = SparkEntry.queries("q136_knn_ivf_trained")(spark, sf)
+    df.collect()
+    def joins(p: org.apache.spark.sql.execution.SparkPlan): Seq[String] =
+      p.collect {
+        case j: org.apache.spark.sql.execution.joins.BaseJoinExec => Seq(j.getClass.getSimpleName)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => joins(q.plan)
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          joins(a.executedPlan)
+      }.flatten
+    val js = joins(df.queryExecution.executedPlan)
+    assert(js.size == 1, s"expected exactly the cell equi-join, got $js")
+    assert(!js.head.contains("NestedLoop") && !js.head.contains("Cartesian"), js.toString)
+
     val brute = topNeighbors("q30_knn_brute")
     val ivf = topNeighbors("q136_knn_ivf_trained")
     assert(brute.keySet == ivf.keySet)
