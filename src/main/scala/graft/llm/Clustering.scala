@@ -187,9 +187,53 @@ object Clustering {
       .orderBy("doc_id")
   }
 
+  /** q144: leakage-proof split assignment — the composition that makes
+    * train/test splitting SAFE on a corpus with near-duplicates: assign
+    * every document's split by its NEAR-DUP CLUSTER's canonical id
+    * (md5-bucket of the cluster label, the q43 hash-split convention;
+    * unclustered docs are their own cluster), so two near-duplicate
+    * documents can never straddle splits. This PREVENTS structurally
+    * the train→test leakage that q58/q62 decontamination hunts post-hoc
+    * — the difference between auditing a contaminated split and never
+    * producing one. q43c does group-integrity splitting by a GIVEN key
+    * (source); here the group is DISCOVERED by similarity.
+    *
+    * Scale shape: q50's labels (checkpointed propagation over banded
+    * near-dup pairs — nothing all-pairs) + one left join onto the doc
+    * frame + a map-side md5 bucket; the assignment survives retries and
+    * re-runs like every hash split. Per-row output so the oracle checks
+    * every single decision.
+    */
+  private def q144(s: SparkSession, dir: String): DataFrame = {
+    val labels = connectedComponents(
+      Dedup
+        .exactJaccardPairs(s, dir)
+        .select(col("da").as("src"), col("db").as("dst"))
+    ).select(col("id").as("doc_id"), col("component").as("cluster_id"))
+    val labeled = graft.queries.Tables
+      .table(s, dir, "documents")
+      .select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id")
+      )
+    labeled
+      .withColumn("bucket", Sampling.bucket100(col("cluster_id")))
+      .withColumn(
+        "split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "valid")
+          .otherwise("test")
+      )
+      .select(col("doc_id"), col("cluster_id"), col("split"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_dedup_clusters" -> q50,
-    "q50b_dedup_keep_list" -> q50b
+    "q50b_dedup_keep_list" -> q50b,
+    "q144_leakage_safe_split" -> q144
   )
 
   /** Shared oracle closure: shingles → exact-Jaccard pairs → recursive
@@ -240,6 +284,21 @@ object Clustering {
           |  r.doc_id = k.kept_id AS keep
           |FROM ranked r JOIN keep k USING (cluster_id)
           |ORDER BY r.doc_id""".stripMargin
+    ),
+    // every doc (left join + coalesce: unclustered docs are their own
+    // cluster), split from the md5 bucket of the CLUSTER id — the q43
+    // formula with cluster_id as the hashed key
+    "q144_leakage_safe_split" -> (
+      clusterLabelsSql +
+        """,
+          |assigned AS (
+          |  SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
+          |  FROM documents d LEFT JOIN labels l USING (doc_id))
+          |SELECT doc_id, cluster_id,
+          |  CASE WHEN CAST('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 < 80 THEN 'train'
+          |       WHEN CAST('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 < 90 THEN 'valid'
+          |       ELSE 'test' END AS split
+          |FROM assigned ORDER BY doc_id""".stripMargin
     )
   )
 }

@@ -365,6 +365,41 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("q144 split is leakage-proof: every near-dup pair shares a split") {
+    val split = SparkEntry
+      .queries("q144_leakage_safe_split")(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2))))
+      .toMap
+    // THE property: no near-dup pair straddles splits (and both carry
+    // the same discovered cluster)
+    val dupPairs = SparkEntry
+      .queries("q26_dedup_ngram_jaccard")(spark, sf)
+      .select("da", "db")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(dupPairs.nonEmpty)
+    dupPairs.foreach { case (a, b) =>
+      assert(split(a)._2 == split(b)._2, s"pair ($a, $b) straddles splits")
+      assert(split(a)._1 == split(b)._1, s"pair ($a, $b) in different clusters")
+    }
+    // unclustered docs degrade to the plain q43 per-doc hash split
+    val plain = SparkEntry
+      .queries("q43_hash_split")(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) -> r.getString(2))
+      .toMap
+    val clustered = dupPairs.flatMap(p => Seq(p._1, p._2)).toSet
+    split.foreach { case (id, (cid, sp)) =>
+      if (!clustered.contains(id)) {
+        assert(cid == id, s"unclustered doc $id not its own cluster")
+        assert(sp == plain(id), s"unclustered doc $id split differs from q43")
+      }
+    }
+    // all three splits materialize on this corpus
+    assert(split.values.map(_._2).toSet == Set("train", "valid", "test"))
+  }
+
   test("dedup keep-list: one representative per cluster, max reward, coverage matches q50") {
     val clusters = SparkEntry
       .queries("q50_dedup_clusters")(spark, sf)
