@@ -110,6 +110,35 @@ class BpeTrainSpec extends SparkSpec {
     assert(got.map(_._4).sum < got.map(_._3).sum)
   }
 
+  test("q135c batched trainer reproduces the sequential merge table") {
+    val sf = "/root/testdata/sf0.001"
+    val seq = SparkEntry.queries("q135_bpe_train")(spark, sf).collect().toSeq
+    val bat = SparkEntry.queries("q135c_bpe_train_batched")(spark, sf).collect().toSeq
+    assert(bat == seq)
+    // the batch rule must actually batch on this corpus (else the gate
+    // only proves the trivial batch-of-1 case): with batchK=4 the 10
+    // merges must arrive in fewer than 10 count rounds — proxied by at
+    // least two consecutive merges being symbol-disjoint
+    val pairs = seq.map(r => Set(r.getString(1), r.getString(2)))
+    assert(pairs.sliding(2).exists { case Seq(x, y) => (x & y).isEmpty })
+  }
+
+  test("q135b digests: vocab constant, syms shrink, digest changes per round") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = SparkEntry
+      .queries("q135b_bpe_state_digest")(spark, sf)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSeq
+    assert(rows.map(_._1) == (0 to 10))
+    assert(rows.map(_._2).distinct.size == 1) // merging never drops a word
+    // each merge fuses ≥1 occurrence, so total symbol count strictly falls
+    assert(rows.map(_._3).sliding(2).forall { case Seq(a, b) => b < a })
+    // and every round's state is distinct — the digest localizes rounds
+    assert(rows.map(_._4).distinct.size == rows.size)
+    assert(rows.forall(_._4.matches("[0-9a-f]{32}")))
+  }
+
   test("greedy fold handles overlapping runs (pair (a,a) over aaa...)") {
     // crafted corpus exercising the overlap edge directly through the
     // same naive replay the gate is pinned to
