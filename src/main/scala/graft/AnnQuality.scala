@@ -141,9 +141,10 @@ object AnnQuality {
     val cbT = Similarity.pqTrainedCodebook(spark, sfDir)
     val pqTrainedCand = Similarity.pqCandidates(spark, sfDir, cbT).count()
     val rPqTrained = recallOf(Similarity.pqKnn(spark, sfDir, cbT))
-    // residual IVF-PQ: same rerank budget as the PQ rows (candidates =
-    // PqRerank per probe whenever the probed cells hold that many, as
-    // here), but the ADC scan is additionally cell-bounded
+    // residual IVF-PQ: the rerank budget is a CAP (PqRerank per probe —
+    // a probed cell set holding fewer candidates would come in under
+    // it), not a measured count like every other row's, so the field is
+    // labeled candidates_cap; the ADC scan is additionally cell-bounded
     // (nprobe/cells of the codes)
     val rIvfPq = recallOf(Similarity.ivfPqKnn(spark, sfDir))
     val ivfPqCand = Similarity.PqRerank.toLong * nProbes
@@ -165,7 +166,7 @@ object AnnQuality {
         sweeps.mkString(",") + "," +
         f""""q31c_pq":{"recall_at_$k":$rPq%.3f,"candidates":$pqCand,"candidate_ratio":${pqCand.toDouble / brutePairs}%.3f},""" +
         f""""pq_trained":{"recall_at_$k":$rPqTrained%.3f,"candidates":$pqTrainedCand,"candidate_ratio":${pqTrainedCand.toDouble / brutePairs}%.3f},""" +
-        f""""ivfpq_16c_4p":{"recall_at_$k":$rIvfPq%.3f,"candidates":$ivfPqCand,"candidate_ratio":${ivfPqCand.toDouble / brutePairs}%.3f}}"""
+        f""""ivfpq_16c_4p":{"recall_at_$k":$rIvfPq%.3f,"candidates_cap":$ivfPqCand,"candidate_ratio_cap":${ivfPqCand.toDouble / brutePairs}%.3f}}"""
     )
     spark.stop()
   }

@@ -57,39 +57,49 @@ object Bench {
     * probes were UNCHANGED. Embedding the same measurement at bench
     * start/end makes the recording self-adjudicating: a slow sweep with
     * a throttled probe is box evidence in the artifact itself, no
-    * post-hoc re-run needed. ~1.2 s per call (capped), ~64 MB/thread.
+    * post-hoc re-run needed. ~1.2 s per call (capped). 16 MB/array —
+    * far past every cache level, so it saturates the bus exactly as the
+    * earlier 64 MB arrays did, while the whole probe's transient
+    * footprint stays ~256 MB (8 threads × 2 arrays) instead of ~1 GB: a
+    * smaller-heap driver must never OOM on its own diagnostics, and the
+    * allocation burst must not perturb GC right at the end-probe
+    * reading. Any probe failure records a −1 sentinel instead of
+    * killing the run — the probe is evidence, never a dependency.
     */
-  private def memBwProbe(): (Double, Double) = {
-    val MB = 1024 * 1024
-    val size = 64 * MB
-    def copyGBs(threads: Int, seconds: Double): Double = {
-      val results = new Array[Double](threads)
-      val ts = (0 until threads).map { i =>
-        new Thread(() => {
-          val src = new Array[Byte](size)
-          val dst = new Array[Byte](size)
-          // touch so the copy measures bus traffic, not first-fault zeroing
-          var j = 0
-          while (j < size) { src(j) = 1; j += 4096 }
-          val t0 = System.nanoTime()
-          var passes = 0
-          while ((System.nanoTime() - t0) / 1e9 < seconds) {
-            System.arraycopy(src, 0, dst, 0, size)
-            passes += 1
-          }
-          val dt = (System.nanoTime() - t0) / 1e9
-          results(i) = passes.toDouble * size * 2 / MB / 1024 / dt // GB/s, rw
-        })
+  private def memBwProbe(): (Double, Double) =
+    try {
+      val MB = 1024 * 1024
+      val size = 16 * MB
+      def copyGBs(threads: Int, seconds: Double): Double = {
+        val results = new Array[Double](threads)
+        val ts = (0 until threads).map { i =>
+          new Thread(() => {
+            val src = new Array[Byte](size)
+            val dst = new Array[Byte](size)
+            // touch so the copy measures bus traffic, not first-fault zeroing
+            var j = 0
+            while (j < size) { src(j) = 1; j += 4096 }
+            val t0 = System.nanoTime()
+            var passes = 0
+            while ((System.nanoTime() - t0) / 1e9 < seconds) {
+              System.arraycopy(src, 0, dst, 0, size)
+              passes += 1
+            }
+            val dt = (System.nanoTime() - t0) / 1e9
+            results(i) = passes.toDouble * size * 2 / MB / 1024 / dt // GB/s, rw
+          })
+        }
+        ts.foreach(_.start())
+        ts.foreach(_.join())
+        results.sum
       }
-      ts.foreach(_.start())
-      ts.foreach(_.join())
-      results.sum
+      val single = copyGBs(1, 0.5)
+      val agg = copyGBs(8, 0.5)
+      def r1(v: Double) = math.rint(v * 10) / 10
+      (r1(single), r1(agg))
+    } catch {
+      case _: OutOfMemoryError | _: InterruptedException => (-1.0, -1.0)
     }
-    val single = copyGBs(1, 0.5)
-    val agg = copyGBs(8, 0.5)
-    def r1(v: Double) = math.rint(v * 10) / 10
-    (r1(single), r1(agg))
-  }
 
   /** Per-query medians from bench_detail/history.jsonl for the same SF
     * dir: the in-repo record the round-10 judge adjudicated against by

@@ -48,7 +48,11 @@ object Snapshots {
 
   /** One manifest line = one partition touched by one commit.
     * `action`: "rewrite" (retained dir holds the pre-mutation files) or
-    * "drop" (same — the partition simply has no live successor).
+    * "drop" (same — the partition simply has no live successor); a
+    * "vacuum" line (account/dt = "-") records that `version`'s retained
+    * generation was deleted, so readers can tell a vacuumed latest
+    * version from the commit crash window (live-dir fallback applies
+    * only to the latter).
     */
   final case class Entry(
       version: Int,
@@ -147,11 +151,17 @@ object Snapshots {
       .toSeq
   }
 
+  /** Commit lines only — "vacuum" records are history bookkeeping, not
+    * partition mutations.
+    */
+  private def commits(entries: Seq[Entry]): Seq[Entry] =
+    entries.filterNot(_.action == "vacuum")
+
   /** Latest committed version; 0 = the initial store, before any
     * versioned mutation.
     */
   def currentVersion(spark: SparkSession, location: String): Int =
-    manifest(spark, location).foldLeft(0)((m, e) => math.max(m, e.version))
+    commits(manifest(spark, location)).foldLeft(0)((m, e) => math.max(m, e.version))
 
   /** Versioned retention: every (account, dt) partition with
     * `dt < cutoffDate` moves to the new version's history instead of
@@ -242,10 +252,14 @@ object Snapshots {
 
   /** The store as of `version` (0 = initial). Partition state: the
     * retained generation of the earliest mutation AFTER `version`, else
-    * the live directory. A missing retained dir (manifest-before-rename
-    * crash window, or vacuumed while a later entry survives) falls back
-    * to live when the partition was never republished; a vacuumed
-    * version with no fallback fails loudly.
+    * the live directory. A missing retained dir falls back to live ONLY
+    * for the latest commit (the manifest-before-rename crash window —
+    * under the single-writer contract no earlier commit can be
+    * mid-publish, and live still holds exactly that commit's
+    * pre-mutation content); a missing retained dir of any OLDER version
+    * was vacuumed, and for a 'rewrite' entry live holds the
+    * POST-mutation generation, so falling back would silently time-warp
+    * — those fail loudly instead, honoring the vacuum contract.
     */
   def readAt(spark: SparkSession, location: String, version: Int): DataFrame = {
     val root = new Path(location)
@@ -254,7 +268,11 @@ object Snapshots {
       .partitionKeys(fs, root)
       .map { case (a, d, p) => (a, d) -> p }
       .toMap
-    val byKey = manifest(spark, location).groupBy(e => (e.account, e.dt))
+    val entries = manifest(spark, location)
+    val vacuumed = entries.filter(_.action == "vacuum").map(_.version).toSet
+    val cs = commits(entries)
+    val latest = cs.foldLeft(0)((m, e) => math.max(m, e.version))
+    val byKey = cs.groupBy(e => (e.account, e.dt))
     val allKeys = (live.keySet ++ byKey.keySet).toSeq.sorted
 
     // (basePath-group → dirs): live dirs resolve partition columns from
@@ -274,7 +292,8 @@ object Snapshots {
           val ret = retainedDir(root, e)
           if (fs.exists(ret))
             add(new Path(historyDir(root), s"v${e.version}"), ret)
-          else if (live.contains(key)) add(root, live(key)) // crash fallback
+          else if (e.version == latest && !vacuumed(e.version) && live.contains(key))
+            add(root, live(key)) // crash window: live = pre-mutation
           else
             throw new java.io.IOException(
               s"snapshot v$version of ($account, $dt) was vacuumed ($ret missing)"
@@ -313,16 +332,20 @@ object Snapshots {
     * is later).
     */
   def readAtTimestamp(spark: SparkSession, location: String, epochMs: Long): DataFrame = {
-    val v = manifest(spark, location)
+    val v = commits(manifest(spark, location))
       .filter(_.epochMs <= epochMs)
       .foldLeft(0)((m, e) => math.max(m, e.version))
     readAt(spark, location, v)
   }
 
   /** Drop retained generations of versions ≤ `version` (retention for
-    * the history itself). Manifest lines stay — a vacuumed time-travel
-    * read fails loudly instead of resolving partially. Returns the
-    * number of version directories removed.
+    * the history itself). Commit lines stay and a "vacuum" line is
+    * recorded per removed generation BEFORE its delete — so a vacuumed
+    * time-travel read fails loudly instead of resolving partially, even
+    * for the latest version (whose missing retained dir would otherwise
+    * be indistinguishable from the commit crash window and silently fall
+    * back to post-mutation live data). Returns the number of version
+    * directories removed.
     */
   def vacuumUpTo(spark: SparkSession, location: String, version: Int): Int = {
     val root = new Path(location)
@@ -336,6 +359,16 @@ object Snapshots {
           s.getPath.getName.drop(1).forall(_.isDigit) &&
           s.getPath.getName.drop(1).toInt <= version
       )
+    if (doomed.nonEmpty) {
+      val now = System.currentTimeMillis()
+      appendManifest(
+        fs,
+        root,
+        doomed.toSeq.map(s =>
+          Entry(s.getPath.getName.drop(1).toInt, now, "vacuum", "-", "-")
+        )
+      )
+    }
     doomed.foreach { s =>
       if (!fs.delete(s.getPath, true))
         throw new java.io.IOException(s"vacuum: cannot delete ${s.getPath}")

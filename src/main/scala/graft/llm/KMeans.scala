@@ -90,24 +90,31 @@ object KMeans {
     next
   }
 
-  /** Lloyd training over any frame carrying an `embedding` column,
-    * returning the k trained centroids under q70's exact determinism
-    * protocol (first-k init by `vec_id` when present — else the frame's
-    * first k rows — L2 argmin with smallest-cell ties, round(·,6)::FLOAT
-    * centroid re-sync, emptied cells keep their previous centroid).
-    * Exposed so the IVF/PQ quantizers (q136, AnnQuality's trained
-    * sweeps) train with the SAME loop the q70 gate pins — one Lloyd
-    * implementation repo-wide, one oracle replay recipe.
+  /** Lloyd training over any frame carrying `vec_id` + `embedding`
+    * columns, returning the k trained centroids under q70's exact
+    * determinism protocol (first-k init by `vec_id` — REQUIRED: a
+    * frame without it has no deterministic "first k rows", and a
+    * limit-without-sort init would silently vary across plans/retries,
+    * breaking the oracle-replay contract — L2 argmin with smallest-cell
+    * ties, round(·,6)::FLOAT centroid re-sync, emptied cells keep their
+    * previous centroid). Exposed so the IVF/PQ quantizers (q136,
+    * AnnQuality's trained sweeps) train with the SAME loop the q70 gate
+    * pins — one Lloyd implementation repo-wide, one oracle replay
+    * recipe.
     */
   private[graft] def train(
       e: DataFrame,
       k: Int,
       iterations: Int = Iterations
   ): Array[Array[Float]] = {
+    require(
+      e.columns.contains("vec_id"),
+      "KMeans.train requires a vec_id column: first-k init must be " +
+        "deterministic (limit without sort is not)"
+    )
     val init: Array[Array[Float]] =
-      (if (e.columns.contains("vec_id"))
-         e.filter(col("vec_id") < k).orderBy("vec_id")
-       else e.limit(k))
+      e.filter(col("vec_id") < k)
+        .orderBy("vec_id")
         .select("embedding")
         .collect()
         .map(_.getSeq[Float](0).toArray)

@@ -358,16 +358,34 @@ class AvroBatchWrite(schema: StructType, path: String, truncate: Boolean)
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = new Path(path)
     val fs = dir.getFileSystem(new Configuration())
-    // Overwrite semantics land HERE, after every task succeeded: the
-    // old generation stays fully readable until the new one is staged
-    if (truncate)
-      GraftAvro.listDataFiles(dir, fs).foreach(fs.delete(_, false))
-    messages.foreach {
-      case AvroCommitMessage(temp, fin) =>
-        val t = new Path(temp)
-        if (!fs.rename(t, new Path(fin)))
-          throw new java.io.IOException(s"graft-avro: rename $temp -> $fin failed")
-      case other => throw new IllegalStateException(s"unexpected $other")
+    // Overwrite order (the Maintenance swap discipline): snapshot the old
+    // generation, rename EVERY staged temp into place, and only then
+    // delete the old files that aren't part of the new set (task-id
+    // suffixes make new names collision-free against any prior job). A
+    // rename failure mid-commit rolls the already-published new files
+    // back, leaving the old generation complete — never a directory with
+    // neither generation whole.
+    val old =
+      if (truncate) GraftAvro.listDataFiles(dir, fs) else Seq.empty[Path]
+    val published = scala.collection.mutable.ArrayBuffer.empty[Path]
+    try {
+      messages.foreach {
+        case AvroCommitMessage(temp, fin) =>
+          val t = new Path(temp)
+          val f = new Path(fin)
+          if (!fs.rename(t, f))
+            throw new java.io.IOException(s"graft-avro: rename $temp -> $fin failed")
+          published += f
+        case other => throw new IllegalStateException(s"unexpected $other")
+      }
+    } catch {
+      case e: Throwable =>
+        published.foreach(fs.delete(_, false)) // restore: old set stays whole
+        throw e
+    }
+    if (truncate) {
+      val fresh = published.map(_.getName).toSet
+      old.filterNot(p => fresh.contains(p.getName)).foreach(fs.delete(_, false))
     }
     val ok = fs.create(new Path(dir, "_SUCCESS"), true)
     ok.close()

@@ -146,4 +146,21 @@ class SnapshotsSpec extends SparkSpec {
       graft.catalog.Snapshots.deleteWhereVersioned(spark, loc, "bytes = -1") == v
     )
   }
+
+  test("vacuumed REWRITE generations never fall back to post-mutation live data") {
+    // v2 retained the pre-delete generation of partitions that are still
+    // live; after vacuuming v2 (the LATEST version — the case the
+    // crash-window fallback must NOT cover), readAt(1) must fail loudly:
+    // the silent alternative serves the POST-delete live bytes as v1.
+    // The "vacuum" manifest line is what distinguishes this from the
+    // crash window the fallback exists for.
+    assert(graft.catalog.Snapshots.vacuumUpTo(spark, loc, 2) == 1) // v2 dir
+    intercept[java.io.IOException] {
+      graft.catalog.Snapshots.readAt(spark, loc, 1).count()
+    }
+    // the current state needs no history — still readable, and version
+    // accounting ignores the vacuum bookkeeping lines
+    assert(graft.catalog.Snapshots.readAt(spark, loc, 2).count() > 0)
+    assert(graft.catalog.Snapshots.currentVersion(spark, loc) == 2)
+  }
 }
