@@ -22,7 +22,11 @@ object IncrementalAgg {
 
   /** Per-(account, dt) partials of a converted flowlogs frame. Sums are
     * widened to long up front: INT32 `bytes` per row, but a partition's
-    * sum at production scale does not fit an int.
+    * sum at production scale does not fit an int. min/max keep the BASE
+    * column type (min-of-mins / max-of-maxes re-aggregate exactly and
+    * the MV rewrite must stay type-preserving); n_bytes/n_packets are
+    * NON-NULL counts so avg rewrites exactly as sum-of-sums over
+    * sum-of-counts even on a nullable column.
     */
   def partials(converted: DataFrame): DataFrame =
     converted
@@ -31,7 +35,13 @@ object IncrementalAgg {
         count(lit(1)).as("n_rows"),
         sum(col("bytes").cast("long")).as("sum_bytes"),
         sum(col("packets").cast("long")).as("sum_packets"),
-        count(when(col("action") === "REJECT", lit(1))).as("n_rejects")
+        count(when(col("action") === "REJECT", lit(1))).as("n_rejects"),
+        min(col("bytes")).as("min_bytes"),
+        max(col("bytes")).as("max_bytes"),
+        min(col("packets")).as("min_packets"),
+        max(col("packets")).as("max_packets"),
+        count(col("bytes")).as("n_bytes"),
+        count(col("packets")).as("n_packets")
       )
 
   /** Partials for `updated` partitions only. The filter is a disjunction

@@ -63,8 +63,35 @@ object MvGateQuery {
       .orderBy("account")
   }
 
+  /** q140b: the widened rewrite surface in one gate — a partition-key
+    * WHERE below the aggregate (transplanted onto the summary, pruning
+    * it the same way) plus min/max/avg/count(col) over both measure
+    * columns. Still spelled against the BASE; the optimizer substitutes
+    * the summary (MvRewriteSpec pins the plan shape + the disabled
+    * control). avg is rewritten to Σsum-partials/Σcount-partials —
+    * Average's own evaluate expression over exact long totals.
+    */
+  def q140b(s: SparkSession, dir: String): DataFrame = {
+    val base = ensure(s)
+    graft.etl.ConvertJob
+      .readConverted(s, base)
+      .filter(col("dt") >= "2023-11-24")
+      .groupBy(col("account"))
+      .agg(
+        min(col("bytes")).as("min_bytes"),
+        max(col("bytes")).as("max_bytes"),
+        avg(col("bytes")).as("avg_bytes"),
+        min(col("packets")).as("min_packets"),
+        max(col("packets")).as("max_packets"),
+        count(col("packets")).as("n_packets"),
+        count(lit(1)).as("n_rows")
+      )
+      .orderBy("account")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q140_mv_rewrite" -> q140
+    "q140_mv_rewrite" -> q140,
+    "q140b_mv_rewrite_minmaxavg" -> q140b
   )
 
   // Closed-form corpus replay per account — independent of store,
@@ -76,6 +103,22 @@ object MvGateQuery {
          |  CAST(count(*) AS BIGINT) AS n_rows,
          |  CAST(sum(bytes) AS BIGINT) AS sum_bytes,
          |  CAST(sum(packets) AS BIGINT) AS sum_packets
-         |FROM f GROUP BY account ORDER BY account""".stripMargin
+         |FROM f GROUP BY account ORDER BY account""".stripMargin,
+    // avg spelled as exact-sum-then-one-divide so both engines round
+    // identically (DuckDB sums integers exactly in hugeint; Spark's
+    // rewrite sums exactly in long — each casts once and divides once)
+    "q140b_mv_rewrite_minmaxavg" ->
+      s"""${graft.etl.FlowLogCorpus.oracleCte}
+         |SELECT account,
+         |  min(bytes) AS min_bytes,
+         |  max(bytes) AS max_bytes,
+         |  CAST(sum(bytes) AS DOUBLE) / CAST(count(bytes) AS DOUBLE)
+         |    AS avg_bytes,
+         |  min(packets) AS min_packets,
+         |  max(packets) AS max_packets,
+         |  CAST(count(packets) AS BIGINT) AS n_packets,
+         |  CAST(count(*) AS BIGINT) AS n_rows
+         |FROM f WHERE dt >= '2023-11-24'
+         |GROUP BY account ORDER BY account""".stripMargin
   )
 }

@@ -5,16 +5,26 @@ import org.apache.spark.sql.catalyst.expressions.{
   Alias,
   AttributeReference,
   Cast,
+  Divide,
   Expression,
   Literal,
-  NamedExpression
+  NamedExpression,
+  PlanExpression
 }
 import org.apache.spark.sql.catalyst.expressions.aggregate.{
   AggregateExpression,
+  Average,
   Count,
+  Max,
+  Min,
   Sum
 }
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{
+  Aggregate,
+  Filter,
+  LogicalPlan,
+  Project
+}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.types.LongType
@@ -85,18 +95,31 @@ object MvRegistry {
   * one with byte-identical results.
   *
   * Soundness bounds (anything outside them leaves the plan untouched):
-  *  - the aggregate's child must be the registered relation (optionally
-  *    under attribute-only Projects — the shapes column pruning makes);
+  *  - the aggregate's child must be the registered relation, optionally
+  *    under attribute-only Projects (the shapes column pruning makes)
+  *    and/or deterministic, subquery-free Filters referencing ONLY the
+  *    partition keys {account, dt} — every summary row's keys equal its
+  *    partials' group, so a partition-key predicate keeps exactly the
+  *    partials of the surviving partitions (this is the pushed-down
+  *    WHERE dt≥… / HAVING-on-keys shape; the predicate transplants onto
+  *    the summary scan and prunes it the same way);
   *  - grouping keys must be a non-empty subset of the summary's
   *    partition keys {account, dt} — grouping coarser than the
   *    partition grain re-aggregates partials ALGEBRAICALLY (sum of
-  *    sums, sum of counts), which is exact; non-empty because a global
-  *    aggregate over an empty base yields count=0 while a sum over an
-  *    empty summary yields null;
-  *  - aggregates must be count(1) (→ sum(n_rows)), sum(bytes∷long)
-  *    (→ sum(sum_bytes)) or sum(packets∷long) (→ sum(sum_packets)),
-  *    undistinct and unfiltered; the ∷long cast requirement keeps the
-  *    rewrite type-preserving (partials are pre-widened to long).
+  *    sums, sum of counts, min of mins, max of maxes), which is exact;
+  *    non-empty because a global aggregate over an empty base yields
+  *    count=0 while a sum over an empty summary yields null;
+  *  - aggregates must be count(1) (→ sum(n_rows)), sum(bytes∷long) /
+  *    sum(packets∷long) (→ sums of pre-widened partials; the ∷long cast
+  *    requirement keeps the rewrite type-preserving), count(bytes) /
+  *    count(packets) (→ sums of the non-null-count partials),
+  *    min/max(bytes|packets) (→ min/max of the same-typed partials), or
+  *    avg(bytes|packets) (→ Σsum-partials ∷double / Σcount-partials
+  *    ∷double — exactly Average's own evaluate expression, with the
+  *    long total exact because per-row values are ints), all undistinct
+  *    and unfiltered. Each mapped aggregate only requires ITS partial
+  *    columns, so older narrower summaries keep rewriting the queries
+  *    they can.
   *  - every replacement keeps the ORIGINAL output exprIds (grouping
   *    attrs re-aliased, aggregate aliases rebuilt), so parent operators
   *    never see the substitution.
@@ -112,12 +135,23 @@ object RewriteAggregateToSummary extends Rule[LogicalPlan] {
 
   private val PartitionKeys = Set("account", "dt")
 
-  private def baseScan(p: LogicalPlan): Option[LogicalRelation] = p match {
-    case l: LogicalRelation => Some(l)
-    case Project(projList, child) if projList.forall(_.isInstanceOf[AttributeReference]) =>
-      baseScan(child)
-    case _ => None
-  }
+  /** Peel attribute-only Projects and partition-key-only Filters off the
+    * aggregate's child, returning the relation plus the collected filter
+    * conditions (to transplant onto the summary scan).
+    */
+  private def baseScan(p: LogicalPlan): Option[(LogicalRelation, Seq[Expression])] =
+    p match {
+      case l: LogicalRelation => Some((l, Seq.empty))
+      case Project(projList, child)
+          if projList.forall(_.isInstanceOf[AttributeReference]) =>
+        baseScan(child)
+      case Filter(cond, child)
+          if cond.deterministic &&
+            !cond.exists(_.isInstanceOf[PlanExpression[_]]) &&
+            cond.references.forall(a => PartitionKeys.contains(a.name)) =>
+        baseScan(child).map { case (rel, fs) => (rel, cond +: fs) }
+      case _ => None
+    }
 
   private def rootPaths(l: LogicalRelation): Seq[String] = l.relation match {
     case fs: HadoopFsRelation => fs.location.rootPaths.map(_.toString)
@@ -148,6 +182,9 @@ object RewriteAggregateToSummary extends Rule[LogicalPlan] {
         rewrite(agg, groups, aggExprs, child).getOrElse(agg)
       }
 
+  /** The summary partial backing each base column's min/max/avg/count. */
+  private val MeasureCols = Set("bytes", "packets")
+
   private def rewrite(
       agg: Aggregate,
       groups: Seq[Expression],
@@ -157,29 +194,70 @@ object RewriteAggregateToSummary extends Rule[LogicalPlan] {
     val groupAttrs = groups.collect { case a: AttributeReference => a }
     if (groupAttrs.size != groups.size || groupAttrs.isEmpty) return None
     if (!groupAttrs.forall(a => PartitionKeys.contains(a.name))) return None
-    val rel = baseScan(child).getOrElse(return None)
+    val (rel, filters) = baseScan(child).getOrElse(return None)
     val summary = MvRegistry.summaryFor(rootPaths(rel)).getOrElse(return None)
     val sOut: Map[String, AttributeReference] =
       summary.output.collect { case a: AttributeReference => a.name -> a }.toMap
-    val needed = groupAttrs.map(_.name).toSet ++ Set("n_rows", "sum_bytes", "sum_packets")
-    if (!needed.subsetOf(sOut.keySet)) return None
+    if (!groupAttrs.forall(a => sOut.contains(a.name))) return None
 
-    def aggOver(colName: String): AggregateExpression =
-      Sum(sOut(colName)).toAggregateExpression()
+    // each mapped aggregate requires only ITS partial columns — a
+    // narrower summary (older build) keeps rewriting what it can and
+    // bows out (whole-aggregate, never partially) of what it can't
+    def sumOver(colName: String): Option[Expression] =
+      sOut.get(colName).map(Sum(_).toAggregateExpression())
+    def minMaxOver(isMin: Boolean, base: AttributeReference): Option[Expression] = {
+      val partial = (if (isMin) "min_" else "max_") + base.name
+      sOut.get(partial).filter(_.dataType == base.dataType).map { a =>
+        (if (isMin) Min(a) else Max(a)).toAggregateExpression()
+      }
+    }
+    // Average's own evaluate shape: exact long totals, one cast each,
+    // one divide — value-identical to the unrewritten plan because the
+    // per-row values are ints (every double partial sum is exact)
+    def avgOver(base: AttributeReference): Option[Expression] =
+      for {
+        s <- sumOver("sum_" + base.name)
+        n <- sumOver("n_" + base.name)
+      } yield Divide(
+        Cast(s, org.apache.spark.sql.types.DoubleType),
+        Cast(n, org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.catalyst.expressions.EvalMode.LEGACY
+      )
+
+    def mapped(f: Expression): Option[Expression] = f match {
+      case _ if isCountStar(f)            => sumOver("n_rows")
+      case _ if isLongSumOf(f, "bytes")   => sumOver("sum_bytes")
+      case _ if isLongSumOf(f, "packets") => sumOver("sum_packets")
+      case Count(Seq(a: AttributeReference)) if MeasureCols.contains(a.name) =>
+        sumOver("n_" + a.name)
+      case Min(a: AttributeReference) if MeasureCols.contains(a.name) =>
+        minMaxOver(isMin = true, a)
+      case Max(a: AttributeReference) if MeasureCols.contains(a.name) =>
+        minMaxOver(isMin = false, a)
+      case Average(a: AttributeReference, _)
+          if MeasureCols.contains(a.name) &&
+            (a.dataType == org.apache.spark.sql.types.IntegerType ||
+              a.dataType == LongType) =>
+        avgOver(a)
+      case _ => None
+    }
 
     val newGroups: Seq[Expression] = groupAttrs.map(a => sOut(a.name))
     val newAggExprs: Seq[NamedExpression] = aggExprs.map {
       case a: AttributeReference if groupAttrs.exists(_.exprId == a.exprId) =>
         Alias(sOut(a.name), a.name)(exprId = a.exprId)
       case al @ Alias(AggregateExpression(f, _, false, None, _), name) =>
-        val mapped =
-          if (isCountStar(f)) aggOver("n_rows")
-          else if (isLongSumOf(f, "bytes")) aggOver("sum_bytes")
-          else if (isLongSumOf(f, "packets")) aggOver("sum_packets")
-          else return None
-        Alias(mapped, name)(exprId = al.exprId)
+        Alias(mapped(f).getOrElse(return None), name)(exprId = al.exprId)
       case _ => return None
     }
-    Some(Aggregate(newGroups, newAggExprs, summary, None))
+    // transplant the peeled partition-key predicates onto the summary:
+    // summary rows carry exactly the base partitions' key values
+    val newChild = filters.foldRight(summary: LogicalPlan) { (cond, acc) =>
+      val remapped = cond.transform {
+        case a: AttributeReference => sOut.getOrElse(a.name, return None)
+      }
+      Filter(remapped, acc)
+    }
+    Some(Aggregate(newGroups, newAggExprs, newChild, None))
   }
 }

@@ -46,24 +46,57 @@ class MvRewriteSpec extends SparkSpec {
     } finally spark.conf.unset(key)
   }
 
+  private def basePath: String =
+    new java.io.File(
+      new java.io.File(
+        sys.props("java.io.tmpdir"),
+        s"graft_mv_${spark.sparkContext.applicationId}"
+      ),
+      "base"
+    ).getPath
+
   test("an aggregate outside the mapped shapes is NOT rewritten") {
-    // same base, but max(bytes) has no algebraic twin in the summary —
-    // the rule must leave the whole aggregate on the base scan
-    val base = SparkEntry.queries("q140_mv_rewrite")(spark, sf) // ensures store+registration
-    base.collect()
+    // same base, but srcport has no partials in the summary — the rule
+    // must leave the WHOLE aggregate on the base scan (never partial)
+    SparkEntry.queries("q140_mv_rewrite")(spark, sf).collect() // ensures store+registration
     val df = graft.etl.ConvertJob
-      .readConverted(
-        spark,
-        new java.io.File(
-          new java.io.File(
-            sys.props("java.io.tmpdir"),
-            s"graft_mv_${spark.sparkContext.applicationId}"
-          ),
-          "base"
-        ).getPath
-      )
+      .readConverted(spark, basePath)
       .groupBy(col("account"))
-      .agg(count(lit(1)).as("n_rows"), max(col("bytes")).as("max_bytes"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("srcport").cast("long")).as("sum_srcport")
+      )
+    df.collect()
+    val paths = scanPaths(df)
+    assert(paths.nonEmpty && paths.forall(_.contains("/base")), paths.toString)
+  }
+
+  test("q140b: filtered min/max/avg rollup scans the summary; control agrees") {
+    val df = SparkEntry.queries("q140b_mv_rewrite_minmaxavg")(spark, sf)
+    val on = df.collect().toSeq
+    assert(on.nonEmpty)
+    val paths = scanPaths(df)
+    assert(paths.nonEmpty && paths.forall(_.contains("/summary")), paths.toString)
+    val key = graft.plans.RewriteAggregateToSummary.EnabledKey
+    try {
+      spark.conf.set(key, "false")
+      val ctrl = SparkEntry.queries("q140b_mv_rewrite_minmaxavg")(spark, sf)
+      val off = ctrl.collect().toSeq
+      val ctrlPaths = scanPaths(ctrl)
+      assert(ctrlPaths.nonEmpty && ctrlPaths.forall(_.contains("/base")), ctrlPaths.toString)
+      assert(on == off)
+    } finally spark.conf.unset(key)
+  }
+
+  test("a filter on a NON-partition column blocks the rewrite") {
+    // WHERE on a data column cannot transplant onto the summary — the
+    // whole aggregate must stay on the base scan
+    SparkEntry.queries("q140_mv_rewrite")(spark, sf).collect()
+    val df = graft.etl.ConvertJob
+      .readConverted(spark, basePath)
+      .filter(col("action") === "ACCEPT")
+      .groupBy(col("account"))
+      .agg(count(lit(1)).as("n_rows"))
     df.collect()
     val paths = scanPaths(df)
     assert(paths.nonEmpty && paths.forall(_.contains("/base")), paths.toString)
