@@ -65,8 +65,52 @@ object AvroGateQuery {
       )
       .orderBy("lang")
 
+  /** q133b: predicate pushdown through the connector — the read carries
+    * a doc_id range filter that the scan evaluates against the per-file
+    * min/max sidecar (`_stats.tsv`, written by the connector's own
+    * commit). The gate's write range-partitions on doc_id so files hold
+    * DISJOINT id ranges and the filter provably skips most of them
+    * (AvroSourceSpec pins the planned-partition count, DppSpec-style;
+    * this gate pins the VALUES through the skipping read — equality
+    * with the parquet oracle proves a skipped file never hid a matching
+    * row and a kept file decoded exactly).
+    */
+  private def avroRangedDir(spark: SparkSession, sfDir: String): String =
+    synchronized {
+      val dir = new java.io.File(
+        sys.props("java.io.tmpdir"),
+        s"graft_avro_gate_ranged_${spark.sparkContext.applicationId}_" +
+          sfDir.replaceAll("[^a-zA-Z0-9.]", "_")
+      ).getPath
+      if (!new java.io.File(dir, "_SUCCESS").exists())
+        graft.queries.Tables
+          .table(spark, sfDir, "documents")
+          .repartitionByRange(8, col("doc_id"))
+          .write
+          .format(classOf[graft.sources.AvroDataSource].getName)
+          .mode(SaveMode.Overwrite)
+          .save(dir)
+      graft.TempDirs.deleteOnExit(dir)
+    }
+
+  private def q133b(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read
+      .format(classOf[graft.sources.AvroDataSource].getName)
+      .load(avroRangedDir(spark, sfDir))
+      .filter(col("doc_id") >= 100 && col("doc_id") < 200)
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(graft.llm.Winnowing.md5Long(col("text")) % ModP).as("text_digest"),
+        min(col("doc_id")).as("min_id"),
+        max(col("doc_id")).as("max_id")
+      )
+      .orderBy("lang")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q133_avro_roundtrip" -> q133
+    "q133_avro_roundtrip" -> q133,
+    "q133b_avro_filter_skip" -> q133b
   )
 
   // The oracle reads the ORIGINAL parquet — equality proves the Spark
@@ -78,6 +122,14 @@ object AvroGateQuery {
          |  CAST(sum(CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) % $ModP)
          |       AS BIGINT) AS text_digest,
          |  min(doc_id) AS min_id, max(doc_id) AS max_id
-         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q133b_avro_filter_skip" ->
+      s"""SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         |  CAST(sum(CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) % $ModP)
+         |       AS BIGINT) AS text_digest,
+         |  min(doc_id) AS min_id, max(doc_id) AS max_id
+         |FROM documents WHERE doc_id >= 100 AND doc_id < 200
+         |GROUP BY lang ORDER BY lang""".stripMargin
   )
 }

@@ -198,6 +198,238 @@ class AvroTable(tableSchema: StructType)
     new AvroWriteBuilder(info.schema(), GraftAvro.pathOf(info.options()))
 }
 
+// --------------------------------------------------------------- stats
+
+/** Per-file column min/max sidecar (`_stats.tsv`) powering file-level
+  * filter skipping — the row-format analog of parquet's footer stats.
+  * The write path tracks each task's per-column (hasNull, min, max)
+  * while streaming rows (no second pass) and the driver commit writes
+  * one sidecar for the directory; the scan evaluates pushed filters
+  * against each file's stats and SKIPS files that provably cannot hold
+  * a matching row. Everything is conservative-by-absence: a file with
+  * no sidecar line, a column with no stats, or a filter shape outside
+  * the supported set simply reads the file. Spark re-applies every
+  * pushed filter above the scan (pushFilters returns all of them as
+  * residuals), so skipping is a pure I/O optimization that can never
+  * change results.
+  *
+  * Serialization: one line per (file, column) —
+  * `file \t col \t hasNonNull \t hasNull \t min \t max`, column names
+  * hive-escaped, string values base64 of their UTF-8 bytes (binary
+  * ordering — the SAME ordering `UTF8String.compareTo` uses for the
+  * running min/max and the skip compare, so a string filter can never
+  * skip a file a collation-aware engine would keep). Timestamps ride
+  * their µs longs.
+  */
+private[sources] object AvroStats {
+
+  val FileName = "_stats.tsv"
+
+  def statable(dt: DataType): Boolean = dt match {
+    case LongType | IntegerType | DoubleType | FloatType | BooleanType |
+        StringType | TimestampType =>
+      true
+    case _ => false
+  }
+
+  /** Total order per type over the INTERNAL representations the writer
+    * tracks (Long/Int/Double/Float/Boolean/UTF8String; timestamps as µs
+    * longs). Doubles/floats use java compare (NaN largest — matching
+    * Spark's ordering).
+    */
+  def cmp(dt: DataType, a: Any, b: Any): Int = dt match {
+    case LongType | TimestampType =>
+      java.lang.Long.compare(a.asInstanceOf[Long], b.asInstanceOf[Long])
+    case IntegerType => Integer.compare(a.asInstanceOf[Int], b.asInstanceOf[Int])
+    case DoubleType =>
+      java.lang.Double.compare(a.asInstanceOf[Double], b.asInstanceOf[Double])
+    case FloatType =>
+      java.lang.Float.compare(a.asInstanceOf[Float], b.asInstanceOf[Float])
+    case BooleanType =>
+      java.lang.Boolean.compare(a.asInstanceOf[Boolean], b.asInstanceOf[Boolean])
+    case StringType =>
+      a.asInstanceOf[UTF8String].compareTo(b.asInstanceOf[UTF8String])
+    case other => throw new IllegalStateException(s"no ordering for ${other.sql}")
+  }
+
+  def serialize(dt: DataType, v: Any): String = dt match {
+    case StringType =>
+      java.util.Base64.getEncoder.encodeToString(v.asInstanceOf[UTF8String].getBytes)
+    case _ => v.toString
+  }
+
+  def deserialize(dt: DataType, s: String): Any = dt match {
+    case LongType | TimestampType => s.toLong
+    case IntegerType              => s.toInt
+    case DoubleType               => s.toDouble
+    case FloatType                => s.toFloat
+    case BooleanType              => s.toBoolean
+    case StringType => UTF8String.fromBytes(java.util.Base64.getDecoder.decode(s))
+    case other      => throw new IllegalStateException(s"no stats for ${other.sql}")
+  }
+
+  /** External filter value (what `org.apache.spark.sql.sources.Filter`
+    * carries) → the internal representation `cmp` orders. Returns None
+    * for value shapes the skipper doesn't understand (→ no skip).
+    */
+  def toInternal(dt: DataType, v: Any): Option[Any] = (dt, v) match {
+    case (_, null)                             => None
+    case (StringType, s: String)               => Some(UTF8String.fromString(s))
+    case (StringType, s: UTF8String)           => Some(s)
+    case (LongType, n: java.lang.Number)       => Some(n.longValue())
+    case (IntegerType, n: java.lang.Number)    => Some(n.intValue())
+    case (DoubleType, n: java.lang.Number)     => Some(n.doubleValue())
+    case (FloatType, n: java.lang.Number)      => Some(n.floatValue())
+    case (BooleanType, b: java.lang.Boolean)   => Some(b.booleanValue())
+    case (TimestampType, t: java.sql.Timestamp) =>
+      Some(org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(t))
+    case (TimestampType, i: java.time.Instant) =>
+      Some(org.apache.spark.sql.catalyst.util.DateTimeUtils.instantToMicros(i))
+    case (TimestampType, n: java.lang.Long) => Some(n.longValue())
+    case _                                   => None
+  }
+
+  /** One parsed (file, column) stat. min/max are None when the file has
+    * no non-null value for the column.
+    */
+  final case class ColStats(hasNull: Boolean, min: Option[Any], max: Option[Any])
+
+  /** Running per-column stats inside one write task. */
+  final class Tracker(val name: String, val dt: DataType, idx: Int) {
+    private var hasNull = false
+    private var min: Any = _
+    private var max: Any = _
+    private var seen = false
+
+    def observe(row: InternalRow): Unit =
+      if (row.isNullAt(idx)) hasNull = true
+      else {
+        val v: Any = dt match {
+          case LongType | TimestampType => row.getLong(idx)
+          case IntegerType              => row.getInt(idx)
+          case DoubleType               => row.getDouble(idx)
+          case FloatType                => row.getFloat(idx)
+          case BooleanType              => row.getBoolean(idx)
+          // clone: an unsafe row's UTF8String points into a reused buffer
+          case StringType => row.getUTF8String(idx).clone()
+          case other      => throw new IllegalStateException(other.sql)
+        }
+        if (!seen) { min = v; max = v; seen = true }
+        else {
+          if (cmp(dt, v, min) < 0) min = v
+          if (cmp(dt, v, max) > 0) max = v
+        }
+      }
+
+    def line(fileName: String): String = {
+      val esc = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .escapePathName(name)
+      val (mn, mx) =
+        if (seen) (serialize(dt, min), serialize(dt, max)) else ("-", "-")
+      s"$fileName\t$esc\t${if (seen) 1 else 0}\t${if (hasNull) 1 else 0}\t$mn\t$mx"
+    }
+  }
+
+  /** Parse the sidecar into file → column → stats, resolving types from
+    * the table schema; unknown columns/types are dropped (conservative).
+    */
+  def parse(text: String, schema: StructType): Map[String, Map[String, ColStats]] = {
+    val types = schema.fields.map(f => f.name -> f.dataType).toMap
+    text.linesIterator
+      .filter(_.nonEmpty)
+      .flatMap { line =>
+        val f = line.split('\t')
+        if (f.length != 6) None
+        else {
+          val col = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+            .unescapePathName(f(1))
+          types.get(col).filter(statable).map { dt =>
+            val seen = f(2) == "1"
+            ( f(0),
+              col,
+              ColStats(
+                hasNull = f(3) == "1",
+                min = if (seen) Some(deserialize(dt, f(4))) else None,
+                max = if (seen) Some(deserialize(dt, f(5))) else None
+              )
+            )
+          }
+        }
+      }
+      .toSeq
+      .groupBy(_._1)
+      .map { case (file, rows) => file -> rows.map(r => r._2 -> r._3).toMap }
+  }
+
+  import org.apache.spark.sql.sources._
+
+  /** Is `f` a shape the skipper can evaluate, over statable columns of
+    * `schema`? Only accepted filters are reported as pushed.
+    */
+  def supported(f: Filter, schema: StructType): Boolean = {
+    def colOk(c: String): Boolean =
+      schema.fields.exists(sf => sf.name == c && statable(sf.dataType))
+    f match {
+      case EqualTo(c, _)            => colOk(c)
+      case EqualNullSafe(c, _)      => colOk(c)
+      case GreaterThan(c, _)        => colOk(c)
+      case GreaterThanOrEqual(c, _) => colOk(c)
+      case LessThan(c, _)           => colOk(c)
+      case LessThanOrEqual(c, _)    => colOk(c)
+      case In(c, _)                 => colOk(c)
+      case IsNull(c)                => colOk(c)
+      case IsNotNull(c)             => colOk(c)
+      case And(l, r)                => supported(l, schema) && supported(r, schema)
+      case Or(l, r)                 => supported(l, schema) && supported(r, schema)
+      case _                        => false
+    }
+  }
+
+  /** MAY the file hold a matching row? Three-valued collapsed to
+    * conservative boolean: anything unknown → true (read the file).
+    */
+  def mayMatch(f: Filter, stats: Map[String, ColStats], schema: StructType): Boolean = {
+    val types = schema.fields.map(sf => sf.name -> sf.dataType).toMap
+    def range(c: String)(p: (DataType, Any, Any) => Boolean): Boolean =
+      (for {
+        dt <- types.get(c)
+        st <- stats.get(c)
+        mn <- st.min
+        mx <- st.max
+      } yield p(dt, mn, mx)).getOrElse {
+        // no non-null values at all: only null-ish filters can match
+        stats.get(c).forall(_.min.isDefined)
+      }
+    def withValue(c: String, v: Any)(p: (DataType, Any, Any, Any) => Boolean): Boolean =
+      types.get(c).flatMap(dt => toInternal(dt, v).map(iv =>
+        range(c)((d, mn, mx) => p(d, iv, mn, mx))
+      )).getOrElse(true)
+    f match {
+      case EqualTo(c, v) =>
+        withValue(c, v)((d, iv, mn, mx) => cmp(d, iv, mn) >= 0 && cmp(d, iv, mx) <= 0)
+      case EqualNullSafe(c, null) => stats.get(c).forall(_.hasNull)
+      case EqualNullSafe(c, v) =>
+        withValue(c, v)((d, iv, mn, mx) => cmp(d, iv, mn) >= 0 && cmp(d, iv, mx) <= 0)
+      case GreaterThan(c, v)        => withValue(c, v)((d, iv, _, mx) => cmp(d, mx, iv) > 0)
+      case GreaterThanOrEqual(c, v) => withValue(c, v)((d, iv, _, mx) => cmp(d, mx, iv) >= 0)
+      case LessThan(c, v)           => withValue(c, v)((d, iv, mn, _) => cmp(d, mn, iv) < 0)
+      case LessThanOrEqual(c, v)    => withValue(c, v)((d, iv, mn, _) => cmp(d, mn, iv) <= 0)
+      case In(c, vs) =>
+        vs.exists(v =>
+          v != null &&
+            withValue(c, v)((d, iv, mn, mx) => cmp(d, iv, mn) >= 0 && cmp(d, iv, mx) <= 0)
+        )
+      case IsNull(c)    => stats.get(c).forall(_.hasNull)
+      case IsNotNull(c) => stats.get(c).forall(_.min.isDefined)
+      case And(l, r) =>
+        mayMatch(l, stats, schema) && mayMatch(r, stats, schema)
+      case Or(l, r) =>
+        mayMatch(l, stats, schema) || mayMatch(r, stats, schema)
+      case _ => true
+    }
+  }
+}
+
 // ---------------------------------------------------------------- read
 
 /** Column pruning reaches the Avro DECODER, not just the row: the scan's
@@ -211,34 +443,117 @@ class AvroTable(tableSchema: StructType)
   */
 class AvroScanBuilder(schema: StructType, path: String)
     extends ScanBuilder
-    with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+    with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
 
   private var required: StructType = schema
+  private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     // flat schemas only (the type lattice has no nested fields); Spark
     // hands back a subset of `schema` in table-field order
     required = requiredSchema
 
-  override def build(): Scan = new AvroScan(required, path)
+  /** Accept the filter shapes the stats sidecar can evaluate; return
+    * EVERY filter as a residual — file skipping is a may-contain test,
+    * so Spark must keep re-applying the predicates above the scan
+    * (exactly parquet's row-group-skip contract).
+    */
+  override def pushFilters(
+      filters: Array[org.apache.spark.sql.sources.Filter]
+  ): Array[org.apache.spark.sql.sources.Filter] = {
+    pushed = filters.filter(AvroStats.supported(_, schema))
+    filters
+  }
+
+  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
+
+  override def build(): Scan = new AvroScan(required, path, pushed)
 }
 
-class AvroScan(schema: StructType, path: String)
-    extends Scan
+class AvroScan(
+    schema: StructType,
+    path: String,
+    pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
+) extends Scan
     with SupportsReportStatistics {
 
   override def readSchema(): StructType = schema
-  override def description(): String = s"graft-avro $path"
+  override def description(): String =
+    s"graft-avro $path PushedFilters: [${pushed.mkString(", ")}]"
 
+  // the table schema may be wider than the pruned read schema; filters
+  // can reference pruned-away columns, so stat lookups resolve against
+  // whatever columns the sidecar knows (parse tolerates extras)
   private lazy val files: Seq[(String, Long)] = {
     val dir = new Path(path)
     val fs = dir.getFileSystem(new Configuration())
-    GraftAvro.listDataFiles(dir, fs).map(p => (p.toString, fs.getFileStatus(p).getLen))
+    val all = GraftAvro.listDataFiles(dir, fs)
+      .map(p => (p, fs.getFileStatus(p).getLen))
+    if (pushed.isEmpty) all.map { case (p, len) => (p.toString, len) }
+    else {
+      val sidecar = new Path(dir, AvroStats.FileName)
+      val byFile: Map[String, Map[String, AvroStats.ColStats]] =
+        if (!fs.exists(sidecar)) Map.empty
+        else {
+          val in = fs.open(sidecar)
+          val text =
+            try {
+              val bos = new java.io.ByteArrayOutputStream()
+              val buf = new Array[Byte](8192)
+              var n = in.read(buf)
+              while (n > 0) { bos.write(buf, 0, n); n = in.read(buf) }
+              new String(bos.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+            } finally in.close()
+          AvroStats.parse(text, statsSchema)
+        }
+      all
+        .filter { case (p, _) =>
+          byFile.get(p.getName) match {
+            case None => true // no stats for the file: read it
+            case Some(st) =>
+              pushed.forall(AvroStats.mayMatch(_, st, statsSchema))
+          }
+        }
+        .map { case (p, len) => (p.toString, len) }
+    }
+  }
+
+  /** Filters may reference columns pruned out of the read schema; stat
+    * evaluation needs their types, so resolve against read schema ∪
+    * pushed-filter references (types recovered from the sidecar are
+    * keyed by name — the union is what `parse`/`mayMatch` consult).
+    */
+  private lazy val statsSchema: StructType = {
+    val have = schema.fields.map(_.name).toSet
+    val extra = pushed
+      .flatMap(_.references)
+      .distinct
+      .filterNot(have)
+    if (extra.isEmpty) schema
+    else {
+      // recover the full table schema from a container header once
+      val dir = new Path(path)
+      val fs = dir.getFileSystem(new Configuration())
+      GraftAvro.listDataFiles(dir, fs).headOption match {
+        case None => schema
+        case Some(p) =>
+          val in = fs.open(p)
+          try {
+            val stream = new DataFileStream[GenericRecord](
+              in,
+              new GenericDatumReader[GenericRecord]()
+            )
+            try GraftAvro.toSparkSchema(stream.getSchema)
+            finally stream.close()
+          } finally in.close()
+      }
+    }
   }
 
   override def estimateStatistics(): Statistics = new Statistics {
-    // container bytes on disk: enough for the planner's broadcast
-    // decision (the point of reporting anything at all)
+    // container bytes on disk AFTER file skipping: the skip tightens the
+    // planner's broadcast decision for filtered dims
     override def sizeInBytes(): OptionalLong = OptionalLong.of(files.map(_._2).sum)
     override def numRows(): OptionalLong = OptionalLong.empty()
   }
@@ -338,8 +653,11 @@ class AvroWriteBuilder(schema: StructType, path: String)
   }
 }
 
-case class AvroCommitMessage(tempFile: String, finalFile: String)
-    extends WriterCommitMessage
+case class AvroCommitMessage(
+    tempFile: String,
+    finalFile: String,
+    statLines: Seq[String] = Seq.empty
+) extends WriterCommitMessage
 
 class AvroBatchWrite(schema: StructType, path: String, truncate: Boolean)
     extends BatchWrite {
@@ -370,7 +688,7 @@ class AvroBatchWrite(schema: StructType, path: String, truncate: Boolean)
     val published = scala.collection.mutable.ArrayBuffer.empty[Path]
     try {
       messages.foreach {
-        case AvroCommitMessage(temp, fin) =>
+        case AvroCommitMessage(temp, fin, _) =>
           val t = new Path(temp)
           val f = new Path(fin)
           if (!fs.rename(t, f))
@@ -387,15 +705,65 @@ class AvroBatchWrite(schema: StructType, path: String, truncate: Boolean)
       val fresh = published.map(_.getName).toSet
       old.filterNot(p => fresh.contains(p.getName)).foreach(fs.delete(_, false))
     }
+    writeStatsSidecar(fs, dir, messages)
     val ok = fs.create(new Path(dir, "_SUCCESS"), true)
     ok.close()
+  }
+
+  /** Publish `_stats.tsv`: this commit's per-file stat lines plus any
+    * prior lines whose file still exists in the directory (append mode
+    * keeps the old generation; truncate just deleted it). Staged + rename
+    * so a reader never sees a torn sidecar; stats are advisory — any
+    * failure here leaves filter-skipping off, never the data wrong.
+    */
+  private def writeStatsSidecar(
+      fs: org.apache.hadoop.fs.FileSystem,
+      dir: Path,
+      messages: Array[WriterCommitMessage]
+  ): Unit = {
+    val sidecar = new Path(dir, AvroStats.FileName)
+    val existing: Seq[String] =
+      if (!fs.exists(sidecar)) Seq.empty
+      else {
+        val in = fs.open(sidecar)
+        try {
+          val bos = new java.io.ByteArrayOutputStream()
+          val buf = new Array[Byte](8192)
+          var n = in.read(buf)
+          while (n > 0) { bos.write(buf, 0, n); n = in.read(buf) }
+          new String(bos.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+            .linesIterator
+            .filter(_.nonEmpty)
+            .toSeq
+        } finally in.close()
+      }
+    val live = GraftAvro.listDataFiles(dir, fs).map(_.getName).toSet
+    val freshLines = messages.toSeq.flatMap {
+      case m: AvroCommitMessage => m.statLines
+      case _                    => Seq.empty
+    }
+    val freshFiles = freshLines.map(_.takeWhile(_ != '\t')).toSet
+    val kept = existing.filter { l =>
+      val f = l.takeWhile(_ != '\t')
+      live.contains(f) && !freshFiles.contains(f)
+    }
+    val tmp = new Path(dir, "." + AvroStats.FileName + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(
+      (kept ++ freshLines).mkString("", "\n", "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    )
+    finally out.close()
+    if (fs.exists(sidecar)) fs.delete(sidecar, false)
+    if (!fs.rename(tmp, sidecar))
+      throw new java.io.IOException(s"graft-avro: cannot publish $tmp")
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val dir = new Path(path)
     val fs = dir.getFileSystem(new Configuration())
     messages.foreach {
-      case AvroCommitMessage(temp, _) => fs.delete(new Path(temp), false)
+      case AvroCommitMessage(temp, _, _) => fs.delete(new Path(temp), false)
       case _                          => ()
     }
   }
@@ -436,6 +804,13 @@ class AvroDataWriter(
     schema.fields.zipWithIndex.map { case (f, i) =>
       AvroConvert.writer(f.dataType, i)
     }
+  // running min/max per statable column, streamed alongside the encode —
+  // the sidecar costs no second pass over the data
+  private val trackers: Array[AvroStats.Tracker] =
+    schema.fields.zipWithIndex.collect {
+      case (f, i) if AvroStats.statable(f.dataType) =>
+        new AvroStats.Tracker(f.name, f.dataType, i)
+    }
 
   override def write(row: InternalRow): Unit = {
     val rec = new GenericData.Record(avroSchema)
@@ -444,12 +819,18 @@ class AvroDataWriter(
       rec.put(i, if (row.isNullAt(i)) null else getters(i)(row))
       i += 1
     }
+    var t = 0
+    while (t < trackers.length) { trackers(t).observe(row); t += 1 }
     writer.append(rec)
   }
 
   override def commit(): WriterCommitMessage = {
     writer.close() // closes the underlying stream too
-    AvroCommitMessage(tempPath.toString, finalPath.toString)
+    AvroCommitMessage(
+      tempPath.toString,
+      finalPath.toString,
+      trackers.map(_.line(finalName)).toSeq
+    )
   }
 
   override def abort(): Unit = {
