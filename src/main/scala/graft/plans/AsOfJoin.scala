@@ -45,6 +45,17 @@ import org.apache.spark.sql.types.LongType
   * q119 convention); a NULL left time or right time never matches; the
   * two sides must not share attribute ids (alias one side — enforced
   * loudly in [[AsOf.join]]).
+  *
+  * Directions (the pandas merge_asof axis; q143b/q143c):
+  *  - "backward" (default): latest right with rightTime ≤ leftTime;
+  *  - "forward": earliest right with rightTime ≥ leftTime — the SAME
+  *    merge pass, because its one-row lookahead into the sorted right
+  *    stream IS the forward candidate once stale rows are consumed;
+  *  - "nearest": the closer of the two under the tolerance, ties to
+  *    backward (the earlier right row — documented, and the oracle
+  *    spells the same rule). Tolerance bounds the matched-side distance
+  *    (left−right for backward, right−left for forward, min for
+  *    nearest).
   */
 case class AsOfJoin(
     left: LogicalPlan,
@@ -53,7 +64,8 @@ case class AsOfJoin(
     rightKey: Expression,
     leftTime: Expression,
     rightTime: Expression,
-    toleranceUs: Option[Long] = None
+    toleranceUs: Option[Long] = None,
+    direction: String = "backward"
 ) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -68,8 +80,8 @@ case class AsOfJoin(
 
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lt, rt, tol) =>
-      AsOfJoinExec(lk, rk, lt, rt, tol, planLater(l), planLater(r)) :: Nil
+    case AsOfJoin(l, r, lk, rk, lt, rt, tol, dir) =>
+      AsOfJoinExec(lk, rk, lt, rt, tol, dir, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -80,6 +92,7 @@ case class AsOfJoinExec(
     leftTime: Expression,
     rightTime: Expression,
     toleranceUs: Option[Long],
+    direction: String,
     left: SparkPlan,
     right: SparkPlan
 ) extends SparkPlan
@@ -132,6 +145,17 @@ case class AsOfJoinExec(
     // tolerance as a primitive with a sentinel: Option boxing inside the
     // per-row merge would allocate; MaxValue means "unbounded" exactly
     val tolUs = toleranceUs.getOrElse(Long.MaxValue)
+    // direction as a primitive too (0 backward, 1 forward, 2 nearest):
+    // the hot loop must not compare strings per row
+    val mode = direction match {
+      case "backward" => 0
+      case "forward"  => 1
+      case "nearest"  => 2
+      case other =>
+        throw new IllegalArgumentException(
+          s"as-of direction must be backward|forward|nearest, got $other"
+        )
+    }
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lKeyProj = UnsafeProjection.create(Seq(lKeyExpr), lOut)
       val rKeyProj = UnsafeProjection.create(Seq(rKeyExpr), rOut)
@@ -196,29 +220,51 @@ case class AsOfJoinExec(
           val lTime = if (ltNull) 0L else lTimeProj(lRow).getLong(0)
           // consume right rows that can no longer beat future candidates:
           // stale keys, and same-key rows at or before this left time (the
-          // LAST of which is the as-of match — later left rows only move
-          // forward, so consumed rows are never needed again)
+          // LAST of which is the backward as-of match — later left rows
+          // only move forward, so consumed rows are never needed again).
+          // Forward mode consumes strictly-before rows WITHOUT retaining
+          // them (they can't match this or any later left row) — the
+          // lookahead rNext then IS the earliest same-key row at or after
+          // this left time. Nearest consumes like backward, so `candidate`
+          // (last ≤) and `rNext` (first ≥) bracket the left time.
           var advancing = rNext != null
           while (advancing) {
             val cmp = keyOrd.compare(rNextKey, lKey)
             if (cmp < 0) {
               advanceRight()
-            } else if (cmp == 0 && !ltNull && rNextTime <= lTime) {
-              candidate = rNext.copy()
-              candidateKey = rNextKey
-              candidateTime = rNextTime
+            } else if (
+              cmp == 0 && !ltNull &&
+              (if (mode == 1) rNextTime < lTime else rNextTime <= lTime)
+            ) {
+              if (mode != 1) {
+                candidate = rNext.copy()
+                candidateKey = rNextKey
+                candidateTime = rNextTime
+              }
               advanceRight()
             } else advancing = false
             if (rNext == null) advancing = false
           }
-          val matched =
-            !ltNull && candidate != null &&
+          // backward candidate valid within tolerance?
+          val bOk =
+            mode != 1 && !ltNull && candidate != null &&
               keyOrd.compare(candidateKey, lKey) == 0 &&
               lTime - candidateTime <= tolUs
+          // forward candidate (the lookahead) valid within tolerance?
+          val fOk =
+            mode != 0 && !ltNull && rNext != null &&
+              keyOrd.compare(rNextKey, lKey) == 0 &&
+              rNextTime - lTime <= tolUs
+          // nearest: closer side wins, ties to backward (the earlier row)
+          val useBackward =
+            bOk && (!fOk || mode != 2 || lTime - candidateTime <= rNextTime - lTime)
           numOutputRows += 1
-          if (matched) {
+          if (useBackward) {
             numMatched += 1
             resultProj(joined(lRow, candidate))
+          } else if (fOk) {
+            numMatched += 1
+            resultProj(joined(lRow, rNext))
           } else resultProj(joined(lRow, nullRight))
         }
       }
@@ -239,9 +285,12 @@ object AsOf {
     * `toleranceUs` is given, within that many microseconds
     * (leftTime − rightTime ≤ tolerance; a match beyond it reverts the
     * row to the unmatched NULL form — the pandas merge_asof tolerance
-    * contract). Column NAMES (not Columns) keep side resolution
-    * unambiguous; the sides must not share attribute ids — alias one
-    * side's columns first (a plain select with fresh names suffices).
+    * contract). `direction` selects the pandas axis: "backward"
+    * (default), "forward" (earliest rightTime ≥ leftTime), or "nearest"
+    * (closer of the two under the tolerance, ties to backward). Column
+    * NAMES (not Columns) keep side resolution unambiguous; the sides
+    * must not share attribute ids — alias one side's columns first (a
+    * plain select with fresh names suffices).
     */
   def join(
       left: DataFrame,
@@ -250,8 +299,13 @@ object AsOf {
       rightKey: String,
       leftTime: String,
       rightTime: String,
-      toleranceUs: Option[Long] = None
+      toleranceUs: Option[Long] = None,
+      direction: String = "backward"
   ): DataFrame = {
+    require(
+      Set("backward", "forward", "nearest").contains(direction),
+      s"as-of direction must be backward|forward|nearest, got $direction"
+    )
     import org.apache.spark.sql.graftbridge.ColumnBridge
     val lPlan = ColumnBridge.plan(left)
     val rPlan = ColumnBridge.plan(right)
@@ -277,7 +331,8 @@ object AsOf {
         attr(rPlan, rightKey),
         attr(lPlan, leftTime),
         attr(rPlan, rightTime),
-        toleranceUs
+        toleranceUs,
+        direction
       )
     )
   }

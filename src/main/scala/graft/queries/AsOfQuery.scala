@@ -116,9 +116,79 @@ object AsOfQuery {
       .orderBy("pid")
   }
 
+  /** Shared fixture for the direction gates: purchases (left) and the
+    * tie-deduped views (right) with fresh aliases per side.
+    */
+  private def sides(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val e = Tables
+      .table(s, dir, "events")
+      .select(
+        col("event_id"),
+        col("user_id"),
+        col("event_type"),
+        unix_micros(col("ts")).as("us")
+      )
+    val purchases = e
+      .filter(col("event_type") === "purchase")
+      .select(
+        col("user_id").as("puser"),
+        col("event_id").as("pid"),
+        col("us").as("pt")
+      )
+    val views = e
+      .filter(col("event_type") === "view")
+      .repartition(col("user_id"))
+      .groupBy(col("user_id").as("vuser"), col("us").as("vt"))
+      .agg(max("event_id").as("vid"))
+    (purchases, views)
+  }
+
+  /** q143b: the FORWARD direction (pandas merge_asof `direction=
+    * 'forward'`; DuckDB's native ASOF is backward-only, which is why
+    * the oracle is an independently-spelled min-over-candidates recipe):
+    * each purchase matched to the user's EARLIEST view at or after it,
+    * within the same one-hour tolerance. Same merge pass, same cost —
+    * the operator's one-row lookahead is the forward candidate.
+    * gap_us = vt − pt ≥ 0 by construction.
+    */
+  private def q143b(s: SparkSession, dir: String): DataFrame = {
+    val (purchases, views) = sides(s, dir)
+    graft.plans.AsOf
+      .join(purchases, views, "puser", "vuser", "pt", "vt", Some(TolUs), "forward")
+      .select(
+        col("puser"),
+        col("pid"),
+        col("vid"),
+        col("vt"),
+        (col("vt") - col("pt")).as("gap_us")
+      )
+      .orderBy("pid")
+  }
+
+  /** q143c: the NEAREST direction — the closer of the backward/forward
+    * matches under the tolerance, ties to backward (the earlier view;
+    * the oracle spells the identical rule). gap_us = pt − vt signed:
+    * positive = matched backward, negative = matched forward.
+    */
+  private def q143c(s: SparkSession, dir: String): DataFrame = {
+    val (purchases, views) = sides(s, dir)
+    graft.plans.AsOf
+      .join(purchases, views, "puser", "vuser", "pt", "vt", Some(TolUs), "nearest")
+      .select(
+        col("puser"),
+        col("pid"),
+        col("vid"),
+        col("vt"),
+        (col("pt") - col("vt")).as("gap_us")
+      )
+      .orderBy("pid")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q124_asof_custom_operator" -> q124,
-    "q143_asof_tolerance" -> q143
+    "q143_asof_tolerance" -> q143,
+    "q143b_asof_forward" -> q143b,
+    "q143c_asof_nearest" -> q143c
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -154,6 +224,61 @@ object AsOfQuery {
          |  CASE WHEN pt - vt <= ${3600L * 1000000L} THEN vid END AS vid,
          |  CASE WHEN pt - vt <= ${3600L * 1000000L} THEN vt END AS vt,
          |  CASE WHEN pt - vt <= ${3600L * 1000000L} THEN pt - vt END AS gap_us
-         |FROM j ORDER BY pid""".stripMargin
+         |FROM j ORDER BY pid""".stripMargin,
+    // forward has no native DuckDB ASOF: an independently-spelled
+    // min-over-candidates recipe ((vuser, vt) unique by the dedup, so
+    // the vt-equijoin back to v is unique)
+    "q143b_asof_forward" ->
+      s"""WITH e AS (
+         |  SELECT event_id, user_id, event_type, epoch_us(ts) AS us
+         |  FROM events),
+         |p AS (SELECT user_id AS puser, event_id AS pid, us AS pt
+         |      FROM e WHERE event_type = 'purchase'),
+         |v AS (SELECT user_id AS vuser, us AS vt,
+         |             CAST(max(event_id) AS BIGINT) AS vid
+         |      FROM e WHERE event_type = 'view' GROUP BY 1, 2),
+         |m AS (SELECT p.pid, min(v.vt) AS vt
+         |      FROM p JOIN v ON p.puser = v.vuser AND v.vt >= p.pt
+         |        AND v.vt - p.pt <= $TolUs
+         |      GROUP BY p.pid)
+         |SELECT p.puser, p.pid, v.vid, m.vt, m.vt - p.pt AS gap_us
+         |FROM p LEFT JOIN m ON p.pid = m.pid
+         |LEFT JOIN v ON v.vuser = p.puser AND v.vt = m.vt
+         |ORDER BY p.pid""".stripMargin,
+    // nearest = the closer of backward/forward under the tolerance,
+    // ties to backward — spelled from the two independent recipes
+    "q143c_asof_nearest" ->
+      s"""WITH e AS (
+         |  SELECT event_id, user_id, event_type, epoch_us(ts) AS us
+         |  FROM events),
+         |p AS (SELECT user_id AS puser, event_id AS pid, us AS pt
+         |      FROM e WHERE event_type = 'purchase'),
+         |v AS (SELECT user_id AS vuser, us AS vt,
+         |             CAST(max(event_id) AS BIGINT) AS vid
+         |      FROM e WHERE event_type = 'view' GROUP BY 1, 2),
+         |bb AS (SELECT pid, vt, vid FROM (
+         |        SELECT p.pid, v.vt, v.vid, p.pt
+         |        FROM p ASOF LEFT JOIN v
+         |          ON p.puser = v.vuser AND p.pt >= v.vt) t
+         |       WHERE t.pt - t.vt <= $TolUs),
+         |ff AS (SELECT p.pid, min(v.vt) AS vt
+         |       FROM p JOIN v ON p.puser = v.vuser AND v.vt >= p.pt
+         |         AND v.vt - p.pt <= $TolUs
+         |       GROUP BY p.pid),
+         |c AS (SELECT p.puser, p.pid, p.pt,
+         |             bb.vt AS bvt, bb.vid AS bvid,
+         |             ff.vt AS fvt, fv.vid AS fvid
+         |      FROM p LEFT JOIN bb ON p.pid = bb.pid
+         |      LEFT JOIN ff ON p.pid = ff.pid
+         |      LEFT JOIN v fv ON fv.vuser = p.puser AND fv.vt = ff.vt)
+         |SELECT puser, pid,
+         |  CASE WHEN bvt IS NOT NULL AND (fvt IS NULL OR pt - bvt <= fvt - pt)
+         |       THEN bvid ELSE fvid END AS vid,
+         |  CASE WHEN bvt IS NOT NULL AND (fvt IS NULL OR pt - bvt <= fvt - pt)
+         |       THEN bvt ELSE fvt END AS vt,
+         |  CASE WHEN bvt IS NOT NULL AND (fvt IS NULL OR pt - bvt <= fvt - pt)
+         |       THEN pt - bvt
+         |       WHEN fvt IS NOT NULL THEN pt - fvt END AS gap_us
+         |FROM c ORDER BY pid""".stripMargin
   )
 }

@@ -92,6 +92,130 @@ class AsOfJoinSpec extends SparkSpec {
     }
   }
 
+  test("forward direction: earliest at-or-after, inclusive boundary, tolerance") {
+    val left = Seq(
+      (1L, 10L, "p_a"), // rt=10 at the boundary: inclusive
+      (1L, 11L, "p_b"), // earliest ≥ 11 is rt=20
+      (1L, 21L, "p_c"), // earliest ≥ 21 is rt=90 — beyond tol 30: NULL
+      (2L, 50L, "p_d"), // key 2 has only earlier rows: NULL
+      (3L, 7L, "p_e") // no right rows for key: NULL
+    ).toDF("lk", "lt", "pl")
+    val right = Seq(
+      (1L, 10L, "v10"),
+      (1L, 20L, "v20"),
+      (1L, 90L, "v90"),
+      (2L, 24L, "v24")
+    ).toDF("rk", "rt", "pv")
+    val got = graft.plans.AsOf
+      .join(left, right, "lk", "rk", "lt", "rt", Some(30L), "forward")
+      .select("pl", "pv")
+      .collect()
+      .map(r => (r.getString(0), Option(r.getString(1))))
+      .sortBy(_._1)
+    assert(
+      got.toSeq == Seq(
+        ("p_a", Some("v10")),
+        ("p_b", Some("v20")),
+        ("p_c", None),
+        ("p_d", None),
+        ("p_e", None)
+      ),
+      got.mkString(", ")
+    )
+    // a consumed earlier row must not leak into forward matches, and the
+    // SAME forward row may serve multiple left rows
+    val multi = graft.plans.AsOf
+      .join(
+        Seq((1L, 1L, "x"), (1L, 2L, "y")).toDF("lk", "lt", "pl"),
+        Seq((1L, 5L, "v5")).toDF("rk", "rt", "pv"),
+        "lk", "rk", "lt", "rt", None, "forward"
+      )
+      .select("pv")
+      .collect()
+      .map(_.getString(0))
+    assert(multi.toSeq == Seq("v5", "v5"))
+  }
+
+  test("nearest direction: closer side wins, ties to backward, tolerance per side") {
+    val left = Seq(
+      (1L, 14L, "p_a"), // b=10 (d4) vs f=20 (d6) → backward v10
+      (1L, 17L, "p_b"), // b=10 (d7) vs f=20 (d3) → forward v20
+      (1L, 15L, "p_c"), // tie d5/d5 → backward v10
+      (1L, 100L, "p_d"), // only backward 20 at d80 — beyond tol: NULL
+      (2L, 3L, "p_e") // only forward 24 at d21 within tol → v24
+    ).toDF("lk", "lt", "pl")
+    val right = Seq(
+      (1L, 10L, "v10"),
+      (1L, 20L, "v20"),
+      (2L, 24L, "v24")
+    ).toDF("rk", "rt", "pv")
+    val got = graft.plans.AsOf
+      .join(left, right, "lk", "rk", "lt", "rt", Some(30L), "nearest")
+      .select("pl", "pv")
+      .collect()
+      .map(r => (r.getString(0), Option(r.getString(1))))
+      .sortBy(_._1)
+    assert(
+      got.toSeq == Seq(
+        ("p_a", Some("v10")),
+        ("p_b", Some("v20")),
+        ("p_c", Some("v10")),
+        ("p_d", None),
+        ("p_e", Some("v24"))
+      ),
+      got.mkString(", ")
+    )
+  }
+
+  test("forward/nearest equal a naive driver-side replay on the real corpus") {
+    val e = queries.Tables
+      .table(spark, "/root/testdata/sf0.001", "events")
+      .select(
+        col("event_id"),
+        col("user_id"),
+        col("event_type"),
+        unix_micros(col("ts")).as("us")
+      )
+    val p = e
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("puser"), col("event_id").as("pid"), col("us").as("pt"))
+    val v = e
+      .filter(col("event_type") === "view")
+      .groupBy(col("user_id").as("vuser"), col("us").as("vt"))
+      .agg(max("event_id").as("vid"))
+    val vRows = v.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byUser = vRows.groupBy(_._1).map { case (u, rs) => u -> rs.sortBy(_._2) }
+    val tol = 3600L * 1000000L
+    def naive(direction: String): Map[Long, Option[Long]] =
+      p.collect()
+        .map { r =>
+          val (u, pid, pt) = (r.getLong(0), r.getLong(1), r.getLong(2))
+          val vs = byUser.getOrElse(u, Array.empty[(Long, Long, Long)])
+          val b = vs.filter(x => x._2 <= pt && pt - x._2 <= tol).lastOption
+          val f = vs.find(x => x._2 >= pt && x._2 - pt <= tol)
+          val pick = direction match {
+            case "forward" => f
+            case "nearest" =>
+              (b, f) match {
+                case (Some(bb), Some(ff)) =>
+                  if (pt - bb._2 <= ff._2 - pt) Some(bb) else Some(ff)
+                case _ => b.orElse(f)
+              }
+          }
+          pid -> pick.map(_._3)
+        }
+        .toMap
+    Seq("forward", "nearest").foreach { d =>
+      val got = graft.plans.AsOf
+        .join(p, v, "puser", "vuser", "pt", "vt", Some(tol), d)
+        .select("pid", "vid")
+        .collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+        .toMap
+      assert(got == naive(d), s"direction $d diverged from the naive replay")
+    }
+  }
+
   test("null times never match and never block later right rows") {
     val left = Seq((1L, Some(30L), "p"), (1L, Option.empty[Long], "pnull"))
       .toDF("lk", "lt", "pl")
