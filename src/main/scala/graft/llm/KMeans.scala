@@ -155,9 +155,9 @@ object KMeans {
 
   // private[graft]: q136's oracle composes the SAME training replay with
   // K=16 — the trained-IVF oracle can never drift from the q70 recipe
-  private[graft] def distCteSql(cN: String): String =
+  private[graft] def distCteSql(cN: String, srcFrom: String = "e"): String =
     s"""SELECT e.vec_id, c.cell, $distSql AS d
-       |  FROM e CROSS JOIN $cN c""".stripMargin
+       |  FROM $srcFrom CROSS JOIN $cN c""".stripMargin
 
   private[graft] def argminSql(dN: String): String =
     s"""SELECT vec_id, cell, d FROM (

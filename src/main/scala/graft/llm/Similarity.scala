@@ -81,7 +81,7 @@ object Similarity {
   // afford 4-8 bit bands.
   private val NumPlanes = 24
   private val BandBits = 3
-  private val Dim = 64
+  private[graft] val Dim = 64
 
   /** Fixed random hyperplanes (seeded, standard normal). More planes
     * than the q31 default exist so AnnQuality can sweep band width at a
@@ -765,7 +765,7 @@ object Similarity {
   /** Shared ANN oracle tail: exact cosine over the candidate pairs,
     * per-probe top-k, identical tie-break — the SQL twin of scoreTopK.
     */
-  private def scoreTopKSql(candCte: String): String =
+  private[graft] def scoreTopKSql(candCte: String): String =
     s"""$candCte,
        |cos AS (
        |  SELECT cd.probe_id, cd.neighbor_id,

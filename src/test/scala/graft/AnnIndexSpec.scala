@@ -49,4 +49,49 @@ class AnnIndexSpec extends SparkSpec {
     val read = scan.metrics("numPartitions").value
     assert(read == 4, s"partitions read: $read (want nprobe=4 of 16)")
   }
+
+  test("append routes exactly as a same-quantizer rebuild; store content identical") {
+    val root = new java.io.File(tmpDir("graft_annindex_appendpin"))
+    val e = queries.Tables.table(spark, sf, "embeddings")
+    val slice = graft.llm.AnnIndex.appendSlice(col("vec_id"))
+    val cent = graft.llm.AnnIndex.buildAt(spark, root, e.filter(!slice))
+    val report = graft.llm.AnnIndex.append(spark, root.getPath, e.filter(slice))
+    assert(report.version == 2 && report.appended > 0)
+    // corpus appended from the same distribution: no drift flag
+    assert(!report.retrainRecommended, report.toString)
+    // the appended store holds EXACTLY what assigning the full corpus
+    // with the frozen quantizer yields — append == same-quantizer rebuild
+    val store = spark.read
+      .parquet(s"${root.getPath}/vectors")
+      .select(col("vec_id"), col("cell").cast("int"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+      .sortBy(_._1)
+      .toSeq
+    val want = graft.llm.KMeans
+      .assigned(e, cent)
+      .select(col("vec_id"), col("cluster").cast("int"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+      .sortBy(_._1)
+      .toSeq
+    assert(store == want)
+  }
+
+  test("an out-of-distribution append trips the drift threshold") {
+    val root = new java.io.File(tmpDir("graft_annindex_driftpin"))
+    val e = queries.Tables.table(spark, sf, "embeddings")
+    graft.llm.AnnIndex.buildAt(spark, root, e)
+    // vectors scaled 50×: mean assignment distance explodes past the
+    // build-time mean — the frozen cells no longer fit
+    val far = e.select(
+      (col("vec_id") + lit(1000000L)).as("vec_id"),
+      transform(col("embedding"), x => x * lit(50.0f)).as("embedding")
+    )
+    val report = graft.llm.AnnIndex
+      .append(spark, root.getPath, far.filter(col("vec_id") < 1000064L))
+    assert(report.retrainRecommended, report.toString)
+    assert(report.version == 2)
+    assert(report.meanD2 > report.buildMeanD2)
+  }
 }
