@@ -89,9 +89,29 @@ object MvGateQuery {
       .orderBy("account")
   }
 
+  /** q140c: the GLOBAL (no GROUP BY) rollup — the "how big is the
+    * store" query every dashboard opens with, rewritten to a
+    * |partitions|-row summary scan; counts coalesce to 0 so an empty
+    * base and an empty summary agree (the one global-case mismatch).
+    */
+  def q140c(s: SparkSession, dir: String): DataFrame = {
+    val base = ensure(s)
+    graft.etl.ConvertJob
+      .readConverted(s, base)
+      .filter(col("dt") >= "2023-11-24")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("bytes").cast("long")).as("sum_bytes"),
+        min(col("bytes")).as("min_bytes"),
+        max(col("bytes")).as("max_bytes"),
+        avg(col("packets")).as("avg_packets")
+      )
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q140_mv_rewrite" -> q140,
-    "q140b_mv_rewrite_minmaxavg" -> q140b
+    "q140b_mv_rewrite_minmaxavg" -> q140b,
+    "q140c_mv_rewrite_global" -> q140c
   )
 
   // Closed-form corpus replay per account — independent of store,
@@ -119,6 +139,16 @@ object MvGateQuery {
          |  CAST(count(packets) AS BIGINT) AS n_packets,
          |  CAST(count(*) AS BIGINT) AS n_rows
          |FROM f WHERE dt >= '2023-11-24'
-         |GROUP BY account ORDER BY account""".stripMargin
+         |GROUP BY account ORDER BY account""".stripMargin,
+    "q140c_mv_rewrite_global" ->
+      s"""${graft.etl.FlowLogCorpus.oracleCte}
+         |SELECT
+         |  CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(sum(bytes) AS BIGINT) AS sum_bytes,
+         |  min(bytes) AS min_bytes,
+         |  max(bytes) AS max_bytes,
+         |  CAST(sum(packets) AS DOUBLE) / CAST(count(packets) AS DOUBLE)
+         |    AS avg_packets
+         |FROM f WHERE dt >= '2023-11-24'""".stripMargin
   )
 }

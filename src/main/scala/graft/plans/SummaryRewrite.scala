@@ -103,12 +103,14 @@ object MvRegistry {
   *    partials of the surviving partitions (this is the pushed-down
   *    WHERE dt≥… / HAVING-on-keys shape; the predicate transplants onto
   *    the summary scan and prunes it the same way);
-  *  - grouping keys must be a non-empty subset of the summary's
-  *    partition keys {account, dt} — grouping coarser than the
-  *    partition grain re-aggregates partials ALGEBRAICALLY (sum of
-  *    sums, sum of counts, min of mins, max of maxes), which is exact;
-  *    non-empty because a global aggregate over an empty base yields
-  *    count=0 while a sum over an empty summary yields null;
+  *  - grouping keys must be a subset of the summary's partition keys
+  *    {account, dt} — grouping coarser than the partition grain
+  *    re-aggregates partials ALGEBRAICALLY (sum of sums, sum of counts,
+  *    min of mins, max of maxes), which is exact. The GLOBAL (empty
+  *    grouping) case is included since r12: the one empty-base mismatch
+  *    — count yields 0 while a sum over the empty summary yields null —
+  *    is closed by coalescing the count rewrites to 0; sums/min/max/avg
+  *    are null over an empty input on both sides already;
   *  - aggregates must be count(1) (→ sum(n_rows)), sum(bytes∷long) /
   *    sum(packets∷long) (→ sums of pre-widened partials; the ∷long cast
   *    requirement keeps the rewrite type-preserving), count(bytes) /
@@ -192,8 +194,9 @@ object RewriteAggregateToSummary extends Rule[LogicalPlan] {
       child: LogicalPlan
   ): Option[LogicalPlan] = {
     val groupAttrs = groups.collect { case a: AttributeReference => a }
-    if (groupAttrs.size != groups.size || groupAttrs.isEmpty) return None
+    if (groupAttrs.size != groups.size) return None
     if (!groupAttrs.forall(a => PartitionKeys.contains(a.name))) return None
+    val global = groupAttrs.isEmpty
     val (rel, filters) = baseScan(child).getOrElse(return None)
     val summary = MvRegistry.summaryFor(rootPaths(rel)).getOrElse(return None)
     val sOut: Map[String, AttributeReference] =
@@ -205,6 +208,16 @@ object RewriteAggregateToSummary extends Rule[LogicalPlan] {
     // bows out (whole-aggregate, never partially) of what it can't
     def sumOver(colName: String): Option[Expression] =
       sOut.get(colName).map(Sum(_).toAggregateExpression())
+    // GLOBAL count over an empty base is 0; a sum over the empty summary
+    // is null — coalesce closes the one empty-input mismatch (grouped
+    // aggregates can't see an empty group: groups come from rows)
+    def countOver(colName: String): Option[Expression] =
+      sumOver(colName).map { s =>
+        if (global)
+          org.apache.spark.sql.catalyst.expressions
+            .Coalesce(Seq(s, Literal(0L, LongType)))
+        else s
+      }
     def minMaxOver(isMin: Boolean, base: AttributeReference): Option[Expression] = {
       val partial = (if (isMin) "min_" else "max_") + base.name
       sOut.get(partial).filter(_.dataType == base.dataType).map { a =>
@@ -225,11 +238,11 @@ object RewriteAggregateToSummary extends Rule[LogicalPlan] {
       )
 
     def mapped(f: Expression): Option[Expression] = f match {
-      case _ if isCountStar(f)            => sumOver("n_rows")
+      case _ if isCountStar(f)            => countOver("n_rows")
       case _ if isLongSumOf(f, "bytes")   => sumOver("sum_bytes")
       case _ if isLongSumOf(f, "packets") => sumOver("sum_packets")
       case Count(Seq(a: AttributeReference)) if MeasureCols.contains(a.name) =>
-        sumOver("n_" + a.name)
+        countOver("n_" + a.name)
       case Min(a: AttributeReference) if MeasureCols.contains(a.name) =>
         minMaxOver(isMin = true, a)
       case Max(a: AttributeReference) if MeasureCols.contains(a.name) =>

@@ -88,6 +88,29 @@ class MvRewriteSpec extends SparkSpec {
     } finally spark.conf.unset(key)
   }
 
+  test("q140c: global rollup scans the summary; count coalesces to 0 on empty") {
+    val df = SparkEntry.queries("q140c_mv_rewrite_global")(spark, sf)
+    val on = df.collect().toSeq
+    assert(on.size == 1)
+    val paths = scanPaths(df)
+    assert(paths.nonEmpty && paths.forall(_.contains("/summary")), paths.toString)
+    val key = graft.plans.RewriteAggregateToSummary.EnabledKey
+    try {
+      spark.conf.set(key, "false")
+      val off = SparkEntry.queries("q140c_mv_rewrite_global")(spark, sf).collect().toSeq
+      assert(on == off)
+    } finally spark.conf.unset(key)
+    // the empty-base case: a filter matching NOTHING must yield count=0
+    // (not null) through the summary exactly as through the base
+    val empty = graft.etl.ConvertJob
+      .readConverted(spark, basePath)
+      .filter(col("dt") >= "2999-01-01")
+      .agg(count(lit(1)).as("n_rows"), sum(col("bytes").cast("long")).as("sum_bytes"))
+    val row = empty.collect() match { case Array(r) => r }
+    assert(scanPaths(empty).forall(_.contains("/summary")))
+    assert(row.getLong(0) == 0L && row.isNullAt(1), row.toString)
+  }
+
   test("a filter on a NON-partition column blocks the rewrite") {
     // WHERE on a data column cannot transplant onto the summary — the
     // whole aggregate must stay on the base scan
