@@ -379,6 +379,8 @@ private[sources] object AvroStats {
       case In(c, _)                 => colOk(c)
       case IsNull(c)                => colOk(c)
       case IsNotNull(c)             => colOk(c)
+      case StringStartsWith(c, _) =>
+        schema.fields.exists(sf => sf.name == c && sf.dataType == StringType)
       case And(l, r)                => supported(l, schema) && supported(r, schema)
       case Or(l, r)                 => supported(l, schema) && supported(r, schema)
       case _                        => false
@@ -421,6 +423,23 @@ private[sources] object AvroStats {
         )
       case IsNull(c)    => stats.get(c).forall(_.hasNull)
       case IsNotNull(c) => stats.get(c).forall(_.min.isDefined)
+      case StringStartsWith(c, p) if p != null =>
+        // strings with prefix p occupy [p, pNext) in BYTEWISE order,
+        // where pNext = p with its last non-0xFF byte incremented (all
+        // 0xFF → unbounded above); may-match ⟺ [min,max] intersects it
+        range(c) { (d, mn, mx) =>
+          val pref = UTF8String.fromString(p)
+          val bytes = pref.getBytes
+          val cut = bytes.lastIndexWhere(_ != -1) // -1 = 0xFF signed
+          val upper =
+            if (cut < 0) None
+            else {
+              val up = java.util.Arrays.copyOf(bytes, cut + 1)
+              up(cut) = (up(cut) + 1).toByte
+              Some(UTF8String.fromBytes(up))
+            }
+          cmp(d, mx, pref) >= 0 && upper.forall(u => cmp(d, mn, u) < 0)
+        }
       case And(l, r) =>
         mayMatch(l, stats, schema) && mayMatch(r, stats, schema)
       case Or(l, r) =>

@@ -60,6 +60,12 @@ class AvroSourceSpec extends SparkSpec {
     // a filter matching nothing plans ZERO partitions
     assert(planned(all.filter(col("id") > 100000L)) == 0)
     assert(all.filter(col("id") > 100000L).count() == 0)
+    // prefix filter: strings with prefix "doc15" are "doc15" (file 0)
+    // and "doc150".."doc159" (file 1); files 2/3 ("doc2xx"/"doc3xx")
+    // fall outside the bytewise [p, pNext) range and must be skipped
+    val pre = all.filter(col("s").startsWith("doc15"))
+    assert(pre.count() == 11, pre.count().toString) // 15, 150-159
+    assert(planned(pre) == 2, s"planned ${planned(pre)}, want 2 of 4")
     // conservative fallback: without the sidecar every file is read and
     // values are identical (skipping is pure I/O, never semantics)
     assert(new java.io.File(dir, "_stats.tsv").delete())

@@ -111,6 +111,36 @@ class MvRewriteSpec extends SparkSpec {
     assert(row.getLong(0) == 0L && row.isNullAt(1), row.toString)
   }
 
+  test("HAVING on an aggregate rewrites the inner aggregate (filter stays above)") {
+    // HAVING sum(bytes) > X leaves a Filter ABOVE the Aggregate (it
+    // references the aggregate output, so pushdown can't move it);
+    // the rule fires on the inner Aggregate regardless
+    SparkEntry.queries("q140_mv_rewrite")(spark, sf).collect()
+    val df = graft.etl.ConvertJob
+      .readConverted(spark, basePath)
+      .groupBy(col("account"))
+      .agg(sum(col("bytes").cast("long")).as("sum_bytes"))
+      .filter(col("sum_bytes") > 1000000L)
+      .orderBy("account")
+    val on = df.collect().toSeq
+    assert(on.nonEmpty)
+    val paths = scanPaths(df)
+    assert(paths.nonEmpty && paths.forall(_.contains("/summary")), paths.toString)
+    val key = graft.plans.RewriteAggregateToSummary.EnabledKey
+    try {
+      spark.conf.set(key, "false")
+      val off = graft.etl.ConvertJob
+        .readConverted(spark, basePath)
+        .groupBy(col("account"))
+        .agg(sum(col("bytes").cast("long")).as("sum_bytes"))
+        .filter(col("sum_bytes") > 1000000L)
+        .orderBy("account")
+        .collect()
+        .toSeq
+      assert(on == off)
+    } finally spark.conf.unset(key)
+  }
+
   test("a filter on a NON-partition column blocks the rewrite") {
     // WHERE on a data column cannot transplant onto the summary — the
     // whole aggregate must stay on the base scan
