@@ -338,23 +338,27 @@ private[sources] object AvroStats {
     text.linesIterator
       .filter(_.nonEmpty)
       .flatMap { line =>
-        val f = line.split('\t')
-        if (f.length != 6) None
-        else {
-          val col = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-            .unescapePathName(f(1))
-          types.get(col).filter(statable).map { dt =>
-            val seen = f(2) == "1"
-            ( f(0),
-              col,
-              ColStats(
-                hasNull = f(3) == "1",
-                min = if (seen) Some(deserialize(dt, f(4))) else None,
-                max = if (seen) Some(deserialize(dt, f(5))) else None
+        // per-line tolerance: a malformed/truncated line drops ITS stat
+        // (that file just gets read), never the scan
+        try {
+          val f = line.split('\t')
+          if (f.length != 6) None
+          else {
+            val col = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+              .unescapePathName(f(1))
+            types.get(col).filter(statable).map { dt =>
+              val seen = f(2) == "1"
+              ( f(0),
+                col,
+                ColStats(
+                  hasNull = f(3) == "1",
+                  min = if (seen) Some(deserialize(dt, f(4))) else None,
+                  max = if (seen) Some(deserialize(dt, f(5))) else None
+                )
               )
-            )
+            }
           }
-        }
+        } catch { case _: Exception => None }
       }
       .toSeq
       .groupBy(_._1)
@@ -512,20 +516,24 @@ class AvroScan(
     if (pushed.isEmpty) all.map { case (p, len) => (p.toString, len) }
     else {
       val sidecar = new Path(dir, AvroStats.FileName)
+      // the sidecar is ADVISORY: a missing/mid-swap/corrupt file (or any
+      // read error) disables skipping for this scan, never fails it
       val byFile: Map[String, Map[String, AvroStats.ColStats]] =
-        if (!fs.exists(sidecar)) Map.empty
-        else {
-          val in = fs.open(sidecar)
-          val text =
-            try {
-              val bos = new java.io.ByteArrayOutputStream()
-              val buf = new Array[Byte](8192)
-              var n = in.read(buf)
-              while (n > 0) { bos.write(buf, 0, n); n = in.read(buf) }
-              new String(bos.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
-            } finally in.close()
-          AvroStats.parse(text, statsSchema)
-        }
+        try {
+          if (!fs.exists(sidecar)) Map.empty
+          else {
+            val in = fs.open(sidecar)
+            val text =
+              try {
+                val bos = new java.io.ByteArrayOutputStream()
+                val buf = new Array[Byte](8192)
+                var n = in.read(buf)
+                while (n > 0) { bos.write(buf, 0, n); n = in.read(buf) }
+                new String(bos.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+              } finally in.close()
+            AvroStats.parse(text, statsSchema)
+          }
+        } catch { case _: Exception => Map.empty }
       all
         .filter { case (p, _) =>
           byFile.get(p.getName) match {

@@ -66,9 +66,22 @@ class AvroSourceSpec extends SparkSpec {
     val pre = all.filter(col("s").startsWith("doc15"))
     assert(pre.count() == 11, pre.count().toString) // 15, 150-159
     assert(planned(pre) == 2, s"planned ${planned(pre)}, want 2 of 4")
-    // conservative fallback: without the sidecar every file is read and
+    // conservative fallback 1: a CORRUPT sidecar disables skipping (all
+    // files read), never fails or misleads the scan
+    val sidecar = new java.io.File(dir, "_stats.tsv")
+    val origStats = java.nio.file.Files.readAllBytes(sidecar.toPath)
+    java.nio.file.Files.write(
+      sidecar.toPath,
+      "part-00000-0.avro\tid\t1\t0\tnot_a_number\talso_bad\ngarbage line\n"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    )
+    val corrupt = spark.read.format(fmt).load(dir).filter(col("id") >= 150L && col("id") < 160L)
+    assert(planned(corrupt) == 4)
+    assert(corrupt.count() == 10)
+    java.nio.file.Files.write(sidecar.toPath, origStats)
+    // conservative fallback 2: without the sidecar every file is read and
     // values are identical (skipping is pure I/O, never semantics)
-    assert(new java.io.File(dir, "_stats.tsv").delete())
+    assert(sidecar.delete())
     val noStats = spark.read.format(fmt).load(dir).filter(col("id") >= 150L && col("id") < 160L)
     assert(planned(noStats) == 4)
     assert(noStats.count() == 10)
