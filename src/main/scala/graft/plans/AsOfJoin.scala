@@ -60,8 +60,8 @@ import org.apache.spark.sql.types.LongType
 case class AsOfJoin(
     left: LogicalPlan,
     right: LogicalPlan,
-    leftKey: Expression,
-    rightKey: Expression,
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
     leftTime: Expression,
     rightTime: Expression,
     toleranceUs: Option[Long] = None,
@@ -71,7 +71,7 @@ case class AsOfJoin(
     left.output ++ right.output.map(_.withNullability(true))
   override lazy val resolved: Boolean =
     childrenResolved &&
-      Seq(leftKey, rightKey, leftTime, rightTime).forall(_.resolved)
+      (leftKeys ++ rightKeys ++ Seq(leftTime, rightTime)).forall(_.resolved)
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan,
       newRight: LogicalPlan
@@ -80,15 +80,15 @@ case class AsOfJoin(
 
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lt, rt, tol, dir) =>
-      AsOfJoinExec(lk, rk, lt, rt, tol, dir, planLater(l), planLater(r)) :: Nil
+    case AsOfJoin(l, r, lks, rks, lt, rt, tol, dir) =>
+      AsOfJoinExec(lks, rks, lt, rt, tol, dir, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
 
 case class AsOfJoinExec(
-    leftKey: Expression,
-    rightKey: Expression,
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
     leftTime: Expression,
     rightTime: Expression,
     toleranceUs: Option[Long],
@@ -107,12 +107,12 @@ case class AsOfJoinExec(
   )
 
   override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(Seq(leftKey)) :: ClusteredDistribution(Seq(rightKey)) :: Nil
+    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
 
   override def requiredChildOrdering: Seq[Seq[SortOrder]] =
     Seq(
-      Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
-      Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending))
+      leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTime, Ascending),
+      rightKeys.map(SortOrder(_, Ascending)) :+ SortOrder(rightTime, Ascending)
     )
 
   // rows stream out in the left child's (key, time) order, one per left row
@@ -126,10 +126,14 @@ case class AsOfJoinExec(
     )
     val numOutputRows = longMetric("numOutputRows")
     val numMatched = longMetric("numMatched")
-    val keyType = leftKey.dataType
     require(
-      rightKey.dataType == keyType,
-      s"as-of key types differ: $keyType vs ${rightKey.dataType}"
+      leftKeys.nonEmpty && leftKeys.size == rightKeys.size,
+      s"as-of needs matching key lists, got ${leftKeys.size}/${rightKeys.size}"
+    )
+    val keyTypes = leftKeys.map(_.dataType)
+    require(
+      rightKeys.map(_.dataType) == keyTypes,
+      s"as-of key types differ: $keyTypes vs ${rightKeys.map(_.dataType)}"
     )
     // hoist everything the task closure needs into serializable locals —
     // capturing a SparkPlan member inside zipPartitions would drag `this`
@@ -137,8 +141,8 @@ case class AsOfJoinExec(
     val lOut = left.output
     val rOut = right.output
     val allOut = output
-    val lKeyExpr = leftKey
-    val rKeyExpr = rightKey
+    val lKeyExprs = leftKeys
+    val rKeyExprs = rightKeys
     val lTimeExpr = leftTime
     val rTimeExpr = rightTime
     val rightWidth = rOut.size
@@ -157,13 +161,13 @@ case class AsOfJoinExec(
         )
     }
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
-      val lKeyProj = UnsafeProjection.create(Seq(lKeyExpr), lOut)
-      val rKeyProj = UnsafeProjection.create(Seq(rKeyExpr), rOut)
+      val lKeyProj = UnsafeProjection.create(lKeyExprs, lOut)
+      val rKeyProj = UnsafeProjection.create(rKeyExprs, rOut)
       val lTimeProj = UnsafeProjection.create(Seq(lTimeExpr), lOut)
       val rTimeProj = UnsafeProjection.create(Seq(rTimeExpr), rOut)
       val keyOrd =
         org.apache.spark.sql.catalyst.expressions.RowOrdering
-          .createNaturalAscendingOrdering(Seq(keyType))
+          .createNaturalAscendingOrdering(keyTypes)
       // bind against allOut (right side already nullable) so the generated
       // reads null-check — binding against rOut's original nullability
       // would skip the check and misread the all-null pad row
@@ -198,7 +202,7 @@ case class AsOfJoinExec(
             rNext = rIter.next()
             val t = rTimeProj(rNext)
             val k = rKeyProj(rNext)
-            if (!t.isNullAt(0) && !k.isNullAt(0)) {
+            if (!t.isNullAt(0) && !k.anyNull) {
               rNextTime = t.getLong(0)
               rNextKey = k.copy()
               loaded = true
@@ -216,7 +220,7 @@ case class AsOfJoinExec(
           // semantics ever match NULL keys); fold it into the same
           // "cannot match" path as a null left time so the candidate
           // comparison below never sees a null key on either side
-          val ltNull = lTimeProj(lRow).isNullAt(0) || lKey.isNullAt(0)
+          val ltNull = lTimeProj(lRow).isNullAt(0) || lKey.anyNull
           val lTime = if (ltNull) 0L else lTimeProj(lRow).getLong(0)
           // consume right rows that can no longer beat future candidates:
           // stale keys, and same-key rows at or before this left time (the
@@ -301,10 +305,42 @@ object AsOf {
       rightTime: String,
       toleranceUs: Option[Long] = None,
       direction: String = "backward"
+  ): DataFrame =
+    joinKeys(
+      left,
+      right,
+      Seq(leftKey),
+      Seq(rightKey),
+      leftTime,
+      rightTime,
+      toleranceUs,
+      direction
+    )
+
+  /** COMPOSITE-key as-of join (q124b): the production shape where the
+    * series identity is more than one column — (symbol, venue),
+    * (user, day). Same operator, same single merge pass: the key
+    * projections/ordering/distribution simply carry every key column,
+    * and a NULL in ANY key field disqualifies the row (multi-column
+    * equi-join semantics, matching DuckDB's multi-condition ASOF).
+    */
+  def joinKeys(
+      left: DataFrame,
+      right: DataFrame,
+      leftKeys: Seq[String],
+      rightKeys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      toleranceUs: Option[Long] = None,
+      direction: String = "backward"
   ): DataFrame = {
     require(
       Set("backward", "forward", "nearest").contains(direction),
       s"as-of direction must be backward|forward|nearest, got $direction"
+    )
+    require(
+      leftKeys.nonEmpty && leftKeys.size == rightKeys.size,
+      s"as-of needs matching non-empty key lists, got $leftKeys / $rightKeys"
     )
     import org.apache.spark.sql.graftbridge.ColumnBridge
     val lPlan = ColumnBridge.plan(left)
@@ -327,8 +363,8 @@ object AsOf {
       AsOfJoin(
         lPlan,
         rPlan,
-        attr(lPlan, leftKey),
-        attr(rPlan, rightKey),
+        leftKeys.map(attr(lPlan, _)),
+        rightKeys.map(attr(rPlan, _)),
         attr(lPlan, leftTime),
         attr(rPlan, rightTime),
         toleranceUs,

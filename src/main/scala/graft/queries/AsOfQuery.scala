@@ -184,8 +184,62 @@ object AsOfQuery {
       .orderBy("pid")
   }
 
+  /** q124b: COMPOSITE-key as-of through the same operator — the series
+    * identity is (user, day): a purchase only matches views from the
+    * SAME user on the SAME (UTC) day, the "don't attribute yesterday's
+    * browsing" rule. Day = us DIV 86400e6, exact integer arithmetic on
+    * both engines. Oracle = DuckDB's native multi-condition ASOF.
+    */
+  private def q124b(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables
+      .table(s, dir, "events")
+      .select(
+        col("event_id"),
+        col("user_id"),
+        col("event_type"),
+        unix_micros(col("ts")).as("us")
+      )
+    // `div` = exact integer division (us / dayUs in Column algebra is
+    // DOUBLE division — a day-boundary value could round across)
+    val purchases = e
+      .filter(col("event_type") === "purchase")
+      .select(
+        col("user_id").as("puser"),
+        expr("us div 86400000000").as("pday"),
+        col("event_id").as("pid"),
+        col("us").as("pt")
+      )
+    val views = e
+      .filter(col("event_type") === "view")
+      .groupBy(
+        col("user_id").as("vuser"),
+        expr("us div 86400000000").as("vday"),
+        col("us").as("vt")
+      )
+      .agg(max("event_id").as("vid"))
+    graft.plans.AsOf
+      .joinKeys(
+        purchases,
+        views,
+        Seq("puser", "pday"),
+        Seq("vuser", "vday"),
+        "pt",
+        "vt"
+      )
+      .select(
+        col("puser"),
+        col("pday"),
+        col("pid"),
+        col("vid"),
+        col("vt"),
+        (col("pt") - col("vt")).as("gap_us")
+      )
+      .orderBy("pid")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q124_asof_custom_operator" -> q124,
+    "q124b_asof_composite_key" -> q124b,
     "q143_asof_tolerance" -> q143,
     "q143b_asof_forward" -> q143b,
     "q143c_asof_nearest" -> q143c
@@ -204,6 +258,22 @@ object AsOfQuery {
         |SELECT p.puser, p.pid, v.vid, v.vt, p.pt - v.vt AS gap_us
         |FROM p ASOF LEFT JOIN v
         |  ON p.puser = v.vuser AND p.pt >= v.vt
+        |ORDER BY pid""".stripMargin,
+    // composite key: DuckDB's native ASOF with a second equality
+    // condition — both engines integer-divide for the day bucket
+    "q124b_asof_composite_key" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS us
+        |  FROM events),
+        |p AS (SELECT user_id AS puser, us // 86400000000 AS pday,
+        |             event_id AS pid, us AS pt
+        |      FROM e WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id AS vuser, us // 86400000000 AS vday, us AS vt,
+        |             CAST(max(event_id) AS BIGINT) AS vid
+        |      FROM e WHERE event_type = 'view' GROUP BY 1, 2, 3)
+        |SELECT p.puser, p.pday, p.pid, v.vid, v.vt, p.pt - v.vt AS gap_us
+        |FROM p ASOF LEFT JOIN v
+        |  ON p.puser = v.vuser AND p.pday = v.vday AND p.pt >= v.vt
         |ORDER BY pid""".stripMargin,
     // native ASOF (no tolerance support) + a post-projection nulling
     // beyond-tolerance matches — the same contract, independently spelled

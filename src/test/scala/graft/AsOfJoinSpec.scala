@@ -216,6 +216,35 @@ class AsOfJoinSpec extends SparkSpec {
     }
   }
 
+  test("composite keys: both columns gate the match; any-null key never matches") {
+    val left = Seq(
+      (1L, Some(10L), 100L, "p_a"), // matches (1,10) rt=95
+      (1L, Some(11L), 100L, "p_b"), // same user, DIFFERENT day: only rt=99
+      (2L, Some(10L), 100L, "p_c"), // different user entirely: NULL
+      (1L, None: Option[Long], 100L, "p_d") // null key field: NULL
+    ).toDF("lk1", "lk2", "lt", "pl")
+    val right = Seq(
+      (1L, Some(10L), 95L, "v95"),
+      (1L, Some(11L), 99L, "v99"),
+      (1L, None: Option[Long], 90L, "vnull") // null key field: never matches
+    ).toDF("rk1", "rk2", "rt", "pv")
+    val got = graft.plans.AsOf
+      .joinKeys(left, right, Seq("lk1", "lk2"), Seq("rk1", "rk2"), "lt", "rt")
+      .select("pl", "pv")
+      .collect()
+      .map(r => (r.getString(0), Option(r.getString(1))))
+      .sortBy(_._1)
+    assert(
+      got.toSeq == Seq(
+        ("p_a", Some("v95")),
+        ("p_b", Some("v99")),
+        ("p_c", None),
+        ("p_d", None)
+      ),
+      got.mkString(", ")
+    )
+  }
+
   test("null times never match and never block later right rows") {
     val left = Seq((1L, Some(30L), "p"), (1L, Option.empty[Long], "pnull"))
       .toDF("lk", "lt", "pl")
