@@ -106,4 +106,42 @@ object StreamingAggregates {
     */
   def enrichWithStatic(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
     stream.join(dim, key)
+
+  /** Streaming AS-OF enrichment — the stream-side point-in-time join
+    * (each event picks the latest dim version at or before its own
+    * time; q84c's batch contract on a live stream). Spark's
+    * stream-static joins only support equi conditions, so the as-of
+    * semantics run through `foreachBatch`, where each micro-batch is a
+    * plain DataFrame and the CUSTOM AsOfJoinExec operator applies
+    * as-is — the batch operator IS the streaming operator, one
+    * implementation repo-wide (the q84/Maintenance.upsert discipline).
+    * The versioned dim is re-resolved per batch, so a dim that gained
+    * versions between batches enriches later events with them while
+    * already-emitted rows stay immutable (append sink). State size
+    * zero: the merge runs inside the batch; nothing carries across
+    * triggers. At 100 TB the per-batch cost is the operator's one
+    * exchange per side over BATCH-sized left rows — the dim side can be
+    * pre-partitioned/bucketed to amortize its exchange.
+    *
+    * `dim` must carry `dimKey`/`dimTime` named so they don't collide
+    * with the stream's columns (the operator's disjoint-attribute
+    * rule); events with no dim version at or before them keep NULLs.
+    */
+  def asOfEnrichWriter(
+      stream: DataFrame,
+      dim: () => DataFrame,
+      streamKey: String,
+      dimKey: String,
+      streamTime: String,
+      dimTime: String,
+      outDir: String
+  ): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.plans.AsOf
+          .join(batch.toDF(), dim(), streamKey, dimKey, streamTime, dimTime)
+          .write
+          .mode(org.apache.spark.sql.SaveMode.Append)
+          .parquet(outDir)
+    }
 }

@@ -362,6 +362,67 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming as-of enrichment equals the batch operator; dim re-resolves per batch") {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.functions._
+    val base = tmpDir("graft-stream-asof")
+    val in = s"$base/in"; Files.createDirectories(Paths.get(in))
+    val out = s"$base/out"
+    val schema = StructType(
+      Seq(
+        StructField("euser", LongType),
+        StructField("eid", LongType),
+        StructField("et", LongType)
+      )
+    )
+    import spark.implicits._
+    // versioned dim, MUTABLE across batches (a var the closure re-resolves)
+    var dimRows = Seq((1L, 100L, "v1a"), (2L, 150L, "v2a"))
+    def dim() = dimRows.toDF("duser", "dt_us", "dver")
+    val stream = spark.readStream.schema(schema).csv(in)
+    val q = graft.streaming.StreamingAggregates
+      .asOfEnrichWriter(stream, () => dim(), "euser", "duser", "et", "dt_us", out)
+      .start()
+    try {
+      // drop 1: user 1 at t=120 → v1a(100); user 2 at t=140 → no version yet
+      Files.writeString(Paths.get(in, "d1.csv"), "1,10,120\n2,11,140\n")
+      q.processAllAvailable()
+      // dim gains a version BETWEEN batches (vt=200, after drop-1 times)
+      dimRows = dimRows :+ ((1L, 200L, "v1b"))
+      // drop 2: user 1 at t=250 → v1b(200); user 2 at t=160 → v2a(150)
+      Files.writeString(Paths.get(in, "d2.csv"), "1,12,250\n2,13,160\n")
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read
+      .parquet(out)
+      .select("eid", "dver")
+      .collect()
+      .map(r => (r.getLong(0), Option(r.getString(1))))
+      .sortBy(_._1)
+      .toSeq
+    assert(
+      got == Seq(
+        (10L, Some("v1a")),
+        (11L, None),
+        (12L, Some("v1b")),
+        (13L, Some("v2a"))
+      ),
+      got.mkString(", ")
+    )
+    // batch twin: the SAME operator over the full event set + final dim
+    // (the new version's vt postdates drop-1 events, so equality holds)
+    val events = Seq((1L, 10L, 120L), (2L, 11L, 140L), (1L, 12L, 250L), (2L, 13L, 160L))
+      .toDF("euser", "eid", "et")
+    val batch = graft.plans.AsOf
+      .join(events, dim(), "euser", "duser", "et", "dt_us")
+      .select("eid", "dver")
+      .collect()
+      .map(r => (r.getLong(0), Option(r.getString(1))))
+      .sortBy(_._1)
+      .toSeq
+    assert(got == batch)
+  }
+
   test("streaming dedup within watermark drops in-stream duplicates") {
     import org.apache.spark.sql.types._
     val base = tmpDir("graft-stream-dedup")
