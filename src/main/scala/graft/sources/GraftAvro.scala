@@ -278,8 +278,10 @@ private[sources] object AvroStats {
     case (StringType, s: UTF8String)           => Some(s)
     case (LongType, n: java.lang.Number)       => Some(n.longValue())
     case (IntegerType, n: java.lang.Number)    => Some(n.intValue())
-    case (DoubleType, n: java.lang.Number)     => Some(n.doubleValue())
-    case (FloatType, n: java.lang.Number)      => Some(n.floatValue())
+    case (DoubleType, n: java.lang.Number) =>
+      val d = n.doubleValue(); Some(if (d == 0.0d) 0.0d else d)
+    case (FloatType, n: java.lang.Number) =>
+      val f = n.floatValue(); Some(if (f == 0.0f) 0.0f else f)
     case (BooleanType, b: java.lang.Boolean)   => Some(b.booleanValue())
     case (TimestampType, t: java.sql.Timestamp) =>
       Some(org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(t))
@@ -307,9 +309,14 @@ private[sources] object AvroStats {
         val v: Any = dt match {
           case LongType | TimestampType => row.getLong(idx)
           case IntegerType              => row.getInt(idx)
-          case DoubleType               => row.getDouble(idx)
-          case FloatType                => row.getFloat(idx)
-          case BooleanType              => row.getBoolean(idx)
+          // normalize −0.0 → 0.0: Spark's comparisons equate them, but
+          // the skip test's java compare orders them — an un-normalized
+          // −0.0 max could wrongly skip an `= 0.0` filter
+          case DoubleType =>
+            val d = row.getDouble(idx); if (d == 0.0d) 0.0d else d
+          case FloatType =>
+            val f = row.getFloat(idx); if (f == 0.0f) 0.0f else f
+          case BooleanType => row.getBoolean(idx)
           // clone: an unsafe row's UTF8String points into a reused buffer
           case StringType => row.getUTF8String(idx).clone()
           case other      => throw new IllegalStateException(other.sql)
