@@ -66,6 +66,14 @@ class AvroSourceSpec extends SparkSpec {
     val pre = all.filter(col("s").startsWith("doc15"))
     assert(pre.count() == 11, pre.count().toString) // 15, 150-159
     assert(planned(pre) == 2, s"planned ${planned(pre)}, want 2 of 4")
+    // signed zero: a file whose stats land on -0.0 must still serve an
+    // `= 0.0` probe (Spark equates them; the stats normalize on write)
+    val zdir = tmpDir("graft_avro_negzero")
+    Seq(-0.0d, -1.5d).toDF("d").coalesce(1)
+      .write.format(fmt).mode(SaveMode.Overwrite).save(zdir)
+    val z = spark.read.format(fmt).load(zdir).filter(col("d") === 0.0d)
+    assert(planned(z) == 1 && z.count() == 1)
+
     // conservative fallback 1: a CORRUPT sidecar disables skipping (all
     // files read), never fails or misleads the scan
     val sidecar = new java.io.File(dir, "_stats.tsv")
