@@ -568,6 +568,89 @@ object Dedup {
 
   // ------------------------------------------------------------------ maps
 
+  /** K-gram length for exact duplicated-substring detection (q61b):
+    * long enough that a match is memorization, not coincidence (the
+    * exact-substring-dedup convention of 50-token spans, scaled to this
+    * corpus's short documents), short enough that the corpus HAS spans
+    * to find.
+    */
+  private[llm] val ExactSpanK = 40
+
+  /** q61b: EXACT duplicated-substring spans — the character-level
+    * complement of q61's paragraph dedup (fixed chunk grid: a duplicate
+    * straddling chunk boundaries is invisible) and q73's winnowing
+    * (sampled fingerprints: detection, not exact extents). This is the
+    * "remove any substring of length ≥ K that appears twice" pass of
+    * exact-substring training-data dedup, re-expressed relationally
+    * instead of via suffix arrays: every K-char gram position is hashed
+    * (one Generate over the corpus — O(total chars) rows, each narrowed
+    * immediately to (doc_id, pos, 8-byte hash)); a global hash-count
+    * keeps positions whose gram occurs more than once ANYWHERE; per doc,
+    * overlapping/adjacent duplicated positions merge into maximal spans
+    * (gaps-and-islands: sorted by position, break when the gap exceeds
+    * K — equal-length intervals make ends monotone with starts, so the
+    * lag test is exact interval merging). Output: per-doc duplicated
+    * position/span/char totals, zeros included (every doc is a row).
+    *
+    * Scale shape: the gram explode is the honest Lee-at-al cost — one
+    * corpus-chars-sized pass; the count shuffle moves 8-byte keys; the
+    * dup-join's build side is only the >1-count hashes; the island
+    * window partitions by doc_id (never global). At 100 TB this is the
+    * same O(total chars) budget a suffix-array build pays, in three
+    * shuffles of narrow rows. Both engines hash with the SAME md5
+    * prefix, so even a hash collision (≈2⁻⁶⁰ per pair) yields identical
+    * output.
+    */
+  private def q61b(s: SparkSession, dir: String): DataFrame = {
+    val K = ExactSpanK
+    val d = docs(s, dir)
+    val g = d
+      .filter(length(col("text")) >= K)
+      .select(
+        col("doc_id"),
+        explode(sequence(lit(1), length(col("text")) - (K - 1))).as("i"),
+        col("text")
+      )
+      .select(
+        col("doc_id"),
+        col("i"),
+        graft.llm.Winnowing.md5Long(col("text").substr(col("i"), lit(K))).as("h")
+      )
+    val dupH = g.groupBy("h").agg(count(lit(1)).as("n")).filter(col("n") > 1)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id")
+      .orderBy("i")
+    val spans = g
+      .join(dupH, "h")
+      .select("doc_id", "i")
+      .withColumn(
+        "brk",
+        when(col("i") - lag("i", 1).over(w) > K, 1).otherwise(0)
+      )
+      .withColumn("island", sum("brk").over(w))
+      .groupBy("doc_id", "island")
+      .agg(
+        count(lit(1)).as("npos"),
+        (max(col("i")) + K - min(col("i"))).cast("long").as("span_chars")
+      )
+    val perDoc = spans
+      .groupBy("doc_id")
+      .agg(
+        sum("npos").as("np"),
+        count(lit(1)).as("ns"),
+        sum("span_chars").as("dc")
+      )
+    d.select("doc_id")
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("np"), lit(0L)).as("n_dup_positions"),
+        coalesce(col("ns"), lit(0L)).as("n_spans"),
+        coalesce(col("dc"), lit(0L)).as("dup_chars")
+      )
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q24_dedup_keys" -> q24,
     "q25_dedup_exact_text" -> q25,
@@ -578,7 +661,8 @@ object Dedup {
     "q28_dedup_simhash" -> q28,
     "q29_dedup_embedding_cosine" -> q29,
     "q29b_dedup_semantic_clustered" -> q29b,
-    "q61_paragraph_dedup" -> q61
+    "q61_paragraph_dedup" -> q61,
+    "q61b_exact_substring_spans" -> q61b
   )
 
   /** Shared DuckDB shingle CTE (1-based list indexing over there); also
@@ -691,6 +775,44 @@ object Dedup {
          |  count(*) FILTER (WHERE rn = 1) AS n_kept,
          |  coalesce(string_agg(chunk, ' ' ORDER BY pos) FILTER (WHERE rn = 1),
          |           '') AS clean_text
-         |FROM rk GROUP BY doc_id ORDER BY doc_id""".stripMargin
+         |FROM rk GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // the identical construction: gram hashes (same md5-prefix long), the
+    // >1 global count, and the same gaps-and-islands span merge
+    "q61b_exact_substring_spans" ->
+      s"""WITH d AS (SELECT doc_id, text FROM documents),
+         |g AS (
+         |  SELECT doc_id, t.i AS i,
+         |    CAST('0x' || substr(md5(substr(text, t.i, $ExactSpanK)), 1, 15)
+         |         AS BIGINT) AS h
+         |  FROM d, LATERAL unnest(generate_series(1,
+         |    len(text) - ${ExactSpanK - 1})) AS t(i)
+         |  WHERE len(text) >= $ExactSpanK),
+         |c AS (SELECT h FROM g GROUP BY h HAVING count(*) > 1),
+         |p AS (SELECT doc_id, i FROM g JOIN c USING (h)),
+         |s AS (
+         |  SELECT doc_id, i,
+         |    CASE WHEN i - lag(i) OVER (PARTITION BY doc_id ORDER BY i)
+         |              > $ExactSpanK
+         |         THEN 1 ELSE 0 END AS brk
+         |  FROM p),
+         |isl AS (
+         |  SELECT doc_id, i,
+         |    sum(brk) OVER (PARTITION BY doc_id ORDER BY i) AS island
+         |  FROM s),
+         |sp AS (
+         |  SELECT doc_id, island, CAST(count(*) AS BIGINT) AS npos,
+         |    CAST(max(i) + $ExactSpanK - min(i) AS BIGINT) AS span_chars
+         |  FROM isl GROUP BY doc_id, island),
+         |pd AS (
+         |  SELECT doc_id, CAST(sum(npos) AS BIGINT) AS np,
+         |    CAST(count(*) AS BIGINT) AS ns,
+         |    CAST(sum(span_chars) AS BIGINT) AS dc
+         |  FROM sp GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  coalesce(pd.np, 0) AS n_dup_positions,
+         |  coalesce(pd.ns, 0) AS n_spans,
+         |  coalesce(pd.dc, 0) AS dup_chars
+         |FROM d LEFT JOIN pd USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin
   )
 }

@@ -208,6 +208,50 @@ class LlmOpsSpec extends SparkSpec {
     assert(expected.map(_._3).sum < expected.map(_._2).sum)
   }
 
+  test("q61b exact-substring spans equal a naive driver-side replay") {
+    val K = 40
+    val docs = graft.queries.Tables
+      .table(spark, sf, "documents")
+      .select("doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+      .sortBy(_._1)
+    // naive: count every K-gram (by codepoints), mark positions whose
+    // gram occurs >1 times anywhere, merge gapped-by-≤K positions
+    val counts = scala.collection.mutable.Map.empty[String, Int]
+    def grams(t: String): Seq[(Int, String)] = {
+      val cps = t.codePoints().toArray
+      (0 to cps.length - K).map(i => (i + 1, new String(cps, i, K)))
+    }
+    docs.foreach { case (_, t) =>
+      if (t.codePointCount(0, t.length) >= K)
+        grams(t).foreach { case (_, g) => counts(g) = counts.getOrElse(g, 0) + 1 }
+    }
+    val expected = docs.map { case (id, t) =>
+      val dup =
+        if (t.codePointCount(0, t.length) < K) Seq.empty
+        else grams(t).collect { case (i, g) if counts(g) > 1 => i }
+      var spans = List.empty[(Int, Int)] // (start, end)
+      dup.foreach { i =>
+        spans match {
+          case (s0, e0) :: rest if i - (e0 - K) <= K => spans = (s0, i + K) :: rest
+          case _                                     => spans = (i, i + K) :: spans
+        }
+      }
+      (id, dup.size.toLong, spans.size.toLong, spans.map(s => (s._2 - s._1).toLong).sum)
+    }
+    val got = SparkEntry
+      .queries("q61b_exact_substring_spans")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == expected.toSeq)
+    // non-vacuous: the corpus holds real duplicated spans, and merging
+    // actually fuses overlapping positions (spans < positions)
+    assert(expected.map(_._2).sum > 0)
+    assert(expected.map(_._3).sum < expected.map(_._2).sum)
+  }
+
   test("fuzzy decontamination = exact cross-split near-dup pairs") {
     val split = graft.queries.Tables
       .table(spark, sf, "documents")
