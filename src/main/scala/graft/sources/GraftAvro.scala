@@ -474,10 +474,24 @@ private[sources] object AvroStats {
 class AvroScanBuilder(schema: StructType, path: String)
     extends ScanBuilder
     with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
-    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
 
   private var required: StructType = schema
   private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
+  private var limit: Option[Int] = None
+
+  /** LIMIT pushdown: each partition reader stops DECODING after `n`
+    * rows (a per-partition truncation — the global Limit stays above,
+    * hence `false`). Spark only offers the pushdown when no Filter sits
+    * between the Limit and the scan, and the builder additionally
+    * refuses it when filters were pushed (a pre-filter truncation could
+    * starve a post-scan residual filter of matching rows).
+    */
+  override def pushLimit(n: Int): Boolean = {
+    if (pushed.isEmpty) limit = Some(n)
+    false
+  }
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     // flat schemas only (the type lattice has no nested fields); Spark
@@ -498,13 +512,15 @@ class AvroScanBuilder(schema: StructType, path: String)
 
   override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
 
-  override def build(): Scan = new AvroScan(required, path, pushed)
+  override def build(): Scan =
+    new AvroScan(required, path, pushed, if (pushed.isEmpty) limit else None)
 }
 
 class AvroScan(
     schema: StructType,
     path: String,
-    pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
+    pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
+    limit: Option[Int] = None
 ) extends Scan
     with SupportsReportStatistics {
 
@@ -596,22 +612,32 @@ class AvroScan(
     override def planInputPartitions(): Array[InputPartition] =
       files.map(f => AvroInputPartition(f._1): InputPartition).toArray
     override def createReaderFactory(): PartitionReaderFactory =
-      new AvroReaderFactory(schema)
+      new AvroReaderFactory(schema, limit)
   }
 }
 
 case class AvroInputPartition(file: String) extends InputPartition
 
-class AvroReaderFactory(schema: StructType) extends PartitionReaderFactory {
+class AvroReaderFactory(schema: StructType, limit: Option[Int] = None)
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new AvroPartitionReader(
       partition.asInstanceOf[AvroInputPartition].file,
-      schema
+      schema,
+      limit
     )
 }
 
-class AvroPartitionReader(file: String, schema: StructType)
-    extends PartitionReader[InternalRow] {
+class AvroPartitionReader(
+    file: String,
+    schema: StructType,
+    limit: Option[Int] = None
+) extends PartitionReader[InternalRow] {
+
+  // pushed LIMIT: stop DECODING after this many rows (snappy blocks past
+  // the cutoff are never inflated); Long.MaxValue = unbounded
+  private val maxRows: Long = limit.map(_.toLong).getOrElse(Long.MaxValue)
+  private var produced = 0L
 
   private val path = new Path(file)
   private val in = path.getFileSystem(new Configuration()).open(path)
@@ -652,8 +678,9 @@ class AvroPartitionReader(file: String, schema: StructType)
   private val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(schema.length)
 
   override def next(): Boolean =
-    if (stream.hasNext) { record = stream.next(record); true }
-    else false
+    if (produced < maxRows && stream.hasNext) {
+      record = stream.next(record); produced += 1; true
+    } else false
 
   override def get(): InternalRow = {
     var i = 0

@@ -95,6 +95,32 @@ class AvroSourceSpec extends SparkSpec {
     assert(noStats.count() == 10)
   }
 
+  test("limit pushdown truncates decode at the reader; filters refuse it") {
+    val dir = tmpDir("graft_avro_limit")
+    spark.range(0, 100).select(col("id"), concat(lit("s"), col("id")).as("s"))
+      .coalesce(1).write.format(fmt).mode(SaveMode.Overwrite).save(dir)
+    val file = new java.io.File(dir)
+      .listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".avro"))
+      .head
+    // reader-level pin: the partition reader stops producing at the limit
+    val schema = spark.read.format(fmt).load(dir).schema
+    val r = new graft.sources.AvroPartitionReader(file.getPath, schema, Some(3))
+    try {
+      var n = 0
+      while (r.next()) { r.get(); n += 1 }
+      assert(n == 3, s"decoded $n rows, want 3 of 100")
+    } finally r.close()
+    // builder-level pin: filters present → the limit is refused
+    val sb = new graft.sources.AvroScanBuilder(schema, dir)
+    import org.apache.spark.sql.sources.GreaterThan
+    sb.pushFilters(Array(GreaterThan("id", 10L)))
+    assert(!sb.pushLimit(5))
+    // end-to-end values stay exact either way
+    assert(spark.read.format(fmt).load(dir).limit(7).collect().length == 7)
+    assert(spark.read.format(fmt).load(dir).filter(col("id") > 95L).count() == 4)
+  }
+
   test("round trip preserves the full type lattice incl. nulls") {
     val dir = tmpDir("graft_avro_spec")
     val df = Seq(
