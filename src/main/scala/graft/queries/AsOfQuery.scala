@@ -209,8 +209,13 @@ object AsOfQuery {
         col("event_id").as("pid"),
         col("us").as("pt")
       )
+    // ONE exchange serves the tie-dedup aggregate AND the join (the
+    // q124 discipline, two keys wide): hash on (user, day) co-locates
+    // every (user, day, us) group for the aggregate and — alias-aware —
+    // satisfies the join's ClusteredDistribution(vuser, vday)
     val views = e
       .filter(col("event_type") === "view")
+      .repartition(col("user_id"), expr("us div 86400000000"))
       .groupBy(
         col("user_id").as("vuser"),
         expr("us div 86400000000").as("vday"),
