@@ -338,6 +338,14 @@ class AsOfJoinSpec extends SparkSpec {
     )
     val exchanges = all.count(_.isInstanceOf[ShuffleExchangeExec])
     assert(exchanges <= 3, s"expected ≤3 exchanges (1/side + output sort), got $exchanges")
+    // composite-key twin (q124b): the (user, day) pre-partition must
+    // serve both the dedup aggregate and the join — same ≤3 budget
+    val dfB = SparkEntry.queries("q124b_asof_composite_key")(spark, "/root/testdata/sf0.001")
+    dfB.collect()
+    val allB = nodes(dfB.queryExecution.executedPlan)
+    assert(allB.exists(_.isInstanceOf[graft.plans.AsOfJoinExec]))
+    val exchangesB = allB.count(_.isInstanceOf[ShuffleExchangeExec])
+    assert(exchangesB <= 3, s"composite-key: expected ≤3 exchanges, got $exchangesB")
   }
 
   test("shared-attribute sides are rejected loudly") {
