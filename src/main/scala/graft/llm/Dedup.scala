@@ -601,10 +601,13 @@ object Dedup {
     * prefix, so even a hash collision (≈2⁻⁶⁰ per pair) yields identical
     * output.
     */
-  private def q61b(s: SparkSession, dir: String): DataFrame = {
+  /** The duplicated-span frame shared by q61b (report) and q61c
+    * (cleaning transform): one row per maximal merged span —
+    * (doc_id, island, s, e, npos), e exclusive.
+    */
+  private def dupSpans(s: SparkSession, dir: String): DataFrame = {
     val K = ExactSpanK
-    val d = docs(s, dir)
-    val g = d
+    val g = docs(s, dir)
       .filter(length(col("text")) >= K)
       .select(
         col("doc_id"),
@@ -620,8 +623,7 @@ object Dedup {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id")
       .orderBy("i")
-    val spans = g
-      .join(dupH, "h")
+    g.join(dupH, "h")
       .select("doc_id", "i")
       .withColumn(
         "brk",
@@ -631,14 +633,19 @@ object Dedup {
       .groupBy("doc_id", "island")
       .agg(
         count(lit(1)).as("npos"),
-        (max(col("i")) + K - min(col("i"))).cast("long").as("span_chars")
+        min(col("i")).as("s"),
+        (max(col("i")) + K).as("e")
       )
-    val perDoc = spans
+  }
+
+  private def q61b(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val perDoc = dupSpans(s, dir)
       .groupBy("doc_id")
       .agg(
         sum("npos").as("np"),
         count(lit(1)).as("ns"),
-        sum("span_chars").as("dc")
+        sum((col("e") - col("s")).cast("long")).as("dc")
       )
     d.select("doc_id")
       .join(perDoc, Seq("doc_id"), "left")
@@ -647,6 +654,81 @@ object Dedup {
         coalesce(col("np"), lit(0L)).as("n_dup_positions"),
         coalesce(col("ns"), lit(0L)).as("n_spans"),
         coalesce(col("dc"), lit(0L)).as("dup_chars")
+      )
+      .orderBy("doc_id")
+  }
+
+  /** q61c: the CLEANING transform q61b reports on — excise every
+    * duplicated span ("remove all occurrences", the stricter variant of
+    * exact-substring dedup) and emit the cleaned document's digest and
+    * size. The cleaned text is stitched from the KEPT segments — the
+    * complement intervals of the q61b spans — as ROWS (one segment
+    * before each span via lag, one trailing segment per spanned doc,
+    * the whole text for untouched docs), then ordered concatenation per
+    * doc. Deliberately NO fold/reduce on either engine (the q137 DuckDB
+    * dialect-drift lesson): ordered aggregation only — Spark sorts
+    * (seg_start, seg) structs, DuckDB string_agg(… ORDER BY seg_s).
+    * Fully-duplicated docs clean to the empty string (md5('')), zeros
+    * included. Scale shape: the span frame rides q61b's three narrow
+    * shuffles; segment stitching adds one per-doc aggregation whose
+    * groups are span-count-bounded.
+    */
+  private def q61c(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(
+      col("doc_id"),
+      col("text"),
+      (length(col("text")) + 1).as("tend")
+    )
+    val sp = dupSpans(s, dir)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id")
+      .orderBy("s")
+    val pre = sp
+      .withColumn("seg_s", coalesce(lag("e", 1).over(w), lit(1)))
+      .select(col("doc_id"), col("seg_s"), col("s").as("seg_e"))
+    val trail = sp
+      .groupBy("doc_id")
+      .agg(max("e").as("seg_s"))
+      .join(d.select("doc_id", "tend"), "doc_id")
+      .select(col("doc_id"), col("seg_s"), col("tend").as("seg_e"))
+    val whole = d
+      .join(sp.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), lit(1).as("seg_s"), col("tend").as("seg_e"))
+    val segs = pre
+      .unionByName(trail)
+      .unionByName(whole)
+      .filter(col("seg_e") > col("seg_s"))
+    val cleaned = segs
+      .join(d.select("doc_id", "text"), "doc_id")
+      .select(
+        col("doc_id"),
+        col("seg_s"),
+        col("text").substr(col("seg_s"), col("seg_e") - col("seg_s")).as("seg")
+      )
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("nseg"),
+        sum(length(col("seg")).cast("long")).as("cchars"),
+        md5(
+          array_join(
+            transform(
+              array_sort(
+                collect_list(struct(col("seg_s"), col("seg").as("seg")))
+              ),
+              x => x.getField("seg")
+            ),
+            ""
+          )
+        ).as("cmd5")
+      )
+    d.select(col("doc_id"), length(col("text")).cast("long").as("orig"))
+      .join(cleaned, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("nseg"), lit(0L)).as("n_segments"),
+        coalesce(col("cchars"), lit(0L)).as("clean_chars"),
+        (col("orig") - coalesce(col("cchars"), lit(0L))).as("removed_chars"),
+        coalesce(col("cmd5"), md5(lit(""))).as("clean_md5")
       )
       .orderBy("doc_id")
   }
@@ -662,7 +744,8 @@ object Dedup {
     "q29_dedup_embedding_cosine" -> q29,
     "q29b_dedup_semantic_clustered" -> q29b,
     "q61_paragraph_dedup" -> q61,
-    "q61b_exact_substring_spans" -> q61b
+    "q61b_exact_substring_spans" -> q61b,
+    "q61c_exact_substring_clean" -> q61c
   )
 
   /** Shared DuckDB shingle CTE (1-based list indexing over there); also
@@ -813,6 +896,64 @@ object Dedup {
          |  coalesce(pd.ns, 0) AS n_spans,
          |  coalesce(pd.dc, 0) AS dup_chars
          |FROM d LEFT JOIN pd USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
+    // the cleaning transform over the SAME span construction: kept
+    // segments as rows, ordered concatenation (no fold on either engine)
+    "q61c_exact_substring_clean" ->
+      s"""WITH d AS (SELECT doc_id, text FROM documents),
+         |g AS (
+         |  SELECT doc_id, t.i AS i,
+         |    CAST('0x' || substr(md5(substr(text, t.i, $ExactSpanK)), 1, 15)
+         |         AS BIGINT) AS h
+         |  FROM d, LATERAL unnest(generate_series(1,
+         |    len(text) - ${ExactSpanK - 1})) AS t(i)
+         |  WHERE len(text) >= $ExactSpanK),
+         |c AS (SELECT h FROM g GROUP BY h HAVING count(*) > 1),
+         |p AS (SELECT doc_id, i FROM g JOIN c USING (h)),
+         |s AS (
+         |  SELECT doc_id, i,
+         |    CASE WHEN i - lag(i) OVER (PARTITION BY doc_id ORDER BY i)
+         |              > $ExactSpanK
+         |         THEN 1 ELSE 0 END AS brk
+         |  FROM p),
+         |isl AS (
+         |  SELECT doc_id, i,
+         |    sum(brk) OVER (PARTITION BY doc_id ORDER BY i) AS island
+         |  FROM s),
+         |sp AS (
+         |  SELECT doc_id, min(i) AS sps, max(i) + $ExactSpanK AS spe
+         |  FROM isl GROUP BY doc_id, island),
+         |pre AS (
+         |  SELECT doc_id,
+         |    coalesce(lag(spe) OVER (PARTITION BY doc_id ORDER BY sps), 1)
+         |      AS seg_s,
+         |    sps AS seg_e
+         |  FROM sp),
+         |tr AS (
+         |  SELECT sp.doc_id, max(sp.spe) AS seg_s, len(d.text) + 1 AS seg_e
+         |  FROM sp JOIN d USING (doc_id) GROUP BY sp.doc_id, len(d.text)),
+         |whole AS (
+         |  SELECT doc_id, 1 AS seg_s, len(text) + 1 AS seg_e
+         |  FROM d WHERE doc_id NOT IN (SELECT DISTINCT doc_id FROM sp)),
+         |segs AS (
+         |  SELECT * FROM pre UNION ALL SELECT * FROM tr
+         |  UNION ALL SELECT * FROM whole),
+         |ks AS (
+         |  SELECT segs.doc_id, seg_s,
+         |    substr(d.text, seg_s, seg_e - seg_s) AS seg
+         |  FROM segs JOIN d USING (doc_id) WHERE seg_e > seg_s),
+         |agg AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS nseg,
+         |    CAST(sum(len(seg)) AS BIGINT) AS cchars,
+         |    md5(string_agg(seg, '' ORDER BY seg_s)) AS cmd5
+         |  FROM ks GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  coalesce(agg.nseg, 0) AS n_segments,
+         |  coalesce(agg.cchars, 0) AS clean_chars,
+         |  CAST(len(d.text) AS BIGINT) - coalesce(agg.cchars, 0)
+         |    AS removed_chars,
+         |  coalesce(agg.cmd5, md5('')) AS clean_md5
+         |FROM d LEFT JOIN agg USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin
   )
 }

@@ -252,6 +252,58 @@ class LlmOpsSpec extends SparkSpec {
     assert(expected.map(_._3).sum < expected.map(_._2).sum)
   }
 
+  test("q61c cleaned docs equal naive span excision; cleaning is idempotent-safe") {
+    val K = 40
+    val docs = graft.queries.Tables
+      .table(spark, sf, "documents")
+      .select("doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+      .sortBy(_._1)
+    val counts = scala.collection.mutable.Map.empty[String, Int]
+    def grams(t: String): Seq[(Int, String)] = {
+      val cps = t.codePoints().toArray
+      (0 to cps.length - K).map(i => (i + 1, new String(cps, i, K)))
+    }
+    docs.foreach { case (_, t) =>
+      if (t.codePointCount(0, t.length) >= K)
+        grams(t).foreach { case (_, g) => counts(g) = counts.getOrElse(g, 0) + 1 }
+    }
+    def cleanOf(t: String): String = {
+      val cps = t.codePoints().toArray
+      val dup = new Array[Boolean](cps.length)
+      if (cps.length >= K)
+        grams(t).foreach { case (i, g) =>
+          if (counts(g) > 1) (i - 1 until i - 1 + K).foreach(dup(_) = true)
+        }
+      // NOTE: per-position marking unions overlapping spans exactly as
+      // the gaps-and-islands merge does for OVERLAPPING spans; merged
+      // ADJACENT spans excise the same characters, so clean text agrees
+      val kept = cps.indices.filterNot(dup).map(cps).toArray
+      new String(kept, 0, kept.length)
+    }
+    val expected = docs.map { case (id, t) =>
+      val clean = cleanOf(t)
+      (id, clean.codePointCount(0, clean.length).toLong,
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(clean.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString)
+    }
+    val got = SparkEntry
+      .queries("q61c_exact_substring_clean")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getString(4)))
+      .toSeq
+    assert(got == expected.toSeq)
+    // non-vacuous: something was actually removed somewhere
+    val removed = SparkEntry
+      .queries("q61c_exact_substring_clean")(spark, sf)
+      .agg(sum("removed_chars"))
+      .head()
+      .getLong(0)
+    assert(removed > 0)
+  }
+
   test("fuzzy decontamination = exact cross-split near-dup pairs") {
     val split = graft.queries.Tables
       .table(spark, sf, "documents")
