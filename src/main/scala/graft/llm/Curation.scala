@@ -409,12 +409,77 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Word n-gram width for exact contamination (q62b): the GPT-3
+    * appendix convention (13-token overlap), on this corpus's
+    * whitespace tokens.
+    */
+  private val ContamK = 13
+
+  /** q62b: EXACT n-gram contamination — the complement of q62's fuzzy
+    * (MinHash-banded near-dup) check and the big-lab eval-hygiene
+    * standard: for every TRAIN document, the fraction of its 13-word
+    * grams that appear ANYWHERE in the held-out split. A train doc can
+    * be nothing like any single eval doc (q62 misses it) yet still
+    * contain a verbatim eval sentence (this catches it). Same md5-long
+    * gram hashing as q61b (shared on both engines — collisions agree);
+    * the eval gram SET is distinct-hash-sized and rides a semi-join, so
+    * the per-train-doc count never materializes pairs. Zeros included
+    * (short docs have no grams; pct 0 by definition).
+    */
+  private def q62b(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables
+      .table(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        split(col("text"), " ").as("w"),
+        Sampling.bucket100(col("doc_id")).as("sb")
+      )
+    val grams = d
+      .filter(size(col("w")) >= ContamK)
+      .select(
+        col("doc_id"),
+        col("sb"),
+        explode(sequence(lit(1), size(col("w")) - (ContamK - 1))).as("i"),
+        col("w")
+      )
+      .select(
+        col("doc_id"),
+        col("sb"),
+        graft.llm.Winnowing
+          .md5Long(array_join(slice(col("w"), col("i"), lit(ContamK)), " "))
+          .as("h")
+      )
+    val evalSet = grams.filter(col("sb") >= 90).select("h").distinct()
+    val tg = grams.filter(col("sb") < 90)
+    val perDoc = tg
+      .join(evalSet, Seq("h"), "left_semi")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("nc"))
+    val totals = tg.groupBy("doc_id").agg(count(lit(1)).as("ng"))
+    d.filter(col("sb") < 90)
+      .select("doc_id")
+      .join(totals, Seq("doc_id"), "left")
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("ng"), lit(0L)).as("n_grams"),
+        coalesce(col("nc"), lit(0L)).as("n_contaminated"),
+        when(coalesce(col("ng"), lit(0L)) === 0L, lit(0.0))
+          .otherwise(
+            round(coalesce(col("nc"), lit(0L)) * 100.0 / col("ng"), 4) + lit(0d)
+          )
+          .as("contamination_pct")
+      )
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q47_curation_pipeline" -> q47,
     "q56_mix_weights" -> q56,
     "q56b_apply_mix" -> q56b,
     "q58_decontaminate" -> q58,
     "q62_fuzzy_decontaminate" -> q62,
+    "q62b_exact_ngram_contamination" -> q62b,
     "q63_classifier_score" -> q63,
     "q64_dsir_importance" -> q64
   )
@@ -425,6 +490,36 @@ object Curation {
     )
 
   val oracleSql: Map[String, String] = Map(
+    // exact 13-word-gram contamination: same md5-long gram hashing on
+    // both engines; eval grams are an IN-set, counts per train doc
+    "q62b_exact_ngram_contamination" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, string_split(text, ' ') AS w,
+         |    ${Sampling.BucketSql} AS sb
+         |  FROM documents),
+         |g AS (
+         |  SELECT doc_id, sb,
+         |    CAST('0x' || substr(md5(array_to_string(
+         |      list_slice(w, t.i, t.i + ${ContamK - 1}), ' ')), 1, 15)
+         |      AS BIGINT) AS h
+         |  FROM d, LATERAL unnest(generate_series(1, len(w) - ${ContamK - 1}))
+         |    AS t(i)
+         |  WHERE len(w) >= $ContamK),
+         |ev AS (SELECT DISTINCT h FROM g WHERE sb >= 90),
+         |tg AS (SELECT doc_id, h FROM g WHERE sb < 90),
+         |agg AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS ng,
+         |    CAST(count(*) FILTER (WHERE h IN (SELECT h FROM ev)) AS BIGINT)
+         |      AS nc
+         |  FROM tg GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  coalesce(agg.ng, 0) AS n_grams,
+         |  coalesce(agg.nc, 0) AS n_contaminated,
+         |  CASE WHEN coalesce(agg.ng, 0) = 0 THEN 0.0
+         |       ELSE round(coalesce(agg.nc, 0) * 100.0 / agg.ng, 4) + 0.0
+         |  END AS contamination_pct
+         |FROM d LEFT JOIN agg USING (doc_id)
+         |WHERE d.sb < 90 ORDER BY d.doc_id""".stripMargin,
     "q58_decontaminate" ->
       s"""WITH toks AS (
          |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),

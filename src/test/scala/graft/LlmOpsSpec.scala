@@ -304,6 +304,47 @@ class LlmOpsSpec extends SparkSpec {
     assert(removed > 0)
   }
 
+  test("q62b exact contamination equals a naive cross-split gram check") {
+    val K = 13
+    val rows = graft.queries.Tables
+      .table(spark, sf, "documents")
+      .select("doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    def bucket(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      java.lang.Long.parseLong(md.take(8).map("%02x".format(_)).mkString.take(15), 16) % 100
+    }
+    def grams(t: String): Seq[String] = {
+      val w = t.split(" ", -1) // keep empties: split(text, ' ') semantics
+      if (w.length < K) Seq.empty
+      else (0 to w.length - K).map(i => w.slice(i, i + K).mkString(" "))
+    }
+    val evalGrams = rows.filter(r => bucket(r._1) >= 90).flatMap(r => grams(r._2)).toSet
+    val expected = rows
+      .filter(r => bucket(r._1) < 90)
+      .map { case (id, t) =>
+        val g = grams(t)
+        val c = g.count(evalGrams)
+        val pct =
+          if (g.isEmpty) 0.0
+          else BigDecimal(c * 100.0 / g.size)
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (id, g.size.toLong, c.toLong, pct)
+      }
+      .sortBy(_._1)
+      .toSeq
+    val got = SparkEntry
+      .queries("q62b_exact_ngram_contamination")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    assert(got == expected)
+    // non-vacuous on the real corpus: contamination exists
+    assert(expected.map(_._3).sum > 0)
+  }
+
   test("fuzzy decontamination = exact cross-split near-dup pairs") {
     val split = graft.queries.Tables
       .table(spark, sf, "documents")
