@@ -108,9 +108,33 @@ object AvroGateQuery {
       )
       .orderBy("lang")
 
+  /** q133c: METADATA-ONLY aggregates through the connector — the global
+    * MIN/MAX/COUNT(*) opener answered from the stats sidecar alone
+    * (`SupportsPushDownAggregates`, complete pushdown: the executed
+    * plan is a Project over the one-row BatchScan, no aggregate node,
+    * no container block decoded — AvroSourceSpec pins both, including
+    * the corrupted-data-files proof). Equality with the parquet oracle
+    * proves the sidecar's mins/maxes/row-counts are exact, not
+    * advisory.
+    */
+  private def q133c(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read
+      .format(classOf[graft.sources.AvroDataSource].getName)
+      .load(avroDir(spark, sfDir))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("min_id"),
+        max(col("doc_id")).as("max_id"),
+        min(col("lang")).as("min_lang"),
+        max(col("lang")).as("max_lang"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars")
+      )
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q133_avro_roundtrip" -> q133,
-    "q133b_avro_filter_skip" -> q133b
+    "q133b_avro_filter_skip" -> q133b,
+    "q133c_avro_agg_pushdown" -> q133c
   )
 
   // The oracle reads the ORIGINAL parquet — equality proves the Spark
@@ -130,6 +154,12 @@ object AvroGateQuery {
          |       AS BIGINT) AS text_digest,
          |  min(doc_id) AS min_id, max(doc_id) AS max_id
          |FROM documents WHERE doc_id >= 100 AND doc_id < 200
-         |GROUP BY lang ORDER BY lang""".stripMargin
+         |GROUP BY lang ORDER BY lang""".stripMargin,
+    "q133c_avro_agg_pushdown" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id,
+        |  min(lang) AS min_lang, max(lang) AS max_lang,
+        |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        |FROM documents""".stripMargin
   )
 }

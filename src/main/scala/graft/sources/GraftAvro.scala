@@ -292,9 +292,15 @@ private[sources] object AvroStats {
   }
 
   /** One parsed (file, column) stat. min/max are None when the file has
-    * no non-null value for the column.
+    * no non-null value for the column; `rows` (the file's row count —
+    * identical across its columns) is None for v1 six-field lines.
     */
-  final case class ColStats(hasNull: Boolean, min: Option[Any], max: Option[Any])
+  final case class ColStats(
+      hasNull: Boolean,
+      min: Option[Any],
+      max: Option[Any],
+      rows: Option[Long] = None
+  )
 
   /** Running per-column stats inside one write task. */
   final class Tracker(val name: String, val dt: DataType, idx: Int) {
@@ -302,10 +308,12 @@ private[sources] object AvroStats {
     private var min: Any = _
     private var max: Any = _
     private var seen = false
+    private var rows = 0L
 
     def observe(row: InternalRow): Unit =
-      if (row.isNullAt(idx)) hasNull = true
+      if (row.isNullAt(idx)) { hasNull = true; rows += 1 }
       else {
+        rows += 1
         val v: Any = dt match {
           case LongType | TimestampType => row.getLong(idx)
           case IntegerType              => row.getInt(idx)
@@ -333,7 +341,7 @@ private[sources] object AvroStats {
         .escapePathName(name)
       val (mn, mx) =
         if (seen) (serialize(dt, min), serialize(dt, max)) else ("-", "-")
-      s"$fileName\t$esc\t${if (seen) 1 else 0}\t${if (hasNull) 1 else 0}\t$mn\t$mx"
+      s"$fileName\t$esc\t${if (seen) 1 else 0}\t${if (hasNull) 1 else 0}\t$mn\t$mx\t$rows"
     }
   }
 
@@ -349,7 +357,7 @@ private[sources] object AvroStats {
         // (that file just gets read), never the scan
         try {
           val f = line.split('\t')
-          if (f.length != 6) None
+          if (f.length != 6 && f.length != 7) None
           else {
             val col = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
               .unescapePathName(f(1))
@@ -360,7 +368,8 @@ private[sources] object AvroStats {
                 ColStats(
                   hasNull = f(3) == "1",
                   min = if (seen) Some(deserialize(dt, f(4))) else None,
-                  max = if (seen) Some(deserialize(dt, f(5))) else None
+                  max = if (seen) Some(deserialize(dt, f(5))) else None,
+                  rows = f.lift(6).map(_.toLong)
                 )
               )
             }
@@ -475,11 +484,121 @@ class AvroScanBuilder(schema: StructType, path: String)
     extends ScanBuilder
     with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters
-    with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   private var required: StructType = schema
   private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
   private var limit: Option[Int] = None
+  private var aggResult: Option[(StructType, Array[Any])] = None
+
+  /** AGGREGATE pushdown, metadata-only (the parquet-footer-aggregate
+    * analog over the stats sidecar): a global (no GROUP BY, no residual
+    * filter) MIN/MAX/COUNT(*) is answered entirely from `_stats.tsv` —
+    * min of file mins, max of file maxes, Σ file row counts — and the
+    * scan returns ONE row without opening a single container block. The
+    * pushdown is COMPLETE (Spark plans no aggregate above the scan) and
+    * all-or-nothing: every listed data file must carry a sidecar line
+    * for every referenced column (all-null files qualify — their lines
+    * say so; MIN/MAX ignore nulls) and, for COUNT(*), a v2 row-count
+    * field; anything short of that refuses and the normal scan + Spark
+    * aggregation runs. At 100 TB this answers the "how many rows / what
+    * range" opener from catalog-sized metadata instead of a store scan.
+    */
+  private def resolveAgg(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation
+  ): Option[(StructType, Array[Any])] = {
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+    if (pushed.nonEmpty || agg.groupByExpressions.nonEmpty) return None
+    val fieldOf: Map[String, StructField] = schema.fields.map(f => f.name -> f).toMap
+    def colOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[StructField] =
+      e match {
+        case nr: NamedReference if nr.fieldNames().length == 1 =>
+          fieldOf.get(nr.fieldNames()(0)).filter(f => AvroStats.statable(f.dataType))
+        case _ => None
+      }
+    // (kind, field): kind 0 = count(*), 1 = min, 2 = max
+    val funcs: Array[(Int, Option[StructField])] =
+      agg.aggregateExpressions().map {
+        case _: CountStar => (0, None: Option[StructField])
+        case m: Min       => (1, Some(colOf(m.column()).getOrElse(return None)))
+        case m: Max       => (2, Some(colOf(m.column()).getOrElse(return None)))
+        case _            => return None
+      }
+    val byFile: Map[String, Map[String, AvroStats.ColStats]] =
+      try {
+        val dir = new Path(path)
+        val fs = dir.getFileSystem(new Configuration())
+        val files = GraftAvro.listDataFiles(dir, fs).map(_.getName)
+        val sidecar = new Path(dir, AvroStats.FileName)
+        if (files.isEmpty) Map.empty
+        else if (!fs.exists(sidecar)) return None
+        else {
+          val in = fs.open(sidecar)
+          val text =
+            try {
+              val bos = new java.io.ByteArrayOutputStream()
+              val buf = new Array[Byte](8192)
+              var n = in.read(buf)
+              while (n > 0) { bos.write(buf, 0, n); n = in.read(buf) }
+              new String(bos.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+            } finally in.close()
+          val parsed = AvroStats.parse(text, schema)
+          // all-or-nothing: every data file must be covered
+          if (!files.forall(parsed.contains)) return None
+          parsed.view.filterKeys(files.toSet).toMap
+        }
+      } catch { case _: Exception => return None }
+    val values: Array[Any] = funcs.map {
+      case (0, _) =>
+        var total = 0L
+        byFile.values.foreach { cols =>
+          cols.values.flatMap(_.rows).headOption match {
+            case Some(r) => total += r
+            case None    => return None // v1 sidecar: no row counts
+          }
+        }
+        total
+      case (kind, Some(f)) =>
+        var acc: Any = null
+        byFile.values.foreach { cols =>
+          cols.get(f.name) match {
+            case None => return None // a file with unknown stats for the column
+            case Some(st) =>
+              st.min.foreach { _ =>
+                val v = if (kind == 1) st.min.get else st.max.get
+                if (acc == null) acc = v
+                else {
+                  val c = AvroStats.cmp(f.dataType, v, acc)
+                  if ((kind == 1 && c < 0) || (kind == 2 && c > 0)) acc = v
+                }
+              }
+          }
+        }
+        acc
+      case _ => return None
+    }
+    val fields = funcs.map {
+      case (0, _)       => StructField("count(*)", LongType, nullable = false)
+      case (1, Some(f)) => StructField(s"min(${f.name})", f.dataType, nullable = true)
+      case (2, Some(f)) => StructField(s"max(${f.name})", f.dataType, nullable = true)
+      case _            => return None
+    }
+    Some((StructType(fields), values))
+  }
+
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation
+  ): Boolean = resolveAgg(agg).isDefined
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation
+  ): Boolean =
+    resolveAgg(agg) match {
+      case Some(r) => aggResult = Some(r); true
+      case None    => false
+    }
 
   /** LIMIT pushdown: each partition reader stops DECODING after `n`
     * rows (a per-partition truncation — the global Limit stays above,
@@ -513,20 +632,33 @@ class AvroScanBuilder(schema: StructType, path: String)
   override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
 
   override def build(): Scan =
-    new AvroScan(required, path, pushed, if (pushed.isEmpty) limit else None)
+    new AvroScan(
+      required,
+      path,
+      pushed,
+      if (pushed.isEmpty) limit else None,
+      aggResult
+    )
 }
 
 class AvroScan(
     schema: StructType,
     path: String,
     pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
-    limit: Option[Int] = None
+    limit: Option[Int] = None,
+    aggResult: Option[(StructType, Array[Any])] = None
 ) extends Scan
     with SupportsReportStatistics {
 
-  override def readSchema(): StructType = schema
+  override def readSchema(): StructType =
+    aggResult.map(_._1).getOrElse(schema)
   override def description(): String =
-    s"graft-avro $path PushedFilters: [${pushed.mkString(", ")}]"
+    aggResult match {
+      case Some((as, _)) =>
+        s"graft-avro $path PushedAggregates (metadata-only): [${as.fieldNames.mkString(", ")}]"
+      case None =>
+        s"graft-avro $path PushedFilters: [${pushed.mkString(", ")}]"
+    }
 
   // the table schema may be wider than the pruned read schema; filters
   // can reference pruned-away columns, so stat lookups resolve against
@@ -608,12 +740,45 @@ class AvroScan(
     override def numRows(): OptionalLong = OptionalLong.empty()
   }
 
-  override def toBatch: Batch = new Batch {
-    override def planInputPartitions(): Array[InputPartition] =
-      files.map(f => AvroInputPartition(f._1): InputPartition).toArray
-    override def createReaderFactory(): PartitionReaderFactory =
-      new AvroReaderFactory(schema, limit)
+  override def toBatch: Batch = aggResult match {
+    case Some((aggSchema, values)) =>
+      new Batch {
+        // ONE partition, ONE precomputed row: the sidecar already
+        // answered; no container file is listed, opened, or decoded
+        override def planInputPartitions(): Array[InputPartition] =
+          Array(AvroAggPartition(values))
+        override def createReaderFactory(): PartitionReaderFactory =
+          new AvroAggReaderFactory(aggSchema.length)
+      }
+    case None =>
+      new Batch {
+        override def planInputPartitions(): Array[InputPartition] =
+          files.map(f => AvroInputPartition(f._1): InputPartition).toArray
+        override def createReaderFactory(): PartitionReaderFactory =
+          new AvroReaderFactory(schema, limit)
+      }
   }
+}
+
+/** The pushed-aggregate result row, shipped to the one task as plain
+  * serializable values (boxed primitives + UTF8String).
+  */
+case class AvroAggPartition(values: Array[Any]) extends InputPartition
+
+class AvroAggReaderFactory(width: Int) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private val vals = partition.asInstanceOf[AvroAggPartition].values
+      private var emitted = false
+      override def next(): Boolean = if (emitted) false else { emitted = true; true }
+      override def get(): InternalRow = {
+        val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(width)
+        var i = 0
+        while (i < vals.length) { row.update(i, vals(i)); i += 1 }
+        row
+      }
+      override def close(): Unit = ()
+    }
 }
 
 case class AvroInputPartition(file: String) extends InputPartition

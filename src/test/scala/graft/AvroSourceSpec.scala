@@ -121,6 +121,65 @@ class AvroSourceSpec extends SparkSpec {
     assert(spark.read.format(fmt).load(dir).filter(col("id") > 95L).count() == 4)
   }
 
+  test("aggregate pushdown answers min/max/count from the sidecar alone") {
+    val dir = tmpDir("graft_avro_aggpush")
+    spark.range(0, 400)
+      .select(col("id"), concat(lit("v"), col("id")).as("sv"),
+        when(col("id") % 5 === 0, col("id").cast("double")).as("d"))
+      .repartition(4)
+      .write.format(fmt).mode(SaveMode.Overwrite).save(dir)
+    // capture the table schema BEFORE the garble step below: schema
+    // inference opens a container file, which pushdown never does
+    val tableSchema = spark.read.format(fmt).load(dir).schema
+    def aggQ = spark.read.format(fmt).schema(tableSchema).load(dir)
+      .agg(count(lit(1)).as("n"), min("id").as("mn"), max("id").as("mx"),
+        min("sv").as("smn"), max("sv").as("smx"), max("d").as("dmx"))
+    val df = aggQ
+    val row = df.collect() match { case Array(r) => r }
+    assert((row.getLong(0), row.getLong(1), row.getLong(2)) == ((400L, 0L, 399L)))
+    assert(row.getString(3) == "v0" && row.getString(4) == "v99") // binary order
+    assert(row.getDouble(5) == 395.0)
+    // plan pin: COMPLETE pushdown — no aggregate exec anywhere (AQE
+    // descended), the BatchScan itself emits the aggregate columns
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def nodes(p: SparkPlan): Seq[SparkPlan] =
+      p.collect {
+        case q: QueryStageExec        => q +: nodes(q.plan)
+        case a: AdaptiveSparkPlanExec => a +: nodes(a.executedPlan)
+        case other                    => Seq(other)
+      }.flatten
+    def aggExecs(d: org.apache.spark.sql.DataFrame): Int =
+      nodes(d.queryExecution.executedPlan).count(
+        _.isInstanceOf[org.apache.spark.sql.execution.aggregate.BaseAggregateExec]
+      )
+    assert(aggExecs(df) == 0, df.queryExecution.executedPlan.toString.take(400))
+    assert(
+      df.queryExecution.executedPlan.toString.contains("PushedAggregates"),
+      df.queryExecution.executedPlan.toString.take(400)
+    )
+    // metadata-only proof: garble every container file's BYTES (names
+    // and sidecar intact) — the pushed-down aggregate still answers,
+    // while an actual data read on the same directory now fails
+    val parts = new java.io.File(dir)
+      .listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".avro"))
+    assert(parts.length == 4)
+    parts.foreach(f => java.nio.file.Files.write(f.toPath, "garbage".getBytes))
+    val again = aggQ.collect() match { case Array(r) => r }
+    assert(again.getLong(0) == 400L && again.getLong(2) == 399L)
+    intercept[Exception] {
+      spark.read.format(fmt).schema(tableSchema)
+        .load(dir).filter(col("id") === 1L).count()
+    }
+    // refusal paths: a filter or an unsupported aggregate falls back to
+    // the normal scan + Spark aggregation (values from data — which is
+    // now garbled, so assert on the PLAN, not values)
+    val filtered = spark.read.format(fmt).schema(tableSchema).load(dir)
+      .filter(col("id") >= 0L).agg(count(lit(1)))
+    assert(aggExecs(filtered) > 0, filtered.queryExecution.executedPlan.toString.take(400))
+  }
+
   test("round trip preserves the full type lattice incl. nulls") {
     val dir = tmpDir("graft_avro_spec")
     val df = Seq(
