@@ -504,6 +504,11 @@ class AvroScanBuilder(schema: StructType, path: String)
     * field; anything short of that refuses and the normal scan + Spark
     * aggregation runs. At 100 TB this answers the "how many rows / what
     * range" opener from catalog-sized metadata instead of a store scan.
+    * Known bit-level nuance: double/float extremes come from the
+    * signed-zero-NORMALIZED trackers, so a store whose true minimum is
+    * −0.0 reports 0.0 — numerically equal (Spark comparisons equate
+    * them) but bit-different from what an unpushed scan might return;
+    * NaN ordering (greatest) matches Spark's on both paths.
     */
   private def resolveAgg(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation
