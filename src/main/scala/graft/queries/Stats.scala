@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Statistical testing over the event stream — the experimentation /
@@ -215,10 +216,157 @@ object Stats {
     )
   }
 
+  /** q145: exact two-sample Kolmogorov–Smirnov statistic — the
+    * distribution-drift test a pipeline runs when it compares a new data
+    * snapshot's value distribution against the serving one (here: event
+    * values in the q87 A arm vs the B arm). The D statistic is kept
+    * EXACT: with values snapped to centi ints, D = max_v |F_A(v)−F_B(v)|
+    * = max_v |ca_le(v)·nb − cb_le(v)·na| / (na·nb), and the max runs over
+    * the integer numerator — no float comparison decides anything. The
+    * argmax value reports WHERE the distributions diverge most (ties →
+    * smallest value, via a max-struct with the negated value).
+    *
+    * Scale shape: one corpus hash aggregate → per-distinct-centivalue
+    * counts; the at-or-below cumulation is the q111/q46b TWO-LEVEL
+    * pattern (global window only over ≤ range/256 shard subtotals, a
+    * partitioned window within shards) — never a single-task scan of
+    * the distinct-value frame. Output is one row.
+    */
+  private def q145(s: SparkSession, dir: String): DataFrame = {
+    val perVal = Tables
+      .table(s, dir, "events")
+      .select(
+        round(col("value") * 100.0, 0).cast("long").as("vc"),
+        when(graft.llm.Sampling.bucket100(col("user_id")) < 50, 1L)
+          .otherwise(0L)
+          .as("a")
+      )
+      .groupBy("vc")
+      .agg(sum("a").as("ca"), (count(lit(1)) - sum("a")).as("cb"))
+      // floor-shard on any sign (the q111 convention; vc ≥ 0 here but the
+      // spelling stays uniform across the cumulation family)
+      .withColumn("shard", expr("(vc - pmod(vc, 256)) div 256"))
+    val offsets = perVal
+      .groupBy("shard")
+      .agg(sum("ca").as("sa"), sum("cb").as("sb"))
+      .withColumn(
+        "off_a",
+        coalesce(
+          sum("sa").over(
+            Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)
+          ),
+          lit(0L)
+        )
+      )
+      .withColumn(
+        "off_b",
+        coalesce(
+          sum("sb").over(
+            Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)
+          ),
+          lit(0L)
+        )
+      )
+      .select("shard", "off_a", "off_b")
+    // at-or-below ⇒ INCLUSIVE local frame (KS compares CDFs, not strict
+    // ranks — the one frame-bound difference vs q111's neg_below)
+    val local = Window
+      .partitionBy("shard")
+      .orderBy("vc")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = perVal
+      .join(broadcast(offsets), "shard")
+      .withColumn("ca_le", col("off_a") + sum("ca").over(local))
+      .withColumn("cb_le", col("off_b") + sum("cb").over(local))
+    val tot = cum.agg(sum("ca").as("na"), sum("cb").as("nb"))
+    cum
+      .crossJoin(broadcast(tot)) // 1-row totals frame
+      .agg(
+        max("na").as("na"),
+        max("nb").as("nb"),
+        max(
+          struct(
+            abs(col("ca_le") * col("nb") - col("cb_le") * col("na")).as("d"),
+            (-col("vc")).as("nvc")
+          )
+        ).as("m")
+      )
+      .select(
+        col("na"),
+        col("nb"),
+        col("m.d").as("ks_num"),
+        (round(
+          col("m.d").cast("double")
+            / (col("na").cast("double") * col("nb").cast("double")),
+          6
+        ) + 0.0).as("ks_d"),
+        (-col("m.nvc")).as("ks_at_centi")
+      )
+  }
+
+  /** q146: one-way ANOVA decomposition — "does mean quantity differ by
+    * return flag". Emits PER-GROUP rows (the q86 χ² convention: every
+    * float is a closed-form function of exact integers computed
+    * row-locally, so no engine ever float-SUMs in nondeterministic
+    * order; the analyst sums the rounded partials for F):
+    * n_g, group mean, the group's between-group contribution
+    * n_g·(m_g−m)², and its within-group contribution ss_g − s_g²/n_g.
+    * Inputs snap to centi ints; per-group sums ride DECIMAL(38) (Σy²
+    * outgrows BIGINT at scale — the q120 lesson) and cast to double
+    * once; grand totals broadcast back onto the ≤|flags| group frame.
+    *
+    * Scale shape: ONE corpus hash aggregate (map-side partials do all
+    * the work); everything after runs on a 3-row frame.
+    */
+  private def q146(s: SparkSession, dir: String): DataFrame = {
+    val g = Tables
+      .table(s, dir, "lineitem")
+      .select(
+        col("l_returnflag").as("flag"),
+        round(col("l_quantity") * 100.0, 0).cast("long").as("qc")
+      )
+      .groupBy("flag")
+      .agg(
+        count(lit(1)).as("n_g"),
+        sum(col("qc").cast("decimal(38,0)")).cast("double").as("s_g"),
+        sum((col("qc") * col("qc")).cast("decimal(38,0)"))
+          .cast("double")
+          .as("ss_g")
+      )
+    val tot = g.agg(
+      sum("n_g").as("n"),
+      sum("s_g").as("s"),
+      count(lit(1)).as("k")
+    )
+    g.crossJoin(broadcast(tot)) // |flags|-row frame × 1-row totals
+      .withColumn("m_g", col("s_g") / col("n_g").cast("double") / 100.0)
+      .withColumn("m", col("s") / col("n").cast("double") / 100.0)
+      .select(
+        col("flag"),
+        col("n_g"),
+        col("k").as("k_groups"),
+        col("n").as("n_rows"),
+        (round(col("m_g"), 6) + 0.0).as("mean_g"),
+        (round(
+          col("n_g").cast("double")
+            * (col("m_g") - col("m")) * (col("m_g") - col("m")),
+          4
+        ) + 0.0).as("ssb_part"),
+        (round(
+          (col("ss_g")
+            - col("s_g") * col("s_g") / col("n_g").cast("double")) / 10000.0,
+          4
+        ) + 0.0).as("ssw_part")
+      )
+      .orderBy("flag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q86_chi_square" -> q86,
     "q87_ab_test" -> q87,
-    "q120_ols_probe" -> q120
+    "q120_ols_probe" -> q120,
+    "q145_ks_drift" -> q145,
+    "q146_anova" -> q146
   )
 
   private val q120OracleSql: String =
@@ -274,6 +422,51 @@ object Stats {
 
   val oracleSql: Map[String, String] = Map(
     "q120_ols_probe" -> q120OracleSql,
+    "q145_ks_drift" ->
+      """WITH s AS (
+        |  SELECT CAST(round(value * 100, 0) AS BIGINT) AS vc,
+        |    CASE WHEN CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+        |              AS BIGINT) % 100 < 50 THEN 1 ELSE 0 END AS a
+        |  FROM events),
+        |c AS (SELECT vc, CAST(sum(a) AS BIGINT) AS ca,
+        |             CAST(count(*) - sum(a) AS BIGINT) AS cb
+        |      FROM s GROUP BY vc),
+        |cum AS (SELECT vc,
+        |               sum(ca) OVER (ORDER BY vc) AS ca_le,
+        |               sum(cb) OVER (ORDER BY vc) AS cb_le
+        |        FROM c),
+        |t AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+        |             CAST(sum(cb) AS BIGINT) AS nb FROM c),
+        |d AS (SELECT vc, CAST(abs(ca_le * nb - cb_le * na) AS BIGINT) AS d,
+        |             na, nb
+        |      FROM cum, t)
+        |SELECT na, nb, d AS ks_num,
+        |       round(CAST(d AS DOUBLE)
+        |             / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6)
+        |         + 0.0 AS ks_d,
+        |       vc AS ks_at_centi
+        |FROM d ORDER BY d DESC, vc ASC LIMIT 1""".stripMargin,
+    "q146_anova" ->
+      """WITH g AS (
+        |  SELECT l_returnflag AS flag, CAST(count(*) AS BIGINT) AS n_g,
+        |         CAST(CAST(sum(CAST(round(l_quantity * 100, 0) AS BIGINT))
+        |                   AS DECIMAL(38,0)) AS DOUBLE) AS s_g,
+        |         CAST(CAST(sum(CAST(round(l_quantity * 100, 0) AS BIGINT)
+        |                       * CAST(round(l_quantity * 100, 0) AS BIGINT))
+        |                   AS DECIMAL(38,0)) AS DOUBLE) AS ss_g
+        |  FROM lineitem GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_g) AS BIGINT) AS n, sum(s_g) AS s,
+        |             CAST(count(*) AS BIGINT) AS k FROM g)
+        |SELECT flag, n_g, k AS k_groups, n AS n_rows,
+        |       round(s_g / CAST(n_g AS DOUBLE) / 100.0, 6) + 0.0 AS mean_g,
+        |       round(CAST(n_g AS DOUBLE)
+        |             * (s_g / CAST(n_g AS DOUBLE) / 100.0
+        |                - s / CAST(n AS DOUBLE) / 100.0)
+        |             * (s_g / CAST(n_g AS DOUBLE) / 100.0
+        |                - s / CAST(n AS DOUBLE) / 100.0), 4) + 0.0 AS ssb_part,
+        |       round((ss_g - s_g * s_g / CAST(n_g AS DOUBLE)) / 10000.0, 4)
+        |         + 0.0 AS ssw_part
+        |FROM g, t ORDER BY flag""".stripMargin,
     "q86_chi_square" ->
       """WITH obs AS (
         |  SELECT event_type, user_id % 3 AS tier, count(*) AS obs

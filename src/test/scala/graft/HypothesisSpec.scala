@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantic pins for the q145 KS drift test and the q146 ANOVA
+  * decomposition: each distributed computation must equal a naive
+  * driver-side replay on the same snapped integers, and the classical
+  * identities must hold (KS D ∈ [0,1] attained at its argmax value;
+  * ANOVA partials satisfy SSB + SSW = SST).
+  */
+class HypothesisSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("q145 KS statistic equals a naive two-ECDF sweep") {
+    val row = SparkEntry.queries("q145_ks_drift")(spark, sf).collect().head
+    val (na, nb, ksNum, ksD, ksAt) =
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getDouble(3), row.getLong(4))
+
+    val sample = graft.queries.Tables
+      .table(spark, sf, "events")
+      .select(
+        round(col("value") * 100.0, 0).cast("long").as("vc"),
+        graft.llm.Sampling.bucket100(col("user_id")).as("b")
+      )
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1) < 50))
+    val aVals = sample.filter(_._2).map(_._1).sorted
+    val bVals = sample.filterNot(_._2).map(_._1).sorted
+    assert(na == aVals.length.toLong && nb == bVals.length.toLong)
+
+    // naive sweep: at every distinct value, compare counts-at-or-below
+    var best = -1L
+    var bestAt = Long.MaxValue
+    for (v <- sample.map(_._1).distinct.sorted) {
+      val caLe = aVals.count(_ <= v).toLong
+      val cbLe = bVals.count(_ <= v).toLong
+      val d = math.abs(caLe * nb - cbLe * na)
+      if (d > best || (d == best && v < bestAt)) { best = d; bestAt = v }
+    }
+    assert(ksNum == best, s"num $ksNum vs naive $best")
+    assert(ksAt == bestAt, s"argmax $ksAt vs naive $bestAt")
+    assert(ksD >= 0.0 && ksD <= 1.0)
+    assert(
+      math.abs(ksD - best.toDouble / (na.toDouble * nb.toDouble)) < 1e-6
+    )
+  }
+
+  test("q146 partials satisfy SSB + SSW = SST and match a naive replay") {
+    val rows = SparkEntry.queries("q146_anova")(spark, sf).collect()
+    val qs = graft.queries.Tables
+      .table(spark, sf, "lineitem")
+      .select(
+        col("l_returnflag"),
+        round(col("l_quantity") * 100.0, 0).cast("long").as("qc")
+      )
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val byFlag = qs.groupBy(_._1)
+    assert(rows.length == byFlag.size)
+    assert(rows.forall(_.getLong(2) == byFlag.size.toLong)) // k_groups
+    assert(rows.forall(_.getLong(3) == qs.length.toLong))   // n_rows
+
+    val grandMean = qs.map(_._2).sum.toDouble / qs.length / 100.0
+    var ssb = 0.0; var ssw = 0.0
+    for (r <- rows) {
+      val (flag, nG, meanG, ssbP, sswP) =
+        (r.getString(0), r.getLong(1), r.getDouble(4), r.getDouble(5), r.getDouble(6))
+      val g = byFlag(flag).map(_._2)
+      assert(nG == g.length.toLong)
+      val m = g.sum.toDouble / g.length / 100.0
+      assert(math.abs(meanG - m) < 1e-5, s"$flag mean $meanG vs $m")
+      val nSsb = g.length * (m - grandMean) * (m - grandMean)
+      val nSsw = g.map(q => (q / 100.0 - m) * (q / 100.0 - m)).sum
+      assert(math.abs(ssbP - nSsb) < 1e-2 * math.max(1.0, nSsb), s"$flag ssb")
+      assert(math.abs(sswP - nSsw) < 1e-2 * math.max(1.0, nSsw), s"$flag ssw")
+      ssb += ssbP; ssw += sswP
+    }
+    // decomposition identity on the naive side
+    val sst = qs.map(q => (q._2 / 100.0 - grandMean) * (q._2 / 100.0 - grandMean)).sum
+    assert(math.abs(ssb + ssw - sst) < 1e-2 * sst, s"SSB+SSW=$ssb+$ssw vs SST=$sst")
+  }
+}
