@@ -50,6 +50,7 @@ object SparkEntry {
       graft.queries.Anomaly.queries ++
       graft.queries.Profile.queries ++
       graft.queries.SkewReport.queries ++
+      graft.queries.Skyline.queries ++
       graft.queries.Graph.queries ++
       graft.llm.KMeans.queries ++
       graft.llm.Dedup.queries ++
@@ -108,6 +109,7 @@ object SparkEntry {
       graft.queries.Anomaly.oracleSql ++
       graft.queries.Profile.oracleSql ++
       graft.queries.SkewReport.oracleSql ++
+      graft.queries.Skyline.oracleSql ++
       graft.queries.Graph.oracleSql ++
       graft.llm.KMeans.oracleSql ++
       graft.llm.Dedup.oracleSql ++

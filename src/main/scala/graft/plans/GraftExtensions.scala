@@ -152,6 +152,21 @@ object GraftExtensions {
           FloatVectorNormalize(children.head)
         }
       ),
+      (
+        FunctionIdentifier("graft_nfc_normalize"),
+        description(
+          "graft_nfc_normalize",
+          classOf[graft.functions.UnicodeNfc],
+          "_FUNC_(s) - Unicode NFC canonical normalization of a string (codegen'd; already-NFC rows are returned without copying)."
+        ),
+        (children: Seq[Expression]) => {
+          if (children.length != 1)
+            throw new IllegalArgumentException(
+              s"graft_nfc_normalize expects 1 argument (string), got ${children.length}"
+            )
+          graft.functions.UnicodeNfc(children.head)
+        }
+      ),
       // The bloom-filter pair InjectRuntimeFilter plants internally,
       // surfaced as SQL so the explicit pruning pattern (BloomJoin /
       // q75) is writable as a scalar subquery from pure spark.sql.

@@ -192,14 +192,20 @@ object Graph {
       .select(col("p.a").as("a"), col("p.b").as("b"))
   }
 
-  private def cooccurrenceEdges(s: SparkSession, dir: String): DataFrame = {
+  private def cooccurrenceEdges(s: SparkSession, dir: String): DataFrame =
+    weightedCooccurrenceEdges(s, dir).select("a", "b")
+
+  /** The thresholded co-occurrence graph WITH its count weight — q148's
+    * edge lengths; q80/q80b/q106 drop the weight via cooccurrenceEdges.
+    */
+  private def weightedCooccurrenceEdges(s: SparkSession, dir: String): DataFrame = {
     val pairs = pairStream(s, dir)
     // the counted frame feeds BOTH the avg threshold and the filter, and
-    // BOTH q80 and q80b build from it — cache it once per (session, dir)
-    // like the q26/q27 shingle corpus: in production the co-occurrence
-    // graph is computed once and consumed by many graph queries, so the
-    // one-time build is amortized (Bench reports it untimed as
-    // edge_warm_sec, the shingle_warm_sec convention)
+    // q80/q80b/q106/q148 all build from it — cache it once per
+    // (session, dir) like the q26/q27 shingle corpus: in production the
+    // co-occurrence graph is computed once and consumed by many graph
+    // queries, so the one-time build is amortized (Bench reports it
+    // untimed as edge_warm_sec, the shingle_warm_sec convention)
     val counted = cachedPairCounts.synchronized {
       cachedPairCounts.getOrElseUpdate(
         (s, dir),
@@ -209,7 +215,7 @@ object Graph {
     counted
       .crossJoin(broadcast(counted.agg(avg("c").as("cavg"))))
       .filter(col("c") > col("cavg"))
-      .select("a", "b")
+      .select("a", "b", "c")
   }
 
   /** One cached co-occurrence pair-count frame per (session, dir) —
@@ -377,11 +383,56 @@ object Graph {
     )
   }
 
+  /** q148: bounded-hop WEIGHTED single-source shortest paths — the
+    * routing/centrality primitive q106's unweighted BFS cannot express
+    * (cheapest multi-hop connection, not fewest hops). Edge length =
+    * the co-occurrence count (exact integer), source = the smallest
+    * node id, bound = 3 edges. Three SYNCHRONOUS Bellman-Ford rounds:
+    * dist_k(v) = min cost over paths of ≤ k edges — each round joins
+    * the start-of-round distance frame against the cached edge frame
+    * and takes a per-node min, so round k+1 never sees round k+1's own
+    * improvements (exactly the ≤-k-edges semantics the oracle's
+    * hop-bounded path enumeration defines). All arithmetic is exact
+    * integers; the top-20 output orders by (dist, node) — a total
+    * order, node ids are unique.
+    *
+    * Scale shape: the edge frame is built/cached once (shared with
+    * q80/q106 via cachedPairCounts); each round shuffles only the
+    * NODE-sized distance frame (one equi-join + one partial-aggregated
+    * min). Fixed 3 rounds ⇒ shallow lineage, no checkpoint needed
+    * (q50's checkpointed loop is the unbounded variant). At 100 TB the
+    * frontier frame stays ≪ edges, the Pregel SSSP shape expressed
+    * declaratively.
+    */
+  private def q148(s: SparkSession, dir: String): DataFrame = {
+    val e = weightedCooccurrenceEdges(s, dir)
+    val und = graft.llm.Dedup.tcache(
+      s,
+      e.select(col("a").as("src"), col("b").as("dst"), col("c").as("w"))
+        .unionAll(e.select(col("b").as("src"), col("a").as("dst"), col("c").as("w")))
+    )
+    var dist = und
+      .agg(min("src").as("node"))
+      .withColumn("dist", lit(0L))
+    for (_ <- 1 to 3) {
+      val d = dist.select(col("node").as("u"), col("dist").as("du"))
+      val relaxed = d
+        .join(und, d("u") === und("src"))
+        .select(col("dst").as("node"), (col("du") + col("w")).as("dist"))
+      dist = dist
+        .unionAll(relaxed)
+        .groupBy("node")
+        .agg(min("dist").as("dist"))
+    }
+    dist.orderBy("dist", "node").limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q71_pagerank" -> q71,
     "q80_triangle_count" -> q80,
     "q80b_triangle_sample" -> q80b,
-    "q106_recursive_reachability" -> q106
+    "q106_recursive_reachability" -> q106,
+    "q148_weighted_sssp" -> q148
   )
 
   // One power iteration as SQL — contribution spelled r * wn (wn the
@@ -487,6 +538,25 @@ object Graph {
         |SELECT CAST(hops AS INT) AS hops, CAST(count(*) AS BIGINT) AS n_nodes,
         |  min(node) AS min_node, max(node) AS max_node,
         |  CAST(sum(node) AS BIGINT) AS node_sum
-        |FROM lvl GROUP BY hops ORDER BY hops""".stripMargin
+        |FROM lvl GROUP BY hops ORDER BY hops""".stripMargin,
+    "q148_weighted_sssp" ->
+      """WITH RECURSIVE
+        |li AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
+        |       FROM lineitem),
+        |ec AS (SELECT x.sk AS a, y.sk AS b, count(*) AS c
+        |       FROM li x JOIN li y ON x.ok = y.ok AND x.sk < y.sk
+        |       GROUP BY x.sk, y.sk),
+        |e AS (SELECT a, b, c FROM ec WHERE c > (SELECT avg(c) FROM ec)),
+        |und AS (SELECT a AS src, b AS dst, c AS w FROM e
+        |        UNION ALL SELECT b AS src, a AS dst, c AS w FROM e),
+        |walk(node, dist, hops) AS (
+        |  SELECT (SELECT min(src) FROM und) AS node,
+        |         CAST(0 AS BIGINT) AS dist, 0 AS hops
+        |  UNION ALL
+        |  SELECT u.dst AS node, w.dist + u.w AS dist, w.hops + 1 AS hops
+        |  FROM walk w JOIN und u ON u.src = w.node WHERE w.hops < 3),
+        |sp AS (SELECT node, min(dist) AS dist FROM walk GROUP BY node)
+        |SELECT node, CAST(dist AS BIGINT) AS dist
+        |FROM sp ORDER BY dist, node LIMIT 20""".stripMargin
   )
 }

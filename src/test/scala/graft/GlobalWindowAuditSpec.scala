@@ -37,6 +37,7 @@ class GlobalWindowAuditSpec extends SparkSpec {
     "q95_curriculum_order" -> "prefix offsets over bucket×subshard rows (≤ 320)",
     "q111_roc_auc" -> "two-level cumulation: window over SHARD offsets (≤ score-range/256 rows)",
     "q145_ks_drift" -> "two-level cumulation: window over SHARD offsets (≤ value-range/256 rows)",
+    "q147_skyline" -> "two-level cumulation: window over SHARD offsets (≤ price-range/256 rows)",
     "q115_ndcg_mrr" -> "rank pivots AFTER limit(NdcgK): ≤ 10-row ranked/ideal frames"
   )
 
