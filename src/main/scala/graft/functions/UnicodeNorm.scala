@@ -54,7 +54,7 @@ case class UnicodeNfc(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.UnicodeNfcImpl.nfc($c)")
 
-  override protected def withNewChildrenInternal(newChild: Expression): Expression =
+  override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 
   override def prettyName: String = "graft_nfc_normalize"
