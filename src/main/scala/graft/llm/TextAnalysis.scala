@@ -559,7 +559,38 @@ object TextAnalysis {
       .orderBy("lang")
   }
 
+  // ------------------------------------------ q149: NFC normalization
+
+  /** q149: Unicode NFC canonical normalization — the zeroth scrub of a
+    * multilingual corpus build (canonically-equivalent byte sequences
+    * must hash/dedup/join identically; skipping it makes exact dedup
+    * silently miss duplicates). The kernel is the codegen'd
+    * [[graft.functions.UnicodeNfc]] expression — zero-copy on
+    * already-normalized rows, which dominate real corpora, so the scan
+    * stays at parquet speed. The gate prepends a crafted combining-mark
+    * sequence to every document so the normalizer is load-bearing on
+    * every row (the synthetic corpus itself is ASCII = already NFC);
+    * DuckDB's utf8proc-backed `nfc_normalize` is the independent oracle
+    * — both sides implement UAX #15, bit-identical on assigned code
+    * points by Unicode's normalization stability policy.
+    */
+  private def q149(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expr => cexpr}
+    // C a f e U+0301 ␠ n i n U+0303 o ␠  — composes to "Café niño "
+    val raw  = concat(lit("Cafe\u0301 nin\u0303o "), col("text"))
+    val norm = column(graft.functions.UnicodeNfc(cexpr(raw)))
+    docs(s, dir)
+      .select(
+        col("doc_id"),
+        length(raw).as("len_raw"),
+        length(norm).as("len_norm"),
+        md5(norm).as("norm_md5")
+      )
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q149_nfc_normalize" -> q149,
     "q69_distribution_drift" -> q69,
     "q67_corpus_stats" -> q67,
     "q32_lang_id" -> q32,
@@ -579,6 +610,17 @@ object TextAnalysis {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q149_nfc_normalize" ->
+      """SELECT doc_id,
+        |  length('Cafe' || chr(769) || ' nin' || chr(771) || 'o ' || text)
+        |    AS len_raw,
+        |  length(nfc_normalize(
+        |    'Cafe' || chr(769) || ' nin' || chr(771) || 'o ' || text))
+        |    AS len_norm,
+        |  md5(nfc_normalize(
+        |    'Cafe' || chr(769) || ' nin' || chr(771) || 'o ' || text))
+        |    AS norm_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q33c_char_entropy" -> {
       val letters = ('a' to 'z').map(_.toString)
       val countCols = letters
