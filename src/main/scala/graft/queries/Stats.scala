@@ -361,12 +361,121 @@ object Stats {
       .orderBy("flag")
   }
 
+  /** q150: Mann-Whitney U rank-sum test — the nonparametric companion
+    * to q87 (two-proportion z) and q145 (KS): "is one arm's value
+    * distribution stochastically larger", robust to the heavy right
+    * tail that breaks mean-based tests on revenue-like columns. Same
+    * q145 arms (bucket100(user_id) split on centi-snapped event
+    * values).
+    *
+    * Exactness contract: U is NEVER computed from float midranks —
+    * with per-distinct-value arm counts ca/cb and the STRICT-below
+    * B-cumulation cb_lt, 2·U_A = Σ_v ca·(2·cb_lt + cb) stays in exact
+    * integer arithmetic (the ½-tie term is absorbed by the doubling),
+    * and the tie-corrected variance consumes Σ(t³−t) and N³−N as exact
+    * DECIMAL(38) integers cast to double ONCE. The oracle spells the
+    * INDEPENDENT rank-sum identity (2·U_A = 2·R_A − na·(na+1) via
+    * midrank posting 2·R_A = Σ ca·(2·lt_all + t + 1)), so an error in
+    * either derivation cannot self-confirm. z rides the q87 round-6 →
+    * round-4 grid; the rank-biserial effect size 2U/(na·nb) − 1 is a
+    * division of exact integers, gridded round-6.
+    *
+    * Scale shape: one corpus hash aggregate → per-distinct-centivalue
+    * counts; the strict-below cumulation is the q111/q145 TWO-LEVEL
+    * shard pattern (global window only over ≤ range/256 shard
+    * subtotals, partitioned window within shards); one-row output.
+    * Per-value products fit LONG while both arms are < 2^31 rows
+    * (value range is corpus-bounded, not row-bounded); the DECIMAL(38)
+    * sums remove the aggregate-side overflow (the q146 lesson).
+    */
+  private def q150(s: SparkSession, dir: String): DataFrame = {
+    val perVal = Tables
+      .table(s, dir, "events")
+      .select(
+        round(col("value") * 100.0, 0).cast("long").as("vc"),
+        when(graft.llm.Sampling.bucket100(col("user_id")) < 50, 1L)
+          .otherwise(0L)
+          .as("a")
+      )
+      .groupBy("vc")
+      .agg(sum("a").as("ca"), (count(lit(1)) - sum("a")).as("cb"))
+      .withColumn("t", col("ca") + col("cb"))
+      .withColumn("shard", expr("(vc - pmod(vc, 256)) div 256"))
+    val offsets = perVal
+      .groupBy("shard")
+      .agg(sum("cb").as("sb"))
+      .withColumn(
+        "off_b",
+        coalesce(
+          sum("sb").over(
+            Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)
+          ),
+          lit(0L)
+        )
+      )
+      .select("shard", "off_b")
+    // STRICT-below local frame (ranks, not CDFs — the one frame-bound
+    // difference vs q145's inclusive at-or-below)
+    val localEx = Window
+      .partitionBy("shard")
+      .orderBy("vc")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = perVal
+      .join(broadcast(offsets), "shard")
+      .withColumn(
+        "cb_lt",
+        col("off_b") + coalesce(sum("cb").over(localEx), lit(0L))
+      )
+    cum
+      .agg(
+        sum("ca").as("na"),
+        sum("cb").as("nb"),
+        sum((col("ca") * (col("cb_lt") * 2 + col("cb"))).cast("decimal(38,0)"))
+          .as("u2a_dec"),
+        sum(
+          (col("t").cast("decimal(12,0)") * col("t") * col("t") - col("t"))
+            .cast("decimal(38,0)")
+        ).as("t3t_dec")
+      )
+      .withColumn("n", col("na") + col("nb"))
+      .withColumn(
+        "corr_dec",
+        (col("n").cast("decimal(12,0)") * col("n") * col("n") - col("n"))
+          .cast("decimal(38,0)") - col("t3t_dec")
+      )
+      .select(
+        col("na"),
+        col("nb"),
+        col("u2a_dec").cast("long").as("u2_a"),
+        (round(
+          col("u2a_dec").cast("double")
+            / (col("na").cast("double") * col("nb").cast("double")) - 1.0,
+          6
+        ) + 0.0).as("rank_biserial"),
+        (round(
+          round(
+            (col("u2a_dec").cast("double")
+              - col("na").cast("double") * col("nb").cast("double"))
+              / (lit(2.0d) * sqrt(
+                (col("na").cast("double") * col("nb").cast("double")
+                  * col("corr_dec").cast("double"))
+                  / (lit(12.0d) * col("n").cast("double")
+                    * (col("n").cast("double") - 1.0))
+              )),
+            6
+          ),
+          4
+        ) + 0.0).as("z_stat")
+      )
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q86_chi_square" -> q86,
     "q87_ab_test" -> q87,
     "q120_ols_probe" -> q120,
     "q145_ks_drift" -> q145,
-    "q146_anova" -> q146
+    "q146_anova" -> q146,
+    "q150_mann_whitney" -> q150
   )
 
   private val q120OracleSql: String =
@@ -467,6 +576,42 @@ object Stats {
         |       round((ss_g - s_g * s_g / CAST(n_g AS DOUBLE)) / 10000.0, 4)
         |         + 0.0 AS ssw_part
         |FROM g, t ORDER BY flag""".stripMargin,
+    // Independent spelling: the rank-sum identity 2·U_A = 2·R_A − na·(na+1)
+    // with midrank posting 2·R_A = Σ ca·(2·lt_all + t + 1) — the Spark side
+    // derives 2·U_A from pairwise B-below counts instead, so a derivation
+    // bug on either side cannot self-confirm.
+    "q150_mann_whitney" ->
+      """WITH s AS (
+        |  SELECT CAST(round(value * 100, 0) AS BIGINT) AS vc,
+        |    CASE WHEN CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+        |              AS BIGINT) % 100 < 50 THEN 1 ELSE 0 END AS a
+        |  FROM events),
+        |c AS (SELECT vc, CAST(sum(a) AS BIGINT) AS ca,
+        |             CAST(count(*) - sum(a) AS BIGINT) AS cb
+        |      FROM s GROUP BY vc),
+        |cum AS (SELECT vc, ca, cb, ca + cb AS t,
+        |        CAST(coalesce(sum(ca + cb) OVER (ORDER BY vc
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |          AS BIGINT) AS lt_all
+        |        FROM c),
+        |r AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+        |             CAST(sum(cb) AS BIGINT) AS nb,
+        |             CAST(sum(ca * (2 * lt_all + t + 1)) AS BIGINT) AS r2a,
+        |             CAST(sum(t * t * t - t) AS BIGINT) AS t3t,
+        |             CAST(sum(t) AS BIGINT) AS n
+        |      FROM cum),
+        |u AS (SELECT na, nb, n, t3t, r2a - na * (na + 1) AS u2a FROM r)
+        |SELECT na, nb, CAST(u2a AS BIGINT) AS u2_a,
+        |  round(CAST(u2a AS DOUBLE)
+        |        / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) - 1.0, 6) + 0.0
+        |    AS rank_biserial,
+        |  round(round(
+        |    (CAST(u2a AS DOUBLE) - CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
+        |    / (2.0 * sqrt((CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
+        |        * CAST(n * n * n - n - t3t AS DOUBLE))
+        |        / (12.0 * CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))),
+        |    6), 4) + 0.0 AS z_stat
+        |FROM u""".stripMargin,
     "q86_chi_square" ->
       """WITH obs AS (
         |  SELECT event_type, user_id % 3 AS tier, count(*) AS obs

@@ -80,4 +80,48 @@ class HypothesisSpec extends SparkSpec {
     val sst = qs.map(q => (q._2 / 100.0 - grandMean) * (q._2 / 100.0 - grandMean)).sum
     assert(math.abs(ssb + ssw - sst) < 1e-2 * sst, s"SSB+SSW=$ssb+$ssw vs SST=$sst")
   }
+
+  test("q150 Mann-Whitney 2U equals a brute-force pairwise count") {
+    val row = SparkEntry.queries("q150_mann_whitney")(spark, sf).collect().head
+    val (na, nb, u2a, rb, z) =
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getDouble(3), row.getDouble(4))
+
+    val sample = graft.queries.Tables
+      .table(spark, sf, "events")
+      .select(
+        round(col("value") * 100.0, 0).cast("long").as("vc"),
+        graft.llm.Sampling.bucket100(col("user_id")).as("b")
+      )
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1) < 50))
+    val aVals = sample.filter(_._2).map(_._1)
+    val bVals = sample.filterNot(_._2).map(_._1)
+    assert(na == aVals.length.toLong && nb == bVals.length.toLong)
+
+    // brute force over all pairs: 2·U_A = 2·|A>B| + |A=B|
+    var wins = 0L; var ties = 0L
+    for (a <- aVals; b <- bVals) {
+      if (a > b) wins += 1 else if (a == b) ties += 1
+    }
+    assert(u2a == 2 * wins + ties, s"u2_a $u2a vs naive ${2 * wins + ties}")
+
+    // complement identity: U_A + U_B = na·nb ⇒ 2U_B = 2·na·nb − 2U_A
+    var winsB = 0L
+    for (b <- bVals; a <- aVals) if (b > a) winsB += 1
+    assert((2 * winsB + ties) == 2 * na * nb - u2a)
+
+    // effect size is the exact integer ratio; z matches a naive
+    // tie-corrected normal approximation on the same snapped ints
+    assert(math.abs(rb - (u2a.toDouble / (na.toDouble * nb) - 1.0)) < 1e-6)
+    val n = (na + nb).toDouble
+    val t3t = sample
+      .map(_._1)
+      .groupBy(identity)
+      .map { case (_, g) => g.length.toDouble }
+      .map(t => t * t * t - t)
+      .sum
+    val varU = na.toDouble * nb * ((n * n * n - n) - t3t) / (12.0 * n * (n - 1.0))
+    val zn = (u2a - na.toDouble * nb) / (2.0 * math.sqrt(varU))
+    assert(math.abs(z - zn) < 1e-3, s"z $z vs naive $zn")
+  }
 }
