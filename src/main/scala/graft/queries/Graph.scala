@@ -235,10 +235,37 @@ object Graph {
   }
 
   /** Unpersist this module's session caches (Bench/Verify end-of-run). */
-  def releaseCaches(s: SparkSession): Unit = cachedPairCounts.synchronized {
-    cachedPairCounts.filterInPlace { case ((sess, _), df) =>
-      if (sess eq s) { df.unpersist(); false } else true
+  def releaseCaches(s: SparkSession): Unit = {
+    cachedPairCounts.synchronized {
+      cachedPairCounts.filterInPlace { case ((sess, _), df) =>
+        if (sess eq s) { df.unpersist(); false } else true
+      }
     }
+    trackedRdds.synchronized {
+      trackedRdds.filterInPlace { case (sess, rdd) =>
+        if (sess eq s) { rdd.unpersist(); false } else true
+      }
+    }
+  }
+
+  /** Final-round RDDs of iterative queries (q151) — persisted so the
+    * caller can consume the result without recomputing the loop, and
+    * released with the module's other session caches.
+    */
+  private val trackedRdds =
+    scala.collection.mutable.ListBuffer
+      .empty[(SparkSession, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row])]
+
+  /** Materialize a round as a persisted row RDD + a frame over it — the
+    * q50 loop discipline (unlike `localCheckpoint`, the RDD can be
+    * unpersisted to release the superseded round's blocks).
+    */
+  private def checkpointRound(
+      df: DataFrame
+  ): (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
+    val rdd =
+      df.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    (df.sparkSession.createDataFrame(rdd, df.schema), rdd)
   }
 
   /** (n_nodes, n_edges, n_triangles) for a canonical a<b edge frame via
@@ -427,12 +454,96 @@ object Graph {
     dist.orderBy("dist", "node").limit(20)
   }
 
+  /** q151: k-core decomposition (k = 3) — the standard dense-substructure
+    * screen (community seeds, spam-ring candidates, "remove the
+    * dangling fringe before expensive graph analytics"): iteratively
+    * drop every node whose degree falls below k until fixpoint; emit
+    * each surviving node with its degree INSIDE the core subgraph.
+    * The base graph is q71's customer–supplier bipartite (even/odd
+    * node encoding) thresholded at ≥ 3 shared orders: the supplier
+    * co-occurrence graph is near-complete (min degree 30 at sf0.01),
+    * so a small-k core there is vacuous, while the bipartite peel
+    * genuinely CASCADES — dropping thin customers starves suppliers,
+    * which drops more customers (5 rounds to fixpoint at sf0.01).
+    *
+    * Scale shape: the loop state is the symmetrized edge frame, which
+    * only SHRINKS; each round is one node-sized degree aggregate plus
+    * two semi-joins, with the superseded round's blocks released and
+    * convergence detected by the edge count reaching a fixpoint (the
+    * q50 loop discipline — and like q50 it THROWS past maxRounds, so
+    * the gate can never silently emit a non-fixpoint). The ORACLE
+    * unrolls the same peel as an 8-round WITH chain — sound because
+    * peeling is monotone (a fixpoint is invariant under further
+    * rounds); KCoreSpec pins convergence well under 8 on this corpus
+    * and replays the peel naively.
+    */
+  private def q151(s: SparkSession, dir: String): DataFrame = {
+    val k = 3
+    val maxRounds = 8
+    val e = Tables
+      .table(s, dir, "lineitem")
+      .join(Tables.table(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(
+        (col("o_custkey") * 2).as("bu"),
+        (col("l_suppkey") * 2 + 1).as("bv")
+      )
+      .agg(countDistinct("o_orderkey").as("w"))
+      .filter(col("w") >= 3)
+    var (cur, curRdd) = checkpointRound(
+      e.select(col("bu").as("u"), col("bv").as("v"))
+        .unionAll(e.select(col("bv").as("u"), col("bu").as("v")))
+    )
+    var prevEdges = cur.count()
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      val keep = cur
+        .groupBy("u")
+        .agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k)
+        .select("u")
+      val (next, nextRdd) = checkpointRound(
+        cur
+          .join(keep, Seq("u"), "left_semi")
+          .join(keep.select(col("u").as("v")), Seq("v"), "left_semi")
+          .select("u", "v")
+      )
+      val nEdges = next.count()
+      converged = nEdges == prevEdges
+      prevEdges = nEdges
+      curRdd.unpersist()
+      cur = next
+      curRdd = nextRdd
+      round += 1
+    }
+    if (!converged) {
+      curRdd.unpersist()
+      throw new IllegalStateException(
+        s"k-core peel did not converge within $maxRounds rounds — the " +
+          "unrolled oracle would be unsound; raise maxRounds (and the " +
+          "oracle's unroll depth) together"
+      )
+    }
+    trackedRdds.synchronized(trackedRdds += ((s, curRdd)))
+    cur
+      .groupBy("u")
+      .agg(count(lit(1)).as("core_degree"))
+      .select(
+        when(col("u") % 2 === 0, concat(lit("C"), expr("u div 2")))
+          .otherwise(concat(lit("S"), expr("(u - 1) div 2")))
+          .as("node"),
+        col("core_degree")
+      )
+      .orderBy("node")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q71_pagerank" -> q71,
     "q80_triangle_count" -> q80,
     "q80b_triangle_sample" -> q80b,
     "q106_recursive_reachability" -> q106,
-    "q148_weighted_sssp" -> q148
+    "q148_weighted_sssp" -> q148,
+    "q151_kcore" -> q151
   )
 
   // One power iteration as SQL — contribution spelled r * wn (wn the
@@ -445,7 +556,38 @@ object Graph {
        |  FROM edges e JOIN $prev p ON p.node = e.src
        |  GROUP BY e.dst""".stripMargin
 
+  // One k-core peel round as SQL: keep only edges whose BOTH endpoints
+  // still clear the degree bar in the previous round's edge set — the
+  // exact semantics of the Spark loop's two semi-joins.
+  private def kcorePeelSql(prev: String): String =
+    s"""SELECT u, v FROM $prev
+       |  WHERE u IN (SELECT u FROM $prev GROUP BY u HAVING count(*) >= 3)
+       |    AND v IN (SELECT u FROM $prev GROUP BY u HAVING count(*) >= 3)""".stripMargin
+
+  private val kcoreOracleSql: String = {
+    // MATERIALIZED is load-bearing: each round references its
+    // predecessor three times (FROM + two IN subqueries); with inlined
+    // CTEs the 8-round chain expands to 3^8 scans of the base table
+    val rounds = (1 to 8)
+      .map(i => s"s$i AS MATERIALIZED (${kcorePeelSql(s"s${i - 1}")})")
+      .mkString(",\n")
+    s"""WITH pairs AS (
+       |  SELECT o_custkey * 2 AS bu, l_suppkey * 2 + 1 AS bv,
+       |         count(DISTINCT o_orderkey) AS w
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  GROUP BY 1, 2),
+       |e AS (SELECT bu, bv FROM pairs WHERE w >= 3),
+       |s0 AS MATERIALIZED (
+       |  SELECT bu AS u, bv AS v FROM e UNION ALL SELECT bv, bu FROM e),
+       |$rounds
+       |SELECT CASE WHEN u % 2 = 0 THEN 'C' || (u // 2)
+       |            ELSE 'S' || ((u - 1) // 2) END AS node,
+       |       CAST(count(*) AS BIGINT) AS core_degree
+       |FROM s8 GROUP BY u ORDER BY node""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q151_kcore" -> kcoreOracleSql,
     "q71_pagerank" ->
       s"""WITH pairs AS (
          |  SELECT o_custkey * 2 AS ca, l_suppkey * 2 + 1 AS sb,
