@@ -469,13 +469,110 @@ object Stats {
       )
   }
 
+  /** Poisson(1) CDF cut-points on the integer 10⁶ grid — the
+    * multiplicity lookup both engines spell identically, so replica
+    * membership is decided by INTEGER comparisons on the md5-derived
+    * uniform (never a float).
+    */
+  private val PoissonCdf1e6: Seq[Int] =
+    Seq(367879, 735758, 919698, 981011, 996340, 999405)
+
+  /** q152: percentile-bootstrap confidence interval for the mean event
+    * value via the DETERMINISTIC Poisson bootstrap — the way you
+    * bootstrap 100 TB: classical resampling draws n indices per
+    * replica (a corpus-sized shuffle × B), while Poisson(1)
+    * multiplicities are independent per (row, replica), so all B = 32
+    * replicas ride ONE map pass (explode ×B) into one 32-group
+    * aggregate — no resample materialization, no shuffle beyond the
+    * 32-row rollup. Multiplicity = inverse-CDF lookup of an md5-derived
+    * uniform on the integer 10⁶ grid (the q43 split-hash convention),
+    * so every replica is bit-reproducible on both engines and across
+    * reruns — a rerun-stable CI, which "random" bootstraps never give.
+    * CI bounds are ORDER STATISTICS of the 32 replica means (2nd and
+    * 31st — the ~94% percentile interval), never interpolated;
+    * replica means divide exact integer sums, and ties rank by
+    * replica id.
+    */
+  private def q152(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables
+      .table(s, dir, "events")
+      .select(
+        col("event_id"),
+        round(col("value") * 100.0, 0).cast("long").as("vc")
+      )
+    val m = {
+      val u = conv(
+        substring(
+          md5(
+            concat(
+              col("event_id").cast("string"),
+              lit(":"),
+              col("b").cast("string")
+            ).cast("binary")
+          ),
+          1,
+          15
+        ),
+        16,
+        10
+      ).cast("long") % 1000000
+      // fold REVERSED so the smallest cut lands outermost: the chain
+      // must test u < 367879 → 0 before u < 735758 → 1, etc.
+      PoissonCdf1e6.zipWithIndex.reverse.foldLeft(lit(6)) {
+        case (acc, (cut, k)) => when(u < cut, lit(k)).otherwise(acc)
+      }
+    }
+    val perReplica = base
+      .select(col("event_id"), col("vc"), explode(expr("sequence(0, 31)")).as("b"))
+      .select(col("b"), (m.cast("long") * col("vc")).as("mv"), m.cast("long").as("mm"))
+      .groupBy("b")
+      .agg(
+        sum("mv").as("sum_mv"),
+        sum("mm").as("sum_m")
+      )
+      .select(
+        col("b"),
+        (col("sum_mv").cast("double") / col("sum_m").cast("double") / 100.0)
+          .as("mean_b")
+      )
+    val ranked = perReplica.withColumn(
+      "rk",
+      row_number().over(Window.orderBy(col("mean_b"), col("b")))
+    )
+    val tot = Tables
+      .table(s, dir, "events")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(round(col("value") * 100.0, 0).cast("long")).as("sv")
+      )
+    tot
+      .crossJoin(
+        broadcast(
+          ranked.filter(col("rk") === 2).select(col("mean_b").as("lo"))
+        )
+      )
+      .crossJoin(
+        broadcast(
+          ranked.filter(col("rk") === 31).select(col("mean_b").as("hi"))
+        )
+      )
+      .select(
+        col("n"),
+        (round(col("sv").cast("double") / col("n").cast("double") / 100.0, 6)
+          + 0.0).as("mean_value"),
+        (round(col("lo"), 6) + 0.0).as("ci_lo"),
+        (round(col("hi"), 6) + 0.0).as("ci_hi")
+      )
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q86_chi_square" -> q86,
     "q87_ab_test" -> q87,
     "q120_ols_probe" -> q120,
     "q145_ks_drift" -> q145,
     "q146_anova" -> q146,
-    "q150_mann_whitney" -> q150
+    "q150_mann_whitney" -> q150,
+    "q152_bootstrap_ci" -> q152
   )
 
   private val q120OracleSql: String =
@@ -576,6 +673,37 @@ object Stats {
         |       round((ss_g - s_g * s_g / CAST(n_g AS DOUBLE)) / 10000.0, 4)
         |         + 0.0 AS ssw_part
         |FROM g, t ORDER BY flag""".stripMargin,
+    "q152_bootstrap_ci" ->
+      """WITH base AS (
+        |  SELECT event_id, CAST(round(value * 100, 0) AS BIGINT) AS vc
+        |  FROM events),
+        |rep AS (
+        |  SELECT g.b, vc,
+        |    CAST('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':'
+        |           || CAST(g.b AS VARCHAR)), 1, 15) AS BIGINT) % 1000000 AS u
+        |  FROM base, generate_series(0, 31) AS g(b)),
+        |mm AS (
+        |  SELECT b, vc,
+        |    CASE WHEN u < 367879 THEN 0 WHEN u < 735758 THEN 1
+        |         WHEN u < 919698 THEN 2 WHEN u < 981011 THEN 3
+        |         WHEN u < 996340 THEN 4 WHEN u < 999405 THEN 5
+        |         ELSE 6 END AS m
+        |  FROM rep),
+        |means AS (
+        |  SELECT b, CAST(sum(m * vc) AS DOUBLE) / CAST(sum(m) AS DOUBLE)
+        |            / 100.0 AS mean_b
+        |  FROM mm GROUP BY b),
+        |ranked AS (SELECT b, mean_b,
+        |             row_number() OVER (ORDER BY mean_b, b) AS rk
+        |           FROM means),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |               CAST(sum(vc) AS BIGINT) AS sv FROM base)
+        |SELECT n,
+        |  round(CAST(sv AS DOUBLE) / CAST(n AS DOUBLE) / 100.0, 6) + 0.0
+        |    AS mean_value,
+        |  round((SELECT mean_b FROM ranked WHERE rk = 2), 6) + 0.0 AS ci_lo,
+        |  round((SELECT mean_b FROM ranked WHERE rk = 31), 6) + 0.0 AS ci_hi
+        |FROM tot""".stripMargin,
     // Independent spelling: the rank-sum identity 2·U_A = 2·R_A − na·(na+1)
     // with midrank posting 2·R_A = Σ ca·(2·lt_all + t + 1) — the Spark side
     // derives 2·U_A from pairwise B-below counts instead, so a derivation

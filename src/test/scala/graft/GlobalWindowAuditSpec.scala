@@ -37,6 +37,8 @@ class GlobalWindowAuditSpec extends SparkSpec {
     "q95_curriculum_order" -> "prefix offsets over bucket×subshard rows (≤ 320)",
     "q111_roc_auc" -> "two-level cumulation: window over SHARD offsets (≤ score-range/256 rows)",
     "q145_ks_drift" -> "two-level cumulation: window over SHARD offsets (≤ value-range/256 rows)",
+    "q150_mann_whitney" -> "two-level cumulation: window over SHARD offsets (≤ value-range/256 rows)",
+    "q152_bootstrap_ci" -> "replica-mean ranking over exactly B = 32 rows by construction",
     "q147_skyline" -> "two-level cumulation: window over SHARD offsets (≤ price-range/256 rows)",
     "q115_ndcg_mrr" -> "rank pivots AFTER limit(NdcgK): ≤ 10-row ranked/ideal frames"
   )
