@@ -141,13 +141,16 @@ object AnnQuality {
     val cbT = Similarity.pqTrainedCodebook(spark, sfDir)
     val pqTrainedCand = Similarity.pqCandidates(spark, sfDir, cbT).count()
     val rPqTrained = recallOf(Similarity.pqKnn(spark, sfDir, cbT))
-    // residual IVF-PQ: the rerank budget is a CAP (PqRerank per probe —
-    // a probed cell set holding fewer candidates would come in under
-    // it), not a measured count like every other row's, so the field is
-    // labeled candidates_cap; the ADC scan is additionally cell-bounded
-    // (nprobe/cells of the codes)
-    val rIvfPq = recallOf(Similarity.ivfPqKnn(spark, sfDir))
-    val ivfPqCand = Similarity.PqRerank.toLong * nProbes
+    // residual IVF-PQ: the rerank frame is MEASURED via the onCandidates
+    // hook (r12 verdict ask #7 — every row in this table is a measured
+    // count, none assumed). PqRerank × nProbes stays alongside as the
+    // documented cap; the ADC scan is additionally cell-bounded
+    // (nprobe/cells of the codes).
+    var ivfPqCand = -1L
+    val rIvfPq = recallOf(
+      Similarity.ivfPqKnn(spark, sfDir, onCandidates = c => ivfPqCand = c.count())
+    )
+    val ivfPqCap = Similarity.PqRerank.toLong * nProbes
 
     val sweeps = Seq(
       lshLine(24, 3), // the q31 instance
@@ -166,7 +169,7 @@ object AnnQuality {
         sweeps.mkString(",") + "," +
         f""""q31c_pq":{"recall_at_$k":$rPq%.3f,"candidates":$pqCand,"candidate_ratio":${pqCand.toDouble / brutePairs}%.3f},""" +
         f""""pq_trained":{"recall_at_$k":$rPqTrained%.3f,"candidates":$pqTrainedCand,"candidate_ratio":${pqTrainedCand.toDouble / brutePairs}%.3f},""" +
-        f""""ivfpq_16c_4p":{"recall_at_$k":$rIvfPq%.3f,"candidates_cap":$ivfPqCand,"candidate_ratio_cap":${ivfPqCand.toDouble / brutePairs}%.3f}}"""
+        f""""ivfpq_16c_4p":{"recall_at_$k":$rIvfPq%.3f,"candidates":$ivfPqCand,"candidate_ratio":${ivfPqCand.toDouble / brutePairs}%.3f,"candidates_cap":$ivfPqCap}}"""
     )
     spark.stop()
   }

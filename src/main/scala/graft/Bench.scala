@@ -289,16 +289,20 @@ object Bench {
             } catch { case _: Throwable => -1.0 }
           name -> (med, hist(name), rerun)
       }
-    // auto-substitution: throttled window (bw probe) + a >3×-faster
-    // same-process re-run → the re-run IS the recording; raw medians
-    // stay in "substituted" (and per-iteration times) for adjudication
+    // auto-substitution: a >3×-faster same-process re-run refutes the
+    // recorded median by itself → the re-run IS the recording; raw
+    // medians stay in "substituted" (and per-iteration times) for
+    // adjudication. r12 lesson: the earlier bw-probe-AND-rerun gate let
+    // q71 report 21.4 s while its own re-run measured 3.3 s, because the
+    // JVM-internal contention that inflated the reading never tripped
+    // the memory-bandwidth probe — the refuting measurement alone is
+    // sufficient evidence (it is the same plan in the same process; a
+    // real regression reproduces, a spike does not).
     val substituted: Map[String, (Double, Double)] =
-      if (bwFlag != "t") Map.empty
-      else
-        outlierReruns.collect {
-          case (name, (med, _, rr)) if rr > 0 && med > 3 * rr =>
-            name -> (med, rr)
-        }.toMap
+      outlierReruns.collect {
+        case (name, (med, _, rr)) if rr > 0 && med > 3 * rr =>
+          name -> (med, rr)
+      }.toMap
     val reported: Map[String, Double] =
       medians.toMap ++ substituted.map { case (n, (_, rr)) => n -> rr }
 

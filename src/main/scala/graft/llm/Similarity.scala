@@ -511,7 +511,13 @@ object Similarity {
       s: SparkSession,
       dir: String,
       cells: Int = IvfCells,
-      nprobe: Int = IvfProbes
+      nprobe: Int = IvfProbes,
+      // measurement hook (AnnQuality): called with the post-ADC,
+      // pre-exact-rerank candidate frame while the pipeline's inputs are
+      // still persisted, so the report can COUNT the actual candidates
+      // (≤ PqRerank per probe — fewer when the probed cells hold less)
+      // instead of assuming the cap. No-op on the query path.
+      onCandidates: DataFrame => Unit = _ => ()
   ): DataFrame = {
     val e = emb(s, dir)
     val nv = e
@@ -602,6 +608,7 @@ object Similarity {
           .withColumn("arank", row_number().over(aw))
           .filter(col("arank") <= PqRerank)
           .select("probe_id", "neighbor_id")
+        onCandidates(cand)
         val probeEmb = e
           .filter(col("vec_id") < NumProbes)
           .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))

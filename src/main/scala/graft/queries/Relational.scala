@@ -394,13 +394,27 @@ object Relational {
       .agg(countDistinct(col("user_id")).as("users"))
       .orderBy("event_type")
 
-  /** approx_count_distinct (HLL++) — not SQL-oracle-expressible; checked
-    * in ScalaTest against the exact count within 5% rtol.
+  /** approx_count_distinct (HLL++) — the sketch value itself has no
+    * DuckDB twin, so the gate emits the EXACT twin (computed in the
+    * same plan) plus an in-query 5%-rtol boolean over the estimate (r12
+    * verdict ask #9): the driver hash now covers both the exact count
+    * AND the assertion that the sketch landed inside tolerance — a
+    * fully-checked gate instead of a rows-only exemption. QueriesSpec
+    * still pins the raw estimates separately.
     */
   private def q12b(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
       .groupBy(col("event_type"))
-      .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+      .agg(
+        countDistinct(col("user_id")).as("users_exact"),
+        approx_count_distinct(col("user_id")).as("ap")
+      )
+      .select(
+        col("event_type"),
+        col("users_exact"),
+        (abs(col("ap") - col("users_exact")).cast("double") /
+          col("users_exact").cast("double") <= 0.05).as("approx_within_5pct")
+      )
       .orderBy("event_type")
 
   /** Mergeable-sketch rollup: per-day HLL sketches of distinct users,
@@ -410,11 +424,13 @@ object Relational {
     * merging registers, never re-reading data). HLL register merge is
     * lossless and order-independent, so the merged weekly estimate is
     * BIT-EQUAL to a direct sketch of the week's rows — QueriesSpec
-    * asserts that equality exactly; DuckDB has no sketch twin, so the
-    * driver records rows-only.
+    * asserts that equality exactly. DuckDB has no sketch twin, so the
+    * gate emits the exact weekly distinct twin + an in-plan 5% bound
+    * boolean instead of the raw estimate (the q12b convention) — fully
+    * hash-checked, not rows-only.
     */
-  private def q12c(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "events")
+  private def q12c(s: SparkSession, dir: String): DataFrame = {
+    val merged = t(s, dir, "events")
       .groupBy(to_date(col("ts")).as("d"))
       .agg(hll_sketch_agg(col("user_id")).as("sk"))
       .groupBy(to_date(date_trunc("week", col("d"))).as("wk"))
@@ -422,7 +438,66 @@ object Relational {
         count(lit(1)).as("n_days"),
         hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_users")
       )
+    // the exact weekly twin IN THE SAME PLAN (r12 ask #9): the driver
+    // hash covers the exact counts and the estimate's 5% bound; the
+    // merged-vs-direct BIT-equality stays pinned in QueriesSpec
+    val exact = t(s, dir, "events")
+      .groupBy(to_date(date_trunc("week", col("ts"))).as("wk"))
+      .agg(countDistinct(col("user_id")).as("users_exact"))
+    merged
+      .join(exact, "wk")
+      .select(
+        col("wk"),
+        col("n_days"),
+        col("users_exact"),
+        (abs(col("est_users") - col("users_exact")).cast("double") /
+          col("users_exact").cast("double") <= 0.05).as("est_within_5pct")
+      )
       .orderBy("wk")
+  }
+
+  /** q154: sketch-based set-OVERLAP audit — estimate |A∩B| between two
+    * user populations (viewers vs purchasers) by inclusion–exclusion
+    * over HLL sketches: est(A∩B) = est(A) + est(B) − est(A∪B), with the
+    * union sketch a lossless REGISTER merge (hll_union), never a
+    * re-scan. This is how train/test membership leakage is audited at
+    * 100 TB: each side contributes one sketch from its own single pass
+    * (here both fold into ONE conditional-aggregate pass), and the
+    * overlap answer needs no join — the exact twin's semi-join is the
+    * thing this operator exists to avoid. Gate emits the exact twins
+    * (computed in the same plan) + the in-query error bound boolean,
+    * the q12b convention, so the driver hash checks everything
+    * deterministic.
+    */
+  private def q154(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+      .filter(col("event_type").isin("view", "purchase"))
+    val sk = e.agg(
+      hll_sketch_agg(when(col("event_type") === "view", col("user_id"))).as("ska"),
+      hll_sketch_agg(when(col("event_type") === "purchase", col("user_id"))).as("skb"),
+      countDistinct(when(col("event_type") === "view", col("user_id")))
+        .as("n_view_exact"),
+      countDistinct(when(col("event_type") === "purchase", col("user_id")))
+        .as("n_purchase_exact")
+    )
+    val both = e
+      .groupBy("user_id")
+      .agg(countDistinct("event_type").as("k"))
+      .filter(col("k") === 2)
+      .agg(count(lit(1)).as("n_overlap_exact"))
+    sk.crossJoin(broadcast(both))
+      .select(
+        col("n_view_exact"),
+        col("n_purchase_exact"),
+        col("n_overlap_exact"),
+        (abs(
+          hll_sketch_estimate(col("ska")) + hll_sketch_estimate(col("skb")) -
+            hll_sketch_estimate(hll_union(col("ska"), col("skb"))) -
+            col("n_overlap_exact")
+        ).cast("double") / col("n_overlap_exact").cast("double") <= 0.15)
+          .as("est_within_15pct")
+      )
+  }
 
   /** ROLLUP over region → nation (Expand operator). */
   private def q13(s: SparkSession, dir: String): DataFrame =
@@ -1100,15 +1175,27 @@ object Relational {
       )
       .orderBy("o_orderstatus")
 
-  /** approx_percentile (t-digest-style sketch) — no exact oracle; checked
-    * against q39 within tolerance in QueriesSpec.
+  /** approx_percentile (t-digest-style sketch) — the estimate has no
+    * DuckDB twin, so the gate emits the EXACT interpolated percentiles
+    * (same plan) plus in-query 5%-rtol booleans over the estimates (the
+    * q12b convention, r12 ask #9): hash-checked end to end; QueriesSpec
+    * still pins the raw estimates against q39.
     */
   private def q39b(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders")
       .groupBy(col("o_orderstatus"))
       .agg(
-        r2(expr("approx_percentile(o_totalprice, 0.5, 10000)")).as("ap50"),
-        r2(expr("approx_percentile(o_totalprice, 0.99, 10000)")).as("ap99")
+        expr("percentile(o_totalprice, 0.5)").as("p50x"),
+        expr("percentile(o_totalprice, 0.99)").as("p99x"),
+        expr("approx_percentile(o_totalprice, 0.5, 10000)").as("ap50"),
+        expr("approx_percentile(o_totalprice, 0.99, 10000)").as("ap99")
+      )
+      .select(
+        col("o_orderstatus"),
+        r2(col("p50x")).as("p50"),
+        r2(col("p99x")).as("p99"),
+        (abs(col("ap50") - col("p50x")) / col("p50x") <= 0.05).as("ap50_within_5pct"),
+        (abs(col("ap99") - col("p99x")) / col("p99x") <= 0.05).as("ap99_within_5pct")
       )
       .orderBy("o_orderstatus")
 
@@ -1420,6 +1507,7 @@ object Relational {
     "q12_distinct_agg" -> q12,
     "q12b_approx_distinct" -> q12b,
     "q12c_sketch_rollup" -> q12c,
+    "q154_sketch_overlap" -> q154,
     "q13_rollup" -> q13,
     "q13b_cube" -> q13b,
     "q13c_grouping_id" -> q13c,
@@ -1668,6 +1756,42 @@ object Relational {
     "q12_distinct_agg" ->
       """SELECT event_type, count(DISTINCT user_id) AS users
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // the sketch gates (q12b/q12c/q39b): the oracle recomputes the
+    // EXACT twins and asserts the tolerance booleans are TRUE — the
+    // estimates themselves have no DuckDB twin, but the in-plan bound
+    // makes the assertion hash-checkable (r12 verdict ask #9)
+    "q12b_approx_distinct" ->
+      """SELECT event_type,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS users_exact,
+        |  TRUE AS approx_within_5pct
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q12c_sketch_rollup" ->
+      """SELECT CAST(date_trunc('week', ts) AS DATE) AS wk,
+        |  CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS users_exact,
+        |  TRUE AS est_within_5pct
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q154_sketch_overlap" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type FROM events
+        |  WHERE event_type IN ('view', 'purchase'))
+        |SELECT
+        |  CAST(count(DISTINCT CASE WHEN event_type = 'view'
+        |       THEN user_id END) AS BIGINT) AS n_view_exact,
+        |  CAST(count(DISTINCT CASE WHEN event_type = 'purchase'
+        |       THEN user_id END) AS BIGINT) AS n_purchase_exact,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM (
+        |     SELECT user_id FROM e GROUP BY user_id
+        |     HAVING count(DISTINCT event_type) = 2)) AS n_overlap_exact,
+        |  TRUE AS est_within_15pct
+        |FROM e""".stripMargin,
+    "q39b_approx_percentiles" ->
+      """SELECT o_orderstatus,
+        |  round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+        |  round(quantile_cont(o_totalprice, 0.99), 2) AS p99,
+        |  TRUE AS ap50_within_5pct,
+        |  TRUE AS ap99_within_5pct
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q13_rollup" ->
       """SELECT r_name, n_name, count(*) AS cnt, round(sum(c_acctbal), 2) AS bal
         |FROM customer

@@ -489,7 +489,8 @@ object Stats {
     * so every replica is bit-reproducible on both engines and across
     * reruns — a rerun-stable CI, which "random" bootstraps never give.
     * CI bounds are ORDER STATISTICS of the 32 replica means (2nd and
-    * 31st — the ~94% percentile interval), never interpolated;
+    * 31st — the [2/32, 31/32] ≈ [6.25%, 96.875%] percentile pair,
+    * ~91% nominal coverage), never interpolated;
     * replica means divide exact integer sums, and ties rank by
     * replica id.
     */
@@ -565,7 +566,141 @@ object Stats {
       )
   }
 
+  /** q153: exact WEIGHTED quantiles (p25/p50/p75 of l_extendedprice
+    * weighted by l_quantity, per return flag) — the estimator a
+    * token-weighted corpus percentile needs (a doc's length weights its
+    * contribution; unweighted quantiles over doc rows answer a
+    * different question). Neither engine has a weighted-quantile
+    * builtin, so both spell the DEFINITION: the p-quantile is the
+    * smallest value whose cumulative weight reaches p·W — pure integer
+    * arithmetic (4·cum ≥ k·W for k = 1,2,3), no interpolation, so the
+    * gate is bit-exact cross-engine.
+    *
+    * Scale shape: ONE hash aggregate to the per-(flag, centivalue)
+    * weight frame (domain-bounded: ≤ price-range/1 cent rows, never
+    * corpus rows), then the q46b/q111 two-level shard cumulation —
+    * per-(flag, shard) totals, a flag-partitioned window over ≤
+    * range/65536 shard rows for offsets, a (flag, shard)-partitioned
+    * local window (≤ 65536 values per task) — and a 3-row conditional-
+    * min aggregate. No corpus-sized window, no sort of the corpus.
+    * Weight sums stay far under 2^63/4 here; at 100 TB the cum column
+    * is the q146 DECIMAL(38) swap-in.
+    */
+  private def q153(s: SparkSession, dir: String): DataFrame = {
+    val pv = Tables
+      .table(s, dir, "lineitem")
+      .select(
+        col("l_returnflag").as("f"),
+        round(col("l_extendedprice") * 100.0, 0).cast("long").as("vc"),
+        round(col("l_quantity"), 0).cast("long").as("w")
+      )
+      .groupBy("f", "vc")
+      .agg(sum("w").as("w"))
+      .withColumn("shard", expr("vc div 65536"))
+    val offsets = pv
+      .groupBy("f", "shard")
+      .agg(sum("w").as("shard_w"))
+      .withColumn(
+        "shard_offset",
+        coalesce(
+          sum("shard_w").over(
+            Window
+              .partitionBy("f")
+              .orderBy("shard")
+              .rowsBetween(Window.unboundedPreceding, -1)
+          ),
+          lit(0L)
+        )
+      )
+      .select("f", "shard", "shard_offset")
+    val local = Window
+      .partitionBy("f", "shard")
+      .orderBy("vc")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val totals = pv.groupBy("f").agg(sum("w").as("tot"))
+    pv.join(broadcast(offsets), Seq("f", "shard"))
+      .withColumn("cum_le", col("shard_offset") + sum("w").over(local))
+      .join(broadcast(totals), "f")
+      .groupBy(col("f").as("l_returnflag"))
+      .agg(
+        max(col("tot")).as("w_total"),
+        min(when(col("cum_le") * 4 >= col("tot"), col("vc"))).as("wp25_centi"),
+        min(when(col("cum_le") * 4 >= col("tot") * 2, col("vc"))).as("wp50_centi"),
+        min(when(col("cum_le") * 4 >= col("tot") * 3, col("vc"))).as("wp75_centi")
+      )
+      .orderBy("l_returnflag")
+  }
+
+  /** q156: CUSUM change-point detection over the daily event-value
+    * series — "did the mean shift, and on which day" (the monitoring
+    * primitive a pipeline runs on ingest volume / quality-score drift
+    * before retraining on a contaminated window). Per-day deviation is
+    * kept EXACT by cross-multiplying instead of dividing: dev_d =
+    * s_d·N − n_d·SV (the day's sum against the global mean, scaled by
+    * N), so the cumulative statistic is an integer and the peak argmax
+    * is decided by integer comparison — no float accumulation order
+    * anywhere. Emitted per day: exact counts/sums, the N-scaled CUSUM
+    * re-expressed in dollars (one exact-integer→double division, then
+    * the round grid), and the peak flag (max |CUSUM|, earliest-day
+    * tie-break).
+    *
+    * Scale shape: ONE corpus hash aggregate to the day frame; every
+    * window/join after it runs over #days rows (calendar-bounded — 30
+    * here, ≤ a few thousand at any corpus age). The day-ordered window
+    * is unpartitioned but bounded by construction (allowlisted in
+    * GlobalWindowAuditSpec). dev products stay under 2^63 through
+    * sf0.1 ~1e9-row territory; the DECIMAL(38) swap-in is documented
+    * for beyond (the q146 convention).
+    *
+    * The emitted CUSUM stays the exact N·centi-scaled INTEGER — an
+    * sf0.001 probe caught round(cusum/(N·100), 4) landing one ulp on
+    * opposite sides of a .00005 boundary across engines (Spark rounds
+    * through exact BigDecimal, DuckDB through float scaling), so the
+    * gate exposes no post-division rounding at all; the analyst divides
+    * by N·100 for a dollar display.
+    */
+  private def q156(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables
+      .table(s, dir, "events")
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100.0, 0).cast("long")).as("sv_centi")
+      )
+    val tot = daily.agg(
+      sum("n_events").as("nn"),
+      sum("sv_centi").as("svv")
+    )
+    val cum = daily
+      .crossJoin(broadcast(tot)) // 1 row
+      .withColumn("dev", col("sv_centi") * col("nn") - col("n_events") * col("svv"))
+      .withColumn(
+        "cusum",
+        sum("dev").over(
+          Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+        )
+      )
+    val peak = cum
+      .agg(max(abs(col("cusum"))).as("peak_abs"))
+    val peakDay = cum
+      .crossJoin(broadcast(peak))
+      .filter(abs(col("cusum")) === col("peak_abs"))
+      .agg(min("d").as("peak_d"))
+    cum
+      .crossJoin(broadcast(peakDay)) // 1 row
+      .select(
+        col("d"),
+        col("n_events"),
+        col("sv_centi"),
+        col("cusum").as("cusum_num"),
+        (col("d") === col("peak_d")).as("is_peak")
+      )
+      .orderBy("d")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q153_weighted_quantiles" -> q153,
+    "q156_cusum_changepoint" -> q156,
     "q86_chi_square" -> q86,
     "q87_ab_test" -> q87,
     "q120_ols_probe" -> q120,
@@ -627,7 +762,50 @@ object Stats {
       |FROM f""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
-    "q120_ols_probe" -> q120OracleSql,
+    // weighted quantiles from the definition: smallest value whose
+    // cumulative weight reaches k·W/4 — all-integer comparison, same
+    // centi snapping as the Spark side
+    "q153_weighted_quantiles" ->
+      """WITH pv AS (
+        |  SELECT l_returnflag AS f,
+        |    CAST(round(l_extendedprice * 100.0, 0) AS BIGINT) AS vc,
+        |    CAST(sum(CAST(round(l_quantity, 0) AS BIGINT)) AS BIGINT) AS w
+        |  FROM lineitem GROUP BY 1, 2),
+        |c AS (
+        |  SELECT f, vc, w,
+        |    CAST(sum(w) OVER (PARTITION BY f ORDER BY vc) AS BIGINT) AS cum_le,
+        |    CAST(sum(w) OVER (PARTITION BY f) AS BIGINT) AS tot
+        |  FROM pv)
+        |SELECT f AS l_returnflag,
+        |  CAST(max(tot) AS BIGINT) AS w_total,
+        |  min(CASE WHEN cum_le * 4 >= tot THEN vc END) AS wp25_centi,
+        |  min(CASE WHEN cum_le * 4 >= tot * 2 THEN vc END) AS wp50_centi,
+        |  min(CASE WHEN cum_le * 4 >= tot * 3 THEN vc END) AS wp75_centi
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    // CUSUM over the day frame: identical exact-integer cross-multiplied
+    // deviations, one double division at the end, earliest-peak tie-break
+    "q156_cusum_changepoint" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS d,
+        |    CAST(count(*) AS BIGINT) AS n_events,
+        |    CAST(sum(CAST(round(value * 100.0, 0) AS BIGINT)) AS BIGINT) AS sv_centi
+        |  FROM events GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(sum(n_events) AS BIGINT) AS nn,
+        |    CAST(sum(sv_centi) AS BIGINT) AS svv
+        |  FROM daily),
+        |cum AS (
+        |  SELECT d, n_events, sv_centi, nn,
+        |    CAST(sum(sv_centi * nn - n_events * svv)
+        |         OVER (ORDER BY d) AS BIGINT) AS cusum
+        |  FROM daily, tot),
+        |pk AS (
+        |  SELECT min(d) AS peak_d FROM cum
+        |  WHERE abs(cusum) = (SELECT max(abs(cusum)) FROM cum))
+        |SELECT d, n_events, sv_centi,
+        |  cusum AS cusum_num,
+        |  d = peak_d AS is_peak
+        |FROM cum, pk ORDER BY d""".stripMargin,
     "q145_ks_drift" ->
       """WITH s AS (
         |  SELECT CAST(round(value * 100, 0) AS BIGINT) AS vc,
@@ -736,7 +914,7 @@ object Stats {
         |  round(round(
         |    (CAST(u2a AS DOUBLE) - CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
         |    / (2.0 * sqrt((CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
-        |        * CAST(n * n * n - n - t3t AS DOUBLE))
+        |        * CAST(CAST(n AS HUGEINT) * n * n - n - t3t AS DOUBLE))
         |        / (12.0 * CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))),
         |    6), 4) + 0.0 AS z_stat
         |FROM u""".stripMargin,

@@ -118,12 +118,64 @@ object TimeSeries {
       )
       .orderBy("event_type", "day")
 
+  /** q155: rolling 7-day MEDIAN smoothing of the daily value series per
+    * event type — the robust trend line (a single flash-crash day drags
+    * a rolling MEAN for a week; the rolling median shrugs it off, which
+    * is why monitoring smooths with medians before alerting). Median
+    * inputs are exact centi BIGINT daily sums, so the only float is the
+    * interpolation midpoint — (a+b)/2 of integers, exactly
+    * representable — then one /100 and the round grid; the first 6 days
+    * smooth over their shorter prefix (the standard expanding warm-up,
+    * n_in_win says so explicitly).
+    *
+    * Scale shape: ONE corpus hash aggregate to the (type, day) frame;
+    * the rolling window runs over day-level rows (calendar-bounded)
+    * partitioned by type with a 7-ROW frame — never the corpus, never
+    * unpartitioned.
+    */
+  private def q155(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables
+      .table(s, dir, "events")
+      .groupBy(
+        col("event_type"),
+        to_date(col("ts")).as("d")
+      )
+      .agg(sum(round(col("value") * 100.0, 0).cast("long")).as("sv"))
+    val w = Window
+      .partitionBy("event_type")
+      .orderBy("d")
+      .rowsBetween(-6, 0)
+    daily
+      .select(
+        col("event_type"),
+        col("d"),
+        col("sv"),
+        count(lit(1)).over(w).as("n_in_win"),
+        (round(expr("percentile(sv, 0.5)").over(w) / 100.0, 4) + 0.0)
+          .as("roll_med_7d")
+      )
+      .orderBy("event_type", "d")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q119_twap" -> q119,
-    "q119b_ohlc_vwap" -> q119b
+    "q119b_ohlc_vwap" -> q119b,
+    "q155_rolling_median" -> q155
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q155_rolling_median" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS d,
+        |    CAST(sum(CAST(round(value * 100.0, 0) AS BIGINT)) AS BIGINT) AS sv
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, d, sv,
+        |  CAST(count(*) OVER w AS BIGINT) AS n_in_win,
+        |  round(quantile_cont(sv, 0.5) OVER w / 100.0, 4) + 0.0 AS roll_med_7d
+        |FROM daily
+        |WINDOW w AS (PARTITION BY event_type ORDER BY d
+        |             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_type, d""".stripMargin,
     "q119_twap" ->
       """WITH e AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS us,

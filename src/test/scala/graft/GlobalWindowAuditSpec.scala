@@ -39,6 +39,7 @@ class GlobalWindowAuditSpec extends SparkSpec {
     "q145_ks_drift" -> "two-level cumulation: window over SHARD offsets (≤ value-range/256 rows)",
     "q150_mann_whitney" -> "two-level cumulation: window over SHARD offsets (≤ value-range/256 rows)",
     "q152_bootstrap_ci" -> "replica-mean ranking over exactly B = 32 rows by construction",
+    "q156_cusum_changepoint" -> "day-ordered cumsum over the daily aggregate frame (calendar-bounded rows)",
     "q147_skyline" -> "two-level cumulation: window over SHARD offsets (≤ price-range/256 rows)",
     "q115_ndcg_mrr" -> "rank pivots AFTER limit(NdcgK): ≤ 10-row ranked/ideal frames"
   )

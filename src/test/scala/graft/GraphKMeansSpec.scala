@@ -75,6 +75,18 @@ class GraphKMeansSpec extends SparkSpec {
     assert(got.map(_._2).distinct.length == K, "an emptied cluster at sf0.001?")
   }
 
+  test("KMeans.train refuses a frame without vec_id (init determinism)") {
+    // the fail-loudly contract: first-k init needs a total order;
+    // limit-without-sort would silently vary across plans/retries
+    import spark.implicits._
+    val noId = Seq((Array(1f, 0f)), (Array(0f, 1f)))
+      .toDF("embedding")
+    val e = intercept[IllegalArgumentException] {
+      graft.llm.KMeans.train(noId, k = 2, iterations = 1)
+    }
+    assert(e.getMessage.contains("vec_id"))
+  }
+
   test("q70 assignment plan is map-only: no join anywhere") {
     val plan = SparkEntry
       .queries("q70_kmeans")(spark, sf)

@@ -124,4 +124,99 @@ class HypothesisSpec extends SparkSpec {
     val zn = (u2a - na.toDouble * nb) / (2.0 * math.sqrt(varU))
     assert(math.abs(z - zn) < 1e-3, s"z $z vs naive $zn")
   }
+
+  test("q153 weighted quantiles equal a naive cumulative-weight walk") {
+    val rows = SparkEntry.queries("q153_weighted_quantiles")(spark, sf).collect()
+    val data = graft.queries.Tables
+      .table(spark, sf, "lineitem")
+      .select(
+        col("l_returnflag"),
+        round(col("l_extendedprice") * 100.0, 0).cast("long").as("vc"),
+        round(col("l_quantity"), 0).cast("long").as("w")
+      )
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    rows.foreach { r =>
+      val f = r.getString(0)
+      val grp = data.filter(_._1 == f).map(t => (t._2, t._3))
+      val tot = grp.map(_._2).sum
+      assert(r.getLong(1) == tot)
+      // naive: sort by value, walk until cumulative weight reaches k·W/4
+      val sorted = grp.groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq.sortBy(_._1)
+      def q(k: Int): Long = {
+        var cum = 0L
+        sorted.find { case (_, w) => cum += w; 4 * cum >= k * tot }.get._1
+      }
+      assert(r.getLong(2) == q(1), s"$f p25")
+      assert(r.getLong(3) == q(2), s"$f p50")
+      assert(r.getLong(4) == q(3), s"$f p75")
+      // order sanity: quantiles are monotone
+      assert(r.getLong(2) <= r.getLong(3) && r.getLong(3) <= r.getLong(4))
+    }
+  }
+
+  test("q156 CUSUM equals a naive daily replay and flags the true peak") {
+    val rows = SparkEntry
+      .queries("q156_cusum_changepoint")(spark, sf)
+      .collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    val daily = rows.map(r => (r._1, r._2, r._3)).sortBy(_._1)
+    val nn = daily.map(_._2).sum
+    val svv = daily.map(_._3).sum
+    var cum = 0L
+    val naive = daily.map { case (d, n, sv) =>
+      cum += sv * nn - n * svv
+      d -> cum
+    }.toMap
+    rows.foreach { case (d, _, _, cusum, _) =>
+      assert(cusum == naive(d), s"$d: $cusum vs naive ${naive(d)}")
+    }
+    // exactly the earliest max-|CUSUM| day is flagged
+    val peakAbs = naive.values.map(math.abs).max
+    val peakDay = naive.filter(kv => math.abs(kv._2) == peakAbs).keys.min
+    assert(rows.filter(_._5).map(_._1).toSeq == Seq(peakDay))
+    // and the total deviation telescopes to zero (Σ dev = SV·N − N·SV)
+    assert(naive(daily.last._1) == 0L)
+  }
+
+  test("q152 bootstrap CI equals a naive driver-side Poisson replay") {
+    val row = SparkEntry.queries("q152_bootstrap_ci")(spark, sf).collect().head
+    val (n, meanV, lo, hi) =
+      (row.getLong(0), row.getDouble(1), row.getDouble(2), row.getDouble(3))
+
+    val ev = graft.queries.Tables
+      .table(spark, sf, "events")
+      .select(col("event_id"), round(col("value") * 100.0, 0).cast("long").as("vc"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(n == ev.length.toLong)
+
+    // the same md5-derived integer-grid Poisson(1) multiplicity the
+    // query (and oracle) spell: first 15 hex chars of md5("id:b"),
+    // base-16, mod 10⁶, inverse-CDF lookup
+    val cdf = Seq(367879, 735758, 919698, 981011, 996340, 999405)
+    def mult(id: Long, b: Int): Long = {
+      val hex = java.security.MessageDigest
+        .getInstance("MD5")
+        .digest(s"$id:$b".getBytes("UTF-8"))
+        .map("%02x".format(_))
+        .mkString
+      val u = java.lang.Long.parseLong(hex.substring(0, 15), 16) % 1000000
+      val k = cdf.indexWhere(u < _)
+      if (k < 0) 6L else k.toLong
+    }
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+
+    val means = (0 until 32).map { b =>
+      var sv = 0L; var sm = 0L
+      ev.foreach { case (id, vc) => val m = mult(id, b); sv += m * vc; sm += m }
+      (sv.toDouble / sm.toDouble / 100.0, b)
+    }.sorted // (mean, replica-id) — the query's exact tie-break
+    assert(lo == r6(means(1)._1), s"ci_lo $lo vs naive ${r6(means(1)._1)}")
+    assert(hi == r6(means(30)._1), s"ci_hi $hi vs naive ${r6(means(30)._1)}")
+    assert(lo <= hi)
+    val naiveMean = r6(ev.map(_._2).sum.toDouble / ev.length / 100.0)
+    assert(meanV == naiveMean, s"mean $meanV vs naive $naiveMean")
+  }
 }

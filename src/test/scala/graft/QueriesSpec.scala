@@ -37,34 +37,76 @@ class QueriesSpec extends SparkSpec {
       .collect()
       .map(r => r.getDate(0).toString -> r.getLong(1))
       .toMap
-    val merged = SparkEntry
-      .queries("q12c_sketch_rollup")(spark, sf)
+    // the gate now emits exact twin + bound boolean (hash-checked by the
+    // driver); the raw merged estimate is recomputed here with the same
+    // two-stage shape for the BIT-equality pin
+    val merged = e
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      .groupBy(to_date(date_trunc("week", col("d"))).as("wk"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
       .collect()
-      .map(r => r.getDate(0).toString -> r.getAs[Long]("est_users"))
+      .map(r => r.getDate(0).toString -> r.getLong(1))
       .toMap
     // register merge is lossless and order-independent: EXACT equality,
     // not a tolerance — any drift means the rollup lost sketch state
     assert(merged == direct, s"merged $merged != direct $direct")
-    // and the estimate tracks exact distincts within HLL's usual bound
-    val exact = e
-      .groupBy(to_date(date_trunc("week", col("ts"))).as("wk"))
-      .agg(countDistinct(col("user_id")).as("n"))
-      .collect()
-      .map(r => r.getDate(0).toString -> r.getLong(1))
-      .toMap
-    exact.foreach { case (wk, n) =>
-      assert(math.abs(merged(wk) - n).toDouble / n <= 0.05, s"$wk: ${merged(wk)} vs $n")
+    // and the gate's in-plan bound holds on every week
+    val gate = SparkEntry.queries("q12c_sketch_rollup")(spark, sf).collect()
+    assert(gate.nonEmpty)
+    gate.foreach { r =>
+      assert(r.getAs[Boolean]("est_within_5pct"), s"week ${r.get(0)} out of bound")
     }
   }
 
+  test("q154 sketch-overlap estimate tracks the exact intersection") {
+    import org.apache.spark.sql.functions._
+    val r = SparkEntry.queries("q154_sketch_overlap")(spark, sf).collect().head
+    val (nA, nB, nBoth) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(r.getBoolean(3), "in-plan 15% bound tripped")
+    // overlap can never exceed either side, and both populations exist
+    assert(nBoth <= math.min(nA, nB) && nA > 0 && nB > 0)
+    // the raw inclusion-exclusion estimate, recomputed with the same
+    // sketch expressions, lands inside the gate's bound
+    val e = graft.queries.Tables
+      .table(spark, sf, "events")
+      .filter(col("event_type").isin("view", "purchase"))
+    val est = e
+      .agg(
+        hll_sketch_estimate(
+          hll_sketch_agg(when(col("event_type") === "view", col("user_id")))
+        ).as("ea"),
+        hll_sketch_estimate(
+          hll_sketch_agg(when(col("event_type") === "purchase", col("user_id")))
+        ).as("eb"),
+        hll_sketch_estimate(
+          hll_union(
+            hll_sketch_agg(when(col("event_type") === "view", col("user_id"))),
+            hll_sketch_agg(when(col("event_type") === "purchase", col("user_id")))
+          )
+        ).as("eu")
+      )
+      .collect()
+      .head
+    val inter = est.getLong(0) + est.getLong(1) - est.getLong(2)
+    assert(
+      math.abs(inter - nBoth).toDouble / nBoth <= 0.15,
+      s"estimate $inter vs exact $nBoth"
+    )
+  }
+
   test("approx_count_distinct within 5% of exact (q12 vs q12b)") {
+    import org.apache.spark.sql.functions._
     val exact = SparkEntry
       .queries("q12_distinct_agg")(spark, sf)
       .collect()
       .map(r => r.getString(0) -> r.getLong(1))
       .toMap
-    val approx = SparkEntry
-      .queries("q12b_approx_distinct")(spark, sf)
+    // raw estimates, same expression the gate folds into its boolean
+    val approx = graft.queries.Tables
+      .table(spark, sf, "events")
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id")).as("a"))
       .collect()
       .map(r => r.getString(0) -> r.getLong(1))
       .toMap
@@ -76,16 +118,26 @@ class QueriesSpec extends SparkSpec {
         s"$k: approx $a vs exact $e"
       )
     }
+    // the gate's in-plan booleans agree
+    SparkEntry.queries("q12b_approx_distinct")(spark, sf).collect().foreach { r =>
+      assert(r.getAs[Boolean]("approx_within_5pct"), s"${r.get(0)} out of bound")
+    }
   }
 
   test("approx_percentile within 5% of exact (q39 vs q39b)") {
+    import org.apache.spark.sql.functions._
     val exact = SparkEntry
       .queries("q39_percentiles")(spark, sf)
       .collect()
       .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(4)))
       .toMap
-    val approx = SparkEntry
-      .queries("q39b_approx_percentiles")(spark, sf)
+    val approx = graft.queries.Tables
+      .table(spark, sf, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        round(expr("approx_percentile(o_totalprice, 0.5, 10000)"), 2).as("a50"),
+        round(expr("approx_percentile(o_totalprice, 0.99, 10000)"), 2).as("a99")
+      )
       .collect()
       .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
       .toMap
@@ -94,6 +146,10 @@ class QueriesSpec extends SparkSpec {
       val (ap50, ap99) = approx(k)
       assert(math.abs(ap50 - p50) / p50 <= 0.05, s"$k p50: $ap50 vs $p50")
       assert(math.abs(ap99 - p99) / p99 <= 0.05, s"$k p99: $ap99 vs $p99")
+    }
+    SparkEntry.queries("q39b_approx_percentiles")(spark, sf).collect().foreach { r =>
+      assert(r.getAs[Boolean]("ap50_within_5pct") && r.getAs[Boolean]("ap99_within_5pct"),
+        s"${r.get(0)} out of bound")
     }
   }
 

@@ -73,4 +73,28 @@ class TimeSeriesSpec extends SparkSpec {
       assert(low <= open && open <= high && low <= close && close <= high)
     }
   }
+
+  test("q155 rolling median equals a naive 7-day trailing-window replay") {
+    val rows = SparkEntry
+      .queries("q155_rolling_median")(spark, sf)
+      .collect()
+      .map(r =>
+        (r.getString(0), r.getDate(1).toString, r.getLong(2), r.getLong(3), r.getDouble(4))
+      )
+    assert(rows.nonEmpty)
+    def rnd4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+    rows.groupBy(_._1).foreach { case (tpe, grp) =>
+      val ordered = grp.sortBy(_._2)
+      ordered.zipWithIndex.foreach { case ((_, d, _, nWin, med), i) =>
+        val win = ordered.slice(math.max(0, i - 6), i + 1).map(_._3.toDouble).sorted
+        assert(nWin == win.length.toLong, s"$tpe $d n_in_win")
+        // continuous median: midpoint of the two middle values when even
+        val naive =
+          if (win.length % 2 == 1) win(win.length / 2)
+          else (win(win.length / 2 - 1) + win(win.length / 2)) / 2.0
+        assert(med == rnd4(naive / 100.0), s"$tpe $d: $med vs ${rnd4(naive / 100.0)}")
+      }
+    }
+  }
 }
