@@ -78,12 +78,97 @@ object Embeddings {
       .orderBy("vec_id", "k")
   }
 
+  /** q157: per-dimension int8 affine quantization audit — the
+    * store-embeddings-4×-smaller decision (a 100 TB embedding store is
+    * mostly float32 bytes; int8 with per-dim scale/zero-point is the
+    * standard first compression, and this report says what it costs in
+    * reconstruction error BEFORE committing the store). Everything is
+    * EXACT integer arithmetic on a micro grid: values snap by
+    * floor(v·10⁶) (floor, not round — floor of an exact double product
+    * is identical cross-engine, the q156 boundary lesson applied ahead
+    * of time), the quantized code is nearest-integer by integer
+    * cross-multiplication ((2·255·(v−mn) + range) div (2·range)), and
+    * the summed squared error is an exact BIGINT — the only floats are
+    * the final per-dim RMSE (one sqrt + one division from exact ints,
+    * gridded). Constant dims quantize to code 0 with zero error.
+    *
+    * Scale shape: two corpus-exploded passes, both collapsed map-side
+    * (per-dim min/max, then per-dim SSE after a 64-row broadcast join);
+    * the shuffle carries #dims-sized partials only. SSE fits BIGINT to
+    * ~10¹⁰ rows×dims; the q146 DECIMAL(38) swap-in is the documented
+    * path beyond.
+    */
+  private def q157(s: SparkSession, dir: String): DataFrame = {
+    val x = Tables
+      .table(s, dir, "embeddings")
+      .select(posexplode(col("embedding")).as(Seq("i0", "v")))
+      .select(
+        (col("i0") + 1).cast("long").as("i"),
+        floor(col("v").cast("double") * lit(1000000.0)).cast("long").as("vi")
+      )
+    val st = x
+      .groupBy("i")
+      .agg(min("vi").as("mn"), max("vi").as("mx"), count(lit(1)).as("n"))
+    x.join(broadcast(st), "i")
+      .withColumn(
+        "q8",
+        when(col("mx") === col("mn"), lit(0L))
+          .otherwise(expr("(2 * 255 * (vi - mn) + (mx - mn)) div (2 * (mx - mn))"))
+      )
+      .withColumn("en", expr("255 * (vi - mn) - q8 * (mx - mn)"))
+      .groupBy("i", "mn", "mx", "n")
+      .agg(sum(col("en") * col("en")).as("sse"))
+      .select(
+        col("i"),
+        col("n").as("n_vecs"),
+        col("mn").as("mn_micro"),
+        col("mx").as("mx_micro"),
+        col("sse").as("sse_num"),
+        (round(
+          sqrt(col("sse").cast("double") / col("n").cast("double")) / 255.0,
+          4
+        ) + 0.0).as("rmse_micro")
+      )
+      .orderBy("i")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q54_embedding_centroids" -> q54,
-    "q54b_random_projection" -> q54b
+    "q54b_random_projection" -> q54b,
+    "q157_int8_quantization" -> q157
   )
 
   val oracleSql: Map[String, String] = Map(
+    // identical integer pipeline: floor-snap to the micro grid, integer
+    // nearest-code division (// is floor division on positives, same as
+    // Spark's div), exact BIGINT SSE, one sqrt+division at the end
+    "q157_int8_quantization" ->
+      """WITH x AS (
+        |  SELECT p.i AS i,
+        |    CAST(floor(CAST(p.v AS DOUBLE) * 1000000.0) AS BIGINT) AS vi
+        |  FROM (SELECT unnest(list_transform(
+        |          generate_series(1, len(embedding)),
+        |          j -> struct_pack(i := j, v := embedding[j]))) AS p
+        |        FROM embeddings)),
+        |st AS (
+        |  SELECT i, CAST(min(vi) AS BIGINT) AS mn, CAST(max(vi) AS BIGINT) AS mx,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM x GROUP BY 1),
+        |e AS (
+        |  SELECT x.i, st.mn, st.mx, st.n, x.vi,
+        |    CASE WHEN st.mx = st.mn THEN 0
+        |         ELSE (2 * 255 * (x.vi - st.mn) + (st.mx - st.mn))
+        |              // (2 * (st.mx - st.mn)) END AS q8
+        |  FROM x JOIN st USING (i)),
+        |r AS (
+        |  SELECT i, mn, mx, n,
+        |    CAST(sum((255 * (vi - mn) - q8 * (mx - mn))
+        |           * (255 * (vi - mn) - q8 * (mx - mn))) AS BIGINT) AS sse
+        |  FROM e GROUP BY 1, 2, 3, 4)
+        |SELECT i, n AS n_vecs, mn AS mn_micro, mx AS mx_micro, sse AS sse_num,
+        |  round(sqrt(CAST(sse AS DOUBLE) / CAST(n AS DOUBLE)) / 255.0, 4) + 0.0
+        |    AS rmse_micro
+        |FROM r ORDER BY i""".stripMargin,
     // dimension count derives from each row's own list length (as the
     // Spark posexplode does) — no hard-coded dim that could silently
     // diverge if a testdata generation ever changes width

@@ -589,7 +589,58 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** q159: corpus-level n-gram diversity (distinct-n) — the metric a
+    * synthetic-data or dedup pipeline tracks round over round: the
+    * distinct/total ratio of 1/2/3-grams ACROSS the corpus (per-doc
+    * repetition is q55's job; cross-doc mode collapse only shows up
+    * here — a generator emitting the same fluent paragraph everywhere
+    * scores perfect per-doc diversity and craters this one). All three
+    * gram orders ride ONE map pass (tagged structs flattened from three
+    * guarded transforms — Spark's sequence(1, 0) counts DOWN, so short
+    * docs guard with an empty array, never a descending index walk)
+    * into ONE (n, gram) hash aggregate with map-side combine; the
+    * per-n rollup then runs over the distinct-gram frame. The gram
+    * shuffle is vocabulary-sized (distinct grams), not corpus-sized —
+    * the one-shuffle shape; at extreme scale approx_count_distinct is
+    * the documented swap-in for the same ratio.
+    */
+  private def q159(s: SparkSession, dir: String): DataFrame = {
+    val ws = filter(split(col("text"), " "), w => w =!= "")
+    val gramStruct = "array<struct<n:int,g:string>>"
+    val tagged = flatten(
+      array((1 to 3).map { n =>
+        when(
+          size(ws) >= n,
+          transform(
+            sequence(lit(1), size(ws) - (n - 1)),
+            i => struct(lit(n).as("n"), concat_ws(" ", slice(ws, i, lit(n))).as("g"))
+          )
+        ).otherwise(array().cast(gramStruct))
+      }: _*)
+    )
+    docs(s, dir)
+      .select(explode(tagged).as("p"))
+      .groupBy(col("p.n").as("n"), col("p.g").as("g"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy("n")
+      .agg(
+        sum("c").as("total_ngrams"),
+        count(lit(1)).as("distinct_ngrams")
+      )
+      .select(
+        col("n"),
+        col("total_ngrams"),
+        col("distinct_ngrams"),
+        (round(
+          col("distinct_ngrams").cast("double") / col("total_ngrams").cast("double"),
+          6
+        ) + 0.0).as("distinct_ratio")
+      )
+      .orderBy("n")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q159_ngram_diversity" -> q159,
     "q149_nfc_normalize" -> q149,
     "q69_distribution_drift" -> q69,
     "q67_corpus_stats" -> q67,
@@ -610,6 +661,40 @@ object TextAnalysis {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // same tagged-gram generation (list_slice is inclusive-both-ends,
+    // so the n-gram at i spans [i, i+n-1]); the guards mirror Spark's
+    // short-doc empty arrays
+    "q159_ngram_diversity" ->
+      """WITH w AS (
+        |  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        |  FROM documents),
+        |g AS (
+        |  SELECT p.n AS n, p.g AS g FROM (
+        |    SELECT unnest(list_concat(
+        |      CASE WHEN len(ws) >= 1 THEN list_transform(
+        |        generate_series(1, len(ws)),
+        |        i -> struct_pack(n := 1,
+        |               g := array_to_string(list_slice(ws, i, i), ' ')))
+        |        ELSE [] END,
+        |      list_concat(
+        |        CASE WHEN len(ws) >= 2 THEN list_transform(
+        |          generate_series(1, len(ws) - 1),
+        |          i -> struct_pack(n := 2,
+        |                 g := array_to_string(list_slice(ws, i, i + 1), ' ')))
+        |          ELSE [] END,
+        |        CASE WHEN len(ws) >= 3 THEN list_transform(
+        |          generate_series(1, len(ws) - 2),
+        |          i -> struct_pack(n := 3,
+        |                 g := array_to_string(list_slice(ws, i, i + 2), ' ')))
+        |          ELSE [] END))) AS p
+        |    FROM w)),
+        |pc AS (SELECT n, g, count(*) AS c FROM g GROUP BY 1, 2)
+        |SELECT CAST(n AS INTEGER) AS n,
+        |  CAST(sum(c) AS BIGINT) AS total_ngrams,
+        |  CAST(count(*) AS BIGINT) AS distinct_ngrams,
+        |  round(CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6) + 0.0
+        |    AS distinct_ratio
+        |FROM pc GROUP BY 1 ORDER BY 1""".stripMargin,
     "q149_nfc_normalize" ->
       """SELECT doc_id,
         |  length('Cafe' || chr(769) || ' nin' || chr(771) || 'o ' || text)

@@ -34,4 +34,40 @@ class EmbeddingsSpec extends SparkSpec {
     // past 2 via correlated columns)
     assert(ratio > 0.7 && ratio < 1.3, s"energy ratio $ratio out of band")
   }
+
+  test("q157 int8 quantization equals a naive per-dim replay; codes stay in [0,255]") {
+    val rows = SparkEntry
+      .queries("q157_int8_quantization")(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))
+      .toMap
+    val vecs = graft.queries.Tables
+      .table(spark, sf, "embeddings")
+      .select("embedding")
+      .collect()
+      .map(_.getSeq[Float](0).toArray)
+    assert(rows.size == vecs.head.length)
+    (0 until vecs.head.length).foreach { d =>
+      val vi = vecs.map(v => math.floor(v(d).toDouble * 1000000.0).toLong)
+      val (n, mn, mx, sse, rmse) = rows(d + 1L)
+      assert(n == vi.length && mn == vi.min && mx == vi.max)
+      val range = mx - mn
+      var naiveSse = 0L
+      vi.foreach { x =>
+        val q =
+          if (range == 0L) 0L
+          else Math.floorDiv(2 * 255 * (x - mn) + range, 2 * range)
+        assert(q >= 0 && q <= 255, s"dim ${d + 1}: code $q escaped int8")
+        val err = 255 * (x - mn) - q * range
+        // nearest-code property: |err| is at most half the step
+        assert(math.abs(err) * 2 <= range || range == 0L)
+        naiveSse += err * err
+      }
+      assert(sse == naiveSse, s"dim ${d + 1}: sse $sse vs naive $naiveSse")
+      val naiveRmse = BigDecimal(math.sqrt(sse.toDouble / n) / 255.0)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble + 0.0
+      assert(rmse == naiveRmse)
+    }
+  }
 }

@@ -631,4 +631,31 @@ class LlmOpsSpec extends SparkSpec {
       .max(Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long.reverse))
     assert(rows.head.getLong(2) == best._2, s"anchor ${a0._1}: positive should be ${best._2}")
   }
+
+  test("q159 n-gram diversity equals a naive sliding-window replay") {
+    val rows = SparkEntry
+      .queries("q159_ngram_diversity")(spark, sf)
+      .collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(rows.keySet == Set(1, 2, 3))
+    val docs = graft.queries.Tables
+      .table(spark, sf, "documents")
+      .select("text")
+      .collect()
+      .map(_.getString(0).split(" ", -1).filter(_.nonEmpty).toSeq)
+    (1 to 3).foreach { n =>
+      val grams = docs.flatMap(ws => ws.sliding(n).filter(_.length == n).map(_.mkString(" ")))
+      val (total, distinct, ratio) = rows(n)
+      assert(total == grams.length.toLong, s"n=$n total")
+      assert(distinct == grams.distinct.length.toLong, s"n=$n distinct")
+      val naive = BigDecimal(grams.distinct.length.toDouble / grams.length)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble + 0.0
+      assert(ratio == naive, s"n=$n ratio")
+      // diversity falls as n rises only for the TOTAL (shorter windows),
+      // while the ratio must monotonically rise (longer grams are rarer)
+      if (n > 1) assert(ratio >= rows(n - 1)._3)
+    }
+  }
 }
