@@ -698,8 +698,130 @@ object Stats {
       .orderBy("d")
   }
 
+  /** q158: split-conformal prediction intervals per event type — the
+    * distribution-free uncertainty wrapper an eval pipeline puts around
+    * ANY point predictor ("the interval that covers 90% of unseen
+    * values, guaranteed, no normality assumption"). THREE-way q43-style
+    * md5 split on event_id — train (<34) fits the group-mean predictor,
+    * calibration (34–66) supplies residuals, test (≥67) audits — the
+    * split-conformal contract: scores must be computed with a model
+    * INDEPENDENT of the calibration rows (fitting the mean on the
+    * calibration set itself biases its own residuals small; the first
+    * cut of this query did exactly that and its spec caught realized
+    * coverage at 0.80, 4.7σ below nominal). The conformal radius is the
+    * ⌈0.9·(n_cal+1)⌉-th smallest absolute residual — an EXACT order
+    * statistic selected WITHOUT sorting the corpus: residuals stay
+    * integer by the common-denominator trick (|vc·n_tr − sv_tr| —
+    * within one group every comparison shares the train-side scale),
+    * counted per distinct value, rank threshold via the q153
+    * cumulative-walk. Test-side coverage is an exact integer count
+    * against the same integer radius; exchangeability says ≥ 90% in
+    * expectation.
+    *
+    * Scale shape: one hash aggregate per split side, a per-(type,
+    * residual) count frame (domain-bounded), the q153 two-level shard
+    * cumulation for the rank selection, and a broadcast of the 5-row
+    * radius table back onto the test side. No corpus sort, no window
+    * over corpus rows. vc·n products fit BIGINT through ~10⁸ rows/group;
+    * DECIMAL(38) is the documented swap-in (q146 convention).
+    */
+  private def q158(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables
+      .table(s, dir, "events")
+      .select(
+        col("event_type"),
+        round(col("value") * 100.0, 0).cast("long").as("vc"),
+        graft.llm.Sampling.bucket100(col("event_id")).as("b")
+      )
+    // train slice fits the predictor; its (n, sv) is the model
+    val model = e
+      .filter(col("b") < 34)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_tr"), sum("vc").as("sv"))
+    // calibration residuals on the common denominator n_tr
+    val resid = e
+      .filter(col("b") >= 34 && col("b") < 67)
+      .join(broadcast(model), "event_type")
+      .select(
+        col("event_type"),
+        abs(col("vc") * col("n_tr") - col("sv")).as("r")
+      )
+      .groupBy("event_type", "r")
+      .agg(count(lit(1)).as("c"))
+      .withColumn("shard", expr("r div 1048576"))
+    val offsets = resid
+      .groupBy("event_type", "shard")
+      .agg(sum("c").as("shard_c"))
+      .withColumn(
+        "shard_offset",
+        coalesce(
+          sum("shard_c").over(
+            Window
+              .partitionBy("event_type")
+              .orderBy("shard")
+              .rowsBetween(Window.unboundedPreceding, -1)
+          ),
+          lit(0L)
+        )
+      )
+      .select("event_type", "shard", "shard_offset")
+    val local = Window
+      .partitionBy("event_type", "shard")
+      .orderBy("r")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    // k = ⌈0.9·(n+1)⌉ spelled in integers: (9·(n+1) + 9) div 10
+    val ncal = resid.groupBy("event_type").agg(sum("c").as("n_cal"))
+    val radius = resid
+      .join(broadcast(offsets), Seq("event_type", "shard"))
+      .withColumn("cum_le", col("shard_offset") + sum("c").over(local))
+      .join(broadcast(ncal), "event_type")
+      .groupBy("event_type")
+      .agg(
+        max("n_cal").as("n_cal"),
+        min(
+          when(
+            col("cum_le") * 10 >= (col("n_cal") + 1) * 9,
+            col("r")
+          )
+        ).as("qhat_num")
+      )
+      .join(broadcast(model), "event_type")
+    e.filter(col("b") >= 67)
+      .join(broadcast(radius), "event_type")
+      .groupBy(
+        col("event_type"),
+        col("n_tr"),
+        col("n_cal"),
+        col("qhat_num")
+      )
+      .agg(
+        count(lit(1)).as("n_test"),
+        sum(
+          when(
+            abs(col("vc") * col("n_tr") - col("sv")) <= col("qhat_num"),
+            1L
+          ).otherwise(0L)
+        ).as("n_covered")
+      )
+      .select(
+        col("event_type"),
+        col("n_tr"),
+        col("n_cal"),
+        col("n_test"),
+        col("qhat_num"),
+        // human-scale twins stay INTEGER (floored centi / basis points)
+        // — the q156 lesson: a rounded exact-int quotient can land one
+        // ulp on opposite sides of a grid midpoint across engines
+        expr("qhat_num div n_tr").as("qhat_centi_floor"),
+        col("n_covered"),
+        expr("(n_covered * 10000) div n_test").as("coverage_bp")
+      )
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q153_weighted_quantiles" -> q153,
+    "q158_conformal_interval" -> q158,
     "q156_cusum_changepoint" -> q156,
     "q86_chi_square" -> q86,
     "q87_ab_test" -> q87,
@@ -782,6 +904,46 @@ object Stats {
         |  min(CASE WHEN cum_le * 4 >= tot * 2 THEN vc END) AS wp50_centi,
         |  min(CASE WHEN cum_le * 4 >= tot * 3 THEN vc END) AS wp75_centi
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    // split-conformal: same md5 split, common-denominator integer
+    // residuals, definition-spelled rank selection, integer coverage
+    "q158_conformal_interval" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    CAST(round(value * 100.0, 0) AS BIGINT) AS vc,
+        |    CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15)
+        |         AS BIGINT) % 100 AS b
+        |  FROM events),
+        |m AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_tr,
+        |    CAST(sum(vc) AS BIGINT) AS sv
+        |  FROM e WHERE b < 34 GROUP BY 1),
+        |rc AS (
+        |  SELECT e.event_type, abs(vc * n_tr - sv) AS r,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM e JOIN m USING (event_type)
+        |  WHERE b >= 34 AND b < 67 GROUP BY 1, 2),
+        |nc AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n_cal
+        |       FROM rc GROUP BY 1),
+        |cum AS (
+        |  SELECT event_type, r,
+        |    CAST(sum(c) OVER (PARTITION BY event_type ORDER BY r)
+        |         AS BIGINT) AS cum_le
+        |  FROM rc),
+        |q AS (
+        |  SELECT cum.event_type, nc.n_cal, m.n_tr, m.sv,
+        |    min(CASE WHEN cum_le * 10 >= (n_cal + 1) * 9 THEN r END) AS qhat_num
+        |  FROM cum JOIN nc USING (event_type) JOIN m USING (event_type)
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT e.event_type, q.n_tr, q.n_cal,
+        |  CAST(count(*) AS BIGINT) AS n_test,
+        |  CAST(max(q.qhat_num) AS BIGINT) AS qhat_num,
+        |  CAST(max(q.qhat_num) // q.n_tr AS BIGINT) AS qhat_centi_floor,
+        |  CAST(sum(CASE WHEN abs(vc * q.n_tr - q.sv) <= q.qhat_num
+        |       THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+        |  CAST((sum(CASE WHEN abs(vc * q.n_tr - q.sv) <= q.qhat_num
+        |       THEN 1 ELSE 0 END) * 10000) // count(*) AS BIGINT) AS coverage_bp
+        |FROM e JOIN q USING (event_type) WHERE b >= 67
+        |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
     // CUSUM over the day frame: identical exact-integer cross-multiplied
     // deviations, one double division at the end, earliest-peak tie-break
     "q156_cusum_changepoint" ->

@@ -179,6 +179,42 @@ class HypothesisSpec extends SparkSpec {
     assert(naive(daily.last._1) == 0L)
   }
 
+  test("q158 conformal radius equals a naive sort-and-pick; coverage lands near 90%") {
+    val rows = SparkEntry.queries("q158_conformal_interval")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val ev = graft.queries.Tables
+      .table(spark, sf, "events")
+      .select(
+        col("event_type"),
+        round(col("value") * 100.0, 0).cast("long").as("vc"),
+        graft.llm.Sampling.bucket100(col("event_id")).as("b")
+      )
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    rows.foreach { r =>
+      val tpe = r.getString(0)
+      val train = ev.filter(e => e._1 == tpe && e._3 < 34).map(_._2)
+      val calib = ev.filter(e => e._1 == tpe && e._3 >= 34 && e._3 < 67).map(_._2)
+      val test = ev.filter(e => e._1 == tpe && e._3 >= 67).map(_._2)
+      val nTr = train.length.toLong
+      val nCal = calib.length.toLong
+      assert(r.getLong(1) == nTr && r.getLong(2) == nCal)
+      assert(r.getLong(3) == test.length.toLong)
+      val sv = train.sum
+      // naive: sort all |vc·n_tr − sv| and take the ⌈0.9·(n_cal+1)⌉-th
+      val res = calib.map(vc => math.abs(vc * nTr - sv)).sorted
+      val k = ((nCal + 1) * 9 + 9) / 10 // ⌈0.9(n_cal+1)⌉ in integers
+      val qhat = res(math.min(k, nCal).toInt - 1)
+      assert(r.getLong(4) == qhat, s"$tpe qhat")
+      val covered = test.count(vc => math.abs(vc * nTr - sv) <= qhat).toLong
+      assert(r.getLong(6) == covered && r.getLong(7) == covered * 10000 / test.length)
+      // the distribution-free guarantee: ≥ 90% minus finite-sample slack
+      // (test sides here are ~200 rows at sf0.001 → ±3σ ≈ 0.065)
+      val cov = covered.toDouble / test.length
+      assert(cov > 0.83 && cov <= 1.0, s"$tpe coverage $cov")
+    }
+  }
+
   test("q152 bootstrap CI equals a naive driver-side Poisson replay") {
     val row = SparkEntry.queries("q152_bootstrap_ci")(spark, sf).collect().head
     val (n, meanV, lo, hi) =
