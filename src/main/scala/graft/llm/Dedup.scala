@@ -496,6 +496,85 @@ object Dedup {
       .orderBy("dropped_id")
   }
 
+  // ------------------- q160: perceptual-hash near-dup (banded Hamming)
+
+  /** q160: perceptual-hash near-duplicate detection over decoded media
+    * feature vectors — the IMAGE-dedup analog of MinHash-LSH (a pHash
+    * pipeline: decode → feature vector → sign-quantize against the
+    * per-dimension corpus median → 64-bit signature → find signatures
+    * within Hamming distance ≤ 3). The embeddings table stands in for
+    * the decoded features (the q36 stub-decode convention: the decode
+    * is stubbed, the Spark plumbing is real).
+    *
+    * Scale shape — the pigeonhole band trick, Hamming edition: split
+    * the 64-bit signature into 4 × 16-bit bands; two signatures within
+    * Hamming 3 MUST agree exactly on ≥ 1 band (4 bands, ≤ 3 differing
+    * bits), so candidates come from 4 EQUI-joins on (band_idx, band
+    * value) — never an all-pairs scan — and the exact Hamming verify
+    * (Σ bit_count(xor)) runs on candidates only, q27's banding argument
+    * with bit-bands as buckets. Medians are a 64-row model frame
+    * (exact percentile per dimension; approx_percentile is the
+    * documented 100 TB swap-in — the SIGNATURE math is unchanged).
+    *
+    * The gate plants 50 near-twins (dimension 0 negated → exactly the
+    * sign bit of dim 0 flips when the median sits between ±v₀) so the
+    * detector is load-bearing by construction — the q149 convention;
+    * random unit vectors alone would make ≤3-of-64 collisions
+    * vanishingly rare.
+    */
+  private def q160(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables
+      .table(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val twins = base
+      .filter(col("vec_id") < 50)
+      .select(
+        (col("vec_id") + 1000000L).as("vec_id"),
+        concat(
+          transform(slice(col("embedding"), 1, 1), x => -x),
+          slice(col("embedding"), 2, 1000000)
+        ).as("embedding")
+      )
+    val ex = base
+      .unionByName(twins)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i0", "v")))
+      .select(
+        col("vec_id"),
+        col("i0").cast("long").as("i"),
+        col("v").cast("double").as("v")
+      )
+    val med = ex.groupBy("i").agg(expr("percentile(v, 0.5)").as("med"))
+    val bands = ex
+      .join(broadcast(med), "i")
+      .groupBy(col("vec_id"), expr("i div 16").as("k"))
+      .agg(
+        sum(
+          when(
+            col("v") > col("med"),
+            expr("shiftleft(CAST(1 AS BIGINT), CAST(i % 16 AS INT))")
+          ).otherwise(0L)
+        ).as("band")
+      )
+    val cand = bands
+      .select(col("k"), col("band"), col("vec_id").as("va"))
+      .join(
+        bands.select(col("k"), col("band"), col("vec_id").as("vb")),
+        Seq("k", "band")
+      )
+      .filter(col("va") < col("vb"))
+      .select("va", "vb")
+      .distinct()
+    val sa = bands.select(col("vec_id").as("va"), col("k"), col("band").as("ba"))
+    val sb = bands.select(col("vec_id").as("vb"), col("k"), col("band").as("bb"))
+    cand
+      .join(sa, "va")
+      .join(sb, Seq("vb", "k"))
+      .groupBy("va", "vb")
+      .agg(sum(bit_count(col("ba").bitwiseXOR(col("bb")))).as("hamming"))
+      .filter(col("hamming") <= 3)
+      .orderBy("va", "vb")
+  }
+
   // -------------------------------------- q61: paragraph-level dedup
 
   /** Paragraph stand-in: the corpus has no newlines, so fixed 20-word
@@ -743,6 +822,7 @@ object Dedup {
     "q28_dedup_simhash" -> q28,
     "q29_dedup_embedding_cosine" -> q29,
     "q29b_dedup_semantic_clustered" -> q29b,
+    "q160_phash_neardup" -> q160,
     "q61_paragraph_dedup" -> q61,
     "q61b_exact_substring_spans" -> q61b,
     "q61c_exact_substring_clean" -> q61c
@@ -774,6 +854,43 @@ object Dedup {
       |ORDER BY da, db""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // identical pHash pipeline: same planted twins, same per-dim
+    // medians, same 4×16-bit bands (xor + bit_count on BIGINT), same
+    // pigeonhole candidates; 0-based dimension index matches posexplode
+    "q160_phash_neardup" ->
+      """WITH base AS (SELECT vec_id, embedding FROM embeddings),
+        |tw AS (
+        |  SELECT vec_id + 1000000 AS vec_id,
+        |    list_concat([-embedding[1]], embedding[2:]) AS embedding
+        |  FROM base WHERE vec_id < 50),
+        |allv AS (SELECT * FROM base UNION ALL SELECT * FROM tw),
+        |ex AS (
+        |  SELECT vec_id, CAST(p.i - 1 AS BIGINT) AS i,
+        |    CAST(p.v AS DOUBLE) AS v
+        |  FROM (SELECT vec_id, unnest(list_transform(
+        |          generate_series(1, len(embedding)),
+        |          j -> struct_pack(i := j, v := embedding[j]))) AS p
+        |        FROM allv)),
+        |med AS (SELECT i, quantile_cont(v, 0.5) AS med FROM ex GROUP BY 1),
+        |bands AS (
+        |  SELECT vec_id, i // 16 AS k,
+        |    CAST(sum(CASE WHEN v > med
+        |         THEN (CAST(1 AS BIGINT) << CAST(i % 16 AS INTEGER))
+        |         ELSE 0 END) AS BIGINT) AS band
+        |  FROM ex JOIN med USING (i) GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+        |  FROM bands a JOIN bands b
+        |    ON a.k = b.k AND a.band = b.band AND a.vec_id < b.vec_id),
+        |ham AS (
+        |  SELECT va, vb,
+        |    CAST(sum(bit_count(xor(x.band, y.band))) AS BIGINT) AS hamming
+        |  FROM cand
+        |  JOIN bands x ON x.vec_id = va
+        |  JOIN bands y ON y.vec_id = vb AND y.k = x.k
+        |  GROUP BY 1, 2)
+        |SELECT va, vb, hamming FROM ham WHERE hamming <= 3
+        |ORDER BY va, vb""".stripMargin,
     "q24_dedup_keys" ->
       """SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY user_id, event_type""".stripMargin,

@@ -658,4 +658,52 @@ class LlmOpsSpec extends SparkSpec {
       if (n > 1) assert(ratio >= rows(n - 1)._3)
     }
   }
+
+  test("q160 pHash near-dups equal a brute-force Hamming sweep; twins all found") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry
+      .queries("q160_phash_neardup")(spark, sf)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+      .toMap
+    // brute force: recompute signatures driver-side from the same
+    // augmented corpus and scan ALL pairs (no banding) — the banded
+    // candidates must find exactly the same <=3 set (pigeonhole is
+    // lossless at this radius, unlike MinHash banding)
+    val base = graft.queries.Tables
+      .table(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val twins = base.filter(_._1 < 50).map { case (id, e) =>
+      (id + 1000000L, e.updated(0, -e(0)))
+    }
+    val all = base ++ twins
+    val dims = all.head._2.length
+    val med = (0 until dims).map { d =>
+      val vs = all.map(_._2(d).toDouble).sorted
+      val n = vs.length
+      if (n % 2 == 1) vs(n / 2) else (vs(n / 2 - 1) + vs(n / 2)) / 2.0
+    }
+    val sig = all.map { case (id, e) =>
+      id -> (0 until dims).foldLeft(BigInt(0)) { (acc, d) =>
+        if (e(d).toDouble > med(d)) acc.setBit(d) else acc
+      }
+    }
+    val naive = (for {
+      i <- sig.indices.iterator
+      j <- (i + 1) until sig.length
+      a = sig(math.min(i, j)); b = sig(math.max(i, j))
+      h = (a._2 ^ b._2).bitCount
+      if h <= 3
+    } yield {
+      val (x, y) = if (a._1 < b._1) (a._1, b._1) else (b._1, a._1)
+      (x, y) -> h.toLong
+    }).toMap
+    assert(got == naive, s"got ${got.size} pairs, naive ${naive.size}")
+    // every planted twin is found
+    base.filter(_._1 < 50).foreach { case (id, _) =>
+      assert(got.contains((id, id + 1000000L)), s"twin $id missing")
+    }
+  }
 }
