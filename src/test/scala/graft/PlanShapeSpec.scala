@@ -525,4 +525,24 @@ class PlanShapeSpec extends SparkSpec {
     assert(!finalPlan.contains("SortMergeJoin"), s"corpus shuffled to meet offsets:\n$plan")
   }
 
+  test("q160 pHash candidates come from equi-joins — never a nested-loop product") {
+    val plan = executedPlan(SparkEntry.queries("q160_phash_neardup")(spark, sf))
+    assert(!plan.contains("CartesianProduct"), s"all-pairs scan leaked in:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"all-pairs scan leaked in:\n$plan")
+  }
+
+  test("q153/q158 rank selection joins stats via broadcast, no corpus SMJ") {
+    Seq("q153_weighted_quantiles", "q158_conformal_interval").foreach { q =>
+      val plan = executedPlan(SparkEntry.queries(q)(spark, sf))
+      assert(plan.contains("BroadcastHashJoin"), s"$q: stats frame not broadcast:\n$plan")
+      assert(!plan.contains("SortMergeJoin"), s"$q: corpus shuffled to meet stats:\n$plan")
+    }
+  }
+
+  test("q157 stats join stays broadcast; the corpus is never sorted") {
+    val plan = executedPlan(SparkEntry.queries("q157_int8_quantization")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), s"64-row stats frame not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"corpus-side SMJ:\n$plan")
+  }
+
 }
