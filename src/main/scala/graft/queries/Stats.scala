@@ -819,8 +819,89 @@ object Stats {
       .orderBy("event_type")
   }
 
+  /** q161: winsorized mean per event type — the robust location
+    * estimate a cleaning pipeline reports next to the raw mean (one
+    * fat-finger row drags a mean arbitrarily; clamping at the p5/p95
+    * order statistics bounds any single row's influence). Thresholds
+    * are EXACT order statistics from the q153 cumulative-walk (smallest
+    * value with 20·cum ≥ n, resp. ≥ 19·n — pure integer comparisons on
+    * the per-(type, centivalue) count frame); the winsorized sum clamps
+    * each value to [lo, hi] ON THE COUNT FRAME (Σ c·clamp(v) — never a
+    * second corpus pass) and every emitted figure is integer: exact
+    * clamped sum, n, and the mean in micro-dollar floor units
+    * ((sum·100) div n on centi values — the q156/q158 grid-midpoint
+    * lesson: no rounded float quotients in a gate). The integer
+    * divisions ride on a NON-NEGATIVE domain (event values ≥ 0), where
+    * Spark's truncating `div` and DuckDB's flooring `//` agree — a
+    * signed metric would need floor spelled explicitly on both sides.
+    *
+    * Scale shape: ONE corpus hash aggregate to the domain-bounded count
+    * frame; the cumulation windows are (type)-partitioned over ≤
+    * range/256-row shard frames; thresholds broadcast back onto the
+    * SAME count frame for the clamped sum — the corpus is touched
+    * exactly once.
+    */
+  private def q161(s: SparkSession, dir: String): DataFrame = {
+    val pv = Tables
+      .table(s, dir, "events")
+      .select(
+        col("event_type"),
+        round(col("value") * 100.0, 0).cast("long").as("vc")
+      )
+      .groupBy("event_type", "vc")
+      .agg(count(lit(1)).as("c"))
+      .withColumn("shard", expr("vc div 256"))
+    val offsets = pv
+      .groupBy("event_type", "shard")
+      .agg(sum("c").as("shard_c"))
+      .withColumn(
+        "shard_offset",
+        coalesce(
+          sum("shard_c").over(
+            Window
+              .partitionBy("event_type")
+              .orderBy("shard")
+              .rowsBetween(Window.unboundedPreceding, -1)
+          ),
+          lit(0L)
+        )
+      )
+      .select("event_type", "shard", "shard_offset")
+    val local = Window
+      .partitionBy("event_type", "shard")
+      .orderBy("vc")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val totals = pv.groupBy("event_type").agg(sum("c").as("n"))
+    val cut = pv
+      .join(broadcast(offsets), Seq("event_type", "shard"))
+      .withColumn("cum_le", col("shard_offset") + sum("c").over(local))
+      .join(broadcast(totals), "event_type")
+      .groupBy("event_type")
+      .agg(
+        max("n").as("n"),
+        min(when(col("cum_le") * 20 >= col("n"), col("vc"))).as("lo"),
+        min(when(col("cum_le") * 20 >= col("n") * 19, col("vc"))).as("hi")
+      )
+    pv.join(broadcast(cut), "event_type")
+      .groupBy(col("event_type"), col("n"), col("lo"), col("hi"))
+      .agg(
+        sum(col("c") * greatest(least(col("vc"), col("hi")), col("lo")))
+          .as("wsum_centi")
+      )
+      .select(
+        col("event_type"),
+        col("n"),
+        col("lo").as("p5_centi"),
+        col("hi").as("p95_centi"),
+        col("wsum_centi"),
+        expr("(wsum_centi * 10000) div (n * 100)").as("wmean_micro")
+      )
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q153_weighted_quantiles" -> q153,
+    "q161_winsorized_mean" -> q161,
     "q158_conformal_interval" -> q158,
     "q156_cusum_changepoint" -> q156,
     "q86_chi_square" -> q86,
@@ -904,6 +985,33 @@ object Stats {
         |  min(CASE WHEN cum_le * 4 >= tot * 2 THEN vc END) AS wp50_centi,
         |  min(CASE WHEN cum_le * 4 >= tot * 3 THEN vc END) AS wp75_centi
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    // winsorized mean: same definition-spelled order statistics, the
+    // clamped sum on the count frame, all-integer outputs
+    "q161_winsorized_mean" ->
+      """WITH pv AS (
+        |  SELECT event_type,
+        |    CAST(round(value * 100.0, 0) AS BIGINT) AS vc,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT event_type, vc, c,
+        |    CAST(sum(c) OVER (PARTITION BY event_type ORDER BY vc)
+        |         AS BIGINT) AS cum_le,
+        |    CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        |  FROM pv),
+        |cut AS (
+        |  SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+        |    min(CASE WHEN cum_le * 20 >= n THEN vc END) AS lo,
+        |    min(CASE WHEN cum_le * 20 >= n * 19 THEN vc END) AS hi
+        |  FROM cum GROUP BY 1)
+        |SELECT pv.event_type, cut.n,
+        |  CAST(cut.lo AS BIGINT) AS p5_centi,
+        |  CAST(cut.hi AS BIGINT) AS p95_centi,
+        |  CAST(sum(c * greatest(least(vc, hi), lo)) AS BIGINT) AS wsum_centi,
+        |  CAST((sum(c * greatest(least(vc, hi), lo)) * 10000)
+        |       // (cut.n * 100) AS BIGINT) AS wmean_micro
+        |FROM pv JOIN cut USING (event_type)
+        |GROUP BY 1, 2, 3, 4 ORDER BY 1""".stripMargin,
     // split-conformal: same md5 split, common-denominator integer
     // residuals, definition-spelled rank selection, integer coverage
     "q158_conformal_interval" ->

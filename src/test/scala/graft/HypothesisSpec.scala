@@ -215,6 +215,36 @@ class HypothesisSpec extends SparkSpec {
     }
   }
 
+  test("q161 winsorized mean equals a naive clamp-and-average; bounds hold") {
+    val rows = SparkEntry.queries("q161_winsorized_mean")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val ev = graft.queries.Tables
+      .table(spark, sf, "events")
+      .select(col("event_type"), round(col("value") * 100.0, 0).cast("long").as("vc"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    rows.foreach { r =>
+      val tpe = r.getString(0)
+      val vs = ev.filter(_._1 == tpe).map(_._2).sorted
+      val n = vs.length.toLong
+      assert(r.getLong(1) == n)
+      // naive thresholds: smallest value whose 1-based rank r has
+      // 20·r ≥ n (p5) / 20·r ≥ 19·n (p95)
+      def cutAt(mult: Long): Long =
+        vs(vs.indices.find(i => 20L * (i + 1) >= mult * n).get)
+      val (lo, hi) = (cutAt(1), cutAt(19))
+      assert(r.getLong(2) == lo && r.getLong(3) == hi, s"$tpe cuts")
+      val wsum = vs.map(v => math.max(lo, math.min(hi, v))).sum
+      assert(r.getLong(4) == wsum, s"$tpe wsum")
+      assert(r.getLong(5) == wsum * 10000 / (n * 100), s"$tpe mean")
+      // winsorized mean sits inside [lo, hi] and clamping only moves
+      // the sum toward the interval
+      val microLo = lo * 100
+      val microHi = hi * 100
+      assert(r.getLong(5) >= microLo && r.getLong(5) <= microHi)
+    }
+  }
+
   test("q152 bootstrap CI equals a naive driver-side Poisson replay") {
     val row = SparkEntry.queries("q152_bootstrap_ci")(spark, sf).collect().head
     val (n, meanV, lo, hi) =
