@@ -965,6 +965,7 @@ object Stats {
       |FROM f""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q120_ols_probe" -> q120OracleSql,
     // weighted quantiles from the definition: smallest value whose
     // cumulative weight reaches k·W/4 — all-integer comparison, same
     // centi snapping as the Spark side
