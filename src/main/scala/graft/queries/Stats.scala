@@ -485,9 +485,12 @@ object Stats {
     * replicas ride ONE map pass (explode ×B) into one 32-group
     * aggregate — no resample materialization, no shuffle beyond the
     * 32-row rollup. Multiplicity = inverse-CDF lookup of an md5-derived
-    * uniform on the integer 10⁶ grid (the q43 split-hash convention),
-    * so every replica is bit-reproducible on both engines and across
-    * reruns — a rerun-stable CI, which "random" bootstraps never give.
+    * uniform on the integer 10⁶ grid (the q43 split-hash convention) —
+    * since r13 each md5 seeds THREE replicas from its three 40-bit hex
+    * slices (11 hashes per row, not 32; see the body comment on the
+    * ≤ 10⁻⁶ residue bias) — so every replica is bit-reproducible on
+    * both engines and across reruns — a rerun-stable CI, which
+    * "random" bootstraps never give.
     * CI bounds are ORDER STATISTICS of the 32 replica means (2nd and
     * 31st — the [2/32, 31/32] ≈ [6.25%, 96.875%] percentile pair,
     * ~91% nominal coverage), never interpolated;
@@ -501,22 +504,14 @@ object Stats {
         col("event_id"),
         round(col("value") * 100.0, 0).cast("long").as("vc")
       )
+    // One md5 seeds THREE replicas: the 32-hex digest splits into three
+    // 10-hex (40-bit) slices, each reduced mod 10⁶ — the residue bias of
+    // a 2^40 → 10⁶ reduction is ≤ 10⁶/2^40 ≈ 10⁻⁶ relative (every
+    // residue has ⌊2^40/10⁶⌋ or ⌈…⌉ preimages), negligible and
+    // deterministic. 11 hashes per row instead of 32: measured the
+    // bench's slowest honest gate down from ~6.3 s (hash-bound).
     val m = {
-      val u = conv(
-        substring(
-          md5(
-            concat(
-              col("event_id").cast("string"),
-              lit(":"),
-              col("b").cast("string")
-            ).cast("binary")
-          ),
-          1,
-          15
-        ),
-        16,
-        10
-      ).cast("long") % 1000000
+      val u = col("u")
       // fold REVERSED so the smallest cut lands outermost: the chain
       // must test u < 367879 → 0 before u < 735758 → 1, etc.
       PoissonCdf1e6.zipWithIndex.reverse.foldLeft(lit(6)) {
@@ -524,7 +519,29 @@ object Stats {
       }
     }
     val perReplica = base
-      .select(col("event_id"), col("vc"), explode(expr("sequence(0, 31)")).as("b"))
+      .select(col("event_id"), col("vc"), explode(expr("sequence(0, 10)")).as("hj"))
+      .withColumn(
+        "hex",
+        md5(
+          concat(
+            col("event_id").cast("string"),
+            lit(":"),
+            col("hj").cast("string")
+          ).cast("binary")
+        )
+      )
+      .select(
+        col("vc"),
+        explode(
+          expr(
+            "filter(transform(sequence(0, 2), s -> struct(" +
+              "hj * 3 + s AS b, " +
+              "CAST(conv(substring(hex, 1 + 10 * s, 10), 16, 10) AS BIGINT)" +
+              " % 1000000 AS u)), p -> p.b <= 31)"
+          )
+        ).as("p")
+      )
+      .select(col("p.b").as("b"), col("vc"), col("p.u").as("u"))
       .select(col("b"), (m.cast("long") * col("vc")).as("mv"), m.cast("long").as("mm"))
       .groupBy("b")
       .agg(
@@ -1127,10 +1144,13 @@ object Stats {
         |  SELECT event_id, CAST(round(value * 100, 0) AS BIGINT) AS vc
         |  FROM events),
         |rep AS (
-        |  SELECT g.b, vc,
+        |  SELECT h.hj * 3 + s.s AS b, vc,
         |    CAST('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':'
-        |           || CAST(g.b AS VARCHAR)), 1, 15) AS BIGINT) % 1000000 AS u
-        |  FROM base, generate_series(0, 31) AS g(b)),
+        |           || CAST(h.hj AS VARCHAR)), 1 + 10 * s.s, 10)
+        |         AS BIGINT) % 1000000 AS u
+        |  FROM base, generate_series(0, 10) AS h(hj),
+        |       generate_series(0, 2) AS s(s)
+        |  WHERE h.hj * 3 + s.s <= 31),
         |mm AS (
         |  SELECT b, vc,
         |    CASE WHEN u < 367879 THEN 0 WHEN u < 735758 THEN 1

@@ -258,16 +258,19 @@ class HypothesisSpec extends SparkSpec {
     assert(n == ev.length.toLong)
 
     // the same md5-derived integer-grid Poisson(1) multiplicity the
-    // query (and oracle) spell: first 15 hex chars of md5("id:b"),
-    // base-16, mod 10⁶, inverse-CDF lookup
+    // query (and oracle) spell: one md5 of "id:hj" seeds replicas
+    // b = 3·hj + s via three 10-hex (40-bit) slices, each mod 10⁶,
+    // inverse-CDF lookup
     val cdf = Seq(367879, 735758, 919698, 981011, 996340, 999405)
     def mult(id: Long, b: Int): Long = {
+      val hj = b / 3
+      val s = b % 3
       val hex = java.security.MessageDigest
         .getInstance("MD5")
-        .digest(s"$id:$b".getBytes("UTF-8"))
+        .digest(s"$id:$hj".getBytes("UTF-8"))
         .map("%02x".format(_))
         .mkString
-      val u = java.lang.Long.parseLong(hex.substring(0, 15), 16) % 1000000
+      val u = java.lang.Long.parseLong(hex.substring(10 * s, 10 * s + 10), 16) % 1000000
       val k = cdf.indexWhere(u < _)
       if (k < 0) 6L else k.toLong
     }
