@@ -181,15 +181,78 @@ object Modern {
     )
   }
 
+  /** q162: collation-aware join — Spark 4's string-collation surface
+    * (`collate(col, 'UTF8_LCASE')`) made load-bearing: event types are
+    * deterministically case-mangled (UPPER on even event_ids — the
+    * q149 crafted-input convention, since the synthetic corpus is
+    * already lowercase), then joined back to the canonical lowercase
+    * dimension ON THE COLLATED COLUMNS — no lower() call in the join
+    * path; the collation IS the equality semantics, evaluated inside
+    * the hash join's key comparison. The gate emits per-canonical-type
+    * row counts and the observed case-variant count (2: mangled +
+    * original), with the canonical key the only string output —
+    * collated intermediates never surface, so the hash is
+    * representative-choice-free.
+    *
+    * The oracle spells the same semantics as DuckDB's explicit
+    * lower()-join — UTF8_LCASE is lowercase-equivalence by definition,
+    * so the two spellings must agree on any input; ASCII inputs here
+    * keep the utf8proc-vs-ICU case-mapping edge (ß, dotted-I) out of
+    * the contract, as documented.
+    *
+    * Scale shape: the 5-row dimension broadcasts; the fact side is one
+    * map-mangled scan into the broadcast hash join + one aggregate.
+    */
+  private def q162(s: SparkSession, dir: String): DataFrame = {
+    val fact = Tables
+      .table(s, dir, "events")
+      .select(
+        col("event_id"),
+        when(col("event_id") % 2 === 0, upper(col("event_type")))
+          .otherwise(col("event_type"))
+          .as("t")
+      )
+    val dim = Tables
+      .table(s, dir, "events")
+      .select(col("event_type").as("t_canon"))
+      .distinct()
+    fact
+      .join(
+        broadcast(dim),
+        collate(col("t"), "UTF8_LCASE") === collate(col("t_canon"), "UTF8_LCASE")
+      )
+      .groupBy("t_canon")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("t")).as("n_case_variants")
+      )
+      .orderBy("t_canon")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q107_variant_json" -> q107,
     "q108_pipe_sql" -> q108,
     "q122_group_by_all" -> q122,
     "q131_listagg" -> q131,
-    "q132_percentile_disc" -> q132
+    "q132_percentile_disc" -> q132,
+    "q162_collation_join" -> q162
   )
 
   val oracleSql: Map[String, String] = Map(
+    // UTF8_LCASE = lowercase-equivalence, spelled as the explicit
+    // lower() join DuckDB-side (an INDEPENDENT spelling of the same
+    // semantics — a collation bug cannot self-confirm)
+    "q162_collation_join" ->
+      """WITH fact AS (
+        |  SELECT CASE WHEN event_id % 2 = 0 THEN upper(event_type)
+        |              ELSE event_type END AS t
+        |  FROM events),
+        |dim AS (SELECT DISTINCT event_type AS t_canon FROM events)
+        |SELECT t_canon,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(DISTINCT t) AS BIGINT) AS n_case_variants
+        |FROM fact JOIN dim ON lower(fact.t) = dim.t_canon
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q107_variant_json" ->
       """WITH j AS (
         |  SELECT '{"id": ' || o_orderkey

@@ -59,6 +59,30 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("q162 collation join equals an explicit-lower replay and folds the case variants") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry
+      .queries("q162_collation_join")(spark, sf)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val naive = graft.queries.Tables
+      .table(spark, sf, "events")
+      .select(col("event_id"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._2)
+      .map { case (t, g) =>
+        // the gate's mangle: UPPER on even ids, so a type with both
+        // parities present observes exactly 2 case variants
+        val variants = g.map { case (id, tt) => if (id % 2 == 0) tt.toUpperCase else tt }.distinct
+        t -> (g.length.toLong, variants.length.toLong)
+      }
+    assert(rows == naive, s"gate $rows vs naive $naive")
+    // the collation was load-bearing: at least one type folded 2 variants
+    assert(rows.values.exists(_._2 == 2L))
+  }
+
   test("q154 sketch-overlap estimate tracks the exact intersection") {
     import org.apache.spark.sql.functions._
     val r = SparkEntry.queries("q154_sketch_overlap")(spark, sf).collect().head
