@@ -229,16 +229,100 @@ object Modern {
       .orderBy("t_canon")
   }
 
+  /** q163: SQL scalar UDF (Spark 4 `CREATE FUNCTION … RETURN expr`) —
+    * the user-extensibility surface a migrating warehouse workload
+    * reaches for first (business logic declared ONCE in SQL, inlined by
+    * the analyzer into every caller — no JVM UDF, no codegen loss; the
+    * plan is identical to hand-inlining the expression). The UDF
+    * returns the EXACT centi×centi integer line revenue (round-to-centi
+    * factors multiplied as BIGINTs), so the per-group sums stay
+    * order-independent — a DOUBLE-returning UDF summed per group would
+    * reintroduce the float-accumulation-order trap the q86 convention
+    * exists to avoid. Oracle inlines the same arithmetic (DuckDB has
+    * macros, but the gate's contract is the VALUES, spelled
+    * independently).
+    */
+  private def q163(s: SparkSession, dir: String): DataFrame = {
+    Tables.table(s, dir, "lineitem").createOrReplaceTempView("graft_q163_l")
+    s.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION graft_rev_centi2(
+        |  p DOUBLE, d DOUBLE) RETURNS BIGINT
+        |RETURN CAST(round(p * 100.0, 0) AS BIGINT)
+        |     * CAST(round((1.0 - d) * 100.0, 0) AS BIGINT)""".stripMargin
+    )
+    s.sql(
+      """SELECT l_returnflag,
+        |  count(*) AS n,
+        |  sum(graft_rev_centi2(l_extendedprice, l_discount)) AS rev_centi2
+        |FROM graft_q163_l
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+    )
+  }
+
+  /** q164: session variables + EXECUTE IMMEDIATE (Spark 4 `DECLARE
+    * VARIABLE` / `SET VAR` / parameterized dynamic SQL) — the scripting
+    * surface of a warehouse migration: a statistic computed once into a
+    * session variable, then consumed by dynamically-composed SQL via a
+    * `?` parameter. The cutoff is the integer-floor mean of centi
+    * totals (`div`, not a rounded double — the q156 grid lesson), so
+    * the variable's value is exactly reproducible; the oracle inlines
+    * the same cutoff as a scalar subquery (independent spelling — no
+    * variables in DuckDB needed).
+    */
+  private def q164(s: SparkSession, dir: String): DataFrame = {
+    Tables.table(s, dir, "orders").createOrReplaceTempView("graft_q164_o")
+    s.sql("DECLARE OR REPLACE VARIABLE graft_q164_cut BIGINT")
+    s.sql(
+      """SET VAR graft_q164_cut = (
+        |  SELECT sum(CAST(round(o_totalprice * 100.0, 0) AS BIGINT))
+        |         div count(*)
+        |  FROM graft_q164_o)""".stripMargin
+    )
+    s.sql(
+      """EXECUTE IMMEDIATE
+        |'SELECT o_orderstatus,
+        |   count(*) AS n_above,
+        |   min(CAST(round(o_totalprice * 100.0, 0) AS BIGINT)) AS min_centi
+        | FROM graft_q164_o
+        | WHERE CAST(round(o_totalprice * 100.0, 0) AS BIGINT) > ?
+        | GROUP BY o_orderstatus ORDER BY o_orderstatus'
+        |USING graft_q164_cut""".stripMargin
+    )
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q107_variant_json" -> q107,
     "q108_pipe_sql" -> q108,
     "q122_group_by_all" -> q122,
     "q131_listagg" -> q131,
     "q132_percentile_disc" -> q132,
-    "q162_collation_join" -> q162
+    "q162_collation_join" -> q162,
+    "q163_sql_udf" -> q163,
+    "q164_session_variables" -> q164
   )
 
   val oracleSql: Map[String, String] = Map(
+    // the SQL-UDF body inlined (the gate's contract is the VALUES;
+    // DuckDB macros exist but an independent spelling is stronger)
+    "q163_sql_udf" ->
+      """SELECT l_returnflag,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(round(l_extendedprice * 100.0, 0) AS BIGINT)
+        |         * CAST(round((1.0 - l_discount) * 100.0, 0) AS BIGINT))
+        |       AS BIGINT) AS rev_centi2
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the session variable's value inlined as a scalar subquery
+    "q164_session_variables" ->
+      """SELECT o_orderstatus,
+        |  CAST(count(*) AS BIGINT) AS n_above,
+        |  CAST(min(CAST(round(o_totalprice * 100.0, 0) AS BIGINT))
+        |       AS BIGINT) AS min_centi
+        |FROM orders
+        |WHERE CAST(round(o_totalprice * 100.0, 0) AS BIGINT) > (
+        |  SELECT CAST(sum(CAST(round(o_totalprice * 100.0, 0) AS BIGINT))
+        |              // count(*) AS BIGINT)
+        |  FROM orders)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // UTF8_LCASE = lowercase-equivalence, spelled as the explicit
     // lower() join DuckDB-side (an INDEPENDENT spelling of the same
     // semantics — a collation bug cannot self-confirm)

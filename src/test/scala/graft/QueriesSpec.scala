@@ -83,6 +83,50 @@ class QueriesSpec extends SparkSpec {
     assert(rows.values.exists(_._2 == 2L))
   }
 
+  test("q163 SQL UDF inlines to the exact integer arithmetic; q164 variable round-trips") {
+    import org.apache.spark.sql.functions._
+    // the UDF-computed group sums equal a direct DataFrame recompute
+    val udf = SparkEntry
+      .queries("q163_sql_udf")(spark, sf)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val direct = graft.queries.Tables
+      .table(spark, sf, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(
+          round(col("l_extendedprice") * 100.0, 0).cast("long") *
+            round((lit(1.0) - col("l_discount")) * 100.0, 0).cast("long")
+        ).as("rev")
+      )
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(udf == direct)
+    // the SQL UDF is analyzer-inlined: no black-box UDF node in the plan
+    val plan = SparkEntry
+      .queries("q163_sql_udf")(spark, sf)
+      .queryExecution
+      .executedPlan
+      .toString
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"), plan.take(500))
+
+    // q164: every returned group sits strictly above the variable's cutoff
+    val rows = SparkEntry.queries("q164_session_variables")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val vc = graft.queries.Tables
+      .table(spark, sf, "orders")
+      .select(round(col("o_totalprice") * 100.0, 0).cast("long").as("v"))
+      .collect()
+      .map(_.getLong(0))
+    val cut = vc.sum / vc.length
+    rows.foreach(r => assert(r.getLong(2) > cut, s"${r.getString(0)} min ≤ cutoff"))
+    // and the counts partition the above-cutoff population exactly
+    assert(rows.map(_.getLong(1)).sum == vc.count(_ > cut).toLong)
+  }
+
   test("q154 sketch-overlap estimate tracks the exact intersection") {
     import org.apache.spark.sql.functions._
     val r = SparkEntry.queries("q154_sketch_overlap")(spark, sf).collect().head
