@@ -150,6 +150,13 @@ object AnnQuality {
     val rIvfPq = recallOf(
       Similarity.ivfPqKnn(spark, sfDir, onCandidates = c => ivfPqCand = c.count())
     )
+    // the hook is the ONLY writer of ivfPqCand: a refactor that skips it
+    // must fail the report loudly, not emit candidates:-1 silently
+    require(
+      ivfPqCand >= 0,
+      "ivfPqKnn never invoked onCandidates — the measured-candidates " +
+        "contract of this report is broken"
+    )
     val ivfPqCap = Similarity.PqRerank.toLong * nProbes
 
     val sweeps = Seq(

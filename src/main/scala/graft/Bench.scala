@@ -27,12 +27,14 @@ package graft
   *    (same SF, >0.5 s absolute) is re-run once at sweep end in the
   *    same process with BOTH readings recorded ("rr") — a transient
   *    spike carries its own refutation, a real regression reproduces;
-  *  - and since r12 the recording SELF-CORRECTS: when the bw probe
-  *    flagged the window as throttled AND the re-run is >3× faster, the
-  *    re-run replaces the contaminated median in the reported total and
-  *    query map ("sub" count in the line, raw readings retained under
-  *    "substituted"/"outlier_reruns") — box evidence plus a refuting
-  *    measurement, never pick-the-better.
+  *  - and the recording SELF-CORRECTS (r12, evidence-gated since r14):
+  *    the re-run replaces the contaminated median in the reported total
+  *    and query map ONLY when it is >3× faster AND the sweep itself
+  *    corroborates instability — a throttled bw probe or a >2× max/min
+  *    spread across that query's own iterations ("sub" count in the
+  *    line, raw readings retained under "substituted"/"outlier_reruns")
+  *    — in-sweep evidence plus a refuting measurement, never
+  *    pick-the-better.
   *
   * A warm-up pass runs each query at sf0.001 first: whole-stage-codegen
   * compilation + JIT for each plan shape is a one-time JVM cost (measured
@@ -258,13 +260,20 @@ object Bench {
     // contention spike, the re-measurement says so inside the artifact;
     // if it reproduces, it is a real regression and both readings agree.
     // The 0.5 s absolute floor keeps 10 ms queries from flagging on
-    // scheduler noise. Substitution rule (r12, the r11 verdict's ask —
-    // its 110.53 s headline carried ~15 s of self-refuted q00/q20d
-    // inflation): the reported number swaps in the re-run ONLY when the
-    // bw probe flagged the window as throttled AND the re-run is >3×
-    // faster — box evidence plus a refuting measurement, never
-    // pick-the-better; both readings stay in the artifact under
-    // "outlier_reruns"/"substituted".
+    // scheduler noise. The re-run replays the per-iteration protocol
+    // exactly (releaseTrackedCaches first), so its cache state matches a
+    // sweep iteration's — the only intended difference is TIME.
+    // Substitution rule (r14, tightening the r12 unconditional rule the
+    // r13 advisor flagged as self-serving): the re-run replaces the
+    // recorded median ONLY when it is >3× faster AND the sweep itself
+    // corroborates instability — either the bw probe flagged the window
+    // as throttled, or that query's OWN iterations spread >2× max/min
+    // (>1 s absolute) inside the sweep. A tight-spread healthy-probe
+    // slow reading is kept as recorded even when a warm re-run beats it:
+    // a sweep-state-dependent slowdown (cache accumulation, suite
+    // interaction) is exactly the reading that never reproduces at
+    // sweep end, and it must stay visible. Both readings always live in
+    // the artifact under "outlier_reruns"/"substituted".
     val detailDir = new java.io.File(
       sys.env.getOrElse(
         "SPARK_GRAFT_DETAIL_DIR",
@@ -289,18 +298,23 @@ object Bench {
             } catch { case _: Throwable => -1.0 }
           name -> (med, hist(name), rerun)
       }
-    // auto-substitution: a >3×-faster same-process re-run refutes the
-    // recorded median by itself → the re-run IS the recording; raw
-    // medians stay in "substituted" (and per-iteration times) for
-    // adjudication. r12 lesson: the earlier bw-probe-AND-rerun gate let
-    // q71 report 21.4 s while its own re-run measured 3.3 s, because the
-    // JVM-internal contention that inflated the reading never tripped
-    // the memory-bandwidth probe — the refuting measurement alone is
-    // sufficient evidence (it is the same plan in the same process; a
-    // real regression reproduces, a spike does not).
+    // auto-substitution, evidence-gated (see the rule comment above):
+    // the refuting re-run must be corroborated by in-sweep instability —
+    // a throttled bw probe (the r10c mechanism) or a >2× max/min spread
+    // across that query's own iterations (the r12 q71 case: 21.4 s
+    // median with wildly split iterations while the bw probe read
+    // healthy). Without either, the sweep measured something REAL about
+    // sweep state and the recorded median stands.
+    val iterationSpreadUnstable: String => Boolean = { name =>
+      results.get(name).exists { case (_, ts) =>
+        ts.nonEmpty && ts.max / ts.min.max(1e-9) > 2.0 && ts.max - ts.min > 1.0
+      }
+    }
     val substituted: Map[String, (Double, Double)] =
       outlierReruns.collect {
-        case (name, (med, _, rr)) if rr > 0 && med > 3 * rr =>
+        case (name, (med, _, rr))
+            if rr > 0 && med > 3 * rr &&
+              (bwFlag == "t" || iterationSpreadUnstable(name)) =>
           name -> (med, rr)
       }.toMap
     val reported: Map[String, Double] =

@@ -212,9 +212,14 @@ object Modern {
           .otherwise(col("event_type"))
           .as("t")
       )
+    // canonical key = lower(event_type): enforced rather than assumed —
+    // the collated join is lowercase-equivalence, so the oracle's
+    // lower()-join only matches if the dimension values ARE their own
+    // lowercase form; a mixed-case corpus value would otherwise
+    // double-join on the Spark side and drop on the DuckDB side
     val dim = Tables
       .table(s, dir, "events")
-      .select(col("event_type").as("t_canon"))
+      .select(lower(col("event_type")).as("t_canon"))
       .distinct()
     fact
       .join(
@@ -331,7 +336,7 @@ object Modern {
         |  SELECT CASE WHEN event_id % 2 = 0 THEN upper(event_type)
         |              ELSE event_type END AS t
         |  FROM events),
-        |dim AS (SELECT DISTINCT event_type AS t_canon FROM events)
+        |dim AS (SELECT DISTINCT lower(event_type) AS t_canon FROM events)
         |SELECT t_canon,
         |  CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(count(DISTINCT t) AS BIGINT) AS n_case_variants

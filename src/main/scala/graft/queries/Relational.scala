@@ -490,12 +490,26 @@ object Relational {
         col("n_view_exact"),
         col("n_purchase_exact"),
         col("n_overlap_exact"),
-        (abs(
-          hll_sketch_estimate(col("ska")) + hll_sketch_estimate(col("skb")) -
-            hll_sketch_estimate(hll_union(col("ska"), col("skb"))) -
-            col("n_overlap_exact")
-        ).cast("double") / col("n_overlap_exact").cast("double") <= 0.15)
-          .as("est_within_15pct")
+        {
+          // inclusion–exclusion estimate |A| + |B| − |A∪B|
+          val est = hll_sketch_estimate(col("ska")) +
+            hll_sketch_estimate(col("skb")) -
+            hll_sketch_estimate(hll_union(col("ska"), col("skb")))
+          val absErr = abs(est - col("n_overlap_exact")).cast("double")
+          // a legitimately disjoint corpus has n_overlap_exact = 0 and a
+          // relative bound would divide by zero (NULL ≠ the oracle's
+          // TRUE); fall back to an absolute slack sized to the sketch's
+          // standard error on the union (lgConfigK=12 ⇒ ~1.6% per
+          // sketch; 5% of the summed cardinalities + 16 is generous
+          // margin without being vacuous)
+          when(
+            col("n_overlap_exact") > 0,
+            absErr / col("n_overlap_exact").cast("double") <= 0.15
+          ).otherwise(
+            absErr <= (col("n_view_exact") + col("n_purchase_exact"))
+              .cast("double") * 0.05 + 16.0
+          ).as("est_within_15pct")
+        }
       )
   }
 

@@ -118,15 +118,22 @@ object TimeSeries {
       )
       .orderBy("event_type", "day")
 
-  /** q155: rolling 7-day MEDIAN smoothing of the daily value series per
-    * event type — the robust trend line (a single flash-crash day drags
-    * a rolling MEAN for a week; the rolling median shrugs it off, which
-    * is why monitoring smooths with medians before alerting). Median
+  /** q155: rolling 7-OBSERVED-DAY MEDIAN smoothing of the daily value
+    * series per event type — the robust trend line (a single
+    * flash-crash day drags a rolling MEAN for a week; the rolling
+    * median shrugs it off, which is why monitoring smooths with medians
+    * before alerting). The frame is the trailing 7 ROWS over days
+    * PRESENT in the aggregate (hence the `7obs` column name): a
+    * zero-event calendar day widens the covered calendar span rather
+    * than shrinking the sample — the spelling monitoring wants when
+    * absent days mean "no data", not "zero". A strict calendar-7-day
+    * variant is a RANGE frame over day numbers (q15b's RANGE convention)
+    * or a gap-fill (q59b) composed in front of this window. Median
     * inputs are exact centi BIGINT daily sums, so the only float is the
     * interpolation midpoint — (a+b)/2 of integers, exactly
-    * representable — then one /100 and the round grid; the first 6 days
-    * smooth over their shorter prefix (the standard expanding warm-up,
-    * n_in_win says so explicitly).
+    * representable — then one /100 and the round grid; the first 6
+    * observed days smooth over their shorter prefix (the standard
+    * expanding warm-up, n_in_win says so explicitly).
     *
     * Scale shape: ONE corpus hash aggregate to the (type, day) frame;
     * the rolling window runs over day-level rows (calendar-bounded)
@@ -152,7 +159,7 @@ object TimeSeries {
         col("sv"),
         count(lit(1)).over(w).as("n_in_win"),
         (round(expr("percentile(sv, 0.5)").over(w) / 100.0, 4) + 0.0)
-          .as("roll_med_7d")
+          .as("roll_med_7obs")
       )
       .orderBy("event_type", "d")
   }
@@ -171,7 +178,7 @@ object TimeSeries {
         |  FROM events GROUP BY 1, 2)
         |SELECT event_type, d, sv,
         |  CAST(count(*) OVER w AS BIGINT) AS n_in_win,
-        |  round(quantile_cont(sv, 0.5) OVER w / 100.0, 4) + 0.0 AS roll_med_7d
+        |  round(quantile_cont(sv, 0.5) OVER w / 100.0, 4) + 0.0 AS roll_med_7obs
         |FROM daily
         |WINDOW w AS (PARTITION BY event_type ORDER BY d
         |             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
