@@ -522,7 +522,25 @@ object Dedup {
     * random unit vectors alone would make ≤3-of-64 collisions
     * vanishingly rare.
     */
-  private def q160(s: SparkSession, dir: String): DataFrame = {
+  private def q160(s: SparkSession, dir: String): DataFrame =
+    phashNearDup(s, dir, useApprox = false)
+
+  /** The q160 computation with its 100 TB swap-in as CODE, not prose:
+    * `useApprox = true` computes the 64 per-dimension medians with
+    * `approx_percentile` (KLL-style sketch, accuracy 10⁴) instead of
+    * the buffering exact `percentile` TypedImperativeAggregate — the
+    * model frame stays 64 rows; only its builder changes from
+    * corpus-buffering to sketch-mergeable. Signature math, banding,
+    * and the Hamming verify are untouched. DedupApproxSpec pins the
+    * approx pair set against the exact gate's (all 50 planted twins
+    * found; symmetric difference empty on the test corpus). The exact
+    * form stays the GATE (hash-checkable, IEEE-deterministic).
+    */
+  private[graft] def phashNearDup(
+      s: SparkSession,
+      dir: String,
+      useApprox: Boolean
+  ): DataFrame = {
     val base = Tables
       .table(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding"))
@@ -543,7 +561,11 @@ object Dedup {
         col("i0").cast("long").as("i"),
         col("v").cast("double").as("v")
       )
-    val med = ex.groupBy("i").agg(expr("percentile(v, 0.5)").as("med"))
+    val med =
+      if (useApprox)
+        ex.groupBy("i")
+          .agg(expr("approx_percentile(v, 0.5, 10000)").as("med"))
+      else ex.groupBy("i").agg(expr("percentile(v, 0.5)").as("med"))
     val bands = ex
       .join(broadcast(med), "i")
       .groupBy(col("vec_id"), expr("i div 16").as("k"))

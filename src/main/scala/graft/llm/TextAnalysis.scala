@@ -604,7 +604,25 @@ object TextAnalysis {
     * extreme scale approx_count_distinct is the documented swap-in for
     * the same ratio.
     */
-  private def q159(s: SparkSession, dir: String): DataFrame = {
+  private def q159(s: SparkSession, dir: String): DataFrame =
+    ngramDiversity(s, dir, useApprox = false)
+
+  /** The q159 computation with its 100 TB swap-in as CODE, not prose:
+    * `useApprox = true` replaces the exact (n, gram) count aggregate
+    * with `approx_count_distinct` (HLL++, rsd 1%) — the distinct side
+    * then never shuffles grams at all (partial sketches merge,
+    * ~1.5 KB/sketch), turning the vocabulary-sized shuffle into a
+    * constant-sized one; `total_ngrams` is a plain count either way.
+    * TextAnalysisApproxSpec pins the approx ratios within 5% of the
+    * exact gate's on the test corpus. The exact form stays the GATE:
+    * hash-checkable, and right up to the corpus size where vocabulary
+    * ≫ executor memory.
+    */
+  private[graft] def ngramDiversity(
+      s: SparkSession,
+      dir: String,
+      useApprox: Boolean
+  ): DataFrame = {
     // Gram construction is the q135 pairCounts SHIFTED-SLICE zip_with
     // (n slices offset by 0..n−1, zipped with concat), NOT a per-index
     // transform+slice walk: the index walk re-slices inside a
@@ -639,16 +657,30 @@ object TextAnalysis {
         transform(g3, x => struct(lit(3).as("n"), x.as("g")))
       )
     )
-    docs(s, dir)
+    val exploded = docs(s, dir)
       .select(filter(split(col("text"), " "), w => w =!= "").as("ws"))
       .select(explode(tagged).as("p"))
-      .groupBy(col("p.n").as("n"), col("p.g").as("g"))
-      .agg(count(lit(1)).as("c"))
-      .groupBy("n")
-      .agg(
-        sum("c").as("total_ngrams"),
-        count(lit(1)).as("distinct_ngrams")
-      )
+    val perN =
+      if (useApprox)
+        // one aggregate keyed by n alone: count + merged HLL sketch —
+        // no gram ever crosses the wire
+        exploded
+          .groupBy(col("p.n").as("n"))
+          .agg(
+            count(lit(1)).as("total_ngrams"),
+            approx_count_distinct(col("p.g"), rsd = 0.01)
+              .as("distinct_ngrams")
+          )
+      else
+        exploded
+          .groupBy(col("p.n").as("n"), col("p.g").as("g"))
+          .agg(count(lit(1)).as("c"))
+          .groupBy("n")
+          .agg(
+            sum("c").as("total_ngrams"),
+            count(lit(1)).as("distinct_ngrams")
+          )
+    perN
       .select(
         col("n"),
         col("total_ngrams"),
