@@ -164,10 +164,15 @@ object Bench {
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt.max(1)
     val spark = Sessions.local(cpus, "graft-bench")
 
+    // dev-loop filter: comma-separated substrings, any-match (a single
+    // substring behaves as before); the driver sets no env so times all
+    def matchesFilter(name: String): Boolean =
+      sys.env
+        .get("SPARK_GRAFT_QUERY_FILTER")
+        .forall(_.split(',').exists(f => f.nonEmpty && name.contains(f)))
     if (new java.io.File(warmDir).isDirectory) {
       SparkEntry.queries.foreach { case (name, fn) =>
-        if (name != "q00_etl_convert" &&
-            sys.env.get("SPARK_GRAFT_QUERY_FILTER").forall(name.contains)) {
+        if (name != "q00_etl_convert" && matchesFilter(name)) {
           try fn(spark, warmDir).count()
           catch { case _: Throwable => () }
         }
@@ -214,12 +219,32 @@ object Bench {
     // adjudication closed-loop): memory-bus bandwidth at sweep start...
     val (bwSingleStart, bwAggStart) = memBwProbe()
     val q00Loads = scala.collection.mutable.ArrayBuffer.empty[Double]
-    // dev-loop filter (substring); the driver sets no env so times everything
-    val nameFilter = sys.env.get("SPARK_GRAFT_QUERY_FILTER")
+    // tail-iteration trim (r13 verdict ask #7): the sub-0.4 s tail is
+    // ~88 gates × iters of pure fixed latency — a gate whose in-repo
+    // history median is tiny (<0.4 s) runs iters−1 (min 2) timed
+    // iterations instead. The reported number is still the median of
+    // ≥2 same-JVM readings (of 2, the mean — which can only round UP
+    // under contamination, never flatter), and the >2× spread variance
+    // flag still fires on 2 readings; the saving is sweep WALL-CLOCK,
+    // which shortens the window the box has to stay quiet for. Requires
+    // history: a new gate always gets the full count.
+    val detailDir = new java.io.File(
+      sys.env.getOrElse(
+        "SPARK_GRAFT_DETAIL_DIR",
+        if (new java.io.File("/root/repo/.git").isDirectory)
+          "/root/repo/bench_detail"
+        else "bench_detail"
+      )
+    )
+    val hist = historyMedians(new java.io.File(detailDir, "history.jsonl"), sfDir)
+    def itersFor(name: String): Int =
+      if (iters > 2 && hist.get(name).exists(h => h > 0 && h < 0.4))
+        iters - 1
+      else iters
     val results = SparkEntry.queries
-      .filter { case (name, _) => nameFilter.forall(name.contains) }
+      .filter { case (name, _) => matchesFilter(name) }
       .map { case (name, fn) =>
-      val times = (1 to iters).flatMap { _ =>
+      val times = (1 to itersFor(name)).flatMap { _ =>
         if (errors.contains(name)) None // failed once: don't retry N times
         else {
           if (name == "q00_etl_convert") q00Loads += loadAvg
@@ -274,15 +299,6 @@ object Bench {
     // interaction) is exactly the reading that never reproduces at
     // sweep end, and it must stay visible. Both readings always live in
     // the artifact under "outlier_reruns"/"substituted".
-    val detailDir = new java.io.File(
-      sys.env.getOrElse(
-        "SPARK_GRAFT_DETAIL_DIR",
-        if (new java.io.File("/root/repo/.git").isDirectory)
-          "/root/repo/bench_detail"
-        else "bench_detail"
-      )
-    )
-    val hist = historyMedians(new java.io.File(detailDir, "history.jsonl"), sfDir)
     val outlierReruns: Seq[(String, (Double, Double, Double))] =
       medians.toSeq.collect {
         case (name, med)

@@ -132,13 +132,117 @@ object Embeddings {
       .orderBy("i")
   }
 
+  /** Matryoshka truncation widths audited by q165 (powers of two up to
+    * half the stored dimension — the standard MRL ladder).
+    */
+  private val MrlDims = Seq(8, 16, 32)
+
+  /** q165: Matryoshka truncation-quality audit — the
+    * store-a-prefix-and-serve-cheaper decision for an embedding store
+    * (Matryoshka-style models pack information front-loaded, so
+    * serving the first m dims cuts memory/ANN cost m/64×; this report
+    * says what each width costs in angular fidelity BEFORE committing
+    * the serving tier). The cosine between a vector and its
+    * zero-padded m-prefix collapses algebraically to
+    * √(Σ_{i≤m} vᵢ² / Σ vᵢ²) — the retained-energy ratio — so the audit
+    * needs no second vector materialized: per (vector, m) one slice
+    * fold over the stored array.
+    *
+    * Determinism: both energy sums are LEFT-TO-RIGHT double folds over
+    * the same element order (Spark `aggregate`, DuckDB `list_sum` —
+    * the q54b-established parity), the ratio/sqrt are single IEEE ops
+    * of identical operands, and the per-vector cosine snaps to a
+    * micro grid (floor ×10⁶ — the q157 floor lesson) BEFORE any
+    * corpus-level aggregation, so every corpus statistic is exact
+    * BIGINT arithmetic: avg = one division of exact sums, min is
+    * grid-exact, and the ≥0.90-fraction counts grid integers.
+    *
+    * Scale shape: one corpus scan, ×|MrlDims| map-side explode, one
+    * hash aggregate keyed by m (3 groups) with map-side partials —
+    * shuffle carries 3 rows per partition. No joins, no windows.
+    */
+  private def q165(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .table(s, dir, "embeddings")
+      .select(
+        col("embedding"),
+        expr(
+          "aggregate(embedding, CAST(0.0 AS DOUBLE), " +
+            "(acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
+        ).as("te")
+      )
+      .filter(col("te") > 0.0)
+      .select(
+        explode(
+          array(MrlDims.map(m => lit(m)): _*)
+        ).as("m"),
+        col("embedding"),
+        col("te")
+      )
+      .select(
+        col("m"),
+        floor(
+          sqrt(
+            expr(
+              "aggregate(slice(embedding, 1, m), CAST(0.0 AS DOUBLE), " +
+                "(acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
+            ) / col("te")
+          ) * 1000000.0
+        ).cast("long").as("cos_micro")
+      )
+      .groupBy("m")
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        (round(
+          sum(col("cos_micro")).cast("double") /
+            count(lit(1)).cast("double") / 1000000.0,
+          4
+        ) + 0.0).as("avg_cos"),
+        (round(min(col("cos_micro")).cast("double") / 1000000.0, 4) + 0.0)
+          .as("min_cos"),
+        (round(
+          sum(when(col("cos_micro") >= 900000L, 1L).otherwise(0L))
+            .cast("double") / count(lit(1)).cast("double"),
+          4
+        ) + 0.0).as("frac_ge_090")
+      )
+      .orderBy("m")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q54_embedding_centroids" -> q54,
     "q54b_random_projection" -> q54b,
-    "q157_int8_quantization" -> q157
+    "q157_int8_quantization" -> q157,
+    "q165_matryoshka_audit" -> q165
   )
 
   val oracleSql: Map[String, String] = Map(
+    // same left-to-right list_sum folds, same single-division ratio and
+    // sqrt, same floor×10⁶ grid BEFORE aggregation — corpus stats are
+    // exact integer arithmetic on both engines
+    "q165_matryoshka_audit" ->
+      s"""WITH te AS (
+         |  SELECT embedding,
+         |    list_sum(list_transform(embedding,
+         |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS te
+         |  FROM embeddings),
+         |g AS (
+         |  SELECT m,
+         |    CAST(floor(sqrt(
+         |      list_sum(list_transform(embedding[1:m],
+         |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) / te
+         |    ) * 1000000.0) AS BIGINT) AS cos_micro
+         |  FROM te CROSS JOIN (
+         |    SELECT unnest([${MrlDims.mkString(", ")}]) AS m)
+         |  WHERE te > 0.0)
+         |SELECT CAST(m AS INT) AS m, CAST(count(*) AS BIGINT) AS n_vecs,
+         |  round(CAST(sum(cos_micro) AS DOUBLE)
+         |        / CAST(count(*) AS DOUBLE) / 1000000.0, 4) + 0.0 AS avg_cos,
+         |  round(CAST(min(cos_micro) AS DOUBLE) / 1000000.0, 4) + 0.0
+         |    AS min_cos,
+         |  round(CAST(sum(CASE WHEN cos_micro >= 900000 THEN 1 ELSE 0 END)
+         |             AS DOUBLE) / CAST(count(*) AS DOUBLE), 4) + 0.0
+         |    AS frac_ge_090
+         |FROM g GROUP BY m ORDER BY m""".stripMargin,
     // identical integer pipeline: floor-snap to the micro grid, integer
     // nearest-code division (// is floor division on positives, same as
     // Spark's div), exact BIGINT SSE, one sqrt+division at the end

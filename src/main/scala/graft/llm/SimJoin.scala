@@ -255,14 +255,109 @@ object SimJoin {
       .orderBy("name")
   }
 
+  /** q166 containment threshold (numerator over 10) and the minimum
+    * contained-set size: a 2-shingle snippet is "contained" in half the
+    * corpus by chance — the floor keeps the report about real quoting.
+    */
+  private val C10 = 8
+  private val MinContained = 5
+
+  /** q166: set-CONTAINMENT join — the ASYMMETRIC complement of q109's
+    * Jaccard: C(A→B) = |A∩B| / |A| ≥ 0.8 finds documents QUOTED inside
+    * larger ones (boilerplate extraction, quote/citation detection,
+    * "is this eval answer embedded in some train doc" — the case a
+    * symmetric Jaccard join structurally misses, because a 40-shingle
+    * snippet inside a 4000-shingle page has Jaccard ≈ 0.01).
+    *
+    * Plan at scale (the q109 machinery, re-derived for the asymmetric
+    * threshold): the contained side A explodes ONLY its prefix under
+    * the global rarest-first (df, g) order — for containment the
+    * lossless prefix length is |A| − ⌈t·|A|⌉ + 1 exactly as for
+    * Jaccard (≥ t·|A| of A's tokens must be in B, so a miss needs
+    * > (1−t)·|A| absences, pigeonhole on the prefix) — but joins the
+    * FULL posting list on the container side (B's size is unbounded
+    * above, so B cannot be prefix-pruned; the prefix tokens being A's
+    * RAREST keeps those posting lists short, which is the PPJoin
+    * ordering doing the work). The container-size LOWER bound
+    * 10·|B| ≥ t·10·|A| rides the join (|B| ≥ |A∩B| ≥ t·|A|,
+    * lossless). Verify = one codegen'd array_intersect per candidate,
+    * i/|A| in exact-integer-derived doubles. Nothing all-pairs.
+    */
+  private def q166(s: SparkSession, dir: String): DataFrame = {
+    val sh = Dedup.cachedShingles(s, dir) // (doc_id, g), distinct
+    val df = sh.groupBy("g").agg(count(lit(1)).as("df"))
+    val ordered = Dedup.tcache(
+      s,
+      sh.join(df, "g")
+        .groupBy("doc_id")
+        .agg(sort_array(collect_list(struct(col("df"), col("g")))).as("sg"))
+        .select(
+          col("doc_id"),
+          expr("transform(sg, x -> x.g)").as("gs"),
+          size(col("sg")).as("n")
+        )
+    )
+    // prefix |A| − ⌈0.8·|A|⌉ + 1 with ⌈8n/10⌉ = (8n+9) div 10 — exact
+    val pref = ordered
+      .filter(col("n") >= MinContained)
+      .select(
+        col("doc_id"),
+        col("n"),
+        explode(
+          expr(s"slice(gs, 1, size(gs) - (($C10*size(gs)+9) div 10) + 1)")
+        ).as("g")
+      )
+    val inv = ordered.select(
+      col("doc_id").as("dc"),
+      col("n").as("nc"),
+      explode(col("gs")).as("g")
+    )
+    val cand = pref
+      .join(
+        inv,
+        pref("g") === inv("g")
+          && pref("doc_id") =!= inv("dc")
+          && inv("nc") * 10 >= pref("n") * C10
+      )
+      .select(pref("doc_id").as("dq"), col("dc"))
+      .distinct()
+    cand
+      .join(
+        ordered
+          .select(col("doc_id").as("dq"), col("gs").as("gq"), col("n").as("nq")),
+        "dq"
+      )
+      .join(ordered.select(col("doc_id").as("dc"), col("gs").as("gc")), "dc")
+      .withColumn("i", size(array_intersect(col("gq"), col("gc"))))
+      .withColumn("containment", col("i").cast("double") / col("nq").cast("double"))
+      .filter(col("containment") >= C10 / 10.0)
+      .select(col("dq"), col("dc"), round(col("containment"), 4).as("containment"))
+      .orderBy("dq", "dc")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q109_prefix_jaccard_join" -> q109,
     "q110_edit_distance_join" -> q110,
     "q121_jaro_winkler_linkage" -> q121,
-    "q139_entity_resolution" -> q139
+    "q139_entity_resolution" -> q139,
+    "q166_containment_join" -> q166
   )
 
   val oracleSql: Map[String, String] = Map(
+    // both directions of the symmetric intersection frame, each scored
+    // by ITS OWN size — the naive replay of the asymmetric semantics
+    "q166_containment_join" ->
+      s"""${Dedup.shingleCte},
+         |pairs AS (
+         |  SELECT da AS dq, db AS dc, i, sa.n AS nq
+         |  FROM inter JOIN sz sa ON sa.doc_id = da
+         |  UNION ALL
+         |  SELECT db AS dq, da AS dc, i, sb.n AS nq
+         |  FROM inter JOIN sz sb ON sb.doc_id = db)
+         |SELECT dq, dc, round(i * 1.0 / nq, 4) AS containment
+         |FROM pairs
+         |WHERE nq >= $MinContained AND i * 1.0 / nq >= 0.8
+         |ORDER BY dq, dc""".stripMargin,
     // naive full-inverted-index replay (the q26 oracle shape) at t=0.7 —
     // prefix filtering is lossless, so the rows must match exactly
     "q109_prefix_jaccard_join" ->

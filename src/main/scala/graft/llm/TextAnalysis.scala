@@ -693,7 +693,83 @@ object TextAnalysis {
       .orderBy("n")
   }
 
+  /** Head-of-vocabulary size for the q168 Zipf fit — the power law is a
+    * head phenomenon (the tail is hapax noise), and a fixed K makes the
+    * fit comparable corpus-to-corpus.
+    */
+  private val ZipfK = 500
+
+  /** q168: Zipf-law fit over the corpus vocabulary — the one-number
+    * naturalness check a data pipeline runs on anything synthetic or
+    * scraped: natural language's rank-frequency head follows
+    * freq ∝ rank^(−s) with s ≈ 1; template spam, boilerplate floods,
+    * and collapsed generators bend the log-log line visibly before any
+    * downstream eval does. Computed as the OLS fit of
+    * ln(freq) ~ ln(rank) over the top-[[ZipfK]] words (rank ties
+    * broken alphabetically — deterministic across engines).
+    *
+    * Determinism (the q120 moment discipline, log-grid flavor): each
+    * ln snaps to the micro grid (floor ×10⁶) per ROW, moments are
+    * exact DECIMAL(38) sums of BIGINT products, and
+    * slope/intercept/R² are a fixed dag of IEEE ops on the moment
+    * scalars — no float ever accumulates across rows.
+    *
+    * Scale shape: one corpus token aggregate (map-side combined,
+    * vocabulary-sized shuffle), a TakeOrdered top-K (never a global
+    * sort), a K-row window for ranks (bounded by construction — the
+    * q71 post-limit convention), one 1-row aggregate.
+    */
+  private def q168(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("word"))
+    val top = docs(s, dir)
+      .select(explode(filter(split(col("text"), " "), x => x =!= "")).as("word"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word"))
+      .limit(ZipfK)
+      .withColumn("rank", row_number().over(w))
+      .select(
+        floor(log(col("rank").cast("double")) * 1000000.0).cast("long").as("x"),
+        floor(log(col("cnt").cast("double")) * 1000000.0).cast("long").as("y")
+      )
+    top
+      .agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(col("x").cast("decimal(38,0)")).cast("double").as("sx"),
+        sum(col("y").cast("decimal(38,0)")).cast("double").as("sy"),
+        sum((col("x") * col("x")).cast("decimal(38,0)")).cast("double").as("sxx"),
+        sum((col("x") * col("y")).cast("decimal(38,0)")).cast("double").as("sxy"),
+        sum((col("y") * col("y")).cast("decimal(38,0)")).cast("double").as("syy")
+      )
+      .select(
+        col("n").cast("long").as("n_words"),
+        // un-grid (×10⁻⁶ each axis) folds into the ratios: slope is
+        // grid-free, intercept carries one 10⁻⁶ factor
+        (round(
+          (col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx")),
+          4
+        ) + 0.0).as("zipf_slope"),
+        (round(
+          (col("sy") - col("sx") *
+            ((col("n") * col("sxy") - col("sx") * col("sy")) /
+              (col("n") * col("sxx") - col("sx") * col("sx")))) /
+            col("n") / 1000000.0,
+          4
+        ) + 0.0).as("intercept_ln"),
+        (round(
+          ((col("n") * col("sxy") - col("sx") * col("sy")) *
+            (col("n") * col("sxy") - col("sx") * col("sy"))) /
+            ((col("n") * col("sxx") - col("sx") * col("sx")) *
+              (col("n") * col("syy") - col("sy") * col("sy"))),
+          4
+        ) + 0.0).as("r_squared")
+      )
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q168_zipf_fit" -> q168,
     "q159_ngram_diversity" -> q159,
     "q149_nfc_normalize" -> q149,
     "q69_distribution_drift" -> q69,
@@ -715,6 +791,40 @@ object TextAnalysis {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // same top-K head (ties alphabetical), same per-row ln micro grid,
+    // exact HUGEINT moments, same closed-form slope/intercept/R² dag
+    "q168_zipf_fit" ->
+      s"""WITH cnts AS (
+         |  SELECT word, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM (SELECT unnest(list_filter(string_split(text, ' '),
+         |                x -> x <> '')) AS word
+         |        FROM documents)
+         |  GROUP BY 1),
+         |top AS (
+         |  SELECT cnt, row_number() OVER (ORDER BY cnt DESC, word) AS rank
+         |  FROM cnts ORDER BY cnt DESC, word LIMIT $ZipfK),
+         |g AS (
+         |  SELECT
+         |    CAST(floor(ln(CAST(rank AS DOUBLE)) * 1000000.0) AS BIGINT) AS x,
+         |    CAST(floor(ln(CAST(cnt AS DOUBLE)) * 1000000.0) AS BIGINT) AS y
+         |  FROM top),
+         |m AS (
+         |  SELECT CAST(count(*) AS DOUBLE) AS n,
+         |    CAST(sum(CAST(x AS HUGEINT)) AS DOUBLE) AS sx,
+         |    CAST(sum(CAST(y AS HUGEINT)) AS DOUBLE) AS sy,
+         |    CAST(sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS DOUBLE) AS sxx,
+         |    CAST(sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS DOUBLE) AS sxy,
+         |    CAST(sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS DOUBLE) AS syy
+         |  FROM g)
+         |SELECT CAST(n AS BIGINT) AS n_words,
+         |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) + 0.0
+         |    AS zipf_slope,
+         |  round((sy - sx * ((n * sxy - sx * sy) / (n * sxx - sx * sx)))
+         |        / n / 1000000.0, 4) + 0.0 AS intercept_ln,
+         |  round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+         |        / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 4) + 0.0
+         |    AS r_squared
+         |FROM m""".stripMargin,
     // same tagged-gram generation (list_slice is inclusive-both-ends,
     // so the n-gram at i spans [i, i+n-1]); the guards mirror Spark's
     // short-doc empty arrays

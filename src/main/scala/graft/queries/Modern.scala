@@ -295,6 +295,35 @@ object Modern {
     )
   }
 
+  /** q167: UNPIVOT/melt (the Spark `Dataset.unpivot` relational
+    * surface, SQL `UNPIVOT` elsewhere) — wide metrics → long
+    * (entity, metric, value) rows, the step every metrics-warehouse →
+    * timeseries-store export and every "plot N columns as series"
+    * notebook takes. The wide frame is a per-status aggregate in exact
+    * centi BIGINTs; unpivot is a zero-shuffle map-side Expand (same
+    * operator family as rollup), so the plan is one aggregate plus a
+    * constant ×3 row expansion on 3 rows. Values share one BIGINT type
+    * (unpivot's contract); metric names are the column names verbatim.
+    */
+  private def q167(s: SparkSession, dir: String): DataFrame = {
+    val wide = Tables
+      .table(s, dir, "orders")
+      .groupBy("o_orderstatus")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(round(col("o_totalprice") * 100.0, 0).cast("long")).as("total_centi"),
+        countDistinct("o_custkey").as("n_customers")
+      )
+    wide
+      .unpivot(
+        Array(col("o_orderstatus")),
+        Array(col("n_orders"), col("total_centi"), col("n_customers")),
+        "metric",
+        "value"
+      )
+      .orderBy("o_orderstatus", "metric")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q107_variant_json" -> q107,
     "q108_pipe_sql" -> q108,
@@ -303,10 +332,24 @@ object Modern {
     "q132_percentile_disc" -> q132,
     "q162_collation_join" -> q162,
     "q163_sql_udf" -> q163,
-    "q164_session_variables" -> q164
+    "q164_session_variables" -> q164,
+    "q167_unpivot" -> q167
   )
 
   val oracleSql: Map[String, String] = Map(
+    // DuckDB's native UNPIVOT over the same wide aggregate
+    "q167_unpivot" ->
+      """WITH wide AS (
+        |  SELECT o_orderstatus,
+        |    CAST(count(*) AS BIGINT) AS n_orders,
+        |    CAST(sum(CAST(round(o_totalprice * 100.0, 0) AS BIGINT))
+        |         AS BIGINT) AS total_centi,
+        |    CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers
+        |  FROM orders GROUP BY 1)
+        |SELECT o_orderstatus, metric, value
+        |FROM wide
+        |UNPIVOT (value FOR metric IN (n_orders, total_centi, n_customers))
+        |ORDER BY o_orderstatus, metric""".stripMargin,
     // the SQL-UDF body inlined (the gate's contract is the VALUES;
     // DuckDB macros exist but an independent spelling is stronger)
     "q163_sql_udf" ->
