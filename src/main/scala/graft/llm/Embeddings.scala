@@ -208,14 +208,110 @@ object Embeddings {
       )
       .orderBy("m")
 
+  /** q170: embedding covariance matrix (upper triangle) — the one-pass
+    * input every PCA / ZCA-whitening / anisotropy diagnostic needs
+    * (embedding stores are routinely whitened before cosine retrieval;
+    * the covariance eigenspectrum is the standard "is this embedding
+    * space collapsed?" check — the numeric eigensolve happens driver-
+    * side on the 64×64 output, the DISTRIBUTED work is exactly this
+    * matrix). cov(i,j) = (n·Σvᵢvⱼ − Σvᵢ·Σvⱼ)/n².
+    *
+    * Determinism (q157/q120 combined): components snap to the micro
+    * grid (floor ×10⁶) per element, pair products are exact BIGINTs
+    * summed as DECIMAL(38), per-dim sums ride the diagonal of the same
+    * frame (no second pass), and each output is a fixed IEEE dag on
+    * two exact-moment scalars.
+    *
+    * Scale shape: ONE corpus scan, per row a map-side explode of the
+    * d(d+1)/2 = 2080 upper-triangle pair products, hash-aggregated
+    * into 2080 groups with map-side partials — the shuffle carries
+    * 2080 rows per partition regardless of corpus size. No joins
+    * except the final broadcast of the 64-row mean frame.
+    */
+  private def q170(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables
+      .table(s, dir, "embeddings")
+      .select(
+        expr(
+          "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))"
+        ).as("vi")
+      )
+      .select(
+        explode(
+          expr(
+            "flatten(transform(vi, (xi, i) -> " +
+              "transform(slice(vi, i + 1, size(vi) - i), (xj, j0) -> " +
+              "struct(i + 1 AS i, i + 1 + j0 AS j, xi * xj AS p, xi AS a))))"
+          )
+        ).as("q")
+      )
+      .select(col("q.i"), col("q.j"), col("q.p"), col("q.a"))
+    val moments = pairs
+      .groupBy("i", "j")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("p").cast("decimal(38,0)")).as("sp"),
+        // per-dim sums ride the diagonal rows (i == j): a is vᵢ there
+        sum(col("a").cast("decimal(38,0)")).as("sa")
+      )
+    val dimSums = moments
+      .filter(col("i") === col("j"))
+      .select(col("i").as("d"), col("sa").as("sd"))
+    moments
+      .join(broadcast(dimSums.select(col("d").as("i"), col("sd").as("si"))), "i")
+      .join(broadcast(dimSums.select(col("d").as("j"), col("sd").as("sj"))), "j")
+      .select(
+        col("i"),
+        col("j"),
+        col("n").as("n_vecs"),
+        // (n·Σpq − Σp·Σq) exact in DECIMAL(38), then one cast + the
+        // fixed double dag; ×10⁻¹² de-grids the micro² products
+        (round(
+          (col("n").cast("decimal(38,0)") * col("sp") - col("si") * col("sj"))
+            .cast("double") /
+            (col("n") * col("n")).cast("double") / 1.0e12,
+          8
+        ) + 0.0).as("cov")
+      )
+      .orderBy("i", "j")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q54_embedding_centroids" -> q54,
     "q54b_random_projection" -> q54b,
     "q157_int8_quantization" -> q157,
-    "q165_matryoshka_audit" -> q165
+    "q165_matryoshka_audit" -> q165,
+    "q170_embedding_covariance" -> q170
   )
 
   val oracleSql: Map[String, String] = Map(
+    // same micro-grid snap, same upper-triangle pair products in exact
+    // HUGEINT moments, same (n·Σpq − Σp·Σq)/n² double dag
+    "q170_embedding_covariance" ->
+      """WITH v AS (
+        |  SELECT list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS vi
+        |  FROM embeddings),
+        |pr AS (
+        |  SELECT unnest(flatten(list_transform(generate_series(1, len(vi)),
+        |    i -> list_transform(generate_series(i, len(vi)),
+        |      j -> struct_pack(i := i, j := j,
+        |                       p := vi[i] * vi[j], a := vi[i]))))) AS q
+        |  FROM v),
+        |mo AS (
+        |  SELECT q.i AS i, q.j AS j, CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(q.p AS HUGEINT)) AS sp,
+        |    sum(CAST(q.a AS HUGEINT)) AS sa
+        |  FROM pr GROUP BY 1, 2),
+        |ds AS (SELECT i AS d, sa AS sd FROM mo WHERE i = j)
+        |SELECT CAST(mo.i AS INT) AS i, CAST(mo.j AS INT) AS j,
+        |  mo.n AS n_vecs,
+        |  round(CAST(mo.n * mo.sp - dsi.sd * dsj.sd AS DOUBLE)
+        |        / CAST(mo.n * mo.n AS DOUBLE) / 1.0e12, 8) + 0.0 AS cov
+        |FROM mo
+        |JOIN ds dsi ON dsi.d = mo.i
+        |JOIN ds dsj ON dsj.d = mo.j
+        |ORDER BY i, j""".stripMargin,
     // same left-to-right list_sum folds, same single-division ratio and
     // sqrt, same floor×10⁶ grid BEFORE aggregation — corpus stats are
     // exact integer arithmetic on both engines

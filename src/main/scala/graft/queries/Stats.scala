@@ -916,7 +916,101 @@ object Stats {
       .orderBy("event_type")
   }
 
+  /** q169: Spearman rank correlation (with the average-rank tie
+    * convention) between two per-document metrics — char length and the
+    * integer-gridded distinct-word ratio — next to the raw Pearson on
+    * the same pair. The audit question it answers ("is doc quality
+    * MONOTONICALLY related to length, outliers notwithstanding?") is
+    * the rank-statistics staple Pearson can't: one 10⁶-char outlier doc
+    * owns Pearson's covariance, while its rank contributes like any
+    * other row.
+    *
+    * Determinism: ranks are EXACT integers on a ×2 grid (average rank
+    * of a tie group = (2·cum_before + c + 1)/2 — doubled to stay
+    * integral), every moment is an exact DECIMAL(38) sum, and ρ/r are
+    * fixed IEEE dags on the moment scalars (the q120 discipline). The
+    * ×2 rank scale cancels in ρ.
+    *
+    * Scale shape: one corpus scan to (doc_id, x, y); per-metric
+    * VALUE-count frames (domain-bounded: distinct lengths, ≤ 101 ratio
+    * grid points) get their cumulative offsets on frames that size —
+    * never the corpus (the q33b per-length-aggregate convention; at an
+    * unbounded domain the q46b shard cumulation is the swap-in); two
+    * broadcast-sized rank-map joins back to the doc frame; one 1-row
+    * moment aggregate.
+    */
+  private def q169(s: SparkSession, dir: String): DataFrame = {
+    val d = graft.queries.Tables
+      .table(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("w0"))
+      .select(
+        col("doc_id"),
+        expr("size(filter(w0, x -> x <> ''))").as("nw"),
+        expr("size(array_distinct(filter(w0, x -> x <> '')))").as("ndw"),
+        expr("aggregate(w0, 0, (a, x) -> a + length(x))").as("x")
+      )
+      .filter(col("nw") > 0)
+      // y: distinct-word percentage on an integer grid (floor — exact);
+      // LONG metrics so the row-level moment products below never
+      // overflow before their DECIMAL(38) cast
+      .select(
+        col("doc_id"),
+        col("x").cast("long").as("x"),
+        expr("(100 * ndw) div nw").cast("long").as("y")
+      )
+    def rankMap(c: String): DataFrame = {
+      val w = Window.orderBy(col(c))
+      d.groupBy(c)
+        .agg(count(lit(1)).as("cnt"))
+        .select(
+          col(c),
+          // 2·(average rank) = 2·cumBefore + cnt + 1, exact integers
+          (lit(2) * (coalesce(
+            sum(col("cnt")).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            lit(0L)
+          )) + col("cnt") + lit(1)).as(s"r2$c")
+        )
+    }
+    val ranked = d
+      .join(broadcast(rankMap("x")), "x")
+      .join(broadcast(rankMap("y")), "y")
+    ranked
+      .agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(col("r2x").cast("decimal(38,0)")).cast("double").as("sx"),
+        sum(col("r2y").cast("decimal(38,0)")).cast("double").as("sy"),
+        sum((col("r2x") * col("r2x")).cast("decimal(38,0)")).cast("double").as("sxx"),
+        sum((col("r2x") * col("r2y")).cast("decimal(38,0)")).cast("double").as("sxy"),
+        sum((col("r2y") * col("r2y")).cast("decimal(38,0)")).cast("double").as("syy"),
+        sum(col("x").cast("decimal(38,0)")).cast("double").as("rx"),
+        sum(col("y").cast("decimal(38,0)")).cast("double").as("ry"),
+        sum((col("x") * col("x")).cast("decimal(38,0)")).cast("double").as("rxx"),
+        sum((col("x") * col("y")).cast("decimal(38,0)")).cast("double").as("rxy"),
+        sum((col("y") * col("y")).cast("decimal(38,0)")).cast("double").as("ryy")
+      )
+      .select(
+        col("n").cast("long").as("n_docs"),
+        (round(
+          (col("n") * col("sxy") - col("sx") * col("sy")) /
+            sqrt(
+              (col("n") * col("sxx") - col("sx") * col("sx")) *
+                (col("n") * col("syy") - col("sy") * col("sy"))
+            ),
+          6
+        ) + 0.0).as("spearman_rho"),
+        (round(
+          (col("n") * col("rxy") - col("rx") * col("ry")) /
+            sqrt(
+              (col("n") * col("rxx") - col("rx") * col("rx")) *
+                (col("n") * col("ryy") - col("ry") * col("ry"))
+            ),
+          6
+        ) + 0.0).as("pearson_r")
+      )
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q169_spearman" -> q169,
     "q153_weighted_quantiles" -> q153,
     "q161_winsorized_mean" -> q161,
     "q158_conformal_interval" -> q158,
@@ -983,6 +1077,59 @@ object Stats {
 
   val oracleSql: Map[String, String] = Map(
     "q120_ols_probe" -> q120OracleSql,
+    // same ×2-integer average ranks from value-count frames, exact
+    // HUGEINT moments, same closed-form ρ / r dags
+    "q169_spearman" ->
+      """WITH d0 AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split(text, ' '), t -> t <> '')) AS nw,
+        |    len(list_distinct(
+        |      list_filter(string_split(text, ' '), t -> t <> ''))) AS ndw,
+        |    list_sum(list_transform(string_split(text, ' '),
+        |      t -> length(t))) AS x0
+        |  FROM documents),
+        |m AS (
+        |  SELECT CAST(x0 AS BIGINT) AS x,
+        |    CAST((100 * ndw) // nw AS BIGINT) AS y
+        |  FROM d0 WHERE nw > 0),
+        |vx AS (SELECT x, CAST(count(*) AS BIGINT) AS cnt FROM m GROUP BY x),
+        |rmx AS (
+        |  SELECT x,
+        |    2 * coalesce(sum(cnt) OVER (ORDER BY x
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      + cnt + 1 AS r2x
+        |  FROM vx),
+        |vy AS (SELECT y, CAST(count(*) AS BIGINT) AS cnt FROM m GROUP BY y),
+        |rmy AS (
+        |  SELECT y,
+        |    2 * coalesce(sum(cnt) OVER (ORDER BY y
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      + cnt + 1 AS r2y
+        |  FROM vy),
+        |r AS (
+        |  SELECT m.x, m.y, rmx.r2x, rmy.r2y
+        |  FROM m JOIN rmx USING (x) JOIN rmy USING (y)),
+        |mo AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(CAST(r2x AS HUGEINT)) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(r2y AS HUGEINT)) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(r2x AS HUGEINT) * CAST(r2x AS HUGEINT)) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(r2x AS HUGEINT) * CAST(r2y AS HUGEINT)) AS DOUBLE) AS sxy,
+        |    CAST(sum(CAST(r2y AS HUGEINT) * CAST(r2y AS HUGEINT)) AS DOUBLE) AS syy,
+        |    CAST(sum(CAST(x AS HUGEINT)) AS DOUBLE) AS rx,
+        |    CAST(sum(CAST(y AS HUGEINT)) AS DOUBLE) AS ry,
+        |    CAST(sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS DOUBLE) AS rxx,
+        |    CAST(sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS DOUBLE) AS rxy,
+        |    CAST(sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS DOUBLE) AS ryy
+        |  FROM r)
+        |SELECT CAST(n AS BIGINT) AS n_docs,
+        |  round((n * sxy - sx * sy)
+        |        / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) + 0.0
+        |    AS spearman_rho,
+        |  round((n * rxy - rx * ry)
+        |        / sqrt((n * rxx - rx * rx) * (n * ryy - ry * ry)), 6) + 0.0
+        |    AS pearson_r
+        |FROM mo""".stripMargin,
     // weighted quantiles from the definition: smallest value whose
     // cumulative weight reaches k·W/4 — all-integer comparison, same
     // centi snapping as the Spark side
