@@ -30,9 +30,13 @@ object TextAnalysis {
     "fr" -> Seq("le", "les", "et", "est", "une")
   )
 
-  private def q32(s: SparkSession, dir: String): DataFrame = {
+  /** (doc_id, pred_lang, score_en) over any (doc_id, text) frame —
+    * q32's scored frame, shared with q171's per-language
+    * tokenizer-fertility rollup (which feeds a marker-mangled corpus).
+    */
+  private[llm] def langScored(docsDf: DataFrame): DataFrame = {
     val withScores = langMarkers.foldLeft(
-      docs(s, dir).select(col("doc_id"), split(col("text"), " ").as("w"))
+      docsDf.select(col("doc_id"), split(col("text"), " ").as("w"))
     ) { case (df, (lang, markers)) =>
       df.withColumn(
         s"score_$lang",
@@ -50,14 +54,17 @@ object TextAnalysis {
           .when(col(s"score_$l3") >= col(s"score_$l4"), lit(l3))
           .otherwise(lit(l4))
     }
-    withScores
+    withScores.select(col("doc_id"), pred.as("pred_lang"), col("score_en"))
+  }
+
+  private def q32(s: SparkSession, dir: String): DataFrame =
+    langScored(docs(s, dir))
       .select(
         col("doc_id"),
-        pred.as("pred_lang"),
+        col("pred_lang"),
         round(col("score_en"), 4).as("score_en")
       )
       .orderBy("doc_id")
-  }
 
   // ---------------------------------------------- q33: quality scoring
 
