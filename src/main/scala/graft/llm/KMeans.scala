@@ -140,8 +140,76 @@ object KMeans {
       .orderBy("vec_id")
   }
 
+  /** q172: simplified (centroid-based) SILHOUETTE per cluster — the
+    * standard "is this clustering any good?" audit over q70's trained
+    * assignment (full silhouette is O(n²) pairwise; the centroid form
+    * s = (b − a)/max(a, b) with a = dist to own centroid, b = dist to
+    * nearest OTHER centroid is the O(n·k) production spelling — same
+    * decision signal, embarrassingly parallel). The actionable columns:
+    * avg silhouette per cluster (collapsed/overlapping clusters read
+    * near 0) and the fraction of NEGATIVE scores (points that sit
+    * closer to another centroid than their own — assignment-vs-geometry
+    * disagreement that only happens after Lloyd moves centroids off
+    * the assignment that made them).
+    *
+    * Determinism: distances are the q70 kernel's exact doubles,
+    * sqrt/ratio are fixed IEEE dags per row, clamped at 0 before sqrt
+    * (the q70 tiny-negative cancellation case), and each per-vector
+    * score snaps to the floor×10⁶ micro grid BEFORE aggregation
+    * (q165 discipline) — per-cluster stats are exact-integer
+    * arithmetic. Scale shape: one map-only pass under K literal
+    * centroids (the q70 assignment projection, widened to keep the
+    * runner-up distance), one K-group aggregate. No joins, no windows.
+    */
+  private def q172(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val cent = train(e, K, Iterations)
+    val cells: Seq[Column] = cent.toIndexedSeq.zipWithIndex.map { case (c, j) =>
+      val cLit = array(c.toIndexedSeq.map(v => lit(v)): _*)
+      val cc = c.foldLeft(0.0)((a, v) => a + v.toDouble * v.toDouble)
+      struct(
+        (col("xx") - lit(2.0) * VectorOps.dot(col("embedding"), cLit) + lit(cc))
+          .as("d"),
+        lit(j).as("cell")
+      )
+    }
+    val da = sqrt(greatest(col("best.d"), lit(0.0)))
+    val db = sqrt(greatest(col("second.d"), lit(0.0)))
+    val sRaw = when(greatest(da, db) === 0.0, lit(0.0))
+      .otherwise((db - da) / greatest(da, db))
+    e.withColumn("xx", VectorOps.dot(col("embedding"), col("embedding")))
+      .withColumn("arr", array(cells: _*))
+      .withColumn("best", array_min(col("arr")))
+      .withColumn(
+        "second",
+        array_min(filter(col("arr"), x => x.getField("cell") =!= col("best.cell")))
+      )
+      .select(
+        col("best.cell").as("cluster"),
+        floor(sRaw * 1000000.0).cast("long").as("s_micro")
+      )
+      .groupBy("cluster")
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        (round(
+          sum(col("s_micro")).cast("double") /
+            count(lit(1)).cast("double") / 1000000.0,
+          4
+        ) + 0.0).as("avg_silhouette"),
+        (round(min(col("s_micro")).cast("double") / 1000000.0, 4) + 0.0)
+          .as("min_silhouette"),
+        (round(
+          sum(when(col("s_micro") < 0L, 1L).otherwise(0L)).cast("double") /
+            count(lit(1)).cast("double"),
+          4
+        ) + 0.0).as("frac_negative")
+      )
+      .orderBy("cluster")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q70_kmeans" -> q70
+    "q70_kmeans" -> q70,
+    "q172_silhouette" -> q172
   )
 
   // The oracle replays init → (assign → update) × 2 → final assign with
@@ -175,21 +243,55 @@ object KMeans {
        |      GROUP BY a.cell, dim.i)
        |    GROUP BY cell) u USING (cell)""".stripMargin
 
+  // the shared q70 training-replay chain: a2 = final assignment, d2 =
+  // the full (vec, cell, d) distance frame it argmin'd over
+  private val trainReplayCtes =
+    s"""e AS (SELECT vec_id, embedding FROM embeddings),
+       |dim AS (SELECT unnest(generate_series(1, 64)) AS i),
+       |c0 AS (SELECT vec_id AS cell, embedding AS ce FROM e WHERE vec_id < $K),
+       |d0 AS (${distCteSql("c0")}),
+       |a0 AS (${argminSql("d0")}),
+       |c1 AS (${updateSql("a0", "c0")}),
+       |d1 AS (${distCteSql("c1")}),
+       |a1 AS (${argminSql("d1")}),
+       |c2 AS (${updateSql("a1", "c1")}),
+       |d2 AS (${distCteSql("c2")}),
+       |a2 AS (${argminSql("d2")})""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "q70_kmeans" ->
-      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
-         |dim AS (SELECT unnest(generate_series(1, 64)) AS i),
-         |c0 AS (SELECT vec_id AS cell, embedding AS ce FROM e WHERE vec_id < $K),
-         |d0 AS (${distCteSql("c0")}),
-         |a0 AS (${argminSql("d0")}),
-         |c1 AS (${updateSql("a0", "c0")}),
-         |d1 AS (${distCteSql("c1")}),
-         |a1 AS (${argminSql("d1")}),
-         |c2 AS (${updateSql("a1", "c1")}),
-         |d2 AS (${distCteSql("c2")}),
-         |a2 AS (${argminSql("d2")})
+      s"""WITH $trainReplayCtes
          |SELECT vec_id, CAST(cell AS INTEGER) AS cluster,
          |  round(d, 4) + 0.0 AS dist2
-         |FROM a2 ORDER BY vec_id""".stripMargin
+         |FROM a2 ORDER BY vec_id""".stripMargin,
+    // same replayed distances, same clamped sqrt / ratio dag, same
+    // floor×10⁶ per-vector snap before the exact-integer rollup
+    "q172_silhouette" ->
+      s"""WITH $trainReplayCtes,
+         |ob AS (
+         |  SELECT d2.vec_id, min(d2.d) AS bd
+         |  FROM d2 JOIN a2 USING (vec_id)
+         |  WHERE d2.cell <> a2.cell
+         |  GROUP BY d2.vec_id),
+         |sil AS (
+         |  SELECT a2.cell AS cluster,
+         |    CAST(floor(
+         |      CASE WHEN greatest(sqrt(greatest(a2.d, 0.0)),
+         |                         sqrt(greatest(ob.bd, 0.0))) = 0.0 THEN 0.0
+         |           ELSE (sqrt(greatest(ob.bd, 0.0)) - sqrt(greatest(a2.d, 0.0)))
+         |                / greatest(sqrt(greatest(a2.d, 0.0)),
+         |                           sqrt(greatest(ob.bd, 0.0))) END
+         |      * 1000000.0) AS BIGINT) AS s_micro
+         |  FROM a2 JOIN ob USING (vec_id))
+         |SELECT CAST(cluster AS INTEGER) AS cluster,
+         |  CAST(count(*) AS BIGINT) AS n_vecs,
+         |  round(CAST(sum(s_micro) AS DOUBLE)
+         |        / CAST(count(*) AS DOUBLE) / 1000000.0, 4) + 0.0
+         |    AS avg_silhouette,
+         |  round(CAST(min(s_micro) AS DOUBLE) / 1000000.0, 4) + 0.0
+         |    AS min_silhouette,
+         |  round(CAST(sum(CASE WHEN s_micro < 0 THEN 1 ELSE 0 END) AS DOUBLE)
+         |        / CAST(count(*) AS DOUBLE), 4) + 0.0 AS frac_negative
+         |FROM sil GROUP BY cluster ORDER BY cluster""".stripMargin
   )
 }
