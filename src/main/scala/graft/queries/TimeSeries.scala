@@ -164,13 +164,139 @@ object TimeSeries {
       .orderBy("event_type", "d")
   }
 
+  /** ACF lags audited by q173: adjacent structure (1–3) plus the weekly
+    * echo (7) — the lags a seasonality/anomaly pipeline actually keys
+    * decisions on.
+    */
+  private val AcfLags = Seq(1, 2, 3, 7)
+
+  /** q173: autocorrelation function (ACF) of each event type's daily
+    * value series at lags {1, 2, 3, 7} — the first diagnostic a
+    * forecasting/anomaly pipeline computes (ACF(1) ≈ 0 says yesterday
+    * predicts nothing: alert on levels, not deltas; a lag-7 spike says
+    * weekly seasonality: the q113 seasonal baseline is the right
+    * detrend). Lag pairing is by OBSERVED-day ROW offset (the q155
+    * convention, stated in the name of honesty there) via a
+    * type-partitioned lag window over the day-aggregated frame.
+    *
+    * Determinism (q120 moment discipline): daily sums are exact centi
+    * BIGINTs, per-(type, lag) moments are exact DECIMAL(38) sums of
+    * BIGINT products, and r is the fixed Pearson dag on the moment
+    * scalars; degenerate series (constant ⇒ zero variance) null out
+    * through the nullif guard and surface as NULL rather than a fake 0.
+    *
+    * Scale shape: ONE corpus hash aggregate to the (type, day) frame;
+    * the ×4 lag explode pairs rows via a hash equi-join on
+    * (type, rn − lag) over the calendar-bounded daily frame (never the
+    * corpus); one (type, lag)-group moment aggregate. The corpus is
+    * touched once.
+    */
+  private def q173(s: SparkSession, dir: String): DataFrame = {
+    // lag offsets must be literals in a window's Lag — pair rows by
+    // observed-day row number through an equi-join on (type, rn − lag)
+    // instead (hash join on derived keys, no dynamic-offset window)
+    val wRn = Window.partitionBy("event_type").orderBy("d")
+    val daily = Tables
+      .table(s, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(sum(round(col("value") * 100.0, 0).cast("long")).as("sv"))
+      .withColumn("rn", row_number().over(wRn))
+    val cur = daily
+      .select(
+        col("event_type"),
+        col("rn"),
+        col("sv"),
+        explode(array(AcfLags.map(l => lit(l)): _*)).as("lag")
+      )
+      .as("cur")
+    val prior = daily
+      .select(
+        col("event_type"),
+        col("rn").as("rn2"),
+        col("sv").as("prev")
+      )
+      .as("prior")
+    val pairs = cur
+      .join(
+        prior,
+        col("cur.event_type") === col("prior.event_type") &&
+          col("cur.rn") - col("cur.lag") === col("prior.rn2")
+      )
+      .select(
+        col("cur.event_type").as("event_type"),
+        col("cur.lag").as("lag"),
+        col("cur.sv").as("sv"),
+        col("prior.prev").as("prev")
+      )
+    pairs
+      .groupBy("event_type", "lag")
+      .agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(col("sv").cast("decimal(38,0)")).cast("double").as("sx"),
+        sum(col("prev").cast("decimal(38,0)")).cast("double").as("sy"),
+        sum((col("sv") * col("sv")).cast("decimal(38,0)")).cast("double").as("sxx"),
+        sum((col("sv") * col("prev")).cast("decimal(38,0)")).cast("double").as("sxy"),
+        sum((col("prev") * col("prev")).cast("decimal(38,0)")).cast("double").as("syy")
+      )
+      .select(
+        col("event_type"),
+        col("lag"),
+        col("n").cast("long").as("n_pairs"),
+        (round(
+          (col("n") * col("sxy") - col("sx") * col("sy")) /
+            nullif(
+              sqrt(
+                (col("n") * col("sxx") - col("sx") * col("sx")) *
+                  (col("n") * col("syy") - col("sy") * col("sy"))
+              ),
+              lit(0.0)
+            ),
+          6
+        ) + 0.0).as("acf")
+      )
+      .orderBy("event_type", "lag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q119_twap" -> q119,
     "q119b_ohlc_vwap" -> q119b,
-    "q155_rolling_median" -> q155
+    "q155_rolling_median" -> q155,
+    "q173_autocorrelation" -> q173
   )
 
   val oracleSql: Map[String, String] = Map(
+    // same daily centi frame, lag() with LITERAL offsets unioned per
+    // lag (an independent spelling of the row pairing), same HUGEINT
+    // moments and Pearson dag
+    "q173_autocorrelation" ->
+      s"""WITH daily AS (
+         |  SELECT event_type, CAST(ts AS DATE) AS d,
+         |    CAST(sum(CAST(round(value * 100.0, 0) AS BIGINT)) AS BIGINT) AS sv
+         |  FROM events GROUP BY 1, 2),
+         |lagged AS (
+         |${AcfLags
+          .map(l =>
+            s"""  SELECT event_type, $l AS lag, sv,
+               |    lag(sv, $l) OVER (PARTITION BY event_type ORDER BY d) AS prev
+               |  FROM daily""".stripMargin
+          )
+          .mkString("\n  UNION ALL\n")}),
+         |p AS (SELECT * FROM lagged WHERE prev IS NOT NULL),
+         |m AS (
+         |  SELECT event_type, lag,
+         |    CAST(count(*) AS DOUBLE) AS n,
+         |    CAST(sum(CAST(sv AS HUGEINT)) AS DOUBLE) AS sx,
+         |    CAST(sum(CAST(prev AS HUGEINT)) AS DOUBLE) AS sy,
+         |    CAST(sum(CAST(sv AS HUGEINT) * CAST(sv AS HUGEINT)) AS DOUBLE) AS sxx,
+         |    CAST(sum(CAST(sv AS HUGEINT) * CAST(prev AS HUGEINT)) AS DOUBLE) AS sxy,
+         |    CAST(sum(CAST(prev AS HUGEINT) * CAST(prev AS HUGEINT)) AS DOUBLE) AS syy
+         |  FROM p GROUP BY 1, 2)
+         |SELECT event_type, CAST(lag AS INT) AS lag,
+         |  CAST(n AS BIGINT) AS n_pairs,
+         |  round((n * sxy - sx * sy)
+         |        / nullif(sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+         |                 0.0), 6) + 0.0 AS acf
+         |FROM m ORDER BY event_type, lag""".stripMargin,
     "q155_rolling_median" ->
       """WITH daily AS (
         |  SELECT event_type, CAST(ts AS DATE) AS d,
