@@ -237,8 +237,20 @@ object Bench {
       )
     )
     val hist = historyMedians(new java.io.File(detailDir, "history.jsonl"), sfDir)
+    // gates whose ITERATION 1 deliberately pays a one-time per-JVM
+    // layout/index build (variance-flagged by design): at 3 iterations
+    // the median discards the build; at 2 the "median" is the mean and
+    // half the build leaks in (observed in the first trimmed record —
+    // q100 0.08 s steady read 1.68 s, then needed a substitution to
+    // repair). Never trim these.
+    val buildOnFirstIteration = Set(
+      "q100_bucketed_smb_join",
+      "q102_zorder_pruned_scan",
+      "q125_dpp_pruned_join"
+    )
     def itersFor(name: String): Int =
-      if (iters > 2 && hist.get(name).exists(h => h > 0 && h < 0.4))
+      if (iters > 2 && !buildOnFirstIteration.contains(name) &&
+          hist.get(name).exists(h => h > 0 && h < 0.4))
         iters - 1
       else iters
     val results = SparkEntry.queries

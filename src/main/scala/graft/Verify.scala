@@ -10,10 +10,13 @@ object Verify {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = Sessions.local(cpus, "graft-verify")
     new java.io.File(outDir).mkdirs()
-    // dev-loop filter (substring); the driver sets no env so runs everything
+    // dev-loop filter (comma-separated substrings, any-match — the
+    // Bench convention); the driver sets no env so runs everything
     val filter = sys.env.get("SPARK_GRAFT_QUERY_FILTER")
     SparkEntry.queries
-      .filter { case (name, _) => filter.forall(name.contains) }
+      .filter { case (name, _) =>
+        filter.forall(_.split(',').exists(f => f.nonEmpty && name.contains(f)))
+      }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
