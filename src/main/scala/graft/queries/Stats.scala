@@ -1009,7 +1009,82 @@ object Stats {
       )
   }
 
+  /** q174: Kaplan–Meier survival estimator — the right-censoring-aware
+    * time-to-event curve (here: days from a user's first event to
+    * their first 'error', users who never error censored at their last
+    * observed day). The naive "average time to error over users who
+    * errored" is biased by exactly the users it drops; KM is how
+    * retention/reliability/time-to-conversion is actually reported.
+    * S(t) = Π_{tᵢ ≤ t} (1 − dᵢ/nᵢ) over observed-event times, with
+    * censored users leaving the risk set without contributing an
+    * event.
+    *
+    * Determinism: risk counts and event counts are exact integers from
+    * one duration-value frame; each step factor (nᵢ−dᵢ)/nᵢ is one IEEE
+    * division of exact ints, its ln snaps to a 10⁻⁹ grid (the q168 ln
+    * convention), the cumulative sum is exact BIGINT, and S is one
+    * exp + round. A step with d = n (risk set dies out) forces S = 0
+    * exactly via a cumulated flag rather than ln(0).
+    *
+    * Scale shape: one corpus hash aggregate to per-user (first, event,
+    * last) days, one tiny duration-value frame (≤ observation-window
+    * days), cumulations over THAT frame (bounded — the q33b window
+    * convention). The corpus is touched once.
+    */
+  private def q174(s: SparkSession, dir: String): DataFrame = {
+    val u = graft.queries.Tables
+      .table(s, dir, "events")
+      .groupBy("user_id")
+      .agg(
+        min(to_date(col("ts"))).as("f"),
+        min(when(col("event_type") === "error", to_date(col("ts")))).as("p"),
+        max(to_date(col("ts"))).as("l")
+      )
+      .select(
+        when(col("p").isNotNull, datediff(col("p"), col("f")))
+          .otherwise(datediff(col("l"), col("f")))
+          .as("dur"),
+        when(col("p").isNotNull, lit(1L)).otherwise(lit(0L)).as("obs")
+      )
+    val vc = u
+      .groupBy("dur")
+      .agg(
+        sum(col("obs")).as("d_t"),
+        count(lit(1)).as("a_t")
+      )
+    val wc = Window.orderBy("dur")
+    val wRisk = wc.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val wCum = wc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    vc.withColumn("n_t", sum(col("a_t")).over(wRisk))
+      .withColumn(
+        "lf",
+        when(col("d_t") === col("n_t"), lit(0L)).otherwise(
+          floor(
+            log(
+              (col("n_t") - col("d_t")).cast("double") / col("n_t").cast("double")
+            ) * 1.0e9
+          ).cast("long")
+        )
+      )
+      .withColumn("zflag", when(col("d_t") === col("n_t"), 1L).otherwise(0L))
+      .withColumn("cum_lf", sum(col("lf")).over(wCum))
+      .withColumn("zcum", sum(col("zflag")).over(wCum))
+      .filter(col("d_t") > 0)
+      .select(
+        col("dur").cast("int").as("t_days"),
+        col("n_t").as("n_risk"),
+        col("d_t").as("d_events"),
+        when(col("zcum") > 0, lit(0.0))
+          .otherwise(
+            round(exp(col("cum_lf").cast("double") / 1.0e9), 6) + 0.0
+          )
+          .as("survival")
+      )
+      .orderBy("t_days")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q174_kaplan_meier" -> q174,
     "q169_spearman" -> q169,
     "q153_weighted_quantiles" -> q153,
     "q161_winsorized_mean" -> q161,
@@ -1077,6 +1152,50 @@ object Stats {
 
   val oracleSql: Map[String, String] = Map(
     "q120_ols_probe" -> q120OracleSql,
+    // same duration-value frame, same reverse-cumulative risk set, same
+    // ln 10⁻⁹ grid + exact cumsum + single exp; d = n forces 0 exactly
+    "q174_kaplan_meier" ->
+      """WITH u AS (
+        |  SELECT user_id, min(CAST(ts AS DATE)) AS f,
+        |    min(CASE WHEN event_type = 'error'
+        |             THEN CAST(ts AS DATE) END) AS p,
+        |    max(CAST(ts AS DATE)) AS l
+        |  FROM events GROUP BY 1),
+        |d AS (
+        |  SELECT CASE WHEN p IS NOT NULL THEN p - f ELSE l - f END AS dur,
+        |    CASE WHEN p IS NOT NULL THEN 1 ELSE 0 END AS obs
+        |  FROM u),
+        |vc AS (
+        |  SELECT dur, CAST(sum(obs) AS BIGINT) AS d_t,
+        |    CAST(count(*) AS BIGINT) AS a_t
+        |  FROM d GROUP BY 1),
+        |r AS (
+        |  SELECT dur, d_t,
+        |    sum(a_t) OVER (ORDER BY dur
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS n_t
+        |  FROM vc),
+        |g AS (
+        |  SELECT dur, d_t, n_t,
+        |    CASE WHEN d_t = n_t THEN CAST(0 AS BIGINT)
+        |         ELSE CAST(floor(ln(CAST(n_t - d_t AS DOUBLE)
+        |                             / CAST(n_t AS DOUBLE)) * 1.0e9)
+        |              AS BIGINT) END AS lf,
+        |    CASE WHEN d_t = n_t THEN 1 ELSE 0 END AS zflag
+        |  FROM r),
+        |c AS (
+        |  SELECT dur, d_t, n_t,
+        |    sum(lf) OVER (ORDER BY dur
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_lf,
+        |    sum(zflag) OVER (ORDER BY dur
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS zcum
+        |  FROM g)
+        |SELECT CAST(dur AS INT) AS t_days,
+        |  CAST(n_t AS BIGINT) AS n_risk,
+        |  d_t AS d_events,
+        |  CASE WHEN zcum > 0 THEN 0.0
+        |       ELSE round(exp(CAST(cum_lf AS DOUBLE) / 1.0e9), 6) + 0.0 END
+        |    AS survival
+        |FROM c WHERE d_t > 0 ORDER BY t_days""".stripMargin,
     // same ×2-integer average ranks from value-count frames, exact
     // HUGEINT moments, same closed-form ρ / r dags
     "q169_spearman" ->

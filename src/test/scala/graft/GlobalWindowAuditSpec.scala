@@ -43,7 +43,8 @@ class GlobalWindowAuditSpec extends SparkSpec {
     "q147_skyline" -> "two-level cumulation: window over SHARD offsets (≤ price-range/256 rows)",
     "q115_ndcg_mrr" -> "rank pivots AFTER limit(NdcgK): ≤ 10-row ranked/ideal frames",
     "q168_zipf_fit" -> "row numbering AFTER limit(ZipfK): ≤ 500 rows by construction",
-    "q169_spearman" -> "cum windows over per-VALUE count frames (≤ distinct lengths / ≤ 101 ratio grid points — the q33b convention)"
+    "q169_spearman" -> "cum windows over per-VALUE count frames (≤ distinct lengths / ≤ 101 ratio grid points — the q33b convention)",
+    "q174_kaplan_meier" -> "risk-set + survival cumulations over the duration-VALUE frame (≤ observation-window days)"
   )
 
   private def globalWindows(p: SparkPlan): Seq[SparkPlan] =
