@@ -274,12 +274,83 @@ object Eval {
       .orderBy("bin")
   }
 
+  /** pass@k cutoffs reported by q175 (the standard eval-harness pair). */
+  private val PassKs = Seq(1, 5)
+
+  /** q175: unbiased pass@k (Codex-paper estimator) — the eval-harness
+    * number for sampled-generation benchmarks: given n attempts per
+    * problem with c successes, pass@k = 1 − C(n−c, k)/C(n, k),
+    * the probability a random size-k subset of the attempts contains a
+    * success. The naive "fraction of problems solved in the FIRST k
+    * attempts" is biased by attempt ordering; this estimator is
+    * exchangeable. Spelled as the stable product form
+    * 1 − Π_{j=0..k−1} (n−c−j)/(n−j) — k literal factors, no
+    * factorials to overflow. Problems stand in as users, attempts as
+    * their events, successes as 'purchase' events (the corpus's binary
+    * outcome); cohorts by user_id % 4 exercise the grouped rollup.
+    *
+    * Determinism: each factor is one IEEE division of exact BIGINTs,
+    * the k-literal product is a fixed dag, the per-problem estimate
+    * snaps to the floor×10⁶ grid BEFORE the corpus mean (q165
+    * discipline) — cohort stats are exact-integer arithmetic. n < k
+    * problems count pass@k = pass@n (every attempt inspected —
+    * the harness convention); c = 0 gives exactly 0, c ≥ n−k+1 gives
+    * exactly 1 through the zero factor.
+    *
+    * Scale shape: ONE corpus hash aggregate to per-problem (n, c), a
+    * map-side estimate projection, one 4-group rollup. No joins, no
+    * windows.
+    */
+  private def q175(s: SparkSession, dir: String): DataFrame = {
+    val perProblem = Tables
+      .table(s, dir, "events")
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("c")
+      )
+    def passK(k: Int): org.apache.spark.sql.Column = {
+      // Π_{j=0..k−1} (n−c−j)/(n−j), factors clamped at j < n (n < k ⇒
+      // shorter product = pass@n); a j with n−c−j ≤ 0 zeroes the product
+      val prod = (0 until k)
+        .map { j =>
+          when(
+            lit(j) < col("n"),
+            greatest(col("n") - col("c") - lit(j), lit(0L)).cast("double") /
+              (col("n") - lit(j)).cast("double")
+          ).otherwise(lit(1.0))
+        }
+        .reduce(_ * _)
+      floor((lit(1.0) - prod) * 1000000.0).cast("long")
+    }
+    perProblem
+      .select(
+        (col("user_id") % 4).as("cohort"),
+        passK(PassKs.head).as("p1"),
+        passK(PassKs(1)).as("p5")
+      )
+      .groupBy("cohort")
+      .agg(
+        count(lit(1)).as("n_problems"),
+        (round(
+          sum(col("p1")).cast("double") / count(lit(1)).cast("double") / 1.0e6,
+          4
+        ) + 0.0).as("pass_at_1"),
+        (round(
+          sum(col("p5")).cast("double") / count(lit(1)).cast("double") / 1.0e6,
+          4
+        ) + 0.0).as("pass_at_5")
+      )
+      .orderBy("cohort")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q111_roc_auc" -> q111,
     "q111b_calibration" -> q111b,
     "q112_cohens_kappa" -> q112,
     "q114_gini_concentration" -> q114,
-    "q123_woe_iv" -> q123
+    "q123_woe_iv" -> q123,
+    "q175_pass_at_k" -> q175
   )
 
   private def labeledCte: String =
@@ -290,6 +361,34 @@ object Eval {
        |  FROM agg a JOIN documents d USING (doc_id))""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // same k-literal product factors, same clamped/zero conventions,
+    // same floor×10⁶ per-problem snap before the exact cohort mean
+    "q175_pass_at_k" -> {
+      def factor(j: Int): String =
+        s"""CASE WHEN $j < n
+           |     THEN CAST(greatest(n - c - $j, 0) AS DOUBLE)
+           |          / CAST(n - $j AS DOUBLE)
+           |     ELSE 1.0 END""".stripMargin
+      def passK(k: Int): String =
+        s"CAST(floor((1.0 - ${(0 until k).map(factor).mkString(" * ")}) " +
+          "* 1000000.0) AS BIGINT)"
+      s"""WITH pp AS (
+         |  SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(CASE WHEN event_type = 'purchase'
+         |                  THEN 1 ELSE 0 END) AS BIGINT) AS c
+         |  FROM events GROUP BY 1),
+         |est AS (
+         |  SELECT user_id % 4 AS cohort,
+         |    ${passK(1)} AS p1,
+         |    ${passK(5)} AS p5
+         |  FROM pp)
+         |SELECT cohort, CAST(count(*) AS BIGINT) AS n_problems,
+         |  round(CAST(sum(p1) AS DOUBLE)
+         |        / CAST(count(*) AS DOUBLE) / 1.0e6, 4) + 0.0 AS pass_at_1,
+         |  round(CAST(sum(p5) AS DOUBLE)
+         |        / CAST(count(*) AS DOUBLE) / 1.0e6, 4) + 0.0 AS pass_at_5
+         |FROM est GROUP BY 1 ORDER BY 1""".stripMargin
+    },
     // naive single-window cumulation — the oracle may scan; Spark may not
     "q111_roc_auc" ->
       s"""$labeledCte,
