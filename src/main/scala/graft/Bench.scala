@@ -202,6 +202,14 @@ object Bench {
       catch { case _: Throwable => () }
       (System.nanoTime() - t0) / 1e9
     }
+    // Shared trained BPE merge table (q137/q137b/q171 consume it;
+    // q135/q135b/q135c still train from scratch): same convention.
+    val bpeWarmSec = {
+      val t0 = System.nanoTime()
+      try graft.llm.BpeTrain.warmMerges(spark, sfDir)
+      catch { case _: Throwable => () }
+      (System.nanoTime() - t0) / 1e9
+    }
 
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     // machine-contention evidence: 1-minute load average sampled at run
@@ -379,6 +387,7 @@ object Bench {
       .getOrElse(-1.0)
     graft.llm.Dedup.releaseCaches(spark)
     graft.queries.Graph.releaseCaches(spark)
+    graft.llm.BpeTrain.releaseCaches(spark)
 
     // Full-fidelity report (long query names, full precision, per-
     // iteration times, load-average samples, error messages) goes to an
@@ -404,6 +413,7 @@ object Bench {
         s""""errors":$errJson,"failures":${errors.size},"iters":$iters,""" +
         s""""iteration_times":$itersJson,"variance_flags":$varianceJson,""" +
         s""""shingle_warm_sec":$shingleWarmSec,"edge_warm_sec":$edgeWarmSec,""" +
+        s""""bpe_warm_sec":$bpeWarmSec,""" +
         s""""etl_lines_per_sec":$etlLinesPerSec,""" +
         s""""load_avg_start":$loadStart,"load_avg_end":$loadEnd,""" +
         s""""q00_iteration_load_avg":$q00LoadJson,""" +

@@ -30,6 +30,7 @@ object Verify {
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     graft.llm.Dedup.releaseCaches(spark)
     graft.queries.Graph.releaseCaches(spark)
+    graft.llm.BpeTrain.releaseCaches(spark)
     spark.stop()
   }
 }
