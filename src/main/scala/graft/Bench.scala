@@ -210,6 +210,14 @@ object Bench {
       catch { case _: Throwable => () }
       (System.nanoTime() - t0) / 1e9
     }
+    // Shared near-dup cluster labels (q50b/q144 consume them; the q50
+    // discovery gate still propagates from scratch): same convention.
+    val clusterWarmSec = {
+      val t0 = System.nanoTime()
+      try graft.llm.Clustering.warmClusters(spark, sfDir)
+      catch { case _: Throwable => () }
+      (System.nanoTime() - t0) / 1e9
+    }
 
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     // machine-contention evidence: 1-minute load average sampled at run
@@ -388,6 +396,7 @@ object Bench {
     graft.llm.Dedup.releaseCaches(spark)
     graft.queries.Graph.releaseCaches(spark)
     graft.llm.BpeTrain.releaseCaches(spark)
+    graft.llm.Clustering.releaseCaches(spark)
 
     // Full-fidelity report (long query names, full precision, per-
     // iteration times, load-average samples, error messages) goes to an
@@ -413,7 +422,7 @@ object Bench {
         s""""errors":$errJson,"failures":${errors.size},"iters":$iters,""" +
         s""""iteration_times":$itersJson,"variance_flags":$varianceJson,""" +
         s""""shingle_warm_sec":$shingleWarmSec,"edge_warm_sec":$edgeWarmSec,""" +
-        s""""bpe_warm_sec":$bpeWarmSec,""" +
+        s""""bpe_warm_sec":$bpeWarmSec,"cluster_warm_sec":$clusterWarmSec,""" +
         s""""etl_lines_per_sec":$etlLinesPerSec,""" +
         s""""load_avg_start":$loadStart,"load_avg_end":$loadEnd,""" +
         s""""q00_iteration_load_avg":$q00LoadJson,""" +

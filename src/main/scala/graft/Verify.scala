@@ -31,6 +31,7 @@ object Verify {
     graft.llm.Dedup.releaseCaches(spark)
     graft.queries.Graph.releaseCaches(spark)
     graft.llm.BpeTrain.releaseCaches(spark)
+    graft.llm.Clustering.releaseCaches(spark)
     spark.stop()
   }
 }
