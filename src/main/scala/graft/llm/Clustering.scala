@@ -302,10 +302,53 @@ object Clustering {
       .orderBy("doc_id")
   }
 
+  /** q176: dedup report — cluster-SIZE histogram + corpus dedup ratio,
+    * the one-glance "how duplicated is this corpus?" summary every
+    * dedup run ships to its dashboard before anyone trusts the
+    * keep-list: one row per cluster size (how many clusters of 2, of
+    * 3, …) plus the totals a rate derives from (docs in any cluster,
+    * docs the keep-list would drop). A histogram that suddenly grows a
+    * 10⁴-member cluster is the boilerplate-flood alarm; a rising drop
+    * ratio across crawls is collection drift. Consumes the session
+    * label cache (the q50b convention — argmax-free, two tiny
+    * aggregates over the cluster-membership-sized frame); all output
+    * is exact integers except one guarded ratio.
+    */
+  private def q176(s: SparkSession, dir: String): DataFrame = {
+    val labels = cachedClusterLabels(s, dir)
+    val nDocs = graft.queries.Tables
+      .table(s, dir, "documents")
+      .agg(count(lit(1)).as("n_docs"))
+    val sizes = labels
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("cluster_size"))
+    sizes
+      .groupBy("cluster_size")
+      .agg(
+        count(lit(1)).as("n_clusters"),
+        sum(col("cluster_size")).as("n_docs_in"),
+        (sum(col("cluster_size")) - count(lit(1))).as("n_dropped")
+      )
+      .crossJoin(broadcast(nDocs))
+      .select(
+        col("cluster_size"),
+        col("n_clusters"),
+        col("n_docs_in"),
+        col("n_dropped"),
+        (round(
+          col("n_dropped").cast("double") /
+            nullif(col("n_docs").cast("double"), lit(0.0)),
+          6
+        ) + 0.0).as("drop_ratio_of_corpus")
+      )
+      .orderBy("cluster_size")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_dedup_clusters" -> q50,
     "q50b_dedup_keep_list" -> q50b,
-    "q144_leakage_safe_split" -> q144
+    "q144_leakage_safe_split" -> q144,
+    "q176_dedup_report" -> q176
   )
 
   /** Shared oracle closure: shingles → exact-Jaccard pairs → recursive
@@ -371,6 +414,26 @@ object Clustering {
           |       WHEN CAST('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 < 90 THEN 'valid'
           |       ELSE 'test' END AS split
           |FROM assigned ORDER BY doc_id""".stripMargin
+    ),
+    // same replayed labels → cluster sizes → size histogram + totals
+    "q176_dedup_report" -> (
+      clusterLabelsSql +
+        """,
+          |cs AS (
+          |  SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+          |  FROM labels GROUP BY 1),
+          |h AS (
+          |  SELECT cluster_size,
+          |    CAST(count(*) AS BIGINT) AS n_clusters,
+          |    CAST(sum(cluster_size) AS BIGINT) AS n_docs_in,
+          |    CAST(sum(cluster_size) - count(*) AS BIGINT) AS n_dropped
+          |  FROM cs GROUP BY 1),
+          |t AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
+          |SELECT cluster_size, n_clusters, n_docs_in, n_dropped,
+          |  round(CAST(n_dropped AS DOUBLE)
+          |        / nullif(CAST(n_docs AS DOUBLE), 0.0), 6) + 0.0
+          |    AS drop_ratio_of_corpus
+          |FROM h CROSS JOIN t ORDER BY cluster_size""".stripMargin
     )
   )
 }
