@@ -20,10 +20,12 @@ class GlobalWindowAuditSpec extends SparkSpec {
   private val sf = "/root/testdata/sf0.001"
 
   /** Queries allowed an unpartitioned WindowExec, with the bound that
-    * justifies each. The audit proved these are the ONLY two repo-wide
-    * (every other ranking/cumulative frame is partitioned, top-k'd via
-    * TakeOrderedAndProject, or runs post-LIMIT). Keep in sync with
-    * SCALE.md "Known scale limits".
+    * justifies each — every entry's frame is bounded by construction
+    * (shard offsets, post-LIMIT top-k survivors, per-VALUE count
+    * frames, fixed replica counts), never corpus-sized; every other
+    * ranking/cumulative frame repo-wide is partitioned or top-k'd via
+    * TakeOrderedAndProject. Keep in sync with SCALE.md "Known scale
+    * limits".
     */
   private val allowlist: Map[String, String] = Map(
     "q33b_length_filter" -> "cum window over per-length aggregates (≤ distinct doc lengths rows)",
