@@ -64,14 +64,33 @@ object Dedup {
 
   private[graft] def tcache(s: SparkSession, df: DataFrame): DataFrame =
     synchronized {
-      val c = df.cache()
-      trackedCaches += ((s, c))
-      c
+      // idempotent-by-lookup (r14 verdict): two gates can build
+      // plan-identical frames (q109/q166 share the rarest-first ordered
+      // set construction) — re-caching the second would only emit
+      // CacheManager's "already cached" WARN and double-track an
+      // unpersist. `storageLevel` is the public CacheManager lookup
+      // (plan-equality match), so an already-cached plan is returned
+      // as-is and the FIRST tracker keeps sole unpersist ownership.
+      if (df.storageLevel != org.apache.spark.storage.StorageLevel.NONE) df
+      else {
+        val c = df.cache()
+        trackedCaches += ((s, c))
+        c
+      }
     }
 
   private[llm] def cachedShingles(s: SparkSession, dir: String): DataFrame =
     synchronized {
-      shingleCache.getOrElseUpdate((s, dir), shingles(docs(s, dir)).cache())
+      shingleCache.getOrElseUpdate(
+        (s, dir), {
+          val sh = shingles(docs(s, dir))
+          // same idempotence guard as tcache: a plan-equal frame may
+          // already sit in CacheManager (a tracked per-query cache built
+          // from the same scan) — don't double-cache it
+          if (sh.storageLevel != org.apache.spark.storage.StorageLevel.NONE) sh
+          else sh.cache()
+        }
+      )
     }
 
   /** Materialize the shared q26/q27 shingle cache outside a timed region
