@@ -101,6 +101,122 @@ class SessionizeTwsSpec extends SparkSpec {
     }
   }
 
+  /** Crash/restart fault tolerance (r14 verdict "What's missing #1"):
+    * user 1's session is OPEN (3 events absorbed, nothing emitted) when
+    * the query is killed; a new query restarted from the same
+    * checkpoint must close it with all three pre-restart events and
+    * the exact boundaries the uninterrupted run produces — possible
+    * only if the open-session state AND the watermark survived the
+    * restart on the RocksDB provider.
+    */
+  test("tws: open-session state survives a stop + restart from the checkpoint") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(
+      key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    )
+    try {
+      val base = tmpDir("graft-tws-restart")
+      val in = s"$base/in"
+      val ckpt = s"$base/ckpt"
+      Files.createDirectories(Paths.get(in))
+      val schema = StructType(
+        Seq(
+          StructField("ts", TimestampType),
+          StructField("user_id", LongType),
+          StructField("value", DoubleType)
+        )
+      )
+      // file sink, not memory: the memory sink refuses checkpoint
+      // recovery by design; the parquet sink's _spark_metadata log is
+      // also what makes the restart exactly-once to the output
+      val outDir = s"$base/out"
+      val outSchema = StructType(
+        Seq(
+          StructField("user_id", LongType),
+          StructField("session_start", TimestampType),
+          StructField("session_end", TimestampType),
+          StructField("cnt", IntegerType),
+          StructField("sum_value", DoubleType)
+        )
+      )
+      def start() = SessionizeTws
+        .sessions(
+          spark.readStream
+            .schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .csv(in)
+            .selectExpr("user_id", "ts", "value")
+            .as[UserEvent]
+        )
+        .writeStream
+        .format("parquet")
+        .option("path", outDir)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.ProcessingTime(0))
+        .start()
+      // phase 1: the first 3 events (user 1's whole first session,
+      // including the exact-gap-inclusive boundary event) — committed,
+      // but NO session emitted yet (nothing has closed)
+      val q1 = start()
+      try {
+        Files.writeString(
+          Paths.get(in, "b1.csv"),
+          corpus.take(3).mkString("", "\n", "\n")
+        )
+        q1.processAllAvailable()
+        assert(spark.read.schema(outSchema).parquet(outDir).isEmpty)
+      } finally q1.stop()
+      // phase 2: a NEW query from the same checkpoint sees the rest of
+      // the corpus + the watermark-advancing sentinels
+      val q2 = start()
+      val got =
+        try {
+          Files.writeString(
+            Paths.get(in, "b2.csv"),
+            corpus.drop(3).mkString("", "\n", "\n")
+          )
+          q2.processAllAvailable()
+          Files.writeString(Paths.get(in, "b3.csv"), "2024-06-01T00:00:00,99,0.0\n")
+          q2.processAllAvailable()
+          Files.writeString(Paths.get(in, "b4.csv"), "2024-12-01T00:00:00,99,0.0\n")
+          q2.processAllAvailable()
+          spark.read
+            .schema(outSchema)
+            .parquet(outDir)
+            .where("user_id < 99")
+            .selectExpr(
+              "user_id",
+              "unix_micros(session_start) AS s",
+              "unix_micros(session_end) AS e",
+              "cnt",
+              "sum_value"
+            )
+            .orderBy("user_id", "s")
+            .collect()
+            .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3), r.getDouble(4)))
+            .toSeq
+        } finally q2.stop()
+      // must match the uninterrupted run bit-for-bit (same corpus, same
+      // batch boundaries apart from the kill)
+      val uninterrupted = run("v2uncut", SessionizeTws.sessions(_))
+      assert(got === uninterrupted)
+      // the load-bearing session: all 3 pre-restart events of user 1
+      // closed into ONE session after the restart
+      assert(got.count(_._1 == 1L) === 2)
+      assert(got.find(_._1 == 1L).get._4 === 3)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("tws: late in-gap event extends the session start backwards") {
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(key)
