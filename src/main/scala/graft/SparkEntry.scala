@@ -70,6 +70,7 @@ object SparkEntry {
       graft.llm.Embeddings.queries ++
       graft.llm.Sampling.queries ++
       graft.llm.Curation.queries ++
+      graft.llm.Pipeline.queries ++
       graft.llm.Retrieval.queries ++
       graft.llm.Sft.queries ++
       graft.llm.Multimodal.queries
@@ -129,6 +130,7 @@ object SparkEntry {
       graft.llm.Embeddings.oracleSql ++
       graft.llm.Sampling.oracleSql ++
       graft.llm.Curation.oracleSql ++
+      graft.llm.Pipeline.oracleSql ++
       graft.llm.Retrieval.oracleSql ++
       graft.llm.Sft.oracleSql ++
       graft.llm.Multimodal.oracleSql

@@ -354,7 +354,7 @@ object Clustering {
   /** Shared oracle closure: shingles → exact-Jaccard pairs → recursive
     * transitive reach → per-doc cluster labels (min reachable id).
     */
-  private val clusterLabelsSql: String =
+  private[llm] val clusterLabelsSql: String =
     Dedup.shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
       """,
         |pairs AS (
