@@ -91,7 +91,9 @@ object WarmRegistry {
         "q80_triangle_count",
         "q80b_triangle_sample",
         "q106_recursive_reachability",
-        "q148_weighted_sssp"
+        "q148_weighted_sssp",
+        "q181_adamic_adar",
+        "q182_clustering_coeff"
       ),
       warm = (s, dir) => graft.queries.Graph.warmEdges(s, dir)
     ),

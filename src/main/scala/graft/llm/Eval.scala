@@ -344,7 +344,93 @@ object Eval {
       .orderBy("cohort")
   }
 
+  // ----------------------- q187: Fleiss' kappa (multi-rater agreement)
+
+  /** q187: Fleiss' κ — chance-corrected agreement for MORE than two
+    * raters (q112's Cohen κ stops at two; a labeling pipeline that
+    * ensembles three heuristic annotators needs the n-rater form
+    * before trusting majority votes): three deterministic quality
+    * "raters" each bin every document into {0,1,2} — length terciles,
+    * lexical-diversity (distinct/total words), alphabetic-character
+    * ratio — with every bin decided by EXACT-INTEGER cross-
+    * multiplication (dw·100 < 40·w, not a float ratio compare), so
+    * category assignment can never split engines. κ = (P̄−P̄e)/(1−P̄e)
+    * with P_i = (Σ_j n_ij² − n)/(n(n−1)): all sums exact BIGINTs, the
+    * final κ one IEEE dag on six exact integers.
+    *
+    * Scale shape: one map-side projection assigns all three ratings
+    * per document, one 1-row aggregate collects Σ n_ij² and the three
+    * column marginals — no joins, no windows, corpus touched once.
+    */
+  private def q187(s: SparkSession, dir: String): DataFrame = {
+    val rated = Tables
+      .table(s, dir, "documents")
+      .select(
+        length(col("text")).as("nc"),
+        size(filter(split(col("text"), " "), x => x =!= "")).as("w"),
+        size(array_distinct(filter(split(col("text"), " "), x => x =!= "")))
+          .as("dw"),
+        length(regexp_replace(col("text"), "[^a-z]", "")).as("al")
+      )
+      .select(
+        when(col("nc") < 216, 0).when(col("nc") < 380, 1).otherwise(2).as("r1"),
+        when(col("dw") * 100 < col("w") * 40, 0)
+          .when(col("dw") * 100 < col("w") * 56, 1)
+          .otherwise(2)
+          .as("r2"),
+        when(col("al") * 10000 < col("nc") * 8192, 0)
+          .when(col("al") * 10000 < col("nc") * 8243, 1)
+          .otherwise(2)
+          .as("r3")
+      )
+      // n_ij per subject: how many of the 3 raters chose category j
+      .select(
+        (Seq(0, 1, 2).map(j =>
+          ((col("r1") === j).cast("long") + (col("r2") === j).cast("long") +
+            (col("r3") === j).cast("long")).as(s"n$j")
+        )): _*
+      )
+    rated
+      .agg(
+        count(lit(1)).as("n_subjects"),
+        sum(col("n0") * col("n0") + col("n1") * col("n1") + col("n2") * col("n2"))
+          .as("sq"),
+        sum(col("n0")).as("c0"),
+        sum(col("n1")).as("c1"),
+        sum(col("n2")).as("c2")
+      )
+      .withColumn(
+        "p_bar",
+        (col("sq") - lit(3L) * col("n_subjects")).cast("double") /
+          (col("n_subjects") * 6L).cast("double")
+      )
+      // marginals squared in DOUBLE (c_j ~ 3N overflows BIGINT squared
+      // at 10^10 subjects; the double product is identical IEEE on both
+      // engines since each c_j is an exactly-representable integer)
+      .withColumn(
+        "p_e",
+        (col("c0").cast("double") * col("c0").cast("double") +
+          col("c1").cast("double") * col("c1").cast("double") +
+          col("c2").cast("double") * col("c2").cast("double")) /
+          ((col("n_subjects") * 3L).cast("double") *
+            (col("n_subjects") * 3L).cast("double"))
+      )
+      .select(
+        col("n_subjects"),
+        col("c0"),
+        col("c1"),
+        col("c2"),
+        (round(col("p_bar"), 6) + 0.0).as("p_observed"),
+        (round(col("p_e"), 6) + 0.0).as("p_expected"),
+        (round(
+          (col("p_bar") - col("p_e")) / nullif(lit(1.0d) - col("p_e"), lit(0.0d)),
+          6
+        ) + 0.0).as("fleiss_kappa")
+      )
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q187_fleiss_kappa" -> q187,
     "q111_roc_auc" -> q111,
     "q111b_calibration" -> q111b,
     "q112_cohens_kappa" -> q112,
@@ -361,6 +447,57 @@ object Eval {
        |  FROM agg a JOIN documents d USING (doc_id))""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // same exact-integer category bins, same six-integer κ dag
+    "q187_fleiss_kappa" ->
+      """WITH f AS (
+        |  SELECT length(text) AS nc,
+        |    len(list_filter(string_split(text, ' '), x -> x <> '')) AS w,
+        |    len(list_distinct(list_filter(string_split(text, ' '),
+        |        x -> x <> ''))) AS dw,
+        |    length(regexp_replace(text, '[^a-z]', '', 'g')) AS al
+        |  FROM documents),
+        |r AS (
+        |  SELECT
+        |    CASE WHEN nc < 216 THEN 0 WHEN nc < 380 THEN 1 ELSE 2 END AS r1,
+        |    CASE WHEN dw * 100 < w * 40 THEN 0
+        |         WHEN dw * 100 < w * 56 THEN 1 ELSE 2 END AS r2,
+        |    CASE WHEN al * 10000 < nc * 8192 THEN 0
+        |         WHEN al * 10000 < nc * 8243 THEN 1 ELSE 2 END AS r3
+        |  FROM f),
+        |nij AS (
+        |  SELECT
+        |    CAST((CASE WHEN r1 = 0 THEN 1 ELSE 0 END)
+        |       + (CASE WHEN r2 = 0 THEN 1 ELSE 0 END)
+        |       + (CASE WHEN r3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+        |    CAST((CASE WHEN r1 = 1 THEN 1 ELSE 0 END)
+        |       + (CASE WHEN r2 = 1 THEN 1 ELSE 0 END)
+        |       + (CASE WHEN r3 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST((CASE WHEN r1 = 2 THEN 1 ELSE 0 END)
+        |       + (CASE WHEN r2 = 2 THEN 1 ELSE 0 END)
+        |       + (CASE WHEN r3 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+        |  FROM r),
+        |a AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_subjects,
+        |    CAST(sum(n0 * n0 + n1 * n1 + n2 * n2) AS BIGINT) AS sq,
+        |    CAST(sum(n0) AS BIGINT) AS c0,
+        |    CAST(sum(n1) AS BIGINT) AS c1,
+        |    CAST(sum(n2) AS BIGINT) AS c2
+        |  FROM nij),
+        |p AS (
+        |  SELECT n_subjects, c0, c1, c2,
+        |    CAST(sq - 3 * n_subjects AS DOUBLE)
+        |      / CAST(n_subjects * 6 AS DOUBLE) AS p_bar,
+        |    (CAST(c0 AS DOUBLE) * CAST(c0 AS DOUBLE)
+        |     + CAST(c1 AS DOUBLE) * CAST(c1 AS DOUBLE)
+        |     + CAST(c2 AS DOUBLE) * CAST(c2 AS DOUBLE))
+        |      / (CAST(n_subjects * 3 AS DOUBLE)
+        |         * CAST(n_subjects * 3 AS DOUBLE)) AS p_e
+        |  FROM a)
+        |SELECT n_subjects, c0, c1, c2,
+        |  round(p_bar, 6) + 0.0 AS p_observed,
+        |  round(p_e, 6) + 0.0 AS p_expected,
+        |  round((p_bar - p_e) / nullif(1.0 - p_e, 0.0), 6) + 0.0 AS fleiss_kappa
+        |FROM p""".stripMargin,
     // same k-literal product factors, same clamped/zero conventions,
     // same floor×10⁶ per-problem snap before the exact cohort mean
     "q175_pass_at_k" -> {

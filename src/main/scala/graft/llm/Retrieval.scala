@@ -474,8 +474,79 @@ object Retrieval {
     "q91_preference_pairs" -> q91,
     "q92_rrf_fusion" -> q92,
     "q105_rag_context" -> q105,
-    "q115_ndcg_mrr" -> q115
+    "q115_ndcg_mrr" -> q115,
+    "q184_map_precision" -> q184
   )
+
+  private val MapK = 20 // eval depth for AP@k / P@k
+
+  /** q184: MAP / precision@k — the BINARY-relevance retrieval eval
+    * next to q115's graded NDCG (ranking evals are reported in pairs:
+    * NDCG grades HOW relevant, MAP/P@k ask "how early do the relevant
+    * ones appear at all" — the number an ANN/BM25 parameter sweep
+    * actually tracks): P@5, P@10, and AP@20 = Σ_{relevant r ≤ 20}
+    * P@r / min(n_rel, 20) over the q90 BM25 ranking, relevance = the
+    * q115 early-mention signal binarized (rel ≥ 1).
+    *
+    * Determinism: per-rank precisions are divisions of small exact
+    * integers snapped to the 1e-9 grid and SUMMED AS BIGINTs (a ≤20-row
+    * float sum would still be order-dependent in an aggregate), so AP
+    * is one gridded division at the end.
+    *
+    * Scale shape: everything after q90's corpus pass runs on the
+    * ≤20-row ranked frame (post-limit windows, allowlisted); the
+    * relevance frame joins by doc_id on the 20 survivors.
+    */
+  private def q184(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val relExpr = QueryTerms
+      .map(t =>
+        (locate(t, col("text")).between(1, EarlyWindow)).cast("int")
+      )
+      .reduce(_ + _)
+    val rel = docs(s, dir)
+      .select(col("doc_id"), relExpr.as("rel"))
+      .filter(col("rel") >= 1)
+    val ranked = bm25Scores(s, dir)
+      .withColumn("s6", round(col("score_raw"), 6) + 0.0)
+      .orderBy(desc("s6"), col("doc_id"))
+      .limit(MapK)
+      .withColumn(
+        "rnk",
+        row_number().over(Window.orderBy(desc("s6"), col("doc_id")))
+      )
+      .join(rel.select(col("doc_id"), lit(1L).as("isrel")), Seq("doc_id"), "left")
+      .withColumn("isrel", coalesce(col("isrel"), lit(0L)))
+    val w = Window
+      .orderBy("rnk")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = ranked
+      .withColumn("cumrel", sum(col("isrel")).over(w))
+      .withColumn(
+        "prec9",
+        expr(
+          "CAST(round(CAST(cumrel AS DOUBLE) / CAST(rnk AS DOUBLE) * 1.0e9, 0) AS BIGINT)"
+        )
+      )
+    val nRel = rel.agg(count(lit(1)).as("n_rel_docs"))
+    cum
+      .agg(
+        max(when(col("rnk") === 5, col("cumrel"))).as("hits5"),
+        max(when(col("rnk") === 10, col("cumrel"))).as("hits10"),
+        sum(when(col("isrel") === 1, col("prec9")).otherwise(0L)).as("ap9")
+      )
+      .crossJoin(broadcast(nRel))
+      .select(
+        col("n_rel_docs"),
+        (round(col("hits5").cast("double") / 5.0, 6) + 0.0).as("p_at_5"),
+        (round(col("hits10").cast("double") / 10.0, 6) + 0.0).as("p_at_10"),
+        (round(
+          col("ap9").cast("double") / 1.0e9 /
+            nullif(least(col("n_rel_docs"), lit(MapK.toLong)).cast("double"), lit(0.0d)),
+          6
+        ) + 0.0).as("ap_at_20")
+      )
+  }
 
   private val termsSqlList = QueryTerms.map(t => s"'$t'").mkString(", ")
 
@@ -663,6 +734,79 @@ object Retrieval {
         |  round(coalesce(1.0 / CAST(first_full AS DOUBLE), 0.0), 6)
         |    AS reciprocal_rank
         |FROM dcg, idcg, nrel""".stripMargin
+    },
+    // the q115 BM25+relevance CTE chain with a 20-deep top list and the
+    // binary precision cumsum on the 1e-9 grid
+    "q184_map_precision" -> {
+      val cCols = QueryTerms
+        .map(t =>
+          s"coalesce(max(CASE WHEN w = '$t' THEN c END), 0.0) AS c_$t"
+        )
+        .mkString(",\n        |    ")
+      val scoreSum = QueryTerms.map(t => s"c_$t").mkString(" + ")
+      s"""WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |dl AS (SELECT doc_id, len(toks) AS dl FROM d),
+        |stats AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |         CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+        |  FROM dl),
+        |tok AS (SELECT doc_id, unnest(toks) AS w FROM d),
+        |tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+        |       FROM tok WHERE w IN ($termsSqlList) GROUP BY 1, 2),
+        |df AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |rel0 AS (
+        |  SELECT doc_id,
+        |    ${QueryTerms
+             .map(t =>
+               s"(CASE WHEN strpos(text, '$t') BETWEEN 1 AND $EarlyWindow THEN 1 ELSE 0 END)"
+             )
+             .mkString("\n        |    + ")} AS rel
+        |  FROM documents),
+        |rel AS (SELECT doc_id FROM rel0 WHERE rel >= 1),
+        |contrib AS (
+        |  SELECT tf.doc_id, tf.w,
+        |    ln((CAST(n_docs AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5)
+        |       / (CAST(df.df AS DOUBLE) + 0.5) + 1.0)
+        |    * (CAST(tf.tf AS DOUBLE) * ${K1 + 1.0})
+        |    / (CAST(tf.tf AS DOUBLE)
+        |       + $K1 * (1.0 - $B + $B * CAST(dl.dl AS DOUBLE) / avgdl)) AS c
+        |  FROM tf JOIN df USING (w) JOIN dl USING (doc_id), stats),
+        |byterm AS (
+        |  SELECT doc_id,
+        |    $cCols
+        |  FROM contrib GROUP BY doc_id),
+        |top AS (
+        |  SELECT doc_id, round($scoreSum, 6) + 0.0 AS s6
+        |  FROM byterm ORDER BY s6 DESC, doc_id LIMIT $MapK),
+        |ranked AS (
+        |  SELECT t.doc_id,
+        |    row_number() OVER (ORDER BY t.s6 DESC, t.doc_id) AS rnk,
+        |    CASE WHEN r.doc_id IS NULL THEN 0 ELSE 1 END AS isrel
+        |  FROM top t LEFT JOIN rel r USING (doc_id)),
+        |cum AS (
+        |  SELECT rnk, isrel,
+        |    sum(isrel) OVER (ORDER BY rnk
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumrel
+        |  FROM ranked),
+        |c2 AS (
+        |  SELECT rnk, isrel, cumrel,
+        |    CAST(round(CAST(cumrel AS DOUBLE) / CAST(rnk AS DOUBLE) * 1.0e9, 0)
+        |      AS BIGINT) AS prec9
+        |  FROM cum),
+        |agg AS (
+        |  SELECT max(CASE WHEN rnk = 5 THEN cumrel END) AS hits5,
+        |    max(CASE WHEN rnk = 10 THEN cumrel END) AS hits10,
+        |    CAST(sum(CASE WHEN isrel = 1 THEN prec9 ELSE 0 END) AS BIGINT) AS ap9
+        |  FROM c2),
+        |nrel AS (SELECT CAST(count(*) AS BIGINT) AS n_rel_docs FROM rel)
+        |SELECT n_rel_docs,
+        |  round(CAST(hits5 AS DOUBLE) / 5.0, 6) + 0.0 AS p_at_5,
+        |  round(CAST(hits10 AS DOUBLE) / 10.0, 6) + 0.0 AS p_at_10,
+        |  round(CAST(ap9 AS DOUBLE) / 1.0e9
+        |        / nullif(CAST(least(n_rel_docs, $MapK) AS DOUBLE), 0.0), 6) + 0.0
+        |    AS ap_at_20
+        |FROM agg, nrel""".stripMargin
     },
     "q91_preference_pairs" ->
       """WITH scored AS (

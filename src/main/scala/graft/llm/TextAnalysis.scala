@@ -775,7 +775,116 @@ object TextAnalysis {
       )
   }
 
+  // ------------- q180: vocabulary richness estimators (Chao1 + Good–Turing)
+
+  /** q180: how much vocabulary has the crawl NOT seen yet — the
+    * collection-planning companion of q168's naturalness check (Zipf
+    * says the head is natural; this says how much TAIL is left): the
+    * bias-corrected Chao1 species-richness estimate
+    * V + f1·(f1−1)/(2·(f2+1)) (defined even when no doubletons exist)
+    * and the Good–Turing unseen-probability mass f1/N (singleton share
+    * of tokens — also the corpus "coverage" via its complement), from
+    * the singleton/doubleton counts of the q168-convention word
+    * frequency table. A corpus whose Chao1 keeps rising crawl over
+    * crawl still has vocabulary to harvest; a GT mass near zero says
+    * new text mostly re-uses known words.
+    *
+    * Scale shape: the corpus aggregates to the vocabulary-sized count
+    * frame (the one shuffle, map-side combined), then ONE 1-row reduce
+    * over it; everything downstream is arithmetic on five exact
+    * integers — no windows, no joins.
+    */
+  private def q180(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(explode(filter(split(col("text"), " "), x => x =!= "")).as("word"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("cnt"))
+      .agg(
+        count(lit(1)).as("v_obs"),
+        sum(col("cnt")).as("n_tokens"),
+        sum(when(col("cnt") === 1, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("cnt") === 2, 1L).otherwise(0L)).as("f2")
+      )
+      .select(
+        col("v_obs"),
+        col("n_tokens"),
+        col("f1"),
+        col("f2"),
+        (round(
+          col("v_obs").cast("double") +
+            (col("f1") * (col("f1") - 1)).cast("double") /
+              ((col("f2") + 1) * 2).cast("double"),
+          4
+        ) + 0.0).as("chao1"),
+        (round(
+          col("f1").cast("double") / nullif(col("n_tokens"), lit(0L)).cast("double"),
+          6
+        ) + 0.0).as("gt_unseen_mass"),
+        (round(
+          lit(1.0d) - col("f1").cast("double") /
+            nullif(col("n_tokens"), lit(0L)).cast("double"),
+          6
+        ) + 0.0).as("coverage")
+      )
+
+  // ------------- q188: token-frequency concentration (vocabulary Gini)
+
+  /** q188: Gini coefficient of the token-frequency distribution — how
+    * much of the corpus a few words own (natural text is heavily
+    * concentrated; a dedup/cleaning round that DROPS concentration is
+    * removing boilerplate, one that RAISES it is collapsing toward
+    * templates — the round-over-round dial next to q168's Zipf slope
+    * and q180's richness). q114 ranks per-source documents with a
+    * partitioned window; frequencies need the TIE-GROUPED value-frame
+    * spelling instead (a per-word global rank window would sort the
+    * whole vocabulary in one task): group words by COUNT VALUE c with
+    * multiplicity m, under the count-ascending order the group's rank
+    * sum is m·R_before + m(m+1)/2, so Σ rank·x = Σ_c c·(that) — exact
+    * DECIMAL(38) integer arithmetic throughout, G = 2S/(V·N) − (V+1)/V
+    * one final IEEE dag.
+    *
+    * Scale shape: corpus → vocabulary-sized count frame (one shuffle)
+    * → distinct-count VALUE frame (≲ √N rows by Zipf; the cum window
+    * runs there, allowlisted) → 1-row reduce.
+    */
+  private def q188(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy("c")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    docs(s, dir)
+      .select(explode(filter(split(col("text"), " "), x => x =!= "")).as("word"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("c")
+      .agg(count(lit(1)).as("m"))
+      .withColumn("r_before", coalesce(sum(col("m")).over(w), lit(0L)))
+      .withColumn(
+        "term",
+        expr(
+          "CAST(c AS DECIMAL(38,0)) * (CAST(m AS DECIMAL(38,0)) * CAST(r_before AS DECIMAL(38,0)) " +
+            "+ CAST(m * (m + 1) div 2 AS DECIMAL(38,0)))"
+        )
+      )
+      .agg(
+        sum(col("m")).as("v_words"),
+        sum(expr("CAST(c AS DECIMAL(38,0)) * CAST(m AS DECIMAL(38,0))")).as("nt"),
+        sum(col("term")).as("s")
+      )
+      .select(
+        col("v_words"),
+        col("nt").cast("long").as("n_tokens"),
+        (round(
+          lit(2.0d) * col("s").cast("double") /
+            (col("v_words").cast("double") * col("nt").cast("double")) -
+            (col("v_words") + 1).cast("double") / col("v_words").cast("double"),
+          6
+        ) + 0.0).as("gini_concentration")
+      )
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q188_vocab_gini" -> q188,
+    "q180_vocab_richness" -> q180,
     "q168_zipf_fit" -> q168,
     "q159_ngram_diversity" -> q159,
     "q149_nfc_normalize" -> q149,
@@ -798,6 +907,60 @@ object TextAnalysis {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // same tie-grouped rank-sum identity on exact integers, same final
+    // G dag
+    "q188_vocab_gini" ->
+      """WITH cnts AS (
+        |  SELECT word, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT unnest(list_filter(string_split(text, ' '),
+        |                x -> x <> '')) AS word
+        |        FROM documents)
+        |  GROUP BY 1),
+        |vc AS (SELECT c, CAST(count(*) AS BIGINT) AS m FROM cnts GROUP BY 1),
+        |r AS (
+        |  SELECT c, m,
+        |    coalesce(sum(m) OVER (ORDER BY c
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS r_before
+        |  FROM vc),
+        |t AS (
+        |  SELECT m, c * m AS toks,
+        |    c * (m * r_before + m * (m + 1) // 2) AS term
+        |  FROM r),
+        |a AS (
+        |  SELECT CAST(sum(m) AS BIGINT) AS v_words,
+        |    sum(toks) AS nt, sum(term) AS s
+        |  FROM t)
+        |SELECT v_words, CAST(nt AS BIGINT) AS n_tokens,
+        |  round(2.0 * CAST(s AS DOUBLE)
+        |        / (CAST(v_words AS DOUBLE) * CAST(nt AS DOUBLE))
+        |        - CAST(v_words + 1 AS DOUBLE) / CAST(v_words AS DOUBLE), 6) + 0.0
+        |    AS gini_concentration
+        |FROM a""".stripMargin,
+    // same word-count frame, five exact integers, identical estimator
+    // arithmetic (integer products cast to double once)
+    "q180_vocab_richness" ->
+      """WITH cnts AS (
+        |  SELECT word, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM (SELECT unnest(list_filter(string_split(text, ' '),
+        |                x -> x <> '')) AS word
+        |        FROM documents)
+        |  GROUP BY 1),
+        |m AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS v_obs,
+        |    CAST(sum(cnt) AS BIGINT) AS n_tokens,
+        |    CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+        |    CAST(sum(CASE WHEN cnt = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+        |  FROM cnts)
+        |SELECT v_obs, n_tokens, f1, f2,
+        |  round(CAST(v_obs AS DOUBLE)
+        |        + CAST(f1 * (f1 - 1) AS DOUBLE) / CAST((f2 + 1) * 2 AS DOUBLE),
+        |        4) + 0.0 AS chao1,
+        |  round(CAST(f1 AS DOUBLE) / CAST(nullif(n_tokens, 0) AS DOUBLE), 6) + 0.0
+        |    AS gt_unseen_mass,
+        |  round(CAST(1 AS DOUBLE)
+        |        - CAST(f1 AS DOUBLE) / CAST(nullif(n_tokens, 0) AS DOUBLE), 6) + 0.0
+        |    AS coverage
+        |FROM m""".stripMargin,
     // same top-K head (ties alphabetical), same per-row ln micro grid,
     // exact HUGEINT moments, same closed-form slope/intercept/R² dag
     "q168_zipf_fit" ->

@@ -550,10 +550,113 @@ object Graph {
       .orderBy("node")
   }
 
+  // ------------------------- q181: Adamic–Adar link prediction scores
+
+  /** q181: Adamic–Adar link prediction over the co-occurrence graph —
+    * "which supplier pairs that have never co-served an order are most
+    * LIKELY to?" (recommendation/anomaly triage on any co-occurrence
+    * graph): for each non-adjacent pair (a, b),
+    * AA = Σ_{z ∈ N(a)∩N(b)} 1/ln(deg z) — a shared RARE partner
+    * (low-degree z) is strong evidence, a hub partner is weak. Top-20
+    * by score.
+    *
+    * Determinism: 1/ln(deg z) is floor-snapped to the 1e-9 grid per
+    * CENTER (one ln per node, q174's ln convention), so pair scores
+    * are EXACT BIGINT sums and the top-20 order (score9 desc, a, b)
+    * can never split on a float ulp; the emitted double is the one
+    * gridded division.
+    *
+    * Scale shape: wedge enumeration via the und⋈und self-join on the
+    * center (the q80 triangle join — Σ deg² bounded, never all-pairs),
+    * one (a, b) hash aggregate, a left_anti against the edge set, and
+    * a TakeOrdered top-20; degrees/weights ride a node-sized frame.
+    */
+  private def q181(s: SparkSession, dir: String): DataFrame = {
+    val e = graft.llm.Dedup.tcache(s, cooccurrenceEdges(s, dir))
+    val und = e
+      .select(col("a").as("z"), col("b").as("n"))
+      .union(e.select(col("b").as("z"), col("a").as("n")))
+    val w = und
+      .groupBy("z")
+      .agg(count(lit(1)).as("deg"))
+      .filter(col("deg") >= 2) // deg-1 centers form no wedge; ln(1)=0
+      .withColumn(
+        "w9",
+        expr("CAST(floor(1.0e9 / ln(CAST(deg AS DOUBLE))) AS BIGINT)")
+      )
+    val x = und.join(w, "z").select(col("z"), col("n"), col("w9"))
+    val wedges = x
+      .as("l")
+      .join(x.as("r"), col("l.z") === col("r.z") && col("l.n") < col("r.n"))
+      .select(col("l.n").as("a"), col("r.n").as("b"), col("l.w9").as("w9"))
+    wedges
+      .groupBy("a", "b")
+      .agg(sum(col("w9")).as("score9"), count(lit(1)).as("common_neighbors"))
+      .join(e, Seq("a", "b"), "left_anti")
+      .orderBy(col("score9").desc, col("a"), col("b"))
+      .limit(20)
+      .select(
+        col("a"),
+        col("b"),
+        col("common_neighbors"),
+        col("score9"),
+        (round(col("score9").cast("double") / 1.0e9, 6) + 0.0).as("aa_score")
+      )
+  }
+
+  // --------------------- q182: local clustering coefficient per node
+
+  /** q182: local clustering coefficient — "how clique-like is each
+    * node's neighborhood?" (2·T(v)/(deg·(deg−1))), the per-node
+    * refinement of q80's global triangle census: a high-degree node
+    * with coefficient ≈ 0 is a pure hub/broker, ≈ 1 is an embedded
+    * community member — the first structural triage on any
+    * co-occurrence graph. One row per node of degree ≥ 2, ordered by
+    * node id (node-set-sized output, never pair-sized).
+    *
+    * Scale shape: the same und⋈und wedge join as q80/q181 closed by an
+    * inner join against the canonical a<b edge set (each triangle
+    * credits all three vertices via its three wedges), then ONE
+    * node-keyed count joined back onto the node-sized degree frame;
+    * the coefficient is a single division of exact integers
+    * (correctly-rounded IEEE — identical on both engines).
+    */
+  private def q182(s: SparkSession, dir: String): DataFrame = {
+    val e = graft.llm.Dedup.tcache(s, cooccurrenceEdges(s, dir))
+    val und = e
+      .select(col("a").as("z"), col("b").as("n"))
+      .union(e.select(col("b").as("z"), col("a").as("n")))
+    val deg = und.groupBy("z").agg(count(lit(1)).as("deg"))
+    val wedges = und
+      .as("l")
+      .join(und.as("r"), col("l.z") === col("r.z") && col("l.n") < col("r.n"))
+      .select(col("l.z").as("z"), col("l.n").as("a"), col("r.n").as("b"))
+    val tri = wedges
+      .join(e, Seq("a", "b"))
+      .groupBy("z")
+      .agg(count(lit(1)).as("triangles"))
+    deg
+      .filter(col("deg") >= 2)
+      .join(tri, Seq("z"), "left")
+      .select(
+        col("z").as("node"),
+        col("deg"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"),
+        (round(
+          (coalesce(col("triangles"), lit(0L)) * 2).cast("double") /
+            (col("deg") * (col("deg") - 1)).cast("double"),
+          6
+        ) + 0.0).as("clustering_coeff")
+      )
+      .orderBy("node")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q71_pagerank" -> q71,
     "q80_triangle_count" -> q80,
     "q80b_triangle_sample" -> q80b,
+    "q181_adamic_adar" -> q181,
+    "q182_clustering_coeff" -> q182,
     "q106_recursive_reachability" -> q106,
     "q148_weighted_sssp" -> q148,
     "q151_kcore" -> q151
@@ -631,6 +734,53 @@ object Graph {
          |  round(r, 8) + 0.0 AS rank
          |FROM ranked WHERE pos <= $TopN
          |ORDER BY pos""".stripMargin,
+    // same thresholded edge set, same per-center 1e-9 ln grid, exact
+    // BIGINT pair sums, same (score9 desc, a, b) top-20 order
+    "q181_adamic_adar" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
+        |            FROM lineitem),
+        |ec AS (SELECT x.sk AS a, y.sk AS b, count(*) AS c
+        |       FROM li x JOIN li y ON x.ok = y.ok AND x.sk < y.sk
+        |       GROUP BY x.sk, y.sk),
+        |e AS (SELECT a, b FROM ec WHERE c > (SELECT avg(c) FROM ec)),
+        |und AS (SELECT a AS z, b AS n FROM e UNION ALL SELECT b AS z, a AS n FROM e),
+        |w AS (SELECT z, CAST(count(*) AS BIGINT) AS deg,
+        |        CAST(floor(1.0e9 / ln(CAST(count(*) AS DOUBLE))) AS BIGINT) AS w9
+        |      FROM und GROUP BY z HAVING count(*) >= 2),
+        |x AS (SELECT u.z, u.n, w.w9 FROM und u JOIN w USING (z)),
+        |wed AS (SELECT l.n AS a, r.n AS b, l.w9
+        |        FROM x l JOIN x r ON l.z = r.z AND l.n < r.n),
+        |sc AS (SELECT a, b, CAST(sum(w9) AS BIGINT) AS score9,
+        |              CAST(count(*) AS BIGINT) AS common_neighbors
+        |       FROM wed GROUP BY 1, 2),
+        |nw AS (SELECT sc.a, sc.b, sc.common_neighbors, sc.score9
+        |       FROM sc LEFT JOIN e ON sc.a = e.a AND sc.b = e.b
+        |       WHERE e.a IS NULL)
+        |SELECT a, b, common_neighbors, score9,
+        |  round(CAST(score9 AS DOUBLE) / 1.0e9, 6) + 0.0 AS aa_score
+        |FROM nw ORDER BY score9 DESC, a, b LIMIT 20""".stripMargin,
+    // same wedge-closure triangle credit per vertex, one division of
+    // exact integers
+    "q182_clustering_coeff" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
+        |            FROM lineitem),
+        |ec AS (SELECT x.sk AS a, y.sk AS b, count(*) AS c
+        |       FROM li x JOIN li y ON x.ok = y.ok AND x.sk < y.sk
+        |       GROUP BY x.sk, y.sk),
+        |e AS (SELECT a, b FROM ec WHERE c > (SELECT avg(c) FROM ec)),
+        |und AS (SELECT a AS z, b AS n FROM e UNION ALL SELECT b AS z, a AS n FROM e),
+        |deg AS (SELECT z, CAST(count(*) AS BIGINT) AS deg FROM und GROUP BY z),
+        |wed AS (SELECT l.z, l.n AS a, r.n AS b
+        |        FROM und l JOIN und r ON l.z = r.z AND l.n < r.n),
+        |tri AS (SELECT w.z, CAST(count(*) AS BIGINT) AS triangles
+        |        FROM wed w JOIN e ON w.a = e.a AND w.b = e.b GROUP BY w.z)
+        |SELECT d.z AS node, d.deg,
+        |  CAST(coalesce(t.triangles, 0) AS BIGINT) AS triangles,
+        |  round(CAST(coalesce(t.triangles, 0) * 2 AS DOUBLE)
+        |        / CAST(d.deg * (d.deg - 1) AS DOUBLE), 6) + 0.0
+        |    AS clustering_coeff
+        |FROM deg d LEFT JOIN tri t USING (z)
+        |WHERE d.deg >= 2 ORDER BY node""".stripMargin,
     // naive a<b<c 3-way join — orientation-invariant count, so the
     // oracle needn't replay the degree ordering
     "q80_triangle_count" ->

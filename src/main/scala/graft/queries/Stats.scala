@@ -1083,7 +1083,360 @@ object Stats {
       .orderBy("t_days")
   }
 
+  // --------------------------- q178: Benjamini–Hochberg FDR correction
+
+  /** q178: Benjamini–Hochberg step-up FDR control over a FAMILY of
+    * per-segment hypothesis tests — the multiple-comparisons discipline
+    * every per-segment A/B readout needs (test 10 segments at α=0.05
+    * and "one significant segment" is the EXPECTED false positive; BH
+    * bounds the false-discovery RATE instead): per event type, the
+    * q87-convention pooled two-proportion z (high-value events, arms by
+    * the q43 user hash), p-value via the Abramowitz–Stegun 7.1.26
+    * normal-tail polynomial (max error 7.5e-8 — far under the decision
+    * grid) spelled textually identically on both engines over the
+    * ALREADY-GRIDDED z, with the one exp() snapped to the 1e-9 grid
+    * (the q168 ln convention) so the p is engine-exact; then the
+    * step-up rule on EXACT INTEGERS — reject ranks ≤ k* where
+    * k* = max{i : 20·m·p9(i) ≤ i·10⁹} (α = 1/20, p9 the BIGINT
+    * nano-p) — so no boundary can flip on a float ulp.
+    *
+    * Scale shape: one corpus aggregate to (type, arm) counts, the rest
+    * runs on the m-row family frame (m = #event types, bounded by the
+    * type domain); the rank window is m rows (allowlisted).
+    */
+  private def q178(s: SparkSession, dir: String): DataFrame = {
+    val perArm = Tables
+      .table(s, dir, "events")
+      .withColumn(
+        "variant",
+        when(graft.llm.Sampling.bucket100(col("user_id")) < 50, "A")
+          .otherwise("B")
+      )
+      .groupBy("event_type", "variant")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("value") > 150, 1L).otherwise(0L)).as("k")
+      )
+    val a = perArm
+      .filter(col("variant") === "A")
+      .select(col("event_type"), col("n").as("na"), col("k").as("ka"))
+    val b = perArm
+      .filter(col("variant") === "B")
+      .select(col("event_type"), col("n").as("nb"), col("k").as("kb"))
+    val z = a
+      .join(b, "event_type")
+      .withColumn("pa", col("ka").cast("double") / col("na").cast("double"))
+      .withColumn("pb", col("kb").cast("double") / col("nb").cast("double"))
+      .withColumn(
+        "pp",
+        (col("ka") + col("kb")).cast("double") / (col("na") + col("nb")).cast("double")
+      )
+      .withColumn(
+        "z",
+        round(
+          round(
+            (col("pa") - col("pb")) /
+              nullif(
+                sqrt(col("pp") * (lit(1.0d) - col("pp"))
+                  * (lit(1.0d) / col("na").cast("double")
+                    + lit(1.0d) / col("nb").cast("double"))),
+                lit(0.0d)
+              ),
+            6
+          ),
+          4
+        )
+      )
+      .filter(col("z").isNotNull)
+    // A&S 7.1.26 upper tail on |z|: identical text both engines; exp
+    // snapped to 1e-9 BEFORE the polynomial so the one transcendental
+    // can never split the engines
+    val p = z
+      .withColumn("az", abs(col("z")))
+      .withColumn("t", lit(1.0d) / (lit(1.0d) + lit(0.2316419d) * col("az")))
+      .withColumn(
+        "pdf",
+        round(exp(col("az") * col("az") * lit(-0.5d)), 9) / lit(2.5066282746310002d)
+      )
+      .withColumn(
+        "tail",
+        col("pdf") * (col("t") * (lit(0.319381530d) + col("t") * (lit(-0.356563782d) +
+          col("t") * (lit(1.781477937d) + col("t") * (lit(-1.821255978d) +
+            col("t") * lit(1.330274429d))))))
+      )
+      .withColumn(
+        "p9",
+        expr("CAST(round(least(2.0d * tail, 1.0d) * 1.0e9, 0) AS BIGINT)")
+      )
+    val m = p.agg(count(lit(1)).as("m"))
+    val ranked = p
+      .withColumn("p_rank", row_number().over(Window.orderBy("p9", "event_type")))
+      .crossJoin(broadcast(m))
+      .withColumn(
+        "bh_ok",
+        col("p9") * lit(20L) * col("m") <= col("p_rank") * lit(1000000000L)
+      )
+    val kstar = ranked.agg(max(when(col("bh_ok"), col("p_rank"))).as("kstar"))
+    ranked
+      .crossJoin(broadcast(kstar))
+      .select(
+        col("event_type"),
+        (col("z") + 0.0).as("z_stat"),
+        (round(col("p9").cast("double") / 1.0e9, 9) + 0.0).as("p_value"),
+        col("p_rank"),
+        col("m").as("m_tests"),
+        (col("p_rank") <= coalesce(col("kstar"), lit(0))).as("reject")
+      )
+      .orderBy("event_type")
+  }
+
+  // --------------------------------------- q179: two-group log-rank test
+
+  /** q179: log-rank (Mantel–Cox) test — "do the two arms' survival
+    * curves differ?", the hypothesis-test companion of q174's
+    * Kaplan–Meier estimate (q87's z compares one-shot conversion; this
+    * compares WHEN events happen under right-censoring): at each
+    * observed event time, arm A's observed events vs the expected
+    * count under the null (d_t·nA_t/n_t, the hypergeometric mean given
+    * the at-risk split), variance d·(nA/n)·(nB/n)·(n−d)/(n−1);
+    * z = (O−E)/√V over the summed terms. Durations/censoring exactly
+    * q174's frame, arms by the q43 user hash. Per-time E and V are
+    * snapped to the 1e-9 grid and summed as EXACT BIGINTs (the q174
+    * ln-cumsum convention — never an order-dependent float sum), the
+    * final z the one IEEE dag on the two grid sums.
+    *
+    * Scale shape: one corpus aggregate to per-user durations, one
+    * (dur)-value-frame aggregate with per-arm counts, reverse-cum risk
+    * sets over the ≤ observation-window-days frame (allowlisted), one
+    * final 1-row reduce.
+    */
+  private def q179(s: SparkSession, dir: String): DataFrame = {
+    val u = Tables
+      .table(s, dir, "events")
+      .groupBy("user_id")
+      .agg(
+        min(to_date(col("ts"))).as("f"),
+        min(when(col("event_type") === "error", to_date(col("ts")))).as("p"),
+        max(to_date(col("ts"))).as("l")
+      )
+      .select(
+        col("user_id"),
+        when(col("p").isNotNull, datediff(col("p"), col("f")))
+          .otherwise(datediff(col("l"), col("f")))
+          .as("dur"),
+        when(col("p").isNotNull, lit(1L)).otherwise(lit(0L)).as("obs")
+      )
+      .withColumn(
+        "grp",
+        when(graft.llm.Sampling.bucket100(col("user_id")) < 50, "A")
+          .otherwise("B")
+      )
+    val vc = u
+      .groupBy("dur")
+      .agg(
+        sum(when(col("grp") === "A", 1L).otherwise(0L)).as("a_a"),
+        sum(when(col("grp") === "B", 1L).otherwise(0L)).as("a_b"),
+        sum(when(col("grp") === "A", col("obs")).otherwise(0L)).as("d_a"),
+        sum(when(col("grp") === "B", col("obs")).otherwise(0L)).as("d_b")
+      )
+    val wRisk = Window
+      .orderBy("dur")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val terms = vc
+      .withColumn("n_a", sum(col("a_a")).over(wRisk))
+      .withColumn("n_b", sum(col("a_b")).over(wRisk))
+      .withColumn("n_t", col("n_a") + col("n_b"))
+      .withColumn("d_t", col("d_a") + col("d_b"))
+      .filter(col("d_t") > 0)
+      .withColumn(
+        "e9",
+        expr(
+          "CAST(round(CAST(d_t AS DOUBLE) * CAST(n_a AS DOUBLE) " +
+            "/ CAST(n_t AS DOUBLE) * 1.0e9, 0) AS BIGINT)"
+        )
+      )
+      .withColumn(
+        "v9",
+        when(col("n_t") > 1,
+          expr(
+            "CAST(round(CAST(d_t AS DOUBLE) * (CAST(n_a AS DOUBLE) / CAST(n_t AS DOUBLE)) " +
+              "* (CAST(n_b AS DOUBLE) / CAST(n_t AS DOUBLE)) " +
+              "* (CAST(n_t - d_t AS DOUBLE) / CAST(n_t - 1 AS DOUBLE)) * 1.0e9, 0) AS BIGINT)"
+          )
+        ).otherwise(lit(0L))
+      )
+    terms
+      .agg(
+        sum(col("d_a")).as("o_a"),
+        sum(col("e9")).as("se9"),
+        sum(col("v9")).as("sv9")
+      )
+      .select(
+        col("o_a"),
+        (round(col("se9").cast("double") / 1.0e9, 6) + 0.0).as("e_a"),
+        (round(col("sv9").cast("double") / 1.0e9, 6) + 0.0).as("var_a"),
+        (round(
+          round(
+            (col("o_a").cast("double") - col("se9").cast("double") / 1.0e9) /
+              nullif(sqrt(col("sv9").cast("double") / 1.0e9), lit(0.0d)),
+            6
+          ),
+          4
+        ) + 0.0).as("z_stat")
+      )
+  }
+
+  // ------------------------------- q185: Welch's t-test + Cohen's d
+
+  /** q185: Welch's unequal-variance t-test + Cohen's d effect size on a
+    * CONTINUOUS metric (per-user total purchase value) — the readout
+    * q87's proportion z cannot give (a conversion-rate tie can hide a
+    * large spend difference), with the variance-pooling honesty Student
+    * t lacks (arms differ in spread whenever a treatment shifts heavy
+    * spenders): t = (m̄A−m̄B)/√(vA/nA+vB/nB), Welch–Satterthwaite df,
+    * d = (m̄A−m̄B)/s_pooled. Per-user metric is an exact centi BIGINT;
+    * per-arm moments are exact DECIMAL(38) sums cast to double ONCE
+    * (the q120 convention) so every downstream IEEE op sees identical
+    * operands on both engines; outputs gridded round(6)→round(4).
+    *
+    * Scale shape: one corpus aggregate to per-user centi totals, one
+    * 2-row arm aggregate, a 1×1 cross join — no windows, no corpus
+    * joins.
+    */
+  private def q185(s: SparkSession, dir: String): DataFrame = {
+    val users = Tables
+      .table(s, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(
+        sum(round(col("value") * 100.0, 0).cast("long")).as("su")
+      )
+      .withColumn(
+        "variant",
+        when(graft.llm.Sampling.bucket100(col("user_id")) < 50, "A")
+          .otherwise("B")
+      )
+    val g = users
+      .groupBy("variant")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("su").cast("decimal(38,0)")).cast("double").as("s"),
+        sum((col("su") * col("su")).cast("decimal(38,0)")).cast("double").as("ss")
+      )
+      .withColumn("mean", col("s") / col("n").cast("double"))
+      .withColumn(
+        "v",
+        (col("ss") - col("s") * col("s") / col("n").cast("double")) /
+          nullif(col("n") - 1, lit(0)).cast("double")
+      )
+    val a = g
+      .filter(col("variant") === "A")
+      .select(col("n").as("na"), col("mean").as("ma"), col("v").as("va"))
+    val b = g
+      .filter(col("variant") === "B")
+      .select(col("n").as("nb"), col("mean").as("mb"), col("v").as("vb"))
+    a.crossJoin(b)
+      .withColumn("sea", col("va") / col("na").cast("double"))
+      .withColumn("seb", col("vb") / col("nb").cast("double"))
+      .withColumn(
+        "sp",
+        sqrt(
+          ((col("na") - 1).cast("double") * col("va") +
+            (col("nb") - 1).cast("double") * col("vb")) /
+            nullif((col("na") + col("nb") - 2), lit(0)).cast("double")
+        )
+      )
+      .select(
+        col("na"),
+        col("nb"),
+        (round(col("ma") / 100.0, 4) + 0.0).as("mean_a"),
+        (round(col("mb") / 100.0, 4) + 0.0).as("mean_b"),
+        (round(
+          round(
+            (col("ma") - col("mb")) / nullif(sqrt(col("sea") + col("seb")), lit(0.0d)),
+            6
+          ),
+          4
+        ) + 0.0).as("t_stat"),
+        (round(
+          (col("sea") + col("seb")) * (col("sea") + col("seb")) /
+            nullif(
+              col("sea") * col("sea") / nullif(col("na") - 1, lit(0)).cast("double") +
+                col("seb") * col("seb") / nullif(col("nb") - 1, lit(0)).cast("double"),
+              lit(0.0d)
+            ),
+          4
+        ) + 0.0).as("welch_df"),
+        (round(
+          round((col("ma") - col("mb")) / nullif(col("sp"), lit(0.0d)), 6),
+          4
+        ) + 0.0).as("cohen_d")
+      )
+  }
+
+  // ------------------------------ q186: Cramér's V association strength
+
+  /** q186: Cramér's V — the EFFECT-SIZE companion of q86's χ² test
+    * (χ² grows with n, so at corpus scale everything is "significant";
+    * V = √(χ²/(n·(min(r,c)−1))) ∈ [0,1] is the sample-size-free
+    * association strength an analyst actually compares across pairs):
+    * over the same (event_type × tier) contingency. The per-cell χ²
+    * contributions are snapped to the 1e-6 grid and summed as EXACT
+    * BIGINTs (q86 exposes the rounded cells precisely so no float sum
+    * of nondeterministic order exists; this gate keeps that discipline
+    * when it must sum), the final V one IEEE dag on the grid sum.
+    *
+    * Scale shape: ONE corpus aggregate to the r×c contingency frame;
+    * margins, grid sum, and the dag all run on domain-bounded frames.
+    */
+  private def q186(s: SparkSession, dir: String): DataFrame = {
+    val obs = Tables
+      .table(s, dir, "events")
+      .groupBy(col("event_type"), (col("user_id") % 3).as("tier"))
+      .agg(count(lit(1)).as("obs"))
+    val rowTot = obs.groupBy("event_type").agg(sum("obs").as("row_n"))
+    val colTot = obs.groupBy("tier").agg(sum("obs").as("col_n"))
+    val grand = obs.agg(
+      sum("obs").as("n"),
+      countDistinct("event_type").as("r_levels"),
+      countDistinct("tier").as("c_levels")
+    )
+    obs
+      .join(broadcast(rowTot), "event_type")
+      .join(broadcast(colTot), "tier")
+      .crossJoin(broadcast(grand))
+      .withColumn(
+        "expected",
+        col("row_n").cast("double") * col("col_n").cast("double") / col("n").cast("double")
+      )
+      .withColumn(
+        "cell6",
+        expr(
+          "CAST(round(round((obs - expected) * (obs - expected) / expected, 6) * 1.0e6, 0) AS BIGINT)"
+        )
+      )
+      .groupBy("n", "r_levels", "c_levels")
+      .agg(sum(col("cell6")).as("chi2_6"))
+      .select(
+        col("n"),
+        col("r_levels"),
+        col("c_levels"),
+        (round(col("chi2_6").cast("double") / 1.0e6, 6) + 0.0).as("chi2"),
+        (round(
+          sqrt(
+            col("chi2_6").cast("double") / 1.0e6 /
+              (col("n") * (least(col("r_levels"), col("c_levels")) - 1)).cast("double")
+          ),
+          6
+        ) + 0.0).as("cramers_v")
+      )
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q186_cramers_v" -> q186,
+    "q178_bh_fdr" -> q178,
+    "q179_logrank" -> q179,
+    "q185_welch_ttest" -> q185,
     "q174_kaplan_meier" -> q174,
     "q169_spearman" -> q169,
     "q153_weighted_quantiles" -> q153,
@@ -1518,6 +1871,183 @@ object Stats {
         |                  * (CAST(1 AS DOUBLE) / CAST(na AS DOUBLE)
         |                     + CAST(1 AS DOUBLE) / CAST(nb AS DOUBLE))), 6),
         |             4) + 0.0 AS z_stat
-        |FROM p""".stripMargin
+        |FROM p""".stripMargin,
+    // same contingency + margins, cells on the same 1e-6 grid summed
+    // exactly, identical V dag
+    "q186_cramers_v" ->
+      """WITH obs AS (
+        |  SELECT event_type, user_id % 3 AS tier,
+        |    CAST(count(*) AS BIGINT) AS obs
+        |  FROM events GROUP BY 1, 2),
+        |rt AS (SELECT event_type, CAST(sum(obs) AS BIGINT) AS row_n
+        |       FROM obs GROUP BY 1),
+        |ct AS (SELECT tier, CAST(sum(obs) AS BIGINT) AS col_n
+        |       FROM obs GROUP BY 1),
+        |g AS (SELECT CAST(sum(obs) AS BIGINT) AS n,
+        |             CAST(count(DISTINCT event_type) AS BIGINT) AS r_levels,
+        |             CAST(count(DISTINCT tier) AS BIGINT) AS c_levels
+        |      FROM obs),
+        |cells AS (
+        |  SELECT n, r_levels, c_levels,
+        |    CAST(round(round((obs - e) * (obs - e) / e, 6) * 1.0e6, 0) AS BIGINT)
+        |      AS cell6
+        |  FROM (SELECT o.obs,
+        |          CAST(rt.row_n AS DOUBLE) * CAST(ct.col_n AS DOUBLE)
+        |            / CAST(g.n AS DOUBLE) AS e,
+        |          g.n, g.r_levels, g.c_levels
+        |        FROM obs o JOIN rt USING (event_type)
+        |        JOIN ct USING (tier) CROSS JOIN g)),
+        |s AS (SELECT n, r_levels, c_levels,
+        |             CAST(sum(cell6) AS BIGINT) AS chi2_6
+        |      FROM cells GROUP BY 1, 2, 3)
+        |SELECT n, r_levels, c_levels,
+        |  round(CAST(chi2_6 AS DOUBLE) / 1.0e6, 6) + 0.0 AS chi2,
+        |  round(sqrt(CAST(chi2_6 AS DOUBLE) / 1.0e6
+        |        / CAST(n * (least(r_levels, c_levels) - 1) AS DOUBLE)), 6) + 0.0
+        |    AS cramers_v
+        |FROM s""".stripMargin,
+    // same gridded z per event type, same snapped-exp A&S tail, and
+    // the BH step-up decided on exact integers (20·m·p9 vs rank·1e9)
+    "q178_bh_fdr" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    CASE WHEN CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+        |              AS BIGINT) % 100 < 50 THEN 'A' ELSE 'B' END AS variant,
+        |    CASE WHEN value > 150 THEN 1 ELSE 0 END AS hv
+        |  FROM events),
+        |g AS (SELECT event_type, variant, CAST(count(*) AS BIGINT) AS n,
+        |             CAST(sum(hv) AS BIGINT) AS k
+        |      FROM e GROUP BY 1, 2),
+        |zt AS (
+        |  SELECT a.event_type,
+        |    round(round((CAST(a.k AS DOUBLE) / CAST(a.n AS DOUBLE)
+        |                 - CAST(b.k AS DOUBLE) / CAST(b.n AS DOUBLE)) /
+        |      nullif(sqrt((CAST(a.k + b.k AS DOUBLE) / CAST(a.n + b.n AS DOUBLE))
+        |        * (CAST(1 AS DOUBLE)
+        |           - CAST(a.k + b.k AS DOUBLE) / CAST(a.n + b.n AS DOUBLE))
+        |        * (CAST(1 AS DOUBLE) / CAST(a.n AS DOUBLE)
+        |           + CAST(1 AS DOUBLE) / CAST(b.n AS DOUBLE))), 0.0), 6), 4) AS z
+        |  FROM g a JOIN g b USING (event_type)
+        |  WHERE a.variant = 'A' AND b.variant = 'B'),
+        |pt AS (
+        |  SELECT event_type, z, 1.0 / (1.0 + 0.2316419 * abs(z)) AS t,
+        |    round(exp(abs(z) * abs(z) * (-0.5)), 9) / 2.5066282746310002 AS pdf
+        |  FROM zt WHERE z IS NOT NULL),
+        |p AS (
+        |  SELECT event_type, z,
+        |    CAST(round(least(2.0 * (pdf * (t * (0.319381530 + t * (-0.356563782
+        |      + t * (1.781477937 + t * (-1.821255978 + t * 1.330274429)))))), 1.0)
+        |      * 1.0e9, 0) AS BIGINT) AS p9
+        |  FROM pt),
+        |ranked AS (
+        |  SELECT event_type, z, p9,
+        |    row_number() OVER (ORDER BY p9, event_type) AS p_rank,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM p) AS m
+        |  FROM p),
+        |ks AS (SELECT max(CASE WHEN p9 * 20 * m <= p_rank * 1000000000
+        |                       THEN p_rank END) AS kstar
+        |       FROM ranked)
+        |SELECT event_type, z + 0.0 AS z_stat,
+        |  round(CAST(p9 AS DOUBLE) / 1.0e9, 9) + 0.0 AS p_value,
+        |  p_rank, m AS m_tests,
+        |  p_rank <= coalesce(kstar, 0) AS reject
+        |FROM ranked CROSS JOIN ks ORDER BY event_type""".stripMargin,
+    // q174's duration frame split by the q43 arm hash; per-time E/V on
+    // the same nano grid, exact BIGINT sums, one final IEEE dag
+    "q179_logrank" ->
+      """WITH u AS (
+        |  SELECT user_id, min(CAST(ts AS DATE)) AS f,
+        |    min(CASE WHEN event_type = 'error'
+        |             THEN CAST(ts AS DATE) END) AS p,
+        |    max(CAST(ts AS DATE)) AS l
+        |  FROM events GROUP BY 1),
+        |d AS (
+        |  SELECT CASE WHEN p IS NOT NULL THEN p - f ELSE l - f END AS dur,
+        |    CASE WHEN p IS NOT NULL THEN 1 ELSE 0 END AS obs,
+        |    CASE WHEN CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+        |              AS BIGINT) % 100 < 50 THEN 'A' ELSE 'B' END AS grp
+        |  FROM u),
+        |vc AS (
+        |  SELECT dur,
+        |    CAST(sum(CASE WHEN grp = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS a_a,
+        |    CAST(sum(CASE WHEN grp = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS a_b,
+        |    CAST(sum(CASE WHEN grp = 'A' THEN obs ELSE 0 END) AS BIGINT) AS d_a,
+        |    CAST(sum(CASE WHEN grp = 'B' THEN obs ELSE 0 END) AS BIGINT) AS d_b
+        |  FROM d GROUP BY 1),
+        |r AS (
+        |  SELECT dur, d_a, d_b,
+        |    sum(a_a) OVER (ORDER BY dur
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS n_a,
+        |    sum(a_b) OVER (ORDER BY dur
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS n_b
+        |  FROM vc),
+        |t AS (
+        |  SELECT d_a, n_a + n_b AS n_t, d_a + d_b AS d_t, n_a, n_b
+        |  FROM r WHERE d_a + d_b > 0),
+        |g AS (
+        |  SELECT d_a,
+        |    CAST(round(CAST(d_t AS DOUBLE) * CAST(n_a AS DOUBLE)
+        |      / CAST(n_t AS DOUBLE) * 1.0e9, 0) AS BIGINT) AS e9,
+        |    CASE WHEN n_t > 1 THEN
+        |      CAST(round(CAST(d_t AS DOUBLE)
+        |        * (CAST(n_a AS DOUBLE) / CAST(n_t AS DOUBLE))
+        |        * (CAST(n_b AS DOUBLE) / CAST(n_t AS DOUBLE))
+        |        * (CAST(n_t - d_t AS DOUBLE) / CAST(n_t - 1 AS DOUBLE))
+        |        * 1.0e9, 0) AS BIGINT)
+        |    ELSE CAST(0 AS BIGINT) END AS v9
+        |  FROM t),
+        |s AS (
+        |  SELECT CAST(sum(d_a) AS BIGINT) AS o_a,
+        |    CAST(sum(e9) AS BIGINT) AS se9, CAST(sum(v9) AS BIGINT) AS sv9
+        |  FROM g)
+        |SELECT o_a,
+        |  round(CAST(se9 AS DOUBLE) / 1.0e9, 6) + 0.0 AS e_a,
+        |  round(CAST(sv9 AS DOUBLE) / 1.0e9, 6) + 0.0 AS var_a,
+        |  round(round((CAST(o_a AS DOUBLE) - CAST(se9 AS DOUBLE) / 1.0e9) /
+        |    nullif(sqrt(CAST(sv9 AS DOUBLE) / 1.0e9), 0.0), 6), 4) + 0.0 AS z_stat
+        |FROM s""".stripMargin,
+    // same exact centi per-user totals, DECIMAL-exact moments cast to
+    // double once, identical Welch/Satterthwaite/Cohen dags
+    "q185_welch_ttest" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    CAST(sum(CAST(round(value * 100.0, 0) AS BIGINT)) AS BIGINT) AS su
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |v AS (
+        |  SELECT su,
+        |    CASE WHEN CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+        |              AS BIGINT) % 100 < 50 THEN 'A' ELSE 'B' END AS variant
+        |  FROM u),
+        |g AS (
+        |  SELECT variant, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(su) AS DOUBLE) AS s,
+        |    CAST(sum(su * su) AS DOUBLE) AS ss
+        |  FROM v GROUP BY 1),
+        |m AS (
+        |  SELECT variant, n, s / CAST(n AS DOUBLE) AS mean,
+        |    (ss - s * s / CAST(n AS DOUBLE))
+        |      / CAST(nullif(n - 1, 0) AS DOUBLE) AS var
+        |  FROM g),
+        |ab AS (
+        |  SELECT a.n AS na, a.mean AS ma, a.var AS va,
+        |         b.n AS nb, b.mean AS mb, b.var AS vb,
+        |         a.var / CAST(a.n AS DOUBLE) AS sea,
+        |         b.var / CAST(b.n AS DOUBLE) AS seb
+        |  FROM (SELECT * FROM m WHERE variant = 'A') a,
+        |       (SELECT * FROM m WHERE variant = 'B') b)
+        |SELECT na, nb,
+        |  round(ma / 100.0, 4) + 0.0 AS mean_a,
+        |  round(mb / 100.0, 4) + 0.0 AS mean_b,
+        |  round(round((ma - mb) / nullif(sqrt(sea + seb), 0.0), 6), 4) + 0.0
+        |    AS t_stat,
+        |  round((sea + seb) * (sea + seb) /
+        |    nullif(sea * sea / CAST(nullif(na - 1, 0) AS DOUBLE)
+        |           + seb * seb / CAST(nullif(nb - 1, 0) AS DOUBLE), 0.0), 4) + 0.0
+        |    AS welch_df,
+        |  round(round((ma - mb) /
+        |    nullif(sqrt((CAST(na - 1 AS DOUBLE) * va + CAST(nb - 1 AS DOUBLE) * vb)
+        |                / CAST(nullif(na + nb - 2, 0) AS DOUBLE)), 0.0), 6), 4) + 0.0
+        |    AS cohen_d
+        |FROM ab""".stripMargin
   )
 }

@@ -257,7 +257,72 @@ object TimeSeries {
       .orderBy("event_type", "lag")
   }
 
+  // -------------------- q183: cross-correlation between two series
+
+  /** q183: lagged cross-correlation between two event-type series —
+    * the lead/lag diagnostic q173's AUTOcorrelation cannot give ("do
+    * clicks today predict purchases tomorrow?"; a peak at lag>0 says
+    * the first series LEADS, which picks the feature/alert horizon):
+    * Pearson r of daily click value at day d vs purchase value at day
+    * d + lag, lag ∈ {0,1,2,3} CALENDAR days (cross-series pairing must
+    * be by date, not row number — the two series observe different day
+    * sets), via a hash equi-join on the lagged date. q173's exact
+    * centi daily frame, DECIMAL(38) moments, nullif-guarded Pearson
+    * dag.
+    *
+    * Scale shape: one corpus aggregate to the two calendar-bounded
+    * daily frames, a ×|lags| map-side explode on the probe side, one
+    * (date-key) hash join between day-frames, a 4-group moment
+    * aggregate — no windows at all.
+    */
+  private def q183(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables
+      .table(s, dir, "events")
+      .filter(col("event_type").isin("click", "purchase"))
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(sum(round(col("value") * 100.0, 0).cast("long")).as("sv"))
+    val x = daily
+      .filter(col("event_type") === "click")
+      .select(
+        col("d"),
+        col("sv").as("xv"),
+        explode(array(XcorrLags.map(l => lit(l)): _*)).as("lag")
+      )
+    val y = daily
+      .filter(col("event_type") === "purchase")
+      .select(col("d").as("dy"), col("sv").as("yv"))
+    x.join(y, date_add(col("d"), col("lag")) === col("dy"))
+      .groupBy("lag")
+      .agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(col("xv").cast("decimal(38,0)")).cast("double").as("sx"),
+        sum(col("yv").cast("decimal(38,0)")).cast("double").as("sy"),
+        sum((col("xv") * col("xv")).cast("decimal(38,0)")).cast("double").as("sxx"),
+        sum((col("xv") * col("yv")).cast("decimal(38,0)")).cast("double").as("sxy"),
+        sum((col("yv") * col("yv")).cast("decimal(38,0)")).cast("double").as("syy")
+      )
+      .select(
+        col("lag"),
+        col("n").cast("long").as("n_pairs"),
+        (round(
+          (col("n") * col("sxy") - col("sx") * col("sy")) /
+            nullif(
+              sqrt(
+                (col("n") * col("sxx") - col("sx") * col("sx")) *
+                  (col("n") * col("syy") - col("sy") * col("sy"))
+              ),
+              lit(0.0)
+            ),
+          6
+        ) + 0.0).as("xcorr")
+      )
+      .orderBy("lag")
+  }
+
+  private[queries] val XcorrLags: Seq[Int] = Seq(0, 1, 2, 3)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q183_cross_correlation" -> q183,
     "q119_twap" -> q119,
     "q119b_ohlc_vwap" -> q119b,
     "q155_rolling_median" -> q155,
@@ -265,6 +330,32 @@ object TimeSeries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // same two daily centi frames, calendar-date lag join, HUGEINT
+    // moments, same Pearson dag
+    "q183_cross_correlation" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS d,
+        |    CAST(sum(CAST(round(value * 100.0, 0) AS BIGINT)) AS BIGINT) AS sv
+        |  FROM events WHERE event_type IN ('click', 'purchase')
+        |  GROUP BY 1, 2),
+        |lags AS (SELECT unnest([0, 1, 2, 3]) AS lag),
+        |x AS (SELECT d, sv AS xv FROM daily WHERE event_type = 'click'),
+        |y AS (SELECT d AS dy, sv AS yv FROM daily WHERE event_type = 'purchase'),
+        |p AS (
+        |  SELECT l.lag, x.xv, y.yv
+        |  FROM x CROSS JOIN lags l JOIN y ON x.d + l.lag = y.dy),
+        |m AS (
+        |  SELECT lag, CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(xv) AS DOUBLE) AS sx, CAST(sum(yv) AS DOUBLE) AS sy,
+        |    CAST(sum(xv * xv) AS DOUBLE) AS sxx,
+        |    CAST(sum(xv * yv) AS DOUBLE) AS sxy,
+        |    CAST(sum(yv * yv) AS DOUBLE) AS syy
+        |  FROM p GROUP BY 1)
+        |SELECT lag, CAST(n AS BIGINT) AS n_pairs,
+        |  round((n * sxy - sx * sy) /
+        |    nullif(sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 0.0), 6) + 0.0
+        |    AS xcorr
+        |FROM m ORDER BY lag""".stripMargin,
     // same daily centi frame, lag() with LITERAL offsets unioned per
     // lag (an independent spelling of the row pairing), same HUGEINT
     // moments and Pearson dag

@@ -46,7 +46,11 @@ class GlobalWindowAuditSpec extends SparkSpec {
     "q115_ndcg_mrr" -> "rank pivots AFTER limit(NdcgK): ≤ 10-row ranked/ideal frames",
     "q168_zipf_fit" -> "row numbering AFTER limit(ZipfK): ≤ 500 rows by construction",
     "q169_spearman" -> "cum windows over per-VALUE count frames (≤ distinct lengths / ≤ 101 ratio grid points — the q33b convention)",
-    "q174_kaplan_meier" -> "risk-set + survival cumulations over the duration-VALUE frame (≤ observation-window days)"
+    "q174_kaplan_meier" -> "risk-set + survival cumulations over the duration-VALUE frame (≤ observation-window days)",
+    "q178_bh_fdr" -> "BH rank over the per-segment test family (m = #event types rows)",
+    "q179_logrank" -> "per-arm risk-set cumulations over the duration-VALUE frame (≤ observation-window days — the q174 frame)",
+    "q184_map_precision" -> "rank + precision cumsum AFTER limit(MapK): ≤ 20-row ranked frame",
+    "q188_vocab_gini" -> "cum window over the distinct-count VALUE frame (≲ √N rows by Zipf — the q33b convention)"
   )
 
   private def globalWindows(p: SparkPlan): Seq[SparkPlan] =

@@ -1,0 +1,290 @@
+package graft
+
+/** Plain-Scala replays of the round-15 gates — a third implementation
+  * beside Spark and the DuckDB oracle, checking the MATH (definitions
+  * applied naively on collected rows), not the plumbing: BH step-up
+  * from a reference normal CDF, log-rank from the risk-set walk,
+  * Adamic–Adar and clustering coefficients from brute-force
+  * neighborhood sets, Welch/Fleiss/Gini from their textbook formulas.
+  */
+class Round15ReplaySpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def q(name: String) =
+    SparkEntry.queries(name)(spark, dir)
+
+  /** The q43 bucket-100 hash, replayed: first 15 hex chars of
+    * md5(id as string), mod 100.
+    */
+  private def bucket100(id: Long): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md
+      .digest(id.toString.getBytes("UTF-8"))
+      .map("%02x".format(_))
+      .mkString
+    java.lang.Long.parseLong(hex.take(15), 16) % 100
+  }
+
+  test("q178 BH rejections equal the step-up rule on reference p-values") {
+    val got = q("q178_bh_fdr")
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getBoolean(5)))
+      .toSeq
+    assert(got.nonEmpty)
+    // reference two-sided p from the same A&S 7.1.26 polynomial (the
+    // definition, unsnapped) — must agree with the gate's snapped p to
+    // well under the grid
+    def pOf(z: Double): Double = {
+      val az = math.abs(z)
+      val t = 1.0 / (1.0 + 0.2316419 * az)
+      val pdf = math.exp(-0.5 * az * az) / math.sqrt(2.0 * math.Pi)
+      val poly = t * (0.319381530 + t * (-0.356563782 + t * (1.781477937 +
+        t * (-1.821255978 + t * 1.330274429))))
+      math.min(2.0 * pdf * poly, 1.0)
+    }
+    got.foreach { case (_, z, p, _) =>
+      assert(math.abs(pOf(z) - p) < 1e-7, s"z=$z p=$p ref=${pOf(z)}")
+    }
+    // naive step-up on the reference p's: find max i with p(i) <= i*alpha/m
+    val m = got.size
+    val sorted = got.sortBy(g => (g._3, g._1))
+    val kstar = sorted.zipWithIndex
+      .filter { case (g, i) => g._3 <= (i + 1) * 0.05 / m }
+      .map(_._2 + 1)
+      .lastOption
+      .getOrElse(0)
+    val expectedReject = sorted.take(kstar).map(_._1).toSet
+    assert(got.filter(_._4).map(_._1).toSet === expectedReject)
+  }
+
+  test("q179 log-rank equals the naive risk-set walk") {
+    import spark.implicits._
+    val rows = graft.queries.Tables
+      .table(spark, dir, "events")
+      .selectExpr(
+        "user_id",
+        "CAST(ts AS DATE) AS d",
+        "event_type = 'error' AS is_ev"
+      )
+      .groupBy("user_id")
+      .agg(
+        org.apache.spark.sql.functions.expr("min(d)").as("f"),
+        org.apache.spark.sql.functions.expr("min(CASE WHEN is_ev THEN d END)").as("p"),
+        org.apache.spark.sql.functions.expr("max(d)").as("l")
+      )
+      .selectExpr(
+        "user_id",
+        "CAST(CASE WHEN p IS NOT NULL THEN datediff(p, f) ELSE datediff(l, f) END AS INT) AS dur",
+        "p IS NOT NULL AS obs"
+      )
+      .as[(Long, Int, Boolean)]
+      .collect()
+      .map { case (uid, dur, obs) => (dur, obs, bucket100(uid) < 50) }
+      .toSeq
+    var nA = rows.count(_._3)
+    var nB = rows.size - nA
+    var oA = 0L
+    var eA = 0.0
+    var vA = 0.0
+    rows.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (_, g) =>
+      val dA = g.count(x => x._2 && x._3)
+      val dB = g.count(x => x._2 && !x._3)
+      val d = dA + dB
+      val n = nA + nB
+      if (d > 0) {
+        oA += dA
+        eA += d.toDouble * nA / n
+        if (n > 1)
+          vA += d.toDouble * (nA.toDouble / n) * (nB.toDouble / n) * (n - d).toDouble / (n - 1)
+      }
+      nA -= g.count(_._3)
+      nB -= g.count(!_._3)
+    }
+    val zRef = (oA - eA) / math.sqrt(vA)
+    val r = q("q179_logrank").collect().head
+    assert(r.getLong(0) === oA)
+    assert(math.abs(r.getDouble(1) - eA) < 1e-5)
+    assert(math.abs(r.getDouble(2) - vA) < 1e-5)
+    assert(math.abs(r.getDouble(3) - zRef) < 5e-4)
+  }
+
+  /** The q80-convention co-occurrence edge set, recomputed naively. */
+  private def naiveEdges(): Set[(Long, Long)] = {
+    import spark.implicits._
+    val pairs = graft.queries.Tables
+      .table(spark, dir, "lineitem")
+      .selectExpr("l_orderkey AS ok", "l_suppkey AS sk")
+      .distinct()
+      .as[(Long, Long)]
+      .collect()
+      .groupBy(_._1)
+      .values
+      .flatMap { g =>
+        val sks = g.map(_._2).distinct.sorted
+        for (i <- sks.indices; j <- (i + 1) until sks.size)
+          yield (sks(i), sks(j))
+      }
+      .toSeq
+    val counts = pairs.groupBy(identity).map { case (k, v) => k -> v.size }
+    val avg = counts.values.sum.toDouble / counts.size
+    counts.filter(_._2 > avg).keySet
+  }
+
+  test("q181 Adamic-Adar equals brute force over neighborhood sets") {
+    val edges = naiveEdges()
+    val nbrs = scala.collection.mutable.Map
+      .empty[Long, scala.collection.mutable.Set[Long]]
+    edges.foreach { case (a, b) =>
+      nbrs.getOrElseUpdate(a, scala.collection.mutable.Set.empty) += b
+      nbrs.getOrElseUpdate(b, scala.collection.mutable.Set.empty) += a
+    }
+    val nodes = nbrs.keys.toSeq.sorted
+    val scored = for {
+      i <- nodes.indices
+      j <- (i + 1) until nodes.size
+      a = nodes(i); b = nodes(j)
+      if !edges.contains((a, b))
+      common = nbrs(a).intersect(nbrs(b)).toSeq if common.nonEmpty
+    } yield {
+      // the gate's 1e-9 floor grid per center, exact sum
+      val s9 = common
+        .filter(z => nbrs(z).size >= 2)
+        .map(z => math.floor(1.0e9 / math.log(nbrs(z).size.toDouble)).toLong)
+        .sum
+      ((a, b), common.count(z => nbrs(z).size >= 2), s9)
+    }
+    val expected = scored
+      .filter(_._3 > 0)
+      .sortBy { case ((a, b), _, s9) => (-s9, a, b) }
+      .take(20)
+    def num(r: org.apache.spark.sql.Row, i: Int): Long =
+      r.get(i).asInstanceOf[Number].longValue
+    val got = q("q181_adamic_adar")
+      .collect()
+      .map(r => ((num(r, 0), num(r, 1)), num(r, 2), num(r, 3)))
+      .toSeq
+    assert(got.map(g => (g._1, g._3)) === expected.map(e => (e._1, e._3)))
+    assert(got.map(_._2) === expected.map(_._2.toLong))
+  }
+
+  test("q182 clustering coefficient equals brute force") {
+    val edges = naiveEdges()
+    val nbrs = scala.collection.mutable.Map
+      .empty[Long, scala.collection.mutable.Set[Long]]
+    edges.foreach { case (a, b) =>
+      nbrs.getOrElseUpdate(a, scala.collection.mutable.Set.empty) += b
+      nbrs.getOrElseUpdate(b, scala.collection.mutable.Set.empty) += a
+    }
+    val expected = nbrs.toSeq
+      .filter(_._2.size >= 2)
+      .sortBy(_._1)
+      .map { case (v, ns) =>
+        val nsSeq = ns.toSeq.sorted
+        val tri = (for {
+          i <- nsSeq.indices
+          j <- (i + 1) until nsSeq.size
+          if edges.contains((math.min(nsSeq(i), nsSeq(j)), math.max(nsSeq(i), nsSeq(j))))
+        } yield 1).size
+        val d = ns.size
+        (v, d.toLong, tri.toLong, 2.0 * tri / (d.toDouble * (d - 1)))
+      }
+    def num(r: org.apache.spark.sql.Row, i: Int): Long =
+      r.get(i).asInstanceOf[Number].longValue
+    val got = q("q182_clustering_coeff")
+      .collect()
+      .map(r => (num(r, 0), num(r, 1), num(r, 2), r.getDouble(3)))
+      .toSeq
+    assert(got.map(g => (g._1, g._2, g._3)) === expected.map(e => (e._1, e._2, e._3)))
+    got.zip(expected).foreach { case (g, e) =>
+      assert(math.abs(g._4 - e._4) < 1e-6, s"node=${g._1}")
+    }
+  }
+
+  test("q185 Welch t/df/d equal the textbook formulas") {
+    import spark.implicits._
+    val users = graft.queries.Tables
+      .table(spark, dir, "events")
+      .filter("event_type = 'purchase'")
+      .selectExpr("user_id", "CAST(round(value * 100.0, 0) AS BIGINT) AS cv")
+      .groupBy("user_id")
+      .agg(org.apache.spark.sql.functions.expr("sum(cv)").as("su"))
+      .as[(Long, Long)]
+      .collect()
+      .map { case (uid, su) => (su.toDouble, bucket100(uid) < 50) }
+    val (xa, xb) = (users.filter(_._2).map(_._1), users.filterNot(_._2).map(_._1))
+    def meanVar(x: Seq[Double]): (Double, Double) = {
+      val m = x.sum / x.size
+      (m, x.map(v => (v - m) * (v - m)).sum / (x.size - 1))
+    }
+    val (ma, va) = meanVar(xa.toSeq)
+    val (mb, vb) = meanVar(xb.toSeq)
+    val sea = va / xa.size
+    val seb = vb / xb.size
+    val t = (ma - mb) / math.sqrt(sea + seb)
+    val df = (sea + seb) * (sea + seb) /
+      (sea * sea / (xa.size - 1) + seb * seb / (xb.size - 1))
+    val sp = math.sqrt(((xa.size - 1) * va + (xb.size - 1) * vb) / (xa.size + xb.size - 2))
+    val d = (ma - mb) / sp
+    val r = q("q185_welch_ttest").collect().head
+    assert(r.getLong(0) === xa.size.toLong && r.getLong(1) === xb.size.toLong)
+    assert(math.abs(r.getDouble(4) - t) < 5e-4)
+    assert(math.abs(r.getDouble(5) - df) < 1e-3)
+    assert(math.abs(r.getDouble(6) - d) < 5e-4)
+  }
+
+  test("q187 Fleiss kappa equals the textbook formula") {
+    import spark.implicits._
+    val rows = graft.queries.Tables
+      .table(spark, dir, "documents")
+      .selectExpr(
+        "length(text) AS nc",
+        "size(filter(split(text, ' '), x -> x <> '')) AS w",
+        "size(array_distinct(filter(split(text, ' '), x -> x <> ''))) AS dw",
+        "length(regexp_replace(text, '[^a-z]', '')) AS al"
+      )
+      .as[(Int, Int, Int, Int)]
+      .collect()
+      .toSeq
+    val cats = rows.map { case (nc, w, dw, al) =>
+      val r1 = if (nc < 216) 0 else if (nc < 380) 1 else 2
+      val r2 = if (dw * 100 < w * 40) 0 else if (dw * 100 < w * 56) 1 else 2
+      val r3 =
+        if (al.toLong * 10000 < nc.toLong * 8192) 0
+        else if (al.toLong * 10000 < nc.toLong * 8243) 1
+        else 2
+      Seq(r1, r2, r3)
+    }
+    val n = cats.size
+    val pBar = cats.map { rs =>
+      val nij = (0 to 2).map(j => rs.count(_ == j))
+      (nij.map(x => x * x).sum - 3).toDouble / 6.0
+    }.sum / n
+    val pj = (0 to 2).map(j => cats.map(_.count(_ == j)).sum.toDouble / (3.0 * n))
+    val pe = pj.map(p => p * p).sum
+    val kappa = (pBar - pe) / (1.0 - pe)
+    val r = q("q187_fleiss_kappa").collect().head
+    assert(r.getLong(0) === n.toLong)
+    assert(math.abs(r.getDouble(6) - kappa) < 1e-5, s"got=${r.getDouble(6)} exp=$kappa")
+  }
+
+  test("q188 vocabulary Gini equals the sorted-rank definition") {
+    import spark.implicits._
+    val counts = graft.queries.Tables
+      .table(spark, dir, "documents")
+      .selectExpr("explode(filter(split(text, ' '), x -> x <> '')) AS w")
+      .groupBy("w")
+      .count()
+      .as[(String, Long)]
+      .collect()
+      .map(_._2)
+      .sorted
+    val v = counts.length.toLong
+    val n = counts.sum
+    val s = counts.zipWithIndex.map { case (c, i) => (i + 1).toLong * c }.sum
+    val gini = 2.0 * s / (v.toDouble * n.toDouble) - (v + 1).toDouble / v
+    val r = q("q188_vocab_gini").collect().head
+    assert(r.getLong(0) === v && r.getLong(1) === n)
+    assert(math.abs(r.getDouble(2) - gini) < 1e-6, s"got=${r.getDouble(2)} exp=$gini")
+  }
+}
