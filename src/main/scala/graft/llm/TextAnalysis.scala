@@ -882,7 +882,172 @@ object TextAnalysis {
       )
   }
 
+  // ------------------------------ q189: Heaps'-law vocabulary growth fit
+
+  /** q189: Heaps'-law fit V(N) ≈ K·N^β — how fast vocabulary grows as
+    * the corpus grows, THE scaling input a tokenizer-budget or
+    * dedup-capacity plan needs (q180 estimates the asymptote; this
+    * fits the GROWTH CURVE, so "how big is the vocab at 10× the
+    * crawl?" has a measured answer; natural English β ≈ 0.4–0.6 —
+    * template floods bend it low, synthetic id-spam bends it high):
+    * V(N) = distinct words among the first N tokens under the
+    * canonical (doc_id, position) corpus order, sampled at N = 2^k
+    * checkpoints, then the q168 OLS dag on (ln N, ln V).
+    *
+    * Determinism and scale: global token positions come from q52's
+    * two-pass shard prefix sum (never a corpus-wide rank window) plus
+    * the within-doc index; first-occurrence positions are one exact
+    * min-aggregate on the vocabulary frame; V(N) counts ride a
+    * broadcast of ≤31 checkpoint rows; ln is micro-grid-snapped, the
+    * moments exact DECIMAL(38) (q168 discipline).
+    */
+  private def q189(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counted = docs(s, dir)
+      .select(
+        col("doc_id"),
+        filter(split(col("text"), " "), x => x =!= "").as("ws")
+      )
+      .withColumn("n", size(col("ws")).cast("long"))
+      .withColumn("shard", expr("doc_id div 4096"))
+    val offsets = counted
+      .groupBy("shard")
+      .agg(sum("n").as("sn"))
+      .withColumn(
+        "off",
+        coalesce(
+          sum("sn").over(
+            Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)
+          ),
+          lit(0L)
+        )
+      )
+      .select("shard", "off")
+    val local = Window
+      .partitionBy("shard")
+      .orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val fp = counted
+      .join(broadcast(offsets), "shard")
+      .withColumn("doc_off", col("off") + coalesce(sum("n").over(local), lit(0L)))
+      .select(col("doc_off"), posexplode(col("ws")).as(Seq("i", "w")))
+      .select(col("w"), (col("doc_off") + col("i")).as("pos"))
+      .groupBy("w")
+      .agg(min("pos").as("fp"))
+    val ck = counted
+      .agg(sum("n").as("nt"))
+      .select(col("nt"), explode(array((10 to 40).map(lit(_)): _*)).as("k"))
+      .withColumn("ncap", expr("shiftleft(CAST(1 AS BIGINT), k)"))
+      .filter(col("ncap") >= 1024 && col("ncap") <= col("nt"))
+      .select("ncap")
+    val pts = fp
+      .crossJoin(broadcast(ck))
+      .filter(col("fp") < col("ncap"))
+      .groupBy("ncap")
+      .agg(count(lit(1)).as("v"))
+      .select(
+        floor(log(col("ncap").cast("double")) * 1000000.0).cast("long").as("x"),
+        floor(log(col("v").cast("double")) * 1000000.0).cast("long").as("y")
+      )
+    pts
+      .agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(col("x").cast("decimal(38,0)")).cast("double").as("sx"),
+        sum(col("y").cast("decimal(38,0)")).cast("double").as("sy"),
+        sum((col("x") * col("x")).cast("decimal(38,0)")).cast("double").as("sxx"),
+        sum((col("x") * col("y")).cast("decimal(38,0)")).cast("double").as("sxy"),
+        sum((col("y") * col("y")).cast("decimal(38,0)")).cast("double").as("syy")
+      )
+      .select(
+        col("n").cast("long").as("n_points"),
+        (round(
+          (col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx")),
+          4
+        ) + 0.0).as("heaps_beta"),
+        (round(
+          (col("sy") - col("sx") *
+            ((col("n") * col("sxy") - col("sx") * col("sy")) /
+              (col("n") * col("sxx") - col("sx") * col("sx")))) /
+            col("n") / 1000000.0,
+          4
+        ) + 0.0).as("intercept_ln"),
+        (round(
+          ((col("n") * col("sxy") - col("sx") * col("sy")) *
+            (col("n") * col("sxy") - col("sx") * col("sy"))) /
+            ((col("n") * col("sxx") - col("sx") * col("sx")) *
+              (col("n") * col("syy") - col("sy") * col("sy"))),
+          4
+        ) + 0.0).as("r_squared")
+      )
+  }
+
+  // --------------------- q190: per-source log-odds term enrichment
+
+  /** q190: per-source term enrichment — "which words are
+    * over-represented in source X vs the rest of the corpus", the
+    * signature-mining readout a curation pipeline reads to understand
+    * WHAT a source contributes before weighting it (q56) or capping it
+    * (q77): Haldane-corrected log-odds
+    * δ = ln((c_s+½)/(n_s−c_s+½)) − ln((c_r+½)/(n_r−c_r+½)) with the
+    * standard variance 1/(c_s+½)+1/(c_r+½), top-5 per source by the
+    * gridded z (ties alphabetical).
+    *
+    * Determinism: both ln terms are floor-snapped to the 1e-9 grid so
+    * δ is an EXACT BIGINT difference; z is one gridded division.
+    * Scale shape: one (source, word) count aggregate (map-side
+    * combined, the only corpus shuffle), totals broadcast back, top-5
+    * per source compiles to WindowGroupLimit over the
+    * vocabulary-sized frame — never a global sort.
+    */
+  private def q190(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cnt = docs(s, dir)
+      .select(col("source"), explode(filter(split(col("text"), " "), x => x =!= "")).as("w"))
+      .groupBy("source", "w")
+      .agg(count(lit(1)).as("cs"))
+    val wordTot = cnt.groupBy("w").agg(sum("cs").as("cw"))
+    val srcTot = cnt.groupBy("source").agg(sum("cs").as("ns"))
+    val grand = srcTot.agg(sum("ns").as("n"))
+    val scored = cnt
+      .join(broadcast(wordTot), "w")
+      .join(broadcast(srcTot), "source")
+      .crossJoin(broadcast(grand))
+      .withColumn("cr", col("cw") - col("cs"))
+      .withColumn("nr", col("n") - col("ns"))
+      .withColumn(
+        "d9",
+        expr(
+          "CAST(floor(ln((CAST(cs AS DOUBLE) + 0.5) / (CAST(ns - cs AS DOUBLE) + 0.5)) * 1.0e9) AS BIGINT) " +
+            "- CAST(floor(ln((CAST(cr AS DOUBLE) + 0.5) / (CAST(nr - cr AS DOUBLE) + 0.5)) * 1.0e9) AS BIGINT)"
+        )
+      )
+      .withColumn(
+        "z",
+        round(
+          col("d9").cast("double") / 1.0e9 /
+            sqrt(
+              lit(1.0d) / (col("cs").cast("double") + 0.5) +
+                lit(1.0d) / (col("cr").cast("double") + 0.5)
+            ),
+          6
+        ) + 0.0
+      )
+    scored
+      .withColumn(
+        "rnk",
+        row_number().over(
+          Window.partitionBy("source").orderBy(col("z").desc, col("w"))
+        )
+      )
+      .filter(col("rnk") <= 5)
+      .select(col("source"), col("rnk"), col("w").as("word"), col("cs"), col("z"))
+      .orderBy("source", "rnk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q189_heaps_fit" -> q189,
+    "q190_term_enrichment" -> q190,
     "q188_vocab_gini" -> q188,
     "q180_vocab_richness" -> q180,
     "q168_zipf_fit" -> q168,
@@ -907,6 +1072,83 @@ object TextAnalysis {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // the (doc_id, position) global order spelled as ONE rank window
+    // (valid at oracle scale; the Spark side is the two-pass shard
+    // scan), same checkpoint set, same micro-grid ln + OLS dag
+    "q189_heaps_fit" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '),
+        |           x -> x <> '') AS ws
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id, unnest(ws) AS w,
+        |    unnest(range(1, len(ws) + 1)) AS i
+        |  FROM t),
+        |p AS (
+        |  SELECT w, row_number() OVER (ORDER BY doc_id, i) - 1 AS pos
+        |  FROM tok),
+        |fp AS (SELECT w, CAST(min(pos) AS BIGINT) AS fp FROM p GROUP BY 1),
+        |nt AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM tok),
+        |ck AS (
+        |  SELECT CAST(1 AS BIGINT) << k AS ncap
+        |  FROM (SELECT unnest(range(10, 41)) AS k), nt
+        |  WHERE (CAST(1 AS BIGINT) << k) >= 1024
+        |    AND (CAST(1 AS BIGINT) << k) <= nt),
+        |vn AS (
+        |  SELECT ncap, CAST(count(*) AS BIGINT) AS v
+        |  FROM fp CROSS JOIN ck WHERE fp < ncap GROUP BY 1),
+        |g AS (
+        |  SELECT CAST(floor(ln(CAST(ncap AS DOUBLE)) * 1000000.0) AS BIGINT) AS x,
+        |         CAST(floor(ln(CAST(v AS DOUBLE)) * 1000000.0) AS BIGINT) AS y
+        |  FROM vn),
+        |m AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+        |    CAST(sum(x * x) AS DOUBLE) AS sxx,
+        |    CAST(sum(x * y) AS DOUBLE) AS sxy,
+        |    CAST(sum(y * y) AS DOUBLE) AS syy
+        |  FROM g)
+        |SELECT CAST(n AS BIGINT) AS n_points,
+        |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) + 0.0
+        |    AS heaps_beta,
+        |  round((sy - sx * ((n * sxy - sx * sy) / (n * sxx - sx * sx)))
+        |        / n / 1000000.0, 4) + 0.0 AS intercept_ln,
+        |  round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+        |        / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 4) + 0.0
+        |    AS r_squared
+        |FROM m""".stripMargin,
+    // same counts, same floor-snapped ln terms (exact BIGINT δ), same
+    // gridded z and per-source top-5 (ties alphabetical)
+    "q190_term_enrichment" ->
+      """WITH cnt AS (
+        |  SELECT source, w, CAST(count(*) AS BIGINT) AS cs
+        |  FROM (SELECT source, unnest(list_filter(string_split(text, ' '),
+        |                x -> x <> '')) AS w
+        |        FROM documents)
+        |  GROUP BY 1, 2),
+        |wt AS (SELECT w, CAST(sum(cs) AS BIGINT) AS cw FROM cnt GROUP BY 1),
+        |st AS (SELECT source, CAST(sum(cs) AS BIGINT) AS ns FROM cnt GROUP BY 1),
+        |g AS (SELECT CAST(sum(ns) AS BIGINT) AS n FROM st),
+        |sc AS (
+        |  SELECT c.source, c.w, c.cs, wt.cw - c.cs AS cr,
+        |    CAST(floor(ln((CAST(c.cs AS DOUBLE) + 0.5)
+        |           / (CAST(st.ns - c.cs AS DOUBLE) + 0.5)) * 1.0e9) AS BIGINT)
+        |    - CAST(floor(ln((CAST(wt.cw - c.cs AS DOUBLE) + 0.5)
+        |           / (CAST(g.n - st.ns - (wt.cw - c.cs) AS DOUBLE) + 0.5))
+        |           * 1.0e9) AS BIGINT) AS d9
+        |  FROM cnt c JOIN wt USING (w) JOIN st USING (source) CROSS JOIN g),
+        |z AS (
+        |  SELECT source, w, cs,
+        |    round(CAST(d9 AS DOUBLE) / 1.0e9
+        |      / sqrt(1.0 / (CAST(cs AS DOUBLE) + 0.5)
+        |             + 1.0 / (CAST(cr AS DOUBLE) + 0.5)), 6) + 0.0 AS z
+        |  FROM sc),
+        |r AS (
+        |  SELECT source, w, cs, z,
+        |    row_number() OVER (PARTITION BY source ORDER BY z DESC, w) AS rnk
+        |  FROM z)
+        |SELECT source, rnk, w AS word, cs, z
+        |FROM r WHERE rnk <= 5 ORDER BY source, rnk""".stripMargin,
     // same tie-grouped rank-sum identity on exact integers, same final
     // G dag
     "q188_vocab_gini" ->

@@ -1432,7 +1432,86 @@ object Stats {
       )
   }
 
+  // ------------------------ q191: population stability index (PSI)
+
+  /** q191: PSI — the ML-monitoring drift statistic (PSI < 0.1 stable,
+    * 0.1–0.25 watch, > 0.25 retrain — the thresholds every model-ops
+    * runbook quotes) between the two arms' event-value distributions,
+    * complementing q145's KS (KS finds the worst POINT divergence; PSI
+    * sums bin-wise contribution so a broad small shift and one hot
+    * bin read differently, and the per-bin rows say WHERE): fixed
+    * exact-centi bin edges (widening toward the tail), Laplace-
+    * smoothed bin shares, contribution (pa−pb)·ln(pa/pb) per bin
+    * floor-snapped to the 1e-9 grid and summed as EXACT BIGINTs.
+    *
+    * Scale shape: one corpus aggregate to the ≤10-row bin frame;
+    * totals, smoothing, contributions, and the PSI sum all run on that
+    * domain-bounded frame — no windows, no corpus joins.
+    */
+  private def q191(s: SparkSession, dir: String): DataFrame = {
+    val binned = Tables
+      .table(s, dir, "events")
+      .select(
+        expr("CAST(round(value * 100.0, 0) AS BIGINT)").as("cv"),
+        when(graft.llm.Sampling.bucket100(col("user_id")) < 50, "A")
+          .otherwise("B")
+          .as("variant")
+      )
+      .withColumn(
+        "bin",
+        when(col("cv") < 500, 0)
+          .when(col("cv") < 1000, 1)
+          .when(col("cv") < 2000, 2)
+          .when(col("cv") < 3500, 3)
+          .when(col("cv") < 5500, 4)
+          .when(col("cv") < 8500, 5)
+          .when(col("cv") < 13000, 6)
+          .when(col("cv") < 20000, 7)
+          .when(col("cv") < 30000, 8)
+          .otherwise(9)
+      )
+    val counts = binned
+      .groupBy("bin")
+      .agg(
+        sum(when(col("variant") === "A", 1L).otherwise(0L)).as("ca"),
+        sum(when(col("variant") === "B", 1L).otherwise(0L)).as("cb")
+      )
+    val tot = counts.agg(
+      sum("ca").as("na"),
+      sum("cb").as("nb"),
+      count(lit(1)).as("nbins")
+    )
+    val terms = counts
+      .crossJoin(broadcast(tot))
+      .withColumn(
+        "pa",
+        (col("ca") + 1).cast("double") / (col("na") + col("nbins")).cast("double")
+      )
+      .withColumn(
+        "pb",
+        (col("cb") + 1).cast("double") / (col("nb") + col("nbins")).cast("double")
+      )
+      .withColumn(
+        "c9",
+        expr("CAST(floor((pa - pb) * ln(pa / pb) * 1.0e9) AS BIGINT)")
+      )
+    val psi = terms.agg(sum(col("c9")).as("psi9"))
+    terms
+      .crossJoin(broadcast(psi))
+      .select(
+        col("bin"),
+        col("ca"),
+        col("cb"),
+        (round(col("pa"), 6) + 0.0).as("share_a"),
+        (round(col("pb"), 6) + 0.0).as("share_b"),
+        (round(col("c9").cast("double") / 1.0e9, 9) + 0.0).as("contrib"),
+        (round(col("psi9").cast("double") / 1.0e9, 6) + 0.0).as("psi_total")
+      )
+      .orderBy("bin")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q191_psi_drift" -> q191,
     "q186_cramers_v" -> q186,
     "q178_bh_fdr" -> q178,
     "q179_logrank" -> q179,
@@ -1872,6 +1951,45 @@ object Stats {
         |                     + CAST(1 AS DOUBLE) / CAST(nb AS DOUBLE))), 6),
         |             4) + 0.0 AS z_stat
         |FROM p""".stripMargin,
+    // same exact-centi bin edges, Laplace shares, per-bin 1e-9 grid
+    // contributions summed exactly
+    "q191_psi_drift" ->
+      """WITH b AS (
+        |  SELECT CASE WHEN cv < 500 THEN 0 WHEN cv < 1000 THEN 1
+        |              WHEN cv < 2000 THEN 2 WHEN cv < 3500 THEN 3
+        |              WHEN cv < 5500 THEN 4 WHEN cv < 8500 THEN 5
+        |              WHEN cv < 13000 THEN 6 WHEN cv < 20000 THEN 7
+        |              WHEN cv < 30000 THEN 8 ELSE 9 END AS bin,
+        |    variant
+        |  FROM (SELECT CAST(round(value * 100.0, 0) AS BIGINT) AS cv,
+        |          CASE WHEN CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+        |                    AS BIGINT) % 100 < 50 THEN 'A' ELSE 'B' END AS variant
+        |        FROM events)),
+        |c AS (
+        |  SELECT bin,
+        |    CAST(sum(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |    CAST(sum(CASE WHEN variant = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+        |  FROM b GROUP BY 1),
+        |t AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+        |             CAST(sum(cb) AS BIGINT) AS nb,
+        |             CAST(count(*) AS BIGINT) AS nbins
+        |      FROM c),
+        |terms AS (
+        |  SELECT bin, ca, cb,
+        |    CAST(ca + 1 AS DOUBLE) / CAST(na + nbins AS DOUBLE) AS pa,
+        |    CAST(cb + 1 AS DOUBLE) / CAST(nb + nbins AS DOUBLE) AS pb
+        |  FROM c CROSS JOIN t),
+        |g AS (
+        |  SELECT bin, ca, cb, pa, pb,
+        |    CAST(floor((pa - pb) * ln(pa / pb) * 1.0e9) AS BIGINT) AS c9
+        |  FROM terms),
+        |p AS (SELECT CAST(sum(c9) AS BIGINT) AS psi9 FROM g)
+        |SELECT bin, ca, cb,
+        |  round(pa, 6) + 0.0 AS share_a,
+        |  round(pb, 6) + 0.0 AS share_b,
+        |  round(CAST(c9 AS DOUBLE) / 1.0e9, 9) + 0.0 AS contrib,
+        |  round(CAST(psi9 AS DOUBLE) / 1.0e9, 6) + 0.0 AS psi_total
+        |FROM g CROSS JOIN p ORDER BY bin""".stripMargin,
     // same contingency + margins, cells on the same 1e-6 grid summed
     // exactly, identical V dag
     "q186_cramers_v" ->

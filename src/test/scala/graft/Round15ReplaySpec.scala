@@ -268,6 +268,112 @@ class Round15ReplaySpec extends SparkSpec {
     assert(math.abs(r.getDouble(6) - kappa) < 1e-5, s"got=${r.getDouble(6)} exp=$kappa")
   }
 
+  test("q189 Heaps fit equals the naive first-N-tokens vocabulary walk") {
+    import spark.implicits._
+    val docsSeq = graft.queries.Tables
+      .table(spark, dir, "documents")
+      .selectExpr("doc_id", "filter(split(text, ' '), x -> x <> '') AS ws")
+      .as[(Long, Seq[String])]
+      .collect()
+      .sortBy(_._1)
+    val stream = docsSeq.flatMap(_._2)
+    val total = stream.length.toLong
+    val checkpoints = (10 to 40)
+      .map(k => 1L << k)
+      .filter(n => n >= 1024 && n <= total)
+    // V(N) by walking the stream once
+    val seen = scala.collection.mutable.Set.empty[String]
+    val vAt = scala.collection.mutable.Map.empty[Long, Long]
+    var i = 0L
+    stream.foreach { w =>
+      i += 1
+      seen += w
+      if (checkpoints.contains(i)) vAt(i) = seen.size.toLong
+    }
+    val pts = checkpoints.map(n => (math.log(n.toDouble), math.log(vAt(n).toDouble)))
+    val n = pts.size.toDouble
+    val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val beta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val r = q("q189_heaps_fit").collect().head
+    assert(r.getLong(0) === checkpoints.size.toLong)
+    assert(math.abs(r.getDouble(1) - beta) < 5e-3, s"got=${r.getDouble(1)} exp=$beta")
+    // the synthetic corpus draws from a SMALL fixed vocabulary, so V(N)
+    // saturates within the first checkpoints and β ≈ 0 — which is the
+    // diagnostic reading correctly (template-like text bends β low);
+    // only the sublinear bound is corpus-independent
+    assert(r.getDouble(1) >= 0.0 && r.getDouble(1) < 1.0)
+  }
+
+  test("q190 enrichment equals the naive log-odds top-5") {
+    import spark.implicits._
+    val toks = graft.queries.Tables
+      .table(spark, dir, "documents")
+      .selectExpr("source", "explode(filter(split(text, ' '), x -> x <> '')) AS w")
+      .as[(String, String)]
+      .collect()
+      .toSeq
+    val cs = toks.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val cw = toks.groupBy(_._2).map { case (k, v) => k -> v.size.toLong }
+    val ns = toks.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val nAll = toks.size.toLong
+    val expected = cs.toSeq
+      .map { case ((src, w), c) =>
+        val cr = cw(w) - c
+        val nr = nAll - ns(src)
+        val d9 = math.floor(math.log((c + 0.5) / (ns(src) - c + 0.5)) * 1e9).toLong -
+          math.floor(math.log((cr + 0.5) / (nr - cr + 0.5)) * 1e9).toLong
+        val z = BigDecimal(d9 / 1e9 / math.sqrt(1.0 / (c + 0.5) + 1.0 / (cr + 0.5)))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble
+        (src, w, z)
+      }
+      .groupBy(_._1)
+      .flatMap { case (_, g) =>
+        g.sortBy(x => (-x._3, x._2)).take(5).zipWithIndex.map { case ((s1, w, z), i) =>
+          (s1, i + 1, w, z)
+        }
+      }
+      .toSeq
+      .sortBy(x => (x._1, x._2))
+    val got = q("q190_term_enrichment")
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getDouble(4)))
+      .toSeq
+    assert(got === expected)
+  }
+
+  test("q191 PSI equals the naive binned definition") {
+    import spark.implicits._
+    val rows = graft.queries.Tables
+      .table(spark, dir, "events")
+      .selectExpr("user_id", "CAST(round(value * 100.0, 0) AS BIGINT) AS cv")
+      .as[(Long, Long)]
+      .collect()
+      .map { case (uid, cv) => (cv, bucket100(uid) < 50) }
+    val edges = Seq(500L, 1000L, 2000L, 3500L, 5500L, 8500L, 13000L, 20000L, 30000L)
+    def binOf(cv: Long): Int = edges.indexWhere(cv < _) match {
+      case -1 => 9
+      case i  => i
+    }
+    val byBin = rows.groupBy(r => binOf(r._1))
+    val na = rows.count(_._2).toLong
+    val nb = rows.size - na
+    val nbins = byBin.size
+    val psi = byBin.map { case (_, g) =>
+      val ca = g.count(_._2); val cb = g.size - ca
+      val pa = (ca + 1.0) / (na + nbins)
+      val pb = (cb + 1.0) / (nb + nbins)
+      math.floor((pa - pb) * math.log(pa / pb) * 1e9).toLong
+    }.sum / 1e9
+    val got = q("q191_psi_drift").collect()
+    assert(got.length === nbins)
+    assert(math.abs(got.head.getDouble(6) - psi) < 1e-6)
+    // per-bin counts conserve the corpus
+    assert(got.map(r => r.getLong(1) + r.getLong(2)).sum === rows.length.toLong)
+  }
+
   test("q188 vocabulary Gini equals the sorted-rank definition") {
     import spark.implicits._
     val counts = graft.queries.Tables
