@@ -429,7 +429,95 @@ object Eval {
       )
   }
 
+  // ------------- q195: Brier score + Murphy decomposition
+
+  /** q195: Brier score with the Murphy decomposition — REL − RES + UNC,
+    * the diagnostic SPLIT of a probabilistic classifier's error that
+    * q111b's reliability table plots but never totals (reliability =
+    * how miscalibrated, resolution = how much the bins separate
+    * outcomes, uncertainty = the irreducible base-rate term; a sharp
+    * model can have a worse Brier than a blunt one ONLY via
+    * reliability — this says which knob to turn): over the q63
+    * classifier's q111b-convention p10k probabilities and bins.
+    *
+    * Determinism: the Brier numerator Σ(p10k − y·10⁴)² is an EXACT
+    * BIGINT; per-bin REL/RES terms are IEEE dags on exact integers
+    * floor-snapped to the 1e-9 grid and summed exactly; UNC is one
+    * dag on two integers.
+    *
+    * Scale shape: one corpus aggregate to the ≤10-row bin frame;
+    * totals broadcast back; everything else bin-frame-sized.
+    */
+  private def q195(s: SparkSession, dir: String): DataFrame = {
+    val bins = scoredWithLabel(s, dir)
+      .withColumn(
+        "p10k",
+        round(
+          round(
+            lit(1.0) / (lit(1.0) + exp(-col("score_int") / (col("n_tokens") * lit(1000.0)))),
+            4
+          ) * 10000
+        ).cast("long")
+      )
+      .withColumn("bin", least(expr("p10k div 1000"), lit(9L)))
+      .groupBy("bin")
+      .agg(
+        count(lit(1)).as("nk"),
+        sum("pos").cast("long").as("pk"),
+        sum("p10k").as("spk"),
+        sum(expr("(p10k - pos * 10000) * (p10k - pos * 10000)")).as("sq8")
+      )
+    val tot = bins.agg(
+      sum("nk").as("n"),
+      sum("pk").as("npos"),
+      sum("sq8").as("sq8all")
+    )
+    val terms = bins
+      .crossJoin(broadcast(tot))
+      .withColumn(
+        "rel9",
+        expr(
+          "CAST(floor(CAST(nk AS DOUBLE) " +
+            "* pow(CAST(spk AS DOUBLE) / (CAST(nk AS DOUBLE) * 10000.0) " +
+            "      - CAST(pk AS DOUBLE) / CAST(nk AS DOUBLE), 2) * 1.0e9) AS BIGINT)"
+        )
+      )
+      .withColumn(
+        "res9",
+        expr(
+          "CAST(floor(CAST(nk AS DOUBLE) " +
+            "* pow(CAST(pk AS DOUBLE) / CAST(nk AS DOUBLE) " +
+            "      - CAST(npos AS DOUBLE) / CAST(n AS DOUBLE), 2) * 1.0e9) AS BIGINT)"
+        )
+      )
+    terms
+      .groupBy("n", "npos", "sq8all")
+      .agg(sum(col("rel9")).as("srel9"), sum(col("res9")).as("sres9"))
+      .select(
+        col("n"),
+        col("npos"),
+        (round(
+          col("sq8all").cast("double") / (col("n").cast("double") * 1.0e8),
+          6
+        ) + 0.0).as("brier"),
+        (round(
+          col("srel9").cast("double") / (col("n").cast("double") * 1.0e9),
+          6
+        ) + 0.0).as("reliability"),
+        (round(
+          col("sres9").cast("double") / (col("n").cast("double") * 1.0e9),
+          6
+        ) + 0.0).as("resolution"),
+        (round(
+          (col("npos").cast("double") / col("n").cast("double")) *
+            (lit(1.0d) - col("npos").cast("double") / col("n").cast("double")),
+          6
+        ) + 0.0).as("uncertainty")
+      )
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q195_brier_decomposition" -> q195,
     "q187_fleiss_kappa" -> q187,
     "q111_roc_auc" -> q111,
     "q111b_calibration" -> q111b,
@@ -563,6 +651,47 @@ object Eval {
          |  round(abs(CAST(sp AS DOUBLE) / (n * 10000.0)
          |            - CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS gap
          |FROM b ORDER BY bin""".stripMargin,
+    "q195_brier_decomposition" ->
+      s"""$labeledCte,
+         |pp AS (
+         |  SELECT pos,
+         |    CAST(round(round(1.0 / (1.0 + exp(-score_int / (n_tokens * 1000.0))), 4)
+         |               * 10000) AS BIGINT) AS p10k
+         |  FROM lab),
+         |b AS (
+         |  SELECT least(p10k // 1000, 9) AS bin,
+         |    CAST(count(*) AS BIGINT) AS nk,
+         |    CAST(sum(pos) AS BIGINT) AS pk,
+         |    CAST(sum(p10k) AS BIGINT) AS spk,
+         |    CAST(sum((p10k - pos * 10000) * (p10k - pos * 10000)) AS BIGINT)
+         |      AS sq8
+         |  FROM pp GROUP BY 1),
+         |t AS (SELECT CAST(sum(nk) AS BIGINT) AS n,
+         |             CAST(sum(pk) AS BIGINT) AS npos,
+         |             CAST(sum(sq8) AS BIGINT) AS sq8all
+         |      FROM b),
+         |g AS (
+         |  SELECT b.nk, t.n, t.npos, t.sq8all,
+         |    CAST(floor(CAST(nk AS DOUBLE)
+         |      * pow(CAST(spk AS DOUBLE) / (CAST(nk AS DOUBLE) * 10000.0)
+         |            - CAST(pk AS DOUBLE) / CAST(nk AS DOUBLE), 2) * 1.0e9)
+         |      AS BIGINT) AS rel9,
+         |    CAST(floor(CAST(nk AS DOUBLE)
+         |      * pow(CAST(pk AS DOUBLE) / CAST(nk AS DOUBLE)
+         |            - CAST(npos AS DOUBLE) / CAST(n AS DOUBLE), 2) * 1.0e9)
+         |      AS BIGINT) AS res9
+         |  FROM b CROSS JOIN t)
+         |SELECT n, npos,
+         |  round(CAST(sq8all AS DOUBLE) / (CAST(n AS DOUBLE) * 1.0e8), 6) + 0.0
+         |    AS brier,
+         |  round(CAST(sum(rel9) AS DOUBLE) / (CAST(n AS DOUBLE) * 1.0e9), 6) + 0.0
+         |    AS reliability,
+         |  round(CAST(sum(res9) AS DOUBLE) / (CAST(n AS DOUBLE) * 1.0e9), 6) + 0.0
+         |    AS resolution,
+         |  round((CAST(npos AS DOUBLE) / CAST(n AS DOUBLE))
+         |        * (1.0 - CAST(npos AS DOUBLE) / CAST(n AS DOUBLE)), 6) + 0.0
+         |    AS uncertainty
+         |FROM g GROUP BY n, npos, sq8all""".stripMargin,
     "q112_cohens_kappa" ->
       s"""$labeledCte,
          |ct AS (

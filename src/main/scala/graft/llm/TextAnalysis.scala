@@ -1045,7 +1045,68 @@ object TextAnalysis {
       .orderBy("source", "rnk")
   }
 
+  // ----------------------- q196: Flesch readability per language
+
+  /** q196: Flesch reading-ease per language slice — the classic
+    * quality-screen complement to q33's ratios (length and stopword
+    * share miss "grammatical but impenetrable"; Flesch scores sentence
+    * and word COMPLEXITY): 206.835 − 1.015·(words/sentences) −
+    * 84.6·(syllables/words), with syllables approximated by vowel-group
+    * count (the standard heuristic — exact syllabification needs a
+    * dictionary; the APPROXIMATION is deterministic: one regex both
+    * engines run identically) and sentences by non-empty period
+    * splits, floored at 1. Per-doc scores are floor-snapped to the
+    * 1e-6 grid and summed as EXACT BIGINTs into per-language means;
+    * the structural ratios (words/sentence, syllables/word) are
+    * single divisions of exact corpus sums.
+    *
+    * Scale shape: one map-side projection per document (two splits +
+    * one regex — no explode), one language-keyed aggregate. Zero
+    * joins, zero windows.
+    */
+  private def q196(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(
+        col("lang"),
+        size(filter(split(col("text"), " "), x => x =!= "")).cast("long").as("w"),
+        greatest(
+          size(filter(split(col("text"), "\\."), x => trim(x) =!= "")),
+          lit(1)
+        ).cast("long").as("sent"),
+        size(expr("regexp_extract_all(text, '[aeiouy]+', 0)")).cast("long").as("syl")
+      )
+      .filter(col("w") > 0)
+      .withColumn(
+        "f6",
+        expr(
+          "CAST(floor((206.835 - 1.015 * (CAST(w AS DOUBLE) / CAST(sent AS DOUBLE)) " +
+            "- 84.6 * (CAST(syl AS DOUBLE) / CAST(w AS DOUBLE))) * 1.0e6) AS BIGINT)"
+        )
+      )
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("w")).as("sw"),
+        sum(col("sent")).as("ssent"),
+        sum(col("syl")).as("ssyl"),
+        sum(col("f6")).as("sf6")
+      )
+      .select(
+        col("lang"),
+        col("n_docs"),
+        (round(
+          col("sf6").cast("double") / (col("n_docs").cast("double") * 1.0e6),
+          4
+        ) + 0.0).as("mean_flesch"),
+        (round(col("sw").cast("double") / col("ssent").cast("double"), 4) + 0.0)
+          .as("words_per_sentence"),
+        (round(col("ssyl").cast("double") / col("sw").cast("double"), 4) + 0.0)
+          .as("syllables_per_word")
+      )
+      .orderBy("lang")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q196_flesch_readability" -> q196,
     "q189_heaps_fit" -> q189,
     "q190_term_enrichment" -> q190,
     "q188_vocab_gini" -> q188,
@@ -1072,6 +1133,37 @@ object TextAnalysis {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // same vowel-group regex, same period-split sentences, same 1e-6
+    // per-doc grid and exact-sum means
+    "q196_flesch_readability" ->
+      """WITH f AS (
+        |  SELECT lang,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+        |      AS BIGINT) AS w,
+        |    CAST(greatest(len(list_filter(string_split(text, '.'),
+        |      x -> trim(x) <> '')), 1) AS BIGINT) AS sent,
+        |    CAST(len(regexp_extract_all(text, '[aeiouy]+')) AS BIGINT) AS syl
+        |  FROM documents),
+        |g AS (
+        |  SELECT lang, w, sent, syl,
+        |    CAST(floor((206.835
+        |      - 1.015 * (CAST(w AS DOUBLE) / CAST(sent AS DOUBLE))
+        |      - 84.6 * (CAST(syl AS DOUBLE) / CAST(w AS DOUBLE))) * 1.0e6)
+        |      AS BIGINT) AS f6
+        |  FROM f WHERE w > 0),
+        |a AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(w) AS BIGINT) AS sw, CAST(sum(sent) AS BIGINT) AS ssent,
+        |    CAST(sum(syl) AS BIGINT) AS ssyl, CAST(sum(f6) AS BIGINT) AS sf6
+        |  FROM g GROUP BY 1)
+        |SELECT lang, n_docs,
+        |  round(CAST(sf6 AS DOUBLE) / (CAST(n_docs AS DOUBLE) * 1.0e6), 4) + 0.0
+        |    AS mean_flesch,
+        |  round(CAST(sw AS DOUBLE) / CAST(ssent AS DOUBLE), 4) + 0.0
+        |    AS words_per_sentence,
+        |  round(CAST(ssyl AS DOUBLE) / CAST(sw AS DOUBLE), 4) + 0.0
+        |    AS syllables_per_word
+        |FROM a ORDER BY lang""".stripMargin,
     // the (doc_id, position) global order spelled as ONE rank window
     // (valid at oracle scale; the Spark side is the two-pass shard
     // scan), same checkpoint set, same micro-grid ln + OLS dag

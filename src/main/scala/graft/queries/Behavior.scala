@@ -401,7 +401,85 @@ object Behavior {
       .orderBy("d")
   }
 
+  // ---------- q192: event-type Markov transitions + stationary mix
+
+  /** q192: first-order Markov transition matrix over each user's
+    * event stream + its stationary distribution — the behavioral
+    * fingerprint a product team reads ("after a click, what happens
+    * next?") and the long-run event MIX the chain converges to (a
+    * stationary mix that drifts from the observed mix flags
+    * non-ergodic cohorts; q88 enumerates literal paths, this is the
+    * generative summary): transitions via lead() over per-user
+    * (time, event_id)-ordered histories, row-normalized to P; the
+    * stationary row from four synchronous power-iteration rounds
+    * started uniform (the q71 fixed-iteration convention).
+    *
+    * Determinism: transition probabilities are single divisions of
+    * exact counts; each iteration's Σ_i r_i·p_ij contributions are
+    * floor-snapped to the 1e-12 grid and summed as EXACT BIGINTs (a
+    * K-term float aggregate is still order-dependent), so every
+    * iteration is engine-exact.
+    *
+    * Scale shape: one corpus window over short per-user histories
+    * (CDC-style natural bound) → one (from, to) count aggregate; the
+    * K×K matrix (K = #event types) is a broadcast-sized frame and the
+    * iterations run entirely on it.
+    */
+  private def q192(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val trans = Tables
+      .table(s, dir, "events")
+      .select(
+        col("user_id"),
+        unix_micros(col("ts")).as("us"),
+        col("event_id"),
+        col("event_type").as("from_type")
+      )
+      .withColumn("to_type", lead("from_type", 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy("from_type", "to_type")
+      .agg(count(lit(1)).as("n_trans"))
+    val rowTot = trans.groupBy("from_type").agg(sum("n_trans").as("row_n"))
+    val p = trans
+      .join(broadcast(rowTot), "from_type")
+      .withColumn(
+        "p",
+        col("n_trans").cast("double") / col("row_n").cast("double")
+      )
+    // 4 synchronous power-iteration rounds from uniform over the
+    // K-row state frame; contributions grid-snapped per step
+    val states = rowTot.select(col("from_type").as("st"))
+    val k = states.count() // K = #event types: tiny, driver-side by design
+    var r = states.withColumn("r", lit(1.0d / k))
+    (1 to 4).foreach { _ =>
+      r = p
+        .join(r.withColumnRenamed("st", "from_type"), "from_type")
+        .withColumn(
+          "c12",
+          expr("CAST(floor(r * p * 1.0e12) AS BIGINT)")
+        )
+        .groupBy(col("to_type").as("st"))
+        .agg((sum(col("c12")).cast("double") / 1.0e12).as("r"))
+    }
+    // LEFT + coalesce: a state with no INCOMING transitions carries
+    // stationary mass 0 but must keep its outgoing matrix rows
+    p.join(
+        r.withColumnRenamed("st", "from_type").withColumnRenamed("r", "stat"),
+        Seq("from_type"),
+        "left"
+      )
+      .select(
+        col("from_type"),
+        col("to_type"),
+        col("n_trans"),
+        (round(col("p"), 6) + 0.0).as("p_trans"),
+        (round(coalesce(col("stat"), lit(0.0d)), 6) + 0.0).as("stationary_from")
+      )
+      .orderBy("from_type", "to_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q192_markov_transitions" -> q192,
     "q78_funnel" -> q78,
     "q79_cohort_retention" -> q79,
     "q83_ewma" -> q83,
@@ -437,7 +515,42 @@ object Behavior {
        |ORDER BY event_id""".stripMargin
   }
 
+  private def q192IterSql(prev: String): String =
+    s"""SELECT pm.to_type AS st,
+       |  CAST(sum(CAST(floor(r.r * pm.p * 1.0e12) AS BIGINT)) AS DOUBLE)
+       |    / 1.0e12 AS r
+       |FROM pm JOIN $prev r ON r.st = pm.from_type
+       |GROUP BY pm.to_type""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    // same lead() transitions, same 1e-12-grid synchronous iterations
+    "q192_markov_transitions" ->
+      s"""WITH e AS (
+         |  SELECT user_id, epoch_us(ts) AS us, event_id, event_type
+         |  FROM events),
+         |tr AS (
+         |  SELECT event_type AS from_type,
+         |    lead(event_type) OVER (PARTITION BY user_id
+         |                           ORDER BY us, event_id) AS to_type
+         |  FROM e),
+         |c AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n_trans
+         |      FROM tr WHERE to_type IS NOT NULL GROUP BY 1, 2),
+         |rt AS (SELECT from_type, CAST(sum(n_trans) AS BIGINT) AS row_n
+         |       FROM c GROUP BY 1),
+         |pm AS (SELECT c.from_type, c.to_type, c.n_trans,
+         |         CAST(c.n_trans AS DOUBLE) / CAST(rt.row_n AS DOUBLE) AS p
+         |       FROM c JOIN rt USING (from_type)),
+         |kk AS (SELECT CAST(count(*) AS BIGINT) AS k FROM rt),
+         |r0 AS (SELECT from_type AS st, 1.0 / (SELECT k FROM kk) AS r FROM rt),
+         |r1 AS (${q192IterSql("r0")}),
+         |r2 AS (${q192IterSql("r1")}),
+         |r3 AS (${q192IterSql("r2")}),
+         |r4 AS (${q192IterSql("r3")})
+         |SELECT pm.from_type, pm.to_type, pm.n_trans,
+         |  round(pm.p, 6) + 0.0 AS p_trans,
+         |  round(coalesce(r4.r, 0.0), 6) + 0.0 AS stationary_from
+         |FROM pm LEFT JOIN r4 ON r4.st = pm.from_type
+         |ORDER BY from_type, to_type""".stripMargin,
     "q83_ewma" -> EwmaOracleSql,
     "q89_sessionize" ->
       """WITH e AS (

@@ -1510,7 +1510,94 @@ object Stats {
       .orderBy("bin")
   }
 
+  // ------------------ q194: restricted mean survival time (RMST)
+
+  /** q194: RMST — the ONE-NUMBER summary of q174's Kaplan–Meier curve
+    * clinicians and retention analysts actually report ("average
+    * error-free days in the first τ=30", valid under censoring where
+    * the naive mean-to-event is not): ∫₀^τ Ŝ(t)dt = Σ over KM steps of
+    * S(t_k)·(next step ∧ τ − t_k), plus the S=1 segment before the
+    * first event. The KM machinery is exactly q174's (same duration
+    * frame, same 1e-9 ln-grid cumsum); each rectangle's area S·width
+    * is snapped to the 1e-9 grid and summed as EXACT BIGINTs, so the
+    * integral is engine-exact.
+    *
+    * Scale shape: q174's frames throughout — the corpus reduces to a
+    * duration-value frame, the windows run on ≤ observation-window
+    * days (allowlisted), the output is one row.
+    */
+  private def q194(s: SparkSession, dir: String): DataFrame = {
+    val Tau = 30
+    val u = Tables
+      .table(s, dir, "events")
+      .groupBy("user_id")
+      .agg(
+        min(to_date(col("ts"))).as("f"),
+        min(when(col("event_type") === "error", to_date(col("ts")))).as("p"),
+        max(to_date(col("ts"))).as("l")
+      )
+      .select(
+        when(col("p").isNotNull, datediff(col("p"), col("f")))
+          .otherwise(datediff(col("l"), col("f")))
+          .as("dur"),
+        when(col("p").isNotNull, lit(1L)).otherwise(lit(0L)).as("obs")
+      )
+    val vc = u
+      .groupBy("dur")
+      .agg(sum(col("obs")).as("d_t"), count(lit(1)).as("a_t"))
+    val wc = Window.orderBy("dur")
+    val wRisk = wc.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val wCum = wc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val steps = vc
+      .withColumn("n_t", sum(col("a_t")).over(wRisk))
+      .withColumn(
+        "lf",
+        when(col("d_t") === col("n_t"), lit(0L)).otherwise(
+          floor(
+            log((col("n_t") - col("d_t")).cast("double") / col("n_t").cast("double")) * 1.0e9
+          ).cast("long")
+        )
+      )
+      .withColumn("zflag", when(col("d_t") === col("n_t"), 1L).otherwise(0L))
+      .withColumn("cum_lf", sum(col("lf")).over(wCum))
+      .withColumn("zcum", sum(col("zflag")).over(wCum))
+      .filter(col("d_t") > 0)
+      .select(
+        col("dur"),
+        when(col("zcum") > 0, lit(0.0d))
+          .otherwise(exp(col("cum_lf").cast("double") / 1.0e9))
+          .as("surv")
+      )
+    // rectangle widths: from each event time to the next (∧ τ); the
+    // S=1 segment before the first event contributes its full width
+    val rect = steps
+      .withColumn("next_t", lead("dur", 1).over(Window.orderBy("dur")))
+      .filter(col("dur") < Tau)
+      .withColumn(
+        "width",
+        least(coalesce(col("next_t"), lit(Tau)), lit(Tau)) - col("dur")
+      )
+      .withColumn("a9", expr("CAST(floor(surv * width * 1.0e9) AS BIGINT)"))
+    val firstSeg = steps
+      .agg(min(col("dur")).as("t1"))
+      .select(
+        (least(col("t1"), lit(Tau)).cast("long") * lit(1000000000L)).as("head9")
+      )
+    rect
+      .agg(sum(col("a9")).as("tail9"), count(lit(1)).as("n_steps"))
+      .crossJoin(broadcast(firstSeg))
+      .select(
+        lit(Tau).as("tau_days"),
+        col("n_steps"),
+        (round(
+          (col("head9") + coalesce(col("tail9"), lit(0L))).cast("double") / 1.0e9,
+          4
+        ) + 0.0).as("rmst_days")
+      )
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q194_rmst" -> q194,
     "q191_psi_drift" -> q191,
     "q186_cramers_v" -> q186,
     "q178_bh_fdr" -> q178,
@@ -1951,6 +2038,63 @@ object Stats {
         |                     + CAST(1 AS DOUBLE) / CAST(nb AS DOUBLE))), 6),
         |             4) + 0.0 AS z_stat
         |FROM p""".stripMargin,
+    // q174's KM chain + the rectangle integral on the same 1e-9 grid
+    "q194_rmst" ->
+      """WITH u AS (
+        |  SELECT user_id, min(CAST(ts AS DATE)) AS f,
+        |    min(CASE WHEN event_type = 'error'
+        |             THEN CAST(ts AS DATE) END) AS p,
+        |    max(CAST(ts AS DATE)) AS l
+        |  FROM events GROUP BY 1),
+        |d AS (
+        |  SELECT CASE WHEN p IS NOT NULL THEN p - f ELSE l - f END AS dur,
+        |    CASE WHEN p IS NOT NULL THEN 1 ELSE 0 END AS obs
+        |  FROM u),
+        |vc AS (
+        |  SELECT dur, CAST(sum(obs) AS BIGINT) AS d_t,
+        |    CAST(count(*) AS BIGINT) AS a_t
+        |  FROM d GROUP BY 1),
+        |r AS (
+        |  SELECT dur, d_t,
+        |    sum(a_t) OVER (ORDER BY dur
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS n_t
+        |  FROM vc),
+        |g AS (
+        |  SELECT dur, d_t, n_t,
+        |    CASE WHEN d_t = n_t THEN CAST(0 AS BIGINT)
+        |         ELSE CAST(floor(ln(CAST(n_t - d_t AS DOUBLE)
+        |                             / CAST(n_t AS DOUBLE)) * 1.0e9)
+        |              AS BIGINT) END AS lf,
+        |    CASE WHEN d_t = n_t THEN 1 ELSE 0 END AS zflag
+        |  FROM r),
+        |c AS (
+        |  SELECT dur, d_t,
+        |    sum(lf) OVER (ORDER BY dur
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_lf,
+        |    sum(zflag) OVER (ORDER BY dur
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS zcum
+        |  FROM g),
+        |steps AS (
+        |  SELECT dur,
+        |    CASE WHEN zcum > 0 THEN 0.0
+        |         ELSE exp(CAST(cum_lf AS DOUBLE) / 1.0e9) END AS surv
+        |  FROM c WHERE d_t > 0),
+        |rect AS (
+        |  SELECT dur, surv, lead(dur) OVER (ORDER BY dur) AS next_t
+        |  FROM steps),
+        |a AS (
+        |  SELECT CAST(floor(surv
+        |    * (least(coalesce(next_t, 30), 30) - dur) * 1.0e9) AS BIGINT) AS a9
+        |  FROM rect WHERE dur < 30),
+        |h AS (SELECT CAST(least(min(dur), 30) AS BIGINT) * 1000000000 AS head9
+        |      FROM steps),
+        |t AS (SELECT CAST(sum(a9) AS BIGINT) AS tail9,
+        |             CAST(count(*) AS BIGINT) AS n_steps
+        |      FROM a)
+        |SELECT 30 AS tau_days, n_steps,
+        |  round(CAST(head9 + coalesce(tail9, 0) AS DOUBLE) / 1.0e9, 4) + 0.0
+        |    AS rmst_days
+        |FROM t CROSS JOIN h""".stripMargin,
     // same exact-centi bin edges, Laplace shares, per-bin 1e-9 grid
     // contributions summed exactly
     "q191_psi_drift" ->

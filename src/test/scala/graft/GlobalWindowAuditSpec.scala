@@ -51,7 +51,8 @@ class GlobalWindowAuditSpec extends SparkSpec {
     "q179_logrank" -> "per-arm risk-set cumulations over the duration-VALUE frame (≤ observation-window days — the q174 frame)",
     "q184_map_precision" -> "rank + precision cumsum AFTER limit(MapK): ≤ 20-row ranked frame",
     "q188_vocab_gini" -> "cum window over the distinct-count VALUE frame (≲ √N rows by Zipf — the q33b convention)",
-    "q189_heaps_fit" -> "prefix offsets over #shards rows (the Packing two-pass scan, q52 convention)"
+    "q189_heaps_fit" -> "prefix offsets over #shards rows (the Packing two-pass scan, q52 convention)",
+    "q194_rmst" -> "KM risk-set/survival/lead cumulations over the duration-VALUE frame (≤ observation-window days — the q174 frame)"
   )
 
   private def globalWindows(p: SparkPlan): Seq[SparkPlan] =

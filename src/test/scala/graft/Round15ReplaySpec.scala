@@ -374,6 +374,148 @@ class Round15ReplaySpec extends SparkSpec {
     assert(got.map(r => r.getLong(1) + r.getLong(2)).sum === rows.length.toLong)
   }
 
+  test("q192 Markov matrix + stationary equal the naive chain walk") {
+    import spark.implicits._
+    val events = graft.queries.Tables
+      .table(spark, dir, "events")
+      .selectExpr("user_id", "unix_micros(ts) AS us", "event_id", "event_type")
+      .as[(Long, Long, Long, String)]
+      .collect()
+      .toSeq
+    val trans = events
+      .groupBy(_._1)
+      .values
+      .flatMap { g =>
+        val ordered = g.sortBy(e => (e._2, e._3)).map(_._4)
+        ordered.zip(ordered.drop(1))
+      }
+      .toSeq
+    val c = trans.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val rowN = c.groupBy(_._1._1).map { case (k, v) => k -> v.values.sum }
+    val states = rowN.keys.toSeq.sorted
+    val k = states.size
+    var r = states.map(_ -> 1.0 / k).toMap
+    (1 to 4).foreach { _ =>
+      r = states
+        .flatMap { to =>
+          val s9 = states.flatMap { from =>
+            c.get((from, to)).map { n =>
+              val p = n.toDouble / rowN(from)
+              math.floor(r.getOrElse(from, 0.0) * p * 1e12).toLong
+            }
+          }.sum
+          if (s9 == 0 && !c.keys.exists(_._2 == to)) None
+          else Some(to -> s9 / 1e12)
+        }
+        .toMap
+    }
+    val got = q("q192_markov_transitions")
+      .collect()
+      .map(row => ((row.getString(0), row.getString(1)), row.getLong(2), row.getDouble(3), row.getDouble(4)))
+      .toSeq
+    assert(got.map(x => x._1 -> x._2).toMap === c)
+    got.foreach { case ((from, to), n, p, stat) =>
+      assert(math.abs(p - n.toDouble / rowN(from)) < 1e-6, s"$from->$to")
+      assert(math.abs(stat - r.getOrElse(from, 0.0)) < 1e-5, s"stat($from)")
+    }
+    // a stationary vector must (nearly) sum to 1 over the states
+    val statByState = got.map(x => x._1._1 -> x._4).toMap
+    assert(math.abs(statByState.values.sum - 1.0) < 1e-3)
+  }
+
+  test("q194 RMST equals the trapezoid-free naive step integral") {
+    import spark.implicits._
+    // reuse the q174 replay's KM walk, then integrate the step function
+    val rows = graft.queries.Tables
+      .table(spark, dir, "events")
+      .selectExpr(
+        "user_id",
+        "CAST(ts AS DATE) AS d",
+        "event_type = 'error' AS is_ev"
+      )
+      .groupBy("user_id")
+      .agg(
+        org.apache.spark.sql.functions.expr("min(d)").as("f"),
+        org.apache.spark.sql.functions.expr("min(CASE WHEN is_ev THEN d END)").as("p"),
+        org.apache.spark.sql.functions.expr("max(d)").as("l")
+      )
+      .selectExpr(
+        "CAST(CASE WHEN p IS NOT NULL THEN datediff(p, f) ELSE datediff(l, f) END AS INT) AS dur",
+        "p IS NOT NULL AS obs"
+      )
+      .as[(Int, Boolean)]
+      .collect()
+      .toSeq
+    val tau = 30
+    var atRisk = rows.size
+    var surv = 1.0
+    val steps = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
+    rows.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (t, g) =>
+      val d = g.count(_._2)
+      if (d > 0) {
+        surv = surv * (atRisk - d).toDouble / atRisk
+        steps += ((t, surv))
+      }
+      atRisk -= g.size
+    }
+    var rmst = math.min(steps.headOption.map(_._1).getOrElse(tau), tau).toDouble
+    steps.toSeq.sliding(2).foreach {
+      case Seq((t1, s1), (t2, _)) if t1 < tau =>
+        rmst += s1 * (math.min(t2, tau) - t1)
+      case Seq((t1, s1)) if t1 < tau =>
+        rmst += s1 * (tau - t1)
+      case _ => ()
+    }
+    val r = q("q194_rmst").collect().head
+    assert(r.getInt(0) === tau)
+    assert(math.abs(r.getDouble(2) - rmst) < 1e-3, s"got=${r.getDouble(2)} exp=$rmst")
+    // RMST is bounded by the horizon and positive on this corpus
+    assert(r.getDouble(2) > 0.0 && r.getDouble(2) <= tau)
+  }
+
+  test("q195 Brier decomposition matches naive per-bin arithmetic and the identity band") {
+    val r = q("q195_brier_decomposition").collect().head
+    val (brier, rel, res, unc) =
+      (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+    // Murphy identity holds up to the within-bin variance term, which
+    // is nonnegative and bounded by the bin width's contribution
+    val residual = brier - (rel - res + unc)
+    assert(residual > -1e-4, s"identity violated: $residual")
+    assert(residual < 0.01, s"within-bin term too large: $residual")
+    assert(brier >= 0 && rel >= 0 && res >= 0 && unc >= 0 && unc <= 0.25)
+  }
+
+  test("q196 Flesch equals the naive per-doc formula") {
+    import spark.implicits._
+    val docsRows = graft.queries.Tables
+      .table(spark, dir, "documents")
+      .selectExpr("lang", "text")
+      .as[(String, String)]
+      .collect()
+      .toSeq
+    val perLang = docsRows
+      .map { case (lang, text) =>
+        val w = text.split(" ", -1).count(_.nonEmpty).toLong
+        val sent = math.max(text.split("\\.", -1).count(_.trim.nonEmpty), 1).toLong
+        val syl = "[aeiouy]+".r.findAllIn(text).size.toLong
+        (lang, w, sent, syl)
+      }
+      .filter(_._2 > 0)
+      .groupBy(_._1)
+    val got = q("q196_flesch_readability")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .toSeq
+    got.foreach { case (lang, nDocs, meanF) =>
+      val g = perLang(lang)
+      assert(nDocs === g.size.toLong)
+      val mean = g.map { case (_, w, sent, syl) =>
+        206.835 - 1.015 * (w.toDouble / sent) - 84.6 * (syl.toDouble / w)
+      }.sum / g.size
+      assert(math.abs(meanF - mean) < 1e-4, s"$lang got=$meanF exp=$mean")
+    }
+  }
+
   test("q188 vocabulary Gini equals the sorted-rank definition") {
     import spark.implicits._
     val counts = graft.queries.Tables
