@@ -566,29 +566,48 @@ object Graph {
     * can never split on a float ulp; the emitted double is the one
     * gridded division.
     *
-    * Scale shape: wedge enumeration via the und⋈und self-join on the
-    * center (the q80 triangle join — Σ deg² bounded, never all-pairs),
-    * one (a, b) hash aggregate, a left_anti against the edge set, and
-    * a TakeOrdered top-20; degrees/weights ride a node-sized frame.
+    * Scale shape: wedge enumeration is MAP-SIDE — per center, the
+    * sorted neighbor array expands its a<b pairs inline (the
+    * pairStream array trick, spelled as two Generate stages — see the
+    * body comment; the first spelling self-joined und⋈und on the
+    * center and measured 15.7 s at sf0.1 where this measures 6.6 s:
+    * the dense thresholded graph has Σ deg²/2 ≈ 92M wedges over a
+    * ≤500k pair space, so the wedge stream must flow straight into
+    * the partial aggregate, never through a join shuffle — generation
+    * is now ~1 s and the remaining cost IS that partial aggregate,
+    * the irreducible Σ deg² term exact AA pays); one (a, b)
+    * hash aggregate (map-side combined against the small pair space),
+    * a left_anti against the edge set, and a TakeOrdered top-20;
+    * degrees/weights ride the node-sized array frame.
     */
   private def q181(s: SparkSession, dir: String): DataFrame = {
     val e = graft.llm.Dedup.tcache(s, cooccurrenceEdges(s, dir))
     val und = e
       .select(col("a").as("z"), col("b").as("n"))
       .union(e.select(col("b").as("z"), col("a").as("n")))
-    val w = und
+    val arr = und
       .groupBy("z")
-      .agg(count(lit(1)).as("deg"))
+      .agg(sort_array(collect_set(col("n"))).as("ns"))
+      .withColumn("deg", size(col("ns")))
       .filter(col("deg") >= 2) // deg-1 centers form no wedge; ln(1)=0
       .withColumn(
         "w9",
         expr("CAST(floor(1.0e9 / ln(CAST(deg AS DOUBLE))) AS BIGINT)")
       )
-    val x = und.join(w, "z").select(col("z"), col("n"), col("w9"))
-    val wedges = x
-      .as("l")
-      .join(x.as("r"), col("l.z") === col("r.z") && col("l.n") < col("r.n"))
-      .select(col("l.n").as("a"), col("r.n").as("b"), col("l.w9").as("w9"))
+    // (ns[i], ns[j]) for i < j via TWO Generate stages (posexplode the
+    // anchor, then explode the tail slice): the sorted array makes
+    // pairs canonical a < b, and no row ever materializes more than a
+    // deg-sized slice — the single-stage nested-struct flatten builds
+    // a deg²/2-struct array per center row (145k structs at deg=540)
+    // and measured 11.3 s of pure generation at sf0.1 vs 0.98 s for
+    // this spelling (the q159 materialize-in-chunks lesson)
+    val wedges = arr
+      .select(col("w9"), col("ns"), posexplode(col("ns")).as(Seq("i", "a")))
+      .select(
+        col("a"),
+        explode(expr("slice(ns, i + 2, size(ns))")).as("b"),
+        col("w9")
+      )
     wedges
       .groupBy("a", "b")
       .agg(sum(col("w9")).as("score9"), count(lit(1)).as("common_neighbors"))
