@@ -580,19 +580,49 @@ object Graph {
     * a left_anti against the edge set, and a TakeOrdered top-20;
     * degrees/weights ride the node-sized array frame.
     */
-  private def q181(s: SparkSession, dir: String): DataFrame = {
+  private def q181(s: SparkSession, dir: String): DataFrame =
+    adamicAdar(s, dir, samplePct = 100)
+
+  /** The q181 computation with its dense-graph swap-in as CODE, not
+    * prose (the q159/q160 convention): `samplePct < 100` keeps only
+    * the md5-bucketed fraction of CENTERS and scales each kept
+    * center's grid weight by 100/samplePct — an unbiased Horvitz–
+    * Thompson estimate of every pair score whose wedge stream shrinks
+    * by the sampling rate BEFORE the aggregate (the q80b DOULION
+    * pattern, applied to centers because AA's cost is Σ deg² over
+    * centers). On THIS corpus the thresholded co-occurrence graph
+    * densifies with SF (the measured sweep: 0.84 s → 6.87 s per 10×
+    * data, wedge count ~1000×), so the sampled path is the production
+    * spelling wherever the graph is dense/hub-heavy; natural sparse
+    * graphs keep the exact path. Deterministic: the md5 center keep
+    * is the q43 hash, so the estimate is a FIXED value, not a random
+    * one — AdamicAdarSampleSpec pins its top-20 overlap with the
+    * exact gate. The exact form stays the GATE (hash-checkable).
+    */
+  private[graft] def adamicAdar(
+      s: SparkSession,
+      dir: String,
+      samplePct: Int
+  ): DataFrame = {
     val e = graft.llm.Dedup.tcache(s, cooccurrenceEdges(s, dir))
     val und = e
       .select(col("a").as("z"), col("b").as("n"))
       .union(e.select(col("b").as("z"), col("a").as("n")))
-    val arr = und
+    val arr0 = und
       .groupBy("z")
       .agg(sort_array(collect_set(col("n"))).as("ns"))
       .withColumn("deg", size(col("ns")))
       .filter(col("deg") >= 2) // deg-1 centers form no wedge; ln(1)=0
+    val arr = (if (samplePct >= 100) arr0
+               else
+                 arr0.filter(
+                   graft.llm.Sampling.bucket100(col("z")) < samplePct
+                 ))
       .withColumn(
         "w9",
-        expr("CAST(floor(1.0e9 / ln(CAST(deg AS DOUBLE))) AS BIGINT)")
+        expr(
+          s"CAST(floor(1.0e9 / ln(CAST(deg AS DOUBLE)) * (100.0 / $samplePct)) AS BIGINT)"
+        )
       )
     // (ns[i], ns[j]) for i < j via TWO Generate stages (posexplode the
     // anchor, then explode the tail slice): the sorted array makes
