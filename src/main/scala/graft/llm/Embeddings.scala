@@ -228,7 +228,15 @@ object Embeddings {
     * 2080 rows per partition regardless of corpus size. No joins
     * except the final broadcast of the 64-row mean frame.
     */
-  private def q170(s: SparkSession, dir: String): DataFrame = {
+  private def q170(s: SparkSession, dir: String): DataFrame =
+    covarianceFrame(s, dir)
+
+  /** The q170 covariance frame (i, j, n_vecs, cov) — upper triangle,
+    * cov on the round-8 grid — shared verbatim by q197's power
+    * iteration so the eigensolve can never drift from the gated
+    * matrix.
+    */
+  private def covarianceFrame(s: SparkSession, dir: String): DataFrame = {
     val pairs = Tables
       .table(s, dir, "embeddings")
       .select(
@@ -276,15 +284,163 @@ object Embeddings {
       .orderBy("i", "j")
   }
 
+  // --------------- q197: top principal component via power iteration
+
+  /** q197: the top principal component of the embedding store — the
+    * anisotropy diagnostic an embedding pipeline reads before ANN
+    * tuning or whitening (a dominant direction owning a large share of
+    * variance means cosine scores are inflated by a common bias
+    * vector; the LOADING says which dims carry it): SIX synchronous
+    * power-iteration rounds over q170's EXACT covariance frame (shared
+    * builder — the eigensolve can never drift from the gated matrix),
+    * started from the exact uniform unit vector (1/8 per dim at d=64).
+    *
+    * Spark-first point: the "driver-side 64×64 eigensolve" q170's
+    * scaladoc defers to is here expressed IN THE PLAN — matrix-vector
+    * products are joins over the symmetrized 4096-row frame, so the
+    * same spelling runs at any dimensionality where the matrix is
+    * frame-sized (d ≤ ~10⁴) without collecting anything.
+    *
+    * Determinism: per-round contributions cov·v floor-snapped to the
+    * 1e-12 grid and summed as EXACT BIGINTs (the q192 convention);
+    * norms from snapped squares; v re-gridded round(·,12) per round;
+    * trace and Rayleigh quotient from snapped terms — every round is
+    * engine-exact, and the fixed positive start pins the sign.
+    */
+  private def q197(s: SparkSession, dir: String): DataFrame = {
+    val cov = covarianceFrame(s, dir).select(col("i"), col("j"), col("cov"))
+    val sym = cov.union(
+      cov
+        .filter(col("i") =!= col("j"))
+        .select(col("j").as("i"), col("i").as("j"), col("cov"))
+    )
+    // exact uniform unit start: 64 dims ⇒ 1/√64 = 0.125 exactly
+    var v = sym.select(col("i").as("d")).distinct().withColumn("r", lit(0.125d))
+    for (_ <- 1 to 6) {
+      val u = sym
+        .join(v, sym("j") === v("d"))
+        .withColumn("c12", expr("CAST(floor(cov * r * 1.0e12) AS BIGINT)"))
+        .groupBy(col("i").as("d"))
+        .agg((sum(col("c12")).cast("double") / 1.0e12).as("u"))
+      val norm = u
+        .withColumn("q12", expr("CAST(floor(u * u * 1.0e12) AS BIGINT)"))
+        .agg(sqrt(sum(col("q12")).cast("double") / 1.0e12).as("nrm"))
+      v = u
+        .crossJoin(broadcast(norm))
+        .select(
+          col("d"),
+          round(col("u") / nullif(col("nrm"), lit(0.0d)), 12).as("r")
+        )
+    }
+    // Rayleigh quotient λ = vᵀAv and the variance share λ/trace(Σ)
+    val av = sym
+      .join(v, sym("j") === v("d"))
+      .withColumn("c12", expr("CAST(floor(cov * r * 1.0e12) AS BIGINT)"))
+      .groupBy(col("i").as("d"))
+      .agg((sum(col("c12")).cast("double") / 1.0e12).as("u"))
+    val lambda = av
+      .join(v, "d")
+      .withColumn("l12", expr("CAST(floor(u * r * 1.0e12) AS BIGINT)"))
+      .agg((sum(col("l12")).cast("double") / 1.0e12).as("lambda"))
+    val trace = cov
+      .filter(col("i") === col("j"))
+      .withColumn("t8", expr("CAST(round(cov * 1.0e8, 0) AS BIGINT)"))
+      .agg((sum(col("t8")).cast("double") / 1.0e8).as("trace"))
+    v.crossJoin(broadcast(lambda))
+      .crossJoin(broadcast(trace))
+      .select(
+        col("d").as("dim"),
+        (round(col("r"), 8) + 0.0).as("loading"),
+        (round(col("lambda"), 8) + 0.0).as("eigenvalue"),
+        (round(col("lambda") / nullif(col("trace"), lit(0.0d)), 6) + 0.0)
+          .as("variance_explained")
+      )
+      .orderBy("dim")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q54_embedding_centroids" -> q54,
     "q54b_random_projection" -> q54b,
     "q157_int8_quantization" -> q157,
     "q165_matryoshka_audit" -> q165,
-    "q170_embedding_covariance" -> q170
+    "q170_embedding_covariance" -> q170,
+    "q197_pca_power" -> q197
   )
 
+  /** One q197 power-iteration round as CTEs: matrix-vector product on
+    * the 1e-12 grid, snapped-square norm, re-gridded unit vector.
+    */
+  private def q197IterSql(prev: String, k: Int): String =
+    s"""u$k AS MATERIALIZED (
+       |  SELECT sym.i AS d,
+       |    CAST(sum(CAST(floor(sym.cov * r.r * 1.0e12) AS BIGINT)) AS DOUBLE)
+       |      / 1.0e12 AS u
+       |  FROM sym JOIN $prev r ON r.d = sym.j GROUP BY sym.i),
+       |n$k AS (
+       |  SELECT sqrt(CAST(sum(CAST(floor(u * u * 1.0e12) AS BIGINT)) AS DOUBLE)
+       |              / 1.0e12) AS nrm
+       |  FROM u$k),
+       |v$k AS MATERIALIZED (
+       |  SELECT d, round(u / nullif((SELECT nrm FROM n$k), 0.0), 12) AS r
+       |  FROM u$k)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    // q170's exact covariance CTEs + the same 1e-12-grid synchronous
+    // power iterations, Rayleigh quotient, and snapped trace
+    "q197_pca_power" -> {
+      val iters = (1 to 6)
+        .map(k => q197IterSql(if (k == 1) "v0" else s"v${k - 1}", k))
+        .mkString(",\n")
+      s"""WITH v AS (
+         |  SELECT list_transform(embedding,
+         |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS vi
+         |  FROM embeddings),
+         |pr AS (
+         |  SELECT unnest(flatten(list_transform(generate_series(1, len(vi)),
+         |    i -> list_transform(generate_series(i, len(vi)),
+         |      j -> struct_pack(i := i, j := j,
+         |                       p := vi[i] * vi[j], a := vi[i]))))) AS q
+         |  FROM v),
+         |mo AS (
+         |  SELECT q.i AS i, q.j AS j, CAST(count(*) AS BIGINT) AS n,
+         |    sum(CAST(q.p AS HUGEINT)) AS sp,
+         |    sum(CAST(q.a AS HUGEINT)) AS sa
+         |  FROM pr GROUP BY 1, 2),
+         |ds AS (SELECT i AS d, sa AS sd FROM mo WHERE i = j),
+         |cv AS MATERIALIZED (
+         |  SELECT mo.i AS i, mo.j AS j,
+         |    round(CAST(mo.n * mo.sp - dsi.sd * dsj.sd AS DOUBLE)
+         |          / CAST(mo.n * mo.n AS DOUBLE) / 1.0e12, 8) + 0.0 AS cov
+         |  FROM mo
+         |  JOIN ds dsi ON dsi.d = mo.i
+         |  JOIN ds dsj ON dsj.d = mo.j),
+         |sym AS MATERIALIZED (
+         |  SELECT i, j, cov FROM cv
+         |  UNION ALL
+         |  SELECT j AS i, i AS j, cov FROM cv WHERE i <> j),
+         |v0 AS (SELECT DISTINCT i AS d, 0.125 AS r FROM sym),
+         |$iters,
+         |av AS (
+         |  SELECT sym.i AS d,
+         |    CAST(sum(CAST(floor(sym.cov * r.r * 1.0e12) AS BIGINT)) AS DOUBLE)
+         |      / 1.0e12 AS u
+         |  FROM sym JOIN v6 r ON r.d = sym.j GROUP BY sym.i),
+         |lam AS (
+         |  SELECT CAST(sum(CAST(floor(av.u * v6.r * 1.0e12) AS BIGINT)) AS DOUBLE)
+         |    / 1.0e12 AS lambda
+         |  FROM av JOIN v6 ON v6.d = av.d),
+         |tr AS (
+         |  SELECT CAST(sum(CAST(round(cov * 1.0e8, 0) AS BIGINT)) AS DOUBLE)
+         |    / 1.0e8 AS trace
+         |  FROM cv WHERE i = j)
+         |SELECT v6.d AS dim,
+         |  round(v6.r, 8) + 0.0 AS loading,
+         |  round(lam.lambda, 8) + 0.0 AS eigenvalue,
+         |  round(lam.lambda / nullif(tr.trace, 0.0), 6) + 0.0
+         |    AS variance_explained
+         |FROM v6 CROSS JOIN lam CROSS JOIN tr
+         |ORDER BY dim""".stripMargin
+    },
     // same micro-grid snap, same upper-triangle pair products in exact
     // HUGEINT moments, same (n·Σpq − Σp·Σq)/n² double dag
     "q170_embedding_covariance" ->

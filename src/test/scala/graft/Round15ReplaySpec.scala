@@ -516,6 +516,46 @@ class Round15ReplaySpec extends SparkSpec {
     }
   }
 
+  test("q197 top component equals an ungridded plain-Scala power iteration") {
+    import spark.implicits._
+    val vecs = graft.queries.Tables
+      .table(spark, dir, "embeddings")
+      .select("embedding")
+      .as[Seq[Float]]
+      .collect()
+      .map(_.map(x => math.floor(x.toDouble * 1e6) / 1e6).toArray)
+    val d = vecs.head.length
+    val n = vecs.length.toDouble
+    // naive covariance (population, on the same micro-snapped values)
+    val mean = Array.tabulate(d)(i => vecs.map(_(i)).sum / n)
+    val cov = Array.tabulate(d, d) { (i, j) =>
+      // mirror the gate's rounded cells so the iterated matrices match
+      BigDecimal(
+        vecs.map(v => v(i) * v(j)).sum / n - mean(i) * mean(j)
+      ).setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    var v = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
+    (1 to 6).foreach { _ =>
+      val u = Array.tabulate(d)(i => (0 until d).map(j => cov(i)(j) * v(j)).sum)
+      val nrm = math.sqrt(u.map(x => x * x).sum)
+      v = u.map(_ / nrm)
+    }
+    val av = Array.tabulate(d)(i => (0 until d).map(j => cov(i)(j) * v(j)).sum)
+    val lambda = (0 until d).map(i => av(i) * v(i)).sum
+    val got = q("q197_pca_power")
+      .collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(got.length === d)
+    got.foreach { case (dim, loading, _, _) =>
+      assert(math.abs(loading - v(dim - 1)) < 1e-4, s"dim=$dim got=$loading exp=${v(dim - 1)}")
+    }
+    assert(math.abs(got.head._3 - lambda) < 1e-4, s"λ got=${got.head._3} exp=$lambda")
+    // the loading vector is unit-norm and the variance share is sane
+    assert(math.abs(got.map(g => g._2 * g._2).sum - 1.0) < 1e-3)
+    assert(got.head._4 > 0.0 && got.head._4 <= 1.0)
+  }
+
   test("q188 vocabulary Gini equals the sorted-rank definition") {
     import spark.implicits._
     val counts = graft.queries.Tables
