@@ -478,7 +478,55 @@ object Behavior {
       .orderBy("from_type", "to_type")
   }
 
+  // ------------- q199: view→purchase conversion-lag percentiles
+
+  /** q199: conversion-lag percentiles — "how long after the first view
+    * does the first purchase come" at p25/p50/p90, the funnel-latency
+    * readout q78's step counts don't give (two funnels with identical
+    * conversion can differ 100× in time-to-convert, which decides
+    * attribution windows and re-marketing timing): per user, minutes
+    * between the first view and the first purchase at-or-after it;
+    * percentiles by EXACT positional selection over the lag VALUE
+    * frame (smallest lag whose cumulative user count reaches
+    * ⌈q·n⌉ — percentile_disc semantics spelled as integer arithmetic,
+    * so no interpolation float can split engines).
+    *
+    * Scale shape: two filtered per-user aggregates + one user-keyed
+    * join; the cumulation runs on the lag-VALUE frame (≤ observation
+    * window in minutes, bounded by calendar — allowlisted), output one
+    * row.
+    */
+  private def q199(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.table(s, dir, "events")
+    val v = ev
+      .filter(col("event_type") === "view")
+      .groupBy("user_id")
+      .agg(min(unix_micros(col("ts"))).as("vus"))
+    val lag = ev
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("pus"))
+      .join(v, "user_id")
+      .filter(col("pus") >= col("vus"))
+      .groupBy("user_id", "vus")
+      .agg(min(col("pus")).as("pus"))
+      .select(expr("(pus - vus) div 60000000").as("lag"))
+    val n = lag.agg(count(lit(1)).as("n"))
+    val wc = Window.orderBy("lag").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lag
+      .groupBy("lag")
+      .agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(wc))
+      .crossJoin(broadcast(n))
+      .agg(
+        max(col("n")).as("n_users"),
+        min(when(col("cum") >= expr("(n + 3) div 4"), col("lag"))).as("p25_minutes"),
+        min(when(col("cum") >= expr("(n + 1) div 2"), col("lag"))).as("p50_minutes"),
+        min(when(col("cum") >= expr("(9 * n + 9) div 10"), col("lag"))).as("p90_minutes")
+      )
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q199_conversion_lag" -> q199,
     "q192_markov_transitions" -> q192,
     "q78_funnel" -> q78,
     "q79_cohort_retention" -> q79,
@@ -523,6 +571,30 @@ object Behavior {
        |GROUP BY pm.to_type""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // same first-view/first-purchase lags, same exact ⌈q·n⌉ positional
+    // selection over the value frame
+    "q199_conversion_lag" ->
+      """WITH v AS (
+        |  SELECT user_id, min(epoch_us(ts)) AS vus
+        |  FROM events WHERE event_type = 'view' GROUP BY 1),
+        |pl AS (
+        |  SELECT p.user_id, v.vus, min(epoch_us(p.ts)) AS pus
+        |  FROM events p JOIN v USING (user_id)
+        |  WHERE p.event_type = 'purchase' AND epoch_us(p.ts) >= v.vus
+        |  GROUP BY 1, 2),
+        |lag AS (SELECT (pus - vus) // 60000000 AS lag FROM pl),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lag),
+        |vc AS (SELECT lag, CAST(count(*) AS BIGINT) AS c FROM lag GROUP BY 1),
+        |cum AS (
+        |  SELECT lag,
+        |    sum(c) OVER (ORDER BY lag
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM vc)
+        |SELECT max(n.n) AS n_users,
+        |  min(CASE WHEN cum >= (n.n + 3) // 4 THEN lag END) AS p25_minutes,
+        |  min(CASE WHEN cum >= (n.n + 1) // 2 THEN lag END) AS p50_minutes,
+        |  min(CASE WHEN cum >= (9 * n.n + 9) // 10 THEN lag END) AS p90_minutes
+        |FROM cum CROSS JOIN n""".stripMargin,
     // same lead() transitions, same 1e-12-grid synchronous iterations
     "q192_markov_transitions" ->
       s"""WITH e AS (

@@ -1596,7 +1596,89 @@ object Stats {
       )
   }
 
+  // -------------------- q198: Theil–Sen robust trend estimator
+
+  /** q198: Theil–Sen slope of the daily purchase-value series — the
+    * robust trend a single outlier day cannot own (OLS q120's slope
+    * moves arbitrarily with one corrupted day; the MEDIAN of pairwise
+    * slopes has a 29% breakdown point — the difference between "the
+    * metric is drifting" and "one bad ingest day"): slope over all
+    * day pairs (d1 < d2), slope = Δcenti/Δdays, plus the
+    * median-residual intercept.
+    *
+    * Determinism: every pairwise slope is ONE division of exact
+    * integers (correctly-rounded IEEE — identical both engines);
+    * median selection is positional under the total (slope, d1, d2)
+    * order with the even-count midpoint averaged on the 1e-9 grid.
+    *
+    * Scale shape: the corpus reduces to the calendar-bounded daily
+    * frame; the pair self-join and rank windows run on days²/2 pairs
+    * (≤ ~4k at a 90-day window — calendar-bounded by construction,
+    * allowlisted); nothing corpus-sized after the first aggregate.
+    */
+  private def q198(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables
+      .table(s, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(sum(round(col("value") * 100.0, 0).cast("long")).as("sv"))
+      .select(datediff(col("d"), lit("2024-01-01").cast("date")).as("x"), col("sv"))
+    val pairs = daily
+      .as("l")
+      .join(daily.as("r"), col("l.x") < col("r.x"))
+      .select(
+        col("l.x").as("x1"),
+        col("r.x").as("x2"),
+        ((col("r.sv") - col("l.sv")).cast("double") /
+          (col("r.x") - col("l.x")).cast("double")).as("slope")
+      )
+    val w = Window.orderBy("slope", "x1", "x2")
+    val ranked = pairs
+      .withColumn("rn", row_number().over(w))
+      .crossJoin(broadcast(pairs.agg(count(lit(1)).as("np"))))
+    // positional median: lower and upper middle averaged on the grid
+    val med = ranked
+      .filter(
+        col("rn") === expr("(np + 1) div 2") || col("rn") === expr("(np + 2) div 2")
+      )
+      .agg(
+        (sum(expr("CAST(floor(slope * 1.0e9) AS BIGINT)")).cast("double") /
+          (count(lit(1)) * lit(1000000000L)).cast("double")).as("ts_slope_raw")
+      )
+    val nd = daily.agg(count(lit(1)).as("n_days"))
+    val np = pairs.agg(count(lit(1)).as("n_pairs"))
+    // intercept: median of (sv − slope·x) residuals under the same
+    // positional convention, on the slope just selected
+    val resid = daily
+      .crossJoin(broadcast(med))
+      .select(
+        (col("sv").cast("double") - col("ts_slope_raw") * col("x").cast("double"))
+          .as("res")
+      )
+    val wr = Window.orderBy("res")
+    val medRes = resid
+      .withColumn("rn", row_number().over(wr))
+      .crossJoin(broadcast(resid.agg(count(lit(1)).as("nr"))))
+      .filter(
+        col("rn") === expr("(nr + 1) div 2") || col("rn") === expr("(nr + 2) div 2")
+      )
+      .agg(
+        (sum(expr("CAST(floor(res * 1.0e9) AS BIGINT)")).cast("double") /
+          (count(lit(1)) * lit(1000000000L)).cast("double")).as("icept_raw")
+      )
+    nd.crossJoin(broadcast(np))
+      .crossJoin(broadcast(med))
+      .crossJoin(broadcast(medRes))
+      .select(
+        col("n_days"),
+        col("n_pairs"),
+        (round(col("ts_slope_raw") / 100.0, 6) + 0.0).as("ts_slope"),
+        (round(col("icept_raw") / 100.0, 4) + 0.0).as("ts_intercept")
+      )
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q198_theil_sen" -> q198,
     "q194_rmst" -> q194,
     "q191_psi_drift" -> q191,
     "q186_cramers_v" -> q186,
@@ -2038,6 +2120,43 @@ object Stats {
         |                     + CAST(1 AS DOUBLE) / CAST(nb AS DOUBLE))), 6),
         |             4) + 0.0 AS z_stat
         |FROM p""".stripMargin,
+    // same exact daily centi frame, identical pairwise-slope and
+    // positional-median spellings
+    "q198_theil_sen" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS d,
+        |    CAST(sum(CAST(round(value * 100.0, 0) AS BIGINT)) AS BIGINT) AS sv
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |dd AS (SELECT (d - DATE '2024-01-01') AS x, sv FROM daily),
+        |p AS (
+        |  SELECT l.x AS x1, r.x AS x2,
+        |    CAST(r.sv - l.sv AS DOUBLE) / CAST(r.x - l.x AS DOUBLE) AS slope
+        |  FROM dd l JOIN dd r ON l.x < r.x),
+        |rk AS (
+        |  SELECT slope, row_number() OVER (ORDER BY slope, x1, x2) AS rn,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM p) AS np
+        |  FROM p),
+        |med AS (
+        |  SELECT CAST(sum(CAST(floor(slope * 1.0e9) AS BIGINT)) AS DOUBLE)
+        |    / CAST(count(*) * 1000000000 AS DOUBLE) AS ts_slope_raw
+        |  FROM rk WHERE rn = (np + 1) // 2 OR rn = (np + 2) // 2),
+        |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM dd),
+        |np2 AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs FROM p),
+        |rs AS (
+        |  SELECT CAST(sv AS DOUBLE) - ts_slope_raw * CAST(x AS DOUBLE) AS res
+        |  FROM dd CROSS JOIN med),
+        |rr AS (
+        |  SELECT res, row_number() OVER (ORDER BY res) AS rn,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM rs) AS nr
+        |  FROM rs),
+        |mr AS (
+        |  SELECT CAST(sum(CAST(floor(res * 1.0e9) AS BIGINT)) AS DOUBLE)
+        |    / CAST(count(*) * 1000000000 AS DOUBLE) AS icept_raw
+        |  FROM rr WHERE rn = (nr + 1) // 2 OR rn = (nr + 2) // 2)
+        |SELECT n_days, n_pairs,
+        |  round(ts_slope_raw / 100.0, 6) + 0.0 AS ts_slope,
+        |  round(icept_raw / 100.0, 4) + 0.0 AS ts_intercept
+        |FROM nd CROSS JOIN np2 CROSS JOIN med CROSS JOIN mr""".stripMargin,
     // q174's KM chain + the rectangle integral on the same 1e-9 grid
     "q194_rmst" ->
       """WITH u AS (

@@ -52,7 +52,9 @@ class GlobalWindowAuditSpec extends SparkSpec {
     "q184_map_precision" -> "rank + precision cumsum AFTER limit(MapK): ≤ 20-row ranked frame",
     "q188_vocab_gini" -> "cum window over the distinct-count VALUE frame (≲ √N rows by Zipf — the q33b convention)",
     "q189_heaps_fit" -> "prefix offsets over #shards rows (the Packing two-pass scan, q52 convention)",
-    "q194_rmst" -> "KM risk-set/survival/lead cumulations over the duration-VALUE frame (≤ observation-window days — the q174 frame)"
+    "q194_rmst" -> "KM risk-set/survival/lead cumulations over the duration-VALUE frame (≤ observation-window days — the q174 frame)",
+    "q198_theil_sen" -> "median-rank windows over the day-PAIR frame (≤ calendar-days²/2 pairs by construction)",
+    "q199_conversion_lag" -> "cum window over the lag-VALUE frame (≤ observation-window minutes)"
   )
 
   private def globalWindows(p: SparkPlan): Seq[SparkPlan] =

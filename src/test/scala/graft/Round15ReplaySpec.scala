@@ -556,6 +556,68 @@ class Round15ReplaySpec extends SparkSpec {
     assert(got.head._4 > 0.0 && got.head._4 <= 1.0)
   }
 
+  test("q198 Theil-Sen equals the brute-force pairwise-slope median") {
+    import spark.implicits._
+    val daily = graft.queries.Tables
+      .table(spark, dir, "events")
+      .filter("event_type = 'purchase'")
+      .selectExpr(
+        "datediff(CAST(ts AS DATE), DATE'2024-01-01') AS x",
+        "CAST(round(value * 100.0, 0) AS BIGINT) AS cv"
+      )
+      .groupBy("x")
+      .agg(org.apache.spark.sql.functions.expr("sum(cv)").as("sv"))
+      .as[(Int, Long)]
+      .collect()
+      .sortBy(_._1)
+    val slopes = (for {
+      i <- daily.indices
+      j <- (i + 1) until daily.length
+    } yield {
+      val (x1, v1) = daily(i); val (x2, v2) = daily(j)
+      ((v2 - v1).toDouble / (x2 - x1), x1, x2)
+    }).sortBy(s => (s._1, s._2, s._3))
+    val np = slopes.size
+    val mids = Seq((np + 1) / 2, (np + 2) / 2).distinct.map(i => slopes(i - 1)._1)
+    val slope = mids.map(s => math.floor(s * 1e9).toLong).sum.toDouble / (mids.size * 1e9)
+    val res = daily.map { case (x, v) => v.toDouble - slope * x }.sorted
+    val nr = res.length
+    val rmids = Seq((nr + 1) / 2, (nr + 2) / 2).distinct.map(i => res(i - 1))
+    val icept = rmids.map(r => math.floor(r * 1e9).toLong).sum.toDouble / (rmids.size * 1e9)
+    val r = q("q198_theil_sen").collect().head
+    assert(r.getLong(0) === daily.length.toLong)
+    assert(r.getLong(1) === np.toLong)
+    assert(math.abs(r.getDouble(2) - slope / 100.0) < 1e-5)
+    assert(math.abs(r.getDouble(3) - icept / 100.0) < 1e-3)
+  }
+
+  test("q199 conversion-lag percentiles equal the sorted-lags definition") {
+    import spark.implicits._
+    val ev = graft.queries.Tables
+      .table(spark, dir, "events")
+      .selectExpr("user_id", "event_type", "unix_micros(ts) AS us")
+      .as[(Long, String, Long)]
+      .collect()
+      .toSeq
+    val firstView = ev
+      .filter(_._2 == "view")
+      .groupBy(_._1)
+      .map { case (u, g) => u -> g.map(_._3).min }
+    val lags = firstView.toSeq.flatMap { case (u, vus) =>
+      val after = ev.filter(e => e._1 == u && e._2 == "purchase" && e._3 >= vus)
+      if (after.isEmpty) None else Some((after.map(_._3).min - vus) / 60000000L)
+    }.sorted
+    val n = lags.size
+    def pct(num: Int, den: Int): Long = lags((n * num + den - 1) / den - 1)
+    val r = q("q199_conversion_lag").collect().head
+    assert(r.getLong(0) === n.toLong)
+    assert(r.getLong(1) === pct(1, 4))
+    assert(r.getLong(2) === pct(1, 2))
+    assert(r.getLong(3) === pct(9, 10))
+    // ordering sanity: percentiles are monotone
+    assert(r.getLong(1) <= r.getLong(2) && r.getLong(2) <= r.getLong(3))
+  }
+
   test("q188 vocabulary Gini equals the sorted-rank definition") {
     import spark.implicits._
     val counts = graft.queries.Tables
