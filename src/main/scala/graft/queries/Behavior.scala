@@ -525,7 +525,130 @@ object Behavior {
       )
   }
 
+  // --------------------------- q200: RFM customer segmentation
+
+  /** Exact value-based quintile thresholds (⌈q·n⌉ positional selection
+    * — ties share the lower quintile, so the split is VALUE-determined
+    * and engine-exact, unlike NTILE's positional remainder rules) via
+    * the q46b two-level shard cumulation: per-VALUE counts shard by
+    * `value div shardWidth`, shard offsets ride a shards-sized window,
+    * the within-shard cumulation is shard-partitioned — no user-scaled
+    * single-task window anywhere. Returns a 1-row (t20, t40, t60, t80)
+    * frame.
+    */
+  private def quintileThresholds(
+      vals: DataFrame, // single LONG column named "v"
+      shardWidth: Long
+  ): DataFrame = {
+    val vc = vals
+      .groupBy("v")
+      .agg(count(lit(1)).as("c"))
+      .withColumn("shard", expr(s"v div $shardWidth"))
+    val offs = vc
+      .groupBy("shard")
+      .agg(sum("c").as("sc"))
+      .withColumn(
+        "off",
+        coalesce(
+          sum("sc").over(
+            Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)
+          ),
+          lit(0L)
+        )
+      )
+      .select("shard", "off")
+    val cum = vc
+      .join(broadcast(offs), "shard")
+      .withColumn(
+        "cum",
+        col("off") + sum("c").over(
+          Window
+            .partitionBy("shard")
+            .orderBy("v")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+      )
+    cum
+      .crossJoin(broadcast(vals.agg(count(lit(1)).as("n"))))
+      .agg(
+        min(when(col("cum") >= expr("(n + 4) div 5"), col("v"))).as("t20"),
+        min(when(col("cum") >= expr("(2 * n + 4) div 5"), col("v"))).as("t40"),
+        min(when(col("cum") >= expr("(3 * n + 4) div 5"), col("v"))).as("t60"),
+        min(when(col("cum") >= expr("(4 * n + 4) div 5"), col("v"))).as("t80")
+      )
+  }
+
+  /** q200: RFM segmentation — the classic customer triage every CRM
+    * runs (recency / frequency / monetary quintile codes; 5-5-5 =
+    * champions, 1-x-x = churned) over the purchase stream: per buyer,
+    * days since last purchase (measured against the corpus's last
+    * date), purchase count, and exact centi spend, each coded 1–5 by
+    * EXACT value-based quintile thresholds (ties share the lower
+    * code — NTILE's positional remainder rule is shuffle-order bait
+    * and a corpus-sized single-task window besides). Output = the
+    * ≤125-cell segment grid with user counts and mean spend.
+    *
+    * Scale shape: one corpus aggregate to the buyer frame; three
+    * threshold computations on value frames via the q46b shard
+    * cumulation (allowlisted shard-offset windows); codes are
+    * map-side CASEs against a broadcast 1-row threshold frame; the
+    * output aggregate is cell-bounded.
+    */
+  private def q200(s: SparkSession, dir: String): DataFrame = {
+    val maxD = Tables
+      .table(s, dir, "events")
+      .agg(max(to_date(col("ts"))).as("dmax"))
+    val buyers = Tables
+      .table(s, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(
+        max(to_date(col("ts"))).as("last_d"),
+        count(lit(1)).as("f"),
+        sum(round(col("value") * 100.0, 0).cast("long")).as("m")
+      )
+      .crossJoin(broadcast(maxD))
+      .select(
+        col("user_id"),
+        datediff(col("dmax"), col("last_d")).cast("long").as("r"),
+        col("f"),
+        col("m")
+      )
+    val rT = quintileThresholds(buyers.select(col("r").as("v")), 16L)
+      .select(col("t20").as("r20"), col("t40").as("r40"), col("t60").as("r60"), col("t80").as("r80"))
+    val fT = quintileThresholds(buyers.select(col("f").as("v")), 16L)
+      .select(col("t20").as("f20"), col("t40").as("f40"), col("t60").as("f60"), col("t80").as("f80"))
+    val mT = quintileThresholds(buyers.select(col("m").as("v")), 25600L)
+      .select(col("t20").as("m20"), col("t40").as("m40"), col("t60").as("m60"), col("t80").as("m80"))
+    def code(v: String, t: String): org.apache.spark.sql.Column =
+      lit(1) + (col(v) > col(s"${t}20")).cast("int") +
+        (col(v) > col(s"${t}40")).cast("int") +
+        (col(v) > col(s"${t}60")).cast("int") +
+        (col(v) > col(s"${t}80")).cast("int")
+    buyers
+      .crossJoin(broadcast(rT))
+      .crossJoin(broadcast(fT))
+      .crossJoin(broadcast(mT))
+      .select(
+        // recency: LOWER days = better → invert so 5 = most recent
+        (lit(6) - code("r", "r")).as("r_code"),
+        code("f", "f").as("f_code"),
+        code("m", "m").as("m_code"),
+        col("m")
+      )
+      .groupBy("r_code", "f_code", "m_code")
+      .agg(
+        count(lit(1)).as("n_users"),
+        (round(
+          sum(col("m")).cast("double") / (count(lit(1)) * 100L).cast("double"),
+          4
+        ) + 0.0).as("mean_spend")
+      )
+      .orderBy("r_code", "f_code", "m_code")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q200_rfm_segments" -> q200,
     "q199_conversion_lag" -> q199,
     "q192_markov_transitions" -> q192,
     "q78_funnel" -> q78,
@@ -570,7 +693,62 @@ object Behavior {
        |FROM pm JOIN $prev r ON r.st = pm.from_type
        |GROUP BY pm.to_type""".stripMargin
 
+  /** One RFM-dimension threshold CTE body: ⌈q·n⌉ positional selection
+    * over the per-value cumulative counts of column `dim` of `b` (the
+    * oracle may use the naive single window — the q111 convention).
+    */
+  private def rfmThresholdSql(dim: String): String =
+    s"""  SELECT min(CASE WHEN cum >= (n.n + 4) // 5 THEN v END) AS t20,
+       |    min(CASE WHEN cum >= (2 * n.n + 4) // 5 THEN v END) AS t40,
+       |    min(CASE WHEN cum >= (3 * n.n + 4) // 5 THEN v END) AS t60,
+       |    min(CASE WHEN cum >= (4 * n.n + 4) // 5 THEN v END) AS t80
+       |  FROM (SELECT v, sum(c) OVER (ORDER BY v
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |        FROM (SELECT $dim AS v, CAST(count(*) AS BIGINT) AS c
+       |              FROM b GROUP BY 1)) CROSS JOIN n""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    // same buyer frame, same exact value-based quintile thresholds
+    // (naive single-window cumulation — the oracle may scan), same
+    // tie-to-lower-code CASE arithmetic
+    "q200_rfm_segments" -> (
+      s"""WITH dm AS (SELECT max(CAST(ts AS DATE)) AS dmax FROM events),
+         |b AS (
+         |  SELECT user_id,
+         |    CAST(dmax - max(CAST(ts AS DATE)) AS BIGINT) AS r,
+         |    CAST(count(*) AS BIGINT) AS f,
+         |    CAST(sum(CAST(round(value * 100.0, 0) AS BIGINT)) AS BIGINT) AS m
+         |  FROM events CROSS JOIN dm WHERE event_type = 'purchase'
+         |  GROUP BY user_id, dmax),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM b),
+         |rt AS (
+         |${rfmThresholdSql("r")}),
+         |ft AS (
+         |${rfmThresholdSql("f")}),
+         |mt AS (
+         |${rfmThresholdSql("m")}),
+         |codes AS (
+         |  SELECT
+         |    6 - (1 + (CASE WHEN r > rt.t20 THEN 1 ELSE 0 END)
+         |           + (CASE WHEN r > rt.t40 THEN 1 ELSE 0 END)
+         |           + (CASE WHEN r > rt.t60 THEN 1 ELSE 0 END)
+         |           + (CASE WHEN r > rt.t80 THEN 1 ELSE 0 END)) AS r_code,
+         |    1 + (CASE WHEN f > ft.t20 THEN 1 ELSE 0 END)
+         |      + (CASE WHEN f > ft.t40 THEN 1 ELSE 0 END)
+         |      + (CASE WHEN f > ft.t60 THEN 1 ELSE 0 END)
+         |      + (CASE WHEN f > ft.t80 THEN 1 ELSE 0 END) AS f_code,
+         |    1 + (CASE WHEN m > mt.t20 THEN 1 ELSE 0 END)
+         |      + (CASE WHEN m > mt.t40 THEN 1 ELSE 0 END)
+         |      + (CASE WHEN m > mt.t60 THEN 1 ELSE 0 END)
+         |      + (CASE WHEN m > mt.t80 THEN 1 ELSE 0 END) AS m_code,
+         |    m
+         |  FROM b CROSS JOIN rt CROSS JOIN ft CROSS JOIN mt)
+         |SELECT r_code, f_code, m_code,
+         |  CAST(count(*) AS BIGINT) AS n_users,
+         |  round(CAST(sum(m) AS DOUBLE)
+         |        / CAST(count(*) * 100 AS DOUBLE), 4) + 0.0 AS mean_spend
+         |FROM codes GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+    ),
     // same first-view/first-purchase lags, same exact ⌈q·n⌉ positional
     // selection over the value frame
     "q199_conversion_lag" ->

@@ -54,7 +54,8 @@ class GlobalWindowAuditSpec extends SparkSpec {
     "q189_heaps_fit" -> "prefix offsets over #shards rows (the Packing two-pass scan, q52 convention)",
     "q194_rmst" -> "KM risk-set/survival/lead cumulations over the duration-VALUE frame (≤ observation-window days — the q174 frame)",
     "q198_theil_sen" -> "median-rank windows over the day-PAIR frame (≤ calendar-days²/2 pairs by construction)",
-    "q199_conversion_lag" -> "cum window over the lag-VALUE frame (≤ observation-window minutes)"
+    "q199_conversion_lag" -> "cum window over the lag-VALUE frame (≤ observation-window minutes)",
+    "q200_rfm_segments" -> "three quintile-threshold cumulations: windows over SHARD offsets (the q46b two-level pattern; ≤ value-range/shard-width rows each)"
   )
 
   private def globalWindows(p: SparkPlan): Seq[SparkPlan] =

@@ -618,6 +618,50 @@ class Round15ReplaySpec extends SparkSpec {
     assert(r.getLong(1) <= r.getLong(2) && r.getLong(2) <= r.getLong(3))
   }
 
+  test("q200 RFM segments equal the naive sorted-quintile coding") {
+    import spark.implicits._
+    val rows = graft.queries.Tables
+      .table(spark, dir, "events")
+      .selectExpr("user_id", "event_type", "CAST(ts AS DATE) AS d",
+        "CAST(round(value * 100.0, 0) AS BIGINT) AS cv")
+      .as[(Long, String, java.sql.Date, Long)]
+      .collect()
+      .toSeq
+    val dmax = rows.map(_._3.toLocalDate).max
+    val buyers = rows
+      .filter(_._2 == "purchase")
+      .groupBy(_._1)
+      .map { case (_, g) =>
+        val lastD = g.map(_._3.toLocalDate).max
+        (
+          java.time.temporal.ChronoUnit.DAYS.between(lastD, dmax),
+          g.size.toLong,
+          g.map(_._4).sum
+        )
+      }
+      .toSeq
+    val n = buyers.size.toLong
+    def thresholds(vs: Seq[Long]): Seq[Long] = {
+      val sorted = vs.sorted
+      Seq(1, 2, 3, 4).map(k => sorted((((k * n + 4) / 5) - 1).toInt))
+    }
+    val (rt, ft, mt) =
+      (thresholds(buyers.map(_._1)), thresholds(buyers.map(_._2)), thresholds(buyers.map(_._3)))
+    def code(v: Long, t: Seq[Long]): Int = 1 + t.count(v > _)
+    val expected = buyers
+      .map(b => ((6 - code(b._1, rt), code(b._2, ft), code(b._3, mt)), b._3))
+      .groupBy(_._1)
+      .map { case (k, g) => (k._1, k._2, k._3, g.size.toLong) }
+      .toSeq
+      .sortBy(x => (x._1, x._2, x._3))
+    val got = q("q200_rfm_segments")
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+      .toSeq
+    assert(got === expected)
+    assert(got.map(_._4).sum === n) // every buyer lands in exactly one cell
+  }
+
   test("q188 vocabulary Gini equals the sorted-rank definition") {
     import spark.implicits._
     val counts = graft.queries.Tables
