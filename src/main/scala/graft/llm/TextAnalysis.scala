@@ -1105,7 +1105,133 @@ object TextAnalysis {
       )
       .orderBy("lang")
 
+  // ----------- q202: cross-split bigram perplexity (generalization)
+
+  /** q202: add-one-smoothed bigram perplexity of a language model
+    * TRAINED on the train split, scored on BOTH splits — the
+    * generalization probe q57b's whole-corpus surprisal cannot give
+    * (train-vs-eval perplexity GAP is the overfit/contamination dial:
+    * a gap near zero with a leaky split is exactly what q58/q62
+    * decontamination exists to prevent): P(w2|w1) =
+    * (c12_train+1)/(c1_train+V), unseen histories fall back to 1/V
+    * through the same formula via the LEFT joins.
+    *
+    * Determinism: −ln P is floor-snapped to the 1e-9 grid PER DISTINCT
+    * (split, w1, w2) and weighted by exact occurrence counts into
+    * exact BIGINT sums; the mean is one division, the perplexity one
+    * exp (the q174 convention).
+    *
+    * Scale shape: bigram extraction is the q57b zip_with map pass;
+    * model and scores live on vocabulary-bounded frames (pair counts,
+    * predecessor counts); the only corpus-sized shuffles are the two
+    * count aggregates.
+    */
+  private def q202(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val pairs = docs(s, dir)
+      .filter(size(toks) >= 2)
+      .withColumn(
+        "split",
+        when(Sampling.bucket100(col("doc_id")) < 80, "train").otherwise("eval")
+      )
+      .select(
+        col("split"),
+        explode(
+          zip_with(
+            slice(toks, lit(1), size(toks) - 1),
+            slice(toks, lit(2), size(toks) - 1),
+            (a, b) => struct(a.as("w1"), b.as("w2"))
+          )
+        ).as("p")
+      )
+      .select(col("split"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val train = pairs.filter(col("split") === "train")
+    val big = train.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val pre = train.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val vf = train
+      .select(col("w1").as("w"))
+      .union(train.select(col("w2").as("w")))
+      .distinct()
+      .agg(count(lit(1)).as("vv"))
+    pairs
+      .groupBy("split", "w1", "w2")
+      .agg(count(lit(1)).as("ec"))
+      .join(big, Seq("w1", "w2"), "left")
+      .join(pre, Seq("w1"), "left")
+      .crossJoin(broadcast(vf))
+      .withColumn(
+        "nll9",
+        expr(
+          "CAST(-floor(ln((CAST(coalesce(c12, 0) + 1 AS DOUBLE)) " +
+            "/ (CAST(coalesce(c1, 0) AS DOUBLE) + CAST(vv AS DOUBLE))) * 1.0e9) AS BIGINT)"
+        )
+      )
+      .groupBy("split")
+      .agg(
+        sum(col("ec")).as("n_bigrams"),
+        sum(col("nll9") * col("ec")).as("s9")
+      )
+      .select(
+        col("split"),
+        col("n_bigrams"),
+        (round(
+          col("s9").cast("double") / (col("n_bigrams") * 1000000000L).cast("double"),
+          6
+        ) + 0.0).as("mean_nll"),
+        (round(
+          exp(col("s9").cast("double") / (col("n_bigrams") * 1000000000L).cast("double")),
+          4
+        ) + 0.0).as("perplexity")
+      )
+      .orderBy("split")
+  }
+
+  // -------------- q203: source-pair vocabulary-overlap matrix
+
+  /** q203: vocabulary Jaccard between every SOURCE pair — "which
+    * sources are lexical near-duplicates of each other" at the
+    * CORPUS-SLICE level (q27 finds duplicate documents; two mirrors
+    * of the same site duplicate each other's VOCABULARY long before
+    * any single page matches, and a mixing stage double-counts them):
+    * |Va∩Vb| / |Va∪Vb| over distinct-word sets, for all source pairs.
+    *
+    * Scale shape: the (source, word) distinct frame is the one corpus
+    * shuffle; intersections come from the word-keyed self-join whose
+    * per-word expansion is ≤ C(#sources, 2) — source count is a
+    * catalog-bounded domain, so the join is vocabulary × a small
+    * constant, never corpus²; sizes broadcast back; Jaccard is one
+    * division of exact integers.
+    */
+  private def q203(s: SparkSession, dir: String): DataFrame = {
+    val sw = docs(s, dir)
+      .select(col("source"), explode(filter(split(col("text"), " "), x => x =!= "")).as("w"))
+      .distinct()
+    val sizes = sw.groupBy("source").agg(count(lit(1)).as("vsz"))
+    val inter = sw
+      .as("l")
+      .join(sw.as("r"), col("l.w") === col("r.w") && col("l.source") < col("r.source"))
+      .groupBy(col("l.source").as("sa"), col("r.source").as("sb"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(broadcast(sizes.select(col("source").as("sa"), col("vsz").as("va"))), "sa")
+      .join(broadcast(sizes.select(col("source").as("sb"), col("vsz").as("vb"))), "sb")
+      .select(
+        col("sa"),
+        col("sb"),
+        col("va"),
+        col("vb"),
+        col("i").as("v_common"),
+        (round(
+          col("i").cast("double") / (col("va") + col("vb") - col("i")).cast("double"),
+          6
+        ) + 0.0).as("vocab_jaccard")
+      )
+      .orderBy("sa", "sb")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q202_bigram_perplexity" -> q202,
+    "q203_source_vocab_overlap" -> q203,
     "q196_flesch_readability" -> q196,
     "q189_heaps_fit" -> q189,
     "q190_term_enrichment" -> q190,
@@ -1133,6 +1259,63 @@ object TextAnalysis {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // same zip-extracted bigrams, same add-one model from the SAME md5
+    // split, −ln P on the same 1e-9 grid weighted by exact counts
+    "q202_bigram_perplexity" ->
+      """WITH toks AS (
+        |  SELECT CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+        |              AS BIGINT) % 100 < 80 THEN 'train' ELSE 'eval' END AS split,
+        |    string_split(text, ' ') AS w
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 2),
+        |pp AS (
+        |  SELECT split,
+        |    unnest(list_transform(generate_series(1, len(w) - 1), i -> w[i])) AS w1,
+        |    unnest(list_transform(generate_series(1, len(w) - 1), i -> w[i+1])) AS w2
+        |  FROM toks),
+        |tr AS (SELECT w1, w2 FROM pp WHERE split = 'train'),
+        |big AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM tr GROUP BY 1, 2),
+        |pre AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM tr GROUP BY 1),
+        |vf AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS vv
+        |  FROM (SELECT w1 AS w FROM tr UNION SELECT w2 FROM tr)),
+        |sc AS (
+        |  SELECT p.split, CAST(count(*) AS BIGINT) AS ec,
+        |    CAST(-floor(ln((CAST(coalesce(b.c12, 0) + 1 AS DOUBLE))
+        |      / (CAST(coalesce(r.c1, 0) AS DOUBLE) + CAST(vf.vv AS DOUBLE)))
+        |      * 1.0e9) AS BIGINT) AS nll9
+        |  FROM pp p
+        |  LEFT JOIN big b ON b.w1 = p.w1 AND b.w2 = p.w2
+        |  LEFT JOIN pre r ON r.w1 = p.w1
+        |  CROSS JOIN vf
+        |  GROUP BY p.split, p.w1, p.w2, b.c12, r.c1, vf.vv),
+        |a AS (
+        |  SELECT split, CAST(sum(ec) AS BIGINT) AS n_bigrams,
+        |    CAST(sum(nll9 * ec) AS BIGINT) AS s9
+        |  FROM sc GROUP BY 1)
+        |SELECT split, n_bigrams,
+        |  round(CAST(s9 AS DOUBLE) / CAST(n_bigrams * 1000000000 AS DOUBLE), 6)
+        |    + 0.0 AS mean_nll,
+        |  round(exp(CAST(s9 AS DOUBLE) / CAST(n_bigrams * 1000000000 AS DOUBLE)), 4)
+        |    + 0.0 AS perplexity
+        |FROM a ORDER BY split""".stripMargin,
+    // same distinct (source, word) frame, same bounded pair join,
+    // Jaccard one division of exact integers
+    "q203_source_vocab_overlap" ->
+      """WITH sw AS (
+        |  SELECT DISTINCT source, w
+        |  FROM (SELECT source, unnest(list_filter(string_split(text, ' '),
+        |                x -> x <> '')) AS w
+        |        FROM documents)),
+        |sz AS (SELECT source, CAST(count(*) AS BIGINT) AS vsz FROM sw GROUP BY 1),
+        |iv AS (
+        |  SELECT l.source AS sa, r.source AS sb, CAST(count(*) AS BIGINT) AS i
+        |  FROM sw l JOIN sw r ON l.w = r.w AND l.source < r.source
+        |  GROUP BY 1, 2)
+        |SELECT sa, sb, a.vsz AS va, b.vsz AS vb, i AS v_common,
+        |  round(CAST(i AS DOUBLE) / CAST(a.vsz + b.vsz - i AS DOUBLE), 6) + 0.0
+        |    AS vocab_jaccard
+        |FROM iv JOIN sz a ON a.source = iv.sa JOIN sz b ON b.source = iv.sb
+        |ORDER BY sa, sb""".stripMargin,
     // same vowel-group regex, same period-split sentences, same 1e-6
     // per-doc grid and exact-sum means
     "q196_flesch_readability" ->

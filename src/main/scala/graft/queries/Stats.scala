@@ -1677,7 +1677,57 @@ object Stats {
       )
   }
 
+  // ------------------ q201: Wilson score intervals per segment
+
+  /** q201: Wilson 95% score interval for each segment's high-value
+    * rate — the ESTIMATION companion of q178's testing (BH says which
+    * segments differ from the null; Wilson says what each rate
+    * plausibly IS, and unlike the naive ±1.96·√(p(1−p)/n) Wald band it
+    * never leaves [0,1] and stays honest at small n or extreme p —
+    * the interval every ranking-by-rate UI should sort by): per event
+    * type, lower/upper = (p̂ + z²/2n ∓ z√(p̂(1−p̂)/n + z²/4n²))/(1+z²/n)
+    * with z = 1.96 literal.
+    *
+    * Determinism: one corpus aggregate to exact (n, k) per type; the
+    * interval is a fixed IEEE dag on two exact integers (sqrt is
+    * correctly rounded), outputs gridded round(6). No windows, no
+    * joins.
+    */
+  private def q201(s: SparkSession, dir: String): DataFrame = {
+    val z = 1.96d
+    Tables
+      .table(s, dir, "events")
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("value") > 150, 1L).otherwise(0L)).as("k")
+      )
+      .withColumn("p", col("k").cast("double") / col("n").cast("double"))
+      .withColumn("zz_n", lit(z * z) / col("n").cast("double"))
+      .withColumn(
+        "half",
+        lit(z) * sqrt(
+          col("p") * (lit(1.0d) - col("p")) / col("n").cast("double") +
+            lit(z * z) / (lit(4.0d) * col("n").cast("double") * col("n").cast("double"))
+        ) / (lit(1.0d) + col("zz_n"))
+      )
+      .withColumn(
+        "center",
+        (col("p") + col("zz_n") / lit(2.0d)) / (lit(1.0d) + col("zz_n"))
+      )
+      .select(
+        col("event_type"),
+        col("n"),
+        col("k"),
+        (round(col("p"), 6) + 0.0).as("rate"),
+        (round(col("center") - col("half"), 6) + 0.0).as("wilson_lo"),
+        (round(col("center") + col("half"), 6) + 0.0).as("wilson_hi")
+      )
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q201_wilson_interval" -> q201,
     "q198_theil_sen" -> q198,
     "q194_rmst" -> q194,
     "q191_psi_drift" -> q191,
@@ -2120,6 +2170,30 @@ object Stats {
         |                     + CAST(1 AS DOUBLE) / CAST(nb AS DOUBLE))), 6),
         |             4) + 0.0 AS z_stat
         |FROM p""".stripMargin,
+    // same exact (n, k) counts, same Wilson dag on identical operands
+    "q201_wilson_interval" ->
+      """WITH g AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN value > 150 THEN 1 ELSE 0 END) AS BIGINT) AS k
+        |  FROM events GROUP BY 1),
+        |w AS (
+        |  SELECT event_type, n, k,
+        |    CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+        |    3.8415999999999997 / CAST(n AS DOUBLE) AS zz_n
+        |  FROM g),
+        |h AS (
+        |  SELECT event_type, n, k, p, zz_n,
+        |    1.96 * sqrt(p * (1.0 - p) / CAST(n AS DOUBLE)
+        |      + 3.8415999999999997
+        |        / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+        |      / (1.0 + zz_n) AS half,
+        |    (p + zz_n / 2.0) / (1.0 + zz_n) AS center
+        |  FROM w)
+        |SELECT event_type, n, k,
+        |  round(p, 6) + 0.0 AS rate,
+        |  round(center - half, 6) + 0.0 AS wilson_lo,
+        |  round(center + half, 6) + 0.0 AS wilson_hi
+        |FROM h ORDER BY event_type""".stripMargin,
     // same exact daily centi frame, identical pairwise-slope and
     // positional-median spellings
     "q198_theil_sen" ->

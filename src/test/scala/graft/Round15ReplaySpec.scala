@@ -662,6 +662,95 @@ class Round15ReplaySpec extends SparkSpec {
     assert(got.map(_._4).sum === n) // every buyer lands in exactly one cell
   }
 
+  test("q201 Wilson intervals equal the textbook formula") {
+    import spark.implicits._
+    val g = graft.queries.Tables
+      .table(spark, dir, "events")
+      .selectExpr("event_type", "CASE WHEN value > 150 THEN 1L ELSE 0L END AS hv")
+      .as[(String, Long)]
+      .collect()
+      .groupBy(_._1)
+    val got = q("q201_wilson_interval")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(4), r.getDouble(5)))
+    got.foreach { case (t, n, k, lo, hi) =>
+      val rows = g(t)
+      assert(n === rows.size.toLong && k === rows.map(_._2).sum)
+      val z = 1.96
+      val p = k.toDouble / n
+      val zzN = z * z / n
+      val center = (p + zzN / 2) / (1 + zzN)
+      val half = z * math.sqrt(p * (1 - p) / n + z * z / (4.0 * n * n)) / (1 + zzN)
+      assert(math.abs(lo - (center - half)) < 1e-5, t)
+      assert(math.abs(hi - (center + half)) < 1e-5, t)
+      assert(lo >= 0.0 && hi <= 1.0 && lo <= p && p <= hi)
+    }
+  }
+
+  test("q202 perplexity equals a naive add-one bigram LM replay") {
+    import spark.implicits._
+    val docsRows = graft.queries.Tables
+      .table(spark, dir, "documents")
+      .selectExpr("doc_id", "split(text, ' ') AS w")
+      .as[(Long, Seq[String])]
+      .collect()
+      .filter(_._2.size >= 2)
+      .map { case (id, w) => (if (bucket100(id) < 80) "train" else "eval", w) }
+    val bigrams = docsRows.map { case (sp, w) => (sp, w.zip(w.drop(1))) }
+    val train = bigrams.filter(_._1 == "train").flatMap(_._2)
+    val c12 = train.groupBy(identity).map { case (k, v) => k -> v.size }
+    val c1 = train.groupBy(_._1).map { case (k, v) => k -> v.size }
+    val vocab = (train.map(_._1) ++ train.map(_._2)).distinct.size
+    val expected = bigrams.groupBy(_._1).map { case (sp, g) =>
+      val bs = g.flatMap(_._2)
+      val s9 = bs
+        .groupBy(identity)
+        .map { case (b, occ) =>
+          val p = (c12.getOrElse(b, 0) + 1.0) / (c1.getOrElse(b._1, 0) + vocab.toDouble)
+          -math.floor(math.log(p) * 1e9).toLong * occ.size
+        }
+        .sum
+      sp -> (bs.size.toLong, s9 / (bs.size * 1e9))
+    }
+    val got = q("q202_bigram_perplexity")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    got.foreach { case (sp, n, nll, ppl) =>
+      val (en, enll) = expected(sp)
+      assert(n === en, sp)
+      assert(math.abs(nll - enll) < 1e-5, sp)
+      assert(math.abs(ppl - math.exp(enll)) < 0.05, sp)
+    }
+    // the generalization reading: eval perplexity ≥ train perplexity
+    val bySplit = got.map(g => g._1 -> g._4).toMap
+    assert(bySplit("eval") >= bySplit("train"))
+  }
+
+  test("q203 vocabulary overlap equals brute-force set intersections") {
+    import spark.implicits._
+    val sw = graft.queries.Tables
+      .table(spark, dir, "documents")
+      .selectExpr("source", "explode(filter(split(text, ' '), x -> x <> '')) AS w")
+      .as[(String, String)]
+      .collect()
+      .toSeq
+      .distinct
+      .groupBy(_._1)
+      .map { case (s1, g) => s1 -> g.map(_._2).toSet }
+    val sources = sw.keys.toSeq.sorted
+    val expected = (for {
+      i <- sources.indices
+      j <- (i + 1) until sources.size
+      a = sources(i); b = sources(j)
+      inter = sw(a).intersect(sw(b)).size if inter > 0
+    } yield (a, b, sw(a).size.toLong, sw(b).size.toLong, inter.toLong)).toSeq
+    val got = q("q203_source_vocab_overlap")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+    assert(got === expected)
+  }
+
   test("q188 vocabulary Gini equals the sorted-rank definition") {
     import spark.implicits._
     val counts = graft.queries.Tables
