@@ -309,29 +309,52 @@ object Embeddings {
     */
   private def q197(s: SparkSession, dir: String): DataFrame = {
     val cov = covarianceFrame(s, dir).select(col("i"), col("j"), col("cov"))
-    val sym = cov.union(
-      cov
-        .filter(col("i") =!= col("j"))
-        .select(col("j").as("i"), col("i").as("j"), col("cov"))
+    // CACHED (tracked, released per bench iteration): every power-
+    // iteration round references the matrix, and each round's v embeds
+    // its u TWICE (the product and its norm) — uncached, the lineage
+    // doubles per round and the corpus-sized covariance scan re-ran
+    // ~2⁶ times (measured 136.7 s at sf0.1 vs ~3 s with the matrix
+    // cached and each round's tiny vector frame pinned)
+    val sym = graft.llm.Dedup.tcache(
+      s,
+      cov.union(
+        cov
+          .filter(col("i") =!= col("j"))
+          .select(col("j").as("i"), col("i").as("j"), col("cov"))
+      )
     )
-    // exact uniform unit start: 64 dims ⇒ 1/√64 = 0.125 exactly
-    var v = sym.select(col("i").as("d")).distinct().withColumn("r", lit(0.125d))
+    // Iteration protocol (the q70 literal-centroids convention — a
+    // BOUNDED model pull, d rows per round): the DISTRIBUTED work of a
+    // round is the matrix-vector product over the cached frame; the
+    // d-row result is collected and normalized DRIVER-SIDE with the
+    // identical grid arithmetic (exact BIGINT square sums, one sqrt,
+    // BigDecimal HALF_UP round — the same ops Spark's round() performs
+    // on doubles), then re-enters as a LocalRelation. Two earlier
+    // spellings are documented failures: the pure-expression loop
+    // DOUBLED the logical tree per round (each round references its u
+    // twice — product and norm) and drove analysis to a driver OOM
+    // before any job ran; the in-plan-normalize variant spent ~1 s of
+    // broadcast/crossJoin job overhead per round on 64-row frames.
+    var vLit: Seq[(Int, Double)] =
+      Seq.tabulate(InDim)(i => (i + 1, 0.125d)) // 1/√InDim = 1/√64 exactly
+    import s.implicits._
+    def vDf(xs: Seq[(Int, Double)]) = xs.toDF("d", "r")
     for (_ <- 1 to 6) {
       val u = sym
-        .join(v, sym("j") === v("d"))
+        .join(vDf(vLit), sym("j") === col("d"))
         .withColumn("c12", expr("CAST(floor(cov * r * 1.0e12) AS BIGINT)"))
-        .groupBy(col("i").as("d"))
+        .groupBy(col("i"))
         .agg((sum(col("c12")).cast("double") / 1.0e12).as("u"))
-      val norm = u
-        .withColumn("q12", expr("CAST(floor(u * u * 1.0e12) AS BIGINT)"))
-        .agg(sqrt(sum(col("q12")).cast("double") / 1.0e12).as("nrm"))
-      v = u
-        .crossJoin(broadcast(norm))
-        .select(
-          col("d"),
-          round(col("u") / nullif(col("nrm"), lit(0.0d)), 12).as("r")
-        )
+        .collect()
+        .map(row => (row.getInt(0), row.getDouble(1)))
+      val n2 = u.map { case (_, x) => math.floor(x * x * 1.0e12).toLong }.sum
+      val nrm = math.sqrt(n2.toDouble / 1.0e12)
+      vLit = u.toSeq.sortBy(_._1).map { case (d, x) =>
+        (d, if (nrm == 0.0) 0.0
+            else BigDecimal(x / nrm).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
     }
+    val v = vDf(vLit)
     // Rayleigh quotient λ = vᵀAv and the variance share λ/trace(Σ)
     val av = sym
       .join(v, sym("j") === v("d"))
@@ -342,7 +365,9 @@ object Embeddings {
       .join(v, "d")
       .withColumn("l12", expr("CAST(floor(u * r * 1.0e12) AS BIGINT)"))
       .agg((sum(col("l12")).cast("double") / 1.0e12).as("lambda"))
-    val trace = cov
+    // diagonal rows appear exactly once in sym (only i≠j was flipped),
+    // so the trace reads the CACHED matrix, never the covariance scan
+    val trace = sym
       .filter(col("i") === col("j"))
       .withColumn("t8", expr("CAST(round(cov * 1.0e8, 0) AS BIGINT)"))
       .agg((sum(col("t8")).cast("double") / 1.0e8).as("trace"))
