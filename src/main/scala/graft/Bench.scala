@@ -35,13 +35,20 @@ package graft
   *    same process with BOTH readings recorded ("rr") — a transient
   *    spike carries its own refutation, a real regression reproduces;
   *  - and the recording SELF-CORRECTS (r12, evidence-gated since r14,
-  *    evidence channels widened r15): the re-run replaces the
+  *    evidence channels widened r15, absolute era channel added r16):
+  *    the re-run replaces the
   *    contaminated median in the reported total and query map ONLY when
   *    it is >3× faster AND the sweep itself corroborates instability —
   *    a throttled bw probe, a >2× max/min spread across that query's
   *    own iterations, a >5 one-minute load sampled at one of that
-  *    query's iterations, or a sweep-start single-core bandwidth probe
-  *    reading <0.7× the sweep-end one ("sub" count in the line, raw
+  *    query's iterations, a sweep-start single-core bandwidth probe
+  *    reading <0.7× the sweep-end one, or (r16) a DEGRADED ERA: even
+  *    the run's best probe sits below 0.8× the in-repo era band
+  *    (median across history of each run's max probe) — the channel
+  *    that catches a box degraded uniformly for the whole run, which
+  *    every relative signal is blind to. The artifact carries
+  *    "degraded_era" + "era_band_gbs" (compact "de") so such a
+  *    headline self-interprets ("sub" count in the line, raw
   *    readings retained under "substituted"/"outlier_reruns") —
   *    in-sweep evidence plus a refuting measurement, never
   *    pick-the-better.
@@ -165,6 +172,71 @@ object Bench {
       } finally src.close()
       perQuery.map { case (k, vs) => k -> median(vs.toSeq) }.toMap
     } catch { case _: Exception => Map.empty }
+  }
+
+  /** Era bands from the in-repo record (r15 verdict "What's wrong #1"):
+    * the relative evidence channels (start-vs-end probe ratio,
+    * per-query load) are blind to a run that is UNIFORMLY degraded for
+    * its whole duration — the r15 driver run's probes sat 20–30% below
+    * every recorded healthy era at both ends, so start≈end and the
+    * ratio channel never fired while q30 stood at 2.6 s beside its own
+    * 0.5 s re-run. The ABSOLUTE channel compares this run's probes to
+    * what the box has historically measured: per past run take the MAX
+    * of its start/end probes (the box's demonstrated capability that
+    * day, even if one end was throttled), then the MEDIAN across runs
+    * is the era band. Robust as long as more than half the record is
+    * healthy — which the history is, by construction, because quiet
+    * in-repo closing records accompany every contaminated driver run.
+    * Returns (singleBand, aggBand); -1 when no history.
+    */
+  private[graft] def historyEraBands(
+      historyFile: java.io.File,
+      sfDir: String
+  ): (Double, Double) = {
+    if (!historyFile.isFile) return (-1.0, -1.0)
+    try {
+      val singles = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val aggs = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val src = scala.io.Source.fromFile(historyFile, "UTF-8")
+      try {
+        src.getLines().foreach { line =>
+          if (line.contains(s""""sf":${jstr(sfDir)}""")) {
+            val tag = "\"membw_gbs\":{"
+            val start = line.indexOf(tag)
+            if (start >= 0) {
+              val body = line.substring(start + tag.length)
+              val end = body.indexOf('}')
+              if (end >= 0) {
+                val m = body
+                  .substring(0, end)
+                  .split(",")
+                  .flatMap { kv =>
+                    val i = kv.lastIndexOf(':')
+                    if (i <= 0) None
+                    else {
+                      val k =
+                        kv.substring(0, i).trim.stripPrefix("\"").stripSuffix("\"")
+                      try Some(k -> kv.substring(i + 1).trim.toDouble)
+                      catch { case _: NumberFormatException => None }
+                    }
+                  }
+                  .toMap
+                val s =
+                  math.max(m.getOrElse("start_single", -1.0), m.getOrElse("end_single", -1.0))
+                val a =
+                  math.max(m.getOrElse("start_agg", -1.0), m.getOrElse("end_agg", -1.0))
+                if (s > 0) singles += s
+                if (a > 0) aggs += a
+              }
+            }
+          }
+        }
+      } finally src.close()
+      (
+        if (singles.isEmpty) -1.0 else median(singles.toSeq),
+        if (aggs.isEmpty) -1.0 else median(aggs.toSeq)
+      )
+    } catch { case _: Exception => (-1.0, -1.0) }
   }
 
   def main(args: Array[String]): Unit = {
@@ -380,12 +452,33 @@ object Bench {
     val startProbeDegraded =
       bwSingleStart > 0 && bwSingleEnd > 0 &&
         bwSingleStart < 0.7 * bwSingleEnd
+    // r16 (r15 verdict "What's wrong #1"): the ABSOLUTE evidence
+    // channel. Every prior channel is RELATIVE to the run itself
+    // (start-vs-end ratio, per-iteration spread, sampled load) and is
+    // blind to a box degraded uniformly for the run's whole duration —
+    // the r15 driver run's agg probes read 104.5/91.2 GB/s against
+    // recorded eras of 133–148 at BOTH ends, so no relative channel
+    // fired and q30's 2.6 s stood beside its own 0.5 s re-run. Here
+    // the run's best probe is compared to the in-repo era band
+    // (median across history of each run's max probe): when even the
+    // run's BEST reading sits below 0.8× what this box has
+    // historically measured, the whole run is a degraded era — the
+    // same >3×-re-run substitution rule applies, and the artifact is
+    // stamped `degraded_era` so its headline self-interprets.
+    val (eraBandSingle, eraBandAgg) =
+      historyEraBands(new java.io.File(detailDir, "history.jsonl"), sfDir)
+    val degradedEra =
+      (eraBandAgg > 0 && bwAggStart > 0 && bwAggEnd > 0 &&
+        math.max(bwAggStart, bwAggEnd) < 0.8 * eraBandAgg) ||
+        (eraBandSingle > 0 && bwSingleStart > 0 && bwSingleEnd > 0 &&
+          math.max(bwSingleStart, bwSingleEnd) < 0.8 * eraBandSingle)
     val substituted: Map[String, (Double, Double)] =
       outlierReruns.collect {
         case (name, (med, _, rr))
             if rr > 0 && med > 3 * rr &&
               (bwFlag == "t" || iterationSpreadUnstable(name) ||
-                loadedDuringQuery(name) || startProbeDegraded) =>
+                loadedDuringQuery(name) || startProbeDegraded ||
+                degradedEra) =>
           name -> (med, rr)
       }.toMap
     val reported: Map[String, Double] =
@@ -425,9 +518,19 @@ object Bench {
     // the steady state a long-lived cluster sees — reporting both (plus
     // the per-iteration loads already recorded) makes a loaded-box
     // driver artifact self-interpreting without a quiet re-run.
+    // When q00 itself was substituted, the cold/warm fields MUST follow
+    // the reading the headline uses (r15 verdict "What's wrong #2":
+    // BENCH_r15 reported cold=warm=11.4 from the contaminated
+    // iterations next to a substituted headline of 6.1 and a
+    // lines/s derived from the 6.1 — three mutually inconsistent
+    // numbers in one artifact). The same-process re-run is a single
+    // warm-state reading, so both fields take it; the contaminated
+    // iteration times stay visible under iteration_times/substituted.
     val q00Times = results.get("q00_etl_convert").map(_._2).getOrElse(Seq.empty)
-    val etlColdSec = q00Times.headOption.getOrElse(-1.0)
-    val etlWarmSec = if (q00Times.nonEmpty) q00Times.min else -1.0
+    val q00Sub = substituted.get("q00_etl_convert").map(_._2)
+    val etlColdSec = q00Sub.getOrElse(q00Times.headOption.getOrElse(-1.0))
+    val etlWarmSec =
+      q00Sub.getOrElse(if (q00Times.nonEmpty) q00Times.min else -1.0)
     graft.llm.Dedup.releaseCaches(spark)
     graft.queries.Graph.releaseCaches(spark)
     graft.llm.BpeTrain.releaseCaches(spark)
@@ -469,7 +572,9 @@ object Bench {
         s""""query_load_max":$queryLoadJson,""" +
         s""""membw_gbs":{"start_single":$bwSingleStart,"start_agg":$bwAggStart,""" +
         s""""end_single":$bwSingleEnd,"end_agg":$bwAggEnd},""" +
-        s""""membw_flag":${jstr(bwFlag)},"outlier_reruns":$outlierJson,""" +
+        s""""membw_flag":${jstr(bwFlag)},"degraded_era":$degradedEra,""" +
+        s""""era_band_gbs":{"single":$eraBandSingle,"agg":$eraBandAgg},""" +
+        s""""outlier_reruns":$outlierJson,""" +
         s""""substituted":${substituted
             .map { case (n, (raw, used)) =>
               jstr(n) + s""":{"raw":$raw,"used":$used}"""
@@ -593,7 +698,8 @@ object Bench {
         s""""etl_lines_per_sec":${cs(etlLinesPerSec, 1)},""" +
         s""""etl_cold_sec":${cs(etlColdSec, 1)},"etl_warm_sec":${cs(etlWarmSec, 1)},""" +
         s""""bw":[${cs(bwSingleStart, 1)},${cs(bwAggStart, 1)},${cs(bwSingleEnd, 1)},${cs(bwAggEnd, 1)}],""" +
-        s""""bwf":${jstr(bwFlag)},"rr":$rrCompact,"sub":${substituted.size},""" +
+        s""""bwf":${jstr(bwFlag)},"de":${if (degradedEra) 1 else 0},""" +
+        s""""rr":$rrCompact,"sub":${substituted.size},""" +
         s""""sf":${jstr(sfDir)}}"""
     }
     // 1900-byte budget leaves 100 chars of the 2000-char window for a

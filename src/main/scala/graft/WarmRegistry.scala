@@ -30,8 +30,10 @@ object WarmRegistry {
     */
   final case class WarmFamily(
       name: String,
-      /** JSON field carrying the one-time build seconds in every bench
-        * artifact (full detail AND compact line).
+      /** JSON field carrying the one-time build seconds in every
+        * FULL-DETAIL bench artifact (the `bench_detail` JSONs — the
+        * surface `WarmRegistrySpec` audits; the compact stdout line
+        * carries only the etl/bw/rr headline fields).
         */
       field: String,
       /** Gates that pay the full model-build cost in their own timed

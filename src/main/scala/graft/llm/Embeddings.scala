@@ -328,8 +328,8 @@ object Embeddings {
     // round is the matrix-vector product over the cached frame; the
     // d-row result is collected and normalized DRIVER-SIDE with the
     // identical grid arithmetic (exact BIGINT square sums, one sqrt,
-    // BigDecimal HALF_UP round — the same ops Spark's round() performs
-    // on doubles), then re-enters as a LocalRelation. Two earlier
+    // the shared floor(x·1e12+0.5)/1e12 re-grid spelled the same way
+    // in the oracle SQL), then re-enters as a LocalRelation. Two earlier
     // spellings are documented failures: the pure-expression loop
     // DOUBLED the logical tree per round (each round references its u
     // twice — product and norm) and drove analysis to a driver OOM
@@ -349,9 +349,13 @@ object Embeddings {
         .map(row => (row.getInt(0), row.getDouble(1)))
       val n2 = u.map { case (_, x) => math.floor(x * x * 1.0e12).toLong }.sum
       val nrm = math.sqrt(n2.toDouble / 1.0e12)
+      // re-grid with the ONE spelling both engines share —
+      // floor(x·1e12 + 0.5)/1e12 — instead of BigDecimal HALF_UP vs
+      // DuckDB round(,12), which scale the same double differently in
+      // binary and can disagree at the 12th digit on boundary values
       vLit = u.toSeq.sortBy(_._1).map { case (d, x) =>
         (d, if (nrm == 0.0) 0.0
-            else BigDecimal(x / nrm).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble)
+            else math.floor(x / nrm * 1.0e12 + 0.5) / 1.0e12)
       }
     }
     val v = vDf(vLit)
@@ -406,7 +410,9 @@ object Embeddings {
        |              / 1.0e12) AS nrm
        |  FROM u$k),
        |v$k AS MATERIALIZED (
-       |  SELECT d, round(u / nullif((SELECT nrm FROM n$k), 0.0), 12) AS r
+       |  SELECT d,
+       |    floor(u / nullif((SELECT nrm FROM n$k), 0.0) * 1.0e12 + 0.5)
+       |      / 1.0e12 AS r
        |  FROM u$k)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(

@@ -374,12 +374,16 @@ object Eval {
       )
       .select(
         when(col("nc") < 216, 0).when(col("nc") < 380, 1).otherwise(2).as("r1"),
-        when(col("dw") * 100 < col("w") * 40, 0)
-          .when(col("dw") * 100 < col("w") * 56, 1)
+        // BIGINT cross-multiplies: length()/size() are IntegerType, so
+        // al*10000 wraps (or throws under ANSI) past ~215k chars while
+        // the DuckDB oracle computes the compare in BIGINT — promote
+        // before multiplying so the two engines share one arithmetic.
+        when(col("dw").cast("long") * 100L < col("w").cast("long") * 40L, 0)
+          .when(col("dw").cast("long") * 100L < col("w").cast("long") * 56L, 1)
           .otherwise(2)
           .as("r2"),
-        when(col("al") * 10000 < col("nc") * 8192, 0)
-          .when(col("al") * 10000 < col("nc") * 8243, 1)
+        when(col("al").cast("long") * 10000L < col("nc").cast("long") * 8192L, 0)
+          .when(col("al").cast("long") * 10000L < col("nc").cast("long") * 8243L, 1)
           .otherwise(2)
           .as("r3")
       )

@@ -414,6 +414,15 @@ object Behavior {
     * stationary row from four synchronous power-iteration rounds
     * started uniform (the q71 fixed-iteration convention).
     *
+    * Sink-mass convention: each round inner-joins on from_type, so
+    * mass assigned to SINK event types (appearing only as to_type,
+    * never as from_type) is dropped on the next round rather than
+    * self-looped — the emitted vector need not sum to 1 for
+    * non-ergodic chains. This is deliberate (the gate reports the
+    * surviving recurrent mix, and the same convention is spelled in
+    * the oracle SQL), the mirror of the no-incoming-transitions rule
+    * below: states with no incoming mass read 0 via LEFT+coalesce.
+    *
     * Determinism: transition probabilities are single divisions of
     * exact counts; each iteration's Σ_i r_i·p_ij contributions are
     * floor-snapped to the 1e-12 grid and summed as EXACT BIGINTs (a
