@@ -39,6 +39,7 @@ object SparkEntry {
       graft.queries.BloomJoin.queries ++
       graft.queries.Merge.queries ++
       graft.queries.Behavior.queries ++
+      graft.streaming.StreamStreamJoin.queries ++
       graft.queries.Basket.queries ++
       graft.queries.IntervalJoin.queries ++
       graft.queries.Cdc.queries ++
@@ -99,6 +100,7 @@ object SparkEntry {
       graft.queries.BloomJoin.oracleSql ++
       graft.queries.Merge.oracleSql ++
       graft.queries.Behavior.oracleSql ++
+      graft.streaming.StreamStreamJoin.oracleSql ++
       graft.queries.Basket.oracleSql ++
       graft.queries.IntervalJoin.oracleSql ++
       graft.queries.Cdc.oracleSql ++

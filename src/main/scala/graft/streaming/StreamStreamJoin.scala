@@ -1,6 +1,7 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import graft.queries.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Watermarked stream-stream joins — the enrichment shape a production
@@ -66,4 +67,72 @@ object StreamStreamJoin {
         col("amount")
       )
   }
+
+  /** q193: the BATCH TWIN of [[attributed]], priced as a driver gate —
+    * the convention every other streaming operator already follows
+    * (q89 ↔ Sessionize, q84 ↔ upsert-apply, q25c ↔ StreamingDedup):
+    * sinks are outside the Verify contract, but the transform the
+    * stream runs is hash-gated against the DuckDB oracle on the real
+    * corpus. The gate calls [[attributed]] ITSELF on batch frames —
+    * the analyzer's EliminateEventTimeWatermark drops the watermark
+    * nodes for a non-streaming child, so the gated plan IS the
+    * streamed plan minus state bookkeeping, and a semantics drift in
+    * the join spelling breaks gate and stream together
+    * (StreamStreamJoinSpec pins streaming ≡ this same function).
+    *
+    * Corpus: click events LEFT-OUTER attributed to same-user purchase
+    * events within the 10 minutes after the click; timestamps emitted
+    * as exact epoch-µs BIGINTs (the q20b timestamp-compare convention).
+    *
+    * Scale shape: one equi-key (user) hash join with a residual time
+    * predicate — the time bound does not shrink the batch join's key
+    * space (that is the STREAM's state-eviction win) but per-user
+    * click×purchase fan-out is bounded by the 10-minute window.
+    */
+  private def q193(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.table(s, dir, "events")
+    val clicks = ev
+      .filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts"))
+    val buys = ev
+      .filter(col("event_type") === "purchase")
+      .select(
+        col("user_id"),
+        col("event_id").as("buy_id"),
+        col("ts"),
+        col("value").as("amount")
+      )
+    attributed(clicks, buys)
+      .select(
+        col("user_id"),
+        col("click_id"),
+        col("buy_id"),
+        unix_micros(col("click_ts")).as("click_us"),
+        unix_micros(col("buy_ts")).as("buy_us"),
+        col("amount")
+      )
+      .orderBy(col("click_id"), col("buy_id").asc_nulls_first)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q193_stream_join_twin" -> q193
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q193_stream_join_twin" ->
+      """WITH c AS (
+        |  SELECT user_id, event_id AS click_id, epoch_us(ts) AS click_us
+        |  FROM events WHERE event_type = 'click'),
+        |b AS (
+        |  SELECT user_id, event_id AS buy_id, epoch_us(ts) AS buy_us,
+        |         value AS amount
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT c.user_id, c.click_id, b.buy_id, c.click_us, b.buy_us,
+        |       b.amount
+        |FROM c LEFT JOIN b
+        |  ON c.user_id = b.user_id
+        | AND b.buy_us >= c.click_us
+        | AND b.buy_us <= c.click_us + 600000000
+        |ORDER BY click_id, buy_id NULLS FIRST""".stripMargin
+  )
 }

@@ -100,26 +100,25 @@ class StreamStreamJoinSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  private def batchTwin(outer: Boolean): Seq[(Long, Long, Option[Long], Option[Double])] = {
+  // the batch twin is attributed() ITSELF on batch frames — the exact
+  // function the q193 driver gate prices (the analyzer eliminates the
+  // watermark nodes for batch children), so this spec pins the chain
+  // streaming ≡ attributed(batch) ≡ the hash-gated q193 spelling
+  private def batchTwin(): Seq[(Long, Long, Option[Long], Option[Double])] = {
     import spark.implicits._
     val c = clicks
       .map(_.split(","))
       .map(a => (java.sql.Timestamp.valueOf(a(0).replace("T", " ")), a(1).toLong, a(2).toLong))
-      .toDF("click_ts", "c_user", "click_id")
+      .toDF("ts", "user_id", "click_id")
     val b = buys
       .map(_.split(","))
       .map(a =>
         (java.sql.Timestamp.valueOf(a(0).replace("T", " ")), a(1).toLong, a(2).toLong, a(3).toDouble)
       )
-      .toDF("buy_ts", "b_user", "buy_id", "amount")
-    c.join(
-        b,
-        org.apache.spark.sql.functions.expr(
-          "c_user = b_user AND buy_ts >= click_ts AND buy_ts <= click_ts + interval 10 minutes"
-        ),
-        if (outer) "left_outer" else "inner"
-      )
-      .selectExpr("c_user AS user_id", "click_id", "buy_id", "amount")
+      .toDF("ts", "user_id", "buy_id", "amount")
+    StreamStreamJoin
+      .attributed(c, b)
+      .select("user_id", "click_id", "buy_id", "amount")
       .orderBy("click_id", "buy_id")
       .collect()
       .map(r =>
@@ -135,7 +134,7 @@ class StreamStreamJoinSpec extends SparkSpec {
 
   test("left-outer stream-stream join emits NULL rows for unconverted clicks") {
     val got = run("outer", StreamStreamJoin.attributed(_, _))
-    assert(got === batchTwin(outer = true))
+    assert(got === batchTwin())
     // the in-window match and the out-of-window miss, spot-pinned
     assert(got.exists(r => r._2 == 100L && r._3.contains(900L)))
     assert(!got.exists(r => r._3.contains(901L))) // 11 min: outside
