@@ -235,6 +235,17 @@ object Embeddings {
     * cov on the round-8 grid — shared verbatim by q197's power
     * iteration so the eigensolve can never drift from the gated
     * matrix.
+    *
+    * WarmRegistry adjudication (r15 verdict ask #7): NOT registered as
+    * a warm family at two consumers. The registry's families are
+    * train-once/consume-MANY models whose build would otherwise be
+    * re-priced into several gates per sweep; here q170 IS the build
+    * (the gate prices exactly one corpus pass, which is its entire
+    * semantics — warming it would delete the gate's cost from the
+    * record, the discovery-gate rule), and q197 is the single other
+    * consumer, paying the same pass once. A third consumer (e.g. a
+    * whitening transform gate) tips the balance: register then, with
+    * q170 as the discovery gate and `cov_warm_sec` as the field.
     */
   private def covarianceFrame(s: SparkSession, dir: String): DataFrame = {
     val pairs = Tables

@@ -958,25 +958,38 @@ object TextAnalysis {
         sum((col("x") * col("y")).cast("decimal(38,0)")).cast("double").as("sxy"),
         sum((col("y") * col("y")).cast("decimal(38,0)")).cast("double").as("syy")
       )
+      // nullif degeneracy guards (q120 convention) on every division:
+      // a SATURATED vocabulary makes y constant at every checkpoint
+      // (measured at sf0.1 — V(N)=31 from the first checkpoint on), so
+      // n·syy − sy² is EXACTLY 0 and the unguarded r² divided 0/0 —
+      // NULL-by-accident under ANSI-off, a DIVIDE_BY_ZERO crash under
+      // ANSI. The guard makes the NULL deliberate and identical on
+      // both engines (DuckDB's /0 is NULL natively; the oracle carries
+      // the same nullif spelling). sf0.001 masks this: the vocab is
+      // NOT yet saturated at the first checkpoint there, so the
+      // degenerate frame is a SCALE regime, not a small-data one.
       .select(
         col("n").cast("long").as("n_points"),
         (round(
           (col("n") * col("sxy") - col("sx") * col("sy")) /
-            (col("n") * col("sxx") - col("sx") * col("sx")),
+            nullif(col("n") * col("sxx") - col("sx") * col("sx"), lit(0.0d)),
           4
         ) + 0.0).as("heaps_beta"),
         (round(
           (col("sy") - col("sx") *
             ((col("n") * col("sxy") - col("sx") * col("sy")) /
-              (col("n") * col("sxx") - col("sx") * col("sx")))) /
+              nullif(col("n") * col("sxx") - col("sx") * col("sx"), lit(0.0d)))) /
             col("n") / 1000000.0,
           4
         ) + 0.0).as("intercept_ln"),
         (round(
           ((col("n") * col("sxy") - col("sx") * col("sy")) *
             (col("n") * col("sxy") - col("sx") * col("sy"))) /
-            ((col("n") * col("sxx") - col("sx") * col("sx")) *
-              (col("n") * col("syy") - col("sy") * col("sy"))),
+            nullif(
+              (col("n") * col("sxx") - col("sx") * col("sx")) *
+                (col("n") * col("syy") - col("sy") * col("sy")),
+              lit(0.0d)
+            ),
           4
         ) + 0.0).as("r_squared")
       )
@@ -1384,13 +1397,14 @@ object TextAnalysis {
         |    CAST(sum(y * y) AS DOUBLE) AS syy
         |  FROM g)
         |SELECT CAST(n AS BIGINT) AS n_points,
-        |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) + 0.0
-        |    AS heaps_beta,
-        |  round((sy - sx * ((n * sxy - sx * sy) / (n * sxx - sx * sx)))
+        |  round((n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0.0), 4)
+        |    + 0.0 AS heaps_beta,
+        |  round((sy - sx * ((n * sxy - sx * sy)
+        |                    / nullif(n * sxx - sx * sx, 0.0)))
         |        / n / 1000000.0, 4) + 0.0 AS intercept_ln,
         |  round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
-        |        / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 4) + 0.0
-        |    AS r_squared
+        |        / nullif((n * sxx - sx * sx) * (n * syy - sy * sy), 0.0),
+        |        4) + 0.0 AS r_squared
         |FROM m""".stripMargin,
     // same counts, same floor-snapped ln terms (exact BIGINT δ), same
     // gridded z and per-source top-5 (ties alphabetical)
