@@ -41,10 +41,15 @@ import org.apache.spark.sql.functions._
   */
 object Pipeline {
 
-  private def q177(s: SparkSession, dir: String): DataFrame = {
+  /** The corpus projection every stage reads: NFC-normalized digest +
+    * token/char counts (package-private so the streaming twin's
+    * finalize joins counts from the SAME spelling —
+    * StreamingPipelineSpec).
+    */
+  private[graft] def baseFrame(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expr => cexpr}
     val norm = column(graft.functions.UnicodeNfc(cexpr(col("text"))))
-    val base = Tables
+    Tables
       .table(s, dir, "documents")
       .select(
         col("doc_id"),
@@ -52,6 +57,19 @@ object Pipeline {
         size(split(norm, " ")).as("n_tokens"),
         length(norm).as("n_chars")
       )
+  }
+
+  private def q177(s: SparkSession, dir: String): DataFrame =
+    packStats(assignedFrame(s, dir))
+
+  /** Stages 1–4 (NFC → exact dedup → keep-list → leakage-safe split)
+    * as the per-survivor assignment frame (doc_id, n_tokens, n_chars,
+    * cluster_id, bucket, split). Package-private so
+    * StreamingPipelineSpec can pin the streamed per-doc assignments
+    * against the batch ones row for row, not only the packed stats.
+    */
+  private[graft] def assignedFrame(s: SparkSession, dir: String): DataFrame = {
+    val base = baseFrame(s, dir)
 
     // exact dedup: q25's convention — min doc_id per content digest
     val keepers = base
@@ -102,7 +120,19 @@ object Pipeline {
           .when(col("bucket") < 90, "valid")
           .otherwise("test")
       )
+    assigned
+  }
 
+  /** The batch FINALIZE of the pipeline — per-split packing + stats
+    * over an assigned survivor frame (doc_id, n_tokens, n_chars,
+    * split). Package-private because the streaming twin reuses it
+    * verbatim: q52's prefix sum is a global two-pass scan, a batch
+    * shape by construction, so a production stream curates
+    * continuously and runs THIS once per packing epoch
+    * (StreamingPipelineSpec pins stream-curated survivors through this
+    * exact code against the q177 gate).
+    */
+  private[graft] def packStats(assigned: DataFrame): DataFrame = {
     // per-split concat-and-chop packing: q52's two-pass distributed
     // prefix sum, shard key extended to (split, shard) so every window
     // is (split, shard)-bounded; the shards frame (per-split window) is
