@@ -196,6 +196,60 @@ object Dedup {
       .select(col("da"), col("db"), round(col("jac"), 4).as("jac"))
       .orderBy("da", "db")
 
+  // ----------------- q206: cross-source duplication matrix
+
+  /** q206: WHICH SOURCES COPY FROM WHICH — q26's near-dup pairs rolled
+    * up to the source-pair level (q203's vocabulary overlap says two
+    * sources SOUND alike; this counts actual near-duplicate DOCUMENT
+    * pairs between them — the readout that decides which source a
+    * mixing stage downweights and which ingest feed is a mirror;
+    * diagonal rows are within-source template floods): per unordered
+    * source pair, the near-dup pair count and mean Jaccard.
+    *
+    * Determinism: each pair's Jaccard floor-snaps to the 1e-4 grid
+    * (one exact integer division), the per-cell mean is an EXACT
+    * BIGINT sum over grid values divided once — never a float sum of
+    * shuffle-ordered doubles. The oracle composes q26's shingle CTEs
+    * verbatim + the source rollup, so a drift in the pair semantics
+    * breaks q26 and this gate together (the q177 composition rule).
+    *
+    * Scale shape: rides exactJaccardPairs (candidates by shared
+    * shingle, never all-pairs); the rollup adds two doc-keyed joins to
+    * the node-sized source map and one aggregate into the
+    * ≤ C(#sources+1, 2)-cell matrix — catalog-bounded, the q203
+    * argument.
+    */
+  private def q206(s: SparkSession, dir: String): DataFrame = {
+    val pairs = exactJaccardPairs(s, dir)
+      .withColumn(
+        "jac4",
+        expr("CAST(floor(i * 10000.0 / (na + nb - i)) AS BIGINT)")
+      )
+    val src = graft.queries.Tables
+      .table(s, dir, "documents")
+      .select(col("doc_id"), col("source"))
+    pairs
+      .join(src.select(col("doc_id").as("da"), col("source").as("sa0")), "da")
+      .join(src.select(col("doc_id").as("db"), col("source").as("sb0")), "db")
+      .select(
+        least(col("sa0"), col("sb0")).as("source_a"),
+        greatest(col("sa0"), col("sb0")).as("source_b"),
+        col("jac4")
+      )
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_pairs"), sum("jac4").as("sj4"))
+      .select(
+        col("source_a"),
+        col("source_b"),
+        col("n_pairs"),
+        (round(
+          col("sj4").cast("double") / col("n_pairs").cast("double") / 1.0e4,
+          6
+        ) + 0.0).as("mean_jaccard")
+      )
+      .orderBy("source_a", "source_b")
+  }
+
   // ------------------------------------------- q27: MinHash + LSH banding
 
   private[graft] val MinHashP = 2147483647L // M31 prime; keeps a*h+b in a Long
@@ -859,6 +913,7 @@ object Dedup {
     "q25b_dedup_normalized" -> q25b,
     "q25c_dedup_incremental" -> q25c,
     "q26_dedup_ngram_jaccard" -> q26,
+    "q206_source_dup_matrix" -> q206,
     "q27_dedup_minhash_lsh" -> q27,
     "q28_dedup_simhash" -> q28,
     "q29_dedup_embedding_cosine" -> q29,
@@ -952,6 +1007,29 @@ object Dedup {
         |WHERE NOT EXISTS (SELECT 1 FROM seen WHERE seen.digest = d.digest)
         |ORDER BY doc_id""".stripMargin,
     "q26_dedup_ngram_jaccard" -> s"$shingleCte\n$jaccardSelect",
+    // q26's shingle CTEs verbatim + the source-pair rollup: per-pair
+    // Jaccard on the 1e-4 floor grid, exact BIGINT cell sums, one mean
+    // division per cell
+    "q206_source_dup_matrix" ->
+      s"""$shingleCte,
+         |pj AS (
+         |  SELECT da, db,
+         |    CAST(floor(i * 10000.0 / (sa.n + sb.n - i)) AS BIGINT) AS jac4
+         |  FROM inter
+         |  JOIN sz sa ON sa.doc_id = da
+         |  JOIN sz sb ON sb.doc_id = db
+         |  WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.6),
+         |lab AS (
+         |  SELECT least(x.source, y.source) AS source_a,
+         |         greatest(x.source, y.source) AS source_b, jac4
+         |  FROM pj
+         |  JOIN documents x ON x.doc_id = pj.da
+         |  JOIN documents y ON y.doc_id = pj.db)
+         |SELECT source_a, source_b,
+         |  CAST(count(*) AS BIGINT) AS n_pairs,
+         |  round(CAST(sum(jac4) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         |        / 1.0e4, 6) + 0.0 AS mean_jaccard
+         |FROM lab GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // LSH with 16×4 banding has recall ≈ 1 at the 0.6 threshold (the
     // planted near-dups sit at jac ≥ 0.9, where miss probability is
     // ~1e-11), so the oracle is the same exact-Jaccard result.

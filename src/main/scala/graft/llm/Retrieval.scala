@@ -468,7 +468,130 @@ object Retrieval {
       )
   }
 
+  // ----------------- q205: MMR diversity re-ranking of the BM25 list
+
+  private val MmrK = 10 // picks
+  // λ = 0.7 spelled as exact integers: score in 1e-7 units is
+  // 700·rel4 − 3·j6 (rel on the 1e-4 floor grid, Jaccard on the 1e-6
+  // floor grid) — the mix is NEVER a float until the final display
+  private val MmrLambdaNum = 700L
+  private val MmrDivNum = 3L
+
+  /** q205: Maximal Marginal Relevance re-ranking — the diversity pass
+    * every RAG context assembler needs between ranking (q90) and
+    * assembly (q105): BM25's top-20 is routinely 15 near-copies of the
+    * best hit, and stuffing the context with them wastes the budget
+    * q105 meters. MMR picks greedily by
+    * λ·rel(d) − (1−λ)·max_{s∈selected} sim(d, s), λ = 0.7, k = 10;
+    * sim is word-set Jaccard (exact integers — no embedding
+    * dependence, and the diversity signal IS lexical overlap, the
+    * thing duplicated passages share).
+    *
+    * Determinism: relevance floor-snaps BM25 to the 1e-4 grid, Jaccard
+    * floor-snaps to 1e-6 (both single integer divisions), the λ mix is
+    * exact-integer (700·rel4 − 3·j6, the 1e-7 grid), all argmax ties
+    * break on doc_id — every pick is engine-exact, and the oracle
+    * replays the greedy chain as k chained CTE steps.
+    *
+    * Scale shape: ranking cost IS q90's (one corpus pass); everything
+    * after runs on the k-bounded candidate frame (≤20 rows, ≤190
+    * pairs). The selection loop is a driver-side fold over that
+    * bounded frame (the q70/q197 bounded-model-pull convention: the
+    * DISTRIBUTED work is scoring and the pair Jaccards; the ≤20-row
+    * greedy argmax is not a distributed problem), re-entering as a
+    * LocalRelation.
+    */
+  private def q205(s: SparkSession, dir: String): DataFrame = {
+    val cand = bm25Scores(s, dir)
+      .select(
+        col("doc_id"),
+        expr("CAST(floor(score_raw * 10000.0) AS BIGINT)").as("rel4")
+      )
+      .orderBy(desc("rel4"), col("doc_id"))
+      .limit(20)
+    val words = docs(s, dir).select(
+      col("doc_id"),
+      array_distinct(filter(split(col("text"), " "), x => x =!= "")).as("ws")
+    )
+    val cw = cand.join(words, "doc_id")
+    val pa = cw.select(col("doc_id").as("a"), col("ws").as("wa"))
+    val pb = cw.select(col("doc_id").as("b"), col("ws").as("wb"))
+    val sims = pa
+      .join(broadcast(pb), col("a") < col("b"))
+      .select(
+        col("a"),
+        col("b"),
+        expr(
+          "CAST((1000000 * size(array_intersect(wa, wb))) div " +
+            "(size(wa) + size(wb) - size(array_intersect(wa, wb))) AS BIGINT)"
+        ).as("j6")
+      )
+    // bounded model pulls: ≤20 candidate rows + ≤190 pair similarities
+    val candRows = cand.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val simMap = sims
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+      .toMap
+    def sim(x: Long, y: Long): Long =
+      simMap.getOrElse(if (x < y) (x, y) else (y, x), 0L)
+    var selected = Vector.empty[(Long, Long, Long, Long, Long)]
+    var remaining = candRows.toVector
+    for (k <- 1L to math.min(MmrK.toLong, candRows.length.toLong)) {
+      val pick = remaining
+        .map { case (id, r) =>
+          val ms = if (selected.isEmpty) 0L
+                   else selected.map(sel => sim(id, sel._2)).max
+          (id, r, ms, MmrLambdaNum * r - MmrDivNum * ms)
+        }
+        .minBy { case (id, _, _, sc) => (-sc, id) }
+      selected :+= ((k, pick._1, pick._2, pick._3, pick._4))
+      remaining = remaining.filterNot(_._1 == pick._1)
+    }
+    import s.implicits._
+    selected
+      .toDF("mmr_rank", "doc_id", "rel4", "ms6", "score7")
+      .select(
+        col("mmr_rank"),
+        col("doc_id"),
+        (col("rel4").cast("double") / 1.0e4).as("relevance"),
+        (col("ms6").cast("double") / 1.0e6).as("max_sim_selected"),
+        (col("score7").cast("double") / 1.0e7).as("mmr_score")
+      )
+      .orderBy("mmr_rank")
+  }
+
+  /** One greedy MMR step as chained CTEs (the q197 iteration-CTE
+    * convention): step k scores every unselected candidate against
+    * sel(k−1), picks the (score7 desc, doc_id) argmax.
+    */
+  private def mmrStepSql(k: Int): String =
+    // every step CTE is MATERIALIZED (the q151/q197 lesson): sel(k)
+    // is referenced three times by step k+1 (IN, NOT IN, and its own
+    // chain), so inlined CTEs re-evaluate the whole greedy prefix
+    // 3^k times — measured minutes at k = 10 vs instant materialized
+    if (k == 1)
+      """p1 AS MATERIALIZED (
+        |  SELECT doc_id, rel4, CAST(0 AS BIGINT) AS ms6,
+        |    700 * rel4 AS score7, CAST(1 AS BIGINT) AS mmr_rank
+        |  FROM cw ORDER BY rel4 DESC, doc_id LIMIT 1),
+        |sel1 AS MATERIALIZED (SELECT doc_id FROM p1)""".stripMargin
+    else
+      s"""p$k AS MATERIALIZED (
+         |  SELECT c.doc_id, c.rel4, coalesce(max(ps.j6), 0) AS ms6,
+         |    700 * c.rel4 - 3 * coalesce(max(ps.j6), 0) AS score7,
+         |    CAST($k AS BIGINT) AS mmr_rank
+         |  FROM cw c
+         |  LEFT JOIN pairsym ps
+         |    ON ps.a = c.doc_id
+         |   AND ps.b IN (SELECT doc_id FROM sel${k - 1})
+         |  WHERE c.doc_id NOT IN (SELECT doc_id FROM sel${k - 1})
+         |  GROUP BY c.doc_id, c.rel4
+         |  ORDER BY score7 DESC, c.doc_id LIMIT 1),
+         |sel$k AS MATERIALIZED (SELECT doc_id FROM sel${k - 1}
+         |          UNION ALL SELECT doc_id FROM p$k)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q205_mmr_rerank" -> q205,
     "q90_bm25" -> q90,
     "q90b_snippets" -> q90b,
     "q91_preference_pairs" -> q91,
@@ -837,6 +960,64 @@ object Retrieval {
     * re-spelling of the list it packs).
     */
   val oracleSql: Map[String, String] = oracleSqlBase + (
+    // same BM25 CTEs on the 1e-4 floor grid, same exact-integer pair
+    // Jaccards, same greedy chain as 10 chained CTE steps
+    "q205_mmr_rerank" -> {
+      val cCols = QueryTerms
+        .map(t => s"coalesce(max(CASE WHEN w = '$t' THEN c END), 0.0) AS c_$t")
+        .mkString(",\n        |    ")
+      val scoreSum = QueryTerms.map(t => s"c_$t").mkString(" + ")
+      val steps = (1 to MmrK).map(mmrStepSql).mkString(",\n")
+      val picks = (1 to MmrK).map(k => s"SELECT * FROM p$k").mkString("\n  UNION ALL ")
+      s"""WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |dl AS (SELECT doc_id, len(toks) AS dl FROM d),
+        |stats AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |         CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+        |  FROM dl),
+        |tok AS (SELECT doc_id, unnest(toks) AS w FROM d),
+        |tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+        |       FROM tok WHERE w IN ($termsSqlList) GROUP BY 1, 2),
+        |df AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |contrib AS (
+        |  SELECT tf.doc_id, tf.w,
+        |    ln((CAST(n_docs AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5)
+        |       / (CAST(df.df AS DOUBLE) + 0.5) + 1.0)
+        |    * (CAST(tf.tf AS DOUBLE) * ${K1 + 1.0})
+        |    / (CAST(tf.tf AS DOUBLE)
+        |       + $K1 * (1.0 - $B + $B * CAST(dl.dl AS DOUBLE) / avgdl)) AS c
+        |  FROM tf JOIN df USING (w) JOIN dl USING (doc_id), stats),
+        |byterm AS (
+        |  SELECT doc_id,
+        |    $cCols
+        |  FROM contrib GROUP BY doc_id),
+        |cand AS (
+        |  SELECT doc_id,
+        |    CAST(floor(($scoreSum) * 10000.0) AS BIGINT) AS rel4
+        |  FROM byterm ORDER BY rel4 DESC, doc_id LIMIT 20),
+        |cw AS MATERIALIZED (
+        |  SELECT c.doc_id, c.rel4,
+        |    list_distinct(list_filter(string_split(dd.text, ' '),
+        |                              x -> x <> '')) AS ws
+        |  FROM cand c JOIN documents dd USING (doc_id)),
+        |pair AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b,
+        |    CAST((1000000 * len(list_intersect(a.ws, b.ws)))
+        |         // (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws)))
+        |         AS BIGINT) AS j6
+        |  FROM cw a JOIN cw b ON a.doc_id < b.doc_id),
+        |pairsym AS MATERIALIZED (
+        |  SELECT a, b, j6 FROM pair
+        |  UNION ALL SELECT b AS a, a AS b, j6 FROM pair),
+        |$steps
+        |SELECT mmr_rank, doc_id,
+        |  CAST(rel4 AS DOUBLE) / 1.0e4 AS relevance,
+        |  CAST(ms6 AS DOUBLE) / 1.0e6 AS max_sim_selected,
+        |  CAST(score7 AS DOUBLE) / 1.0e7 AS mmr_score
+        |FROM ($picks)
+        |ORDER BY mmr_rank""".stripMargin
+    },
     "q105_rag_context" ->
       s"""WITH top AS (${oracleSqlBase("q90_bm25")}),
          |rnked AS (

@@ -1726,7 +1726,89 @@ object Stats {
       .orderBy("event_type")
   }
 
+  // ------------------------ q204: Kendall's τ-b rank correlation
+
+  /** q204: Kendall's τ-b over the q169 metric pair (per-doc word count
+    * vs the 0–100 lexical-diversity grid) — the CONCORDANCE companion
+    * of Spearman's ρ: ρ asks "are the rank SEQUENCES linearly related",
+    * τ asks "what fraction of pairs ORDER the same way", the statistic
+    * with the direct probabilistic read (τ = P(concordant) −
+    * P(discordant)) and better behavior under heavy ties — which this
+    * gridded pair has, hence the τ-b tie correction:
+    * τ-b = (C − D) / √((n₀−n₁)(n₀−n₂)), n₀ = n(n−1)/2,
+    * n₁/n₂ = Σ t(t−1)/2 over x-/y-tie groups.
+    *
+    * Determinism: EVERYTHING up to the final dag is exact integer
+    * arithmetic — C and D are Σ cₐ·c_b over joint VALUE cells (never a
+    * float), tie terms are exact integer sums, the one division and
+    * √ run on exactly-representable integers (BIGINT-safe to ~10⁹
+    * docs; the DECIMAL(38) swap-in is the q185 convention).
+    *
+    * Scale shape: the corpus collapses to the joint (x, y) VALUE-cell
+    * frame in one aggregate; both metrics are DOMAIN-bounded (words ≤
+    * corpus max-doc-words, y ≤ 101 grid points — the q33b/q169
+    * argument), so the cell×cell concordance join is a
+    * CORPUS-INDEPENDENT constant (≪ 10⁴ cells here), broadcast on one
+    * side; the marginals ride two more domain-bounded aggregates.
+    */
+  private def q204(s: SparkSession, dir: String): DataFrame = {
+    val d = graft.queries.Tables
+      .table(s, dir, "documents")
+      .select(split(col("text"), " ").as("w0"))
+      .select(
+        expr("size(filter(w0, x -> x <> ''))").as("nw"),
+        expr("size(array_distinct(filter(w0, x -> x <> '')))").as("ndw")
+      )
+      .filter(col("nw") > 0)
+      .select(
+        col("nw").cast("long").as("x"),
+        expr("(100 * ndw) div nw").cast("long").as("y")
+      )
+    val cells = d.groupBy("x", "y").agg(count(lit(1)).as("c"))
+    val b = cells.select(col("x").as("xb"), col("y").as("yb"), col("c").as("cb"))
+    val cd = cells
+      .join(broadcast(b), col("x") < col("xb"))
+      .agg(
+        sum(when(col("y") < col("yb"), col("c") * col("cb")).otherwise(0L))
+          .as("nc"),
+        sum(when(col("y") > col("yb"), col("c") * col("cb")).otherwise(0L))
+          .as("nd")
+      )
+    val tots = d.agg(count(lit(1)).as("n"))
+    val tx = d
+      .groupBy("x")
+      .agg(count(lit(1)).as("t"))
+      .agg(sum(expr("t * (t - 1) div 2")).as("n1"))
+    val ty = d
+      .groupBy("y")
+      .agg(count(lit(1)).as("t"))
+      .agg(sum(expr("t * (t - 1) div 2")).as("n2"))
+    cd.crossJoin(broadcast(tots))
+      .crossJoin(broadcast(tx))
+      .crossJoin(broadcast(ty))
+      .withColumn("n0", expr("n * (n - 1) div 2"))
+      .select(
+        col("n").as("n_docs"),
+        col("nc").as("concordant"),
+        col("nd").as("discordant"),
+        col("n1").as("ties_x"),
+        col("n2").as("ties_y"),
+        (round(
+          (col("nc") - col("nd")).cast("double") /
+            nullif(
+              sqrt(
+                (col("n0") - col("n1")).cast("double") *
+                  (col("n0") - col("n2")).cast("double")
+              ),
+              lit(0.0d)
+            ),
+          6
+        ) + 0.0).as("kendall_tau_b")
+      )
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q204_kendall_tau" -> q204,
     "q201_wilson_interval" -> q201,
     "q198_theil_sen" -> q198,
     "q194_rmst" -> q194,
@@ -1802,6 +1884,42 @@ object Stats {
       |FROM f""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // same joint value cells, same exact-integer concordance sums and
+    // tie terms, same single √-and-divide dag
+    "q204_kendall_tau" ->
+      """WITH m AS (
+        |  SELECT len(list_filter(string_split(text, ' '), x -> x <> '')) AS nw,
+        |         len(list_distinct(list_filter(string_split(text, ' '),
+        |                                       x -> x <> ''))) AS ndw
+        |  FROM documents),
+        |d AS (
+        |  SELECT CAST(nw AS BIGINT) AS x,
+        |         CAST((100 * ndw) // nw AS BIGINT) AS y
+        |  FROM m WHERE nw > 0),
+        |cells AS (
+        |  SELECT x, y, CAST(count(*) AS BIGINT) AS c FROM d GROUP BY 1, 2),
+        |cd AS (
+        |  SELECT
+        |    sum(CASE WHEN a.y < b.y THEN a.c * b.c ELSE 0 END) AS nc,
+        |    sum(CASE WHEN a.y > b.y THEN a.c * b.c ELSE 0 END) AS nd
+        |  FROM cells a JOIN cells b ON a.x < b.x),
+        |tots AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+        |tx AS (
+        |  SELECT sum(t * (t - 1) // 2) AS n1
+        |  FROM (SELECT CAST(count(*) AS BIGINT) AS t FROM d GROUP BY x)),
+        |ty AS (
+        |  SELECT sum(t * (t - 1) // 2) AS n2
+        |  FROM (SELECT CAST(count(*) AS BIGINT) AS t FROM d GROUP BY y)),
+        |f AS (
+        |  SELECT n, nc, nd, n1, n2, n * (n - 1) // 2 AS n0
+        |  FROM cd, tots, tx, ty)
+        |SELECT n AS n_docs, nc AS concordant, nd AS discordant,
+        |  n1 AS ties_x, n2 AS ties_y,
+        |  round(CAST(nc - nd AS DOUBLE)
+        |        / nullif(sqrt(CAST(n0 - n1 AS DOUBLE)
+        |                      * CAST(n0 - n2 AS DOUBLE)), 0.0), 6) + 0.0
+        |    AS kendall_tau_b
+        |FROM f""".stripMargin,
     "q120_ols_probe" -> q120OracleSql,
     // same duration-value frame, same reverse-cumulative risk set, same
     // ln 10⁻⁹ grid + exact cumsum + single exp; d = n forces 0 exactly
