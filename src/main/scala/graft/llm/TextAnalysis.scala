@@ -1242,7 +1242,65 @@ object TextAnalysis {
       .orderBy("sa", "sb")
   }
 
+  // ----------------- q208: term burstiness (variance-to-mean ratio)
+
+  /** q208: Church–Gale burstiness — per word, the variance-to-mean
+    * ratio of its per-document count over ALL documents (zeros
+    * included): a Poisson-scattered word has VMR ≈ 1 (function words,
+    * uniform templates), a CONTENT word concentrates in few documents
+    * and reads VMR ≫ 1 — the signal separating topical vocabulary
+    * from glue that raw frequency (q33/q168 Zipf) cannot give, and the
+    * input a keyword extractor or stopword-list builder reads. Top-20
+    * by VMR among words in ≥ [[BurstMinDf]] documents (df floor keeps
+    * one-document hapaxes — trivially "bursty" — out of the report).
+    *
+    * Determinism: the algebra collapses zeros exactly —
+    * VMR = (E[x²] − μ²)/μ = Σtf²/Σtf − Σtf/N — so the statistic is
+    * TWO divisions of exact BIGINT sums and one subtraction, never a
+    * float aggregate; the top-20 orders on the 1e-6 grid, ties on the
+    * word.
+    *
+    * Scale shape: one (doc, word) count aggregate (map-side combined,
+    * the only corpus shuffle), then a vocabulary-bounded moment
+    * aggregate and a TakeOrdered top-20. Σtf² is BIGINT-safe to 3M
+    * occurrences of a word in one doc; the DECIMAL(38) swap-in is the
+    * q169 convention.
+    */
+  private val BurstMinDf = 20L
+
+  private def q208(s: SparkSession, dir: String): DataFrame = {
+    val tf = docs(s, dir)
+      .select(
+        col("doc_id"),
+        explode(filter(split(col("text"), " "), x => x =!= "")).as("w")
+      )
+      .groupBy("doc_id", "w")
+      .agg(count(lit(1)).as("tf"))
+    val n = docs(s, dir).agg(count(lit(1)).as("n_docs"))
+    tf.groupBy("w")
+      .agg(
+        count(lit(1)).as("df"),
+        sum(col("tf")).as("s1"),
+        sum(col("tf") * col("tf")).as("s2")
+      )
+      .filter(col("df") >= BurstMinDf)
+      .crossJoin(broadcast(n))
+      .select(
+        col("w").as("word"),
+        col("df"),
+        col("s1").as("total_tf"),
+        (round(
+          col("s2").cast("double") / col("s1").cast("double") -
+            col("s1").cast("double") / col("n_docs").cast("double"),
+          6
+        ) + 0.0).as("burstiness_vmr")
+      )
+      .orderBy(desc("burstiness_vmr"), col("word"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q208_burstiness" -> q208,
     "q202_bigram_perplexity" -> q202,
     "q203_source_vocab_overlap" -> q203,
     "q196_flesch_readability" -> q196,
@@ -1272,6 +1330,27 @@ object TextAnalysis {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // same (doc, word) counts, same zero-collapsed VMR algebra
+    // Σtf²/Σtf − Σtf/N on exact BIGINTs, same grid + tie order
+    "q208_burstiness" ->
+      s"""WITH tf AS (
+         |  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+         |                x -> x <> '')) AS w
+         |        FROM documents)
+         |  GROUP BY 1, 2),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+         |m AS (
+         |  SELECT w, CAST(count(*) AS BIGINT) AS df,
+         |    CAST(sum(tf) AS BIGINT) AS s1,
+         |    CAST(sum(tf * tf) AS BIGINT) AS s2
+         |  FROM tf GROUP BY w)
+         |SELECT w AS word, df, s1 AS total_tf,
+         |  round(CAST(s2 AS DOUBLE) / CAST(s1 AS DOUBLE)
+         |        - CAST(s1 AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) + 0.0
+         |    AS burstiness_vmr
+         |FROM m, n WHERE df >= $BurstMinDf
+         |ORDER BY burstiness_vmr DESC, word LIMIT 20""".stripMargin,
     // same zip-extracted bigrams, same add-one model from the SAME md5
     // split, −ln P on the same 1e-9 grid weighted by exact counts
     "q202_bigram_perplexity" ->

@@ -124,11 +124,128 @@ object Attribution {
       .orderBy("channel")
   }
 
+  // ------------- q209: Shapley-value channel attribution (3 channels)
+
+  /** q209: exact Shapley conversion credit over the three touch
+    * channels {view=1, click=2, signup=4} — the game-theoretic
+    * attribution next to q116's linear split (linear credits only
+    * channels on the converting path; Shapley prices each channel's
+    * MARGINAL contribution across all exposure coalitions, the
+    * industry-standard data-driven model): coalition value
+    * v(S) = #converted users whose exposure set E ⊆ S (monotone,
+    * v(∅) = 0, v(full) = total attributable conversions — so Shapley
+    * credits sum exactly to the total), and with k = 3 fixed channels
+    * the Shapley sum collapses to the closed 6ths form
+    * 6·φ_c = 2·v({c}) + Σ_{s≠c}(v({c,s}) − v({s})) + 2·(v(N) − v(N∖c)).
+    *
+    * Determinism: v(S) values are exact BIGINT counts, 6·φ_c is exact
+    * integer arithmetic on them (emitted as `phi6` — the hash-stable
+    * exact form), and the rendered credit is one /6 division under the
+    * round-6 grid.
+    *
+    * Scale shape: ONE user-keyed aggregate collapses the corpus to an
+    * ≤8-row exposure-mask frame; v(S) is an 8×8 bitmask-containment
+    * cross join on that frame (e & smask = e ⟺ E ⊆ S); the closed
+    * form is a driver-side fold over the ≤8 collected rows (the
+    * q70/q197 bounded-model-pull convention), re-entering as a 3-row
+    * LocalRelation.
+    */
+  private val ShapleyChannels =
+    Seq(("view", 1), ("click", 2), ("signup", 4))
+
+  private def q209(s: SparkSession, dir: String): DataFrame = {
+    val maskExpr = ShapleyChannels
+      .map { case (t, bit) =>
+        when(max(when(col("event_type") === t, 1).otherwise(0)) === 1, bit)
+          .otherwise(0)
+      }
+      .reduce(_ + _)
+    val per = Tables
+      .table(s, dir, "events")
+      .groupBy("user_id")
+      .agg(
+        maskExpr.as("e"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("conv")
+      )
+      .filter(col("e") > 0) // untouched users attribute nothing
+    val em = per.groupBy("e").agg(sum(col("conv")).as("cv"))
+    val subsets = s.range(1, 8).select(col("id").cast("int").as("smask"))
+    val v = em
+      .crossJoin(broadcast(subsets))
+      .filter(expr("(e & smask) = e"))
+      .groupBy("smask")
+      .agg(sum(col("cv")).as("v"))
+    // bounded model pull: ≤7 coalition rows
+    val vm = v.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    def vOf(mask: Int): Long = if (mask == 0) 0L else vm.getOrElse(mask, 0L)
+    val rows = ShapleyChannels.map { case (name, c) =>
+      val others = ShapleyChannels.map(_._2).filter(_ != c)
+      val phi6 = 2L * vOf(c) +
+        others.map(sb => vOf(c | sb) - vOf(sb)).sum +
+        2L * (vOf(7) - vOf(7 ^ c))
+      (name, phi6, vOf(7))
+    }
+    import s.implicits._
+    rows
+      .toDF("channel", "phi6", "total_conversions")
+      .select(
+        col("channel"),
+        col("phi6"),
+        (round(col("phi6").cast("double") / 6.0d, 6) + 0.0)
+          .as("shapley_conversions"),
+        col("total_conversions")
+      )
+      .orderBy("channel")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q209_shapley_attribution" -> q209,
     "q116_linear_attribution" -> q116
   )
 
   val oracleSql: Map[String, String] = Map(
+    // same exposure masks, same bitmask-containment coalition values,
+    // same closed 6ths Shapley form as exact integers
+    "q209_shapley_attribution" ->
+      """WITH per AS (
+        |  SELECT user_id,
+        |    CASE WHEN max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) = 1 THEN 1 ELSE 0 END
+        |    + CASE WHEN max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) = 1 THEN 2 ELSE 0 END
+        |    + CASE WHEN max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) = 1 THEN 4 ELSE 0 END AS e,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+        |  FROM events GROUP BY user_id),
+        |em AS (
+        |  SELECT e, CAST(sum(conv) AS BIGINT) AS cv
+        |  FROM per WHERE e > 0 GROUP BY e),
+        |v AS (
+        |  SELECT s.smask, CAST(sum(em.cv) AS BIGINT) AS v
+        |  FROM (SELECT unnest(range(1, 8)) AS smask) s
+        |  JOIN em ON (em.e & s.smask) = em.e
+        |  GROUP BY s.smask),
+        |vx AS (
+        |  SELECT
+        |    coalesce(max(CASE WHEN smask = 1 THEN v END), 0) AS v1,
+        |    coalesce(max(CASE WHEN smask = 2 THEN v END), 0) AS v2,
+        |    coalesce(max(CASE WHEN smask = 3 THEN v END), 0) AS v3,
+        |    coalesce(max(CASE WHEN smask = 4 THEN v END), 0) AS v4,
+        |    coalesce(max(CASE WHEN smask = 5 THEN v END), 0) AS v5,
+        |    coalesce(max(CASE WHEN smask = 6 THEN v END), 0) AS v6,
+        |    coalesce(max(CASE WHEN smask = 7 THEN v END), 0) AS v7
+        |  FROM v),
+        |phi AS (
+        |  SELECT 'view' AS channel,
+        |    2 * v1 + (v3 - v2) + (v5 - v4) + 2 * (v7 - v6) AS phi6, v7
+        |  FROM vx
+        |  UNION ALL
+        |  SELECT 'click', 2 * v2 + (v3 - v1) + (v6 - v4) + 2 * (v7 - v5), v7
+        |  FROM vx
+        |  UNION ALL
+        |  SELECT 'signup', 2 * v4 + (v5 - v1) + (v6 - v2) + 2 * (v7 - v3), v7
+        |  FROM vx)
+        |SELECT channel, CAST(phi6 AS BIGINT) AS phi6,
+        |  round(CAST(phi6 AS DOUBLE) / 6.0, 6) + 0.0 AS shapley_conversions,
+        |  v7 AS total_conversions
+        |FROM phi ORDER BY channel""".stripMargin,
     "q116_linear_attribution" ->
       s"""WITH e AS (
          |  SELECT event_id, user_id, event_type, epoch_us(ts) AS us,

@@ -758,7 +758,63 @@ object Graph {
       .orderBy("node")
   }
 
+  // --------------- q207: degree assortativity coefficient
+
+  /** q207: Newman's degree assortativity r — "do hubs link to hubs?"
+    * — the one-number mixing summary read BEFORE trusting any
+    * sampled/pruned graph computation (q80b, q181's HT sampling): a
+    * disassortative graph (r < 0, hubs link to leaves) degrades very
+    * differently under center sampling than an assortative one.
+    * r = Pearson correlation of (deg(u), deg(v)) over directed edge
+    * ends (each undirected edge counted in both orientations — the
+    * standard convention, which makes Σx = Σy by symmetry; the dag
+    * keeps the general spelling).
+    *
+    * Determinism: degrees are exact integers; the five moments are
+    * DECIMAL(38) exact sums (deg² products overflow BIGINT at ~10⁵
+    * avg-degree hubs) cast once; r is a single √-and-divide dag with
+    * the nullif degeneracy guard (a regular graph has zero variance).
+    *
+    * Scale shape: the degree frame is node-sized, the two joins key
+    * the edge list by endpoint (shuffle = 2m rows of two ints), the
+    * moment aggregate is map-side partial — nothing beyond O(m).
+    */
+  private def q207(s: SparkSession, dir: String): DataFrame = {
+    val e = graft.llm.Dedup.tcache(s, cooccurrenceEdges(s, dir))
+    val und = e
+      .select(col("a").as("z"), col("b").as("n"))
+      .union(e.select(col("b").as("z"), col("a").as("n")))
+    val deg = und.groupBy("z").agg(count(lit(1)).as("deg"))
+    val ends = und
+      .join(deg.select(col("z"), col("deg").as("x")), "z")
+      .join(deg.select(col("z").as("n"), col("deg").as("y")), "n")
+    ends
+      .agg(
+        count(lit(1)).as("m2"),
+        sum(col("x").cast("decimal(38,0)")).cast("double").as("sx"),
+        sum(col("y").cast("decimal(38,0)")).cast("double").as("sy"),
+        sum((col("x") * col("x")).cast("decimal(38,0)")).cast("double").as("sxx"),
+        sum((col("x") * col("y")).cast("decimal(38,0)")).cast("double").as("sxy"),
+        sum((col("y") * col("y")).cast("decimal(38,0)")).cast("double").as("syy")
+      )
+      .select(
+        expr("m2 div 2").as("n_edges"),
+        (round(
+          (col("m2").cast("double") * col("sxy") - col("sx") * col("sy")) /
+            nullif(
+              sqrt(
+                (col("m2").cast("double") * col("sxx") - col("sx") * col("sx")) *
+                  (col("m2").cast("double") * col("syy") - col("sy") * col("sy"))
+              ),
+              lit(0.0d)
+            ),
+          6
+        ) + 0.0).as("assortativity")
+      )
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q207_assortativity" -> q207,
     "q71_pagerank" -> q71,
     "q80_triangle_count" -> q80,
     "q80b_triangle_sample" -> q80b,
@@ -868,6 +924,34 @@ object Graph {
         |FROM nw ORDER BY score9 DESC, a, b LIMIT 20""".stripMargin,
     // same wedge-closure triangle credit per vertex, one division of
     // exact integers
+    // same edge CTEs, same both-orientation ends, same exact HUGEINT
+    // moments and single guarded √-and-divide dag
+    "q207_assortativity" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
+        |            FROM lineitem),
+        |ec AS (SELECT x.sk AS a, y.sk AS b, count(*) AS c
+        |       FROM li x JOIN li y ON x.ok = y.ok AND x.sk < y.sk
+        |       GROUP BY x.sk, y.sk),
+        |e AS (SELECT a, b FROM ec WHERE c > (SELECT avg(c) FROM ec)),
+        |und AS (SELECT a AS z, b AS n FROM e UNION ALL SELECT b AS z, a AS n FROM e),
+        |deg AS (SELECT z, CAST(count(*) AS BIGINT) AS deg FROM und GROUP BY z),
+        |ends AS (
+        |  SELECT dz.deg AS x, dn.deg AS y
+        |  FROM und JOIN deg dz ON dz.z = und.z JOIN deg dn ON dn.z = und.n),
+        |m AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS m2,
+        |    CAST(sum(CAST(x AS HUGEINT)) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(y AS HUGEINT)) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(x AS HUGEINT) * y) AS DOUBLE) AS sxy,
+        |    CAST(sum(CAST(y AS HUGEINT) * y) AS DOUBLE) AS syy
+        |  FROM ends)
+        |SELECT m2 // 2 AS n_edges,
+        |  round((CAST(m2 AS DOUBLE) * sxy - sx * sy)
+        |        / nullif(sqrt((CAST(m2 AS DOUBLE) * sxx - sx * sx)
+        |                      * (CAST(m2 AS DOUBLE) * syy - sy * sy)), 0.0),
+        |        6) + 0.0 AS assortativity
+        |FROM m""".stripMargin,
     "q182_clustering_coeff" ->
       """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
         |            FROM lineitem),
