@@ -1139,9 +1139,13 @@ object TextAnalysis {
     * predecessor counts); the only corpus-sized shuffles are the two
     * count aggregates.
     */
-  private def q202(s: SparkSession, dir: String): DataFrame = {
+  /** The md5-split bigram stream (split, w1, w2) — q202's corpus
+    * framing, shared verbatim by q210's Kneser–Ney twin so the two
+    * LMs always score the identical eval stream.
+    */
+  private def bigramSplitPairs(s: SparkSession, dir: String): DataFrame = {
     val toks = split(col("text"), " ")
-    val pairs = docs(s, dir)
+    docs(s, dir)
       .filter(size(toks) >= 2)
       .withColumn(
         "split",
@@ -1158,6 +1162,10 @@ object TextAnalysis {
         ).as("p")
       )
       .select(col("split"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+  }
+
+  private def q202(s: SparkSession, dir: String): DataFrame = {
+    val pairs = bigramSplitPairs(s, dir)
     val train = pairs.filter(col("split") === "train")
     val big = train.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
     val pre = train.groupBy("w1").agg(count(lit(1)).as("c1"))
@@ -1299,7 +1307,99 @@ object TextAnalysis {
       .limit(20)
   }
 
+  // ------- q210: interpolated Kneser–Ney bigram perplexity
+
+  /** q210: interpolated Kneser–Ney — the smoothing real LM tooling
+    * uses, next to q202's add-one twin (add-one crushes probability
+    * mass onto unseen events and its perplexity gap overstates
+    * contamination; KN discounts each seen bigram a fixed D and
+    * redistributes via the CONTINUATION distribution "how many
+    * contexts does this word complete?", the correction that made
+    * n-gram LMs competitive):
+    * P(w₂|w₁) = max(c₁₂ − D, 0)/c₁ + D·N1p(w₁)/c₁ · Pc(w₂), D = ¾
+    * (exactly representable), Pc(w₂) = (N1s(w₂)+1)/(N1t + V + 1) —
+    * the continuation distribution itself add-one smoothed over the
+    * train vocab + unk so every eval bigram has P > 0; an unseen
+    * history backs off to bare Pc (the interpolation weight is 1 when
+    * c₁ = 0). Both splits scored on the identical bigram stream as
+    * q202 (shared builder), so the two models' gaps are directly
+    * comparable.
+    *
+    * Determinism: every count is an exact BIGINT; P is ONE fixed
+    * IEEE dag on their casts (D = 0.75 and c₁₂ − 0.75 are exact
+    * doubles), −ln P floor-snaps to the 1e-9 grid per distinct
+    * (split, bigram) and aggregates as exact count-weighted BIGINTs
+    * (the q202/q174 convention).
+    *
+    * Scale shape: the model is FOUR vocabulary-/bigram-type-bounded
+    * frames off one train pass (c₁₂, c₁, N1p, N1s) + two 1-row
+    * broadcasts; scoring is the same distinct-bigram LEFT joins as
+    * q202 — nothing corpus² anywhere.
+    */
+  private def q210(s: SparkSession, dir: String): DataFrame = {
+    val pairs = bigramSplitPairs(s, dir)
+    val train = pairs.filter(col("split") === "train")
+    val big = train.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val pre = train.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val n1p = big.groupBy("w1").agg(count(lit(1)).as("n1p"))
+    val n1s = big.groupBy("w2").agg(count(lit(1)).as("n1s"))
+    val n1t = big.agg(count(lit(1)).as("n1t"))
+    val vf = train
+      .select(col("w1").as("w"))
+      .union(train.select(col("w2").as("w")))
+      .distinct()
+      .agg(count(lit(1)).as("vv"))
+    pairs
+      .groupBy("split", "w1", "w2")
+      .agg(count(lit(1)).as("ec"))
+      .join(big, Seq("w1", "w2"), "left")
+      .join(pre, Seq("w1"), "left")
+      .join(n1p, Seq("w1"), "left")
+      .join(n1s, Seq("w2"), "left")
+      .crossJoin(broadcast(n1t))
+      .crossJoin(broadcast(vf))
+      .withColumn(
+        "pc",
+        expr(
+          "CAST(coalesce(n1s, 0) + 1 AS DOUBLE) " +
+            "/ (CAST(n1t AS DOUBLE) + CAST(vv AS DOUBLE) + 1.0)"
+        )
+      )
+      .withColumn(
+        "p",
+        expr(
+          "CASE WHEN coalesce(c1, 0) > 0 THEN " +
+            "(CASE WHEN coalesce(c12, 0) > 0 " +
+            "      THEN CAST(c12 AS DOUBLE) - 0.75 ELSE 0.0 END) " +
+            "  / CAST(c1 AS DOUBLE) " +
+            "+ 0.75 * CAST(coalesce(n1p, 0) AS DOUBLE) " +
+            "  / CAST(c1 AS DOUBLE) * pc " +
+            "ELSE pc END"
+        )
+      )
+      .withColumn("nll9", expr("CAST(-floor(ln(p) * 1.0e9) AS BIGINT)"))
+      .groupBy("split")
+      .agg(
+        sum(col("ec")).as("n_bigrams"),
+        sum(col("nll9") * col("ec")).as("s9")
+      )
+      .select(
+        col("split"),
+        col("n_bigrams"),
+        (round(
+          col("s9").cast("double") / (col("n_bigrams") * 1000000000L).cast("double"),
+          6
+        ) + 0.0).as("mean_nll"),
+        (round(
+          exp(col("s9").cast("double") / (col("n_bigrams") * 1000000000L).cast("double")),
+          4
+        ) + 0.0).as("perplexity")
+      )
+      .orderBy("split")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q210_kn_perplexity" -> q210,
     "q208_burstiness" -> q208,
     "q202_bigram_perplexity" -> q202,
     "q203_source_vocab_overlap" -> q203,
@@ -1351,6 +1451,60 @@ object TextAnalysis {
          |    AS burstiness_vmr
          |FROM m, n WHERE df >= $BurstMinDf
          |ORDER BY burstiness_vmr DESC, word LIMIT 20""".stripMargin,
+    // q202's bigram-stream CTEs + the same four KN model frames, the
+    // same single-dag P (D = 0.75 exact), −ln P on the 1e-9 grid
+    "q210_kn_perplexity" ->
+      """WITH toks AS (
+        |  SELECT CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+        |              AS BIGINT) % 100 < 80 THEN 'train' ELSE 'eval' END AS split,
+        |    string_split(text, ' ') AS w
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 2),
+        |pp AS (
+        |  SELECT split,
+        |    unnest(list_transform(generate_series(1, len(w) - 1), i -> w[i])) AS w1,
+        |    unnest(list_transform(generate_series(1, len(w) - 1), i -> w[i+1])) AS w2
+        |  FROM toks),
+        |tr AS (SELECT w1, w2 FROM pp WHERE split = 'train'),
+        |big AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM tr GROUP BY 1, 2),
+        |pre AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM tr GROUP BY 1),
+        |n1p AS (SELECT w1, CAST(count(*) AS BIGINT) AS n1p FROM big GROUP BY 1),
+        |n1s AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1s FROM big GROUP BY 1),
+        |n1t AS (SELECT CAST(count(*) AS BIGINT) AS n1t FROM big),
+        |vf AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS vv
+        |  FROM (SELECT w1 AS w FROM tr UNION SELECT w2 FROM tr)),
+        |sc AS (
+        |  SELECT p.split, CAST(count(*) AS BIGINT) AS ec,
+        |    CAST(-floor(ln(
+        |      CASE WHEN coalesce(r.c1, 0) > 0 THEN
+        |        (CASE WHEN coalesce(b.c12, 0) > 0
+        |              THEN CAST(b.c12 AS DOUBLE) - 0.75 ELSE 0.0 END)
+        |          / CAST(r.c1 AS DOUBLE)
+        |        + 0.75 * CAST(coalesce(np.n1p, 0) AS DOUBLE)
+        |          / CAST(r.c1 AS DOUBLE)
+        |          * (CAST(coalesce(ns.n1s, 0) + 1 AS DOUBLE)
+        |             / (CAST(n1t.n1t AS DOUBLE) + CAST(vf.vv AS DOUBLE) + 1.0))
+        |      ELSE CAST(coalesce(ns.n1s, 0) + 1 AS DOUBLE)
+        |           / (CAST(n1t.n1t AS DOUBLE) + CAST(vf.vv AS DOUBLE) + 1.0)
+        |      END) * 1.0e9) AS BIGINT) AS nll9
+        |  FROM pp p
+        |  LEFT JOIN big b ON b.w1 = p.w1 AND b.w2 = p.w2
+        |  LEFT JOIN pre r ON r.w1 = p.w1
+        |  LEFT JOIN n1p np ON np.w1 = p.w1
+        |  LEFT JOIN n1s ns ON ns.w2 = p.w2
+        |  CROSS JOIN n1t CROSS JOIN vf
+        |  GROUP BY p.split, p.w1, p.w2, b.c12, r.c1, np.n1p, ns.n1s,
+        |           n1t.n1t, vf.vv),
+        |a AS (
+        |  SELECT split, CAST(sum(ec) AS BIGINT) AS n_bigrams,
+        |    CAST(sum(nll9 * ec) AS BIGINT) AS s9
+        |  FROM sc GROUP BY 1)
+        |SELECT split, n_bigrams,
+        |  round(CAST(s9 AS DOUBLE) / CAST(n_bigrams * 1000000000 AS DOUBLE), 6)
+        |    + 0.0 AS mean_nll,
+        |  round(exp(CAST(s9 AS DOUBLE) / CAST(n_bigrams * 1000000000 AS DOUBLE)), 4)
+        |    + 0.0 AS perplexity
+        |FROM a ORDER BY split""".stripMargin,
     // same zip-extracted bigrams, same add-one model from the SAME md5
     // split, −ln P on the same 1e-9 grid weighted by exact counts
     "q202_bigram_perplexity" ->
