@@ -321,7 +321,96 @@ object TimeSeries {
 
   private[queries] val XcorrLags: Seq[Int] = Seq(0, 1, 2, 3)
 
+  // ---------- q211: forecast backtest — seasonal-naive + sMAPE/MASE
+
+  /** q211: forecast backtesting — the evaluation harness every
+    * metrics-forecasting deployment needs BEFORE any model choice (the
+    * seasonal-naive baseline ŷ(d) = y(d−7) is the bar a real model
+    * must beat; a "forecast" gate without its eval is decoration):
+    * per event type, daily counts are backtested over the LAST 14
+    * calendar days against same-weekday-last-week, reporting
+    *
+    *   - sMAPE: per-day 2|y−ŷ|/(y+ŷ) floor-snapped to the 1e-9 grid
+    *     and summed as EXACT BIGINTs (the q174 convention; a
+    *     zero-zero day contributes exactly 0 via the nullif guard),
+    *     one /n render;
+    *   - MASE: MAE(forecast)/MAE(in-sample naive-1): spelled as the
+    *     EXACT integer cross-product (Σ|err|·n_in)/(Σ|Δ|·n_eval) —
+    *     one division of exact integers, no intermediate float means.
+    *
+    * Determinism: counts are exact; eval days are those where both
+    * y(d) and y(d−7) exist in the daily frame (absent days excluded —
+    * deterministic from the data); the in-sample denominator pairs
+    * consecutive PRESENT days before the eval window via lag over the
+    * calendar-bounded daily frame.
+    *
+    * Scale shape: one corpus (type, day) aggregate; everything after
+    * runs on the calendar-bounded daily frame (lag windows partitioned
+    * by type). Output #types rows.
+    */
+  private def q211(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables
+      .table(s, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("y"))
+    val maxd = daily.agg(max(col("d")).as("maxd"))
+    val withF = daily
+      .join(
+        daily.select(
+          col("event_type"),
+          date_add(col("d"), 7).as("d"),
+          col("y").as("f")
+        ),
+        Seq("event_type", "d")
+      )
+      .crossJoin(broadcast(maxd))
+    val evalW = withF
+      .filter(datediff(col("maxd"), col("d")) < 14)
+      .withColumn("aerr", abs(col("y") - col("f")))
+      .withColumn(
+        "sm9",
+        expr(
+          "CAST(floor(2.0e9 * CAST(abs(y - f) AS DOUBLE) " +
+            "/ nullif(CAST(y + f AS DOUBLE), 0.0)) AS BIGINT)"
+        )
+      )
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_eval"),
+        sum(col("aerr")).as("serr"),
+        sum(coalesce(col("sm9"), lit(0L))).as("ssm9")
+      )
+    val w = Window.partitionBy("event_type").orderBy("d")
+    val insample = daily
+      .crossJoin(broadcast(maxd))
+      .filter(datediff(col("maxd"), col("d")) >= 14)
+      .withColumn("prev", lag(col("y"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_in"),
+        sum(abs(col("y") - col("prev"))).as("sdelta")
+      )
+    evalW
+      .join(insample, Seq("event_type"))
+      .select(
+        col("event_type"),
+        col("n_eval"),
+        (round(
+          col("ssm9").cast("double") / (col("n_eval") * 1000000000L).cast("double") * 100.0,
+          6
+        ) + 0.0).as("smape_pct"),
+        (round(
+          (col("serr") * col("n_in")).cast("double") /
+            nullif((col("sdelta") * col("n_eval")).cast("double"), lit(0.0d)),
+          6
+        ) + 0.0).as("mase")
+      )
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q211_forecast_backtest" -> q211,
     "q183_cross_correlation" -> q183,
     "q119_twap" -> q119,
     "q119b_ohlc_vwap" -> q119b,
@@ -330,6 +419,43 @@ object TimeSeries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // same daily frame, same d−7 self-join, same 1e-9-grid sMAPE terms
+    // and exact-integer MASE cross-product
+    "q211_forecast_backtest" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS d,
+        |         CAST(count(*) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |maxd AS (SELECT max(d) AS maxd FROM daily),
+        |wf AS (
+        |  SELECT a.event_type, a.d, a.y, b.y AS f
+        |  FROM daily a JOIN daily b
+        |    ON b.event_type = a.event_type AND b.d = a.d - 7),
+        |ev AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_eval,
+        |    CAST(sum(abs(y - f)) AS BIGINT) AS serr,
+        |    CAST(sum(coalesce(
+        |      CAST(floor(2.0e9 * CAST(abs(y - f) AS DOUBLE)
+        |                 / nullif(CAST(y + f AS DOUBLE), 0.0)) AS BIGINT),
+        |      0)) AS BIGINT) AS ssm9
+        |  FROM wf, maxd WHERE date_diff('day', d, maxd) < 14
+        |  GROUP BY 1),
+        |ins AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_in,
+        |    CAST(sum(abs(y - prev)) AS BIGINT) AS sdelta
+        |  FROM (SELECT event_type, y,
+        |          lag(y) OVER (PARTITION BY event_type ORDER BY d) AS prev
+        |        FROM daily, maxd
+        |        WHERE date_diff('day', d, maxd) >= 14)
+        |  WHERE prev IS NOT NULL GROUP BY 1)
+        |SELECT ev.event_type, n_eval,
+        |  round(CAST(ssm9 AS DOUBLE) / CAST(n_eval * 1000000000 AS DOUBLE)
+        |        * 100.0, 6) + 0.0 AS smape_pct,
+        |  round(CAST(serr * n_in AS DOUBLE)
+        |        / nullif(CAST(sdelta * n_eval AS DOUBLE), 0.0), 6) + 0.0
+        |    AS mase
+        |FROM ev JOIN ins USING (event_type)
+        |ORDER BY event_type""".stripMargin,
     // same two daily centi frames, calendar-date lag join, HUGEINT
     // moments, same Pearson dag
     "q183_cross_correlation" ->
