@@ -313,6 +313,73 @@ object Dedup {
     )
   }
 
+  // --------- q212: MinHash estimator calibration vs exact Jaccard
+
+  /** q212: sketch calibration audit — "how far is the MinHash ESTIMATE
+    * from the exact Jaccard it stands in for?", the measurement that
+    * justifies (or retunes) q27's 64-hash budget before anyone trusts
+    * LSH at a new threshold: over q26's exact near-dup pairs, the
+    * per-pair signature estimate m/64 (m = matching components) against
+    * the exact i/(na+nb−i), reporting MAE, mean bias, and the worst
+    * absolute error. E[m/64] = J exactly (each permutation's min
+    * collides with probability J), so bias ≈ 0 and MAE ~ √(J(1−J)/64)
+    * ≈ 0.04 at J = 0.9 is the calibrated expectation.
+    *
+    * Determinism (and the reason this audit re-derives signatures
+    * rather than reusing q27's): q27's base hash is Spark's xxhash64 —
+    * not replayable in the oracle engine. The audit uses the
+    * md5-prefix hash (the q43 bucket spelling, bit-identical in both
+    * engines) through the SAME [[MinHashAggregator]] affine
+    * permutations with the SAME (a, b, p) constants, embedded into the
+    * oracle SQL as literal arrays — so the oracle rebuilds the exact
+    * signatures independently. Per-pair: est9 = m·15625000 (1e9/64 is
+    * exact), exact9 = (10⁹·i) div (na+nb−i) — both exact BIGINTs, so
+    * MAE/bias/max are exact-integer aggregates under one final render.
+    *
+    * Scale shape: one signature pass (the q27 aggregate shape) + q26's
+    * candidate-bounded pairs joined to the doc-keyed signature frame;
+    * the component compare is a map-side zip_with over 64-long arrays.
+    */
+  private def q212(s: SparkSession, dir: String): DataFrame = {
+    val sh = cachedShingles(s, dir)
+    val withH = sh.withColumn(
+      "h",
+      expr(s"CAST(conv(substring(md5(g), 1, 15), 16, 10) AS BIGINT) % $MinHashP")
+    )
+    val minhash = udaf(
+      new graft.functions.MinHashAggregator(hashA, hashB, MinHashP)
+    )
+    val sig = withH.groupBy("doc_id").agg(minhash(col("h")).as("sig"))
+    exactJaccardPairs(s, dir)
+      .join(sig.select(col("doc_id").as("da"), col("sig").as("siga")), "da")
+      .join(sig.select(col("doc_id").as("db"), col("sig").as("sigb")), "db")
+      .withColumn(
+        "m",
+        expr("size(filter(zip_with(siga, sigb, (x, y) -> x = y), v -> v))")
+      )
+      .withColumn("est9", col("m").cast("long") * 15625000L)
+      .withColumn("ex9", expr("(1000000000 * i) div (na + nb - i)"))
+      .withColumn("d9", col("est9") - col("ex9"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(abs(col("d9"))).as("sad9"),
+        sum(col("d9")).as("sd9"),
+        max(abs(col("d9"))).as("mx9")
+      )
+      .select(
+        col("n_pairs"),
+        (round(
+          col("sad9").cast("double") / (col("n_pairs") * 1000000000L).cast("double"),
+          6
+        ) + 0.0).as("mae"),
+        (round(
+          col("sd9").cast("double") / (col("n_pairs") * 1000000000L).cast("double"),
+          6
+        ) + 0.0).as("mean_bias"),
+        (round(col("mx9").cast("double") / 1.0e9, 6) + 0.0).as("max_abs_err")
+      )
+  }
+
   private def q27(s: SparkSession, dir: String): DataFrame = {
     val sh = cachedShingles(s, dir)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
@@ -914,6 +981,7 @@ object Dedup {
     "q25c_dedup_incremental" -> q25c,
     "q26_dedup_ngram_jaccard" -> q26,
     "q206_source_dup_matrix" -> q206,
+    "q212_minhash_calibration" -> q212,
     "q27_dedup_minhash_lsh" -> q27,
     "q28_dedup_simhash" -> q28,
     "q29_dedup_embedding_cosine" -> q29,
@@ -1007,6 +1075,55 @@ object Dedup {
         |WHERE NOT EXISTS (SELECT 1 FROM seen WHERE seen.digest = d.digest)
         |ORDER BY doc_id""".stripMargin,
     "q26_dedup_ngram_jaccard" -> s"$shingleCte\n$jaccardSelect",
+    // q26's shingle CTEs + an INDEPENDENT signature rebuild: the same
+    // md5-prefix base hash, the same (a, b, p) affine permutations
+    // embedded as literal arrays, min per (doc, permutation) — then the
+    // same exact-integer est9/ex9 calibration aggregate
+    "q212_minhash_calibration" -> {
+      val aLit = hashA.mkString("[", ", ", "]")
+      val bLit = hashB.mkString("[", ", ", "]")
+      s"""$shingleCte,
+         |hs AS (
+         |  SELECT doc_id,
+         |    CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) % $MinHashP AS h
+         |  FROM sh),
+         |consts AS (SELECT $aLit AS a, $bLit AS b),
+         |sigs AS MATERIALIZED (
+         |  SELECT doc_id, j,
+         |    min((a[j + 1] * h + b[j + 1]) % $MinHashP) AS mh
+         |  FROM hs, (SELECT unnest(range(0, ${hashA.length})) AS j), consts
+         |  GROUP BY doc_id, j),
+         |pj AS (
+         |  SELECT da, db, i, sa.n AS na, sb.n AS nb
+         |  FROM inter
+         |  JOIN sz sa ON sa.doc_id = da
+         |  JOIN sz sb ON sb.doc_id = db
+         |  WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.6),
+         |pm AS (
+         |  SELECT p.da, p.db,
+         |    CAST(sum(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END) AS BIGINT) AS m,
+         |    min(p.i) AS i, min(p.na) AS na, min(p.nb) AS nb
+         |  FROM pj p
+         |  JOIN sigs x ON x.doc_id = p.da
+         |  JOIN sigs y ON y.doc_id = p.db AND y.j = x.j
+         |  GROUP BY p.da, p.db),
+         |dd AS (
+         |  SELECT m * 15625000 - (1000000000 * i) // (na + nb - i) AS d9
+         |  FROM pm),
+         |agg AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+         |    CAST(sum(abs(d9)) AS BIGINT) AS sad9,
+         |    CAST(sum(d9) AS BIGINT) AS sd9,
+         |    CAST(max(abs(d9)) AS BIGINT) AS mx9
+         |  FROM dd)
+         |SELECT n_pairs,
+         |  round(CAST(sad9 AS DOUBLE) / CAST(n_pairs * 1000000000 AS DOUBLE), 6)
+         |    + 0.0 AS mae,
+         |  round(CAST(sd9 AS DOUBLE) / CAST(n_pairs * 1000000000 AS DOUBLE), 6)
+         |    + 0.0 AS mean_bias,
+         |  round(CAST(mx9 AS DOUBLE) / 1.0e9, 6) + 0.0 AS max_abs_err
+         |FROM agg""".stripMargin
+    },
     // q26's shingle CTEs verbatim + the source-pair rollup: per-pair
     // Jaccard on the 1e-4 floor grid, exact BIGINT cell sums, one mean
     // division per cell

@@ -590,7 +590,50 @@ object Retrieval {
          |sel$k AS MATERIALIZED (SELECT doc_id FROM sel${k - 1}
          |          UNION ALL SELECT doc_id FROM p$k)""".stripMargin
 
+  // ------------- q213: positional phrase search (postings intersection)
+
+  /** The fixed probe phrase (two adjacent corpus terms; a production
+    * caller parameterizes — the gate needs it fixed, the q90 rule).
+    */
+  private[graft] val PhraseTerms = Seq("spark", "join")
+
+  /** q213: exact phrase search by POSITIONAL-INDEX intersection — the
+    * query shape BM25's bag-of-words (q90) structurally cannot answer
+    * ("spark join" the phrase, not the two words anywhere): per phrase
+    * term, the positional postings (doc, position); the phrase is the
+    * chain of adjacency equi-joins p_{k}.pos = p_{k−1}.pos + 1 on the
+    * doc key. One row per matching document with its hit count and
+    * first match position.
+    *
+    * Scale shape — WHY an index intersection and not contains(): the
+    * postings for each term are corpus-frequency-sized (not
+    * corpus-sized), the adjacency join keys on (doc, pos) — exact
+    * integers — and the same plan extends to k-token phrases (k−1
+    * chained joins) and to proximity queries (pos BETWEEN) with no new
+    * machinery; a substring scan re-reads every byte of the corpus per
+    * query and cannot use a posting cutoff. Everything is exact
+    * integer arithmetic — no float anywhere.
+    */
+  private def q213(s: SparkSession, dir: String): DataFrame = {
+    val tok = docs(s, dir)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("i", "w")))
+      .filter(col("w").isin(PhraseTerms: _*))
+    val head = tok
+      .filter(col("w") === PhraseTerms.head)
+      .select(col("doc_id"), col("i").as("i0"))
+    val p1 = tok
+      .filter(col("w") === PhraseTerms(1))
+      .select(col("doc_id"), col("i").as("i1"))
+    head
+      .join(p1, Seq("doc_id"))
+      .filter(col("i1") === col("i0") + 1)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hits"), (min(col("i0")) + 1).as("first_pos"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q213_phrase_search" -> q213,
     "q205_mmr_rerank" -> q205,
     "q90_bm25" -> q90,
     "q90b_snippets" -> q90b,
@@ -960,6 +1003,23 @@ object Retrieval {
     * re-spelling of the list it packs).
     */
   val oracleSql: Map[String, String] = oracleSqlBase + (
+    // same positional postings (the q202 zipped-unnest spelling), same
+    // adjacency equi-join, exact integer hit counts/positions
+    "q213_phrase_search" -> {
+      val t0 = PhraseTerms.head
+      val t1 = PhraseTerms(1)
+      s"""WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(string_split(text, ' ')) AS w,
+        |    unnest(range(0, len(string_split(text, ' ')))) AS i
+        |  FROM documents),
+        |p0 AS (SELECT doc_id, i AS i0 FROM tok WHERE w = '$t0'),
+        |p1 AS (SELECT doc_id, i AS i1 FROM tok WHERE w = '$t1')
+        |SELECT p0.doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+        |  CAST(min(i0) + 1 AS INTEGER) AS first_pos
+        |FROM p0 JOIN p1 ON p1.doc_id = p0.doc_id AND p1.i1 = p0.i0 + 1
+        |GROUP BY p0.doc_id ORDER BY p0.doc_id""".stripMargin
+    },
     // same BM25 CTEs on the 1e-4 floor grid, same exact-integer pair
     // Jaccards, same greedy chain as 10 chained CTE steps
     "q205_mmr_rerank" -> {
