@@ -1807,7 +1807,171 @@ object Stats {
       )
   }
 
+  // ---------------- q214: Mann–Kendall trend test
+
+  /** q214: Mann–Kendall — the SIGNIFICANCE companion of q198's
+    * Theil–Sen slope (Theil–Sen says HOW STEEP, MK says whether a
+    * monotone trend exists at all, distribution-free — the pairing
+    * every environmental/metrics monitoring standard prescribes):
+    * over the daily purchase series, S = Σ_{i<j} sign(y_j − y_i),
+    * Var(S)·18 = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5) over y-tie groups
+    * (kept ×18 as an EXACT BIGINT), the continuity-corrected
+    * z = (S ∓ 1)/√(VarS18/18), and the 1.96 two-sided call.
+    *
+    * Determinism: S and VarS18 are exact integer aggregates (the
+    * q204 concordance discipline applied to the time axis); z is one
+    * guarded dag; the trend label derives from z against the exact
+    * 1.96 literal.
+    *
+    * Scale shape: the corpus reduces to the calendar-bounded daily
+    * frame; the pair join is days²/2 (the q198 argument); ties ride a
+    * value-frame aggregate.
+    */
+  private def q214(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables
+      .table(s, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(sum(round(col("value") * 100.0, 0).cast("long")).as("sv"))
+      .select(
+        datediff(col("d"), lit("2024-01-01").cast("date")).as("x"),
+        col("sv")
+      )
+    val sStat = daily
+      .as("l")
+      .join(daily.as("r"), col("l.x") < col("r.x"))
+      .agg(
+        sum(signum((col("r.sv") - col("l.sv")).cast("double")).cast("long"))
+          .as("s_stat")
+      )
+    val nD = daily.agg(count(lit(1)).as("n"))
+    val ties = daily
+      .groupBy("sv")
+      .agg(count(lit(1)).as("t"))
+      .agg(
+        coalesce(sum(expr("t * (t - 1) * (2 * t + 5)")), lit(0L)).as("tt")
+      )
+    sStat
+      .crossJoin(broadcast(nD))
+      .crossJoin(broadcast(ties))
+      .withColumn("vs18", expr("n * (n - 1) * (2 * n + 5) - tt"))
+      .withColumn(
+        "z",
+        when(col("s_stat") > 0,
+          (col("s_stat") - 1).cast("double") /
+            sqrt(nullif(col("vs18").cast("double") / 18.0d, lit(0.0d))))
+          .when(col("s_stat") < 0,
+            (col("s_stat") + 1).cast("double") /
+              sqrt(nullif(col("vs18").cast("double") / 18.0d, lit(0.0d))))
+          .otherwise(lit(0.0d))
+      )
+      .select(
+        col("n").as("n_days"),
+        col("s_stat"),
+        col("vs18").as("var_s_x18"),
+        (round(col("z"), 6) + 0.0).as("mk_z"),
+        when(col("z") > 1.96, "increasing")
+          .when(col("z") < -1.96, "decreasing")
+          .otherwise("none")
+          .as("trend")
+      )
+  }
+
+  // ------------- q215: Wasserstein-1 distance between arms
+
+  /** q215: Wasserstein-1 (earth-mover) drift between the two md5 user
+    * arms' value distributions — the MAGNITUDE companion of q145's KS
+    * (KS is the sup-gap, blind to WHERE mass moved and by how much;
+    * W₁ = ∫|F_A − F_B| is the average transport distance in value
+    * units, the number a drift dashboard can threshold in dollars):
+    * over the merged centi-value frame,
+    * W₁ = Σ_k |F_A(v_k) − F_B(v_k)| · (v_{k+1} − v_k).
+    *
+    * Determinism: cumulative counts ride q145's two-level shard
+    * cumulation (exact integers); each term is the exact cross-product
+    * |ca_le·nb − cb_le·na| · gap summed as DECIMAL(38); ONE final
+    * division by na·nb and the centi scale.
+    *
+    * Scale shape: identical to q145 — per-VALUE count frame (domain-
+    * bounded), shard-offset windows, plus one lead() over the value
+    * frame for the gaps (value-frame bounded — allowlisted with the
+    * q33b argument).
+    */
+  private def q215(s: SparkSession, dir: String): DataFrame = {
+    val perVal = Tables
+      .table(s, dir, "events")
+      .select(
+        round(col("value") * 100.0, 0).cast("long").as("vc"),
+        when(graft.llm.Sampling.bucket100(col("user_id")) < 50, 1L)
+          .otherwise(0L)
+          .as("a")
+      )
+      .groupBy("vc")
+      .agg(sum("a").as("ca"), (count(lit(1)) - sum("a")).as("cb"))
+      .withColumn("shard", expr("(vc - pmod(vc, 256)) div 256"))
+    val offsets = perVal
+      .groupBy("shard")
+      .agg(sum("ca").as("sa"), sum("cb").as("sb"))
+      .withColumn(
+        "off_a",
+        coalesce(
+          sum("sa").over(
+            Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)
+          ),
+          lit(0L)
+        )
+      )
+      .withColumn(
+        "off_b",
+        coalesce(
+          sum("sb").over(
+            Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)
+          ),
+          lit(0L)
+        )
+      )
+      .select("shard", "off_a", "off_b")
+    val local = Window
+      .partitionBy("shard")
+      .orderBy("vc")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = perVal
+      .join(broadcast(offsets), "shard")
+      .withColumn("ca_le", col("off_a") + sum("ca").over(local))
+      .withColumn("cb_le", col("off_b") + sum("cb").over(local))
+      // the gap to the NEXT distinct value: a lead over the VALUE
+      // frame (≤ distinct centi values — the q33b bound); the largest
+      // value's gap is 0 (both CDFs are 1 past it)
+      .withColumn(
+        "gap",
+        coalesce(lead("vc", 1).over(Window.orderBy("vc")) - col("vc"), lit(0L))
+      )
+    val tot = cum.agg(sum("ca").as("na"), sum("cb").as("nb"))
+    cum
+      .crossJoin(broadcast(tot))
+      .agg(
+        max("na").as("na"),
+        max("nb").as("nb"),
+        count(lit(1)).as("n_values"),
+        sum(
+          (abs(col("ca_le") * col("nb") - col("cb_le") * col("na")) * col("gap"))
+            .cast("decimal(38,0)")
+        ).cast("double").as("num")
+      )
+      .select(
+        col("na"),
+        col("nb"),
+        col("n_values"),
+        (round(
+          col("num") / (col("na").cast("double") * col("nb").cast("double")) / 100.0d,
+          6
+        ) + 0.0).as("wasserstein_1")
+      )
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q214_mann_kendall" -> q214,
+    "q215_wasserstein" -> q215,
     "q204_kendall_tau" -> q204,
     "q201_wilson_interval" -> q201,
     "q198_theil_sen" -> q198,
@@ -1884,6 +2048,65 @@ object Stats {
       |FROM f""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // same daily frame, same exact pair-sign sum and ×18 tie-corrected
+    // variance, same continuity-corrected z and 1.96 call
+    "q214_mann_kendall" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS d,
+        |    CAST(sum(CAST(round(value * 100.0, 0) AS BIGINT)) AS BIGINT) AS sv
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |dx AS (SELECT date_diff('day', DATE '2024-01-01', d) AS x, sv FROM daily),
+        |s AS (
+        |  SELECT CAST(sum(CAST(sign(CAST(r.sv - l.sv AS DOUBLE)) AS BIGINT)) AS BIGINT) AS s_stat
+        |  FROM dx l JOIN dx r ON l.x < r.x),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM dx),
+        |t AS (
+        |  SELECT CAST(coalesce(sum(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT) AS tt
+        |  FROM (SELECT CAST(count(*) AS BIGINT) AS t FROM dx GROUP BY sv)),
+        |f AS (
+        |  SELECT s_stat, n, n * (n - 1) * (2 * n + 5) - tt AS vs18
+        |  FROM s, n, t),
+        |z AS (
+        |  SELECT n, s_stat, vs18,
+        |    CASE WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE)
+        |           / sqrt(nullif(CAST(vs18 AS DOUBLE) / 18.0, 0.0))
+        |         WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE)
+        |           / sqrt(nullif(CAST(vs18 AS DOUBLE) / 18.0, 0.0))
+        |         ELSE 0.0 END AS z
+        |  FROM f)
+        |SELECT n AS n_days, s_stat, vs18 AS var_s_x18,
+        |  round(z, 6) + 0.0 AS mk_z,
+        |  CASE WHEN z > 1.96 THEN 'increasing'
+        |       WHEN z < -1.96 THEN 'decreasing'
+        |       ELSE 'none' END AS trend
+        |FROM z""".stripMargin,
+    // q145's cumulative frames + the next-value gaps; exact HUGEINT
+    // cross-product terms, one final division
+    "q215_wasserstein" ->
+      """WITH pv AS (
+        |  SELECT CAST(round(value * 100.0, 0) AS BIGINT) AS vc,
+        |    CAST(sum(CASE WHEN CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+        |                       AS BIGINT) % 100 < 50 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |    CAST(sum(CASE WHEN CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+        |                       AS BIGINT) % 100 < 50 THEN 0 ELSE 1 END) AS BIGINT) AS cb
+        |  FROM events GROUP BY 1),
+        |cum AS (
+        |  SELECT vc,
+        |    sum(ca) OVER (ORDER BY vc
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca_le,
+        |    sum(cb) OVER (ORDER BY vc
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb_le,
+        |    coalesce(lead(vc) OVER (ORDER BY vc) - vc, 0) AS gap
+        |  FROM pv),
+        |tot AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+        |               CAST(sum(cb) AS BIGINT) AS nb FROM pv)
+        |SELECT na, nb, CAST(count(*) AS BIGINT) AS n_values,
+        |  round(CAST(sum(CAST(abs(ca_le * nb - cb_le * na) * gap AS HUGEINT))
+        |             AS DOUBLE)
+        |        / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) / 100.0, 6) + 0.0
+        |    AS wasserstein_1
+        |FROM cum, tot
+        |GROUP BY na, nb""".stripMargin,
     // same joint value cells, same exact-integer concordance sums and
     // tie terms, same single √-and-divide dag
     "q204_kendall_tau" ->

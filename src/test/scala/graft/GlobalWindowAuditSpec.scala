@@ -65,7 +65,8 @@ class GlobalWindowAuditSpec extends SparkSpec {
     "q194_rmst" -> "KM risk-set/survival/lead cumulations over the duration-VALUE frame (≤ observation-window days — the q174 frame)",
     "q198_theil_sen" -> "median-rank windows over the day-PAIR frame (≤ calendar-days²/2 pairs by construction)",
     "q199_conversion_lag" -> "cum window over the lag-VALUE frame (≤ observation-window minutes)",
-    "q200_rfm_segments" -> "three quintile-threshold cumulations: windows over SHARD offsets (the q46b two-level pattern; ≤ value-range/shard-width rows each)"
+    "q200_rfm_segments" -> "three quintile-threshold cumulations: windows over SHARD offsets (the q46b two-level pattern; ≤ value-range/shard-width rows each)",
+    "q215_wasserstein" -> "q145's SHARD-offset cumulation + one lead() over the per-VALUE count frame (≤ distinct centi values — the q33b convention)"
   )
 
   private def globalWindows(p: SparkPlan): Seq[SparkPlan] =
