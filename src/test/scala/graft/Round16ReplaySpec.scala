@@ -241,6 +241,125 @@ class Round16ReplaySpec extends SparkSpec {
     }
   }
 
+  test("q212 calibration equals a scalar MinHash re-derivation") {
+    val p = graft.llm.Dedup.MinHashP
+    val (ha, hb) = (graft.llm.Dedup.hashA, graft.llm.Dedup.hashB)
+    val docs = graft.queries.Tables
+      .table(spark, dir, "documents")
+      .collect()
+      .map { r =>
+        val ws = r.getAs[String]("text").split(" ", -1)
+        val sh = (0 until math.max(ws.length - 2, 0))
+          .map(i => s"${ws(i)}_${ws(i + 1)}_${ws(i + 2)}")
+          .toSet
+        r.getAs[Long]("doc_id") -> sh
+      }
+      .toMap
+    def h(g: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(g.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16) % p
+    }
+    def sig(sh: Set[String]): Array[Long] = {
+      val hs = sh.toSeq.map(h)
+      Array.tabulate(ha.length)(j => hs.map(x => (ha(j) * x + hb(j)) % p).min)
+    }
+    val ids = docs.keys.toSeq.sorted
+    var n = 0L; var sad = 0L; var sd = 0L; var mx = 0L
+    for (i <- ids.indices; j <- (i + 1) until ids.length) {
+      val (a, b) = (docs(ids(i)), docs(ids(j)))
+      val inter = a.intersect(b).size.toLong
+      val uni = a.size + b.size - inter
+      if (uni > 0 && inter * 1.0 / uni >= 0.6) {
+        val m = sig(a).zip(sig(b)).count { case (x, y) => x == y }.toLong
+        val d9 = m * 15625000L - 1000000000L * inter / uni
+        n += 1; sad += math.abs(d9); sd += d9; mx = math.max(mx, math.abs(d9))
+      }
+    }
+    val row = q("q212_minhash_calibration").collect().head
+    assert(row.getLong(0) === n)
+    assert(math.abs(row.getDouble(1) - sad.toDouble / n / 1e9) < 1e-6)
+    assert(math.abs(row.getDouble(2) - sd.toDouble / n / 1e9) < 1e-6)
+    assert(math.abs(row.getDouble(3) - mx.toDouble / 1e9) < 1e-6)
+  }
+
+  test("q213 phrase hits equal a sliding scan over raw tokens") {
+    val expected = graft.queries.Tables
+      .table(spark, dir, "documents")
+      .collect()
+      .flatMap { r =>
+        val ws = r.getAs[String]("text").split(" ", -1)
+        val hits = (0 until math.max(ws.length - 1, 0))
+          .filter(i => ws(i) == "spark" && ws(i + 1) == "join")
+        if (hits.isEmpty) None
+        else Some((r.getAs[Long]("doc_id"), hits.size.toLong, hits.min + 1))
+      }
+      .sortBy(_._1)
+      .toSeq
+    val got = q("q213_phrase_search")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .toSeq
+    assert(got === expected && got.nonEmpty)
+  }
+
+  test("q214 MK statistic equals the brute pair walk") {
+    val daily = graft.queries.Tables
+      .table(spark, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(sum(round(col("value") * 100.0, 0).cast("long")).as("sv"))
+      .collect()
+      .map(r => (r.getDate(0).toLocalDate.toEpochDay, r.getLong(1)))
+      .sortBy(_._1)
+    var sS = 0L
+    for (i <- daily.indices; j <- (i + 1) until daily.length)
+      sS += (daily(j)._2 - daily(i)._2).sign
+    val n = daily.length.toLong
+    val tt = daily
+      .groupBy(_._2)
+      .values
+      .map(g => { val t = g.size.toLong; t * (t - 1) * (2 * t + 5) })
+      .sum
+    val vs18 = n * (n - 1) * (2 * n + 5) - tt
+    val z =
+      if (sS > 0) (sS - 1).toDouble / math.sqrt(vs18 / 18.0)
+      else if (sS < 0) (sS + 1).toDouble / math.sqrt(vs18 / 18.0)
+      else 0.0
+    val row = q("q214_mann_kendall").collect().head
+    assert(row.getLong(0) === n && row.getLong(1) === sS && row.getLong(2) === vs18)
+    assert(math.abs(row.getDouble(3) - z) < 1e-6)
+  }
+
+  test("q215 W1 equals the textbook integral over sorted samples") {
+    def bucket100(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16) % 100
+    }
+    val ev = graft.queries.Tables
+      .table(spark, dir, "events")
+      .collect()
+      .map(r =>
+        (
+          math.round(r.getAs[Double]("value") * 100.0),
+          bucket100(r.getAs[Long]("user_id")) < 50
+        )
+      )
+    val a = ev.filter(_._2).map(_._1).sorted
+    val b = ev.filterNot(_._2).map(_._1).sorted
+    val vals = (a ++ b).distinct.sorted
+    var w1 = 0.0
+    for (k <- 0 until vals.length - 1) {
+      val fa = a.count(_ <= vals(k)).toDouble / a.length
+      val fb = b.count(_ <= vals(k)).toDouble / b.length
+      w1 += math.abs(fa - fb) * (vals(k + 1) - vals(k))
+    }
+    val row = q("q215_wasserstein").collect().head
+    assert(row.getLong(0) === a.length.toLong && row.getLong(1) === b.length.toLong)
+    assert(math.abs(row.getDouble(3) - w1 / 100.0) < 1e-6)
+  }
+
   test("q207 assortativity equals the edge-list Pearson") {
     // brute edges: the same avg-thresholded co-occurrence build
     val li = graft.queries.Tables
