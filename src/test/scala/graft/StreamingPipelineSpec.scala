@@ -33,6 +33,111 @@ class StreamingPipelineSpec extends SparkSpec {
     }
   }
 
+  /** Crash/restart for the COMPOSED pipeline (the StreamingDedupSpec
+    * convention, extended end-to-end): run phase 1 (the full corpus)
+    * through curate() into a parquet sink + checkpoint, STOP the
+    * query, then restart a brand-new query from the same checkpoint
+    * and deliver phase 2 — exact COPIES of 10 phase-1 documents under
+    * new doc_ids (same text ⇒ same digest). The copies must route
+    * is_new=false off the RESTORED digest state and be dropped by the
+    * pipeline: the sink gains ZERO rows across the restart. Sharp by
+    * construction — a lost state store would mark every copy new, and
+    * (unlabeled ⇒ keep-list-exempt) each would survive into the sink.
+    */
+  test("restart from checkpoint: re-delivered duplicates add zero survivors") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(
+      key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    )
+    try {
+      val dir = "/root/testdata/sf0.001"
+      val docs = graft.queries.Tables
+        .table(spark, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      val base = tmpDir("graft-spipe-restart")
+      val in = base + "/in"
+      val out = base + "/out"
+      val ckpt = base + "/ckpt"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+      docs.coalesce(1).write.mode("overwrite").json(s"$in/phase1")
+
+      val labels = graft.llm.Clustering.cachedClusterLabels(spark, dir)
+      val quality = docs.select(
+        col("doc_id"),
+        (round(
+          length(regexp_replace(col("text"), "[^a-z]", ""))
+            .cast("double") / nullif(length(col("text")), lit(0)).cast("double"),
+          4
+        ) + 0.0).as("reward")
+      )
+      val kept = labels
+        .join(quality, "doc_id")
+        .groupBy("cluster_id")
+        .agg(max_by(col("doc_id"), struct(col("reward"), -col("doc_id"))).as("kept_id"))
+
+      val schema =
+        new StructType().add("doc_id", LongType).add("text", StringType)
+      def start() = StreamingPipeline
+        .curate(
+          spark.readStream.schema(schema).option("recursiveFileLookup", "true").json(in),
+          labels,
+          kept
+        )
+        .writeStream
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(Trigger.ProcessingTime(0))
+        .start()
+      val sinkSchema = new StructType()
+        .add("doc_id", LongType)
+        .add("cluster_id", LongType)
+        .add("split", StringType)
+      def survivors(): Set[(Long, Long, String)] =
+        spark.read
+          .schema(sinkSchema)
+          .parquet(out)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+          .toSet
+
+      val q1 = start()
+      val phase1 =
+        try { q1.processAllAvailable(); survivors() }
+        finally q1.stop()
+      // phase 1 must equal the batch pipeline's assignments
+      val batch = graft.llm.Pipeline
+        .assignedFrame(spark, dir)
+        .select("doc_id", "cluster_id", "split")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+        .toSet
+      assert(phase1 === batch)
+
+      // phase 2: exact copies of 10 phase-1 documents under fresh ids
+      import spark.implicits._
+      docs
+        .orderBy("doc_id")
+        .limit(10)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+        .coalesce(1)
+        .write
+        .mode("overwrite")
+        .json(s"$in/phase2")
+      val q2 = start()
+      val all =
+        try { q2.processAllAvailable(); survivors() }
+        finally q2.stop()
+      assert(all === phase1, "re-delivered duplicates leaked into the sink")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   private def runPipeline(): Unit = {
     val dir = "/root/testdata/sf0.001"
     val docs = graft.queries.Tables
