@@ -545,4 +545,24 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), s"corpus-side SMJ:\n$plan")
   }
 
+  test("q182 wedge stream closes through a broadcast probe — never a shuffle join") {
+    // the r16 rework's contract: the Σ deg²/2 map-side wedge stream
+    // flows through a BroadcastHashJoin of the pair-space-bounded edge
+    // set into the per-center partial aggregate; a SortMergeJoin on the
+    // (a, b) closing key would mean the wedge stream shuffled again
+    // (the pre-r16 und⋈und spelling's 92M-row exchange at sf0.1)
+    val plan = executedPlan(SparkEntry.queries("q182_clustering_coeff")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), s"edge set not broadcast:\n$plan")
+    val closingSmj = plan.linesIterator
+      .filter(_.contains("SortMergeJoin"))
+      .filter(l => l.contains("a#") && l.contains("b#"))
+    assert(closingSmj.isEmpty, s"wedge stream shuffled to close triangles:\n$plan")
+  }
+
+  test("q213 phrase adjacency joins postings — no corpus-wide nested loop") {
+    val plan = executedPlan(SparkEntry.queries("q213_phrase_search")(spark, sf))
+    assert(!plan.contains("CartesianProduct"), s"all-pairs scan leaked in:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"non-equi join leaked in:\n$plan")
+  }
+
 }
