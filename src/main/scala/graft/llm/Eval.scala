@@ -520,7 +520,88 @@ object Eval {
       )
   }
 
+  /** q225: precision–recall AUC (average precision) of the q63
+    * classifier — the imbalance-honest companion of q111's ROC AUC
+    * (with a 5% positive class a ranker can post ROC 0.95 while its
+    * top-k is mostly false positives; the PR curve conditions on the
+    * predicted-positive set, so AP is the number that actually tracks
+    * "how clean is the kept corpus" for a curation filter):
+    * AP = Σ_s (R_s − R_{s−1})·P_s over DISTINCT score thresholds in
+    * descending order (the threshold-stepped definition — each
+    * distinct score is one operating point; ties advance recall and
+    * precision together rather than pretending a within-tie order).
+    *
+    * Determinism: TP/FP at each threshold are exact integers from the
+    * SAME two-level shard cumulation as q111 (pos_lt beside neg_lt —
+    * one extra cumulated column, no new shuffle); per-threshold
+    * precision snaps to the 1e-9 grid (the q184 convention) and AP's
+    * numerator Σ p_s·prec9 is an exact BIGINT; one final division.
+    *
+    * Scale shape: q111's exactly — one corpus hash aggregate, shard-
+    * offset windows over the distinct-score frame, a 1-row reduce.
+    */
+  private def q225(s: SparkSession, dir: String): DataFrame = {
+    val perScore = scoredWithLabel(s, dir)
+      .groupBy(col("score_int").as("sc"))
+      .agg(
+        sum("pos").cast("long").as("p"),
+        (count(lit(1)) - sum("pos")).cast("long").as("neg")
+      )
+      .withColumn("shard", expr("(sc - pmod(sc, 256)) div 256"))
+    val wOff =
+      Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = perScore
+      .groupBy("shard")
+      .agg(sum("neg").as("sn"), sum("p").as("sp"))
+      .withColumn("off_n", coalesce(sum("sn").over(wOff), lit(0L)))
+      .withColumn("off_p", coalesce(sum("sp").over(wOff), lit(0L)))
+      .select("shard", "off_n", "off_p")
+    val local = Window
+      .partitionBy("shard")
+      .orderBy("sc")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = perScore
+      .join(broadcast(offsets), "shard")
+      .withColumn(
+        "neg_lt",
+        col("off_n") + coalesce(sum("neg").over(local), lit(0L))
+      )
+      .withColumn(
+        "pos_lt",
+        col("off_p") + coalesce(sum("p").over(local), lit(0L))
+      )
+    val tot = cum.agg(sum("p").as("np"), sum("neg").as("nn"))
+    cum
+      .crossJoin(broadcast(tot))
+      .withColumn("tp", col("np") - col("pos_lt"))
+      .withColumn("fp", col("nn") - col("neg_lt"))
+      .withColumn(
+        "prec9",
+        round(
+          col("tp").cast("double") / (col("tp") + col("fp")).cast("double")
+            * 1.0e9,
+          0
+        ).cast("long")
+      )
+      .agg(
+        max("np").as("n_pos"),
+        max("nn").as("n_neg"),
+        sum(col("p") * col("prec9")).as("ap_num9")
+      )
+      .select(
+        col("n_pos"),
+        col("n_neg"),
+        col("ap_num9"),
+        (round(
+          col("ap_num9").cast("double") /
+            (col("n_pos").cast("double") * 1.0e9),
+          6
+        ) + 0.0).as("pr_auc")
+      )
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q225_pr_auc" -> q225,
     "q195_brier_decomposition" -> q195,
     "q187_fleiss_kappa" -> q187,
     "q111_roc_auc" -> q111,
@@ -539,6 +620,37 @@ object Eval {
        |  FROM agg a JOIN documents d USING (doc_id))""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // q111's distinct-score frame with pos_lt beside neg_lt, same
+    // threshold-stepped AP on the 1e-9 precision grid
+    "q225_pr_auc" ->
+      s"""$labeledCte,
+         |ps AS (
+         |  SELECT score_int AS sc, CAST(sum(pos) AS BIGINT) AS p,
+         |         CAST(count(*) - sum(pos) AS BIGINT) AS neg
+         |  FROM lab GROUP BY 1),
+         |c AS (
+         |  SELECT p, neg,
+         |    coalesce(sum(neg) OVER (ORDER BY sc
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS neg_lt,
+         |    coalesce(sum(p) OVER (ORDER BY sc
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pos_lt
+         |  FROM ps),
+         |t AS (SELECT CAST(sum(p) AS BIGINT) AS np,
+         |             CAST(sum(neg) AS BIGINT) AS nn FROM c),
+         |x AS (
+         |  SELECT c.p, t.np, t.nn,
+         |    t.np - c.pos_lt AS tp, t.nn - c.neg_lt AS fp
+         |  FROM c, t),
+         |pr AS (
+         |  SELECT p, np, nn,
+         |    CAST(round(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) * 1.0e9, 0)
+         |         AS BIGINT) AS prec9
+         |  FROM x)
+         |SELECT max(np) AS n_pos, max(nn) AS n_neg,
+         |  CAST(sum(p * prec9) AS BIGINT) AS ap_num9,
+         |  round(CAST(sum(p * prec9) AS DOUBLE)
+         |        / (CAST(max(np) AS DOUBLE) * 1.0e9), 6) + 0.0 AS pr_auc
+         |FROM pr""".stripMargin,
     // same exact-integer category bins, same six-integer κ dag
     "q187_fleiss_kappa" ->
       """WITH f AS (

@@ -632,7 +632,148 @@ object Retrieval {
       .orderBy("doc_id")
   }
 
+  // ---------- q223: Dirichlet query-likelihood ranking
+
+  private val Mu = 2000.0 // Dirichlet smoothing mass (standard default)
+
+  /** q223: Dirichlet-smoothed query-likelihood ranking — the language-
+    * model retrieval family next to q90's BM25 (the OTHER classic
+    * probabilistic ranker: score = ln P(query | doc's smoothed unigram
+    * LM); it length-normalizes through the smoothing denominator
+    * rather than BM25's avgdl pivot, so the two disagree exactly where
+    * ranker choice matters, and a parameter sweep compares them on the
+    * same eval — q224 measures that disagreement):
+    * score(d) = Σ_t ln((tf_t,d + μ·cf_t/|C|) / (dl_d + μ)), μ = 2000.
+    *
+    * Determinism: the q90 contract verbatim — per-term contributions
+    * pivot into FIXED columns (each an aggregate over ≤1 row, no
+    * shuffle-ordered float sum; absent terms coalesce to tf = 0 and
+    * fall through the SAME smoothing formula — unlike BM25, every doc
+    * scores every term), the score is the literal c1 + c2 + c3 in
+    * query-term order, ln under the round-4 output grid (the q51/q57
+    * precedent), top-20 by (score, doc_id).
+    *
+    * Scale shape: q90's — one corpus pass for the shared term stats
+    * (termStats, filtered to the dictionary BEFORE aggregating),
+    * cf/total-token frames are ≤|query|-row broadcasts, the dl join is
+    * doc-sized, top-20 via TakeOrderedAndProject.
+    */
+  private def qlScores(s: SparkSession, dir: String): DataFrame = {
+    val (dl, _, tf, _) = termStats(s, dir)
+    val cf = tf.groupBy("w").agg(sum("tf").as("cf"))
+    val cfCols = QueryTerms.map(t =>
+      max(when(col("w") === t, col("cf"))).as(s"cf_$t")
+    )
+    val cfRow = cf.agg(cfCols.head, cfCols.tail: _*)
+    val tot = dl.agg(sum("dl").as("tt"))
+    val tfCols = QueryTerms.map(t =>
+      max(when(col("w") === t, col("tf"))).as(s"tf_$t")
+    )
+    val byDoc = tf.groupBy("doc_id").agg(tfCols.head, tfCols.tail: _*)
+    val contribs = QueryTerms.map(t =>
+      log(
+        (coalesce(col(s"tf_$t"), lit(0L)).cast("double") +
+          lit(Mu) * col(s"cf_$t").cast("double") / col("tt").cast("double")) /
+          (col("dl").cast("double") + lit(Mu))
+      ).as(s"q_$t")
+    )
+    dl.join(byDoc, Seq("doc_id"), "left")
+      .crossJoin(broadcast(cfRow))
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id") +: contribs: _*)
+      .withColumn(
+        "score_raw",
+        QueryTerms.map(t => col(s"q_$t")).reduce(_ + _)
+      )
+  }
+
+  private def q223(s: SparkSession, dir: String): DataFrame =
+    qlScores(s, dir)
+      .withColumn("score", round(col("score_raw"), 4) + 0.0)
+      .select(col("doc_id"), col("score"))
+      .orderBy(desc("score"), col("doc_id"))
+      .limit(20)
+
+  // ---------- q224: rank-biased overlap between the two rankers
+
+  /** The exact 1e-9-grid weights floor(0.9^(d−1)·10⁹) for depths
+    * 1..20 — computed in exact decimal arithmetic (0.9^k has a finite
+    * decimal expansion) and embedded as LITERALS in both engines (the
+    * q212 constant-array convention), so no pow() call whose last ulp
+    * could differ between libms ever runs.
+    */
+  private[graft] val RboW9: Seq[Long] = {
+    val p = BigDecimal("0.9")
+    (1 to 20).map(d =>
+      (p.pow(d - 1) * BigDecimal(1000000000L))
+        .setScale(0, BigDecimal.RoundingMode.FLOOR)
+        .toLong
+    )
+  }
+
+  /** q224: rank-biased overlap (RBO, Webber et al.) between the BM25
+    * (q90) and query-likelihood (q223) top-20 lists — the LIST-level
+    * agreement number a ranker swap is judged by before any relevance
+    * eval exists (Kendall τ needs identical item sets; RBO is built
+    * for top-k lists that only partially overlap, discounting depth by
+    * p^(d−1) so disagreement near rank 1 costs more):
+    * RBO@20 = (1−p)·Σ_{d=1..20} p^(d−1)·|A_1..d ∩ B_1..d|/d, p = 0.9.
+    * Emitted per depth (overlap + RBO prefix), so the driver hash
+    * checks every agreement level; row 20 is the headline number.
+    *
+    * Determinism: both rankings cut by (round-6 score, doc_id) — the
+    * q184 rank convention; overlaps are exact integers via the
+    * max(rank_A, rank_B) ≤ d cumulation; each depth term is the exact
+    * integer division (w9·overlap) div d and the prefix sum is exact
+    * BIGINT — the one float is the final ·0.1/10⁹ render.
+    *
+    * Scale shape: the two corpus passes are q90's and q223's own;
+    * everything after lives on ≤20-row frames (the post-limit window
+    * convention) and a 20-row literal depth table.
+    */
+  private def q224(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def top(scores: DataFrame, as: String): DataFrame =
+      scores
+        .withColumn("s6", round(col("score_raw"), 6))
+        .select(col("doc_id"), col("s6"))
+        .orderBy(desc("s6"), col("doc_id"))
+        .limit(20)
+        .withColumn(
+          as,
+          row_number().over(Window.orderBy(desc("s6"), col("doc_id")))
+        )
+        .select(col("doc_id"), col(as))
+    val joined = top(bm25Scores(s, dir), "ra")
+      .join(top(qlScores(s, dir), "rb"), "doc_id")
+      .select(greatest(col("ra"), col("rb")).as("m"))
+      .groupBy("m")
+      .agg(count(lit(1)).as("cnt"))
+    val depths = (1 to 20).map(d => (d, RboW9(d - 1)))
+    val depthDf = s.createDataFrame(depths).toDF("depth", "w9")
+    depthDf
+      .join(joined, col("m") <= col("depth"), "left")
+      .groupBy("depth", "w9")
+      .agg(coalesce(sum("cnt"), lit(0L)).as("overlap"))
+      .withColumn("term9", expr("CAST(w9 * overlap div depth AS BIGINT)"))
+      .withColumn(
+        "cum9",
+        sum("term9").over(
+          Window.orderBy("depth").rowsBetween(Window.unboundedPreceding, 0)
+        )
+      )
+      .select(
+        col("depth"),
+        col("overlap"),
+        (round(col("cum9").cast("double") * 0.1 / 1.0e9, 6) + 0.0)
+          .as("rbo_prefix")
+      )
+      .orderBy("depth")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q223_ql_ranking" -> q223,
+    "q224_rbo" -> q224,
     "q213_phrase_search" -> q213,
     "q205_mmr_rerank" -> q205,
     "q90_bm25" -> q90,
@@ -1002,7 +1143,118 @@ object Retrieval {
     * convention — the assembly can never be checked against a drifted
     * re-spelling of the list it packs).
     */
+  /** The Dirichlet query-likelihood CTE chain (shared by the q223 and
+    * q224 oracles) — the Spark qlScores dag verbatim: every doc scores
+    * every term through the same smoothing formula, absent terms
+    * coalesce to tf = 0, contributions pivot to fixed columns.
+    */
+  private val qlOracleCtes: String = {
+    val cfCols = QueryTerms
+      .map(t => s"max(CASE WHEN w = '$t' THEN cf END) AS cf_$t")
+      .mkString(",\n        |    ")
+    val tfCols = QueryTerms
+      .map(t => s"max(CASE WHEN w = '$t' THEN tf END) AS tf_$t")
+      .mkString(",\n        |    ")
+    val qCols = QueryTerms
+      .map(t =>
+        s"""ln((CAST(coalesce(tf_$t, 0) AS DOUBLE)
+           |         + $Mu * CAST(cf_$t AS DOUBLE) / CAST(tt AS DOUBLE))
+           |        / (CAST(dl.dl AS DOUBLE) + $Mu)) AS q_$t""".stripMargin
+      )
+      .mkString(",\n        |    ")
+    val qSum = QueryTerms.map(t => s"q_$t").mkString(" + ")
+    s"""d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |dl AS (SELECT doc_id, len(toks) AS dl FROM d),
+       |tok AS (SELECT doc_id, unnest(toks) AS w FROM d),
+       |tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+       |       FROM tok WHERE w IN ($termsSqlList) GROUP BY 1, 2),
+       |cf AS (SELECT w, CAST(sum(tf) AS BIGINT) AS cf FROM tf GROUP BY 1),
+       |cfr AS (
+       |  SELECT
+       |    $cfCols
+       |  FROM cf),
+       |tot AS (SELECT CAST(sum(dl) AS BIGINT) AS tt FROM dl),
+       |byd AS (
+       |  SELECT doc_id,
+       |    $tfCols
+       |  FROM tf GROUP BY doc_id),
+       |qlc AS (
+       |  SELECT dl.doc_id,
+       |    $qCols
+       |  FROM dl LEFT JOIN byd USING (doc_id), cfr, tot),
+       |qls AS (SELECT doc_id, $qSum AS score_raw FROM qlc)""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = oracleSqlBase + (
+    // the Spark smoothing dag verbatim (fixed pivot columns,
+    // literal-order sum, ln under the round-4 grid), same top-20 cut
+    "q223_ql_ranking" ->
+      s"""WITH $qlOracleCtes
+         |SELECT doc_id, round(score_raw, 4) + 0.0 AS score
+         |FROM qls ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    // composes the q90 BM25 CTEs and the QL CTEs verbatim (the q177
+    // rule), same round-6 rank cut, exact max(ra,rb) overlap
+    // cumulation, literal 1e-9 weight table, exact (w9·ov) div d terms
+    "q224_rbo" -> {
+      val cCols = QueryTerms
+        .map(t => s"coalesce(max(CASE WHEN w = '$t' THEN c END), 0.0) AS c_$t")
+        .mkString(",\n        |    ")
+      val scoreSum = QueryTerms.map(t => s"c_$t").mkString(" + ")
+      val weightRows = RboW9.zipWithIndex
+        .map { case (w, i) => s"(${i + 1}, ${w})" }
+        .mkString(", ")
+      s"""WITH $qlOracleCtes,
+         |stats AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |         CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+         |  FROM dl),
+         |df AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         |contrib AS (
+         |  SELECT tf.doc_id, tf.w,
+         |    ln((CAST(n_docs AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5)
+         |       / (CAST(df.df AS DOUBLE) + 0.5) + 1.0)
+         |    * (CAST(tf.tf AS DOUBLE) * ${K1 + 1.0})
+         |    / (CAST(tf.tf AS DOUBLE)
+         |       + $K1 * (1.0 - $B + $B * CAST(dl.dl AS DOUBLE) / avgdl)) AS c
+         |  FROM tf JOIN df USING (w) JOIN dl USING (doc_id), stats),
+         |byterm AS (
+         |  SELECT doc_id,
+         |    $cCols
+         |  FROM contrib GROUP BY doc_id),
+         |topa AS (
+         |  SELECT doc_id, round($scoreSum, 6) AS s6
+         |  FROM byterm ORDER BY s6 DESC, doc_id LIMIT 20),
+         |ranka AS (
+         |  SELECT doc_id, row_number() OVER (ORDER BY s6 DESC, doc_id) AS ra
+         |  FROM topa),
+         |topb AS (
+         |  SELECT doc_id, round(score_raw, 6) AS s6
+         |  FROM qls ORDER BY s6 DESC, doc_id LIMIT 20),
+         |rankb AS (
+         |  SELECT doc_id, row_number() OVER (ORDER BY s6 DESC, doc_id) AS rb
+         |  FROM topb),
+         |mc AS (
+         |  SELECT greatest(ra, rb) AS m, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM ranka JOIN rankb USING (doc_id) GROUP BY 1),
+         |depths AS (
+         |  SELECT * FROM (VALUES $weightRows) AS t(depth, w9)),
+         |ov AS (
+         |  SELECT d.depth, d.w9,
+         |    CAST(coalesce(sum(j.cnt), 0) AS BIGINT) AS overlap
+         |  FROM depths d LEFT JOIN mc j ON j.m <= d.depth
+         |  GROUP BY d.depth, d.w9),
+         |terms AS (
+         |  SELECT depth, overlap,
+         |    CAST(w9 * overlap // depth AS BIGINT) AS term9
+         |  FROM ov),
+         |cum AS (
+         |  SELECT depth, overlap,
+         |    sum(term9) OVER (ORDER BY depth ROWS UNBOUNDED PRECEDING) AS cum9
+         |  FROM terms)
+         |SELECT depth, overlap,
+         |  round(CAST(cum9 AS DOUBLE) * 0.1 / 1.0e9, 6) + 0.0 AS rbo_prefix
+         |FROM cum ORDER BY depth""".stripMargin
+    },
     // same positional postings (the q202 zipped-unnest spelling), same
     // adjacency equi-join, exact integer hit counts/positions
     "q213_phrase_search" -> {

@@ -1398,7 +1398,196 @@ object TextAnalysis {
       .orderBy("split")
   }
 
+  // ------- q226: Jensen–Shannon divergence between source unigrams
+
+  /** floor(ln 2 · 10⁹) — the exact-integer grid value of the
+    * exclusive-mass log term, embedded as a LITERAL on both engines
+    * (ln 2 = 0.6931471805599453…; a word present in only one source of
+    * a pair contributes p·ln(2p/(p+0)) = p·ln 2 exactly).
+    */
+  private val Ln2Grid9 = 693147180L
+
+  /** q226: Jensen–Shannon divergence between every source pair's
+    * unigram DISTRIBUTIONS — the distribution-level companion of
+    * q203's vocabulary Jaccard (Jaccard compares word SETS — two
+    * sources can share every word yet weight them completely
+    * differently, and a mixing stage treating them as interchangeable
+    * skews the blend; JSD is symmetric, bounded by ln 2, and defined
+    * even where KL diverges, which is why drift dashboards quote it):
+    * JSD(P,Q) = ½·KL(P‖M) + ½·KL(Q‖M), M = (P+Q)/2.
+    *
+    * Determinism: the per-word log argument 2·cₐ·n_b/(cₐ·n_b + c_b·nₐ)
+    * is a ratio of exact integer cross-products; its ln floor-snaps to
+    * the 1e-9 grid and is weighted by the exact count cₐ, so each
+    * pair's sum is EXACT (DECIMAL(38) — count × grid overflows BIGINT
+    * at ~10⁹-token sources); words exclusive to one source collapse in
+    * CLOSED FORM to (exclusive mass)·[[Ln2Grid9]] — no full-outer join
+    * and no 0·ln 0 special case anywhere. One final division dag.
+    *
+    * Scale shape: one (source, word) count aggregate is the corpus
+    * shuffle; the word-keyed self-join expands ≤ C(#sources, 2) per
+    * word (the q203 catalog-bounded argument); per-pair sums are a
+    * #pairs-row frame.
+    */
+  private def q226(s: SparkSession, dir: String): DataFrame = {
+    val swc = docs(s, dir)
+      .select(
+        col("source"),
+        explode(filter(split(col("text"), " "), x => x =!= "")).as("w")
+      )
+      .groupBy("source", "w")
+      .agg(count(lit(1)).as("c"))
+    val ns = swc.groupBy("source").agg(sum("c").as("n"))
+    val withN = swc.join(broadcast(ns), "source")
+    val l = withN.select(
+      col("source").as("sa"), col("w"), col("c").as("ca"), col("n").as("na"))
+    val r = withN.select(
+      col("source").as("sb"), col("w"), col("c").as("cb"), col("n").as("nb"))
+    l.as("l")
+      .join(r.as("r"), col("l.w") === col("r.w") && col("sa") < col("sb"))
+      .withColumn("da", col("ca") * col("nb"))
+      .withColumn("db", col("cb") * col("na"))
+      .withColumn(
+        "la9",
+        floor(
+          log(lit(2.0d) * col("da").cast("double") /
+            (col("da") + col("db")).cast("double")) * 1.0e9
+        ).cast("long")
+      )
+      .withColumn(
+        "lb9",
+        floor(
+          log(lit(2.0d) * col("db").cast("double") /
+            (col("da") + col("db")).cast("double")) * 1.0e9
+        ).cast("long")
+      )
+      .groupBy("sa", "sb")
+      .agg(
+        count(lit(1)).as("n_common"),
+        max("na").as("na"),
+        max("nb").as("nb"),
+        sum((col("ca") * col("la9")).cast("decimal(38,0)"))
+          .cast("double").as("a9"),
+        sum((col("cb") * col("lb9")).cast("decimal(38,0)"))
+          .cast("double").as("b9"),
+        sum("ca").as("sca"),
+        sum("cb").as("scb")
+      )
+      .select(
+        col("sa"),
+        col("sb"),
+        col("n_common"),
+        (round(
+          ((col("a9") + (col("na") - col("sca")).cast("double") * lit(Ln2Grid9.toDouble)) /
+            col("na").cast("double") +
+            (col("b9") + (col("nb") - col("scb")).cast("double") * lit(Ln2Grid9.toDouble)) /
+            col("nb").cast("double")) / 2.0e9,
+          6
+        ) + 0.0).as("jsd")
+      )
+      .orderBy("sa", "sb")
+  }
+
+  // ------------- q229: RAKE keyword / keyphrase extraction
+
+  private val RakeStopK = 10 // corpus-derived stopword list size
+  private val RakeMaxLen = 3 // candidate phrases longer than this drop
+  private val RakeTopK = 20
+
+  /** q229: RAKE (Rapid Automatic Keyword Extraction) — MULTI-WORD
+    * keyphrases, which no single-word ranking (q34b frequency, q51
+    * TF-IDF, q208 burstiness) can produce and q72's PMI pairs only
+    * approximate: candidate phrases are maximal runs of consecutive
+    * non-stopword tokens (the document segments stoplist words
+    * delimit), scored by Σ_w deg(w)/freq(w) — words that appear in
+    * long phrases (high degree) but rarely overall score high, the
+    * RAKE signature. Stopwords are the corpus's own top-[[RakeStopK]]
+    * words by frequency (deterministic data-derived list, the q63
+    * vocabulary convention); runs longer than [[RakeMaxLen]] drop.
+    *
+    * Determinism: the stoplist cuts on (count desc, word); islands
+    * come from the exact integer i − row_number gap trick; word
+    * scores floor-snap deg/freq to the 1e-9 grid so every phrase
+    * score is an EXACT BIGINT sum; phrase assembly sorts (i, w)
+    * structs before concatenation (collect_list order is not
+    * deterministic — the sort is load-bearing); top-20 on
+    * (score9, phrase).
+    *
+    * Scale shape: one corpus token pass for the stoplist, one for the
+    * islands (per-doc windows, doc-length bounded); the phrase and
+    * word-stat frames are phrase-instance-sized; the word-score join
+    * is vocabulary-bounded; top-20 via TakeOrdered.
+    */
+  private def q229(s: SparkSession, dir: String): DataFrame = {
+    val tok = docs(s, dir)
+      .select(
+        col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("i", "w"))
+      )
+    val stop = tok
+      .filter(col("w") =!= "")
+      .groupBy("w")
+      .agg(count(lit(1)).as("c"))
+      .orderBy(desc("c"), col("w"))
+      .limit(RakeStopK)
+      .select("w")
+    val kept = tok
+      .filter(col("w") =!= "")
+      .join(broadcast(stop), Seq("w"), "left_anti")
+    val isl = kept.withColumn(
+      "grp",
+      col("i") - row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id").orderBy("i")
+      )
+    )
+    val ph = isl
+      .groupBy("doc_id", "grp")
+      .agg(sort_array(collect_list(struct(col("i"), col("w")))).as("sw"))
+      .select(
+        col("doc_id"),
+        col("grp"),
+        concat_ws(" ", expr("transform(sw, s -> s.w)")).as("phrase"),
+        size(col("sw")).as("nw")
+      )
+      .filter(col("nw") <= RakeMaxLen)
+    val pw = ph.select(
+      col("doc_id"), col("grp"), col("phrase"), col("nw"),
+      explode(split(col("phrase"), " ")).as("w")
+    )
+    val ws = pw
+      .groupBy("w")
+      .agg(count(lit(1)).as("freq"), sum("nw").as("deg"))
+      .withColumn(
+        "s9",
+        floor(
+          col("deg").cast("double") / col("freq").cast("double") * 1.0e9
+        ).cast("long")
+      )
+      .select("w", "s9")
+    val inst = pw
+      .join(ws, "w")
+      .groupBy("doc_id", "grp", "phrase", "nw")
+      .agg(sum("s9").as("inst9"))
+    inst
+      .groupBy("phrase")
+      .agg(
+        max("nw").as("n_words"),
+        count(lit(1)).as("n_occurrences"),
+        max("inst9").as("score9")
+      )
+      .orderBy(desc("score9"), col("phrase"))
+      .limit(RakeTopK)
+      .select(
+        col("phrase"),
+        col("n_words").cast("long").as("n_words"),
+        col("n_occurrences"),
+        round(col("score9").cast("double") / 1.0e9, 6).as("rake_score")
+      )
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q229_rake_keywords" -> q229,
+    "q226_js_divergence" -> q226,
     "q210_kn_perplexity" -> q210,
     "q208_burstiness" -> q208,
     "q202_bigram_perplexity" -> q202,
@@ -1546,6 +1735,86 @@ object TextAnalysis {
         |FROM a ORDER BY split""".stripMargin,
     // same distinct (source, word) frame, same bounded pair join,
     // Jaccard one division of exact integers
+    // same corpus-derived stoplist cut, same i − row_number islands,
+    // same 1e-9 deg/freq word grid and exact BIGINT phrase sums
+    "q229_rake_keywords" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+         |         unnest(range(0, len(string_split(text, ' ')))) AS i
+         |  FROM documents),
+         |stop AS (
+         |  SELECT w FROM (SELECT w, count(*) AS c FROM tok WHERE w <> ''
+         |                 GROUP BY 1)
+         |  ORDER BY c DESC, w LIMIT $RakeStopK),
+         |kept AS (
+         |  SELECT doc_id, i, w FROM tok
+         |  WHERE w <> '' AND w NOT IN (SELECT w FROM stop)),
+         |isl AS (
+         |  SELECT doc_id, i, w,
+         |    i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+         |  FROM kept),
+         |ph AS (
+         |  SELECT doc_id, grp, string_agg(w, ' ' ORDER BY i) AS phrase,
+         |    CAST(count(*) AS BIGINT) AS nw
+         |  FROM isl GROUP BY 1, 2 HAVING count(*) <= $RakeMaxLen),
+         |pw AS (
+         |  SELECT doc_id, grp, phrase, nw,
+         |    unnest(string_split(phrase, ' ')) AS w
+         |  FROM ph),
+         |ws AS (
+         |  SELECT w,
+         |    CAST(floor(CAST(sum(nw) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         |               * 1.0e9) AS BIGINT) AS s9
+         |  FROM pw GROUP BY 1),
+         |inst AS (
+         |  SELECT pw.doc_id, pw.grp, pw.phrase, pw.nw,
+         |    CAST(sum(s9) AS BIGINT) AS inst9
+         |  FROM pw JOIN ws USING (w) GROUP BY 1, 2, 3, 4),
+         |ag AS (
+         |  SELECT phrase, CAST(max(nw) AS BIGINT) AS n_words,
+         |    CAST(count(*) AS BIGINT) AS n_occurrences,
+         |    CAST(max(inst9) AS BIGINT) AS score9
+         |  FROM inst GROUP BY 1)
+         |SELECT phrase, n_words, n_occurrences,
+         |  round(CAST(score9 AS DOUBLE) / 1.0e9, 6) AS rake_score
+         |FROM ag ORDER BY score9 DESC, phrase LIMIT $RakeTopK""".stripMargin,
+    // same (source, word) counts, same cross-product log arguments on
+    // the 1e-9 floor grid weighted by exact counts, same closed-form
+    // exclusive-mass ln2 literal, one final dag
+    "q226_js_divergence" ->
+      """WITH swc AS (
+        |  SELECT source, w, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT source, unnest(list_filter(string_split(text, ' '),
+        |                x -> x <> '')) AS w
+        |        FROM documents)
+        |  GROUP BY 1, 2),
+        |ns AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM swc GROUP BY 1),
+        |wn AS (SELECT swc.source, w, c, n FROM swc JOIN ns USING (source)),
+        |pr AS (
+        |  SELECT l.source AS sa, r.source AS sb,
+        |    l.c AS ca, l.n AS na, r.c AS cb, r.n AS nb,
+        |    l.c * r.n AS da, r.c * l.n AS db
+        |  FROM wn l JOIN wn r ON l.w = r.w AND l.source < r.source),
+        |t AS (
+        |  SELECT sa, sb, ca, cb, na, nb,
+        |    CAST(floor(ln(2.0 * CAST(da AS DOUBLE) / CAST(da + db AS DOUBLE))
+        |               * 1.0e9) AS BIGINT) AS la9,
+        |    CAST(floor(ln(2.0 * CAST(db AS DOUBLE) / CAST(da + db AS DOUBLE))
+        |               * 1.0e9) AS BIGINT) AS lb9
+        |  FROM pr),
+        |g AS (
+        |  SELECT sa, sb, CAST(count(*) AS BIGINT) AS n_common,
+        |    max(na) AS na, max(nb) AS nb,
+        |    CAST(sum(CAST(ca * la9 AS HUGEINT)) AS DOUBLE) AS a9,
+        |    CAST(sum(CAST(cb * lb9 AS HUGEINT)) AS DOUBLE) AS b9,
+        |    CAST(sum(ca) AS BIGINT) AS sca, CAST(sum(cb) AS BIGINT) AS scb
+        |  FROM t GROUP BY 1, 2)
+        |SELECT sa, sb, n_common,
+        |  round(((a9 + CAST(na - sca AS DOUBLE) * 6.9314718E8)
+        |           / CAST(na AS DOUBLE)
+        |         + (b9 + CAST(nb - scb AS DOUBLE) * 6.9314718E8)
+        |           / CAST(nb AS DOUBLE)) / 2.0e9, 6) + 0.0 AS jsd
+        |FROM g ORDER BY sa, sb""".stripMargin,
     "q203_source_vocab_overlap" ->
       """WITH sw AS (
         |  SELECT DISTINCT source, w

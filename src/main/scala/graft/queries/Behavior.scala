@@ -656,7 +656,204 @@ object Behavior {
       .orderBy("r_code", "f_code", "m_code")
   }
 
+  // -------- q227: sequential pattern pairs (A followed by B)
+
+  /** q227: sequential pattern mining over per-user event histories —
+    * "which event FOLLOWS which", at the user grain (q129's basket
+    * rules count co-occurrence with no time arrow; q88 enumerates
+    * literal whole paths; q192 models only ADJACENT steps — this is
+    * the eventually-follows matrix process mining starts from): for
+    * every ordered type pair (a, b), the users whose FIRST a strictly
+    * precedes their FIRST b, with
+    *   support    = n_ab / N,
+    *   confidence = n_ab / n_a  (of users who did a, how many later b),
+    *   lift       = n_ab·N / (n_a·n_b)  (vs independence).
+    *
+    * Determinism: first-occurrence epochs are exact min-aggregated
+    * BIGINT micros; equal first timestamps are NOT "followed by"
+    * (strict <, order-free); every metric is one division (or one
+    * exact cross-product then one division) of exact BIGINTs on the
+    * round-6 grid.
+    *
+    * Scale shape: one corpus (user, type) min-aggregate; the per-user
+    * self-join expands ≤ K² rows per user (K = #event types, a
+    * catalog-bounded domain — the q203 argument); the pair rollup is
+    * ≤ K² rows. No windows.
+    */
+  private def q227(s: SparkSession, dir: String): DataFrame = {
+    val firsts = Tables
+      .table(s, dir, "events")
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(min(unix_micros(col("ts"))).as("t"))
+    val nUsers = firsts
+      .agg(countDistinct("user_id").as("nu"))
+    val perType = firsts.groupBy("event_type").agg(count(lit(1)).as("n_t"))
+    val l = firsts.select(
+      col("user_id"), col("event_type").as("ea"), col("t").as("ta"))
+    val r = firsts.select(
+      col("user_id"), col("event_type").as("eb"), col("t").as("tb"))
+    l.join(r, Seq("user_id"))
+      .filter(col("ea") =!= col("eb") && col("ta") < col("tb"))
+      .groupBy("ea", "eb")
+      .agg(count(lit(1)).as("n_ab"))
+      .join(broadcast(perType.select(col("event_type").as("ea"), col("n_t").as("n_a"))), "ea")
+      .join(broadcast(perType.select(col("event_type").as("eb"), col("n_t").as("n_b"))), "eb")
+      .crossJoin(broadcast(nUsers))
+      .select(
+        col("ea"),
+        col("eb"),
+        col("n_ab"),
+        col("n_a"),
+        col("n_b"),
+        (round(col("n_ab").cast("double") / col("nu").cast("double"), 6) + 0.0)
+          .as("support"),
+        (round(col("n_ab").cast("double") / col("n_a").cast("double"), 6) + 0.0)
+          .as("confidence"),
+        (round(
+          (col("n_ab") * col("nu")).cast("double") /
+            (col("n_a") * col("n_b")).cast("double"),
+          6
+        ) + 0.0).as("lift")
+      )
+      .orderBy("ea", "eb")
+  }
+
+  // ------ q228: Markov removal-effect channel attribution
+
+  /** Touch channels of the q228 journey model — every event type except
+    * the conversion event, fixed alphabetically (the catalog-bounded
+    * event-type domain).
+    */
+  private[graft] val MarkovChannels = Seq("click", "error", "signup", "view")
+  private val MarkovRounds = 8
+
+  /** q228: Markov-chain removal-effect attribution — the third credit
+    * model beside q116's linear split and q209's Shapley, and the one
+    * the ad-tech literature actually ships as "data-driven
+    * attribution": model journeys as a first-order chain
+    * (START → touches → CONV/NULL, truncated at the first purchase),
+    * then credit channel c by how much the chain's conversion
+    * probability DROPS when c is removed (transitions into c
+    * redirected to NULL — the standard removal semantics):
+    * RE(c) = (P_full − P_without_c)/P_full, shares normalized over
+    * channels. Conversion probability = P(absorbed in CONV within
+    * [[MarkovRounds]] synchronous steps) — the q71/q192
+    * fixed-iteration convention, with CONV/NULL absorbing self-loops
+    * so mass accumulates.
+    *
+    * Determinism — integer grids end to end: transition probabilities
+    * are floor(count·10¹²/rowsum) exact integers; each step's
+    * v'[j] = Σᵢ ⌊v[i]·p[i][j]/10¹²⌋ is exact BIGINT arithmetic (the
+    * per-term floor spelled identically in the oracle's HUGEINT
+    * dags); removal effects are differences of gridded probabilities
+    * and every emitted ratio is ONE division of exact integers.
+    *
+    * Scale shape: ONE corpus window pass (user-partitioned, the q192
+    * shape) builds the ≤(K+3)²-row transition count matrix; the
+    * matrix COLLECTS as a bounded model pull (the q70/q209
+    * convention — K is the catalog-bounded event-type domain) and the
+    * 5×8 fixed-horizon vector iterations fold driver-side in exact
+    * BigInt arithmetic; the 4-row result re-enters as a
+    * LocalRelation.
+    */
+  private def q228(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    // truncate at the first purchase by RANK (not by time — a same-
+    // timestamp sibling of the purchase must not survive the cut and
+    // emit a transition out of the absorber)
+    val ev = Tables
+      .table(s, dir, "events")
+      .select(
+        col("user_id"),
+        unix_micros(col("ts")).as("us"),
+        col("event_id"),
+        col("event_type")
+      )
+      .withColumn("rn", row_number().over(w))
+      .withColumn(
+        "rp",
+        min(when(col("event_type") === "purchase", col("rn"))).over(
+          Window.partitionBy("user_id")
+        )
+      )
+      .filter(col("rp").isNull || col("rn") <= col("rp"))
+    val steps = ev
+      .withColumn("prev", lag("event_type", 1).over(w))
+      .withColumn("nxt", lead("event_type", 1).over(w))
+      .select(
+        coalesce(col("prev"), lit("START")).as("i"),
+        when(col("event_type") === "purchase", "CONV")
+          .otherwise(col("event_type"))
+          .as("j"),
+        col("nxt"),
+        col("event_type")
+      )
+    // the terminal NULL hop for non-converting journeys: the last
+    // event (nxt IS NULL, not itself a conversion) → NULL
+    val trans = steps
+      .select(col("i"), col("j"))
+      .unionAll(
+        steps
+          .filter(col("nxt").isNull && col("event_type") =!= "purchase")
+          .select(col("j").as("i"), lit("NULL").as("j"))
+      )
+      .groupBy("i", "j")
+      .agg(count(lit(1)).as("c"))
+    val counts = trans
+      .as[(String, String, Long)]
+      .collect()
+      .toSeq
+    // ---- bounded driver-side fold (exact integer arithmetic) ----
+    val G = BigInt(1000000000000L)
+    val states = ("START" +: MarkovChannels) ++ Seq("CONV", "NULL")
+    val rowSums = counts.groupBy(_._1).map { case (i, g) => i -> g.map(_._3).sum }
+    val base: Map[(String, String), BigInt] = counts.map { case (i, j, c) =>
+      (i, j) -> BigInt(c) * G / BigInt(rowSums(i))
+    }.toMap
+    def absorbing(p: Map[(String, String), BigInt]): Map[(String, String), BigInt] =
+      p ++ Map(("CONV", "CONV") -> G, ("NULL", "NULL") -> G)
+    def converge(p: Map[(String, String), BigInt]): BigInt = {
+      var v: Map[String, BigInt] = Map("START" -> G)
+      for (_ <- 1 to MarkovRounds) {
+        v = states
+          .map { j =>
+            j -> v.map { case (i, vi) => vi * p.getOrElse((i, j), BigInt(0)) / G }.sum
+          }
+          .filter(_._2 > 0)
+          .toMap
+      }
+      v.getOrElse("CONV", BigInt(0))
+    }
+    val pFull = converge(absorbing(base))
+    val without = MarkovChannels.map { c =>
+      val redirected = base.toSeq
+        .map { case ((i, j), p) => ((i, if (j == c) "NULL" else j), p) }
+        .groupBy(_._1)
+        .map { case (k, g) => k -> g.map(_._2).sum }
+      c -> converge(absorbing(redirected))
+    }
+    val re = without.map { case (c, pc) => (c, pc, pFull - pc) }
+    val reSum = re.map(_._3).sum
+    // exact half-up round-6 of the rational num/den — the engine-
+    // neutral spelling (a driver-side double round would reopen the
+    // q76 Spark-vs-DuckDB rounding split); den > 0 throughout
+    def r6(num: BigInt, den: BigInt): Double =
+      if (den == 0) 0.0
+      else ((num * 2000000 + den) / (den * 2)).toDouble / 1e6
+    val out = re.map { case (c, pc, r) =>
+      (c, r6(pc, G), r6(r, pFull), r6(r, reSum))
+    }
+    s.createDataFrame(out)
+      .toDF("channel", "p_without", "removal_effect", "attribution_share")
+      .withColumn("p_full", lit(r6(pFull, G)))
+      .select("channel", "p_full", "p_without", "removal_effect", "attribution_share")
+      .orderBy("channel")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q228_markov_attribution" -> q228,
+    "q227_sequential_patterns" -> q227,
     "q200_rfm_segments" -> q200,
     "q199_conversion_lag" -> q199,
     "q192_markov_transitions" -> q192,
@@ -716,7 +913,127 @@ object Behavior {
        |        FROM (SELECT $dim AS v, CAST(count(*) AS BIGINT) AS c
        |              FROM b GROUP BY 1)) CROSS JOIN n""".stripMargin
 
+  /** One q228 absorption round as SQL — the driver fold's per-term
+    * ⌊v·p/10¹²⌋ BIGINT arithmetic verbatim.
+    */
+  private def markovRoundSql(tag: String, mat: String, k: Int): String =
+    s"""$tag$k AS MATERIALIZED (
+       |  SELECT p.j AS state,
+       |    CAST(sum(CAST(v.v12 AS HUGEINT) * p.p12 // 1000000000000)
+       |         AS BIGINT) AS v12
+       |  FROM $tag${k - 1} v JOIN $mat p ON p.i = v.state
+       |  GROUP BY p.j)""".stripMargin
+
+  private def markovChainSql(tag: String, mat: String): String =
+    (s"""${tag}0 AS (SELECT 'START' AS state,
+        |  CAST(1000000000000 AS BIGINT) AS v12)""".stripMargin +:
+      (1 to MarkovRounds).map(markovRoundSql(tag, mat, _))).mkString(",\n") +
+      s""",
+         |${tag}p AS (SELECT coalesce(max(CASE WHEN state = 'CONV' THEN v12 END),
+         |  0) AS p FROM $tag$MarkovRounds)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    // same rank-truncated journeys, same floor(count·10¹²/rowsum)
+    // matrix, same per-term-floored HUGEINT rounds, same exact
+    // half-up round-6 integer renders
+    "q228_markov_attribution" -> {
+      val removalMats = MarkovChannels
+        .map(c => s"""pm_$c AS MATERIALIZED (
+           |  SELECT i, CASE WHEN j = '$c' THEN 'NULL' ELSE j END AS j,
+           |    CAST(sum(p12) AS BIGINT) AS p12
+           |  FROM pfull GROUP BY 1, 2)""".stripMargin)
+        .mkString(",\n")
+      val chains = (markovChainSql("fv", "pfull") +:
+        MarkovChannels.map(c => markovChainSql(s"v$c", s"pm_$c")))
+        .mkString(",\n")
+      val resRows = MarkovChannels
+        .map(c => s"SELECT '$c' AS channel, (SELECT p FROM v${c}p) AS pw")
+        .mkString("\n        |  UNION ALL\n        |  ")
+      s"""WITH ev AS (
+         |  SELECT user_id, epoch_us(ts) AS us, event_id, event_type FROM events),
+         |rk AS (
+         |  SELECT *, row_number() OVER (PARTITION BY user_id
+         |    ORDER BY us, event_id) AS rn
+         |  FROM ev),
+         |rp AS (
+         |  SELECT *, min(CASE WHEN event_type = 'purchase' THEN rn END)
+         |    OVER (PARTITION BY user_id) AS rp
+         |  FROM rk),
+         |kept AS (SELECT * FROM rp WHERE rp IS NULL OR rn <= rp),
+         |st AS (
+         |  SELECT
+         |    coalesce(lag(event_type) OVER (PARTITION BY user_id
+         |      ORDER BY us, event_id), 'START') AS i,
+         |    CASE WHEN event_type = 'purchase' THEN 'CONV'
+         |         ELSE event_type END AS j,
+         |    lead(event_type) OVER (PARTITION BY user_id
+         |      ORDER BY us, event_id) AS nxt,
+         |    event_type
+         |  FROM kept),
+         |tr AS (
+         |  SELECT i, j FROM st
+         |  UNION ALL
+         |  SELECT j AS i, 'NULL' AS j FROM st
+         |  WHERE nxt IS NULL AND event_type <> 'purchase'),
+         |tc AS (SELECT i, j, CAST(count(*) AS BIGINT) AS c FROM tr GROUP BY 1, 2),
+         |rs AS (SELECT i, CAST(sum(c) AS BIGINT) AS s FROM tc GROUP BY 1),
+         |pbase AS (
+         |  SELECT tc.i, tc.j,
+         |    CAST(CAST(tc.c AS HUGEINT) * 1000000000000 // rs.s AS BIGINT) AS p12
+         |  FROM tc JOIN rs USING (i)),
+         |pfull AS MATERIALIZED (
+         |  SELECT i, j, p12 FROM pbase
+         |  UNION ALL SELECT 'CONV', 'CONV', CAST(1000000000000 AS BIGINT)
+         |  UNION ALL SELECT 'NULL', 'NULL', CAST(1000000000000 AS BIGINT)),
+         |$removalMats,
+         |$chains,
+         |res AS (
+         |  $resRows),
+         |r AS (
+         |  SELECT channel, pw, (SELECT p FROM fvp) - pw AS re FROM res),
+         |t AS (SELECT CAST(sum(re) AS BIGINT) AS sre FROM r)
+         |SELECT channel,
+         |  CAST((CAST((SELECT p FROM fvp) AS HUGEINT) * 2000000
+         |        + 1000000000000) // 2000000000000 AS DOUBLE) / 1.0e6 AS p_full,
+         |  CAST((CAST(pw AS HUGEINT) * 2000000 + 1000000000000)
+         |       // 2000000000000 AS DOUBLE) / 1.0e6 AS p_without,
+         |  CASE WHEN (SELECT p FROM fvp) = 0 THEN 0.0
+         |       ELSE CAST((CAST(re AS HUGEINT) * 2000000 + (SELECT p FROM fvp))
+         |                 // (2 * (SELECT p FROM fvp)) AS DOUBLE) / 1.0e6
+         |  END AS removal_effect,
+         |  CASE WHEN (SELECT sre FROM t) = 0 THEN 0.0
+         |       ELSE CAST((CAST(re AS HUGEINT) * 2000000 + (SELECT sre FROM t))
+         |                 // (2 * (SELECT sre FROM t)) AS DOUBLE) / 1.0e6
+         |  END AS attribution_share
+         |FROM r, t ORDER BY channel""".stripMargin
+    },
+    // same first-occurrence micros frame, same strict-< pair join,
+    // same single-division metrics on the round-6 grid
+    "q227_sequential_patterns" ->
+      """WITH firsts AS (
+        |  SELECT user_id, event_type,
+        |    CAST(min(epoch_us(ts)) AS BIGINT) AS t
+        |  FROM events GROUP BY 1, 2),
+        |nu AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS nu FROM firsts),
+        |pt AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_t
+        |       FROM firsts GROUP BY 1),
+        |ab AS (
+        |  SELECT l.event_type AS ea, r.event_type AS eb,
+        |    CAST(count(*) AS BIGINT) AS n_ab
+        |  FROM firsts l JOIN firsts r
+        |    ON l.user_id = r.user_id AND l.event_type <> r.event_type
+        |       AND l.t < r.t
+        |  GROUP BY 1, 2)
+        |SELECT ea, eb, n_ab, a.n_t AS n_a, b.n_t AS n_b,
+        |  round(CAST(n_ab AS DOUBLE) / CAST(nu.nu AS DOUBLE), 6) + 0.0
+        |    AS support,
+        |  round(CAST(n_ab AS DOUBLE) / CAST(a.n_t AS DOUBLE), 6) + 0.0
+        |    AS confidence,
+        |  round(CAST(n_ab * nu.nu AS DOUBLE) / CAST(a.n_t * b.n_t AS DOUBLE), 6)
+        |    + 0.0 AS lift
+        |FROM ab JOIN pt a ON a.event_type = ab.ea
+        |        JOIN pt b ON b.event_type = ab.eb, nu
+        |ORDER BY ea, eb""".stripMargin,
     // same buyer frame, same exact value-based quintile thresholds
     // (naive single-window cumulation — the oracle may scan), same
     // tie-to-lower-code CASE arithmetic

@@ -813,7 +813,219 @@ object Graph {
       )
   }
 
+  // --------------- q220: HITS hubs and authorities
+
+  /** q220: HITS (hubs & authorities) on the DIRECTED customer→supplier
+    * trade graph — the second classic eigen-centrality next to q71's
+    * PageRank, and the one that actually fits a bipartite buy/sell
+    * graph: a good hub (customer) is one that buys from good
+    * authorities (suppliers), a good authority is one bought from by
+    * good hubs — two mutually-recursive scores where PageRank's single
+    * score conflates the two roles. Kleinberg's iteration, TWO full
+    * rounds (authority update then hub update each), L1-normalized
+    * each half-step, uniform init.
+    *
+    * Determinism: scores live on a 1e-12 integer grid end to end —
+    * each half-step is an exact BIGINT sum of the opposite side's
+    * gridded scores over the edge list, renormalized by EXACT
+    * DECIMAL(38) floor-division (raw·10¹² div total), so every
+    * iteration is engine-exact with no float sum anywhere (the
+    * q192/q197 grid convention, here with integer renormalization
+    * replacing the norm dag). Top-10 per role ordered by (gridded
+    * score desc, node) — no ulp can move the cut.
+    *
+    * Scale shape: the distinct pair frame builds once (q71's cached
+    * builder shape); each half-step is one equi-join of the edge list
+    * against a node-sized score frame + one partial-aggregated groupBy
+    * — the Pregel message-passing shape, fixed 4 half-steps, shallow
+    * lineage. Output 20 rows.
+    */
+  private def q220(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.table(s, dir, "orders")
+    val lineitem = Tables.table(s, dir, "lineitem")
+    val edges = graft.llm.Dedup.tcache(
+      s,
+      lineitem
+        .join(orders, lineitem("l_orderkey") === orders("o_orderkey"))
+        .select(col("o_custkey").as("cu"), col("l_suppkey").as("su"))
+        .distinct()
+    )
+    val G = 1000000000000L // the 1e-12 score grid
+    // renormalize a raw DECIMAL(38) score sum to the grid: raw·10¹²
+    // div total — exact integer arithmetic on both engines (the sums
+    // ride DECIMAL(38): gridded scores × edge count overflows BIGINT
+    // at ~10⁷-edge graphs)
+    def renorm(df: DataFrame, key: String, raw: String): DataFrame =
+      df.crossJoin(broadcast(df.agg(sum(col(raw)).as("tot"))))
+        .select(
+          col(key),
+          expr(s"CAST($raw * $G div tot AS BIGINT)").as("sc")
+        )
+    var h = edges.select(col("cu")).distinct().withColumn("sc", lit(G))
+    var a: DataFrame = null
+    for (_ <- 1 to 2) {
+      a = renorm(
+        edges
+          .join(h.withColumnRenamed("sc", "hs"), "cu")
+          .groupBy("su")
+          .agg(sum(col("hs").cast("decimal(38,0)")).as("raw")),
+        "su",
+        "raw"
+      )
+      h = renorm(
+        edges
+          .join(a.withColumnRenamed("sc", "as_"), "su")
+          .groupBy("cu")
+          .agg(sum(col("as_").cast("decimal(38,0)")).as("raw")),
+        "cu",
+        "raw"
+      )
+    }
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy("role")
+      .orderBy(desc("sc"), col("node"))
+    h.select(lit("hub").as("role"), concat(lit("C"), col("cu")).as("node"), col("sc"))
+      .unionAll(
+        a.select(
+          lit("authority").as("role"),
+          concat(lit("S"), col("su")).as("node"),
+          col("sc")
+        )
+      )
+      .withColumn("pos", row_number().over(wRank))
+      .filter(col("pos") <= 10)
+      .select(
+        col("role"),
+        col("pos"),
+        col("node"),
+        (round(col("sc").cast("double") / 1.0e12, 8) + 0.0).as("score")
+      )
+      .orderBy("role", "pos")
+  }
+
+  // --------------- q221: label-propagation communities
+
+  /** q221: label-propagation community detection over the supplier
+    * co-occurrence graph — the linear-time community pass run before
+    * any per-community rollup (q50's connected components answer "what
+    * is TRANSITIVELY linked"; LPA answers "where is the dense core
+    * structure", splitting a connected hairball into its actual
+    * clusters): label₀(v) = v, then THREE synchronous rounds of
+    * "adopt the most frequent neighbor label", ties broken by the
+    * smallest label — the deterministic variant of Raghavan et al.'s
+    * algorithm (the standard random-order sweep is irreproducible by
+    * construction; synchronous + min-tie-break is what a verifiable
+    * pipeline runs).
+    *
+    * Determinism: label counts are exact integers; the argmax is a
+    * row_number over (count desc, label asc) — no float anywhere, no
+    * tie a shuffle order can flip.
+    *
+    * Scale shape: each round is one edge⋈label equi-join, one
+    * (node, label) count aggregate, one node-partitioned argmax window
+    * (partitions bounded by a node's distinct neighbor labels ≤ deg).
+    * Fixed 3 rounds → shallow lineage; the community rollup is
+    * node-sized. Output: top-20 communities by (size desc, label).
+    */
+  private def lpaLabels(s: SparkSession, dir: String): DataFrame = {
+    val e = graft.llm.Dedup.tcache(s, cooccurrenceEdges(s, dir))
+    val und = e
+      .select(col("a").as("z"), col("b").as("n"))
+      .union(e.select(col("b").as("z"), col("a").as("n")))
+    var lab = und.select(col("z").as("node")).distinct()
+      .withColumn("lab", col("node"))
+    val wArg = org.apache.spark.sql.expressions.Window
+      .partitionBy("z")
+      .orderBy(desc("c"), col("lab"))
+    for (_ <- 1 to 3) {
+      val prev = lab.select(col("node").as("n"), col("lab").as("nl"))
+      lab = und
+        .join(prev, "n")
+        .groupBy(col("z"), col("nl").as("lab"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("rk", row_number().over(wArg))
+        .filter(col("rk") === 1)
+        .select(col("z").as("node"), col("lab"))
+    }
+    lab
+  }
+
+  private def q221(s: SparkSession, dir: String): DataFrame =
+    lpaLabels(s, dir)
+      .groupBy("lab")
+      .agg(count(lit(1)).as("size"), min("node").as("min_node"))
+      .orderBy(desc("size"), col("lab"))
+      .limit(20)
+      .select(
+        concat(lit("S"), col("lab")).as("community"),
+        col("size"),
+        concat(lit("S"), col("min_node")).as("min_node")
+      )
+
+  // --------------- q222: modularity of the LPA partition
+
+  /** q222: Newman modularity Q of the q221 label-propagation partition
+    * — the quality number that says whether the communities MEAN
+    * anything (Q ≈ 0: no better than random wiring given the degree
+    * sequence; Q ≳ 0.3: real structure — the accept/reject gate on any
+    * community algorithm's output, and the honest companion a gated
+    * LPA needs): Q = Σ_c [l_c/m − (d_c/2m)²] with l_c = intra-community
+    * edges, d_c = total degree in c, m = |E|.
+    *
+    * Determinism: spelled as the EXACT BIGINT cross-product
+    * Q = (4m·Σl_c − Σd_c²) / (4m²) — numerator exact integers, one
+    * final division (no per-community float sum). Shares lpaLabels
+    * with q221 — the gated modularity can never drift from the gated
+    * partition.
+    *
+    * Scale shape: two label joins onto the a<b edge frame (edge-
+    * sized), one node-sized degree rollup, community-sized sums, a
+    * 1-row dag.
+    */
+  private def q222(s: SparkSession, dir: String): DataFrame = {
+    val e = graft.llm.Dedup.tcache(s, cooccurrenceEdges(s, dir))
+    val lab = lpaLabels(s, dir)
+    val la = lab.select(col("node").as("a"), col("lab").as("la"))
+    val lb = lab.select(col("node").as("b"), col("lab").as("lb"))
+    val intra = e
+      .join(la, "a")
+      .join(lb, "b")
+      .agg(
+        count(lit(1)).as("m"),
+        sum(when(col("la") === col("lb"), 1L).otherwise(0L)).as("sum_intra")
+      )
+    val und = e
+      .select(col("a").as("z"), col("b").as("n"))
+      .union(e.select(col("b").as("z"), col("a").as("n")))
+    val dc = und
+      .groupBy("z")
+      .agg(count(lit(1)).as("deg"))
+      .join(lab.withColumnRenamed("node", "z"), "z")
+      .groupBy("lab")
+      .agg(sum("deg").as("d_c"))
+    val sq = dc.agg(
+      count(lit(1)).as("n_communities"),
+      sum(col("d_c") * col("d_c")).as("sum_d2")
+    )
+    intra
+      .crossJoin(broadcast(sq))
+      .select(
+        col("m").as("n_edges"),
+        col("n_communities"),
+        col("sum_intra"),
+        (round(
+          (lit(4L) * col("m") * col("sum_intra") - col("sum_d2"))
+            .cast("double") /
+            (lit(4L) * col("m") * col("m")).cast("double"),
+          6
+        ) + 0.0).as("modularity")
+      )
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q220_hits" -> q220,
+    "q221_label_propagation" -> q221,
+    "q222_modularity" -> q222,
     "q207_assortativity" -> q207,
     "q71_pagerank" -> q71,
     "q80_triangle_count" -> q80,
@@ -865,7 +1077,105 @@ object Graph {
        |FROM s8 GROUP BY u ORDER BY node""".stripMargin
   }
 
+  // One LPA round as SQL: count neighbor labels, adopt the most
+  // frequent with the min-label tie-break — the exact argmax window
+  // the Spark loop spells.
+  private def lpaRoundSql(prev: String, k: Int): String =
+    s"""c$k AS (
+       |  SELECT u.z, p.lab AS nl, count(*) AS c
+       |  FROM und u JOIN $prev p ON p.node = u.n GROUP BY u.z, p.lab),
+       |l$k AS MATERIALIZED (
+       |  SELECT z AS node, nl AS lab FROM (
+       |    SELECT z, nl,
+       |      row_number() OVER (PARTITION BY z ORDER BY c DESC, nl) AS rk
+       |    FROM c$k) WHERE rk = 1)""".stripMargin
+
+  private val lpaOracleCtes: String = {
+    val rounds = (1 to 3).map(i => lpaRoundSql(s"l${i - 1}", i)).mkString(",\n")
+    s"""li AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem),
+       |ec AS (SELECT x.sk AS a, y.sk AS b, count(*) AS c
+       |       FROM li x JOIN li y ON x.ok = y.ok AND x.sk < y.sk
+       |       GROUP BY x.sk, y.sk),
+       |e AS (SELECT a, b FROM ec WHERE c > (SELECT avg(c) FROM ec)),
+       |und AS (SELECT a AS z, b AS n FROM e UNION ALL SELECT b AS z, a AS n FROM e),
+       |l0 AS MATERIALIZED (SELECT DISTINCT z AS node, z AS lab FROM und),
+       |$rounds""".stripMargin
+  }
+
+  // One HITS half-step as SQL: exact HUGEINT sum of the opposite
+  // side's gridded scores, renormalized by exact integer floor-division
+  // — the Spark renorm verbatim.
+  private def hitsHalfSql(
+      out: String,
+      in: String,
+      key: String,
+      joinKey: String
+  ): String =
+    s"""${out}r AS MATERIALIZED (
+       |  SELECT e.$key, CAST(sum(CAST(p.sc AS HUGEINT)) AS HUGEINT) AS raw
+       |  FROM e JOIN $in p USING ($joinKey) GROUP BY e.$key),
+       |$out AS MATERIALIZED (
+       |  SELECT $key,
+       |    CAST(raw * 1000000000000 // (SELECT sum(raw) FROM ${out}r)
+       |         AS BIGINT) AS sc
+       |  FROM ${out}r)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    // same distinct directed pair frame, same 1e-12 grid + exact
+    // integer renormalization each half-step, same (score, node) top-10
+    "q220_hits" -> {
+      val steps = Seq(
+        hitsHalfSql("a1", "h0", "su", "cu"),
+        hitsHalfSql("h1", "a1", "cu", "su"),
+        hitsHalfSql("a2", "h1", "su", "cu"),
+        hitsHalfSql("h2", "a2", "cu", "su")
+      ).mkString(",\n")
+      s"""WITH e AS (
+         |  SELECT DISTINCT o_custkey AS cu, l_suppkey AS su
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |h0 AS MATERIALIZED (
+         |  SELECT DISTINCT cu, CAST(1000000000000 AS BIGINT) AS sc FROM e),
+         |$steps,
+         |roles AS (
+         |  SELECT 'hub' AS role, 'C' || cu AS node, sc FROM h2
+         |  UNION ALL
+         |  SELECT 'authority' AS role, 'S' || su AS node, sc FROM a2),
+         |ranked AS (
+         |  SELECT role, node, sc,
+         |    row_number() OVER (PARTITION BY role ORDER BY sc DESC, node) AS pos
+         |  FROM roles)
+         |SELECT role, CAST(pos AS INT) AS pos, node,
+         |  round(CAST(sc AS DOUBLE) / 1.0e12, 8) + 0.0 AS score
+         |FROM ranked WHERE pos <= 10 ORDER BY role, pos""".stripMargin
+    },
+    // same edge CTEs, three synchronous min-tie-break rounds, same
+    // (size desc, label) top-20
+    "q221_label_propagation" ->
+      s"""WITH $lpaOracleCtes
+         |SELECT 'S' || lab AS community, CAST(count(*) AS BIGINT) AS size,
+         |  'S' || min(node) AS min_node
+         |FROM l3 GROUP BY lab ORDER BY count(*) DESC, lab LIMIT 20""".stripMargin,
+    // same label rounds, exact BIGINT intra/degree sums, the exact
+    // cross-product modularity dag
+    "q222_modularity" ->
+      s"""WITH $lpaOracleCtes,
+         |intra AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS m,
+         |    CAST(sum(CASE WHEN la.lab = lb.lab THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS sum_intra
+         |  FROM e JOIN l3 la ON la.node = e.a JOIN l3 lb ON lb.node = e.b),
+         |dc AS (
+         |  SELECT l.lab, CAST(sum(d.deg) AS BIGINT) AS d_c
+         |  FROM (SELECT z, CAST(count(*) AS BIGINT) AS deg FROM und GROUP BY z) d
+         |  JOIN l3 l ON l.node = d.z GROUP BY l.lab),
+         |sq AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_communities,
+         |    CAST(sum(d_c * d_c) AS BIGINT) AS sum_d2
+         |  FROM dc)
+         |SELECT m AS n_edges, n_communities, sum_intra,
+         |  round(CAST(4 * m * sum_intra - sum_d2 AS DOUBLE)
+         |        / CAST(4 * m * m AS DOUBLE), 6) + 0.0 AS modularity
+         |FROM intra, sq""".stripMargin,
     "q151_kcore" -> kcoreOracleSql,
     "q71_pagerank" ->
       s"""WITH pairs AS (

@@ -71,6 +71,70 @@ object Relational {
       .agg(count(lit(1)).as("cnt"))
       .orderBy("dt", "account")
 
+  /** q230: per-source anomaly screen — the reference domain's security
+    * triage over the converted flow table: for each source, its
+    * traffic profile (flow count, destination fan-out, bytes, REJECT
+    * count) and how far its reject RATIO sits above the corpus
+    * baseline — a source bouncing off security groups far more than
+    * the fleet average is the scanner/misconfiguration signature that
+    * byte top-talkers (q02) miss because scans are small-packet.
+    * Top-20 by (excess reject ratio, srcaddr), NODATA excluded.
+    * (On this synthetic corpus the address map is a closed-form
+    * bijection, so the fan-out column is structurally 1 — it is
+    * carried as profile surface; the reject excess is the live
+    * ordering signal.)
+    *
+    * Determinism: all counts exact integers from one hash aggregate
+    * (count(DISTINCT dstaddr) is a two-phase exact distinct, not a
+    * sketch); ratio and excess are single round-6 renders of the
+    * identical IEEE dag on both engines (excess can go negative →
+    * the +0.0 sign normalization).
+    *
+    * Scale shape: one groupBy(srcaddr) over the flow table (map-side
+    * partials; the distinct expands to the address-pair space q02's
+    * shape already shuffles), a broadcast 1-row corpus total, top-20
+    * via TakeOrdered. At 100 TB the exact distinct swaps for
+    * approx_count_distinct the same way q12b documents.
+    */
+  private def q230(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables
+      .flowlogs(s)
+      .filter(col("srcaddr") =!= "-")
+      .groupBy(col("srcaddr"))
+      .agg(
+        countDistinct(col("dstaddr")).as("n_dsts"),
+        count(lit(1)).as("n_flows"),
+        sum(col("bytes")).as("sum_bytes"),
+        sum(when(col("action") === "REJECT", 1L).otherwise(0L)).as("n_rejects")
+      )
+    val tot = base.agg(sum("n_flows").as("tf"), sum("n_rejects").as("tr"))
+    base
+      .crossJoin(broadcast(tot))
+      .withColumn(
+        "reject_ratio",
+        round(col("n_rejects").cast("double") / col("n_flows").cast("double"), 6)
+      )
+      .withColumn(
+        "reject_excess",
+        round(
+          col("n_rejects").cast("double") / col("n_flows").cast("double") -
+            col("tr").cast("double") / col("tf").cast("double"),
+          6
+        ) + 0.0
+      )
+      .orderBy(desc("reject_excess"), col("srcaddr"))
+      .limit(20)
+      .select(
+        col("srcaddr"),
+        col("n_dsts"),
+        col("n_flows"),
+        col("sum_bytes"),
+        col("n_rejects"),
+        col("reject_ratio"),
+        col("reject_excess")
+      )
+  }
+
   /** CIDR enrichment — the reference domain's classic lookup: map each
     * flow's srcaddr to its owning /24 block (aggregated to /20 "net"
     * owners) via a BROADCAST RANGE JOIN against a 256-row block dim.
@@ -1509,6 +1573,7 @@ object Relational {
     "q02_flow_top_talkers" -> q02,
     "q03_flow_topk" -> q03,
     "q04_flow_partitions" -> q04,
+    "q230_flow_fanout" -> q230,
     "q05_join_inner" -> q05,
     "q06_join_broadcast" -> q06,
     "q07_join_multiway" -> q07,
@@ -1610,6 +1675,26 @@ object Relational {
       s"""$flowCte
          |SELECT dt, account, count(*) AS cnt
          |FROM f GROUP BY dt, account ORDER BY dt, account""".stripMargin,
+    // same NODATA-excluded aggregate, exact distinct, same corpus-
+    // baseline excess dag with the +0.0 sign normalization
+    "q230_flow_fanout" ->
+      s"""$flowCte,
+         |base AS (
+         |  SELECT srcaddr, CAST(count(DISTINCT dstaddr) AS BIGINT) AS n_dsts,
+         |    count(*) AS n_flows, CAST(sum(bytes) AS BIGINT) AS sum_bytes,
+         |    CAST(sum(CASE WHEN action = 'REJECT' THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_rejects
+         |  FROM f WHERE srcaddr <> '-' GROUP BY srcaddr),
+         |tot AS (SELECT CAST(sum(n_flows) AS BIGINT) AS tf,
+         |               CAST(sum(n_rejects) AS BIGINT) AS tr FROM base)
+         |SELECT srcaddr, n_dsts, n_flows, sum_bytes, n_rejects,
+         |  round(CAST(n_rejects AS DOUBLE) / CAST(n_flows AS DOUBLE), 6)
+         |    AS reject_ratio,
+         |  round(CAST(n_rejects AS DOUBLE) / CAST(n_flows AS DOUBLE)
+         |        - CAST(tr AS DOUBLE) / CAST(tf AS DOUBLE), 6) + 0.0
+         |    AS reject_excess
+         |FROM base, tot
+         |ORDER BY reject_excess DESC, srcaddr LIMIT 20""".stripMargin,
     "q44_ip_enrich" ->
       s"""$flowCte
          |SELECT 'net-' || CAST(CAST(string_split(srcaddr, '.')[3] AS INTEGER) // 16 AS VARCHAR) AS owner,

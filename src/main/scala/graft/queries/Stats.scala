@@ -1969,7 +1969,394 @@ object Stats {
       )
   }
 
+  // ------------- q216: Brown–Forsythe robust variance-equality test
+
+  /** q216: Brown–Forsythe test — "do the two arms' value SPREADS
+    * differ", the variance-homogeneity companion of q185's Welch mean
+    * test (Welch asks whether the centers moved; a pricing experiment
+    * can leave the mean fixed and widen the tails — and classic
+    * Levene/Bartlett answers are outlier-fragile, which is why the
+    * median-centered Brown–Forsythe variant is what validation suites
+    * actually run): per arm, z = |v − median(arm)| on exact centi
+    * values, then the one-way ANOVA F on z across the two q43 arms,
+    * F = (N−2)·SSB/SSW with the usual between/within sums of squares.
+    *
+    * Determinism: arm medians are EXACT value-based positional
+    * selections over the per-arm centi value frame (percentile_disc
+    * lower-median semantics — min v with 2·cum ≥ n, never an
+    * interpolation float); |v−med| is an exact integer, so the z
+    * moments are DECIMAL(38) exact sums cast to double ONCE (the
+    * q120/q185 convention) and F is a single IEEE dag both engines
+    * spell identically. The significance call compares the raw F dag
+    * against the exact double literal 3.8415999999999997 (the q201 z²
+    * convention — F(1,∞) = z²).
+    *
+    * Scale shape: ONE corpus hash aggregate to the per-(arm, centi
+    * value) frame; medians, z-moments, and F all derive from that
+    * domain-bounded frame (windows partitioned by arm over distinct
+    * values — the q33b bound). The corpus is touched once.
+    */
+  private def q216(s: SparkSession, dir: String): DataFrame = {
+    val perVal = Tables
+      .table(s, dir, "events")
+      .select(
+        round(col("value") * 100.0, 0).cast("long").as("vc"),
+        when(graft.llm.Sampling.bucket100(col("user_id")) < 50, "A")
+          .otherwise("B")
+          .as("arm")
+      )
+      .groupBy("arm", "vc")
+      .agg(count(lit(1)).as("c"))
+    val wCum = Window
+      .partitionBy("arm")
+      .orderBy("vc")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val meds = perVal
+      .withColumn("cum", sum("c").over(wCum))
+      .withColumn("n", sum("c").over(Window.partitionBy("arm")))
+      .groupBy("arm")
+      .agg(
+        min(when(col("cum") * 2 >= col("n"), col("vc"))).as("med"),
+        max("n").as("n")
+      )
+    val z = perVal
+      .join(broadcast(meds), "arm")
+      .select(
+        col("arm"),
+        col("n"),
+        col("med"),
+        (abs(col("vc") - col("med")) * col("c")).as("sz"),
+        (abs(col("vc") - col("med")) * abs(col("vc") - col("med")) * col("c"))
+          .as("qz")
+      )
+      .groupBy("arm")
+      .agg(
+        max("n").as("n"),
+        max("med").as("med"),
+        sum(col("sz").cast("decimal(38,0)")).cast("double").as("s"),
+        sum(col("qz").cast("decimal(38,0)")).cast("double").as("q")
+      )
+    val a = z.filter(col("arm") === "A").select(
+      col("n").as("na"), col("med").as("ma"), col("s").as("sa"), col("q").as("qa"))
+    val b = z.filter(col("arm") === "B").select(
+      col("n").as("nb"), col("med").as("mb"), col("s").as("sb"), col("q").as("qb"))
+    a.crossJoin(b)
+      .withColumn(
+        "ssb",
+        col("sa") * col("sa") / col("na").cast("double") +
+          col("sb") * col("sb") / col("nb").cast("double") -
+          (col("sa") + col("sb")) * (col("sa") + col("sb")) /
+          (col("na") + col("nb")).cast("double")
+      )
+      .withColumn(
+        "ssw",
+        col("qa") + col("qb") -
+          (col("sa") * col("sa") / col("na").cast("double") +
+            col("sb") * col("sb") / col("nb").cast("double"))
+      )
+      .withColumn(
+        "f_raw",
+        (col("na") + col("nb") - 2).cast("double") * col("ssb") /
+          nullif(col("ssw"), lit(0.0d))
+      )
+      .select(
+        col("na"),
+        col("nb"),
+        (col("ma").cast("double") / 100.0d).as("median_a"),
+        (col("mb").cast("double") / 100.0d).as("median_b"),
+        (round(col("f_raw"), 6) + 0.0).as("f_stat"),
+        (col("f_raw") > lit(3.8415999999999997d)).as("spread_differs")
+      )
+  }
+
+  // ---------------- q217: Nelson–Aalen cumulative hazard
+
+  /** q217: Nelson–Aalen cumulative hazard + Fleming–Harrington
+    * survival — the HAZARD-scale view of q174's Kaplan–Meier frame
+    * (KM multiplies survival factors; NA sums the instantaneous risks
+    * d/n, which is the curve additive-risk models and hazard-ratio
+    * eyeballing read, is defined with no special case at d = n, and
+    * gives the small-sample-preferred Fleming–Harrington estimator
+    * S = exp(−H) for free): H(t) = Σ_{tᵢ≤t} dᵢ/nᵢ with variance
+    * Σ dᵢ(nᵢ−dᵢ)/nᵢ³, on q174's exact duration frame verbatim (days
+    * from first event to first 'error', censored at last observed).
+    *
+    * Determinism: per-time d/n snaps to the 1e-9 grid and the
+    * variance term d(n−d)/n³ to the 1e-12 grid (exact integers inside
+    * one IEEE division each); BOTH cumulations are exact BIGINT sums
+    * over the duration value frame, so H and its variance are
+    * engine-exact before the one exp render.
+    *
+    * Scale shape: q174's exactly — one corpus hash aggregate to
+    * per-user durations, then cumulations over the ≤ observation-
+    * window-days value frame (the q33b window bound).
+    */
+  private def q217(s: SparkSession, dir: String): DataFrame = {
+    val u = Tables
+      .table(s, dir, "events")
+      .groupBy("user_id")
+      .agg(
+        min(to_date(col("ts"))).as("f"),
+        min(when(col("event_type") === "error", to_date(col("ts")))).as("p"),
+        max(to_date(col("ts"))).as("l")
+      )
+      .select(
+        when(col("p").isNotNull, datediff(col("p"), col("f")))
+          .otherwise(datediff(col("l"), col("f")))
+          .as("dur"),
+        when(col("p").isNotNull, lit(1L)).otherwise(lit(0L)).as("obs")
+      )
+    val vc = u
+      .groupBy("dur")
+      .agg(sum(col("obs")).as("d_t"), count(lit(1)).as("a_t"))
+    val wc = Window.orderBy("dur")
+    val wRisk = wc.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val wCum = wc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    vc.withColumn("n_t", sum(col("a_t")).over(wRisk))
+      .withColumn(
+        "h9",
+        floor(
+          col("d_t").cast("double") / col("n_t").cast("double") * 1.0e9
+        ).cast("long")
+      )
+      .withColumn(
+        "v12",
+        floor(
+          (col("d_t") * (col("n_t") - col("d_t"))).cast("double") /
+            (col("n_t") * col("n_t") * col("n_t")).cast("double") * 1.0e12
+        ).cast("long")
+      )
+      .withColumn("cum_h9", sum(col("h9")).over(wCum))
+      .withColumn("cum_v12", sum(col("v12")).over(wCum))
+      .filter(col("d_t") > 0)
+      .select(
+        col("dur").cast("int").as("t_days"),
+        col("n_t").as("n_risk"),
+        col("d_t").as("d_events"),
+        (round(col("cum_h9").cast("double") / 1.0e9, 6) + 0.0).as("cum_hazard"),
+        (round(col("cum_v12").cast("double") / 1.0e12, 9) + 0.0).as("hazard_var"),
+        (round(exp(-col("cum_h9").cast("double") / 1.0e9), 6) + 0.0)
+          .as("fh_survival")
+      )
+      .orderBy("t_days")
+  }
+
+  // ------------- q218: Cochran–Armitage trend test
+
+  /** q218: Cochran–Armitage test for trend — "does conversion RISE
+    * with exposure", the ordered-categories test a χ² on the same
+    * table throws away (q86 treats exposure bins as unordered labels;
+    * CA weights them by score and detects the monotone dose–response
+    * a funnel/engagement analysis is actually after): users binned by
+    * view count (scores 0..3 via ⌊views/5⌋ capped at 3 — the corpus's
+    * per-user view counts center near 13, so the 5-wide bins populate
+    * all four scores), outcome = ever made a HIGH-VALUE purchase
+    * (value > 90 — the rare event; "any purchase" is ~1.0 on this
+    * corpus and degenerates the table); T = N·Σsᵢrᵢ − R·Σsᵢnᵢ and
+    * z = T·√N / √(R(N−R)(N·Σsᵢ²nᵢ − (Σsᵢnᵢ)²)).
+    *
+    * Determinism: every moment (N, R, Σsr, Σsn, Σs²n) is an exact
+    * BIGINT from one bin-frame aggregate; T is an exact BIGINT
+    * cross-product; the variance product rides DECIMAL(38) (it
+    * overflows BIGINT at ~10⁹ users) and casts to double once for the
+    * single z dag. The trend call compares the raw z² dag against the
+    * exact double literal 3.8415999999999997 (q201 convention).
+    *
+    * Scale shape: one corpus user aggregate → ≤4-row score-bin frame;
+    * every moment and the dag live on that frame. No windows, no
+    * joins past the bin rollup.
+    */
+  private def q218(s: SparkSession, dir: String): DataFrame = {
+    val bins = Tables
+      .table(s, dir, "events")
+      .groupBy("user_id")
+      .agg(
+        sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("views"),
+        max(
+          when(col("event_type") === "purchase" && col("value") > 90.0d, 1L)
+            .otherwise(0L)
+        ).as("y")
+      )
+      // views ≥ 0, so truncating div == floor div
+      .select(least(expr("views div 5"), lit(3L)).as("sc"), col("y"))
+      .groupBy("sc")
+      .agg(count(lit(1)).as("n_i"), sum("y").as("r_i"))
+    val m = bins.agg(
+      sum("n_i").as("nn"),
+      sum("r_i").as("rr"),
+      sum(col("sc") * col("r_i")).as("ssr"),
+      sum(col("sc") * col("n_i")).as("ssn"),
+      sum(col("sc") * col("sc") * col("n_i")).as("ss2n")
+    )
+    m.withColumn("t_num", col("nn") * col("ssr") - col("rr") * col("ssn"))
+      .withColumn(
+        "var_num",
+        (col("rr").cast("decimal(38,0)") * (col("nn") - col("rr")) *
+          (col("nn") * col("ss2n") - col("ssn") * col("ssn"))).cast("double")
+      )
+      .withColumn(
+        "z_raw",
+        col("t_num").cast("double") * sqrt(col("nn").cast("double")) /
+          nullif(sqrt(col("var_num")), lit(0.0d))
+      )
+      .select(
+        col("nn").as("n_users"),
+        col("rr").as("n_converted"),
+        col("t_num").as("trend_num"),
+        (round(col("z_raw"), 6) + 0.0).as("z"),
+        (col("z_raw") * col("z_raw") > lit(3.8415999999999997d))
+          .as("trend_detected")
+      )
+  }
+
+  // ------------- q231: Fisher's exact test on the 2×2 conversion table
+
+  /** q231: Fisher's exact test — the EXACT 2×2 independence test the
+    * asymptotic machinery (q86 χ², q87 z) silently approximates, and
+    * the one that stays valid when a cell is small (a rare-outcome
+    * segment cut can leave single-digit cells where the χ²
+    * approximation is junk — reviewers ask for Fisher there by name):
+    * arms by the q43 user hash × ever made a high-value purchase (the
+    * q218 outcome), hypergeometric tail by the standard "all tables
+    * with pmf ≤ observed pmf" two-sided rule.
+    *
+    * Determinism — the whole computation lives on integer grids:
+    * ln-factorials are exact BIGINT prefix sums of per-integer
+    * floor(ln j·10⁹) over the 0..N integer frame (grid error < N·10⁻⁹
+    * in the exponent — far under the round-6 render, and identical on
+    * both engines); each table's ln-pmf is pure BIGINT addition of
+    * nine lf9 lookups; the tail sums floor(exp(lnpmf)·10¹²) as exact
+    * BIGINTs; the significance call is the exact integer compare
+    * p12·20 < 10¹². The odds ratio is one guarded division of exact
+    * cell products.
+    *
+    * Scale shape: one corpus user aggregate → a 1-row cell frame; the
+    * integer frame is N rows with the q52-convention TWO-LEVEL shard
+    * cumulation (never a single-task window over N); the support
+    * frame is ≤ min(nA, K) rows with four equi-joins against the lf9
+    * frame.
+    */
+  private def q231(s: SparkSession, dir: String): DataFrame = {
+    val users = Tables
+      .table(s, dir, "events")
+      .groupBy("user_id")
+      .agg(
+        max(
+          when(col("event_type") === "purchase" && col("value") > 90.0d, 1L)
+            .otherwise(0L)
+        ).as("y")
+      )
+      .select(
+        when(graft.llm.Sampling.bucket100(col("user_id")) < 50, 1L)
+          .otherwise(0L)
+          .as("ia"),
+        col("y")
+      )
+    val cells = users.agg(
+      sum(col("ia") * col("y")).as("a"),
+      sum(col("ia") * (lit(1L) - col("y"))).as("b"),
+      sum((lit(1L) - col("ia")) * col("y")).as("c"),
+      sum((lit(1L) - col("ia")) * (lit(1L) - col("y"))).as("d")
+    )
+    val margins = cells.select(
+      col("a"), col("b"), col("c"), col("d"),
+      (col("a") + col("b")).as("na"),
+      (col("c") + col("d")).as("nb"),
+      (col("a") + col("c")).as("kk"),
+      (col("b") + col("d")).as("nk"),
+      (col("a") + col("b") + col("c") + col("d")).as("n")
+    )
+    // exact BIGINT ln-factorial table over 0..N: per-integer gridded
+    // ln, two-level shard cumulation (j ≥ 0, so truncating div == floor)
+    val ints = margins
+      .select(explode(sequence(lit(0L), col("n"))).as("j"))
+      .withColumn(
+        "l9",
+        when(col("j") <= 1L, 0L)
+          .otherwise(floor(log(col("j").cast("double")) * 1.0e9).cast("long"))
+      )
+      .withColumn("shard", expr("j div 256"))
+    val offs = ints
+      .groupBy("shard")
+      .agg(sum("l9").as("sl"))
+      .withColumn(
+        "off",
+        coalesce(
+          sum("sl").over(
+            Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)
+          ),
+          lit(0L)
+        )
+      )
+      .select("shard", "off")
+    val localW = Window
+      .partitionBy("shard")
+      .orderBy("j")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val lf = ints
+      .join(broadcast(offs), "shard")
+      .withColumn("lf9", col("off") + sum("l9").over(localW))
+      .select("j", "lf9")
+    def lfOf(df: DataFrame, key: String, as: String): DataFrame =
+      df.join(
+        lf.select(col("j").as(key + "_j"), col("lf9").as(as)),
+        col(key) === col(key + "_j")
+      ).drop(key + "_j")
+    // the five margin lookups fold into one broadcast constant
+    val const9 = lfOf(
+      lfOf(lfOf(lfOf(lfOf(margins, "na", "l_na"), "nb", "l_nb"), "kk", "l_k"),
+        "nk", "l_nk"),
+      "n", "l_n"
+    ).withColumn(
+      "const9",
+      col("l_na") + col("l_nb") + col("l_k") + col("l_nk") - col("l_n")
+    )
+    val ks = const9
+      .select(
+        col("a"), col("b"), col("c"), col("d"),
+        col("na"), col("nb"), col("kk"), col("n"), col("const9"),
+        explode(
+          sequence(greatest(lit(0L), col("kk") - col("nb")), least(col("na"), col("kk")))
+        ).as("k")
+      )
+      .withColumn("ak", col("na") - col("k"))
+      .withColumn("kx", col("kk") - col("k"))
+      .withColumn("bk", col("nb") - col("kk") + col("k"))
+    val pmf = lfOf(lfOf(lfOf(lfOf(ks, "k", "l_1"), "ak", "l_2"), "kx", "l_3"), "bk", "l_4")
+      .withColumn(
+        "lnp9",
+        col("const9") - col("l_1") - col("l_2") - col("l_3") - col("l_4")
+      )
+      .withColumn(
+        "e12",
+        floor(exp(col("lnp9").cast("double") / 1.0e9) * 1.0e12).cast("long")
+      )
+    val obs = pmf
+      .filter(col("k") === col("a"))
+      .select(col("lnp9").as("obs9"))
+    pmf
+      .crossJoin(broadcast(obs))
+      .filter(col("lnp9") <= col("obs9"))
+      .groupBy("a", "b", "c", "d")
+      .agg(sum("e12").as("p12"))
+      .select(
+        col("a").as("n_a"), col("b").as("n_b"),
+        col("c").as("n_c"), col("d").as("n_d"),
+        (round(
+          (col("a") * col("d")).cast("double") /
+            nullif((col("b") * col("c")).cast("double"), lit(0.0d)),
+          6
+        ) + 0.0).as("odds_ratio"),
+        (round(col("p12").cast("double") / 1.0e12, 6) + 0.0).as("p_two_sided"),
+        (col("p12") * 20 < 1000000000000L).as("significant")
+      )
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q231_fisher_exact" -> q231,
+    "q216_brown_forsythe" -> q216,
+    "q217_nelson_aalen" -> q217,
+    "q218_cochran_armitage" -> q218,
     "q214_mann_kendall" -> q214,
     "q215_wasserstein" -> q215,
     "q204_kendall_tau" -> q204,
@@ -2048,6 +2435,189 @@ object Stats {
       |FROM f""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // same cell frame, same 0..N gridded ln-factorial prefix sums
+    // (naive single window — the oracle may scan), same BIGINT pmf
+    // dags, same 1e-12 tail sum and exact significance compare
+    "q231_fisher_exact" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    max(CASE WHEN event_type = 'purchase' AND value > 90.0
+        |             THEN 1 ELSE 0 END) AS y
+        |  FROM events GROUP BY user_id),
+        |ua AS (
+        |  SELECT CASE WHEN CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+        |                    AS BIGINT) % 100 < 50 THEN 1 ELSE 0 END AS ia, y
+        |  FROM u),
+        |cells AS (
+        |  SELECT CAST(sum(ia * y) AS BIGINT) AS a,
+        |         CAST(sum(ia * (1 - y)) AS BIGINT) AS b,
+        |         CAST(sum((1 - ia) * y) AS BIGINT) AS c,
+        |         CAST(sum((1 - ia) * (1 - y)) AS BIGINT) AS d
+        |  FROM ua),
+        |m AS (SELECT a, b, c, d, a + b AS na, c + d AS nb, a + c AS kk,
+        |             b + d AS nk, a + b + c + d AS n
+        |      FROM cells),
+        |ints AS (
+        |  SELECT j, CASE WHEN j <= 1 THEN 0
+        |                 ELSE CAST(floor(ln(CAST(j AS DOUBLE)) * 1.0e9) AS BIGINT)
+        |            END AS l9
+        |  FROM (SELECT unnest(generate_series(0, (SELECT n FROM m))) AS j)),
+        |lf AS (
+        |  SELECT j, CAST(sum(l9) OVER (ORDER BY j ROWS UNBOUNDED PRECEDING)
+        |                 AS BIGINT) AS lf9
+        |  FROM ints),
+        |c9 AS (
+        |  SELECT m.a, m.b, m.c, m.d, m.na, m.nb, m.kk,
+        |    l1.lf9 + l2.lf9 + l3.lf9 + l4.lf9 - l5.lf9 AS const9
+        |  FROM m JOIN lf l1 ON l1.j = m.na JOIN lf l2 ON l2.j = m.nb
+        |         JOIN lf l3 ON l3.j = m.kk JOIN lf l4 ON l4.j = m.nk
+        |         JOIN lf l5 ON l5.j = m.n),
+        |ks AS (
+        |  SELECT a, b, c, d, na, nb, kk, const9,
+        |    unnest(generate_series(greatest(0, kk - nb), least(na, kk))) AS k
+        |  FROM c9),
+        |ks2 AS (
+        |  SELECT a, b, c, d, const9, k, na - k AS ak, kk - k AS kx,
+        |         nb - kk + k AS bk
+        |  FROM ks),
+        |pmf AS (
+        |  SELECT ks2.a, ks2.b, ks2.c, ks2.d, ks2.k,
+        |    ks2.const9 - f1.lf9 - f2.lf9 - f3.lf9 - f4.lf9 AS lnp9
+        |  FROM ks2 JOIN lf f1 ON f1.j = ks2.k JOIN lf f2 ON f2.j = ks2.ak
+        |           JOIN lf f3 ON f3.j = ks2.kx JOIN lf f4 ON f4.j = ks2.bk),
+        |e AS (
+        |  SELECT a, b, c, d, k, lnp9,
+        |    CAST(floor(exp(CAST(lnp9 AS DOUBLE) / 1.0e9) * 1.0e12) AS BIGINT)
+        |      AS e12
+        |  FROM pmf),
+        |obs AS (SELECT lnp9 AS obs9 FROM e WHERE k = a),
+        |p AS (
+        |  SELECT a, b, c, d, CAST(sum(e12) AS BIGINT) AS p12
+        |  FROM e, obs WHERE lnp9 <= obs9 GROUP BY 1, 2, 3, 4)
+        |SELECT a AS n_a, b AS n_b, c AS n_c, d AS n_d,
+        |  round(CAST(a * d AS DOUBLE) / nullif(CAST(b * c AS DOUBLE), 0.0), 6)
+        |    + 0.0 AS odds_ratio,
+        |  round(CAST(p12 AS DOUBLE) / 1.0e12, 6) + 0.0 AS p_two_sided,
+        |  p12 * 20 < 1000000000000 AS significant
+        |FROM p""".stripMargin,
+    // same per-(arm, centivalue) frame, same positional lower-median,
+    // exact HUGEINT z-moments cast once, same F dag and exact-literal
+    // significance compare
+    "q216_brown_forsythe" ->
+      """WITH pv AS (
+        |  SELECT CASE WHEN CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+        |                    AS BIGINT) % 100 < 50 THEN 'A' ELSE 'B' END AS arm,
+        |         CAST(round(value * 100.0, 0) AS BIGINT) AS vc,
+        |         CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT arm, vc, c,
+        |    sum(c) OVER (PARTITION BY arm ORDER BY vc
+        |                 ROWS UNBOUNDED PRECEDING) AS cum,
+        |    sum(c) OVER (PARTITION BY arm) AS n
+        |  FROM pv),
+        |meds AS (
+        |  SELECT arm, min(CASE WHEN cum * 2 >= n THEN vc END) AS med,
+        |         max(n) AS n
+        |  FROM cum GROUP BY arm),
+        |z AS (
+        |  SELECT pv.arm, max(meds.n) AS n, max(meds.med) AS med,
+        |    CAST(sum(CAST(abs(pv.vc - meds.med) * pv.c AS HUGEINT)) AS DOUBLE) AS s,
+        |    CAST(sum(CAST(abs(pv.vc - meds.med) * abs(pv.vc - meds.med) * pv.c
+        |                  AS HUGEINT)) AS DOUBLE) AS q
+        |  FROM pv JOIN meds USING (arm) GROUP BY pv.arm),
+        |w AS (
+        |  SELECT a.n AS na, b.n AS nb, a.med AS ma, b.med AS mb,
+        |    a.s * a.s / CAST(a.n AS DOUBLE) + b.s * b.s / CAST(b.n AS DOUBLE)
+        |      - (a.s + b.s) * (a.s + b.s) / CAST(a.n + b.n AS DOUBLE) AS ssb,
+        |    a.q + b.q - (a.s * a.s / CAST(a.n AS DOUBLE)
+        |                 + b.s * b.s / CAST(b.n AS DOUBLE)) AS ssw
+        |  FROM (SELECT * FROM z WHERE arm = 'A') a,
+        |       (SELECT * FROM z WHERE arm = 'B') b),
+        |f AS (
+        |  SELECT na, nb, ma, mb,
+        |    CAST(na + nb - 2 AS DOUBLE) * ssb / nullif(ssw, 0.0) AS f_raw
+        |  FROM w)
+        |SELECT na, nb,
+        |  CAST(ma AS DOUBLE) / 100.0 AS median_a,
+        |  CAST(mb AS DOUBLE) / 100.0 AS median_b,
+        |  round(f_raw, 6) + 0.0 AS f_stat,
+        |  f_raw > 3.8415999999999997 AS spread_differs
+        |FROM f""".stripMargin,
+    // q174's duration frame verbatim; per-time d/n on the 1e-9 grid,
+    // d(n−d)/n³ on the 1e-12 grid, exact BIGINT cumulations, one exp
+    "q217_nelson_aalen" ->
+      """WITH u AS (
+        |  SELECT user_id, min(CAST(ts AS DATE)) AS f,
+        |    min(CASE WHEN event_type = 'error' THEN CAST(ts AS DATE) END) AS p,
+        |    max(CAST(ts AS DATE)) AS l
+        |  FROM events GROUP BY user_id),
+        |dur AS (
+        |  SELECT CASE WHEN p IS NOT NULL THEN date_diff('day', f, p)
+        |              ELSE date_diff('day', f, l) END AS dur,
+        |         CASE WHEN p IS NOT NULL THEN 1 ELSE 0 END AS obs
+        |  FROM u),
+        |vc AS (
+        |  SELECT dur, CAST(sum(obs) AS BIGINT) AS d_t,
+        |         CAST(count(*) AS BIGINT) AS a_t
+        |  FROM dur GROUP BY dur),
+        |risk AS (
+        |  SELECT dur, d_t,
+        |    sum(a_t) OVER (ORDER BY dur
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS n_t
+        |  FROM vc),
+        |terms AS (
+        |  SELECT dur, d_t, n_t,
+        |    CAST(floor(CAST(d_t AS DOUBLE) / CAST(n_t AS DOUBLE) * 1.0e9)
+        |         AS BIGINT) AS h9,
+        |    CAST(floor(CAST(d_t * (n_t - d_t) AS DOUBLE)
+        |               / CAST(n_t * n_t * n_t AS DOUBLE) * 1.0e12)
+        |         AS BIGINT) AS v12
+        |  FROM risk),
+        |cum AS (
+        |  SELECT dur, d_t, n_t,
+        |    sum(h9) OVER (ORDER BY dur ROWS UNBOUNDED PRECEDING) AS cum_h9,
+        |    sum(v12) OVER (ORDER BY dur ROWS UNBOUNDED PRECEDING) AS cum_v12
+        |  FROM terms)
+        |SELECT CAST(dur AS INT) AS t_days, n_t AS n_risk, d_t AS d_events,
+        |  round(CAST(cum_h9 AS DOUBLE) / 1.0e9, 6) + 0.0 AS cum_hazard,
+        |  round(CAST(cum_v12 AS DOUBLE) / 1.0e12, 9) + 0.0 AS hazard_var,
+        |  round(exp(-CAST(cum_h9 AS DOUBLE) / 1.0e9), 6) + 0.0 AS fh_survival
+        |FROM cum WHERE d_t > 0 ORDER BY t_days""".stripMargin,
+    // same ≤4-row score-bin frame, exact BIGINT moments and T, the
+    // variance product on HUGEINT cast once, same z dag + exact-literal
+    // trend call
+    "q218_cochran_armitage" ->
+      """WITH ub AS (
+        |  SELECT user_id,
+        |    sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS views,
+        |    max(CASE WHEN event_type = 'purchase' AND value > 90.0
+        |             THEN 1 ELSE 0 END) AS y
+        |  FROM events GROUP BY user_id),
+        |bins AS (
+        |  SELECT least(views // 5, 3) AS sc, CAST(count(*) AS BIGINT) AS n_i,
+        |         CAST(sum(y) AS BIGINT) AS r_i
+        |  FROM ub GROUP BY 1),
+        |m AS (
+        |  SELECT CAST(sum(n_i) AS BIGINT) AS nn, CAST(sum(r_i) AS BIGINT) AS rr,
+        |    CAST(sum(sc * r_i) AS BIGINT) AS ssr,
+        |    CAST(sum(sc * n_i) AS BIGINT) AS ssn,
+        |    CAST(sum(sc * sc * n_i) AS BIGINT) AS ss2n
+        |  FROM bins),
+        |d AS (
+        |  SELECT nn, rr, nn * ssr - rr * ssn AS t_num,
+        |    CAST(CAST(rr AS HUGEINT) * (nn - rr)
+        |         * (nn * ss2n - ssn * ssn) AS DOUBLE) AS var_num
+        |  FROM m),
+        |zd AS (
+        |  SELECT nn, rr, t_num,
+        |    CAST(t_num AS DOUBLE) * sqrt(CAST(nn AS DOUBLE))
+        |      / nullif(sqrt(var_num), 0.0) AS z_raw
+        |  FROM d)
+        |SELECT nn AS n_users, rr AS n_converted, t_num AS trend_num,
+        |  round(z_raw, 6) + 0.0 AS z,
+        |  z_raw * z_raw > 3.8415999999999997 AS trend_detected
+        |FROM zd""".stripMargin,
     // same daily frame, same exact pair-sign sum and ×18 tie-corrected
     // variance, same continuity-corrected z and 1.96 call
     "q214_mann_kendall" ->

@@ -409,7 +409,93 @@ object TimeSeries {
       .orderBy("event_type")
   }
 
+  // -------- q219: partial correlation controlling for a third series
+
+  /** q219: partial correlation of the daily click and purchase series
+    * CONTROLLING for the view series — the confounder-removal step
+    * q183's raw cross-correlation cannot do (clicks and purchases both
+    * ride overall traffic; a high r(click, purchase) may be nothing
+    * but "busy days are busy" — the partial r answers whether clicks
+    * predict purchases BEYOND what traffic already explains, which is
+    * the honest feature-screening number):
+    * r_xy·z = (r_xy − r_xz·r_zy) / √((1 − r_xz²)(1 − r_zy²)) over
+    * days where all three series are observed.
+    *
+    * Determinism: q173's exact centi daily frame; all nine moments
+    * (three sums, three squares, three cross-products) are DECIMAL(38)
+    * exact sums from ONE aggregate, cast to double once; the three
+    * Pearsons and the partial are a single nullif-guarded IEEE dag
+    * spelled identically on both engines.
+    *
+    * Scale shape: one corpus aggregate → three calendar-bounded daily
+    * frames, two date equi-joins, a 1-row moment aggregate. No
+    * windows.
+    */
+  private def q219(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables
+      .table(s, dir, "events")
+      .filter(col("event_type").isin("click", "purchase", "view"))
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(sum(round(col("value") * 100.0, 0).cast("long")).as("sv"))
+    def series(t: String, as: String) =
+      daily.filter(col("event_type") === t).select(col("d"), col("sv").as(as))
+    val j = series("click", "x")
+      .join(series("purchase", "y"), "d")
+      .join(series("view", "z"), "d")
+    val m = j.agg(
+      count(lit(1)).as("n"),
+      sum(col("x").cast("decimal(38,0)")).cast("double").as("sx"),
+      sum(col("y").cast("decimal(38,0)")).cast("double").as("sy"),
+      sum(col("z").cast("decimal(38,0)")).cast("double").as("sz"),
+      sum((col("x") * col("x")).cast("decimal(38,0)")).cast("double").as("sxx"),
+      sum((col("y") * col("y")).cast("decimal(38,0)")).cast("double").as("syy"),
+      sum((col("z") * col("z")).cast("decimal(38,0)")).cast("double").as("szz"),
+      sum((col("x") * col("y")).cast("decimal(38,0)")).cast("double").as("sxy"),
+      sum((col("x") * col("z")).cast("decimal(38,0)")).cast("double").as("sxz"),
+      sum((col("y") * col("z")).cast("decimal(38,0)")).cast("double").as("syz")
+    )
+    def pearson(
+        n: org.apache.spark.sql.Column,
+        sa: org.apache.spark.sql.Column,
+        sb: org.apache.spark.sql.Column,
+        saa: org.apache.spark.sql.Column,
+        sab: org.apache.spark.sql.Column,
+        sbb: org.apache.spark.sql.Column
+    ) =
+      (n * sab - sa * sb) /
+        nullif(sqrt((n * saa - sa * sa) * (n * sbb - sb * sb)), lit(0.0d))
+    m.withColumn("nd", col("n").cast("double"))
+      .withColumn(
+        "rxy",
+        pearson(col("nd"), col("sx"), col("sy"), col("sxx"), col("sxy"), col("syy"))
+      )
+      .withColumn(
+        "rxz",
+        pearson(col("nd"), col("sx"), col("sz"), col("sxx"), col("sxz"), col("szz"))
+      )
+      .withColumn(
+        "rzy",
+        pearson(col("nd"), col("sz"), col("sy"), col("szz"), col("syz"), col("syy"))
+      )
+      .select(
+        col("n").as("n_days"),
+        (round(col("rxy"), 6) + 0.0).as("r_click_purchase"),
+        (round(col("rxz"), 6) + 0.0).as("r_click_view"),
+        (round(col("rzy"), 6) + 0.0).as("r_view_purchase"),
+        (round(
+          (col("rxy") - col("rxz") * col("rzy")) /
+            nullif(
+              sqrt((lit(1.0d) - col("rxz") * col("rxz")) *
+                (lit(1.0d) - col("rzy") * col("rzy"))),
+              lit(0.0d)
+            ),
+          6
+        ) + 0.0).as("partial_r")
+      )
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q219_partial_correlation" -> q219,
     "q211_forecast_backtest" -> q211,
     "q183_cross_correlation" -> q183,
     "q119_twap" -> q119,
@@ -419,6 +505,48 @@ object TimeSeries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // same three daily centi frames joined on date, nine HUGEINT
+    // moments cast once, same guarded Pearson + partial dag
+    "q219_partial_correlation" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS d,
+        |    CAST(sum(CAST(round(value * 100.0, 0) AS BIGINT)) AS BIGINT) AS sv
+        |  FROM events WHERE event_type IN ('click', 'purchase', 'view')
+        |  GROUP BY 1, 2),
+        |j AS (
+        |  SELECT x.sv AS x, y.sv AS y, z.sv AS z
+        |  FROM (SELECT d, sv FROM daily WHERE event_type = 'click') x
+        |  JOIN (SELECT d, sv FROM daily WHERE event_type = 'purchase') y USING (d)
+        |  JOIN (SELECT d, sv FROM daily WHERE event_type = 'view') z USING (d)),
+        |m AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(count(*) AS DOUBLE) AS nd,
+        |    CAST(sum(CAST(x AS HUGEINT)) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(y AS HUGEINT)) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(z AS HUGEINT)) AS DOUBLE) AS sz,
+        |    CAST(sum(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(y AS HUGEINT) * y) AS DOUBLE) AS syy,
+        |    CAST(sum(CAST(z AS HUGEINT) * z) AS DOUBLE) AS szz,
+        |    CAST(sum(CAST(x AS HUGEINT) * y) AS DOUBLE) AS sxy,
+        |    CAST(sum(CAST(x AS HUGEINT) * z) AS DOUBLE) AS sxz,
+        |    CAST(sum(CAST(y AS HUGEINT) * z) AS DOUBLE) AS syz
+        |  FROM j),
+        |r AS (
+        |  SELECT n,
+        |    (nd * sxy - sx * sy)
+        |      / nullif(sqrt((nd * sxx - sx * sx) * (nd * syy - sy * sy)), 0.0) AS rxy,
+        |    (nd * sxz - sx * sz)
+        |      / nullif(sqrt((nd * sxx - sx * sx) * (nd * szz - sz * sz)), 0.0) AS rxz,
+        |    (nd * syz - sz * sy)
+        |      / nullif(sqrt((nd * szz - sz * sz) * (nd * syy - sy * sy)), 0.0) AS rzy
+        |  FROM m)
+        |SELECT n AS n_days,
+        |  round(rxy, 6) + 0.0 AS r_click_purchase,
+        |  round(rxz, 6) + 0.0 AS r_click_view,
+        |  round(rzy, 6) + 0.0 AS r_view_purchase,
+        |  round((rxy - rxz * rzy)
+        |        / nullif(sqrt((1.0 - rxz * rxz) * (1.0 - rzy * rzy)), 0.0), 6)
+        |    + 0.0 AS partial_r
+        |FROM r""".stripMargin,
     // same daily frame, same d−7 self-join, same 1e-9-grid sMAPE terms
     // and exact-integer MASE cross-product
     "q211_forecast_backtest" ->

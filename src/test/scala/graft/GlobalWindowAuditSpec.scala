@@ -66,7 +66,11 @@ class GlobalWindowAuditSpec extends SparkSpec {
     "q198_theil_sen" -> "median-rank windows over the day-PAIR frame (≤ calendar-days²/2 pairs by construction)",
     "q199_conversion_lag" -> "cum window over the lag-VALUE frame (≤ observation-window minutes)",
     "q200_rfm_segments" -> "three quintile-threshold cumulations: windows over SHARD offsets (the q46b two-level pattern; ≤ value-range/shard-width rows each)",
-    "q215_wasserstein" -> "q145's SHARD-offset cumulation + one lead() over the per-VALUE count frame (≤ distinct centi values — the q33b convention)"
+    "q215_wasserstein" -> "q145's SHARD-offset cumulation + one lead() over the per-VALUE count frame (≤ distinct centi values — the q33b convention)",
+    "q217_nelson_aalen" -> "risk-set + hazard/variance cumulations over the duration-VALUE frame (≤ observation-window days — the q174 frame)",
+    "q224_rbo" -> "rank windows AFTER limit(20) + cumsum over the 20-row literal depth table — every frame ≤ 20 rows by construction",
+    "q225_pr_auc" -> "two-level cumulation: window over SHARD offsets (≤ score-range/256 rows — the q111 frame with pos_lt beside neg_lt)",
+    "q231_fisher_exact" -> "ln-factorial two-level cumulation: window over SHARD offsets (≤ N/256 rows — the q52 convention over the 0..N integer frame)"
   )
 
   private def globalWindows(p: SparkPlan): Seq[SparkPlan] =

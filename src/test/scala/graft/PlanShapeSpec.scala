@@ -565,4 +565,35 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), s"non-equi join leaked in:\n$plan")
   }
 
+  test("q226 JSD source-pair join is word-keyed equi — never a cartesian") {
+    // the q203 scale argument: per-word expansion ≤ C(#sources, 2);
+    // only the catalog-bounded source comparison rides the equi join's
+    // residual condition
+    val plan = executedPlan(SparkEntry.queries("q226_js_divergence")(spark, sf))
+    assert(!plan.contains("CartesianProduct"), s"all-pairs product leaked in:\n$plan")
+    assert(
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"pair join fell off the equi path:\n$plan"
+    )
+  }
+
+  test("q227 eventually-follows pair join keys on user_id — never a product") {
+    val plan =
+      executedPlan(SparkEntry.queries("q227_sequential_patterns")(spark, sf))
+    assert(!plan.contains("CartesianProduct"), s"user pair walk went global:\n$plan")
+  }
+
+  test("q220 HITS half-steps join edges equi; only 1-row totals nested-loop") {
+    // each renorm crossJoins a broadcast 1-row total (the q90 stats
+    // convention); the edge⋈score joins themselves must stay hash equi
+    // joins — a nested loop there would be |E|×|V| per half-step
+    val plan = executedPlan(SparkEntry.queries("q220_hits")(spark, sf))
+    assert(!plan.contains("CartesianProduct"), s"cartesian in HITS plan:\n$plan")
+    assert(
+      plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin") ||
+        plan.contains("ShuffledHashJoin"),
+      s"no equi join in HITS plan:\n$plan"
+    )
+  }
+
 }
