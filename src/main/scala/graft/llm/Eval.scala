@@ -600,7 +600,213 @@ object Eval {
       )
   }
 
+  /** q233: cumulative gains / lift table — the decile chart every
+    * targeting deployment of a scoring model reads before the fancy
+    * metrics (q111's AUC is one number; the gains table answers the
+    * operational question "if we can only afford to process the top
+    * k%, what fraction of the positives do we capture, and at what
+    * multiple of random?"): for each decile cut ⌈k·N/10⌉ over the
+    * score-descending ranking, the captured positives, the gain
+    * (capture rate) and the lift vs random.
+    *
+    * Determinism: ties share a distinct-score block, so the cut lands
+    * on the FIRST block boundary at or past the positional cut
+    * (block semantics — no within-tie order is ever invented); block
+    * boundaries come from the q111/q225 two-level shard cumulation;
+    * the boundary pick is min_by over the UNIQUE n_ge key; gain/lift
+    * are single round-6 divisions of exact integers.
+    *
+    * Scale shape: q225's cumulation frames + a 10-row literal decile
+    * frame range-joined against the distinct-score frame (10×|scores|,
+    * domain-bounded), one min_by aggregate per decile.
+    */
+  private def q233(s: SparkSession, dir: String): DataFrame = {
+    val perScore = scoredWithLabel(s, dir)
+      .groupBy(col("score_int").as("sc"))
+      .agg(
+        sum("pos").cast("long").as("p"),
+        (count(lit(1)) - sum("pos")).cast("long").as("neg")
+      )
+      .withColumn("shard", expr("(sc - pmod(sc, 256)) div 256"))
+    val wOff =
+      Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = perScore
+      .groupBy("shard")
+      .agg(sum("neg").as("sn"), sum("p").as("sp"))
+      .withColumn("off_n", coalesce(sum("sn").over(wOff), lit(0L)))
+      .withColumn("off_p", coalesce(sum("sp").over(wOff), lit(0L)))
+      .select("shard", "off_n", "off_p")
+    val local = Window
+      .partitionBy("shard")
+      .orderBy("sc")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = perScore
+      .join(broadcast(offsets), "shard")
+      .withColumn("pos_le", col("off_p") + sum("p").over(local))
+      .withColumn("neg_le", col("off_n") + sum("neg").over(local))
+    val tot = cum.agg(sum("p").as("np"), sum("neg").as("nn"))
+    val blocks = cum
+      .crossJoin(broadcast(tot))
+      .select(
+        col("np"),
+        col("nn"),
+        (col("np") + col("nn") - col("pos_le") - col("neg_le") + col("p") +
+          col("neg")).as("n_ge"),
+        (col("np") - col("pos_le") + col("p")).as("tp")
+      )
+    val deciles = tot.select(
+      col("np"),
+      col("nn"),
+      explode(array((1 to 10).map(lit): _*)).as("decile")
+    )
+    deciles
+      .withColumn("cut", expr("((np + nn) * decile + 9) div 10"))
+      .join(
+        blocks.select(col("n_ge"), col("tp")),
+        col("n_ge") >= col("cut")
+      )
+      .groupBy("decile", "cut", "np", "nn")
+      .agg(
+        min("n_ge").as("n_cut"),
+        expr("min_by(tp, n_ge)").as("captured")
+      )
+      .select(
+        col("decile"),
+        col("cut"),
+        col("n_cut"),
+        col("captured"),
+        round(col("captured").cast("double") / col("np").cast("double"), 6)
+          .as("gain"),
+        round(
+          (col("captured") * (col("np") + col("nn"))).cast("double") /
+            (col("np") * col("n_cut")).cast("double"),
+          6
+        ).as("lift")
+      )
+      .orderBy("decile")
+  }
+
+  /** floor(ln 2 · 10⁹) — the exact-integer grid value of the binomial
+    * ½^n log term, embedded as a LITERAL on both engines.
+    */
+  private val Ln2Grid9 = 693147180L
+
+  /** q234: McNemar's exact test — "do two classifiers DISAGREE in a
+    * biased direction" on the SAME documents (q112's Cohen κ measures
+    * agreement strength; McNemar tests whether rater A passes
+    * documents rater B fails significantly more often than the
+    * reverse — the paired test that decides which of two quality
+    * filters is stricter, where an unpaired proportion z is simply
+    * wrong): the q187 lexical raters binarized (A = distinct-word
+    * ratio clears 40%, B = alpha ratio clears 0.8192), exact binomial
+    * two-sided p = min(1, 2·Σ_{k≤min(b,c)} C(n,k)/2ⁿ) over the n = b+c
+    * discordant pairs.
+    *
+    * Determinism: cells are exact integers via the q187 BIGINT
+    * cross-multiplications; ln C(n,k) comes from the q231 gridded
+    * ln-factorial prefix sums over 0..n (two-level shard cumulation);
+    * the ½ⁿ term is the exact n·floor(ln 2·10⁹) literal; the tail
+    * sums floor(exp·10¹²) as exact BIGINTs, capped at 10¹² with
+    * least(); significance is the exact compare p12·20 < 10¹².
+    *
+    * Scale shape: one corpus projection + 1-row cell aggregate; the
+    * integer frame is n = b+c rows (discordant pairs only); the
+    * support frame is ≤ min(b,c)+1 rows with three lf9 equi-joins.
+    */
+  private def q234(s: SparkSession, dir: String): DataFrame = {
+    val flags = Tables
+      .table(s, dir, "documents")
+      .select(
+        size(filter(split(col("text"), " "), x => x =!= "")).as("w"),
+        size(array_distinct(filter(split(col("text"), " "), x => x =!= "")))
+          .as("dw"),
+        length(col("text")).as("nc"),
+        length(regexp_replace(col("text"), "[^a-z]", "")).as("al")
+      )
+      .select(
+        (col("dw").cast("long") * 100L >= col("w").cast("long") * 40L).as("ra"),
+        (col("al").cast("long") * 10000L >= col("nc").cast("long") * 8192L)
+          .as("rb")
+      )
+    val cells = flags.agg(
+      sum(when(col("ra") && !col("rb"), 1L).otherwise(0L)).as("b"),
+      sum(when(!col("ra") && col("rb"), 1L).otherwise(0L)).as("c"),
+      sum(when(col("ra") && col("rb"), 1L).otherwise(0L)).as("both_pass"),
+      sum(when(!col("ra") && !col("rb"), 1L).otherwise(0L)).as("both_fail")
+    )
+    val m = cells
+      .withColumn("n", col("b") + col("c"))
+      .withColumn("mn", least(col("b"), col("c")))
+    val ints = m
+      .select(explode(sequence(lit(0L), col("n"))).as("j"))
+      .withColumn(
+        "l9",
+        when(col("j") <= 1L, 0L)
+          .otherwise(floor(log(col("j").cast("double")) * 1.0e9).cast("long"))
+      )
+      .withColumn("shard", expr("j div 256"))
+    val offs = ints
+      .groupBy("shard")
+      .agg(sum("l9").as("sl"))
+      .withColumn(
+        "off",
+        coalesce(
+          sum("sl").over(
+            Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)
+          ),
+          lit(0L)
+        )
+      )
+      .select("shard", "off")
+    val localW = Window
+      .partitionBy("shard")
+      .orderBy("j")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val lf = ints
+      .join(broadcast(offs), "shard")
+      .withColumn("lf9", col("off") + sum("l9").over(localW))
+      .select("j", "lf9")
+    def lfOf(df: DataFrame, key: String, as: String): DataFrame =
+      df.join(
+        lf.select(col("j").as(key + "_j"), col("lf9").as(as)),
+        col(key) === col(key + "_j")
+      ).drop(key + "_j")
+    val ks = lfOf(m, "n", "l_n")
+      .select(
+        col("b"), col("c"), col("both_pass"), col("both_fail"),
+        col("n"), col("l_n"),
+        explode(sequence(lit(0L), col("mn"))).as("k")
+      )
+      .withColumn("nk", col("n") - col("k"))
+    lfOf(lfOf(ks, "k", "l_k"), "nk", "l_nk")
+      .withColumn(
+        "lnp9",
+        col("l_n") - col("l_k") - col("l_nk") - col("n") * lit(Ln2Grid9)
+      )
+      .withColumn(
+        "e12",
+        floor(exp(col("lnp9").cast("double") / 1.0e9) * 1.0e12).cast("long")
+      )
+      .groupBy("b", "c", "both_pass", "both_fail", "n")
+      .agg(sum("e12").as("tail12"))
+      .select(
+        col("both_pass"),
+        col("both_fail"),
+        col("b").as("a_only"),
+        col("c").as("b_only"),
+        col("n").as("n_discordant"),
+        (round(
+          least(col("tail12") * 2, lit(1000000000000L)).cast("double") / 1.0e12,
+          6
+        ) + 0.0).as("p_two_sided"),
+        (least(col("tail12") * 2, lit(1000000000000L)) * 20 <
+          lit(1000000000000L)).as("significant")
+      )
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q233_gains_lift" -> q233,
+    "q234_mcnemar" -> q234,
     "q225_pr_auc" -> q225,
     "q195_brier_decomposition" -> q195,
     "q187_fleiss_kappa" -> q187,
@@ -620,6 +826,102 @@ object Eval {
        |  FROM agg a JOIN documents d USING (doc_id))""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // same distinct-score block cumulation, same positional decile
+    // cuts with block semantics (min_by on the unique n_ge key), same
+    // single-division gain/lift
+    "q233_gains_lift" ->
+      s"""$labeledCte,
+         |ps AS (
+         |  SELECT score_int AS sc, CAST(sum(pos) AS BIGINT) AS p,
+         |         CAST(count(*) - sum(pos) AS BIGINT) AS neg
+         |  FROM lab GROUP BY 1),
+         |cum AS (
+         |  SELECT p, neg,
+         |    sum(p) OVER (ORDER BY sc ROWS UNBOUNDED PRECEDING) AS pos_le,
+         |    sum(neg) OVER (ORDER BY sc ROWS UNBOUNDED PRECEDING) AS neg_le
+         |  FROM ps),
+         |t AS (SELECT CAST(sum(p) AS BIGINT) AS np,
+         |             CAST(sum(neg) AS BIGINT) AS nn FROM cum),
+         |blocks AS (
+         |  SELECT t.np, t.nn,
+         |    t.np + t.nn - c.pos_le - c.neg_le + c.p + c.neg AS n_ge,
+         |    t.np - c.pos_le + c.p AS tp
+         |  FROM cum c, t),
+         |dec AS (
+         |  SELECT t.np, t.nn,
+         |    unnest(generate_series(1, 10)) AS decile
+         |  FROM t),
+         |j AS (
+         |  SELECT d.decile, ((d.np + d.nn) * d.decile + 9) // 10 AS cut,
+         |    d.np, d.nn, b.n_ge, b.tp
+         |  FROM dec d JOIN blocks b
+         |    ON b.n_ge >= ((d.np + d.nn) * d.decile + 9) // 10)
+         |SELECT CAST(decile AS INT) AS decile, CAST(cut AS BIGINT) AS cut,
+         |  CAST(min(n_ge) AS BIGINT) AS n_cut,
+         |  CAST(min_by(tp, n_ge) AS BIGINT) AS captured,
+         |  round(CAST(min_by(tp, n_ge) AS DOUBLE) / CAST(max(np) AS DOUBLE), 6)
+         |    AS gain,
+         |  round(CAST(min_by(tp, n_ge) * (max(np) + max(nn)) AS DOUBLE)
+         |        / CAST(max(np) * min(n_ge) AS DOUBLE), 6) AS lift
+         |FROM j GROUP BY decile, cut ORDER BY decile""".stripMargin,
+    // same q187-rater binarization, same 0..n gridded ln-factorials,
+    // same n·ln2 literal, 1e-12 tail with least() cap, exact compares
+    "q234_mcnemar" ->
+      s"""WITH f AS (
+         |  SELECT len(list_filter(string_split(text, ' '), x -> x <> '')) AS w,
+         |    len(list_distinct(list_filter(string_split(text, ' '),
+         |        x -> x <> ''))) AS dw,
+         |    length(text) AS nc,
+         |    length(regexp_replace(text, '[^a-z]', '', 'g')) AS al
+         |  FROM documents),
+         |fl AS (
+         |  SELECT dw * 100 >= w * 40 AS ra, al * 10000 >= nc * 8192 AS rb
+         |  FROM f),
+         |cells AS (
+         |  SELECT
+         |    CAST(sum(CASE WHEN ra AND NOT rb THEN 1 ELSE 0 END) AS BIGINT) AS b,
+         |    CAST(sum(CASE WHEN NOT ra AND rb THEN 1 ELSE 0 END) AS BIGINT) AS c,
+         |    CAST(sum(CASE WHEN ra AND rb THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS both_pass,
+         |    CAST(sum(CASE WHEN NOT ra AND NOT rb THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS both_fail
+         |  FROM fl),
+         |m AS (SELECT b, c, both_pass, both_fail, b + c AS n, least(b, c) AS mn
+         |      FROM cells),
+         |ints AS (
+         |  SELECT j, CASE WHEN j <= 1 THEN 0
+         |                 ELSE CAST(floor(ln(CAST(j AS DOUBLE)) * 1.0e9) AS BIGINT)
+         |            END AS l9
+         |  FROM (SELECT unnest(generate_series(0, (SELECT n FROM m))) AS j)),
+         |lf AS (
+         |  SELECT j, CAST(sum(l9) OVER (ORDER BY j ROWS UNBOUNDED PRECEDING)
+         |                 AS BIGINT) AS lf9
+         |  FROM ints),
+         |ks AS (
+         |  SELECT m.b, m.c, m.both_pass, m.both_fail, m.n, ln_.lf9 AS l_n,
+         |    unnest(generate_series(0, m.mn)) AS k
+         |  FROM m JOIN lf ln_ ON ln_.j = m.n),
+         |ks2 AS (SELECT b, c, both_pass, both_fail, n, l_n, k, n - k AS nk
+         |        FROM ks),
+         |pm AS (
+         |  SELECT ks2.b, ks2.c, ks2.both_pass, ks2.both_fail, ks2.n,
+         |    ks2.l_n - f1.lf9 - f2.lf9 - ks2.n * $Ln2Grid9 AS lnp9
+         |  FROM ks2 JOIN lf f1 ON f1.j = ks2.k JOIN lf f2 ON f2.j = ks2.nk),
+         |e AS (
+         |  SELECT b, c, both_pass, both_fail, n,
+         |    CAST(floor(exp(CAST(lnp9 AS DOUBLE) / 1.0e9) * 1.0e12) AS BIGINT)
+         |      AS e12
+         |  FROM pm),
+         |p AS (
+         |  SELECT b, c, both_pass, both_fail, n, CAST(sum(e12) AS BIGINT)
+         |    AS tail12
+         |  FROM e GROUP BY 1, 2, 3, 4, 5)
+         |SELECT both_pass, both_fail, b AS a_only, c AS b_only,
+         |  n AS n_discordant,
+         |  round(CAST(least(tail12 * 2, 1000000000000) AS DOUBLE) / 1.0e12, 6)
+         |    + 0.0 AS p_two_sided,
+         |  least(tail12 * 2, 1000000000000) * 20 < 1000000000000 AS significant
+         |FROM p""".stripMargin,
     // q111's distinct-score frame with pos_lt beside neg_lt, same
     // threshold-stepped AP on the 1e-9 precision grid
     "q225_pr_auc" ->

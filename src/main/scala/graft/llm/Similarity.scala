@@ -739,7 +739,56 @@ object Similarity {
       .orderBy("probe_id")
   }
 
+  private[graft] val NprobeSweep = Seq(1, 2, 4, 8)
+
+  /** q235: IVF nprobe tuning sweep — the recall/cost CURVE an ANN
+    * deployment reads to pick its operating point (q99 grades one
+    * fixed configuration; the sweep answers the actual tuning question
+    * "how much recall does each extra probed cell buy, at what scan
+    * cost?"): for nprobe ∈ [[NprobeSweep]], mean recall@10 of the q31b
+    * IVF router against the q30 brute-force truth, next to the
+    * candidate-pair count (the scanned fraction — the cost axis).
+    *
+    * Determinism: candidate membership and top-k cuts are the q31b
+    * machinery verbatim (argmax cells with smallest-cell tie-break,
+    * rank on raw cosine with neighbor-id tie-break); hits and
+    * candidate counts are exact integers; mean recall is one round-6
+    * division by the fixed probes·k denominator.
+    *
+    * Scale shape: |sweep| runs of the q31b shape — each bounds its
+    * scored fraction at nprobe/ncells by construction; the per-point
+    * rollup is 1 row. The sweep multiplies cost by |sweep|, which is
+    * the point: it IS the offline tuning job.
+    */
+  private def q235(s: SparkSession, dir: String): DataFrame = {
+    val exact = q30(s, dir).select("probe_id", "neighbor_id")
+    NprobeSweep
+      .map { np =>
+        val appr = ivfKnn(s, dir, IvfCells, np)
+          .select("probe_id", "neighbor_id")
+        val hits = exact
+          .join(appr, Seq("probe_id", "neighbor_id"), "left_semi")
+          .agg(count(lit(1)).as("n_hits"))
+        val ncand = ivfCandidates(s, dir, IvfCells, np)
+          .agg(count(lit(1)).as("n_candidates"))
+        hits
+          .crossJoin(ncand)
+          .select(
+            lit(np).as("nprobe"),
+            col("n_candidates"),
+            col("n_hits"),
+            round(
+              col("n_hits").cast("double") / lit((NumProbes * TopK).toDouble),
+              6
+            ).as("mean_recall")
+          )
+      }
+      .reduce(_ unionAll _)
+      .orderBy("nprobe")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q235_ivf_nprobe_sweep" -> q235,
     "q30_knn_brute" -> q30,
     "q31_knn_lsh" -> q31,
     "q31b_knn_ivf" -> q31b,
@@ -862,6 +911,67 @@ object Similarity {
          |  SELECT pc.vec_id AS probe_id, cc.vec_id AS neighbor_id
          |  FROM probe_cells pc JOIN corpus_cells cc ON cc.cell = pc.cell
          |  WHERE cc.vec_id <> pc.vec_id)""".stripMargin)}""".stripMargin,
+    // q31b's cell CTEs + one probe/candidate/rank block per sweep
+    // point, the q30 brute CTE as truth, exact hit/candidate counts
+    "q235_ivf_nprobe_sweep" -> {
+      def npBlock(np: Int): String =
+        s"""pc$np AS (
+           |  SELECT vec_id, cell FROM (
+           |    SELECT vec_id, cell,
+           |      row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS rn
+           |    FROM cs WHERE vec_id < $NumProbes) WHERE rn <= $np),
+           |cand$np AS (
+           |  SELECT pc.vec_id AS probe_id, cc.vec_id AS neighbor_id
+           |  FROM pc$np pc JOIN corpus_cells cc ON cc.cell = pc.cell
+           |  WHERE cc.vec_id <> pc.vec_id),
+           |cosx$np AS (
+           |  SELECT cd.probe_id, cd.neighbor_id,
+           |    $cosineSql AS c
+           |  FROM cand$np cd
+           |  JOIN embeddings p ON p.vec_id = cd.probe_id
+           |  JOIN embeddings e ON e.vec_id = cd.neighbor_id),
+           |ap$np AS (
+           |  SELECT probe_id, neighbor_id FROM (
+           |    SELECT probe_id, neighbor_id,
+           |      row_number() OVER (PARTITION BY probe_id
+           |                         ORDER BY c DESC, neighbor_id) AS rnk
+           |    FROM cosx$np) WHERE rnk <= $TopK),
+           |r$np AS (
+           |  SELECT $np AS nprobe,
+           |    (SELECT CAST(count(*) AS BIGINT) FROM cand$np) AS n_candidates,
+           |    (SELECT CAST(count(*) AS BIGINT) FROM exact x JOIN ap$np a
+           |       ON a.probe_id = x.probe_id AND a.neighbor_id = x.neighbor_id)
+           |      AS n_hits)""".stripMargin
+      val blocks = NprobeSweep.map(npBlock).mkString(",\n")
+      val selects =
+        NprobeSweep.map(np => s"SELECT * FROM r$np").mkString("\n  UNION ALL ")
+      s"""WITH cs AS (
+         |  SELECT e.vec_id, c.vec_id AS cell,
+         |    list_sum(list_transform(generate_series(1, $Dim),
+         |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+         |    / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+         |       * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS csim
+         |  FROM embeddings e JOIN embeddings c ON c.vec_id < $IvfCells),
+         |corpus_cells AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT vec_id, cell,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS rn
+         |    FROM cs) WHERE rn = 1),
+         |exact AS (
+         |  SELECT probe_id, neighbor_id FROM (
+         |    SELECT p.vec_id AS probe_id, e.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY p.vec_id ORDER BY
+         |        $cosineSql DESC, e.vec_id) AS rnk
+         |    FROM embeddings p JOIN embeddings e ON e.vec_id <> p.vec_id
+         |    WHERE p.vec_id < $NumProbes) WHERE rnk <= $TopK),
+         |$blocks,
+         |u AS (
+         |  $selects)
+         |SELECT CAST(nprobe AS INT) AS nprobe, n_candidates, n_hits,
+         |  round(CAST(n_hits AS DOUBLE) / ${(NumProbes * TopK).toDouble}, 6)
+         |    AS mean_recall
+         |FROM u ORDER BY nprobe""".stripMargin
+    },
     "q30_knn_brute" ->
       s"""WITH cos AS (
          |  SELECT p.vec_id AS probe_id, e.vec_id AS neighbor_id,

@@ -1585,7 +1585,48 @@ object TextAnalysis {
       )
   }
 
+  // ---------- q236: language-ID confusion matrix
+
+  /** q236: confusion matrix of the q32 language-ID heuristic against
+    * the labeled language — the EVALUATION the lang-id gate itself
+    * cannot give (q32 emits predictions; a curation pipeline deciding
+    * whether the heuristic is good enough to route documents needs the
+    * per-language error STRUCTURE — which languages leak into which —
+    * not an overall accuracy that the majority class dominates): one
+    * row per (actual, predicted) cell with its count, the row share
+    * (per-actual recall on the diagonal), and the diagonal flag.
+    *
+    * Determinism: q32's langScored argmax verbatim (fixed en > es >
+    * de > fr priority, exact marker-count ratios); counts exact
+    * integers; row share one round-6 division.
+    *
+    * Scale shape: one corpus projection + one (actual, predicted)
+    * hash aggregate (≤ 4×4 cells — catalog-bounded), a broadcast
+    * row-total join. No windows.
+    */
+  private def q236(s: SparkSession, dir: String): DataFrame = {
+    val cm = langScored(docs(s, dir))
+      .join(
+        docs(s, dir).select(col("doc_id"), col("lang").as("actual")),
+        "doc_id"
+      )
+      .groupBy(col("actual"), col("pred_lang").as("predicted"))
+      .agg(count(lit(1)).as("n"))
+    val rowTot = cm.groupBy("actual").agg(sum("n").as("row_n"))
+    cm.join(broadcast(rowTot), "actual")
+      .select(
+        col("actual"),
+        col("predicted"),
+        col("n"),
+        round(col("n").cast("double") / col("row_n").cast("double"), 6)
+          .as("row_share"),
+        (col("actual") === col("predicted")).as("diagonal")
+      )
+      .orderBy("actual", "predicted")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q236_lang_confusion" -> q236,
     "q229_rake_keywords" -> q229,
     "q226_js_divergence" -> q226,
     "q210_kn_perplexity" -> q210,
@@ -1735,6 +1776,37 @@ object TextAnalysis {
         |FROM a ORDER BY split""".stripMargin,
     // same distinct (source, word) frame, same bounded pair join,
     // Jaccard one division of exact integers
+    // q32's scored CTE verbatim + the labeled join, exact cell counts,
+    // one round-6 row-share division
+    "q236_lang_confusion" ->
+      """WITH scored AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split(text, ' '), x -> x IN ('the','a','of','and','is')))
+        |      / nullif(len(string_split(text, ' ')), 0)::DOUBLE AS score_en,
+        |    len(list_filter(string_split(text, ' '), x -> x IN ('el','la','de','y','que')))
+        |      / nullif(len(string_split(text, ' ')), 0)::DOUBLE AS score_es,
+        |    len(list_filter(string_split(text, ' '), x -> x IN ('der','die','das','und','ist')))
+        |      / nullif(len(string_split(text, ' ')), 0)::DOUBLE AS score_de,
+        |    len(list_filter(string_split(text, ' '), x -> x IN ('le','les','et','est','une')))
+        |      / nullif(len(string_split(text, ' ')), 0)::DOUBLE AS score_fr
+        |  FROM documents),
+        |pred AS (
+        |  SELECT doc_id,
+        |    CASE WHEN score_en >= greatest(score_es, score_de, score_fr) THEN 'en'
+        |         WHEN score_es >= greatest(score_de, score_fr) THEN 'es'
+        |         WHEN score_de >= score_fr THEN 'de'
+        |         ELSE 'fr' END AS predicted
+        |  FROM scored),
+        |cm AS (
+        |  SELECT d.lang AS actual, p.predicted, CAST(count(*) AS BIGINT) AS n
+        |  FROM pred p JOIN documents d USING (doc_id)
+        |  GROUP BY 1, 2),
+        |rt AS (SELECT actual, CAST(sum(n) AS BIGINT) AS row_n FROM cm GROUP BY 1)
+        |SELECT cm.actual, cm.predicted, cm.n,
+        |  round(CAST(cm.n AS DOUBLE) / CAST(rt.row_n AS DOUBLE), 6) AS row_share,
+        |  cm.actual = cm.predicted AS diagonal
+        |FROM cm JOIN rt USING (actual)
+        |ORDER BY actual, predicted""".stripMargin,
     // same corpus-derived stoplist cut, same i − row_number islands,
     // same 1e-9 deg/freq word grid and exact BIGINT phrase sums
     "q229_rake_keywords" ->

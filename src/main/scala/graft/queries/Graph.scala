@@ -861,22 +861,33 @@ object Graph {
           col(key),
           expr(s"CAST($raw * $G div tot AS BIGINT)").as("sc")
         )
+    // each half-step's raw-sum frame is CACHED before renorm: renorm
+    // references its input twice (total + join), so an uncached chain
+    // doubles the logical subtree per half-step — the q197 lineage-
+    // blowup failure mode (measured 9.7 s at sf0.001 for 4 half-steps
+    // vs ~0.5 s cached). The cached frames are node-sized.
     var h = edges.select(col("cu")).distinct().withColumn("sc", lit(G))
     var a: DataFrame = null
     for (_ <- 1 to 2) {
       a = renorm(
-        edges
-          .join(h.withColumnRenamed("sc", "hs"), "cu")
-          .groupBy("su")
-          .agg(sum(col("hs").cast("decimal(38,0)")).as("raw")),
+        graft.llm.Dedup.tcache(
+          s,
+          edges
+            .join(h.withColumnRenamed("sc", "hs"), "cu")
+            .groupBy("su")
+            .agg(sum(col("hs").cast("decimal(38,0)")).as("raw"))
+        ),
         "su",
         "raw"
       )
       h = renorm(
-        edges
-          .join(a.withColumnRenamed("sc", "as_"), "su")
-          .groupBy("cu")
-          .agg(sum(col("as_").cast("decimal(38,0)")).as("raw")),
+        graft.llm.Dedup.tcache(
+          s,
+          edges
+            .join(a.withColumnRenamed("sc", "as_"), "su")
+            .groupBy("cu")
+            .agg(sum(col("as_").cast("decimal(38,0)")).as("raw"))
+        ),
         "cu",
         "raw"
       )

@@ -70,7 +70,9 @@ class GlobalWindowAuditSpec extends SparkSpec {
     "q217_nelson_aalen" -> "risk-set + hazard/variance cumulations over the duration-VALUE frame (≤ observation-window days — the q174 frame)",
     "q224_rbo" -> "rank windows AFTER limit(20) + cumsum over the 20-row literal depth table — every frame ≤ 20 rows by construction",
     "q225_pr_auc" -> "two-level cumulation: window over SHARD offsets (≤ score-range/256 rows — the q111 frame with pos_lt beside neg_lt)",
-    "q231_fisher_exact" -> "ln-factorial two-level cumulation: window over SHARD offsets (≤ N/256 rows — the q52 convention over the 0..N integer frame)"
+    "q231_fisher_exact" -> "ln-factorial two-level cumulation: window over SHARD offsets (≤ N/256 rows — the q52 convention over the 0..N integer frame)",
+    "q233_gains_lift" -> "two-level cumulation: window over SHARD offsets (≤ score-range/256 rows — the q111/q225 frame)",
+    "q234_mcnemar" -> "ln-factorial two-level cumulation: window over SHARD offsets (≤ discordant-pairs/256 rows — the q231 machinery over 0..n)"
   )
 
   private def globalWindows(p: SparkPlan): Seq[SparkPlan] =

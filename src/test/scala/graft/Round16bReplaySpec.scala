@@ -739,6 +739,148 @@ class Round16bReplaySpec extends SparkSpec {
     }
   }
 
+  test("q233 gains/lift equals the sorted-walk decile capture") {
+    import spark.implicits._
+    val langs = graft.queries.Tables
+      .table(spark, dir, "documents")
+      .selectExpr("doc_id", "lang")
+      .as[(Long, String)]
+      .collect()
+      .toMap
+    val scored = q("q63_classifier_score")
+      .selectExpr("doc_id", "score_int")
+      .as[(Long, Long)]
+      .collect()
+      .toSeq
+      .map { case (id, sc) => (sc, if (langs(id) == "en") 1L else 0L) }
+    val blocks = scored
+      .groupBy(_._1)
+      .toSeq
+      .map { case (sc, g) => (sc, g.map(_._2).sum, g.size.toLong) }
+      .sortBy(-_._1) // descending score
+    val np = blocks.map(_._2).sum
+    val nTot = blocks.map(_._3).sum
+    val cums = blocks
+      .scanLeft((0L, 0L)) { case ((tp, n), (_, p, cnt)) => (tp + p, n + cnt) }
+      .tail // (tp, n_ge) at each block boundary
+    val got = q("q233_gains_lift").collect()
+    assert(got.length === 10)
+    for (k <- 1 to 10) {
+      val cut = (nTot * k + 9) / 10
+      val (tp, nGe) = cums.find(_._2 >= cut).get
+      val r = got(k - 1)
+      assert(r.getInt(0) === k)
+      assert(r.getLong(1) === cut && r.getLong(2) === nGe)
+      assert(r.getLong(3) === tp)
+      assert(math.abs(r.getDouble(4) - tp.toDouble / np) < 1e-6)
+      assert(
+        math.abs(r.getDouble(5) - (tp * nTot).toDouble / (np * nGe).toDouble) < 1e-6
+      )
+    }
+  }
+
+  test("q234 McNemar equals the textbook exact binomial tail") {
+    import spark.implicits._
+    val flags = graft.queries.Tables
+      .table(spark, dir, "documents")
+      .selectExpr("text")
+      .as[String]
+      .collect()
+      .toSeq
+      .map { t =>
+        val ws = t.split(" ", -1).filter(_.nonEmpty)
+        val ra = ws.distinct.length.toLong * 100 >= ws.length.toLong * 40
+        val rb = t.count(ch => ch >= 'a' && ch <= 'z').toLong * 10000 >=
+          t.length.toLong * 8192
+        (ra, rb)
+      }
+    val b = flags.count(f => f._1 && !f._2).toLong
+    val c = flags.count(f => !f._1 && f._2).toLong
+    val n = b + c
+    val lf9 = new Array[Long]((n + 1).toInt)
+    for (j <- 2 to n.toInt)
+      lf9(j) = lf9(j - 1) + math.floor(math.log(j.toDouble) * 1e9).toLong
+    val tail12 = (0L to math.min(b, c)).map { k =>
+      val lnp9 = lf9(n.toInt) - lf9(k.toInt) - lf9((n - k).toInt) -
+        n * 693147180L
+      math.floor(math.exp(lnp9.toDouble / 1e9) * 1e12).toLong
+    }.sum
+    val p12 = math.min(tail12 * 2, 1000000000000L)
+    val r = q("q234_mcnemar").collect().head
+    assert(r.getLong(0) === flags.count(f => f._1 && f._2).toLong)
+    assert(r.getLong(1) === flags.count(f => !f._1 && !f._2).toLong)
+    assert(r.getLong(2) === b && r.getLong(3) === c && r.getLong(4) === n)
+    assert(math.abs(r.getDouble(5) - p12 / 1e12) < 1e-6)
+    assert(r.getBoolean(6) === (p12 * 20 < 1000000000000L))
+  }
+
+  test("q235 nprobe sweep: monotone, and the np=4 point IS q31b's recall") {
+    val got = q("q235_ivf_nprobe_sweep").collect()
+    assert(got.map(_.getInt(0)).toSeq === Seq(1, 2, 4, 8))
+    // recall and candidate count are monotone in probed cells
+    val recalls = got.map(_.getDouble(3)).toSeq
+    val cands = got.map(_.getLong(1)).toSeq
+    assert(recalls === recalls.sorted, s"recall not monotone: $recalls")
+    assert(cands === cands.sorted, s"candidates not monotone: $cands")
+    // cross-gate consistency: the np=4 sweep point must equal the
+    // recall of the gated q31b (the (16, 4) instance) against gated q30
+    val exact = q("q30_knn_brute")
+      .select("probe_id", "neighbor_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val ivf = q("q31b_knn_ivf")
+      .select("probe_id", "neighbor_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val hits = exact.intersect(ivf).size.toLong
+    val row4 = got.find(_.getInt(0) == 4).get
+    assert(row4.getLong(2) === hits)
+    assert(math.abs(row4.getDouble(3) - hits.toDouble / 50.0) < 1e-6)
+  }
+
+  test("q236 confusion matrix equals the plain-Scala marker argmax") {
+    import spark.implicits._
+    val rows = graft.queries.Tables
+      .table(spark, dir, "documents")
+      .selectExpr("text", "lang")
+      .as[(String, String)]
+      .collect()
+      .toSeq
+    val markers = Map(
+      "en" -> Set("the", "a", "of", "and", "is"),
+      "es" -> Set("el", "la", "de", "y", "que"),
+      "de" -> Set("der", "die", "das", "und", "ist"),
+      "fr" -> Set("le", "les", "et", "est", "une")
+    )
+    val cm = rows
+      .map { case (t, actual) =>
+        val ws = t.split(" ", -1).toSeq
+        val n = ws.size.toDouble
+        def sc(l: String) = ws.count(markers(l)) / n
+        val pred =
+          if (sc("en") >= Seq(sc("es"), sc("de"), sc("fr")).max) "en"
+          else if (sc("es") >= Seq(sc("de"), sc("fr")).max) "es"
+          else if (sc("de") >= sc("fr")) "de"
+          else "fr"
+        (actual, pred)
+      }
+      .groupBy(identity)
+      .map { case ((a, p), o) => (a, p, o.size.toLong) }
+      .toSeq
+    val rowTot = cm.groupBy(_._1).map { case (a, g) => a -> g.map(_._3).sum }
+    val expected = cm.sortBy(c => (c._1, c._2))
+    val got = q("q236_lang_confusion").collect()
+    assert(got.length === expected.length)
+    got.zip(expected).foreach { case (r, (a, p, n)) =>
+      assert(r.getString(0) === a && r.getString(1) === p)
+      assert(r.getLong(2) === n)
+      assert(math.abs(r.getDouble(3) - n.toDouble / rowTot(a)) < 1e-6)
+      assert(r.getBoolean(4) === (a == p))
+    }
+  }
+
   test("q227 eventually-follows matrix equals the brute per-user walk") {
     import spark.implicits._
     val firsts = graft.queries.Tables
