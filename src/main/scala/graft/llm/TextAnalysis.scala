@@ -1625,7 +1625,90 @@ object TextAnalysis {
       .orderBy("actual", "predicted")
   }
 
+  // ------- q238: Dunning log-likelihood-ratio (G²) collocations
+
+  private val G2MinPair = 5L
+  private val G2TopK = 20
+
+  /** q238: Dunning's log-likelihood ratio (G²) for adjacent-pair
+    * collocations — the statistically-grounded ranking of "which word
+    * pairs co-occur MORE than chance" that raw bigram frequency (q34c)
+    * and PMI (q72) both get wrong at the extremes (frequency surfaces
+    * stopword pairs; PMI explodes on hapax pairs — G² weights the
+    * evidence by COUNT, which is why collocation extraction ships it):
+    * for bigram (w1,w2) with k11 = c(w1 w2), c1 = c(w1 ·), c2 = c(· w2),
+    * N = total bigrams, G² = 2·Σ_{ij} k_ij·ln(k_ij·N/(r_i·s_j)) over
+    * the 2×2 contingency table, zero cells contributing zero.
+    *
+    * Determinism (the q226 exact-ln-grid convention): every log
+    * argument is a ratio of exact integer cross-products k·N/(r·s);
+    * its ln floor-snaps to the 1e-9 grid and is weighted by the exact
+    * count k, so each pair's G²·10⁹/2 is an exact BIGINT sum of four
+    * terms and the top-20 cut orders on (g2_9 desc, w1, w2) — no float
+    * enters before the final round-4 render. Pairs below [[G2MinPair]]
+    * occurrences drop (rare-pair noise, and the driver hash stays
+    * stable under corpus growth).
+    *
+    * Scale shape: ONE corpus Generate pass (the q57b zip_with shape —
+    * no self-join) → the bigram aggregate (vocabulary²-bounded); the
+    * two margin joins are vocabulary-bounded and run unhinted (the
+    * q51/q57 AQE rationale); the total rides a broadcast 1-row frame;
+    * the 2×2 dag is per-pair closed form; TakeOrdered top-20.
+    */
+  private def q238(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val pairs = docs(s, dir)
+      .filter(size(toks) >= 2)
+      .select(
+        explode(
+          zip_with(
+            slice(toks, lit(1), size(toks) - 1),
+            slice(toks, lit(2), size(toks) - 1),
+            (a, b) => struct(a.as("w1"), b.as("w2"))
+          )
+        ).as("p")
+      )
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val k = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("k11"))
+    val m1 = pairs.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val m2 = pairs.groupBy("w2").agg(count(lit(1)).as("c2"))
+    val nn = pairs.agg(count(lit(1)).as("nn"))
+    def term(kc: org.apache.spark.sql.Column, r: org.apache.spark.sql.Column,
+             c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      when(
+        kc > 0,
+        kc * floor(
+          log((kc * col("nn")).cast("double") / (r * c).cast("double")) *
+            1.0e9
+        ).cast("long")
+      ).otherwise(lit(0L))
+    k.join(m1, "w1")
+      .join(m2, "w2")
+      .crossJoin(broadcast(nn))
+      .filter(col("k11") >= G2MinPair)
+      .withColumn("k12", col("c1") - col("k11"))
+      .withColumn("k21", col("c2") - col("k11"))
+      .withColumn("k22", col("nn") - col("c1") - col("c2") + col("k11"))
+      .withColumn(
+        "g2_9",
+        lit(2L) * (term(col("k11"), col("c1"), col("c2")) +
+          term(col("k12"), col("c1"), col("nn") - col("c2")) +
+          term(col("k21"), col("nn") - col("c1"), col("c2")) +
+          term(col("k22"), col("nn") - col("c1"), col("nn") - col("c2")))
+      )
+      .select(
+        col("w1"),
+        col("w2"),
+        col("k11"),
+        col("g2_9"),
+        (round(col("g2_9").cast("double") / 1.0e9, 4) + 0.0).as("g2")
+      )
+      .orderBy(desc("g2_9"), col("w1"), col("w2"))
+      .limit(G2TopK)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q238_collocations_g2" -> q238,
     "q236_lang_confusion" -> q236,
     "q229_rake_keywords" -> q229,
     "q226_js_divergence" -> q226,
@@ -1660,6 +1743,44 @@ object TextAnalysis {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // same q57b bigram stream, same 2×2 margins, same zero-collapsed
+    // k·floor(ln(k·N/(r·s))·1e9) exact-BIGINT terms, same top-20 cut
+    "q238_collocations_g2" ->
+      """WITH toks AS (
+        |  SELECT string_split(text, ' ') AS w FROM documents),
+        |pp AS (
+        |  SELECT
+        |    unnest(list_transform(generate_series(1, len(w) - 1), i -> w[i])) AS w1,
+        |    unnest(list_transform(generate_series(1, len(w) - 1), i -> w[i+1])) AS w2
+        |  FROM toks WHERE len(w) >= 2),
+        |k AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS k11
+        |      FROM pp GROUP BY 1, 2),
+        |m1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM pp GROUP BY 1),
+        |m2 AS (SELECT w2, CAST(count(*) AS BIGINT) AS c2 FROM pp GROUP BY 1),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM pp),
+        |cells AS (
+        |  SELECT w1, w2, k11, c1, c2, nn,
+        |    c1 - k11 AS k12, c2 - k11 AS k21, nn - c1 - c2 + k11 AS k22
+        |  FROM k JOIN m1 USING (w1) JOIN m2 USING (w2) CROSS JOIN nn
+        |  WHERE k11 >= 5),
+        |g AS (
+        |  SELECT w1, w2, k11,
+        |    2 * (
+        |      (CASE WHEN k11 > 0 THEN k11 * CAST(floor(ln(
+        |         CAST(k11 * nn AS DOUBLE) / CAST(c1 * c2 AS DOUBLE)) * 1.0e9)
+        |         AS BIGINT) ELSE 0 END) +
+        |      (CASE WHEN k12 > 0 THEN k12 * CAST(floor(ln(
+        |         CAST(k12 * nn AS DOUBLE) / CAST(c1 * (nn - c2) AS DOUBLE)) * 1.0e9)
+        |         AS BIGINT) ELSE 0 END) +
+        |      (CASE WHEN k21 > 0 THEN k21 * CAST(floor(ln(
+        |         CAST(k21 * nn AS DOUBLE) / CAST((nn - c1) * c2 AS DOUBLE)) * 1.0e9)
+        |         AS BIGINT) ELSE 0 END) +
+        |      (CASE WHEN k22 > 0 THEN k22 * CAST(floor(ln(
+        |         CAST(k22 * nn AS DOUBLE) / CAST((nn - c1) * (nn - c2) AS DOUBLE))
+        |         * 1.0e9) AS BIGINT) ELSE 0 END)) AS g2_9
+        |  FROM cells)
+        |SELECT w1, w2, k11, g2_9, round(CAST(g2_9 AS DOUBLE) / 1.0e9, 4) + 0.0 AS g2
+        |FROM g ORDER BY g2_9 DESC, w1, w2 LIMIT 20""".stripMargin,
     // same (doc, word) counts, same zero-collapsed VMR algebra
     // Σtf²/Σtf − Σtf/N on exact BIGINTs, same grid + tie order
     "q208_burstiness" ->

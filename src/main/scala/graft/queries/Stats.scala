@@ -2352,7 +2352,238 @@ object Stats {
       )
   }
 
+  // ------------- q237: Kruskal–Wallis H (k-sample rank test)
+
+  /** q237: Kruskal–Wallis H — the k-SAMPLE extension of q150's
+    * Mann–Whitney ("is ANY of these four cohorts' value distribution
+    * shifted"), the nonparametric one-way ANOVA that replaces q146/q216
+    * when revenue-like tails break normality: rank all N values
+    * jointly, H = 12/(N(N+1))·Σⱼ R²ⱼ/nⱼ − 3(N+1), tie-corrected by
+    * C = 1 − Σ(t³−t)/(N³−N), compared against χ²₃(0.95). Four arms are
+    * the md5 user-bucket quartiles (the q43 split convention), so the
+    * expected answer on this synthetic corpus is "no shift" — the gate
+    * pins the MACHINERY, not a planted effect.
+    *
+    * Exactness contract (the q150 lesson, extended to k groups): rank
+    * sums are NEVER float midranks — per distinct centivalue with arm
+    * counts c₀..c₃, total t, and strict-below total lt_all, the
+    * doubled midrank 2·m = 2·lt_all + t + 1 is an exact INTEGER, so
+    * 2·Rⱼ = Σ_v cⱼᵥ·(2·lt_all + t + 1) stays exact (DECIMAL(38) sums);
+    * Σ(t³−t) and N³−N identically. All four (2Rⱼ)², the 1/nⱼ
+    * divisions, and the tie ratio form ONE literal-order IEEE dag cast
+    * from the exact integers once, spelled identically in the oracle;
+    * the significance call compares the raw tie-corrected dag against
+    * the exact double literal 7.814727903251179 (χ²₃ 0.95 — the q216
+    * raw-dag convention).
+    *
+    * Scale shape: one corpus hash aggregate → per-distinct-centivalue
+    * arm counts (value-frame bounded); the strict-below cumulation is
+    * the q111/q150 TWO-LEVEL shard pattern (global window only over
+    * ≤ range/256 shard subtotals); one-row output. Identity check
+    * Σⱼ 2Rⱼ = N(N+1) rides the output as exact integers.
+    */
+  private def q237(s: SparkSession, dir: String): DataFrame = {
+    val b = graft.llm.Sampling.bucket100(col("user_id"))
+    val perVal = Tables
+      .table(s, dir, "events")
+      .select(
+        round(col("value") * 100.0, 0).cast("long").as("vc"),
+        when(b < 25, 0).when(b < 50, 1).when(b < 75, 2).otherwise(3).as("g")
+      )
+      .groupBy("vc")
+      .agg(
+        sum(when(col("g") === 0, 1L).otherwise(0L)).as("c0"),
+        sum(when(col("g") === 1, 1L).otherwise(0L)).as("c1"),
+        sum(when(col("g") === 2, 1L).otherwise(0L)).as("c2"),
+        sum(when(col("g") === 3, 1L).otherwise(0L)).as("c3"),
+        count(lit(1)).as("t")
+      )
+      .withColumn("shard", expr("(vc - pmod(vc, 256)) div 256"))
+    val offsets = perVal
+      .groupBy("shard")
+      .agg(sum("t").as("st"))
+      .withColumn(
+        "off",
+        coalesce(
+          sum("st").over(
+            Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)
+          ),
+          lit(0L)
+        )
+      )
+      .select("shard", "off")
+    val localEx = Window
+      .partitionBy("shard")
+      .orderBy("vc")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val agg = perVal
+      .join(broadcast(offsets), "shard")
+      .withColumn(
+        "mr2",
+        (col("off") + coalesce(sum("t").over(localEx), lit(0L))) * 2 +
+          col("t") + 1
+      )
+      .agg(
+        sum("t").as("n"),
+        sum("c0").as("n0"),
+        sum("c1").as("n1"),
+        sum("c2").as("n2"),
+        sum("c3").as("n3"),
+        sum((col("c0") * col("mr2")).cast("decimal(38,0)")).as("r2_0d"),
+        sum((col("c1") * col("mr2")).cast("decimal(38,0)")).as("r2_1d"),
+        sum((col("c2") * col("mr2")).cast("decimal(38,0)")).as("r2_2d"),
+        sum((col("c3") * col("mr2")).cast("decimal(38,0)")).as("r2_3d"),
+        sum(
+          (col("t").cast("decimal(12,0)") * col("t") * col("t") - col("t"))
+            .cast("decimal(38,0)")
+        ).as("t3t")
+      )
+      .withColumn(
+        "n3n",
+        (col("n").cast("decimal(12,0)") * col("n") * col("n") - col("n"))
+          .cast("decimal(38,0)")
+      )
+    val nd = col("n").cast("double")
+    def term(r2: String, nj: String): org.apache.spark.sql.Column =
+      col(r2).cast("double") * col(r2).cast("double") /
+        col(nj).cast("double")
+    agg
+      .withColumn(
+        "h_raw",
+        lit(3.0d) * (term("r2_0d", "n0") + term("r2_1d", "n1") +
+          term("r2_2d", "n2") + term("r2_3d", "n3")) /
+          (nd * (nd + 1.0d)) - lit(3.0d) * (nd + 1.0d)
+      )
+      .withColumn(
+        "h_tied_raw",
+        col("h_raw") * col("n3n").cast("double") /
+          (col("n3n") - col("t3t")).cast("double")
+      )
+      .select(
+        col("n"),
+        col("n0"),
+        col("n1"),
+        col("n2"),
+        col("n3"),
+        col("r2_0d").cast("long").as("r2_0"),
+        col("r2_1d").cast("long").as("r2_1"),
+        col("r2_2d").cast("long").as("r2_2"),
+        col("r2_3d").cast("long").as("r2_3"),
+        (round(col("h_raw"), 4) + 0.0).as("h_stat"),
+        (round(col("h_tied_raw"), 4) + 0.0).as("h_tied"),
+        col("h_tied_raw").gt(lit(7.814727903251179d)).as("significant")
+      )
+  }
+
+  // ------------- q239: CUPED variance-reduced treatment effect
+
+  /** q239: CUPED (Controlled-experiment Using Pre-Experiment Data) —
+    * the variance-reduction adjustment every mature experimentation
+    * platform applies before reading q87's z: the user's PRE-period
+    * metric x is uncorrelated with assignment but correlated with the
+    * post-period metric y, so ỹ = y − θ(x − x̄) with θ = cov(x,y)/var(x)
+    * keeps the treatment effect unbiased while shrinking variance by
+    * exactly ρ² — the same experiment reaches significance on ρ²-fold
+    * less traffic. Pre/post split at the corpus calendar midpoint
+    * ((min+max) div 2 on epoch-µs — exact integer), arms the q43 md5
+    * halves, per-user metrics exact centi-sums.
+    *
+    * Determinism: the user frame is exact integers; all six moments
+    * (n, Σx, Σy, Σxy, Σxx, Σyy) are DECIMAL(38) exact sums of LONG
+    * products; θ's numerator n·Σxy − Σx·Σy and denominator n·Σxx −
+    * (Σx)² stay exact integer arithmetic cast to double ONCE; the
+    * variance-reduction factor is the closed form ρ² = num²/(den·deny)
+    * (var(y−θx) = var(y) − cov²/var(x) at the optimal θ — no second
+    * pass over users); per-arm adjusted means need only arm sums +
+    * pooled θ. One literal-order IEEE dag, round-6 renders.
+    *
+    * Scale shape: one corpus pass → per-user aggregate (user-bounded);
+    * the calendar cut is a broadcast 1-row frame; moments + per-arm
+    * sums are two aggregates over the user frame; one-row output. The
+    * per-user LONG products hold while per-user centi-sums < 3·10⁹
+    * (9·10¹⁸ product ceiling) — beyond that the sums themselves move
+    * to DECIMAL, same shape.
+    */
+  private def q239(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables
+      .table(s, dir, "events")
+      .select(
+        col("user_id"),
+        unix_micros(col("ts")).as("us"),
+        round(col("value") * 100.0, 0).cast("long").as("vc")
+      )
+    val cut = ev.selectExpr("(min(us) + max(us)) div 2 as cut_us")
+    val user = ev
+      .crossJoin(broadcast(cut))
+      .groupBy("user_id")
+      .agg(
+        sum(when(col("us") < col("cut_us"), col("vc")).otherwise(0L)).as("x"),
+        sum(when(col("us") >= col("cut_us"), col("vc")).otherwise(0L)).as("y")
+      )
+      .withColumn(
+        "ia",
+        when(graft.llm.Sampling.bucket100(col("user_id")) < 50, 1L)
+          .otherwise(0L)
+      )
+    val mom = user.agg(
+      count(lit(1)).as("n"),
+      sum(col("x").cast("decimal(38,0)")).as("sx"),
+      sum(col("y").cast("decimal(38,0)")).as("sy"),
+      sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"),
+      sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"),
+      sum((col("y") * col("y")).cast("decimal(38,0)")).as("syy"),
+      sum("ia").as("na"),
+      sum((col("x") * col("ia")).cast("decimal(38,0)")).as("sxa"),
+      sum((col("y") * col("ia")).cast("decimal(38,0)")).as("sya")
+    )
+    mom
+      .withColumn("nb", col("n") - col("na"))
+      .withColumn("sxb", col("sx") - col("sxa"))
+      .withColumn("syb", col("sy") - col("sya"))
+      .withColumn(
+        "num_d",
+        (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+      )
+      .withColumn(
+        "den_d",
+        (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+      )
+      .withColumn(
+        "deny_d",
+        (col("n") * col("syy") - col("sy") * col("sy")).cast("double")
+      )
+      .withColumn("theta_raw", col("num_d") / nullif(col("den_d"), lit(0.0d)))
+      .withColumn(
+        "diff_raw_c",
+        col("sya").cast("double") / col("na").cast("double") -
+          col("syb").cast("double") / col("nb").cast("double")
+      )
+      .withColumn(
+        "dx_c",
+        col("sxa").cast("double") / col("na").cast("double") -
+          col("sxb").cast("double") / col("nb").cast("double")
+      )
+      .select(
+        col("n").as("n_users"),
+        col("na").as("n_a"),
+        col("nb").as("n_b"),
+        (round(col("theta_raw"), 6) + 0.0).as("theta"),
+        (round(col("diff_raw_c") / 100.0d, 6) + 0.0).as("diff_raw"),
+        (round(
+          (col("diff_raw_c") - col("theta_raw") * col("dx_c")) / 100.0d,
+          6
+        ) + 0.0).as("diff_cuped"),
+        (round(
+          col("num_d") * col("num_d") /
+            nullif(col("den_d") * col("deny_d"), lit(0.0d)),
+          6
+        ) + 0.0).as("var_reduction")
+      )
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q239_cuped" -> q239,
+    "q237_kruskal_wallis" -> q237,
     "q231_fisher_exact" -> q231,
     "q216_brown_forsythe" -> q216,
     "q217_nelson_aalen" -> q217,
@@ -2435,6 +2666,103 @@ object Stats {
       |FROM f""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // same epoch-µs midpoint cut, same exact per-user centi frame and
+    // DECIMAL moments, same closed-form ρ² and literal-order dag
+    "q239_cuped" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) AS us,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS vc
+        |  FROM events),
+        |cut AS (SELECT (min(us) + max(us)) // 2 AS cut_us FROM ev),
+        |u AS (
+        |  SELECT user_id,
+        |    CAST(sum(CASE WHEN us < cut_us THEN vc ELSE 0 END) AS BIGINT) AS x,
+        |    CAST(sum(CASE WHEN us >= cut_us THEN vc ELSE 0 END) AS BIGINT) AS y
+        |  FROM ev CROSS JOIN cut GROUP BY user_id),
+        |ua AS (
+        |  SELECT x, y,
+        |    CASE WHEN CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+        |              AS BIGINT) % 100 < 50 THEN 1 ELSE 0 END AS ia
+        |  FROM u),
+        |m AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+        |    sum(CAST(x * y AS HUGEINT)) AS sxy,
+        |    sum(CAST(x * x AS HUGEINT)) AS sxx,
+        |    sum(CAST(y * y AS HUGEINT)) AS syy,
+        |    CAST(sum(ia) AS BIGINT) AS na,
+        |    sum(CAST(x * ia AS HUGEINT)) AS sxa,
+        |    sum(CAST(y * ia AS HUGEINT)) AS sya
+        |  FROM ua),
+        |d AS (
+        |  SELECT *, n - na AS nb, sx - sxa AS sxb, sy - sya AS syb,
+        |    CAST(n * sxy - sx * sy AS DOUBLE) AS num_d,
+        |    CAST(n * sxx - sx * sx AS DOUBLE) AS den_d,
+        |    CAST(n * syy - sy * sy AS DOUBLE) AS deny_d
+        |  FROM m),
+        |t AS (
+        |  SELECT *, num_d / nullif(den_d, 0.0) AS theta_raw,
+        |    CAST(sya AS DOUBLE) / CAST(na AS DOUBLE)
+        |      - CAST(syb AS DOUBLE) / CAST(nb AS DOUBLE) AS diff_raw_c,
+        |    CAST(sxa AS DOUBLE) / CAST(na AS DOUBLE)
+        |      - CAST(sxb AS DOUBLE) / CAST(nb AS DOUBLE) AS dx_c
+        |  FROM d)
+        |SELECT n AS n_users, na AS n_a, nb AS n_b,
+        |  round(theta_raw, 6) + 0.0 AS theta,
+        |  round(diff_raw_c / 100.0, 6) + 0.0 AS diff_raw,
+        |  round((diff_raw_c - theta_raw * dx_c) / 100.0, 6) + 0.0 AS diff_cuped,
+        |  round(num_d * num_d / nullif(den_d * deny_d, 0.0), 6) + 0.0
+        |    AS var_reduction
+        |FROM t""".stripMargin,
+    // same per-centivalue arm counts, same exact 2·midrank posting
+    // (naive single window — the oracle may scan), same literal-order
+    // IEEE dag from the exact integers, same raw-dag χ²₃ compare
+    "q237_kruskal_wallis" ->
+      """WITH s AS (
+        |  SELECT CAST(round(value * 100, 0) AS BIGINT) AS vc,
+        |    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+        |         AS BIGINT) % 100 AS b
+        |  FROM events),
+        |c AS (SELECT vc,
+        |    CAST(sum(CASE WHEN b < 25 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+        |    CAST(sum(CASE WHEN b >= 25 AND b < 50 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |    CAST(sum(CASE WHEN b >= 50 AND b < 75 THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+        |    CAST(sum(CASE WHEN b >= 75 THEN 1 ELSE 0 END) AS BIGINT) AS c3,
+        |    CAST(count(*) AS BIGINT) AS t
+        |  FROM s GROUP BY vc),
+        |cum AS (SELECT c0, c1, c2, c3, t,
+        |    2 * CAST(coalesce(sum(t) OVER (ORDER BY vc
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      + t + 1 AS mr2
+        |  FROM c),
+        |r AS (SELECT CAST(sum(t) AS BIGINT) AS n,
+        |    CAST(sum(c0) AS BIGINT) AS n0, CAST(sum(c1) AS BIGINT) AS n1,
+        |    CAST(sum(c2) AS BIGINT) AS n2, CAST(sum(c3) AS BIGINT) AS n3,
+        |    sum(CAST(c0 * mr2 AS HUGEINT)) AS r2_0,
+        |    sum(CAST(c1 * mr2 AS HUGEINT)) AS r2_1,
+        |    sum(CAST(c2 * mr2 AS HUGEINT)) AS r2_2,
+        |    sum(CAST(c3 * mr2 AS HUGEINT)) AS r2_3,
+        |    sum(CAST(t AS HUGEINT) * t * t - t) AS t3t
+        |  FROM cum),
+        |h AS (SELECT *,
+        |    CAST(n AS HUGEINT) * n * n - n AS n3n,
+        |    3.0 * (CAST(r2_0 AS DOUBLE) * CAST(r2_0 AS DOUBLE) / CAST(n0 AS DOUBLE)
+        |         + CAST(r2_1 AS DOUBLE) * CAST(r2_1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+        |         + CAST(r2_2 AS DOUBLE) * CAST(r2_2 AS DOUBLE) / CAST(n2 AS DOUBLE)
+        |         + CAST(r2_3 AS DOUBLE) * CAST(r2_3 AS DOUBLE) / CAST(n3 AS DOUBLE))
+        |      / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
+        |      - 3.0 * (CAST(n AS DOUBLE) + 1.0) AS h_raw
+        |  FROM r),
+        |ht AS (SELECT *,
+        |    h_raw * CAST(n3n AS DOUBLE) / CAST(n3n - t3t AS DOUBLE) AS h_tied_raw
+        |  FROM h)
+        |SELECT n, n0, n1, n2, n3,
+        |  CAST(r2_0 AS BIGINT) AS r2_0, CAST(r2_1 AS BIGINT) AS r2_1,
+        |  CAST(r2_2 AS BIGINT) AS r2_2, CAST(r2_3 AS BIGINT) AS r2_3,
+        |  round(h_raw, 4) + 0.0 AS h_stat,
+        |  round(h_tied_raw, 4) + 0.0 AS h_tied,
+        |  h_tied_raw > 7.814727903251179 AS significant
+        |FROM ht""".stripMargin,
     // same cell frame, same 0..N gridded ln-factorial prefix sums
     // (naive single window — the oracle may scan), same BIGINT pmf
     // dags, same 1e-12 tail sum and exact significance compare
