@@ -600,6 +600,115 @@ object Eval {
       )
   }
 
+  /** q240: Kendall's W (coefficient of concordance) — "do the raters
+    * even agree on the ORDERING" across the whole corpus, the
+    * rank-level companion of q187's Fleiss κ (κ measures categorical
+    * agreement after binning; W asks whether m raters' full rankings
+    * of n items are concordant — the number a labeling pipeline reads
+    * before averaging rater scores into one quality signal): three
+    * lexical raters score every document (chars, per-myriad lexical
+    * diversity, per-myriad alpha ratio — the q187 rater family kept
+    * CONTINUOUS), each rater midranks all n docs, and
+    * W = (12ΣS²ᵢ − 3m²n(n+1)²)/(m²(n³−n) − mΣT) with the standard tie
+    * terms T = Σ(t³−t) per rater.
+    *
+    * Determinism (the q150/q237 discipline, per rater): scores are
+    * exact integers (the ratios via BIGINT `div` on a 10⁴ grid);
+    * midranks never float — per (rater, score) with count t and
+    * strict-below count lt, 2·midrank = 2·lt + t + 1 is exact, so
+    * per-doc rank sums S2ᵢ = Σⱼ 2·Rᵢⱼ and ΣS2²ᵢ stay exact integers
+    * (DECIMAL(38)); with 2R ranks the numerator is 3·ΣS2² −
+    * 27·n(n+1)² and the denominator 9(n³−n) − 3ΣT, both exact, cast
+    * to double ONCE for the single division; χ²ᵣ = m(n−1)W rides the
+    * same dag.
+    *
+    * Scale shape: one corpus projection → the 3n-row (rater, score)
+    * stream; per-rater cumulation windows partition by rater over
+    * DISTINCT scores (value-frame bounded, the q33b argument); the
+    * rank join is score-frame-keyed; one per-doc aggregate; one-row
+    * output.
+    */
+  private def q240(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables
+      .table(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("nc"),
+        size(filter(split(col("text"), " "), x => x =!= ""))
+          .cast("long")
+          .as("w"),
+        size(array_distinct(filter(split(col("text"), " "), x => x =!= "")))
+          .cast("long")
+          .as("dw"),
+        length(regexp_replace(col("text"), "[^a-z]", "")).cast("long").as("al")
+      )
+      .select(
+        col("doc_id"),
+        col("nc").as("s1"),
+        expr("dw * 10000 div greatest(w, 1)").as("s2"),
+        expr("al * 10000 div greatest(nc, 1)").as("s3")
+      )
+    val scored = base
+      .select(
+        col("doc_id"),
+        explode(
+          array(
+            struct(lit(1).as("rater"), col("s1").as("score")),
+            struct(lit(2).as("rater"), col("s2").as("score")),
+            struct(lit(3).as("rater"), col("s3").as("score"))
+          )
+        ).as("rs")
+      )
+      .select(col("doc_id"), col("rs.rater").as("rater"), col("rs.score").as("score"))
+    val perVal = scored.groupBy("rater", "score").agg(count(lit(1)).as("t"))
+    val wEx = Window
+      .partitionBy("rater")
+      .orderBy("score")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val mr = perVal.withColumn(
+      "mr2",
+      coalesce(sum("t").over(wEx), lit(0L)) * 2 + col("t") + 1
+    )
+    val perDoc = scored
+      .join(mr, Seq("rater", "score"))
+      .groupBy("doc_id")
+      .agg(sum("mr2").as("s2i"))
+    val ties = perVal.agg(
+      sum(
+        (col("t").cast("decimal(12,0)") * col("t") * col("t") - col("t"))
+          .cast("decimal(38,0)")
+      ).as("tt")
+    )
+    perDoc
+      .agg(
+        count(lit(1)).as("n"),
+        sum((col("s2i") * col("s2i")).cast("decimal(38,0)")).as("ss2")
+      )
+      .crossJoin(broadcast(ties))
+      .withColumn(
+        "num_d",
+        (lit(3L) * col("ss2") -
+          lit(27L) * (col("n").cast("decimal(12,0)") * (col("n") + 1) *
+            (col("n") + 1)).cast("decimal(38,0)")).cast("double")
+      )
+      .withColumn(
+        "den_d",
+        (lit(9L) * (col("n").cast("decimal(12,0)") * col("n") * col("n") -
+          col("n")).cast("decimal(38,0)") - lit(3L) * col("tt"))
+          .cast("double")
+      )
+      .withColumn("w_raw", col("num_d") / nullif(col("den_d"), lit(0.0d)))
+      .select(
+        col("n").as("n_items"),
+        lit(3L).as("n_raters"),
+        col("ss2").cast("long").as("sum_s2_sq"),
+        col("tt").cast("long").as("t_ties"),
+        (round(col("w_raw"), 6) + 0.0).as("w"),
+        (round(lit(3.0d) * (col("n").cast("double") - 1.0d) * col("w_raw"), 4)
+          + 0.0).as("chi2_r")
+      )
+  }
+
   /** q233: cumulative gains / lift table — the decile chart every
     * targeting deployment of a scoring model reads before the fancy
     * metrics (q111's AUC is one number; the gains table answers the
@@ -805,6 +914,7 @@ object Eval {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q240_kendalls_w" -> q240,
     "q233_gains_lift" -> q233,
     "q234_mcnemar" -> q234,
     "q225_pr_auc" -> q225,
@@ -829,6 +939,46 @@ object Eval {
     // same distinct-score block cumulation, same positional decile
     // cuts with block semantics (min_by on the unique n_ge key), same
     // single-division gain/lift
+    // same continuous q187-family raters on the 10⁴ integer `div`
+    // grid, same per-rater exact 2·midrank posting, same exact
+    // numerator/denominator integers cast once, same W / χ²ᵣ dag
+    "q240_kendalls_w" ->
+      """WITH f AS (
+        |  SELECT doc_id, CAST(length(text) AS BIGINT) AS nc,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+        |      AS BIGINT) AS w,
+        |    CAST(len(list_distinct(list_filter(string_split(text, ' '),
+        |        x -> x <> ''))) AS BIGINT) AS dw,
+        |    CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS BIGINT) AS al
+        |  FROM documents),
+        |sc AS (
+        |  SELECT doc_id, 1 AS rater, nc AS score FROM f
+        |  UNION ALL SELECT doc_id, 2, dw * 10000 // greatest(w, 1) FROM f
+        |  UNION ALL SELECT doc_id, 3, al * 10000 // greatest(nc, 1) FROM f),
+        |pv AS (SELECT rater, score, CAST(count(*) AS BIGINT) AS t
+        |       FROM sc GROUP BY 1, 2),
+        |mr AS (SELECT rater, score, t,
+        |    2 * CAST(coalesce(sum(t) OVER (PARTITION BY rater ORDER BY score
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      + t + 1 AS mr2
+        |  FROM pv),
+        |pd AS (SELECT doc_id, CAST(sum(mr2) AS BIGINT) AS s2i
+        |       FROM sc JOIN mr USING (rater, score) GROUP BY doc_id),
+        |tt AS (SELECT sum(CAST(t AS HUGEINT) * t * t - t) AS tt FROM pv),
+        |ag AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |              sum(CAST(s2i * s2i AS HUGEINT)) AS ss2 FROM pd),
+        |d AS (SELECT n, ss2, tt,
+        |    CAST(3 * ss2 - 27 * (CAST(n AS HUGEINT) * (n + 1) * (n + 1))
+        |      AS DOUBLE) AS num_d,
+        |    CAST(9 * (CAST(n AS HUGEINT) * n * n - n) - 3 * tt AS DOUBLE)
+        |      AS den_d
+        |  FROM ag CROSS JOIN tt)
+        |SELECT n AS n_items, CAST(3 AS BIGINT) AS n_raters,
+        |  CAST(ss2 AS BIGINT) AS sum_s2_sq, CAST(tt AS BIGINT) AS t_ties,
+        |  round(num_d / nullif(den_d, 0.0), 6) + 0.0 AS w,
+        |  round(3.0 * (CAST(n AS DOUBLE) - 1.0) * (num_d / nullif(den_d, 0.0)),
+        |        4) + 0.0 AS chi2_r
+        |FROM d""".stripMargin,
     "q233_gains_lift" ->
       s"""$labeledCte,
          |ps AS (

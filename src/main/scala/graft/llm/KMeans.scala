@@ -209,8 +209,104 @@ object KMeans {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q70_kmeans" -> q70,
-    "q172_silhouette" -> q172
+    "q172_silhouette" -> q172,
+    "q241_cluster_nmi" -> q241
   )
+
+  /** q241: normalized mutual information between q70's trained k-means
+    * clusters and the embeddings' ground-truth labels — the
+    * EXTERNAL-validity companion of q172's silhouette (silhouette asks
+    * "is the geometry tight" with no labels; NMI asks "did the
+    * clustering recover the semantic classes", the number a curation
+    * pipeline reads before trusting cluster ids as topic shards):
+    * NMI = I(C;L)/√(H(C)·H(L)) over the (cluster, label) contingency
+    * table of the SAME Lloyd assignment the q70 gate pins.
+    *
+    * Determinism (the q226/q238 exact-ln-grid convention): every MI
+    * log argument n_cl·N/(n_c·n_l) is a ratio of exact integer
+    * cross-products floor-snapped to the 1e-9 grid and weighted by the
+    * exact cell count, and each entropy term likewise — so MI·N·10⁹
+    * and H·N·10⁹ are exact BIGINTs sharing the N·10⁹ factor, which
+    * CANCELS in the ratio: NMI = mi9n/√(hc9n·hl9n) is one IEEE
+    * division of exact integers, round-6. Sharing [[train]] with
+    * q70/q136 means this gate can never drift from the gated
+    * clustering.
+    *
+    * Scale shape: the Lloyd loop is q70's (broadcast-centroid map
+    * passes, K-bounded model pulls); the contingency aggregate is
+    * ≤ K × |labels| rows; margins and entropies are closed-form over
+    * that frame; one-row output.
+    */
+  private def q241(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val cFinal = train(e, K, Iterations)
+    val cells = assigned(e, cFinal)
+      .select(col("vec_id"), col("cluster"))
+      .join(e.select(col("vec_id"), col("label")), "vec_id")
+      .groupBy("cluster", "label")
+      .agg(count(lit(1)).as("ncl"))
+    val nc = cells.groupBy("cluster").agg(sum("ncl").as("nc"))
+    val nl = cells.groupBy("label").agg(sum("ncl").as("nl"))
+    val nn = cells.agg(sum("ncl").as("nn"))
+    val mi = cells
+      .join(nc, "cluster")
+      .join(nl, "label")
+      .crossJoin(broadcast(nn))
+      .withColumn(
+        "l9",
+        floor(
+          log((col("ncl") * col("nn")).cast("double") /
+            (col("nc") * col("nl")).cast("double")) * 1.0e9
+        ).cast("long")
+      )
+      .agg(
+        max("nn").as("nn"),
+        count(lit(1)).as("n_cells"),
+        sum((col("ncl") * col("l9")).cast("decimal(38,0)"))
+          .cast("double")
+          .as("mi9n")
+      )
+    def ent(m: DataFrame, cnt: String, out: String): DataFrame =
+      m.crossJoin(broadcast(nn))
+        .withColumn(
+          "l9",
+          floor(
+            log(col(cnt).cast("double") / col("nn").cast("double")) * 1.0e9
+          ).cast("long")
+        )
+        .agg(
+          (-sum((col(cnt) * col("l9")).cast("decimal(38,0)")))
+            .cast("double")
+            .as(out),
+          count(lit(1)).as(s"k_$out")
+        )
+    val hc = ent(nc, "nc", "hc9n")
+    val hl = ent(nl, "nl", "hl9n")
+    mi.crossJoin(broadcast(hc))
+      .crossJoin(broadcast(hl))
+      .select(
+        col("nn").as("n_vecs"),
+        col("k_hc9n").as("k_clusters"),
+        col("k_hl9n").as("k_labels"),
+        col("n_cells"),
+        (round(
+          col("mi9n") / (col("nn").cast("double") * 1.0e9),
+          6
+        ) + 0.0).as("mi_nats"),
+        (round(
+          col("hc9n") / (col("nn").cast("double") * 1.0e9),
+          6
+        ) + 0.0).as("h_cluster"),
+        (round(
+          col("hl9n") / (col("nn").cast("double") * 1.0e9),
+          6
+        ) + 0.0).as("h_label"),
+        (round(
+          col("mi9n") / nullif(sqrt(col("hc9n") * col("hl9n")), lit(0.0d)),
+          6
+        ) + 0.0).as("nmi")
+      )
+  }
 
   // The oracle replays init → (assign → update) × 2 → final assign with
   // the IDENTICAL fold order, tie-break, and round(·,6)::FLOAT centroid
@@ -292,6 +388,43 @@ object KMeans {
          |    AS min_silhouette,
          |  round(CAST(sum(CASE WHEN s_micro < 0 THEN 1 ELSE 0 END) AS DOUBLE)
          |        / CAST(count(*) AS DOUBLE), 4) + 0.0 AS frac_negative
-         |FROM sil GROUP BY cluster ORDER BY cluster""".stripMargin
+         |FROM sil GROUP BY cluster ORDER BY cluster""".stripMargin,
+    // same training replay, same exact-ln-grid MI/entropy sums over
+    // the (cluster, label) cells, same cancelled-N·10⁹ NMI division
+    "q241_cluster_nmi" ->
+      s"""WITH $trainReplayCtes,
+         |cells AS (
+         |  SELECT a2.cell AS cluster, emb.label, CAST(count(*) AS BIGINT) AS ncl
+         |  FROM a2 JOIN embeddings emb USING (vec_id) GROUP BY 1, 2),
+         |ncm AS (SELECT cluster, CAST(sum(ncl) AS BIGINT) AS nc
+         |        FROM cells GROUP BY 1),
+         |nlm AS (SELECT label, CAST(sum(ncl) AS BIGINT) AS nl
+         |        FROM cells GROUP BY 1),
+         |nt AS (SELECT CAST(sum(ncl) AS BIGINT) AS nn FROM cells),
+         |mi AS (
+         |  SELECT max(nn) AS nn, CAST(count(*) AS BIGINT) AS n_cells,
+         |    CAST(sum(CAST(ncl * CAST(floor(ln(
+         |      CAST(ncl * nn AS DOUBLE) / CAST(nc * nl AS DOUBLE)) * 1.0e9)
+         |      AS BIGINT) AS HUGEINT)) AS DOUBLE) AS mi9n
+         |  FROM cells JOIN ncm USING (cluster) JOIN nlm USING (label)
+         |       CROSS JOIN nt),
+         |hc AS (
+         |  SELECT CAST(-sum(CAST(nc * CAST(floor(ln(
+         |      CAST(nc AS DOUBLE) / CAST(nn AS DOUBLE)) * 1.0e9)
+         |      AS BIGINT) AS HUGEINT)) AS DOUBLE) AS hc9n,
+         |    CAST(count(*) AS BIGINT) AS k_clusters
+         |  FROM ncm CROSS JOIN nt),
+         |hl AS (
+         |  SELECT CAST(-sum(CAST(nl * CAST(floor(ln(
+         |      CAST(nl AS DOUBLE) / CAST(nn AS DOUBLE)) * 1.0e9)
+         |      AS BIGINT) AS HUGEINT)) AS DOUBLE) AS hl9n,
+         |    CAST(count(*) AS BIGINT) AS k_labels
+         |  FROM nlm CROSS JOIN nt)
+         |SELECT nn AS n_vecs, k_clusters, k_labels, n_cells,
+         |  round(mi9n / (CAST(nn AS DOUBLE) * 1.0e9), 6) + 0.0 AS mi_nats,
+         |  round(hc9n / (CAST(nn AS DOUBLE) * 1.0e9), 6) + 0.0 AS h_cluster,
+         |  round(hl9n / (CAST(nn AS DOUBLE) * 1.0e9), 6) + 0.0 AS h_label,
+         |  round(mi9n / nullif(sqrt(hc9n * hl9n), 0.0), 6) + 0.0 AS nmi
+         |FROM mi CROSS JOIN hc CROSS JOIN hl""".stripMargin
   )
 }

@@ -5,7 +5,8 @@ package graft
   * MATH (textbook definitions applied naively on collected rows), not
   * the plumbing: Kruskal–Wallis from a naive joint-rank walk, Dunning
   * G² from hash-map contingency counts, CUPED from brute per-user
-  * moment sums.
+  * moment sums, Kendall's W from a naive per-rater midrank walk, NMI
+  * from count-map information theory over the gated q70 clustering.
   */
 class Round16cReplaySpec extends SparkSpec {
 
@@ -101,6 +102,97 @@ class Round16cReplaySpec extends SparkSpec {
       (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))
     }
     assert(got === scored)
+  }
+
+  test("q240 Kendall's W equals a naive per-rater midrank walk") {
+    import spark.implicits._
+    val docs = graft.queries.Tables
+      .table(spark, dir, "documents")
+      .select("doc_id", "text")
+      .as[(Long, String)]
+      .collect()
+      .toSeq
+    val scores: Seq[(Long, Seq[Long])] = docs.map { case (id, text) =>
+      val nc = text.length.toLong
+      val toks = text.split(" ", -1).filter(_.nonEmpty)
+      val w = toks.length.toLong
+      val dw = toks.distinct.length.toLong
+      val al = text.replaceAll("[^a-z]", "").length.toLong
+      (id, Seq(nc, dw * 10000 / math.max(w, 1), al * 10000 / math.max(nc, 1)))
+    }
+    val n = scores.size.toLong
+    // per rater: naive midranks (2·midrank = 2·lt + t + 1)
+    val mr2ByRater: Seq[Map[Long, Long]] = (0 until 3).map { j =>
+      val vals = scores.map(_._2(j))
+      val byVal = vals.groupBy(identity).toSeq.sortBy(_._1)
+      var lt = 0L
+      byVal.map { case (v, vs) =>
+        val t = vs.size.toLong
+        val mr2 = 2 * lt + t + 1
+        lt += t
+        (v, mr2)
+      }.toMap
+    }
+    val s2i = scores.map { case (_, ss) =>
+      (0 until 3).map(j => mr2ByRater(j)(ss(j))).sum
+    }
+    val ss2 = s2i.map(x => BigInt(x) * x).sum
+    val tt = (0 until 3).map { j =>
+      scores
+        .map(_._2(j))
+        .groupBy(identity)
+        .values
+        .map(g => BigInt(g.size) * g.size * g.size - g.size)
+        .sum
+    }.sum
+    val num = (3 * ss2 - 27 * (BigInt(n) * (n + 1) * (n + 1))).toDouble
+    val den = (9 * (BigInt(n) * n * n - n) - 3 * tt).toDouble
+    val wStat = num / den
+    val r = q("q240_kendalls_w").collect().head
+    assert(r.getLong(0) === n && r.getLong(1) === 3L)
+    assert(r.getLong(2) === ss2.toLong && r.getLong(3) === tt.toLong)
+    assert(math.abs(r.getDouble(4) - wStat) < 1e-5)
+    assert(math.abs(r.getDouble(5) - 3.0 * (n - 1.0) * wStat) < 1e-3)
+    // concordance of three noisy views of the same latent quality
+    // should sit strictly inside (0, 1)
+    assert(r.getDouble(4) > 0.0 && r.getDouble(4) < 1.0)
+  }
+
+  test("q241 NMI equals naive count-map information theory on the gated clustering") {
+    import spark.implicits._
+    val assign = q("q70_kmeans")
+      .select("vec_id", "cluster")
+      .as[(Long, Int)]
+      .collect()
+      .toMap
+    val labels = graft.queries.Tables
+      .table(spark, dir, "embeddings")
+      .select("vec_id", "label")
+      .as[(Long, Int)]
+      .collect()
+      .toSeq
+    val cells = labels
+      .map { case (v, l) => (assign(v), l) }
+      .groupBy(identity)
+      .map { case (k, v) => (k, v.size.toLong) }
+    val nn = cells.values.sum
+    val nc = cells.groupBy(_._1._1).map { case (c, m) => (c, m.values.sum) }
+    val nl = cells.groupBy(_._1._2).map { case (l, m) => (l, m.values.sum) }
+    def g9(x: Double): Long = math.floor(math.log(x) * 1e9).toLong
+    val mi9n = cells.map { case ((c, l), k) =>
+      BigInt(k) * g9(k.toDouble * nn / (nc(c).toDouble * nl(l)))
+    }.sum
+    val hc9n = -nc.values.map(c => BigInt(c) * g9(c.toDouble / nn)).sum
+    val hl9n = -nl.values.map(c => BigInt(c) * g9(c.toDouble / nn)).sum
+    val r = q("q241_cluster_nmi").collect().head
+    assert(r.getLong(0) === nn)
+    assert(r.getLong(1) === nc.size.toLong && r.getLong(2) === nl.size.toLong)
+    assert(r.getLong(3) === cells.size.toLong)
+    assert(math.abs(r.getDouble(4) - mi9n.toDouble / (nn * 1e9)) < 1e-5)
+    assert(math.abs(r.getDouble(7) -
+      mi9n.toDouble / math.sqrt(hc9n.toDouble * hl9n.toDouble)) < 1e-5)
+    // NMI is bounded: 0 ≤ NMI ≤ 1 (up to the 1e-9 grid)
+    assert(r.getDouble(7) >= 0.0 && r.getDouble(7) <= 1.0 + 1e-6)
   }
 
   test("q239 CUPED equals brute per-user moment sums") {
