@@ -164,9 +164,94 @@ object Basket {
       .limit(TopK)
   }
 
+  /** q242: item-item collaborative filtering — cosine similarity on the
+    * implicit customer×part rating matrix ("customers who buy X also
+    * buy Y"), the neighborhood recommender that q129's lift cannot
+    * replace: lift counts CO-OCCURRENCE IN ONE ORDER, while item-CF
+    * aggregates a customer's WHOLE history into a rating (number of
+    * orders containing the part) and normalizes by each item's rating
+    * norm, so a prolific buyer strengthens similarity without a popular
+    * item swamping the ranking. Top-[[TopK]] pairs by (cosine, keys)
+    * among pairs co-rated by ≥ [[MinSupport]] customers.
+    *
+    * Determinism: ratings and the dot product Σᵤ rᵤₐ·rᵤ_b are exact
+    * BIGINTs, as are the per-item norms Σᵤ r²; cosine is the single
+    * IEEE dag dot/(√normₐ·√norm_b) spelled identically on both engines,
+    * round-6, with the unique (pa, pb) key breaking rank ties.
+    *
+    * Scale shape: ONE shuffle keyed by customer builds the sorted
+    * per-customer (part, rating) array; pairs generate MAP-SIDE via the
+    * q129 posexplode × sliced-explode chain — C(k,2) per CUSTOMER
+    * CATALOG k, never corpus² (a hot item pairs only inside the
+    * catalogs that contain it). One hash aggregate sums the dots; the
+    * part-bounded norm frame broadcasts twice. Production caps k for
+    * degenerate power users (sample their catalog) — this corpus's max
+    * catalog is double digits, so the gate runs exact.
+    */
+  private def q242(s: SparkSession, dir: String): DataFrame = {
+    val ratings = Tables
+      .table(s, dir, "lineitem")
+      .join(
+        Tables.table(s, dir, "orders"),
+        col("l_orderkey") === col("o_orderkey")
+      )
+      .groupBy(col("o_custkey").as("cust"), col("l_partkey").as("part"))
+      .agg(countDistinct(col("l_orderkey")).as("r"))
+    val norms = ratings
+      .groupBy("part")
+      .agg(sum((col("r") * col("r")).cast("decimal(38,0)")).cast("long").as("nrm"))
+    val catalogs = ratings
+      .groupBy("cust")
+      .agg(sort_array(collect_list(struct(col("part"), col("r")))).as("ps"))
+    val pairs = catalogs
+      .select(col("ps"), posexplode(col("ps")).as(Seq("i", "a")))
+      .select(
+        col("a"),
+        explode(slice(col("ps"), col("i") + lit(2), size(col("ps")))).as("b")
+      )
+      .select(
+        col("a.part").as("pa"),
+        col("b.part").as("pb"),
+        (col("a.r") * col("b.r")).as("rr")
+      )
+      .groupBy("pa", "pb")
+      .agg(
+        sum(col("rr").cast("decimal(38,0)")).cast("long").as("dot"),
+        count(lit(1)).as("nu")
+      )
+      .filter(col("nu") >= MinSupport)
+    pairs
+      .join(
+        broadcast(
+          norms.withColumnRenamed("part", "pa").withColumnRenamed("nrm", "na")
+        ),
+        "pa"
+      )
+      .join(
+        broadcast(
+          norms.withColumnRenamed("part", "pb").withColumnRenamed("nrm", "nb")
+        ),
+        "pb"
+      )
+      .select(
+        col("pa"),
+        col("pb"),
+        col("nu").as("n_users"),
+        col("dot"),
+        (round(
+          col("dot").cast("double") /
+            (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))),
+          6
+        ) + 0.0).as("cosine")
+      )
+      .orderBy(desc("cosine"), col("pa"), col("pb"))
+      .limit(TopK)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q129_basket_rules" -> q129,
-    "q232_basket_triples" -> q232
+    "q232_basket_triples" -> q232,
+    "q242_item_cf" -> q242
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -219,6 +304,31 @@ object Basket {
          |JOIN ic ib ON ib.pk = pb
          |JOIN ic ic2 ON ic2.pk = pc
          |CROSS JOIN tot
-         |ORDER BY lift DESC, pa, pb, pc LIMIT $TopK""".stripMargin
+         |ORDER BY lift DESC, pa, pb, pc LIMIT $TopK""".stripMargin,
+    // naive per-customer self-join replay of the map-side catalog pair
+    // generators, same exact BIGINT dot/norms, same single cosine dag
+    "q242_item_cf" ->
+      s"""WITH cp AS (
+         |  SELECT o.o_custkey AS cust, l.l_partkey AS part,
+         |         CAST(count(DISTINCT l.l_orderkey) AS BIGINT) AS r
+         |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |  GROUP BY 1, 2),
+         |nrm AS (SELECT part, CAST(sum(r * r) AS BIGINT) AS nrm
+         |        FROM cp GROUP BY part),
+         |pp AS (
+         |  SELECT a.part AS pa, b.part AS pb,
+         |         CAST(sum(a.r * b.r) AS BIGINT) AS dot,
+         |         CAST(count(*) AS BIGINT) AS n_users
+         |  FROM cp a JOIN cp b ON a.cust = b.cust AND a.part < b.part
+         |  GROUP BY 1, 2
+         |  HAVING count(*) >= $MinSupport)
+         |SELECT pa, pb, n_users, dot,
+         |  round(CAST(dot AS DOUBLE)
+         |        / (sqrt(CAST(na.nrm AS DOUBLE)) * sqrt(CAST(nb.nrm AS DOUBLE))),
+         |        6) + 0.0 AS cosine
+         |FROM pp
+         |JOIN nrm na ON na.part = pa
+         |JOIN nrm nb ON nb.part = pb
+         |ORDER BY cosine DESC, pa, pb LIMIT $TopK""".stripMargin
   )
 }

@@ -2581,7 +2581,339 @@ object Stats {
       )
   }
 
+  /** q243: difference-in-differences — the quasi-experimental estimate
+    * an analyst reaches for when assignment wasn't randomized at t₀:
+    * compare each arm's pre→post CHANGE so any level difference between
+    * the arms (and any common shock over time) cancels, leaving
+    * DiD = (ȳ_post^A − ȳ_pre^A) − (ȳ_post^B − ȳ_pre^B). With per-user
+    * panels this is exactly a two-sample Welch t on the user-level
+    * first differences dᵤ = yᵤ − xᵤ — the companion of q239 (CUPED
+    * adjusts by a FITTED θ; DiD pins θ = 1), sharing its frame: the
+    * exact epoch-µs midpoint pre/post cut, per-user exact centi sums,
+    * md5-bucket arms.
+    *
+    * Determinism: dᵤ is an exact BIGINT; all per-arm moments (Σd, Σd²)
+    * are DECIMAL(38) exact; the four cell means, the DiD point, the
+    * Welch SE, and t are IEEE dags of those exact integers spelled
+    * identically on both engines, round-6; the significance flag
+    * compares the RAW t dag against the 1.96 literal (the q237
+    * convention) so rounding can never flip it.
+    *
+    * Scale shape: one corpus pass → one user-keyed aggregate → a
+    * single 9-moment global aggregate → one-row output. Nothing after
+    * the user frame depends on corpus size.
+    */
+  private def q243(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables
+      .table(s, dir, "events")
+      .select(
+        col("user_id"),
+        unix_micros(col("ts")).as("us"),
+        round(col("value") * 100.0, 0).cast("long").as("vc")
+      )
+    val cut = ev.selectExpr("(min(us) + max(us)) div 2 as cut_us")
+    val user = ev
+      .crossJoin(broadcast(cut))
+      .groupBy("user_id")
+      .agg(
+        sum(when(col("us") < col("cut_us"), col("vc")).otherwise(0L)).as("x"),
+        sum(when(col("us") >= col("cut_us"), col("vc")).otherwise(0L)).as("y")
+      )
+      .withColumn("d", col("y") - col("x"))
+      .withColumn(
+        "ia",
+        when(graft.llm.Sampling.bucket100(col("user_id")) < 50, 1L)
+          .otherwise(0L)
+      )
+    user
+      .agg(
+        sum("ia").as("na"),
+        sum(lit(1L) - col("ia")).as("nb"),
+        sum((col("x") * col("ia")).cast("decimal(38,0)")).as("sxa"),
+        sum((col("y") * col("ia")).cast("decimal(38,0)")).as("sya"),
+        sum((col("x") * (lit(1L) - col("ia"))).cast("decimal(38,0)")).as("sxb"),
+        sum((col("y") * (lit(1L) - col("ia"))).cast("decimal(38,0)")).as("syb"),
+        sum((col("d") * col("ia")).cast("decimal(38,0)")).as("sda"),
+        sum((col("d") * (lit(1L) - col("ia"))).cast("decimal(38,0)")).as("sdb"),
+        sum((col("d") * col("d") * col("ia")).cast("decimal(38,0)")).as("sdda"),
+        sum((col("d") * col("d") * (lit(1L) - col("ia"))).cast("decimal(38,0)"))
+          .as("sddb")
+      )
+      .withColumn(
+        "va",
+        (col("na") * col("sdda") - col("sda") * col("sda")).cast("double") /
+          (col("na") * (col("na") - 1)).cast("double")
+      )
+      .withColumn(
+        "vb",
+        (col("nb") * col("sddb") - col("sdb") * col("sdb")).cast("double") /
+          (col("nb") * (col("nb") - 1)).cast("double")
+      )
+      .withColumn(
+        "did_c",
+        col("sda").cast("double") / col("na").cast("double") -
+          col("sdb").cast("double") / col("nb").cast("double")
+      )
+      .withColumn(
+        "se_c",
+        sqrt(
+          col("va") / col("na").cast("double") +
+            col("vb") / col("nb").cast("double")
+        )
+      )
+      .withColumn("t_raw", col("did_c") / nullif(col("se_c"), lit(0.0d)))
+      .select(
+        col("na").cast("long").as("n_a"),
+        col("nb").cast("long").as("n_b"),
+        (round(col("sxa").cast("double") / col("na").cast("double") / 100.0d, 6)
+          + 0.0).as("pre_a"),
+        (round(col("sya").cast("double") / col("na").cast("double") / 100.0d, 6)
+          + 0.0).as("post_a"),
+        (round(col("sxb").cast("double") / col("nb").cast("double") / 100.0d, 6)
+          + 0.0).as("pre_b"),
+        (round(col("syb").cast("double") / col("nb").cast("double") / 100.0d, 6)
+          + 0.0).as("post_b"),
+        (round(col("did_c") / 100.0d, 6) + 0.0).as("did"),
+        (round(col("se_c") / 100.0d, 6) + 0.0).as("se"),
+        (round(col("t_raw"), 4) + 0.0).as("t_stat"),
+        (abs(col("t_raw")) > lit(1.96d)).as("significant")
+      )
+  }
+
+  /** q245: Wald–Wolfowitz runs test — "is the daily revenue series
+    * RANDOM about its median, or does it trend/cluster" — the
+    * order-only randomness screen that needs no distributional
+    * assumption at all (q214's Mann–Kendall asks for monotone trend;
+    * the runs test flags ANY serial clustering: too FEW runs = sticky
+    * regimes, too MANY = oscillation): days above the median and days
+    * not-above form a binary sequence; R = number of maximal runs;
+    * under randomness E[R] = 1 + 2n₁n₂/n and
+    * Var[R] = 2n₁n₂(2n₁n₂−n)/(n²(n−1)).
+    *
+    * Determinism: the median is the exact ⌈n/2⌉-th order statistic of
+    * the centi daily sums (an integer — row_number pick, tie-order
+    * irrelevant to the k-th value); ties AT the median are dropped per
+    * the standard test; run starts count exactly via lag(); n₁, n₂, R
+    * and every moment product are exact BIGINTs cast to double once
+    * for the single z dag; the randomness flag compares the RAW |z|
+    * dag against the 1.96 literal.
+    *
+    * Scale shape: one corpus pass → the calendar-bounded daily frame;
+    * the median pick, sign/lag walk, and run count all run over that
+    * ≤ observation-window-days frame (the q156 allowlist convention).
+    * One-row output.
+    */
+  private def q245(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables
+      .table(s, dir, "events")
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(sum(round(col("value") * 100.0, 0).cast("long")).as("sv"))
+    val nTot = daily.agg(count(lit(1)).as("n_all"))
+    val med = daily
+      .withColumn("rn", row_number().over(Window.orderBy("sv", "d")))
+      .crossJoin(broadcast(nTot))
+      .filter(col("rn") === expr("(n_all + 1) div 2"))
+      .select(col("sv").as("med"))
+    val signs = daily
+      .crossJoin(broadcast(med))
+      .filter(col("sv") =!= col("med"))
+      .withColumn("above", (col("sv") > col("med")).cast("long"))
+      .withColumn("prev", lag("above", 1).over(Window.orderBy("d")))
+      .withColumn(
+        "start",
+        when(col("prev").isNull || col("prev") =!= col("above"), 1L)
+          .otherwise(0L)
+      )
+    signs
+      .agg(
+        sum("above").as("n1"),
+        sum(lit(1L) - col("above")).as("n2"),
+        sum("start").as("r")
+      )
+      .withColumn("n", col("n1") + col("n2"))
+      .withColumn(
+        "mu",
+        lit(1.0d) +
+          (lit(2L) * col("n1") * col("n2")).cast("double") /
+          col("n").cast("double")
+      )
+      .withColumn(
+        "va",
+        (lit(2L) * col("n1") * col("n2") *
+          (lit(2L) * col("n1") * col("n2") - col("n"))).cast("double") /
+          (col("n") * col("n") * (col("n") - 1)).cast("double")
+      )
+      .withColumn(
+        "z_raw",
+        (col("r").cast("double") - col("mu")) /
+          nullif(sqrt(col("va")), lit(0.0d))
+      )
+      .select(
+        col("n").as("n_days"),
+        col("n1").as("n_above"),
+        col("n2").as("n_below"),
+        col("r").as("n_runs"),
+        (round(col("z_raw"), 4) + 0.0).as("z"),
+        (abs(col("z_raw")) <= lit(1.96d)).as("looks_random")
+      )
+  }
+
+  /** q246: Hodges–Lehmann pseudo-median of the per-user event count —
+    * the location estimator the Wilcoxon signed-rank test inverts to
+    * (median of all n(n+1)/2 pairwise Walsh averages (xᵢ+xⱼ)/2):
+    * robust like the median (25% breakdown) but far more efficient on
+    * near-symmetric data (~96% vs the mean, where the plain median
+    * manages 64%) — the right center for a skew-prone engagement
+    * metric that q68's MAD screens but never summarizes.
+    *
+    * Determinism: counts are integers, so the pair universe collapses
+    * onto the VALUE frame — for distinct values vᵢ ≤ vⱼ with counts
+    * cᵢ, cⱼ the Walsh SUM vᵢ+vⱼ (the ×2 grid — never /2 in float)
+    * carries exact weight cᵢ·cⱼ (i<j) or cᵢ(cᵢ+1)/2 (i=j); the
+    * weighted median of that multiset comes off an exact cumsum at
+    * ranks ⌈M/2⌉ and ⌊M/2⌋+1, and the estimator is (ws₁+ws₂)/4 — an
+    * exact quarter-integer.
+    *
+    * Scale shape: one user aggregate → the distinct-count VALUE frame
+    * (≲ hundreds of rows by construction); the d² Walsh pair frame and
+    * its cumsum never touch corpus size (the q33b convention squared).
+    * One-row output.
+    */
+  private def q246(s: SparkSession, dir: String): DataFrame = {
+    val vf = Tables
+      .table(s, dir, "events")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("v"))
+      .groupBy("v")
+      .agg(count(lit(1)).as("c"))
+    val tot = vf
+      .agg(
+        sum("c").as("n_users"),
+        sum((col("v") * col("c")).cast("decimal(38,0)")).cast("long").as("sv")
+      )
+      .withColumn("m_pairs", expr("n_users * (n_users + 1) div 2"))
+    val pairs = vf
+      .as("a")
+      .join(vf.as("b"), col("a.v") <= col("b.v"))
+      .select(
+        (col("a.v") + col("b.v")).as("ws"),
+        when(col("a.v") < col("b.v"), col("a.c") * col("b.c"))
+          .otherwise(expr("a.c * (a.c + 1) div 2"))
+          .as("w")
+      )
+      .groupBy("ws")
+      .agg(sum("w").as("w"))
+      .withColumn(
+        "cum",
+        sum("w").over(
+          Window.orderBy("ws").rowsBetween(Window.unboundedPreceding, 0)
+        )
+      )
+    val picks = pairs
+      .crossJoin(broadcast(tot))
+      .agg(
+        min(when(col("cum") >= expr("(m_pairs + 1) div 2"), col("ws"))).as("ws1"),
+        min(when(col("cum") >= expr("m_pairs div 2 + 1"), col("ws"))).as("ws2"),
+        max("n_users").as("n_users"),
+        max("m_pairs").as("m_pairs"),
+        max("sv").as("sv")
+      )
+    picks.select(
+      col("n_users"),
+      col("m_pairs"),
+      ((col("ws1") + col("ws2")).cast("double") / 4.0d + 0.0)
+        .as("hl_pseudomedian"),
+      (round(col("sv").cast("double") / col("n_users").cast("double"), 6)
+        + 0.0).as("mean_count")
+    )
+  }
+
+  /** q247: peaks-over-threshold GPD tail fit — the extreme-value
+    * question the bulk statistics can never answer ("how big is the
+    * 1-in-100k event?") gets the principled answer: exceedances over a
+    * high threshold converge to a Generalized Pareto Distribution
+    * (Pickands–Balkema–de Haan), so fit (ξ, σ) to the P95 exceedances
+    * by method of moments — ξ̂ = ½(1 − m²/s²), σ̂ = m(1−ξ̂) — and read
+    * the N-observation return level x_N = u + σ/ξ·((N·ζᵤ)^ξ − 1),
+    * ζᵤ = P(X>u). The ξ sign is the headline: ξ>0 heavy tail (no
+    * moment cap), ξ<0 bounded tail, ξ≈0 exponential.
+    *
+    * Determinism: the threshold is the exact ⌈0.95n⌉-th order
+    * statistic picked off the per-VALUE centi cumsum; exceedance
+    * moments Σc·e, Σc·e² are exact integers off the SAME value frame
+    * (no second corpus pass); m, s², ξ, σ and the return level are one
+    * IEEE dag of those integers with the power spelled exp(ξ·ln(Nζ))
+    * identically on both engines, round-6/round-4.
+    *
+    * Scale shape: one corpus pass → the per-VALUE centi count frame
+    * (≤ value-range grid points, the q33b convention); threshold pick,
+    * exceedance moments, and the fit all run on that frame. One-row
+    * output.
+    */
+  private def q247(s: SparkSession, dir: String): DataFrame = {
+    val retN = 100000.0d
+    val vf = Tables
+      .table(s, dir, "events")
+      .select(round(col("value") * 100.0, 0).cast("long").as("vc"))
+      .groupBy("vc")
+      .agg(count(lit(1)).as("c"))
+      .withColumn(
+        "cum",
+        sum("c").over(
+          Window.orderBy("vc").rowsBetween(Window.unboundedPreceding, 0)
+        )
+      )
+    val tot = vf.agg(sum("c").as("n"))
+    val u = vf
+      .crossJoin(broadcast(tot))
+      .filter(col("cum") >= expr("(95 * n + 99) div 100"))
+      .agg(min("vc").as("u"))
+    val mom = vf
+      .crossJoin(broadcast(u))
+      .filter(col("vc") > col("u"))
+      .select(col("c"), (col("vc") - col("u")).as("e"), col("u"))
+      .agg(
+        max("u").as("u"),
+        sum("c").as("ne"),
+        sum((col("c") * col("e")).cast("decimal(38,0)")).as("se"),
+        sum((col("c") * col("e") * col("e")).cast("decimal(38,0)")).as("see")
+      )
+    mom
+      .crossJoin(broadcast(tot))
+      .withColumn("m", col("se").cast("double") / col("ne").cast("double"))
+      .withColumn(
+        "v",
+        (col("ne") * col("see") - col("se") * col("se")).cast("double") /
+          (col("ne") * (col("ne") - 1)).cast("double")
+      )
+      .withColumn(
+        "xi",
+        lit(0.5d) * (lit(1.0d) - col("m") * col("m") / nullif(col("v"), lit(0.0d)))
+      )
+      .withColumn("sigma", col("m") * (lit(1.0d) - col("xi")))
+      .withColumn(
+        "zeta",
+        col("ne").cast("double") / col("n").cast("double")
+      )
+      .withColumn(
+        "rl",
+        col("u").cast("double") + col("sigma") / nullif(col("xi"), lit(0.0d)) *
+          (exp(col("xi") * log(lit(retN) * col("zeta"))) - lit(1.0d))
+      )
+      .select(
+        (col("u").cast("double") / 100.0d + 0.0).as("threshold"),
+        col("ne").as("n_exceed"),
+        (round(col("xi"), 6) + 0.0).as("xi"),
+        (round(col("sigma") / 100.0d, 6) + 0.0).as("sigma"),
+        (round(col("rl") / 100.0d, 4) + 0.0).as("return_level_100k")
+      )
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q243_did" -> q243,
+    "q245_runs_test" -> q245,
+    "q246_hodges_lehmann" -> q246,
+    "q247_gpd_tail" -> q247,
     "q239_cuped" -> q239,
     "q237_kruskal_wallis" -> q237,
     "q231_fisher_exact" -> q231,
@@ -2668,6 +3000,175 @@ object Stats {
   val oracleSql: Map[String, String] = Map(
     // same epoch-µs midpoint cut, same exact per-user centi frame and
     // DECIMAL moments, same closed-form ρ² and literal-order dag
+    // same exact order-statistic median, same tie-drop and lag() run
+    // starts over the daily frame, same exact BIGINT moments in one z
+    // dag, same raw-dag 1.96 compare
+    "q245_runs_test" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS d,
+        |    CAST(sum(CAST(round(value * 100.0, 0) AS BIGINT)) AS BIGINT) AS sv
+        |  FROM events GROUP BY 1),
+        |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_all FROM daily),
+        |med AS (
+        |  SELECT sv AS med FROM (
+        |    SELECT sv, row_number() OVER (ORDER BY sv, d) AS rn FROM daily)
+        |  CROSS JOIN nt WHERE rn = (n_all + 1) // 2),
+        |sg AS (
+        |  SELECT d, CASE WHEN sv > med THEN 1 ELSE 0 END AS above,
+        |    lag(CASE WHEN sv > med THEN 1 ELSE 0 END)
+        |      OVER (ORDER BY d) AS prev
+        |  FROM daily CROSS JOIN med WHERE sv <> med),
+        |m AS (
+        |  SELECT CAST(sum(above) AS BIGINT) AS n1,
+        |    CAST(sum(1 - above) AS BIGINT) AS n2,
+        |    CAST(sum(CASE WHEN prev IS NULL OR prev <> above
+        |             THEN 1 ELSE 0 END) AS BIGINT) AS r
+        |  FROM sg),
+        |z AS (
+        |  SELECT *, n1 + n2 AS n,
+        |    1.0 + CAST(2 * n1 * n2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE) AS mu,
+        |    CAST(2 * n1 * n2 * (2 * n1 * n2 - (n1 + n2)) AS DOUBLE)
+        |      / CAST((n1 + n2) * (n1 + n2) * (n1 + n2 - 1) AS DOUBLE) AS va
+        |  FROM m),
+        |zz AS (
+        |  SELECT *, (CAST(r AS DOUBLE) - mu) / nullif(sqrt(va), 0.0) AS z_raw
+        |  FROM z)
+        |SELECT n AS n_days, n1 AS n_above, n2 AS n_below, r AS n_runs,
+        |  round(z_raw, 4) + 0.0 AS z,
+        |  abs(z_raw) <= 1.96 AS looks_random
+        |FROM zz""".stripMargin,
+    // same distinct-count VALUE frame, same exact Walsh-sum weights on
+    // the ×2 grid, same cumsum rank picks, same quarter-integer result
+    "q246_hodges_lehmann" ->
+      """WITH uc AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS v
+        |  FROM events GROUP BY 1),
+        |vf AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM uc GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(sum(c) AS BIGINT) AS n_users,
+        |    CAST(sum(c) * (sum(c) + 1) // 2 AS BIGINT) AS m_pairs,
+        |    CAST(sum(v * c) AS BIGINT) AS sv
+        |  FROM vf),
+        |pw AS (
+        |  SELECT a.v + b.v AS ws,
+        |    CAST(sum(CASE WHEN a.v < b.v THEN a.c * b.c
+        |             ELSE a.c * (a.c + 1) // 2 END) AS BIGINT) AS w
+        |  FROM vf a JOIN vf b ON a.v <= b.v
+        |  GROUP BY 1),
+        |cw AS (
+        |  SELECT ws, CAST(sum(w) OVER (ORDER BY ws
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM pw),
+        |pk AS (
+        |  SELECT min(CASE WHEN cum >= (m_pairs + 1) // 2 THEN ws END) AS ws1,
+        |    min(CASE WHEN cum >= m_pairs // 2 + 1 THEN ws END) AS ws2,
+        |    max(n_users) AS n_users, max(m_pairs) AS m_pairs, max(sv) AS sv
+        |  FROM cw CROSS JOIN tot)
+        |SELECT n_users, m_pairs,
+        |  CAST(ws1 + ws2 AS DOUBLE) / 4.0 + 0.0 AS hl_pseudomedian,
+        |  round(CAST(sv AS DOUBLE) / CAST(n_users AS DOUBLE), 6) + 0.0
+        |    AS mean_count
+        |FROM pk""".stripMargin,
+    // same per-VALUE centi cumsum threshold pick, same exact
+    // exceedance moments off the value frame, same MOM dag with the
+    // power spelled exp(xi·ln(N·zeta))
+    "q247_gpd_tail" ->
+      """WITH vf AS (
+        |  SELECT CAST(round(value * 100.0, 0) AS BIGINT) AS vc,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1),
+        |cf AS (
+        |  SELECT vc, c, CAST(sum(c) OVER (ORDER BY vc
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM vf),
+        |nt AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM vf),
+        |th AS (
+        |  SELECT min(vc) AS u FROM cf CROSS JOIN nt
+        |  WHERE cum >= (95 * n + 99) // 100),
+        |mom AS (
+        |  SELECT max(u) AS u, CAST(sum(c) AS BIGINT) AS ne,
+        |    sum(CAST(c * (vc - u) AS HUGEINT)) AS se,
+        |    sum(CAST(c * (vc - u) * (vc - u) AS HUGEINT)) AS see
+        |  FROM vf CROSS JOIN th WHERE vc > u),
+        |fit AS (
+        |  SELECT *, CAST(se AS DOUBLE) / CAST(ne AS DOUBLE) AS m,
+        |    CAST(ne * see - se * se AS DOUBLE)
+        |      / CAST(ne * (ne - 1) AS DOUBLE) AS v
+        |  FROM mom CROSS JOIN nt),
+        |x AS (
+        |  SELECT *, 0.5 * (1.0 - m * m / nullif(v, 0.0)) AS xi FROM fit),
+        |sg AS (
+        |  SELECT *, m * (1.0 - xi) AS sigma,
+        |    CAST(ne AS DOUBLE) / CAST(n AS DOUBLE) AS zeta
+        |  FROM x),
+        |rl AS (
+        |  SELECT *, CAST(u AS DOUBLE) + sigma / nullif(xi, 0.0)
+        |    * (exp(xi * ln(100000.0 * zeta)) - 1.0) AS rl
+        |  FROM sg)
+        |SELECT CAST(u AS DOUBLE) / 100.0 + 0.0 AS threshold,
+        |  ne AS n_exceed,
+        |  round(xi, 6) + 0.0 AS xi,
+        |  round(sigma / 100.0, 6) + 0.0 AS sigma,
+        |  round(rl / 100.0, 4) + 0.0 AS return_level_100k
+        |FROM rl""".stripMargin,
+    // same per-user pre/post centi frame and md5 arms as q239, same
+    // exact first-difference moments, same Welch dag on the exact
+    // integers, same raw-dag 1.96 compare
+    "q243_did" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) AS us,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS vc
+        |  FROM events),
+        |cut AS (SELECT (min(us) + max(us)) // 2 AS cut_us FROM ev),
+        |u AS (
+        |  SELECT user_id,
+        |    CAST(sum(CASE WHEN us < cut_us THEN vc ELSE 0 END) AS BIGINT) AS x,
+        |    CAST(sum(CASE WHEN us >= cut_us THEN vc ELSE 0 END) AS BIGINT) AS y
+        |  FROM ev CROSS JOIN cut GROUP BY user_id),
+        |ua AS (
+        |  SELECT x, y, y - x AS d,
+        |    CASE WHEN CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+        |              AS BIGINT) % 100 < 50 THEN 1 ELSE 0 END AS ia
+        |  FROM u),
+        |m AS (
+        |  SELECT CAST(sum(ia) AS BIGINT) AS na,
+        |    CAST(sum(1 - ia) AS BIGINT) AS nb,
+        |    sum(CAST(x * ia AS HUGEINT)) AS sxa,
+        |    sum(CAST(y * ia AS HUGEINT)) AS sya,
+        |    sum(CAST(x * (1 - ia) AS HUGEINT)) AS sxb,
+        |    sum(CAST(y * (1 - ia) AS HUGEINT)) AS syb,
+        |    sum(CAST(d * ia AS HUGEINT)) AS sda,
+        |    sum(CAST(d * (1 - ia) AS HUGEINT)) AS sdb,
+        |    sum(CAST(d * d * ia AS HUGEINT)) AS sdda,
+        |    sum(CAST(d * d * (1 - ia) AS HUGEINT)) AS sddb
+        |  FROM ua),
+        |v AS (
+        |  SELECT *,
+        |    CAST(na * sdda - sda * sda AS DOUBLE)
+        |      / CAST(na * (na - 1) AS DOUBLE) AS va,
+        |    CAST(nb * sddb - sdb * sdb AS DOUBLE)
+        |      / CAST(nb * (nb - 1) AS DOUBLE) AS vb,
+        |    CAST(sda AS DOUBLE) / CAST(na AS DOUBLE)
+        |      - CAST(sdb AS DOUBLE) / CAST(nb AS DOUBLE) AS did_c
+        |  FROM m),
+        |t AS (
+        |  SELECT *,
+        |    sqrt(va / CAST(na AS DOUBLE) + vb / CAST(nb AS DOUBLE)) AS se_c
+        |  FROM v)
+        |SELECT na AS n_a, nb AS n_b,
+        |  round(CAST(sxa AS DOUBLE) / CAST(na AS DOUBLE) / 100.0, 6) + 0.0
+        |    AS pre_a,
+        |  round(CAST(sya AS DOUBLE) / CAST(na AS DOUBLE) / 100.0, 6) + 0.0
+        |    AS post_a,
+        |  round(CAST(sxb AS DOUBLE) / CAST(nb AS DOUBLE) / 100.0, 6) + 0.0
+        |    AS pre_b,
+        |  round(CAST(syb AS DOUBLE) / CAST(nb AS DOUBLE) / 100.0, 6) + 0.0
+        |    AS post_b,
+        |  round(did_c / 100.0, 6) + 0.0 AS did,
+        |  round(se_c / 100.0, 6) + 0.0 AS se,
+        |  round(did_c / nullif(se_c, 0.0), 4) + 0.0 AS t_stat,
+        |  abs(did_c / nullif(se_c, 0.0)) > 1.96 AS significant
+        |FROM t""".stripMargin,
     "q239_cuped" ->
       """WITH ev AS (
         |  SELECT user_id, epoch_us(ts) AS us,

@@ -494,7 +494,119 @@ object TimeSeries {
       )
   }
 
+  /** q244: Ljung–Box portmanteau white-noise test — "is there ANY
+    * serial structure left" — the residual-diagnostic every forecast
+    * deployment (q211) runs before trusting its backtest: q173 reports
+    * the per-lag autocorrelations, Ljung–Box pools lags 1..7 into
+    * Q = n(n+2)·Σₖ ρ²ₖ/(n−k) and compares χ²₇, so seven individually
+    * unremarkable lags still flag when they are jointly too large.
+    * Uses the STANDARD acf estimator (global mean, global c₀
+    * denominator — not q173's per-lag Pearson): per type,
+    * ρₖ·n²den = n²·Σyₜyₜ₋ₖ − n·Sy·(partial sums) + (n−k)·Sy².
+    *
+    * Determinism: every numerator/denominator is an exact DECIMAL(38)
+    * integer combination of centi daily sums cast to double once per
+    * lag; the 7-term pooled sum NEVER floats in aggregation order —
+    * each lag's ρ²ₖ/(n−k) is floor-snapped to the 1e15 grid as a
+    * BIGINT and the grid values sum exactly (the q178 discipline), so
+    * Q is one IEEE dag of exact integers; the reject flag compares the
+    * RAW Q dag against the exact χ²₇(0.95) literal.
+    *
+    * Scale shape: one corpus pass → calendar-bounded daily frames;
+    * the lag pairing is the q173 rn equi-join (≤ 7n rows per type);
+    * everything after is a ≤7-row-per-type frame. One-row-per-type
+    * output.
+    */
+  private def q244(s: SparkSession, dir: String): DataFrame = {
+    val lbLags = 1 to 7
+    val chi2_7_95 = 14.067140449340169
+    val wRn = Window.partitionBy("event_type").orderBy("d")
+    val daily = Tables
+      .table(s, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(sum(round(col("value") * 100.0, 0).cast("long")).as("sv"))
+      .withColumn("rn", row_number().over(wRn))
+    val totals = daily
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("sv").cast("decimal(38,0)")).as("sy"),
+        sum((col("sv") * col("sv")).cast("decimal(38,0)")).as("syy")
+      )
+    val cur = daily
+      .select(
+        col("event_type"),
+        col("rn"),
+        col("sv"),
+        explode(array(lbLags.map(l => lit(l)): _*)).as("lag")
+      )
+      .as("cur")
+    val prior = daily
+      .select(col("event_type"), col("rn").as("rn2"), col("sv").as("prev"))
+      .as("prior")
+    val perLag = cur
+      .join(
+        prior,
+        col("cur.event_type") === col("prior.event_type") &&
+          col("cur.rn") - col("cur.lag") === col("prior.rn2")
+      )
+      .select(
+        col("cur.event_type").as("event_type"),
+        col("cur.lag").as("lag"),
+        col("cur.sv").as("sv"),
+        col("prior.prev").as("prev")
+      )
+      .groupBy("event_type", "lag")
+      .agg(
+        sum((col("sv") * col("prev")).cast("decimal(38,0)")).as("sxy"),
+        sum(col("sv").cast("decimal(38,0)")).as("sxk"),
+        sum(col("prev").cast("decimal(38,0)")).as("syk")
+      )
+    perLag
+      .join(totals, "event_type")
+      .withColumn("nd", col("n").cast("decimal(38,0)"))
+      .withColumn(
+        "num",
+        col("nd") * col("nd") * col("sxy") -
+          col("nd") * col("sy") * (col("sxk") + col("syk")) +
+          (col("nd") - col("lag")) * col("sy") * col("sy")
+      )
+      .withColumn(
+        "den",
+        (col("nd") * (col("nd") * col("syy") - col("sy") * col("sy")))
+          .cast("double")
+      )
+      .withColumn("rho", col("num").cast("double") / nullif(col("den"), lit(0.0d)))
+      .withColumn(
+        "term15",
+        floor(
+          col("rho") * col("rho") /
+            (col("n") - col("lag")).cast("double") * 1.0e15
+        ).cast("long")
+      )
+      .groupBy("event_type")
+      .agg(
+        max("n").as("n_days"),
+        count(lit(1)).as("n_lags"),
+        sum("term15").as("sum15")
+      )
+      .withColumn(
+        "q_raw",
+        (col("n_days") * (col("n_days") + 2)).cast("double") *
+          col("sum15").cast("double") / 1.0e15
+      )
+      .select(
+        col("event_type"),
+        col("n_days"),
+        col("n_lags"),
+        (round(col("q_raw"), 4) + 0.0).as("q_lb"),
+        (col("q_raw") > lit(chi2_7_95)).as("reject_white_noise")
+      )
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q244_ljung_box" -> q244,
     "q219_partial_correlation" -> q219,
     "q211_forecast_backtest" -> q211,
     "q183_cross_correlation" -> q183,
@@ -505,6 +617,55 @@ object TimeSeries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // same daily centi frame and rn lag pairing, same exact HUGEINT
+    // numerator/denominator per lag, same 1e15 grid-snapped pooled sum
+    // and raw-dag χ²₇ compare
+    "q244_ljung_box" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS d,
+        |    CAST(sum(CAST(round(value * 100.0, 0) AS BIGINT)) AS BIGINT) AS sv
+        |  FROM events GROUP BY 1, 2),
+        |rn AS (
+        |  SELECT event_type, sv,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY d) AS rn
+        |  FROM daily),
+        |tot AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(sv AS HUGEINT)) AS sy,
+        |    sum(CAST(sv * sv AS HUGEINT)) AS syy
+        |  FROM rn GROUP BY 1),
+        |pl AS (
+        |  SELECT c.event_type, l.lag,
+        |    sum(CAST(c.sv * p.sv AS HUGEINT)) AS sxy,
+        |    sum(CAST(c.sv AS HUGEINT)) AS sxk,
+        |    sum(CAST(p.sv AS HUGEINT)) AS syk
+        |  FROM rn c
+        |  CROSS JOIN (SELECT unnest(range(1, 8)) AS lag) l
+        |  JOIN rn p ON p.event_type = c.event_type AND p.rn = c.rn - l.lag
+        |  GROUP BY 1, 2),
+        |rho AS (
+        |  SELECT pl.event_type, pl.lag, tot.n,
+        |    CAST(CAST(n AS HUGEINT) * n * sxy
+        |         - CAST(n AS HUGEINT) * sy * (sxk + syk)
+        |         + (CAST(n AS HUGEINT) - lag) * sy * sy AS DOUBLE)
+        |      / nullif(CAST(CAST(n AS HUGEINT)
+        |          * (CAST(n AS HUGEINT) * syy - sy * sy) AS DOUBLE), 0.0)
+        |      AS r
+        |  FROM pl JOIN tot ON tot.event_type = pl.event_type),
+        |g AS (
+        |  SELECT event_type, max(n) AS n_days,
+        |    CAST(count(*) AS BIGINT) AS n_lags,
+        |    CAST(sum(CAST(floor(r * r / CAST(n - lag AS DOUBLE) * 1.0e15)
+        |                  AS BIGINT)) AS BIGINT) AS sum15
+        |  FROM rho GROUP BY 1),
+        |q AS (
+        |  SELECT *, CAST(n_days * (n_days + 2) AS DOUBLE)
+        |    * CAST(sum15 AS DOUBLE) / 1.0e15 AS q_raw
+        |  FROM g)
+        |SELECT event_type, n_days, n_lags,
+        |  round(q_raw, 4) + 0.0 AS q_lb,
+        |  q_raw > 14.067140449340169 AS reject_white_noise
+        |FROM q ORDER BY event_type""".stripMargin,
     // same three daily centi frames joined on date, nine HUGEINT
     // moments cast once, same guarded Pearson + partial dag
     "q219_partial_correlation" ->

@@ -72,7 +72,11 @@ class GlobalWindowAuditSpec extends SparkSpec {
     "q225_pr_auc" -> "two-level cumulation: window over SHARD offsets (≤ score-range/256 rows — the q111 frame with pos_lt beside neg_lt)",
     "q231_fisher_exact" -> "ln-factorial two-level cumulation: window over SHARD offsets (≤ N/256 rows — the q52 convention over the 0..N integer frame)",
     "q233_gains_lift" -> "two-level cumulation: window over SHARD offsets (≤ score-range/256 rows — the q111/q225 frame)",
-    "q234_mcnemar" -> "ln-factorial two-level cumulation: window over SHARD offsets (≤ discordant-pairs/256 rows — the q231 machinery over 0..n)"
+    "q234_mcnemar" -> "ln-factorial two-level cumulation: window over SHARD offsets (≤ discordant-pairs/256 rows — the q231 machinery over 0..n)",
+    "q237_kruskal_wallis" -> "two-level cumulation: window over SHARD offsets (≤ value-range/256 rows — the q150 machinery pooled over 4 arms)",
+    "q245_runs_test" -> "median order-statistic pick + sign lag() over the daily aggregate frame (calendar-bounded rows — the q156 frame)",
+    "q246_hodges_lehmann" -> "cumsum over the Walsh-sum VALUE frame (≤ distinct-count² rows — the q33b convention squared)",
+    "q247_gpd_tail" -> "cumsum over the per-VALUE centi count frame (≤ value-range grid points — the q33b convention)"
   )
 
   private def globalWindows(p: SparkPlan): Seq[SparkPlan] =

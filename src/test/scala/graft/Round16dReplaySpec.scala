@@ -1,0 +1,276 @@
+package graft
+
+/** Plain-Scala replays of the round-16d gates (q242–q247) — a third
+  * implementation beside Spark and the DuckDB oracle, checking the
+  * MATH (textbook definitions applied naively on collected rows), not
+  * the plumbing: item-item cosine CF from nested-loop catalog pairing,
+  * DiD from brute per-user first-difference moments, Ljung–Box from a
+  * naive acf walk, the runs test from a direct sign-sequence scan,
+  * Hodges–Lehmann from the literal all-pairs Walsh-average median, and
+  * the GPD tail fit from sorted-array order statistics.
+  */
+class Round16dReplaySpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def q(name: String) =
+    SparkEntry.queries(name)(spark, dir)
+
+  /** The q43 bucket-100 hash, replayed. */
+  private def bucket100(id: Long): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md
+      .digest(id.toString.getBytes("UTF-8"))
+      .map("%02x".format(_))
+      .mkString
+    java.lang.Long.parseLong(hex.take(15), 16) % 100
+  }
+
+  test("q242 item-CF equals nested-loop catalog pairing") {
+    import spark.implicits._
+    val li = graft.queries.Tables
+      .table(spark, dir, "lineitem")
+      .select("l_orderkey", "l_partkey")
+      .as[(Long, Long)]
+      .collect()
+      .toSeq
+    val custOf = graft.queries.Tables
+      .table(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey")
+      .as[(Long, Long)]
+      .collect()
+      .toMap
+    // rating = distinct orders by the customer containing the part
+    val ratings: Map[(Long, Long), Long] = li
+      .map { case (ok, pk) => (custOf(ok), pk, ok) }
+      .distinct
+      .groupBy(t => (t._1, t._2))
+      .map { case (k, v) => (k, v.size.toLong) }
+    val norms: Map[Long, Long] = ratings.toSeq
+      .groupBy(_._1._2)
+      .map { case (p, rs) => (p, rs.map(r => r._2 * r._2).sum) }
+    val pairAgg = scala.collection.mutable.Map[(Long, Long), (Long, Long)]()
+    ratings.toSeq
+      .groupBy(_._1._1)
+      .foreach { case (_, items) =>
+        val sorted = items.map { case ((_, p), r) => (p, r) }.sortBy(_._1)
+        for (i <- sorted.indices; j <- i + 1 until sorted.size) {
+          val k = (sorted(i)._1, sorted(j)._1)
+          val (d0, n0) = pairAgg.getOrElse(k, (0L, 0L))
+          pairAgg(k) = (d0 + sorted(i)._2 * sorted(j)._2, n0 + 1)
+        }
+      }
+    val expected = pairAgg.toSeq
+      .filter(_._2._2 >= 2)
+      .map { case ((pa, pb), (dot, nu)) =>
+        val cos = BigDecimal(
+          dot.toDouble / (math.sqrt(norms(pa).toDouble) *
+            math.sqrt(norms(pb).toDouble))
+        ).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (pa, pb, nu, dot, cos)
+      }
+      .sortBy { case (pa, pb, _, _, cos) => (-cos, pa, pb) }
+      .take(20)
+    val got = q("q242_item_cf")
+      .collect()
+      .toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(got === expected)
+  }
+
+  test("q243 DiD equals brute per-user first-difference moments") {
+    import spark.implicits._
+    val rows = graft.queries.Tables
+      .table(spark, dir, "events")
+      .selectExpr(
+        "user_id",
+        "unix_micros(ts) AS us",
+        "CAST(round(value * 100.0, 0) AS BIGINT) AS vc"
+      )
+      .as[(Long, Long, Long)]
+      .collect()
+      .toSeq
+    val cut = (rows.map(_._2).min + rows.map(_._2).max) / 2
+    val users = rows
+      .groupBy(_._1)
+      .map { case (uid, es) =>
+        val x = es.filter(_._2 < cut).map(_._3).sum
+        val y = es.filter(_._2 >= cut).map(_._3).sum
+        (x, y, bucket100(uid) < 50)
+      }
+      .toSeq
+    val (a, b) = users.partition(_._3)
+    def m(g: Seq[(Long, Long, Boolean)]) = {
+      val d = g.map(u => u._2 - u._1)
+      val n = d.size.toLong
+      val sd = d.map(BigInt(_)).sum
+      val sdd = d.map(x => BigInt(x) * x).sum
+      val mean = sd.toDouble / n
+      val v = (BigInt(n) * sdd - sd * sd).toDouble / (n.toDouble * (n - 1))
+      (n, mean, v, g.map(u => BigInt(u._1)).sum, g.map(u => BigInt(u._2)).sum)
+    }
+    val (na, ma, va, sxa, sya) = m(a)
+    val (nb, mb, vb, sxb, syb) = m(b)
+    val did = ma - mb
+    val se = math.sqrt(va / na + vb / nb)
+    val r = q("q243_did").collect().head
+    assert(r.getLong(0) === na && r.getLong(1) === nb)
+    assert(math.abs(r.getDouble(2) - sxa.toDouble / na / 100.0) < 1e-5)
+    assert(math.abs(r.getDouble(3) - sya.toDouble / na / 100.0) < 1e-5)
+    assert(math.abs(r.getDouble(4) - sxb.toDouble / nb / 100.0) < 1e-5)
+    assert(math.abs(r.getDouble(5) - syb.toDouble / nb / 100.0) < 1e-5)
+    assert(math.abs(r.getDouble(6) - did / 100.0) < 1e-5)
+    assert(math.abs(r.getDouble(7) - se / 100.0) < 1e-5)
+    assert(math.abs(r.getDouble(8) - did / se) < 1e-3)
+    assert(r.getBoolean(9) === (math.abs(did / se) > 1.96))
+    // the arms are random md5 buckets over one population: DiD should
+    // sit inside a few SEs of zero
+    assert(math.abs(did / se) < 6.0)
+  }
+
+  test("q244 Ljung–Box equals a naive acf walk per event type") {
+    import spark.implicits._
+    val daily = graft.queries.Tables
+      .table(spark, dir, "events")
+      .selectExpr(
+        "event_type",
+        "CAST(CAST(ts AS DATE) AS STRING) AS d",
+        "CAST(round(value * 100.0, 0) AS BIGINT) AS vc"
+      )
+      .as[(String, String, Long)]
+      .collect()
+      .toSeq
+      .groupBy(t => (t._1, t._2))
+      .map { case ((et, d), vs) => (et, d, vs.map(_._3).sum) }
+      .toSeq
+    val chi2 = 14.067140449340169
+    val expected = daily
+      .groupBy(_._1)
+      .map { case (et, ds) =>
+        val y = ds.sortBy(_._2).map(_._3)
+        val n = y.size
+        val sy = y.map(BigInt(_)).sum
+        val syy = y.map(v => BigInt(v) * v).sum
+        val den = (BigInt(n) * (BigInt(n) * syy - sy * sy)).toDouble
+        val sum15 = (1 to 7).map { k =>
+          val sxy = (k until n).map(t => BigInt(y(t)) * y(t - k)).sum
+          val sxk = (k until n).map(t => BigInt(y(t))).sum
+          val syk = (0 until n - k).map(t => BigInt(y(t))).sum
+          val num =
+            BigInt(n) * n * sxy - BigInt(n) * sy * (sxk + syk) +
+              BigInt(n - k) * sy * sy
+          val rho = num.toDouble / den
+          math.floor(rho * rho / (n - k) * 1.0e15).toLong
+        }.sum
+        val qRaw = n.toDouble * (n + 2) * sum15.toDouble / 1.0e15
+        (et, n.toLong, 7L, qRaw)
+      }
+      .toSeq
+      .sortBy(_._1)
+    val got = q("q244_ljung_box").collect().toSeq
+    assert(got.size === expected.size)
+    got.zip(expected).foreach { case (r, (et, n, nl, qRaw)) =>
+      assert(r.getString(0) === et)
+      assert(r.getLong(1) === n && r.getLong(2) === nl)
+      assert(math.abs(r.getDouble(3) - qRaw) < 1e-3)
+      assert(r.getBoolean(4) === (qRaw > chi2))
+    }
+  }
+
+  test("q245 runs test equals a direct sign-sequence scan") {
+    import spark.implicits._
+    val daily = graft.queries.Tables
+      .table(spark, dir, "events")
+      .selectExpr(
+        "CAST(CAST(ts AS DATE) AS STRING) AS d",
+        "CAST(round(value * 100.0, 0) AS BIGINT) AS vc"
+      )
+      .as[(String, Long)]
+      .collect()
+      .toSeq
+      .groupBy(_._1)
+      .map { case (d, vs) => (d, vs.map(_._2).sum) }
+      .toSeq
+    val sorted = daily.map(_._2).sorted
+    val med = sorted((daily.size + 1) / 2 - 1)
+    val signs = daily.sortBy(_._1).map(_._2).filter(_ != med).map(_ > med)
+    val n1 = signs.count(identity).toLong
+    val n2 = signs.count(!_).toLong
+    val n = n1 + n2
+    val runs = signs
+      .foldLeft((0L, Option.empty[Boolean])) { case ((r, prev), s) =>
+        (if (prev.contains(s)) r else r + 1, Some(s))
+      }
+      ._1
+    val mu = 1.0 + 2.0 * n1 * n2 / n
+    val va = 2.0 * n1 * n2 * (2.0 * n1 * n2 - n) / (n.toDouble * n * (n - 1))
+    val z = (runs - mu) / math.sqrt(va)
+    val r = q("q245_runs_test").collect().head
+    assert(r.getLong(0) === n && r.getLong(1) === n1 && r.getLong(2) === n2)
+    assert(r.getLong(3) === runs)
+    assert(math.abs(r.getDouble(4) - z) < 1e-3)
+    assert(r.getBoolean(5) === (math.abs(z) <= 1.96))
+  }
+
+  test("q246 Hodges–Lehmann equals the literal all-pairs Walsh median") {
+    import spark.implicits._
+    val counts = graft.queries.Tables
+      .table(spark, dir, "events")
+      .select("user_id")
+      .as[Long]
+      .collect()
+      .toSeq
+      .groupBy(identity)
+      .map(_._2.size.toLong)
+      .toSeq
+    val n = counts.size
+    val walsh = (for {
+      i <- counts.indices
+      j <- i until n
+    } yield counts(i) + counts(j)).sorted
+    val m = walsh.size
+    val hl = (walsh((m + 1) / 2 - 1) + walsh(m / 2)).toDouble / 4.0
+    val r = q("q246_hodges_lehmann").collect().head
+    assert(r.getLong(0) === n.toLong)
+    assert(r.getLong(1) === m.toLong)
+    assert(r.getDouble(2) === hl)
+    assert(
+      math.abs(
+        r.getDouble(3) - counts.sum.toDouble / n
+      ) < 1e-5
+    )
+  }
+
+  test("q247 GPD fit equals sorted-array order statistics") {
+    import spark.implicits._
+    val vcs = graft.queries.Tables
+      .table(spark, dir, "events")
+      .selectExpr("CAST(round(value * 100.0, 0) AS BIGINT) AS vc")
+      .as[Long]
+      .collect()
+      .toSeq
+      .sorted
+    val n = vcs.size.toLong
+    val k = (95 * n + 99) / 100
+    val u = vcs(k.toInt - 1)
+    val exc = vcs.filter(_ > u).map(_ - u)
+    val ne = exc.size.toLong
+    val se = exc.map(BigInt(_)).sum
+    val see = exc.map(e => BigInt(e) * e).sum
+    val m = se.toDouble / ne
+    val v = (BigInt(ne) * see - se * se).toDouble / (ne.toDouble * (ne - 1))
+    val xi = 0.5 * (1.0 - m * m / v)
+    val sigma = m * (1.0 - xi)
+    val zeta = ne.toDouble / n
+    val rl = u + sigma / xi * (math.exp(xi * math.log(100000.0 * zeta)) - 1.0)
+    val r = q("q247_gpd_tail").collect().head
+    assert(r.getDouble(0) === u.toDouble / 100.0)
+    assert(r.getLong(1) === ne)
+    assert(math.abs(r.getDouble(2) - xi) < 1e-5)
+    assert(math.abs(r.getDouble(3) - sigma / 100.0) < 1e-4)
+    assert(math.abs(r.getDouble(4) - rl / 100.0) < 1e-2)
+    // a uniform-ish bulk has a short tail: xi must come out negative
+    // (bounded) and the return level must sit above the threshold
+    assert(r.getDouble(2) < 0.5 && r.getDouble(4) > r.getDouble(0))
+  }
+}
