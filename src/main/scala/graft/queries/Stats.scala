@@ -2909,11 +2909,358 @@ object Stats {
       )
   }
 
+  /** q248: coarsened exact matching (CEM) ATT — the causal trio's
+    * matching member (q239 CUPED adjusts variance, q243 DiD differences
+    * out levels; CEM fixes CONFOUNDING when heavy pre-period users are
+    * over-represented in one arm): coarsen the confounder (pre-period
+    * event count) into its exact quartile bins, match treated and
+    * control WITHIN each bin, and weight per-stratum effects by the
+    * treated counts — ATT = Σₛ n_Tˢ(ȳ_Tˢ − ȳ_Cˢ)/Σₛ n_Tˢ over strata
+    * holding both arms. The unadjusted diff rides along so the
+    * confounding correction is visible.
+    *
+    * Determinism: quartile thresholds are exact ⌈qn/4⌉-th order
+    * statistics off the pre-count VALUE frame cumsum; per-stratum
+    * counts/sums are exact integers; each stratum's weighted effect is
+    * floor-snapped to the 1e6 centi grid as a BIGINT so the ≤4-term
+    * ATT sum NEVER order-floats (the q244 discipline), then one
+    * division.
+    *
+    * Scale shape: one corpus pass → one user aggregate → the
+    * distinct-pre-count VALUE frame for thresholds → a ≤4-row stratum
+    * frame. One-row output.
+    */
+  private def q248(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables
+      .table(s, dir, "events")
+      .select(
+        col("user_id"),
+        unix_micros(col("ts")).as("us"),
+        round(col("value") * 100.0, 0).cast("long").as("vc")
+      )
+    val cut = ev.selectExpr("(min(us) + max(us)) div 2 as cut_us")
+    val user = ev
+      .crossJoin(broadcast(cut))
+      .groupBy("user_id")
+      .agg(
+        sum(when(col("us") < col("cut_us"), 1L).otherwise(0L)).as("pc"),
+        sum(when(col("us") >= col("cut_us"), col("vc")).otherwise(0L)).as("y")
+      )
+      .withColumn(
+        "ia",
+        when(graft.llm.Sampling.bucket100(col("user_id")) < 50, 1L)
+          .otherwise(0L)
+      )
+    val vf = user
+      .groupBy("pc")
+      .agg(count(lit(1)).as("c"))
+      .withColumn(
+        "cum",
+        sum("c").over(
+          Window.orderBy("pc").rowsBetween(Window.unboundedPreceding, 0)
+        )
+      )
+    val nTot = user.agg(count(lit(1)).as("n"))
+    val th = vf
+      .crossJoin(broadcast(nTot))
+      .agg(
+        min(when(col("cum") >= expr("(n + 3) div 4"), col("pc"))).as("t1"),
+        min(when(col("cum") >= expr("(2 * n + 3) div 4"), col("pc"))).as("t2"),
+        min(when(col("cum") >= expr("(3 * n + 3) div 4"), col("pc"))).as("t3")
+      )
+    val strata = user
+      .crossJoin(broadcast(th))
+      .withColumn(
+        "bin",
+        lit(1) + (col("pc") > col("t1")).cast("int") +
+          (col("pc") > col("t2")).cast("int") +
+          (col("pc") > col("t3")).cast("int")
+      )
+      .groupBy("bin")
+      .agg(
+        sum("ia").as("nt"),
+        sum(lit(1L) - col("ia")).as("nc"),
+        sum((col("y") * col("ia")).cast("decimal(38,0)")).as("syt"),
+        sum((col("y") * (lit(1L) - col("ia"))).cast("decimal(38,0)")).as("syc")
+      )
+      .filter(col("nt") > 0 && col("nc") > 0)
+      .withColumn(
+        "eff_c",
+        col("syt").cast("double") / col("nt").cast("double") -
+          col("syc").cast("double") / col("nc").cast("double")
+      )
+      .withColumn(
+        "term6",
+        floor(col("nt").cast("double") * col("eff_c") * 1.0e6).cast("long")
+      )
+    val naive = user.agg(
+      sum("ia").as("nta"),
+      sum(lit(1L) - col("ia")).as("nca"),
+      sum((col("y") * col("ia")).cast("decimal(38,0)")).as("syta"),
+      sum((col("y") * (lit(1L) - col("ia"))).cast("decimal(38,0)")).as("syca")
+    )
+    strata
+      .agg(
+        count(lit(1)).as("n_strata"),
+        sum("nt").as("n_t"),
+        sum("nc").as("n_c"),
+        sum("term6").as("sum6")
+      )
+      .crossJoin(broadcast(naive))
+      .select(
+        col("n_strata"),
+        col("n_t"),
+        col("n_c"),
+        (round(
+          col("sum6").cast("double") /
+            (col("n_t").cast("double") * 1.0e6) / 100.0d,
+          4
+        ) + 0.0).as("att"),
+        (round(
+          (col("syta").cast("double") / col("nta").cast("double") -
+            col("syca").cast("double") / col("nca").cast("double")) / 100.0d,
+          4
+        ) + 0.0).as("naive_diff")
+      )
+  }
+
+  /** q249: ridge regression path — q120's closed-form two-regressor OLS
+    * with an L2 penalty swept over three λ values, the regularization
+    * every feature pipeline applies when regressors collide (here
+    * quantity and discount): β̂ = (XᶜᵀXᶜ + λI)⁻¹Xᶜᵀy is the SAME
+    * centered Cramer solve with λ on the diagonal, and the output path
+    * (λ = 0, 5%·tr, 50%·tr of the covariance trace) makes the
+    * coefficient shrinkage — ridge's entire point — visible in one
+    * three-row frame.
+    *
+    * Determinism: the nine moments are q120's exact DECIMAL(38)
+    * integers unscaled by fixed powers of ten; λ derives from the
+    * centered trace by the two literal factors; each β is the same
+    * Cramer dag as q120 with (c11+λ)(c22+λ) − c12² in the
+    * denominator, round-6.
+    *
+    * Scale shape: ONE aggregate over the corpus (the q120 pass), then
+    * a 3-row λ explode on the single moment row. Three-row output.
+    */
+  private def q249(s: SparkSession, dir: String): DataFrame = {
+    val m = Tables
+      .table(s, dir, "lineitem")
+      .select(
+        round(col("l_quantity") * 100.0, 0).cast("long").as("x1c"),
+        round(col("l_discount") * 10000.0, 0).cast("long").as("x2m"),
+        round(col("l_extendedprice") * 100.0, 0).cast("long").as("yc")
+      )
+      .agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(col("x1c").cast("decimal(38,0)")).cast("double").as("rs1"),
+        sum(col("x2m").cast("decimal(38,0)")).cast("double").as("rs2"),
+        sum(col("yc").cast("decimal(38,0)")).cast("double").as("rsy"),
+        sum((col("x1c") * col("x1c")).cast("decimal(38,0)")).cast("double").as("rs11"),
+        sum((col("x1c") * col("x2m")).cast("decimal(38,0)")).cast("double").as("rs12"),
+        sum((col("x2m") * col("x2m")).cast("decimal(38,0)")).cast("double").as("rs22"),
+        sum((col("x1c") * col("yc")).cast("decimal(38,0)")).cast("double").as("rs1y"),
+        sum((col("x2m") * col("yc")).cast("decimal(38,0)")).cast("double").as("rs2y")
+      )
+      .withColumn("s1", col("rs1") / 1.0e2)
+      .withColumn("s2", col("rs2") / 1.0e4)
+      .withColumn("sy", col("rsy") / 1.0e2)
+      .withColumn("s11", col("rs11") / 1.0e4)
+      .withColumn("s12", col("rs12") / 1.0e6)
+      .withColumn("s22", col("rs22") / 1.0e8)
+      .withColumn("s1y", col("rs1y") / 1.0e4)
+      .withColumn("s2y", col("rs2y") / 1.0e6)
+      .withColumn("c11", col("s11") - col("s1") * col("s1") / col("n"))
+      .withColumn("c12", col("s12") - col("s1") * col("s2") / col("n"))
+      .withColumn("c22", col("s22") - col("s2") * col("s2") / col("n"))
+      .withColumn("c1y", col("s1y") - col("s1") * col("sy") / col("n"))
+      .withColumn("c2y", col("s2y") - col("s2") * col("sy") / col("n"))
+      .withColumn("tr", col("c11") + col("c22"))
+    m.select(
+      col("*"),
+      explode(
+        array(
+          struct(lit("l0_none").as("lambda_id"), lit(0.0d).as("f")),
+          struct(lit("l1_light").as("lambda_id"), lit(0.05d).as("f")),
+          struct(lit("l2_heavy").as("lambda_id"), lit(0.5d).as("f"))
+        )
+      ).as("lam")
+    ).withColumn("lmb", col("lam.f") * col("tr"))
+      .withColumn(
+        "det",
+        (col("c11") + col("lmb")) * (col("c22") + col("lmb")) -
+          col("c12") * col("c12")
+      )
+      .withColumn(
+        "b1",
+        (col("c1y") * (col("c22") + col("lmb")) - col("c2y") * col("c12"))
+          / nullif(col("det"), lit(0.0))
+      )
+      .withColumn(
+        "b2",
+        (col("c2y") * (col("c11") + col("lmb")) - col("c1y") * col("c12"))
+          / nullif(col("det"), lit(0.0))
+      )
+      .select(
+        col("lam.lambda_id").as("lambda_id"),
+        (round(col("lmb"), 4) + 0.0).as("lambda"),
+        (round(col("b1"), 6) + 0.0).as("beta1"),
+        (round(col("b2"), 6) + 0.0).as("beta2"),
+        (round(sqrt(col("b1") * col("b1") + col("b2") * col("b2")), 6) + 0.0)
+          .as("l2_norm")
+      )
+      .orderBy("lambda_id")
+  }
+
+  /** q251: Mantel–Haenszel pooled odds ratio + Cochran–Mantel–Haenszel
+    * χ² — "does the arm move conversion AFTER controlling for the
+    * confounder" — the stratified 2×2 analysis that q86's marginal χ²
+    * gets wrong under Simpson's paradox (a confounder correlated with
+    * both arm exposure and conversion flips the pooled table): strata
+    * are the q248 pre-activity quartile bins; per stratum the 2×2 is
+    * arm × "post purchases exceeded pre purchases" (deliberately
+    * non-saturating — EVERY user on this corpus purchases in both
+    * halves, so "any purchase" would degenerate to b = d = 0);
+    * OR_MH = Σaᵢdᵢ/nᵢ ÷ Σbᵢcᵢ/nᵢ and
+    * CMH χ² = (Σ(aᵢ−Eᵢ))²/ΣVᵢ with the exact hypergeometric moments.
+    *
+    * Determinism: cell counts are exact; each stratum's ad/n, bc/n,
+    * a−E, and V term is floor-snapped to the 1e9 grid as a BIGINT so
+    * the ≤4-term sums NEVER order-float (the q244/q248 discipline);
+    * OR and χ² are single divisions of those exact integers; the
+    * significance flag compares the RAW χ² dag to the exact
+    * χ²₁(0.95) literal.
+    *
+    * Scale shape: q248's user frame + threshold pick, then a ≤4-row
+    * stratum frame. One-row output.
+    */
+  private def q251(s: SparkSession, dir: String): DataFrame = {
+    val chi2_1_95 = 3.841458820694124
+    val ev = Tables
+      .table(s, dir, "events")
+      .select(
+        col("user_id"),
+        col("event_type"),
+        unix_micros(col("ts")).as("us")
+      )
+    val cut = ev.selectExpr("(min(us) + max(us)) div 2 as cut_us")
+    val user = ev
+      .crossJoin(broadcast(cut))
+      .groupBy("user_id")
+      .agg(
+        sum(when(col("us") < col("cut_us"), 1L).otherwise(0L)).as("pc"),
+        when(
+          sum(
+            when(
+              col("us") >= col("cut_us") && col("event_type") === "purchase",
+              1L
+            ).otherwise(0L)
+          ) > sum(
+            when(
+              col("us") < col("cut_us") && col("event_type") === "purchase",
+              1L
+            ).otherwise(0L)
+          ),
+          1L
+        ).otherwise(0L).as("o")
+      )
+      .withColumn(
+        "ia",
+        when(graft.llm.Sampling.bucket100(col("user_id")) < 50, 1L)
+          .otherwise(0L)
+      )
+    val vf = user
+      .groupBy("pc")
+      .agg(count(lit(1)).as("c"))
+      .withColumn(
+        "cum",
+        sum("c").over(
+          Window.orderBy("pc").rowsBetween(Window.unboundedPreceding, 0)
+        )
+      )
+    val nTot = user.agg(count(lit(1)).as("n"))
+    val th = vf
+      .crossJoin(broadcast(nTot))
+      .agg(
+        min(when(col("cum") >= expr("(n + 3) div 4"), col("pc"))).as("t1"),
+        min(when(col("cum") >= expr("(2 * n + 3) div 4"), col("pc"))).as("t2"),
+        min(when(col("cum") >= expr("(3 * n + 3) div 4"), col("pc"))).as("t3")
+      )
+    val cells = user
+      .crossJoin(broadcast(th))
+      .withColumn(
+        "bin",
+        lit(1) + (col("pc") > col("t1")).cast("int") +
+          (col("pc") > col("t2")).cast("int") +
+          (col("pc") > col("t3")).cast("int")
+      )
+      .groupBy("bin")
+      .agg(
+        sum(col("ia") * col("o")).as("a"),
+        sum(col("ia") * (lit(1L) - col("o"))).as("b"),
+        sum((lit(1L) - col("ia")) * col("o")).as("cc"),
+        sum((lit(1L) - col("ia")) * (lit(1L) - col("o"))).as("d")
+      )
+      .withColumn("nn", col("a") + col("b") + col("cc") + col("d"))
+      .withColumn(
+        "ad9",
+        floor((col("a") * col("d")).cast("double") / col("nn").cast("double") * 1.0e9)
+          .cast("long")
+      )
+      .withColumn(
+        "bc9",
+        floor((col("b") * col("cc")).cast("double") / col("nn").cast("double") * 1.0e9)
+          .cast("long")
+      )
+      .withColumn(
+        "e9",
+        floor(
+          (col("a").cast("double") -
+            ((col("a") + col("b")) * (col("a") + col("cc"))).cast("double") /
+              col("nn").cast("double")) * 1.0e9
+        ).cast("long")
+      )
+      .withColumn(
+        "v9",
+        floor(
+          ((col("a") + col("b")) * (col("cc") + col("d"))).cast("double") *
+            ((col("a") + col("cc")) * (col("b") + col("d"))).cast("double") /
+            (col("nn") * col("nn")).cast("double") /
+            (col("nn") - 1).cast("double") * 1.0e9
+        ).cast("long")
+      )
+    cells
+      .agg(
+        count(lit(1)).as("n_strata"),
+        sum("ad9").as("sad9"),
+        sum("bc9").as("sbc9"),
+        sum("e9").as("se9"),
+        sum("v9").as("sv9")
+      )
+      .withColumn(
+        "chi2_raw",
+        (col("se9").cast("double") / 1.0e9) *
+          (col("se9").cast("double") / 1.0e9) /
+          nullif(col("sv9").cast("double") / 1.0e9, lit(0.0d))
+      )
+      .select(
+        col("n_strata"),
+        (round(
+          col("sad9").cast("double") / nullif(col("sbc9").cast("double"), lit(0.0d)),
+          4
+        ) + 0.0).as("or_mh"),
+        (round(col("chi2_raw"), 4) + 0.0).as("chi2_cmh"),
+        (col("chi2_raw") > lit(chi2_1_95)).as("significant")
+      )
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q243_did" -> q243,
     "q245_runs_test" -> q245,
     "q246_hodges_lehmann" -> q246,
     "q247_gpd_tail" -> q247,
+    "q248_cem_att" -> q248,
+    "q249_ridge_path" -> q249,
+    "q251_mantel_haenszel" -> q251,
     "q239_cuped" -> q239,
     "q237_kruskal_wallis" -> q237,
     "q231_fisher_exact" -> q231,
@@ -3000,6 +3347,187 @@ object Stats {
   val oracleSql: Map[String, String] = Map(
     // same epoch-µs midpoint cut, same exact per-user centi frame and
     // DECIMAL moments, same closed-form ρ² and literal-order dag
+    // same exact quartile thresholds off the pre-count value frame,
+    // same per-stratum exact cells, same 1e6-grid-snapped weighted
+    // effect terms summed exactly, same single ATT division
+    "q248_cem_att" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) AS us,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS vc
+        |  FROM events),
+        |cut AS (SELECT (min(us) + max(us)) // 2 AS cut_us FROM ev),
+        |u AS (
+        |  SELECT user_id,
+        |    CAST(sum(CASE WHEN us < cut_us THEN 1 ELSE 0 END) AS BIGINT) AS pc,
+        |    CAST(sum(CASE WHEN us >= cut_us THEN vc ELSE 0 END) AS BIGINT) AS y
+        |  FROM ev CROSS JOIN cut GROUP BY user_id),
+        |ua AS (
+        |  SELECT pc, y,
+        |    CASE WHEN CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+        |              AS BIGINT) % 100 < 50 THEN 1 ELSE 0 END AS ia
+        |  FROM u),
+        |vf AS (
+        |  SELECT pc, CAST(count(*) AS BIGINT) AS c FROM ua GROUP BY 1),
+        |cf AS (
+        |  SELECT pc, CAST(sum(c) OVER (ORDER BY pc
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM vf),
+        |nt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ua),
+        |th AS (
+        |  SELECT min(CASE WHEN cum >= (n + 3) // 4 THEN pc END) AS t1,
+        |    min(CASE WHEN cum >= (2 * n + 3) // 4 THEN pc END) AS t2,
+        |    min(CASE WHEN cum >= (3 * n + 3) // 4 THEN pc END) AS t3
+        |  FROM cf CROSS JOIN nt),
+        |st AS (
+        |  SELECT 1 + CAST(pc > t1 AS INT) + CAST(pc > t2 AS INT)
+        |       + CAST(pc > t3 AS INT) AS bin,
+        |    CAST(sum(ia) AS BIGINT) AS nt2,
+        |    CAST(sum(1 - ia) AS BIGINT) AS nc2,
+        |    sum(CAST(y * ia AS HUGEINT)) AS syt,
+        |    sum(CAST(y * (1 - ia) AS HUGEINT)) AS syc
+        |  FROM ua CROSS JOIN th GROUP BY 1
+        |  HAVING sum(ia) > 0 AND sum(1 - ia) > 0),
+        |tm AS (
+        |  SELECT bin, nt2, nc2,
+        |    CAST(floor(CAST(nt2 AS DOUBLE)
+        |      * (CAST(syt AS DOUBLE) / CAST(nt2 AS DOUBLE)
+        |         - CAST(syc AS DOUBLE) / CAST(nc2 AS DOUBLE)) * 1.0e6)
+        |      AS BIGINT) AS term6
+        |  FROM st),
+        |nv AS (
+        |  SELECT CAST(sum(ia) AS BIGINT) AS nta,
+        |    CAST(sum(1 - ia) AS BIGINT) AS nca,
+        |    sum(CAST(y * ia AS HUGEINT)) AS syta,
+        |    sum(CAST(y * (1 - ia) AS HUGEINT)) AS syca
+        |  FROM ua)
+        |SELECT CAST(count(*) AS BIGINT) AS n_strata,
+        |  CAST(sum(nt2) AS BIGINT) AS n_t,
+        |  CAST(sum(nc2) AS BIGINT) AS n_c,
+        |  round(CAST(sum(term6) AS DOUBLE)
+        |        / (CAST(sum(nt2) AS DOUBLE) * 1.0e6) / 100.0, 4) + 0.0 AS att,
+        |  round((CAST(max(syta) AS DOUBLE) / CAST(max(nta) AS DOUBLE)
+        |         - CAST(max(syca) AS DOUBLE) / CAST(max(nca) AS DOUBLE))
+        |        / 100.0, 4) + 0.0 AS naive_diff
+        |FROM tm CROSS JOIN nv""".stripMargin,
+    // same nine exact q120 moments, same fixed-power unscaling, same
+    // centered Cramer solve with the lambda factors on the diagonal
+    "q249_ridge_path" ->
+      """WITH m AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(CAST(CAST(round(l_quantity * 100.0, 0) AS BIGINT)
+        |      AS HUGEINT)) AS DOUBLE) / 1.0e2 AS s1,
+        |    CAST(sum(CAST(CAST(round(l_discount * 10000.0, 0) AS BIGINT)
+        |      AS HUGEINT)) AS DOUBLE) / 1.0e4 AS s2,
+        |    CAST(sum(CAST(CAST(round(l_extendedprice * 100.0, 0) AS BIGINT)
+        |      AS HUGEINT)) AS DOUBLE) / 1.0e2 AS sy,
+        |    CAST(sum(CAST(CAST(round(l_quantity * 100.0, 0) AS BIGINT)
+        |      * CAST(round(l_quantity * 100.0, 0) AS BIGINT) AS HUGEINT))
+        |      AS DOUBLE) / 1.0e4 AS s11,
+        |    CAST(sum(CAST(CAST(round(l_quantity * 100.0, 0) AS BIGINT)
+        |      * CAST(round(l_discount * 10000.0, 0) AS BIGINT) AS HUGEINT))
+        |      AS DOUBLE) / 1.0e6 AS s12,
+        |    CAST(sum(CAST(CAST(round(l_discount * 10000.0, 0) AS BIGINT)
+        |      * CAST(round(l_discount * 10000.0, 0) AS BIGINT) AS HUGEINT))
+        |      AS DOUBLE) / 1.0e8 AS s22,
+        |    CAST(sum(CAST(CAST(round(l_quantity * 100.0, 0) AS BIGINT)
+        |      * CAST(round(l_extendedprice * 100.0, 0) AS BIGINT) AS HUGEINT))
+        |      AS DOUBLE) / 1.0e4 AS s1y,
+        |    CAST(sum(CAST(CAST(round(l_discount * 10000.0, 0) AS BIGINT)
+        |      * CAST(round(l_extendedprice * 100.0, 0) AS BIGINT) AS HUGEINT))
+        |      AS DOUBLE) / 1.0e6 AS s2y
+        |  FROM lineitem),
+        |c AS (
+        |  SELECT n, s11 - s1 * s1 / n AS c11, s12 - s1 * s2 / n AS c12,
+        |    s22 - s2 * s2 / n AS c22, s1y - s1 * sy / n AS c1y,
+        |    s2y - s2 * sy / n AS c2y
+        |  FROM m),
+        |l AS (
+        |  SELECT c.*, lam.lambda_id, lam.f * (c11 + c22) AS lmb
+        |  FROM c CROSS JOIN (VALUES ('l0_none', 0.0), ('l1_light', 0.05),
+        |                            ('l2_heavy', 0.5)) AS lam(lambda_id, f)),
+        |b AS (
+        |  SELECT lambda_id, lmb,
+        |    (c1y * (c22 + lmb) - c2y * c12)
+        |      / nullif((c11 + lmb) * (c22 + lmb) - c12 * c12, 0.0) AS b1,
+        |    (c2y * (c11 + lmb) - c1y * c12)
+        |      / nullif((c11 + lmb) * (c22 + lmb) - c12 * c12, 0.0) AS b2
+        |  FROM l)
+        |SELECT lambda_id, round(lmb, 4) + 0.0 AS lambda,
+        |  round(b1, 6) + 0.0 AS beta1, round(b2, 6) + 0.0 AS beta2,
+        |  round(sqrt(b1 * b1 + b2 * b2), 6) + 0.0 AS l2_norm
+        |FROM b ORDER BY lambda_id""".stripMargin,
+    // same q248 strata and exact 2x2 cells, same 1e9-grid-snapped
+    // ad/n, bc/n, a-E, V terms summed exactly, same OR and chi2
+    // divisions, same raw-dag 3.84 compare
+    "q251_mantel_haenszel" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |cut AS (SELECT (min(us) + max(us)) // 2 AS cut_us FROM ev),
+        |u AS (
+        |  SELECT user_id,
+        |    CAST(sum(CASE WHEN us < cut_us THEN 1 ELSE 0 END) AS BIGINT) AS pc,
+        |    CASE WHEN sum(CASE WHEN us >= cut_us AND event_type = 'purchase'
+        |                  THEN 1 ELSE 0 END)
+        |            > sum(CASE WHEN us < cut_us AND event_type = 'purchase'
+        |                  THEN 1 ELSE 0 END)
+        |         THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS o
+        |  FROM ev CROSS JOIN cut GROUP BY user_id),
+        |ua AS (
+        |  SELECT pc, o,
+        |    CASE WHEN CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+        |              AS BIGINT) % 100 < 50 THEN 1 ELSE 0 END AS ia
+        |  FROM u),
+        |vf AS (SELECT pc, CAST(count(*) AS BIGINT) AS c FROM ua GROUP BY 1),
+        |cf AS (
+        |  SELECT pc, CAST(sum(c) OVER (ORDER BY pc
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM vf),
+        |nt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ua),
+        |th AS (
+        |  SELECT min(CASE WHEN cum >= (n + 3) // 4 THEN pc END) AS t1,
+        |    min(CASE WHEN cum >= (2 * n + 3) // 4 THEN pc END) AS t2,
+        |    min(CASE WHEN cum >= (3 * n + 3) // 4 THEN pc END) AS t3
+        |  FROM cf CROSS JOIN nt),
+        |st AS (
+        |  SELECT 1 + CAST(pc > t1 AS INT) + CAST(pc > t2 AS INT)
+        |       + CAST(pc > t3 AS INT) AS bin,
+        |    CAST(sum(ia * o) AS BIGINT) AS a,
+        |    CAST(sum(ia * (1 - o)) AS BIGINT) AS b,
+        |    CAST(sum((1 - ia) * o) AS BIGINT) AS cc,
+        |    CAST(sum((1 - ia) * (1 - o)) AS BIGINT) AS d
+        |  FROM ua CROSS JOIN th GROUP BY 1),
+        |tm AS (
+        |  SELECT a + b + cc + d AS nn,
+        |    CAST(floor(CAST(a * d AS DOUBLE) / CAST(a + b + cc + d AS DOUBLE)
+        |      * 1.0e9) AS BIGINT) AS ad9,
+        |    CAST(floor(CAST(b * cc AS DOUBLE) / CAST(a + b + cc + d AS DOUBLE)
+        |      * 1.0e9) AS BIGINT) AS bc9,
+        |    CAST(floor((CAST(a AS DOUBLE)
+        |      - CAST((a + b) * (a + cc) AS DOUBLE)
+        |        / CAST(a + b + cc + d AS DOUBLE)) * 1.0e9) AS BIGINT) AS e9,
+        |    CAST(floor(CAST((a + b) * (cc + d) AS DOUBLE)
+        |      * CAST((a + cc) * (b + d) AS DOUBLE)
+        |      / CAST((a + b + cc + d) * (a + b + cc + d) AS DOUBLE)
+        |      / CAST(a + b + cc + d - 1 AS DOUBLE) * 1.0e9) AS BIGINT) AS v9
+        |  FROM st),
+        |g AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_strata,
+        |    CAST(sum(ad9) AS BIGINT) AS sad9,
+        |    CAST(sum(bc9) AS BIGINT) AS sbc9,
+        |    CAST(sum(e9) AS BIGINT) AS se9,
+        |    CAST(sum(v9) AS BIGINT) AS sv9
+        |  FROM tm),
+        |x AS (
+        |  SELECT *, (CAST(se9 AS DOUBLE) / 1.0e9)
+        |    * (CAST(se9 AS DOUBLE) / 1.0e9)
+        |    / nullif(CAST(sv9 AS DOUBLE) / 1.0e9, 0.0) AS chi2_raw
+        |  FROM g)
+        |SELECT n_strata,
+        |  round(CAST(sad9 AS DOUBLE) / nullif(CAST(sbc9 AS DOUBLE), 0.0), 4)
+        |    + 0.0 AS or_mh,
+        |  round(chi2_raw, 4) + 0.0 AS chi2_cmh,
+        |  chi2_raw > 3.841458820694124 AS significant
+        |FROM x""".stripMargin,
     // same exact order-statistic median, same tie-drop and lag() run
     // starts over the daily frame, same exact BIGINT moments in one z
     // dag, same raw-dag 1.96 compare

@@ -605,8 +605,132 @@ object TimeSeries {
       .orderBy("event_type")
   }
 
+  /** q250: SAX motif discovery — symbolize the daily revenue series
+    * (Symbolic Aggregate approXimation: z-normalize, cut at the
+    * standard-normal quartile breakpoints into a 4-letter alphabet)
+    * and count every 3-day word: the recurring SHAPES ("low-low-high",
+    * "spike-recover") that point statistics and acf can't name, the
+    * standard preprocessing for motif/novelty mining on long series.
+    * Top-10 words by (count, word).
+    *
+    * Determinism: z never floats per-row math independently — each
+    * day's symbol comes from comparing the exact integer n·yₜ − Sy
+    * against breakpoint·√(n(n·Σy²−Sy²)/(n−1)), the SAME single dag on
+    * both engines (equality with a breakpoint to 17 digits being the
+    * only grid risk — impossible on this corpus); words concatenate
+    * via two lead()s over the date order; counts are exact.
+    *
+    * Scale shape: one corpus pass → the calendar-bounded daily frame;
+    * symbolization, leads, and the word count all run on that frame
+    * (the q156 allowlist convention). ≤10-row output.
+    */
+  private def q250(s: SparkSession, dir: String): DataFrame = {
+    val bp = 0.6744897501960817
+    val daily = Tables
+      .table(s, dir, "events")
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(sum(round(col("value") * 100.0, 0).cast("long")).as("sv"))
+    val tot = daily.agg(
+      count(lit(1)).as("n"),
+      sum(col("sv").cast("decimal(38,0)")).as("sy"),
+      sum((col("sv") * col("sv")).cast("decimal(38,0)")).as("syy")
+    )
+    val sym = daily
+      .crossJoin(broadcast(tot))
+      .withColumn(
+        "t",
+        (col("n").cast("decimal(38,0)") * col("sv") - col("sy")).cast("double")
+      )
+      .withColumn(
+        "cutw",
+        sqrt(
+          col("n").cast("double") *
+            (col("n").cast("decimal(38,0)") * col("syy") -
+              col("sy") * col("sy")).cast("double") /
+            (col("n") - 1).cast("double")
+        )
+      )
+      .withColumn(
+        "sym",
+        when(col("t") < -lit(bp) * col("cutw"), "a")
+          .when(col("t") < lit(0.0d), "b")
+          .when(col("t") < lit(bp) * col("cutw"), "c")
+          .otherwise("d")
+      )
+      .withColumn("s1", lead("sym", 1).over(Window.orderBy("d")))
+      .withColumn("s2", lead("sym", 2).over(Window.orderBy("d")))
+      .filter(col("s1").isNotNull && col("s2").isNotNull)
+      .select(concat(col("sym"), col("s1"), col("s2")).as("word"))
+    sym
+      .groupBy("word")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), col("word"))
+      .limit(10)
+  }
+
+  /** q252: Durbin–Watson statistic per event type — the lag-1 serial-
+    * correlation diagnostic read off regression residuals everywhere
+    * OLS ships (q244's Ljung–Box pools seven lags; DW is the sharp
+    * lag-1 instrument with the classic 0–4 scale, ≈2(1−ρ₁)):
+    * DW = Σₜ(yₜ−yₜ₋₁)²/Σ(yₜ−ȳ)² on the centered daily series, i.e.
+    * n·Σdiff²/(n·Σy²−Sy²) — a single division of exact integers.
+    *
+    * Determinism: day-over-day diffs pair via lag() inside the
+    * event-type partition; Σdiff² and the centered denominator are
+    * exact DECIMAL(38); one division, round-4; the regime flags
+    * (positive/negative autocorrelation at the textbook 1.5/2.5
+    * rules-of-thumb) compare the RAW dag.
+    *
+    * Scale shape: one corpus pass → per-type calendar-bounded daily
+    * frames; the lag window is PARTITIONED by type. One-row-per-type
+    * output.
+    */
+  private def q252(s: SparkSession, dir: String): DataFrame = {
+    val wT = Window.partitionBy("event_type").orderBy("d")
+    val daily = Tables
+      .table(s, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(sum(round(col("value") * 100.0, 0).cast("long")).as("sv"))
+      .withColumn("prev", lag("sv", 1).over(wT))
+    daily
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("sv").cast("decimal(38,0)")).as("sy"),
+        sum((col("sv") * col("sv")).cast("decimal(38,0)")).as("syy"),
+        sum(
+          when(
+            col("prev").isNotNull,
+            ((col("sv") - col("prev")) * (col("sv") - col("prev")))
+              .cast("decimal(38,0)")
+          ).otherwise(lit(0).cast("decimal(38,0)"))
+        ).as("sdd")
+      )
+      .withColumn(
+        "dw_raw",
+        (col("n").cast("decimal(38,0)") * col("sdd")).cast("double") /
+          nullif(
+            (col("n").cast("decimal(38,0)") * col("syy") -
+              col("sy") * col("sy")).cast("double"),
+            lit(0.0d)
+          )
+      )
+      .select(
+        col("event_type"),
+        col("n").as("n_days"),
+        (round(col("dw_raw"), 4) + 0.0).as("dw"),
+        when(col("dw_raw") < lit(1.5d), "positive")
+          .when(col("dw_raw") > lit(2.5d), "negative")
+          .otherwise("none")
+          .as("autocorr_flag")
+      )
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q244_ljung_box" -> q244,
+    "q250_sax_motifs" -> q250,
+    "q252_durbin_watson" -> q252,
     "q219_partial_correlation" -> q219,
     "q211_forecast_backtest" -> q211,
     "q183_cross_correlation" -> q183,
@@ -665,6 +789,70 @@ object TimeSeries {
         |SELECT event_type, n_days, n_lags,
         |  round(q_raw, 4) + 0.0 AS q_lb,
         |  q_raw > 14.067140449340169 AS reject_white_noise
+        |FROM q ORDER BY event_type""".stripMargin,
+    // same exact n·y − Sy vs breakpoint·cutw symbol dag, same two
+    // leads over the date order, same exact word counts
+    "q250_sax_motifs" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS d,
+        |    CAST(sum(CAST(round(value * 100.0, 0) AS BIGINT)) AS BIGINT) AS sv
+        |  FROM events GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(sv AS HUGEINT)) AS sy,
+        |    sum(CAST(sv * sv AS HUGEINT)) AS syy
+        |  FROM daily),
+        |sym AS (
+        |  SELECT d,
+        |    CASE
+        |      WHEN CAST(CAST(n AS HUGEINT) * sv - sy AS DOUBLE)
+        |        < -0.6744897501960817 * sqrt(CAST(n AS DOUBLE)
+        |            * CAST(CAST(n AS HUGEINT) * syy - sy * sy AS DOUBLE)
+        |            / CAST(n - 1 AS DOUBLE)) THEN 'a'
+        |      WHEN CAST(CAST(n AS HUGEINT) * sv - sy AS DOUBLE) < 0.0 THEN 'b'
+        |      WHEN CAST(CAST(n AS HUGEINT) * sv - sy AS DOUBLE)
+        |        < 0.6744897501960817 * sqrt(CAST(n AS DOUBLE)
+        |            * CAST(CAST(n AS HUGEINT) * syy - sy * sy AS DOUBLE)
+        |            / CAST(n - 1 AS DOUBLE)) THEN 'c'
+        |      ELSE 'd' END AS s
+        |  FROM daily CROSS JOIN tot),
+        |w AS (
+        |  SELECT s || lead(s, 1) OVER (ORDER BY d)
+        |           || lead(s, 2) OVER (ORDER BY d) AS word
+        |  FROM sym)
+        |SELECT word, CAST(count(*) AS BIGINT) AS cnt
+        |FROM w WHERE word IS NOT NULL
+        |GROUP BY word ORDER BY cnt DESC, word LIMIT 10""".stripMargin,
+    // same per-type daily frame and partitioned lag diffs, same exact
+    // DECIMAL moments, same single n·Σdiff²/(n·Σy²−Sy²) division and
+    // raw-dag 1.5/2.5 flags
+    "q252_durbin_watson" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS d,
+        |    CAST(sum(CAST(round(value * 100.0, 0) AS BIGINT)) AS BIGINT) AS sv
+        |  FROM events GROUP BY 1, 2),
+        |lg AS (
+        |  SELECT event_type, sv,
+        |    lag(sv, 1) OVER (PARTITION BY event_type ORDER BY d) AS prev
+        |  FROM daily),
+        |m AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(sv AS HUGEINT)) AS sy,
+        |    sum(CAST(sv * sv AS HUGEINT)) AS syy,
+        |    sum(CASE WHEN prev IS NOT NULL
+        |        THEN CAST((sv - prev) * (sv - prev) AS HUGEINT)
+        |        ELSE CAST(0 AS HUGEINT) END) AS sdd
+        |  FROM lg GROUP BY 1),
+        |q AS (
+        |  SELECT *, CAST(CAST(n AS HUGEINT) * sdd AS DOUBLE)
+        |    / nullif(CAST(CAST(n AS HUGEINT) * syy - sy * sy AS DOUBLE), 0.0)
+        |    AS dw_raw
+        |  FROM m)
+        |SELECT event_type, n AS n_days,
+        |  round(dw_raw, 4) + 0.0 AS dw,
+        |  CASE WHEN dw_raw < 1.5 THEN 'positive'
+        |       WHEN dw_raw > 2.5 THEN 'negative'
+        |       ELSE 'none' END AS autocorr_flag
         |FROM q ORDER BY event_type""".stripMargin,
     // same three daily centi frames joined on date, nine HUGEINT
     // moments cast once, same guarded Pearson + partial dag

@@ -76,7 +76,10 @@ class GlobalWindowAuditSpec extends SparkSpec {
     "q237_kruskal_wallis" -> "two-level cumulation: window over SHARD offsets (≤ value-range/256 rows — the q150 machinery pooled over 4 arms)",
     "q245_runs_test" -> "median order-statistic pick + sign lag() over the daily aggregate frame (calendar-bounded rows — the q156 frame)",
     "q246_hodges_lehmann" -> "cumsum over the Walsh-sum VALUE frame (≤ distinct-count² rows — the q33b convention squared)",
-    "q247_gpd_tail" -> "cumsum over the per-VALUE centi count frame (≤ value-range grid points — the q33b convention)"
+    "q247_gpd_tail" -> "cumsum over the per-VALUE centi count frame (≤ value-range grid points — the q33b convention)",
+    "q248_cem_att" -> "quartile-threshold cumsum over the distinct pre-count VALUE frame (≤ distinct per-user counts — the q33b convention)",
+    "q250_sax_motifs" -> "two lead()s over the daily aggregate frame (calendar-bounded rows — the q156 frame)",
+    "q251_mantel_haenszel" -> "quartile-threshold cumsum over the distinct pre-count VALUE frame (the q248 frame)"
   )
 
   private def globalWindows(p: SparkPlan): Seq[SparkPlan] =

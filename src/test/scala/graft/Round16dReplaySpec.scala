@@ -241,6 +241,239 @@ class Round16dReplaySpec extends SparkSpec {
     )
   }
 
+  test("q248 CEM ATT equals brute per-stratum means") {
+    import spark.implicits._
+    val rows = graft.queries.Tables
+      .table(spark, dir, "events")
+      .selectExpr(
+        "user_id",
+        "unix_micros(ts) AS us",
+        "CAST(round(value * 100.0, 0) AS BIGINT) AS vc"
+      )
+      .as[(Long, Long, Long)]
+      .collect()
+      .toSeq
+    val cut = (rows.map(_._2).min + rows.map(_._2).max) / 2
+    val users = rows
+      .groupBy(_._1)
+      .map { case (uid, es) =>
+        val pc = es.count(_._2 < cut).toLong
+        val y = es.filter(_._2 >= cut).map(_._3).sum
+        (pc, y, bucket100(uid) < 50)
+      }
+      .toSeq
+    val n = users.size.toLong
+    val sorted = users.map(_._1).sorted
+    def thr(q: Long) = sorted(((q * n + 3) / 4).toInt - 1)
+    val (t1, t2, t3) = (thr(1), thr(2), thr(3))
+    def bin(pc: Long) =
+      1 + (if (pc > t1) 1 else 0) + (if (pc > t2) 1 else 0) +
+        (if (pc > t3) 1 else 0)
+    val strata = users.groupBy(u => bin(u._1)).toSeq.filter { case (_, us) =>
+      us.exists(_._3) && us.exists(!_._3)
+    }
+    val sum6 = strata.map { case (_, us) =>
+      val t = us.filter(_._3); val c = us.filterNot(_._3)
+      val eff = t.map(_._2).sum.toDouble / t.size -
+        c.map(_._2).sum.toDouble / c.size
+      math.floor(t.size.toDouble * eff * 1.0e6).toLong
+    }.sum
+    val nT = strata.map(_._2.count(_._3)).sum.toLong
+    val att = sum6.toDouble / (nT.toDouble * 1.0e6) / 100.0
+    val r = q("q248_cem_att").collect().head
+    assert(r.getLong(0) === strata.size.toLong)
+    assert(r.getLong(1) === nT)
+    assert(math.abs(r.getDouble(3) - att) < 1e-3)
+    // threshold collapse on the tiny-SF pre-count frame can merge
+    // quartile bins, but at least two strata must match both arms
+    assert(r.getLong(0) >= 2L)
+  }
+
+  test("q249 ridge path equals a naive penalized normal-equations solve") {
+    import spark.implicits._
+    val rows = graft.queries.Tables
+      .table(spark, dir, "lineitem")
+      .selectExpr(
+        "CAST(round(l_quantity * 100.0, 0) AS BIGINT)",
+        "CAST(round(l_discount * 10000.0, 0) AS BIGINT)",
+        "CAST(round(l_extendedprice * 100.0, 0) AS BIGINT)"
+      )
+      .as[(Long, Long, Long)]
+      .collect()
+      .toSeq
+    val n = rows.size.toDouble
+    def bs(f: ((Long, Long, Long)) => BigInt): BigInt = rows.map(f).sum
+    val s1 = bs(r => BigInt(r._1)).toDouble / 1e2
+    val s2 = bs(r => BigInt(r._2)).toDouble / 1e4
+    val sy = bs(r => BigInt(r._3)).toDouble / 1e2
+    val s11 = bs(r => BigInt(r._1) * r._1).toDouble / 1e4
+    val s12 = bs(r => BigInt(r._1) * r._2).toDouble / 1e6
+    val s22 = bs(r => BigInt(r._2) * r._2).toDouble / 1e8
+    val s1y = bs(r => BigInt(r._1) * r._3).toDouble / 1e4
+    val s2y = bs(r => BigInt(r._2) * r._3).toDouble / 1e6
+    val c11 = s11 - s1 * s1 / n; val c12 = s12 - s1 * s2 / n
+    val c22 = s22 - s2 * s2 / n; val c1y = s1y - s1 * sy / n
+    val c2y = s2y - s2 * sy / n
+    val tr = c11 + c22
+    val got = q("q249_ridge_path").collect().toSeq
+    assert(got.size === 3)
+    val norms = Seq(0.0, 0.05, 0.5).zip(got).map { case (f, r) =>
+      val lmb = f * tr
+      val det = (c11 + lmb) * (c22 + lmb) - c12 * c12
+      val b1 = (c1y * (c22 + lmb) - c2y * c12) / det
+      val b2 = (c2y * (c11 + lmb) - c1y * c12) / det
+      assert(math.abs(r.getDouble(2) - b1) < 1e-4)
+      assert(math.abs(r.getDouble(3) - b2) < 1e-4)
+      math.sqrt(b1 * b1 + b2 * b2)
+    }
+    // shrinkage must be monotone along the path
+    assert(norms(0) > norms(1) && norms(1) > norms(2))
+  }
+
+  test("q250 SAX words equal a naive z-score symbolization") {
+    import spark.implicits._
+    val daily = graft.queries.Tables
+      .table(spark, dir, "events")
+      .selectExpr(
+        "CAST(CAST(ts AS DATE) AS STRING) AS d",
+        "CAST(round(value * 100.0, 0) AS BIGINT) AS vc"
+      )
+      .as[(String, Long)]
+      .collect()
+      .toSeq
+      .groupBy(_._1)
+      .map { case (d, vs) => (d, vs.map(_._2).sum) }
+      .toSeq
+      .sortBy(_._1)
+    val y = daily.map(_._2)
+    val n = y.size
+    val sy = y.map(BigInt(_)).sum
+    val syy = y.map(v => BigInt(v) * v).sum
+    val cutw = math.sqrt(
+      n.toDouble * (BigInt(n) * syy - sy * sy).toDouble / (n - 1)
+    )
+    val bp = 0.6744897501960817
+    val syms = y.map { v =>
+      val t = (BigInt(n) * v - sy).toDouble
+      if (t < -bp * cutw) "a"
+      else if (t < 0.0) "b"
+      else if (t < bp * cutw) "c"
+      else "d"
+    }
+    val words = syms
+      .sliding(3)
+      .filter(_.size == 3)
+      .map(_.mkString)
+      .toSeq
+      .groupBy(identity)
+      .map { case (w, ws) => (w, ws.size.toLong) }
+      .toSeq
+      .sortBy { case (w, c) => (-c, w) }
+      .take(10)
+    val got = q("q250_sax_motifs")
+      .collect()
+      .toSeq
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(got === words)
+  }
+
+  test("q251 Mantel–Haenszel equals brute stratified 2x2 analysis") {
+    import spark.implicits._
+    val rows = graft.queries.Tables
+      .table(spark, dir, "events")
+      .selectExpr("user_id", "event_type", "unix_micros(ts) AS us")
+      .as[(Long, String, Long)]
+      .collect()
+      .toSeq
+    val cut = (rows.map(_._3).min + rows.map(_._3).max) / 2
+    val users = rows
+      .groupBy(_._1)
+      .map { case (uid, es) =>
+        val pc = es.count(_._3 < cut).toLong
+        val o = es.count(e => e._3 >= cut && e._2 == "purchase") >
+          es.count(e => e._3 < cut && e._2 == "purchase")
+        (pc, o, bucket100(uid) < 50)
+      }
+      .toSeq
+    val n = users.size.toLong
+    val sorted = users.map(_._1).sorted
+    def thr(q: Long) = sorted(((q * n + 3) / 4).toInt - 1)
+    val (t1, t2, t3) = (thr(1), thr(2), thr(3))
+    def bin(pc: Long) =
+      1 + (if (pc > t1) 1 else 0) + (if (pc > t2) 1 else 0) +
+        (if (pc > t3) 1 else 0)
+    val cells = users.groupBy(u => bin(u._1)).toSeq.map { case (_, us) =>
+      val a = us.count(u => u._3 && u._2).toLong
+      val b = us.count(u => u._3 && !u._2).toLong
+      val c = us.count(u => !u._3 && u._2).toLong
+      val d = us.count(u => !u._3 && !u._2).toLong
+      (a, b, c, d)
+    }
+    def f9(x: Double) = math.floor(x * 1e9).toLong
+    val sad9 = cells.map { case (a, b, c, d) =>
+      f9(a.toDouble * d / (a + b + c + d))
+    }.sum
+    val sbc9 = cells.map { case (a, b, c, d) =>
+      f9(b.toDouble * c / (a + b + c + d))
+    }.sum
+    val se9 = cells.map { case (a, b, c, d) =>
+      val nn = (a + b + c + d).toDouble
+      f9(a - (a + b).toDouble * (a + c) / nn)
+    }.sum
+    val sv9 = cells.map { case (a, b, c, d) =>
+      val nn = (a + b + c + d).toDouble
+      f9((a + b).toDouble * (c + d) * ((a + c).toDouble * (b + d)) /
+        (nn * nn) / (nn - 1))
+    }.sum
+    val or = sad9.toDouble / sbc9
+    val chi2 = (se9 / 1e9) * (se9 / 1e9) / (sv9 / 1e9)
+    val r = q("q251_mantel_haenszel").collect().head
+    assert(r.getLong(0) === cells.size.toLong)
+    assert(math.abs(r.getDouble(1) - or) < 1e-3)
+    assert(math.abs(r.getDouble(2) - chi2) < 1e-3)
+    assert(r.getBoolean(3) === (chi2 > 3.841458820694124))
+  }
+
+  test("q252 Durbin–Watson equals a naive per-type diff walk") {
+    import spark.implicits._
+    val daily = graft.queries.Tables
+      .table(spark, dir, "events")
+      .selectExpr(
+        "event_type",
+        "CAST(CAST(ts AS DATE) AS STRING) AS d",
+        "CAST(round(value * 100.0, 0) AS BIGINT) AS vc"
+      )
+      .as[(String, String, Long)]
+      .collect()
+      .toSeq
+      .groupBy(t => (t._1, t._2))
+      .map { case ((et, d), vs) => (et, d, vs.map(_._3).sum) }
+      .toSeq
+    val expected = daily
+      .groupBy(_._1)
+      .map { case (et, ds) =>
+        val y = ds.sortBy(_._2).map(_._3)
+        val n = y.size
+        val sy = y.map(BigInt(_)).sum
+        val syy = y.map(v => BigInt(v) * v).sum
+        val sdd =
+          y.sliding(2).collect { case Seq(a, b) => BigInt(b - a) * (b - a) }.sum
+        val dw = (BigInt(n) * sdd).toDouble / (BigInt(n) * syy - sy * sy).toDouble
+        (et, n.toLong, dw)
+      }
+      .toSeq
+      .sortBy(_._1)
+    val got = q("q252_durbin_watson").collect().toSeq
+    assert(got.size === expected.size)
+    got.zip(expected).foreach { case (r, (et, n, dw)) =>
+      assert(r.getString(0) === et && r.getLong(1) === n)
+      assert(math.abs(r.getDouble(2) - dw) < 1e-3)
+      val flag =
+        if (dw < 1.5) "positive" else if (dw > 2.5) "negative" else "none"
+      assert(r.getString(3) === flag)
+    }
+  }
+
   test("q247 GPD fit equals sorted-array order statistics") {
     import spark.implicits._
     val vcs = graft.queries.Tables
