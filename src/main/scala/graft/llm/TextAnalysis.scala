@@ -1707,7 +1707,94 @@ object TextAnalysis {
       .limit(G2TopK)
   }
 
+  /** q255: Burrows' Delta stylometry — the standard authorship /
+    * style-attribution distance (Burrows 2002): which SOURCES write
+    * alike, measured not by topic words but by the relative rates of
+    * the most frequent (function) words, z-scored per word across
+    * sources so every marker word counts equally:
+    * Δ(s₁,s₂) = mean over the top-50 corpus words of |z₁ − z₂|. The
+    * curation read: the closest pairs are near-duplicate STYLES
+    * (mirrors, common boilerplate) that per-document dedup (q26–q29)
+    * never sees because no two documents match.
+    *
+    * Determinism: per-source rates are exact per-million integers via
+    * BIGINT `div`; per-word mean/σ across the k sources are exact
+    * integer moments with z = (k·f − Σf)/√(k·(k·Σf² − (Σf)²)/(k−1))
+    * in ONE dag (the q250 spelling); zero-variance words drop on the
+    * raw dag identically on both engines; each pair's |z₁−z₂| is
+    * floor-snapped to the 1e9 grid so the ≤50-term sum is exact
+    * (the q244 discipline); Δ is one division.
+    *
+    * Scale shape: one corpus token pass → the (source, word) frame;
+    * everything after is bounded by #sources × 50 words and the
+    * C(#sources,2) pair frame. Top-10 output.
+    */
+  private def q255(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cnt = docs(s, dir)
+      .select(
+        col("source"),
+        explode(filter(split(col("text"), " "), x => x =!= "")).as("w")
+      )
+      .groupBy("source", "w")
+      .agg(count(lit(1)).as("cs"))
+    val top = cnt
+      .groupBy("w")
+      .agg(sum("cs").as("cw"))
+      .orderBy(desc("cw"), col("w"))
+      .limit(50)
+      .select("w")
+    val srcTot = cnt.groupBy("source").agg(sum("cs").as("ns"))
+    val universe = srcTot.crossJoin(broadcast(top))
+    val rates = universe
+      .join(cnt, Seq("source", "w"), "left")
+      .withColumn("f6", expr("coalesce(cs, 0) * 1000000 div ns"))
+    val wm = rates
+      .groupBy("w")
+      .agg(
+        count(lit(1)).as("k"),
+        sum(col("f6").cast("decimal(38,0)")).as("sf"),
+        sum((col("f6") * col("f6")).cast("decimal(38,0)")).as("sff")
+      )
+    val z = rates
+      .join(broadcast(wm), "w")
+      .withColumn(
+        "vnum",
+        (col("k") * col("sff") - col("sf") * col("sf")).cast("double")
+      )
+      .filter(col("vnum") > lit(0.0d))
+      .withColumn(
+        "z",
+        (col("k") * col("f6") - col("sf")).cast("double") /
+          sqrt(
+            col("k").cast("double") * col("vnum") /
+              (col("k") - 1).cast("double")
+          )
+      )
+      .select(col("source"), col("w"), col("z"))
+    z.as("a")
+      .join(z.as("b"), col("a.w") === col("b.w") && col("a.source") < col("b.source"))
+      .select(
+        col("a.source").as("s1"),
+        col("b.source").as("s2"),
+        floor(abs(col("a.z") - col("b.z")) * 1.0e9).cast("long").as("t9")
+      )
+      .groupBy("s1", "s2")
+      .agg(count(lit(1)).as("n_words"), sum("t9").as("st9"))
+      .withColumn(
+        "delta",
+        round(
+          col("st9").cast("double") / (col("n_words").cast("double") * 1.0e9),
+          6
+        ) + 0.0
+      )
+      .select(col("s1"), col("s2"), col("n_words"), col("delta"))
+      .orderBy(col("delta"), col("s1"), col("s2"))
+      .limit(10)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q255_burrows_delta" -> q255,
     "q238_collocations_g2" -> q238,
     "q236_lang_confusion" -> q236,
     "q229_rake_keywords" -> q229,
@@ -1743,6 +1830,52 @@ object TextAnalysis {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // same top-50 word pick, same per-million BIGINT div rates over
+    // the source×word universe, same exact z dag with the raw-dag
+    // zero-variance drop, same 1e9-grid |z1-z2| sums
+    "q255_burrows_delta" ->
+      """WITH toks AS (
+        |  SELECT source, unnest(list_filter(string_split(text, ' '),
+        |                                    x -> x <> '')) AS w
+        |  FROM documents),
+        |cnt AS (
+        |  SELECT source, w, CAST(count(*) AS BIGINT) AS cs
+        |  FROM toks GROUP BY 1, 2),
+        |top AS (
+        |  SELECT w FROM (
+        |    SELECT w, CAST(sum(cs) AS BIGINT) AS cw FROM cnt GROUP BY 1)
+        |  ORDER BY cw DESC, w LIMIT 50),
+        |st AS (SELECT source, CAST(sum(cs) AS BIGINT) AS ns
+        |       FROM cnt GROUP BY 1),
+        |rates AS (
+        |  SELECT st.source, top.w,
+        |    coalesce(cnt.cs, 0) * 1000000 // ns AS f6
+        |  FROM st CROSS JOIN top
+        |  LEFT JOIN cnt ON cnt.source = st.source AND cnt.w = top.w),
+        |wm AS (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS k,
+        |    sum(CAST(f6 AS HUGEINT)) AS sf,
+        |    sum(CAST(f6 * f6 AS HUGEINT)) AS sff
+        |  FROM rates GROUP BY 1),
+        |z AS (
+        |  SELECT rates.source, rates.w,
+        |    CAST(k * f6 - sf AS DOUBLE)
+        |      / sqrt(CAST(k AS DOUBLE) * CAST(k * sff - sf * sf AS DOUBLE)
+        |             / CAST(k - 1 AS DOUBLE)) AS z
+        |  FROM rates JOIN wm ON wm.w = rates.w
+        |  WHERE CAST(k * sff - sf * sf AS DOUBLE) > 0.0),
+        |pairs AS (
+        |  SELECT a.source AS s1, b.source AS s2,
+        |    CAST(floor(abs(a.z - b.z) * 1.0e9) AS BIGINT) AS t9
+        |  FROM z a JOIN z b ON a.w = b.w AND a.source < b.source),
+        |ag AS (
+        |  SELECT s1, s2, CAST(count(*) AS BIGINT) AS n_words,
+        |    CAST(sum(t9) AS BIGINT) AS st9
+        |  FROM pairs GROUP BY 1, 2)
+        |SELECT s1, s2, n_words,
+        |  round(CAST(st9 AS DOUBLE) / (CAST(n_words AS DOUBLE) * 1.0e9), 6)
+        |    + 0.0 AS delta
+        |FROM ag ORDER BY delta, s1, s2 LIMIT 10""".stripMargin,
     // same q57b bigram stream, same 2×2 margins, same zero-collapsed
     // k·floor(ln(k·N/(r·s))·1e9) exact-BIGINT terms, same top-20 cut
     "q238_collocations_g2" ->

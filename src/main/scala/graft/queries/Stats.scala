@@ -3253,6 +3253,75 @@ object Stats {
       )
   }
 
+  /** q253: Pettitt change-point test — the RANK-based single
+    * change-point detector that complements q156's CUSUM (CUSUM scans
+    * for a mean shift in the VALUES and is wrecked by one outlier day;
+    * Pettitt scans Mann–Whitney statistics over every split point, so
+    * it finds a DISTRIBUTIONAL shift robustly): U_t = Σᵢ≤t Σⱼ>t
+    * sgn(yᵢ−yⱼ), K = max|U_t|, τ = argmax, with the standard
+    * approximation p ≈ 2·exp(−6K²/(n³+n²)).
+    *
+    * Determinism: with midranks, U_t = Σᵢ≤t 2Rᵢ − t(n+1) EXACTLY, and
+    * 2R = 2·lt + t + 1 per distinct value is an exact integer (the
+    * q150 posting), so every U_t is an exact BIGINT; the argmax
+    * tie-breaks on the earliest date; p is one exp dag of exact
+    * integers; the significance flag compares the RAW p dag to 0.05.
+    *
+    * Scale shape: one corpus pass → the calendar-bounded daily frame;
+    * the rank posting runs over the distinct daily-value frame and the
+    * U_t cumsum over the daily frame (the q156 allowlist convention);
+    * the argmax is a 1-row TakeOrdered. One-row output.
+    */
+  private def q253(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables
+      .table(s, dir, "events")
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(sum(round(col("value") * 100.0, 0).cast("long")).as("sv"))
+    val vf = daily
+      .groupBy("sv")
+      .agg(count(lit(1)).as("t"))
+      .withColumn(
+        "r2",
+        coalesce(
+          sum("t").over(
+            Window.orderBy("sv").rowsBetween(Window.unboundedPreceding, -1)
+          ),
+          lit(0L)
+        ) * 2 + col("t") + 1
+      )
+      .select("sv", "r2")
+    val nTot = daily.agg(count(lit(1)).as("n"))
+    val u = daily
+      .join(vf, "sv")
+      .withColumn("ti", row_number().over(Window.orderBy("d")))
+      .withColumn(
+        "a",
+        sum("r2").over(
+          Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+        )
+      )
+      .crossJoin(broadcast(nTot))
+      .filter(col("ti") < col("n"))
+      .withColumn("u", col("a") - col("ti") * (col("n") + 1))
+    u.orderBy(abs(col("u")).desc, col("d"))
+      .limit(1)
+      .withColumn(
+        "p_raw",
+        lit(2.0d) * exp(
+          lit(-6.0d) * (col("u") * col("u")).cast("double") /
+            (col("n") * col("n") * col("n") + col("n") * col("n"))
+              .cast("double")
+        )
+      )
+      .select(
+        col("n").as("n_days"),
+        abs(col("u")).as("k_stat"),
+        col("d").cast("string").as("tau_date"),
+        (round(col("p_raw"), 6) + 0.0).as("p_approx"),
+        (col("p_raw") < lit(0.05d)).as("significant")
+      )
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q243_did" -> q243,
     "q245_runs_test" -> q245,
@@ -3261,6 +3330,7 @@ object Stats {
     "q248_cem_att" -> q248,
     "q249_ridge_path" -> q249,
     "q251_mantel_haenszel" -> q251,
+    "q253_pettitt" -> q253,
     "q239_cuped" -> q239,
     "q237_kruskal_wallis" -> q237,
     "q231_fisher_exact" -> q231,
@@ -3347,6 +3417,41 @@ object Stats {
   val oracleSql: Map[String, String] = Map(
     // same epoch-µs midpoint cut, same exact per-user centi frame and
     // DECIMAL moments, same closed-form ρ² and literal-order dag
+    // same exact 2-midrank posting over the distinct daily values,
+    // same exact U_t = A_t - t(n+1) cumsum, same earliest-date argmax
+    // and exp dag, same raw-dag 0.05 compare
+    "q253_pettitt" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS d,
+        |    CAST(sum(CAST(round(value * 100.0, 0) AS BIGINT)) AS BIGINT) AS sv
+        |  FROM events GROUP BY 1),
+        |vf AS (
+        |  SELECT sv, CAST(count(*) AS BIGINT) AS t FROM daily GROUP BY 1),
+        |mr AS (
+        |  SELECT sv, 2 * CAST(coalesce(sum(t) OVER (ORDER BY sv
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |    + t + 1 AS r2
+        |  FROM vf),
+        |nt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM daily),
+        |acc AS (
+        |  SELECT d,
+        |    row_number() OVER (ORDER BY d) AS ti,
+        |    CAST(sum(r2) OVER (ORDER BY d
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS a
+        |  FROM daily JOIN mr USING (sv)),
+        |u AS (
+        |  SELECT d, a - ti * (n + 1) AS u, n
+        |  FROM acc CROSS JOIN nt WHERE ti < n),
+        |pk AS (SELECT * FROM u ORDER BY abs(u) DESC, d LIMIT 1),
+        |pr AS (
+        |  SELECT *, 2.0 * exp(-6.0 * CAST(u * u AS DOUBLE)
+        |    / CAST(n * n * n + n * n AS DOUBLE)) AS p_raw
+        |  FROM pk)
+        |SELECT n AS n_days, abs(u) AS k_stat,
+        |  CAST(d AS VARCHAR) AS tau_date,
+        |  round(p_raw, 6) + 0.0 AS p_approx,
+        |  p_raw < 0.05 AS significant
+        |FROM pr""".stripMargin,
     // same exact quartile thresholds off the pre-count value frame,
     // same per-stratum exact cells, same 1e6-grid-snapped weighted
     // effect terms summed exactly, same single ATT division

@@ -727,10 +727,61 @@ object TimeSeries {
       .orderBy("event_type")
   }
 
+  /** q254: classical additive decomposition — daily revenue =
+    * trend + weekly seasonal + residual, the first model every
+    * forecasting/anomaly stack fits (q113 profiles raw hour-of-day
+    * cells; decomposition first REMOVES the trend with a centered
+    * 7-day moving average, so the weekly indices aren't polluted by
+    * growth): the output is the seven day-of-week seasonal indices of
+    * the detrended series — the payload consumed by deseasonalizers
+    * and the q211 forecaster's seasonal term alike.
+    *
+    * Determinism: the centered MA never divides per row — detrended
+    * stays on the exact ×7 centi grid as 7·yₜ − Σ₋₃..₊₃y (full 7-day
+    * windows only); each day-of-week mean is floor-snapped once to
+    * the 1e6 grid from the exact integer sum/count (the q248
+    * discipline); ISO weekday numbering (1 = Monday) on both engines.
+    *
+    * Scale shape: one corpus pass → the calendar-bounded daily frame;
+    * the moving window and the 7-row day-of-week aggregate run on that
+    * frame (the q156 allowlist convention). Seven-row output.
+    */
+  private def q254(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables
+      .table(s, dir, "events")
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(sum(round(col("value") * 100.0, 0).cast("long")).as("sv"))
+    val w7 = Window.orderBy("d").rowsBetween(-3, 3)
+    daily
+      .withColumn("ms", sum("sv").over(w7))
+      .withColumn("mc", count(lit(1)).over(w7))
+      .filter(col("mc") === 7)
+      .withColumn("detr7", lit(7L) * col("sv") - col("ms"))
+      .withColumn("dow", expr("CAST(weekday(d) + 1 AS BIGINT)"))
+      .groupBy("dow")
+      .agg(
+        count(lit(1)).as("n_obs"),
+        sum(col("detr7").cast("decimal(38,0)")).as("sd")
+      )
+      .withColumn(
+        "s6",
+        floor(col("sd").cast("double") / col("n_obs").cast("double") * 1.0e6)
+          .cast("long")
+      )
+      .select(
+        col("dow"),
+        col("n_obs"),
+        (round(col("s6").cast("double") / (7.0e6 * 100.0d), 4) + 0.0)
+          .as("seasonal_idx")
+      )
+      .orderBy("dow")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q244_ljung_box" -> q244,
     "q250_sax_motifs" -> q250,
     "q252_durbin_watson" -> q252,
+    "q254_decomposition" -> q254,
     "q219_partial_correlation" -> q219,
     "q211_forecast_backtest" -> q211,
     "q183_cross_correlation" -> q183,
@@ -790,6 +841,35 @@ object TimeSeries {
         |  round(q_raw, 4) + 0.0 AS q_lb,
         |  q_raw > 14.067140449340169 AS reject_white_noise
         |FROM q ORDER BY event_type""".stripMargin,
+    // same full-window ×7-grid detrending, same ISO weekday buckets,
+    // same 1e6-grid-snapped day-of-week means
+    "q254_decomposition" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS d,
+        |    CAST(sum(CAST(round(value * 100.0, 0) AS BIGINT)) AS BIGINT) AS sv
+        |  FROM events GROUP BY 1),
+        |mv AS (
+        |  SELECT d, sv,
+        |    CAST(sum(sv) OVER (ORDER BY d
+        |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT) AS ms,
+        |    CAST(count(*) OVER (ORDER BY d
+        |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT) AS mc
+        |  FROM daily),
+        |dt AS (
+        |  SELECT CAST(isodow(d) AS BIGINT) AS dow, 7 * sv - ms AS detr7
+        |  FROM mv WHERE mc = 7),
+        |ag AS (
+        |  SELECT dow, CAST(count(*) AS BIGINT) AS n_obs,
+        |    sum(CAST(detr7 AS HUGEINT)) AS sd
+        |  FROM dt GROUP BY 1),
+        |sn AS (
+        |  SELECT dow, n_obs,
+        |    CAST(floor(CAST(sd AS DOUBLE) / CAST(n_obs AS DOUBLE) * 1.0e6)
+        |         AS BIGINT) AS s6
+        |  FROM ag)
+        |SELECT dow, n_obs,
+        |  round(CAST(s6 AS DOUBLE) / (7.0e6 * 100.0), 4) + 0.0 AS seasonal_idx
+        |FROM sn ORDER BY dow""".stripMargin,
     // same exact n·y − Sy vs breakpoint·cutw symbol dag, same two
     // leads over the date order, same exact word counts
     "q250_sax_motifs" ->

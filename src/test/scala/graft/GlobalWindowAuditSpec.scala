@@ -79,7 +79,9 @@ class GlobalWindowAuditSpec extends SparkSpec {
     "q247_gpd_tail" -> "cumsum over the per-VALUE centi count frame (≤ value-range grid points — the q33b convention)",
     "q248_cem_att" -> "quartile-threshold cumsum over the distinct pre-count VALUE frame (≤ distinct per-user counts — the q33b convention)",
     "q250_sax_motifs" -> "two lead()s over the daily aggregate frame (calendar-bounded rows — the q156 frame)",
-    "q251_mantel_haenszel" -> "quartile-threshold cumsum over the distinct pre-count VALUE frame (the q248 frame)"
+    "q251_mantel_haenszel" -> "quartile-threshold cumsum over the distinct pre-count VALUE frame (the q248 frame)",
+    "q253_pettitt" -> "2-midrank posting over the distinct daily-value frame + U_t cumsum over the daily frame (both calendar-bounded — the q150/q156 frames)",
+    "q254_decomposition" -> "centered 7-day moving window over the daily aggregate frame (calendar-bounded rows — the q156 frame)"
   )
 
   private def globalWindows(p: SparkPlan): Seq[SparkPlan] =

@@ -474,6 +474,143 @@ class Round16dReplaySpec extends SparkSpec {
     }
   }
 
+  test("q253 Pettitt equals a brute double-loop sign scan") {
+    import spark.implicits._
+    val daily = graft.queries.Tables
+      .table(spark, dir, "events")
+      .selectExpr(
+        "CAST(CAST(ts AS DATE) AS STRING) AS d",
+        "CAST(round(value * 100.0, 0) AS BIGINT) AS vc"
+      )
+      .as[(String, Long)]
+      .collect()
+      .toSeq
+      .groupBy(_._1)
+      .map { case (d, vs) => (d, vs.map(_._2).sum) }
+      .toSeq
+      .sortBy(_._1)
+    val y = daily.map(_._2)
+    val n = y.size
+    // brute U_t = sum_{i<=t} sum_{j>t} sgn(y_i - y_j) — the 2-midrank
+    // identity A_t − t(n+1) reproduces this EXACTLY (not doubled)
+    val us = (1 until n).map { t =>
+      (for {
+        i <- 0 until t
+        j <- t until n
+      } yield (y(i) compare y(j)).sign.toLong).sum
+    }
+    val k = us.map(math.abs).max
+    val tau = us.indexWhere(v => math.abs(v) == k)
+    val p = 2.0 * math.exp(
+      -6.0 * k.toDouble * k /
+        (n.toDouble * n * n + n.toDouble * n)
+    )
+    val r = q("q253_pettitt").collect().head
+    assert(r.getLong(0) === n.toLong)
+    assert(r.getLong(1) === k)
+    assert(r.getString(2) === daily(tau)._1.take(10))
+    assert(math.abs(r.getDouble(3) - p) < 1e-4)
+    assert(r.getBoolean(4) === (p < 0.05))
+  }
+
+  test("q254 decomposition equals a naive centered-MA dow walk") {
+    import spark.implicits._
+    val daily = graft.queries.Tables
+      .table(spark, dir, "events")
+      .selectExpr(
+        "CAST(CAST(ts AS DATE) AS STRING) AS d",
+        "CAST(round(value * 100.0, 0) AS BIGINT) AS vc",
+        "CAST(weekday(CAST(ts AS DATE)) + 1 AS BIGINT) AS dow"
+      )
+      .as[(String, Long, Long)]
+      .collect()
+      .toSeq
+      .groupBy(t => (t._1, t._3))
+      .map { case ((d, dow), vs) => (d, dow, vs.map(_._2).sum) }
+      .toSeq
+      .sortBy(_._1)
+    val y = daily.map(_._3)
+    val n = y.size
+    val byDow = (3 until n - 3)
+      .map { t =>
+        val ms = (t - 3 to t + 3).map(y).sum
+        (daily(t)._2, 7L * y(t) - ms)
+      }
+      .groupBy(_._1)
+    val expected = byDow.toSeq
+      .map { case (dow, ds) =>
+        val s6 = math
+          .floor(ds.map(_._2).sum.toDouble / ds.size * 1.0e6)
+          .toLong
+        (dow, ds.size.toLong, s6.toDouble / (7.0e6 * 100.0))
+      }
+      .sortBy(_._1)
+    val got = q("q254_decomposition").collect().toSeq
+    assert(got.size === expected.size && got.size === 7)
+    got.zip(expected).foreach { case (r, (dow, nObs, idx)) =>
+      assert(r.getLong(0) === dow && r.getLong(1) === nObs)
+      assert(math.abs(r.getDouble(2) - idx) < 1e-3)
+    }
+    // seasonal indices of a detrended series must roughly cancel
+    assert(math.abs(got.map(_.getDouble(2)).sum) <
+      got.map(r => math.abs(r.getDouble(2))).max * 7)
+  }
+
+  test("q255 Burrows' Delta equals a naive z-score style distance") {
+    import spark.implicits._
+    val rows = graft.queries.Tables
+      .table(spark, dir, "documents")
+      .select("source", "text")
+      .as[(String, String)]
+      .collect()
+      .toSeq
+    val toks = rows.flatMap { case (s, t) =>
+      t.split(" ", -1).filter(_.nonEmpty).map(w => (s, w))
+    }
+    val top = toks
+      .groupBy(_._2)
+      .map { case (w, ts) => (w, ts.size.toLong) }
+      .toSeq
+      .sortBy { case (w, c) => (-c, w) }
+      .take(50)
+      .map(_._1)
+    val srcTot = toks.groupBy(_._1).map { case (s, ts) => (s, ts.size.toLong) }
+    val cnt = toks.groupBy(identity).map { case (k, v) => (k, v.size.toLong) }
+    val sources = srcTot.keys.toSeq.sorted
+    val zs: Map[(String, String), Double] = top.flatMap { w =>
+      val f6 = sources.map(s => (s, cnt.getOrElse((s, w), 0L) * 1000000 / srcTot(s)))
+      val k = f6.size.toLong
+      val sf = f6.map(x => BigInt(x._2)).sum
+      val sff = f6.map(x => BigInt(x._2) * x._2).sum
+      val vnum = (BigInt(k) * sff - sf * sf).toDouble
+      if (vnum > 0.0) {
+        val den = math.sqrt(k.toDouble * vnum / (k - 1))
+        f6.map { case (s, f) => ((s, w), (k * f - sf.toLong).toDouble / den) }
+      } else Nil
+    }.toMap
+    val words = zs.keys.map(_._2).toSet
+    val deltas = (for {
+      i <- sources.indices
+      j <- i + 1 until sources.size
+    } yield {
+      val st9 = words.toSeq.map { w =>
+        math.floor(
+          math.abs(zs((sources(i), w)) - zs((sources(j), w))) * 1.0e9
+        ).toLong
+      }.sum
+      (sources(i), sources(j), words.size.toLong,
+        st9.toDouble / (words.size * 1.0e9))
+    }).sortBy { case (s1, s2, _, d) => (d, s1, s2) }.take(10)
+    val got = q("q255_burrows_delta")
+      .collect()
+      .toSeq
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    got.zip(deltas).foreach { case (g, e) =>
+      assert(g._1 === e._1 && g._2 === e._2 && g._3 === e._3)
+      assert(math.abs(g._4 - e._4) < 1e-5)
+    }
+  }
+
   test("q247 GPD fit equals sorted-array order statistics") {
     import spark.implicits._
     val vcs = graft.queries.Tables
