@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** q129: market-basket association rules — 2-itemset support /
@@ -248,10 +249,85 @@ object Basket {
       .limit(TopK)
   }
 
+  /** q258: top-k catalog churn — the Jaccard overlap of consecutive
+    * months' top-20 revenue parts, the "how stable is our bestseller
+    * list" number merchandising reads monthly (q224's RBO compares two
+    * RANKINGS of one query; this tracks ONE ranking's membership drift
+    * through time — high churn means the catalog mix, not just the
+    * order, is moving).
+    *
+    * Determinism: monthly revenues are exact centi BIGINTs; each
+    * month's top-20 ranks on (revenue, part) — a unique total order;
+    * adjacency is by observed-month INDEX (no calendar arithmetic to
+    * disagree on); Jaccard = c/(kₐ+k_b−c) is one division of exact
+    * counts, round-4.
+    *
+    * Scale shape: one fact-table aggregate keyed (month, part); the
+    * per-month top-20 ranks inside month PARTITIONS; everything after
+    * is ≤20 rows × #months. One-row-per-adjacent-pair output.
+    */
+  private def q258(s: SparkSession, dir: String): DataFrame = {
+    val rev = Tables
+      .table(s, dir, "lineitem")
+      .groupBy(
+        date_format(col("l_shipdate"), "yyyy-MM").as("m"),
+        col("l_partkey").as("part")
+      )
+      .agg(sum(round(col("l_extendedprice") * 100.0, 0).cast("long")).as("rev"))
+    val months = rev
+      .select("m")
+      .distinct()
+      .withColumn("mi", row_number().over(Window.orderBy("m")))
+    val top = rev
+      .join(broadcast(months), "m")
+      .withColumn(
+        "rk",
+        row_number().over(
+          Window.partitionBy("mi").orderBy(desc("rev"), col("part"))
+        )
+      )
+      .filter(col("rk") <= 20)
+      .select("m", "mi", "part")
+    val sizes = top.groupBy("m", "mi").agg(count(lit(1)).as("k"))
+    val common = top
+      .as("a")
+      .join(
+        top.as("b"),
+        col("a.mi") + 1 === col("b.mi") && col("a.part") === col("b.part")
+      )
+      .groupBy(col("a.mi").as("mi"))
+      .agg(count(lit(1)).as("c"))
+    sizes
+      .as("sa")
+      .join(
+        sizes.as("sb").select(
+          (col("mi") - 1).as("mi"),
+          col("m").as("m2"),
+          col("k").as("kb")
+        ),
+        "mi"
+      )
+      .join(common, Seq("mi"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+      .select(
+        col("m").as("m1"),
+        col("m2"),
+        col("k").as("n_top_a"),
+        col("kb").as("n_top_b"),
+        col("c").as("n_common"),
+        (round(
+          col("c").cast("double") / (col("k") + col("kb") - col("c")).cast("double"),
+          4
+        ) + 0.0).as("jaccard")
+      )
+      .orderBy("m1")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q129_basket_rules" -> q129,
     "q232_basket_triples" -> q232,
-    "q242_item_cf" -> q242
+    "q242_item_cf" -> q242,
+    "q258_topk_churn" -> q258
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -329,6 +405,41 @@ object Basket {
          |FROM pp
          |JOIN nrm na ON na.part = pa
          |JOIN nrm nb ON nb.part = pb
-         |ORDER BY cosine DESC, pa, pb LIMIT $TopK""".stripMargin
+         |ORDER BY cosine DESC, pa, pb LIMIT $TopK""".stripMargin,
+    // same exact monthly centi revenues, same (rev, part) top-20 total
+    // order, same observed-month-index adjacency and exact Jaccard
+    "q258_topk_churn" ->
+      """WITH rev AS (
+        |  SELECT strftime(l_shipdate, '%Y-%m') AS m, l_partkey AS part,
+        |    CAST(sum(CAST(round(l_extendedprice * 100.0, 0) AS BIGINT))
+        |         AS BIGINT) AS rev
+        |  FROM lineitem GROUP BY 1, 2),
+        |months AS (
+        |  SELECT m, CAST(row_number() OVER (ORDER BY m) AS BIGINT) AS mi
+        |  FROM (SELECT DISTINCT m FROM rev)),
+        |top AS (
+        |  SELECT m, mi, part FROM (
+        |    SELECT rev.m, months.mi, part,
+        |      row_number() OVER (PARTITION BY months.mi
+        |                         ORDER BY rev DESC, part) AS rk
+        |    FROM rev JOIN months ON months.m = rev.m)
+        |  WHERE rk <= 20),
+        |sizes AS (
+        |  SELECT m, mi, CAST(count(*) AS BIGINT) AS k
+        |  FROM top GROUP BY 1, 2),
+        |com AS (
+        |  SELECT a.mi AS mi, CAST(count(*) AS BIGINT) AS c
+        |  FROM top a JOIN top b ON a.mi + 1 = b.mi AND a.part = b.part
+        |  GROUP BY 1)
+        |SELECT sa.m AS m1, sb.m AS m2,
+        |  sa.k AS n_top_a, sb.k AS n_top_b,
+        |  coalesce(com.c, 0) AS n_common,
+        |  round(CAST(coalesce(com.c, 0) AS DOUBLE)
+        |        / CAST(sa.k + sb.k - coalesce(com.c, 0) AS DOUBLE), 4) + 0.0
+        |    AS jaccard
+        |FROM sizes sa
+        |JOIN sizes sb ON sb.mi = sa.mi + 1
+        |LEFT JOIN com ON com.mi = sa.mi
+        |ORDER BY m1""".stripMargin
   )
 }

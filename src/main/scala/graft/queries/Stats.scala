@@ -3322,6 +3322,177 @@ object Stats {
       )
   }
 
+  /** q256: Poisson overdispersion test — "are per-user event counts
+    * Poisson, or clumpier" — the screen run before ANY count model
+    * (Poisson regression, rate alarms, q152's CI width) is trusted,
+    * because real user activity is nearly always overdispersed and a
+    * Poisson assumption then understates every variance: the index of
+    * dispersion D = (n−1)s²/x̄ is χ²ₙ₋₁ under Poisson, read through
+    * the classic √(2D) − √(2df−1) normal approximation.
+    *
+    * Determinism: D = (n·Σx² − (Σx)²)/Σx is a ratio of EXACT integers
+    * (the s²/x̄ algebra cancels the 1/(n(n−1)) against (n−1)) cast to
+    * double once; z is one sqrt dag; the flag compares the RAW z dag
+    * to the one-sided 1.645 literal.
+    *
+    * Scale shape: one user aggregate → one 3-moment global aggregate.
+    * One-row output.
+    */
+  private def q256(s: SparkSession, dir: String): DataFrame = {
+    Tables
+      .table(s, dir, "events")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("x"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("x").cast("decimal(38,0)")).as("sx"),
+        sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx")
+      )
+      .withColumn(
+        "d_raw",
+        (col("n") * col("sxx") - col("sx") * col("sx")).cast("double") /
+          col("sx").cast("double")
+      )
+      .withColumn(
+        "z_raw",
+        sqrt(lit(2.0d) * col("d_raw")) -
+          sqrt(lit(2.0d) * (col("n") - 1).cast("double") - lit(1.0d))
+      )
+      .select(
+        col("n").as("n_users"),
+        (round(col("d_raw") / (col("n") - 1).cast("double"), 6) + 0.0)
+          .as("dispersion_ratio"),
+        (round(col("z_raw"), 4) + 0.0).as("z"),
+        (col("z_raw") > lit(1.645d)).as("overdispersed")
+      )
+  }
+
+  /** q257: Theil T and Atkinson(1) inequality indices of per-user
+    * activity — the DECOMPOSABLE inequality measures economists reach
+    * for where Gini cannot split by subgroup (q188 fits Gini to the
+    * vocabulary; these price ENGAGEMENT concentration, the "1% of
+    * users produce X% of events" number a capacity planner reads):
+    * T = (1/S)·Σᵥ cᵥ·v·ln(v·n/S) and A₁ = 1 − exp(ln-mean − ln μ),
+    * both zero at perfect equality.
+    *
+    * Determinism: counts are integers so both indices work the VALUE
+    * frame; every ln argument v·n/S is a ratio of exact integers
+    * floor-snapped to the 1e-9 grid and weighted by exact counts (the
+    * q241 convention), so the sums are exact BIGINTs and T / A₁ are
+    * single dags.
+    *
+    * Scale shape: one user aggregate → the distinct-count VALUE frame
+    * (≲ hundreds of rows); no window at all. One-row output.
+    */
+  private def q257(s: SparkSession, dir: String): DataFrame = {
+    val vf = Tables
+      .table(s, dir, "events")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("v"))
+      .groupBy("v")
+      .agg(count(lit(1)).as("c"))
+    val tot = vf.agg(
+      sum("c").as("n"),
+      sum((col("v") * col("c")).cast("decimal(38,0)")).cast("long").as("s")
+    )
+    vf.crossJoin(broadcast(tot))
+      .withColumn(
+        "l9",
+        floor(
+          log(
+            (col("v") * col("n")).cast("double") / col("s").cast("double")
+          ) * 1.0e9
+        ).cast("long")
+      )
+      .agg(
+        max("n").as("n"),
+        max("s").as("s"),
+        sum((col("c") * col("v") * col("l9")).cast("decimal(38,0)"))
+          .cast("double")
+          .as("t9s"),
+        sum((col("c") * col("l9")).cast("decimal(38,0)"))
+          .cast("double")
+          .as("a9n")
+      )
+      .select(
+        col("n").as("n_users"),
+        (round(col("s").cast("double") / col("n").cast("double"), 6) + 0.0)
+          .as("mean_count"),
+        (round(col("t9s") / (col("s").cast("double") * 1.0e9), 6) + 0.0)
+          .as("theil_t"),
+        (round(
+          lit(1.0d) - exp(col("a9n") / (col("n").cast("double") * 1.0e9)),
+          6
+        ) + 0.0).as("atkinson_1")
+      )
+  }
+
+  /** q259: log-log price elasticity of demand — the econometric
+    * workhorse ("a 1% price rise moves quantity by ε%") read straight
+    * off lineitem: regress ln(quantity) on ln(unit price), ε = the
+    * slope = cov(ln q, ln p)/var(ln p), with R² alongside. The q120
+    * machinery on LOG scales — which is exactly how elasticities are
+    * estimated in production.
+    *
+    * Determinism: both logs take EXACT-integer-ratio arguments
+    * (quantity centi / 100; price = extendedprice-centi / quantity-
+    * centi) and floor-snap to the 1e-9 grid per row, so all five
+    * moments are exact DECIMAL(38) sums of BIGINTs; slope and R² are
+    * the q120 ratio dags of those integers, round-6.
+    *
+    * Scale shape: ONE corpus aggregate, no shuffle beyond the partial
+    * agg. One-row output.
+    */
+  private def q259(s: SparkSession, dir: String): DataFrame = {
+    val m = Tables
+      .table(s, dir, "lineitem")
+      .select(
+        round(col("l_quantity") * 100.0, 0).cast("long").as("qc"),
+        round(col("l_extendedprice") * 100.0, 0).cast("long").as("pc")
+      )
+      .select(
+        floor(
+          log(col("qc").cast("double") / lit(100.0d)) * 1.0e9
+        ).cast("long").as("lq9"),
+        floor(
+          log(col("pc").cast("double") / col("qc").cast("double")) * 1.0e9
+        ).cast("long").as("lp9")
+      )
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("lq9").cast("decimal(38,0)")).as("sq"),
+        sum(col("lp9").cast("decimal(38,0)")).as("sp"),
+        // l9 values sit near 1e10, so products overflow BIGINT —
+        // widen to DECIMAL(38) BEFORE multiplying
+        sum(col("lq9").cast("decimal(38,0)") * col("lp9")).as("sqp"),
+        sum(col("lp9").cast("decimal(38,0)") * col("lp9")).as("spp"),
+        sum(col("lq9").cast("decimal(38,0)") * col("lq9")).as("sqq")
+      )
+    m.withColumn(
+      "cov_d",
+      (col("n") * col("sqp") - col("sq") * col("sp")).cast("double")
+    ).withColumn(
+      "varp_d",
+      (col("n") * col("spp") - col("sp") * col("sp")).cast("double")
+    ).withColumn(
+      "varq_d",
+      (col("n") * col("sqq") - col("sq") * col("sq")).cast("double")
+    ).select(
+      col("n").as("n_rows"),
+      (round(col("cov_d") / nullif(col("varp_d"), lit(0.0d)), 6) + 0.0)
+        .as("elasticity"),
+      (round(
+        col("cov_d") * col("cov_d") /
+          nullif(col("varp_d") * col("varq_d"), lit(0.0d)),
+        6
+      ) + 0.0).as("r2"),
+      (round(col("sp").cast("double") / (col("n").cast("double") * 1.0e9), 6)
+        + 0.0).as("mean_ln_price"),
+      (round(col("sq").cast("double") / (col("n").cast("double") * 1.0e9), 6)
+        + 0.0).as("mean_ln_qty")
+    )
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q243_did" -> q243,
     "q245_runs_test" -> q245,
@@ -3331,6 +3502,9 @@ object Stats {
     "q249_ridge_path" -> q249,
     "q251_mantel_haenszel" -> q251,
     "q253_pettitt" -> q253,
+    "q256_overdispersion" -> q256,
+    "q257_theil_atkinson" -> q257,
+    "q259_price_elasticity" -> q259,
     "q239_cuped" -> q239,
     "q237_kruskal_wallis" -> q237,
     "q231_fisher_exact" -> q231,
@@ -3417,6 +3591,93 @@ object Stats {
   val oracleSql: Map[String, String] = Map(
     // same epoch-µs midpoint cut, same exact per-user centi frame and
     // DECIMAL moments, same closed-form ρ² and literal-order dag
+    // same exact D = (n·Σx² − (Σx)²)/Σx integer ratio, same sqrt
+    // approximation dag, same raw-dag 1.645 compare
+    "q256_overdispersion" ->
+      """WITH u AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1),
+        |m AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(x AS HUGEINT)) AS sx,
+        |    sum(CAST(x * x AS HUGEINT)) AS sxx
+        |  FROM u),
+        |d AS (
+        |  SELECT *, CAST(n * sxx - sx * sx AS DOUBLE) / CAST(sx AS DOUBLE)
+        |    AS d_raw
+        |  FROM m),
+        |z AS (
+        |  SELECT *, sqrt(2.0 * d_raw)
+        |    - sqrt(2.0 * CAST(n - 1 AS DOUBLE) - 1.0) AS z_raw
+        |  FROM d)
+        |SELECT n AS n_users,
+        |  round(d_raw / CAST(n - 1 AS DOUBLE), 6) + 0.0 AS dispersion_ratio,
+        |  round(z_raw, 4) + 0.0 AS z,
+        |  z_raw > 1.645 AS overdispersed
+        |FROM z""".stripMargin,
+    // same value frame, same 1e-9 floor grid on the exact v·n/S ln
+    // arguments, same exact weighted sums and single T / A1 dags
+    "q257_theil_atkinson" ->
+      """WITH u AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS v
+        |  FROM events GROUP BY 1),
+        |vf AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM u GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(sum(c) AS BIGINT) AS n,
+        |    CAST(sum(v * c) AS BIGINT) AS s
+        |  FROM vf),
+        |l AS (
+        |  SELECT vf.*, tot.n, tot.s,
+        |    CAST(floor(ln(CAST(v * n AS DOUBLE) / CAST(s AS DOUBLE)) * 1.0e9)
+        |         AS BIGINT) AS l9
+        |  FROM vf CROSS JOIN tot),
+        |g AS (
+        |  SELECT max(n) AS n, max(s) AS s,
+        |    CAST(sum(CAST(c * v * l9 AS HUGEINT)) AS DOUBLE) AS t9s,
+        |    CAST(sum(CAST(c * l9 AS HUGEINT)) AS DOUBLE) AS a9n
+        |  FROM l)
+        |SELECT n AS n_users,
+        |  round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6) + 0.0 AS mean_count,
+        |  round(t9s / (CAST(s AS DOUBLE) * 1.0e9), 6) + 0.0 AS theil_t,
+        |  round(1.0 - exp(a9n / (CAST(n AS DOUBLE) * 1.0e9)), 6) + 0.0
+        |    AS atkinson_1
+        |FROM g""".stripMargin,
+    // same exact-integer-ratio ln arguments on the 1e-9 grid, same
+    // five exact moments, same q120 slope/R2 dags
+    "q259_price_elasticity" ->
+      """WITH r AS (
+        |  SELECT CAST(round(l_quantity * 100.0, 0) AS BIGINT) AS qc,
+        |    CAST(round(l_extendedprice * 100.0, 0) AS BIGINT) AS pc
+        |  FROM lineitem),
+        |l AS (
+        |  SELECT
+        |    CAST(floor(ln(CAST(qc AS DOUBLE) / 100.0) * 1.0e9) AS BIGINT)
+        |      AS lq9,
+        |    CAST(floor(ln(CAST(pc AS DOUBLE) / CAST(qc AS DOUBLE)) * 1.0e9)
+        |         AS BIGINT) AS lp9
+        |  FROM r),
+        |m AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(lq9 AS HUGEINT)) AS sq,
+        |    sum(CAST(lp9 AS HUGEINT)) AS sp,
+        |    sum(CAST(lq9 AS HUGEINT) * lp9) AS sqp,
+        |    sum(CAST(lp9 AS HUGEINT) * lp9) AS spp,
+        |    sum(CAST(lq9 AS HUGEINT) * lq9) AS sqq
+        |  FROM l),
+        |d AS (
+        |  SELECT *,
+        |    CAST(n * sqp - sq * sp AS DOUBLE) AS cov_d,
+        |    CAST(n * spp - sp * sp AS DOUBLE) AS varp_d,
+        |    CAST(n * sqq - sq * sq AS DOUBLE) AS varq_d
+        |  FROM m)
+        |SELECT n AS n_rows,
+        |  round(cov_d / nullif(varp_d, 0.0), 6) + 0.0 AS elasticity,
+        |  round(cov_d * cov_d / nullif(varp_d * varq_d, 0.0), 6) + 0.0 AS r2,
+        |  round(CAST(sp AS DOUBLE) / (CAST(n AS DOUBLE) * 1.0e9), 6) + 0.0
+        |    AS mean_ln_price,
+        |  round(CAST(sq AS DOUBLE) / (CAST(n AS DOUBLE) * 1.0e9), 6) + 0.0
+        |    AS mean_ln_qty
+        |FROM d""".stripMargin,
     // same exact 2-midrank posting over the distinct daily values,
     // same exact U_t = A_t - t(n+1) cumsum, same earliest-date argmax
     // and exp dag, same raw-dag 0.05 compare

@@ -81,7 +81,8 @@ class GlobalWindowAuditSpec extends SparkSpec {
     "q250_sax_motifs" -> "two lead()s over the daily aggregate frame (calendar-bounded rows — the q156 frame)",
     "q251_mantel_haenszel" -> "quartile-threshold cumsum over the distinct pre-count VALUE frame (the q248 frame)",
     "q253_pettitt" -> "2-midrank posting over the distinct daily-value frame + U_t cumsum over the daily frame (both calendar-bounded — the q150/q156 frames)",
-    "q254_decomposition" -> "centered 7-day moving window over the daily aggregate frame (calendar-bounded rows — the q156 frame)"
+    "q254_decomposition" -> "centered 7-day moving window over the daily aggregate frame (calendar-bounded rows — the q156 frame)",
+    "q258_topk_churn" -> "month indexing over the DISTINCT observed-month frame (calendar-bounded rows); per-month ranks are partitioned"
   )
 
   private def globalWindows(p: SparkPlan): Seq[SparkPlan] =

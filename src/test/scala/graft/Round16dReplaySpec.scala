@@ -611,6 +611,134 @@ class Round16dReplaySpec extends SparkSpec {
     }
   }
 
+  test("q256 overdispersion equals brute count moments") {
+    import spark.implicits._
+    val counts = graft.queries.Tables
+      .table(spark, dir, "events")
+      .select("user_id")
+      .as[Long]
+      .collect()
+      .toSeq
+      .groupBy(identity)
+      .map(_._2.size.toLong)
+      .toSeq
+    val n = counts.size.toLong
+    val sx = counts.map(BigInt(_)).sum
+    val sxx = counts.map(x => BigInt(x) * x).sum
+    val d = (BigInt(n) * sxx - sx * sx).toDouble / sx.toDouble
+    val z = math.sqrt(2.0 * d) - math.sqrt(2.0 * (n - 1) - 1.0)
+    val r = q("q256_overdispersion").collect().head
+    assert(r.getLong(0) === n)
+    assert(math.abs(r.getDouble(1) - d / (n - 1)) < 1e-5)
+    assert(math.abs(r.getDouble(2) - z) < 1e-3)
+    assert(r.getBoolean(3) === (z > 1.645))
+  }
+
+  test("q257 Theil/Atkinson equal naive inequality sums") {
+    import spark.implicits._
+    val counts = graft.queries.Tables
+      .table(spark, dir, "events")
+      .select("user_id")
+      .as[Long]
+      .collect()
+      .toSeq
+      .groupBy(identity)
+      .map(_._2.size.toLong)
+      .toSeq
+    val n = counts.size.toLong
+    val s = counts.sum
+    def l9(v: Long) =
+      math.floor(math.log(v.toDouble * n / s) * 1e9).toLong
+    val t9s = counts.map(v => BigInt(v) * l9(v)).sum
+    val a9n = counts.map(v => BigInt(l9(v))).sum
+    val r = q("q257_theil_atkinson").collect().head
+    assert(r.getLong(0) === n)
+    assert(math.abs(r.getDouble(2) - t9s.toDouble / (s.toDouble * 1e9)) < 1e-5)
+    assert(
+      math.abs(
+        r.getDouble(3) - (1.0 - math.exp(a9n.toDouble / (n.toDouble * 1e9)))
+      ) < 1e-5
+    )
+    // inequality indices are nonnegative and bounded sanely
+    assert(r.getDouble(2) >= 0.0 && r.getDouble(3) >= 0.0)
+    assert(r.getDouble(3) < 1.0)
+  }
+
+  test("q258 top-k churn equals a naive monthly top-20 walk") {
+    import spark.implicits._
+    val rows = graft.queries.Tables
+      .table(spark, dir, "lineitem")
+      .selectExpr(
+        "date_format(l_shipdate, 'yyyy-MM') AS m",
+        "l_partkey",
+        "CAST(round(l_extendedprice * 100.0, 0) AS BIGINT) AS rc"
+      )
+      .as[(String, Long, Long)]
+      .collect()
+      .toSeq
+    val byMonth = rows
+      .groupBy(_._1)
+      .map { case (m, rs) =>
+        val top = rs
+          .groupBy(_._2)
+          .map { case (p, xs) => (p, xs.map(_._3).sum) }
+          .toSeq
+          .sortBy { case (p, rev) => (-rev, p) }
+          .take(20)
+          .map(_._1)
+          .toSet
+        (m, top)
+      }
+      .toSeq
+      .sortBy(_._1)
+    val expected = byMonth.sliding(2).collect { case Seq((m1, a), (m2, b)) =>
+      val c = (a & b).size.toLong
+      (m1, m2, a.size.toLong, b.size.toLong, c,
+        c.toDouble / (a.size + b.size - c))
+    }.toSeq
+    val got = q("q258_topk_churn").collect().toSeq
+    assert(got.size === expected.size)
+    got.zip(expected).foreach { case (r, (m1, m2, ka, kb, c, j)) =>
+      assert(r.getString(0) === m1 && r.getString(1) === m2)
+      assert(r.getLong(2) === ka && r.getLong(3) === kb && r.getLong(4) === c)
+      assert(math.abs(r.getDouble(5) - j) < 1e-3)
+    }
+  }
+
+  test("q259 elasticity equals a naive log-log regression") {
+    import spark.implicits._
+    val rows = graft.queries.Tables
+      .table(spark, dir, "lineitem")
+      .selectExpr(
+        "CAST(round(l_quantity * 100.0, 0) AS BIGINT)",
+        "CAST(round(l_extendedprice * 100.0, 0) AS BIGINT)"
+      )
+      .as[(Long, Long)]
+      .collect()
+      .toSeq
+    val ls = rows.map { case (qc, pc) =>
+      (
+        math.floor(math.log(qc.toDouble / 100.0) * 1e9).toLong,
+        math.floor(math.log(pc.toDouble / qc.toDouble) * 1e9).toLong
+      )
+    }
+    val n = ls.size.toLong
+    val sq = ls.map(x => BigInt(x._1)).sum
+    val sp = ls.map(x => BigInt(x._2)).sum
+    val sqp = ls.map(x => BigInt(x._1) * x._2).sum
+    val spp = ls.map(x => BigInt(x._2) * x._2).sum
+    val sqq = ls.map(x => BigInt(x._1) * x._1).sum
+    val cov = (BigInt(n) * sqp - sq * sp).toDouble
+    val varp = (BigInt(n) * spp - sp * sp).toDouble
+    val varq = (BigInt(n) * sqq - sq * sq).toDouble
+    val r = q("q259_price_elasticity").collect().head
+    assert(r.getLong(0) === n)
+    assert(math.abs(r.getDouble(1) - cov / varp) < 1e-4)
+    assert(math.abs(r.getDouble(2) - cov * cov / (varp * varq)) < 1e-5)
+    // R2 is a squared correlation: bounded [0, 1]
+    assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0)
+  }
+
   test("q247 GPD fit equals sorted-array order statistics") {
     import spark.implicits._
     val vcs = graft.queries.Tables
