@@ -25,6 +25,7 @@ object SparkEntry {
       graft.etl.CsvGateQuery.queries ++
       graft.etl.OrcGateQuery.queries ++
       graft.etl.AvroGateQuery.queries ++
+      graft.etl.XmlGateQuery.queries ++
       graft.catalog.BucketedGateQuery.queries ++
       graft.catalog.DppGateQuery.queries ++
       graft.catalog.MvGateQuery.queries ++
@@ -86,6 +87,7 @@ object SparkEntry {
       graft.etl.CsvGateQuery.oracleSql ++
       graft.etl.OrcGateQuery.oracleSql ++
       graft.etl.AvroGateQuery.oracleSql ++
+      graft.etl.XmlGateQuery.oracleSql ++
       graft.catalog.BucketedGateQuery.oracleSql ++
       graft.catalog.DppGateQuery.oracleSql ++
       graft.catalog.MvGateQuery.oracleSql ++

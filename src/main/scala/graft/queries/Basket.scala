@@ -323,11 +323,85 @@ object Basket {
       .orderBy("m1")
   }
 
+  /** q261: ABC (Pareto) inventory classification — split the catalog
+    * into A ("the vital few": parts covering the first 80% of revenue),
+    * B (to 95%), and C ("the trivial many") — the warehouse-management
+    * classic behind cycle-count frequency, stocking policy, and buyer
+    * attention, and the merchandising complement of q258 (churn tracks
+    * WHO is on top; ABC prices how concentrated the top is).
+    *
+    * Determinism: per-part revenues are exact centi BIGINTs; the
+    * descending cumulative uses the q46b TWO-LEVEL cumulation (shard =
+    * rc div 2²⁰; shard offsets from the bounded shard frame; the local
+    * window PARTITIONED by shard — no corpus-sized global window);
+    * class cuts compare cum·100 against T·80 / T·95 as exact integers
+    * (the crossing part goes to the next class); shares are single
+    * divisions round-4.
+    *
+    * Scale shape: one fact aggregate keyed by part; the shard-offset
+    * frame is value-range-bounded; the final rollup is 3 rows.
+    */
+  private def q261(s: SparkSession, dir: String): DataFrame = {
+    val rev = Tables
+      .table(s, dir, "lineitem")
+      .groupBy(col("l_partkey").as("part"))
+      .agg(sum(round(col("l_extendedprice") * 100.0, 0).cast("long")).as("rc"))
+      .withColumn("shard", expr("rc div 1048576"))
+    val offsets = rev
+      .groupBy("shard")
+      .agg(sum(col("rc").cast("decimal(38,0)")).cast("long").as("shard_rc"))
+      .withColumn(
+        "shard_offset",
+        coalesce(
+          sum("shard_rc").over(
+            Window
+              .orderBy(col("shard").desc)
+              .rowsBetween(Window.unboundedPreceding, -1)
+          ),
+          lit(0L)
+        )
+      )
+      .select("shard", "shard_offset")
+    val local = Window
+      .partitionBy("shard")
+      .orderBy(col("rc").desc, col("part"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val total = rev.agg(
+      sum(col("rc").cast("decimal(38,0)")).cast("long").as("t")
+    )
+    rev
+      .join(broadcast(offsets), "shard")
+      .withColumn("cum", col("shard_offset") + sum("rc").over(local))
+      .crossJoin(broadcast(total))
+      .withColumn(
+        "abc_class",
+        when(col("cum") * 100 <= col("t") * 80, "A")
+          .when(col("cum") * 100 <= col("t") * 95, "B")
+          .otherwise("C")
+      )
+      .groupBy("abc_class")
+      .agg(
+        count(lit(1)).as("n_parts"),
+        sum(col("rc").cast("decimal(38,0)")).cast("long").as("class_rc"),
+        max("t").as("t")
+      )
+      .select(
+        col("abc_class"),
+        col("n_parts"),
+        (round(col("class_rc").cast("double") / 100.0d, 2) + 0.0)
+          .as("revenue"),
+        (round(col("class_rc").cast("double") / col("t").cast("double"), 4)
+          + 0.0).as("revenue_share")
+      )
+      .orderBy("abc_class")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q129_basket_rules" -> q129,
     "q232_basket_triples" -> q232,
     "q242_item_cf" -> q242,
-    "q258_topk_churn" -> q258
+    "q258_topk_churn" -> q258,
+    "q261_abc_classes" -> q261
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -440,6 +514,32 @@ object Basket {
         |FROM sizes sa
         |JOIN sizes sb ON sb.mi = sa.mi + 1
         |LEFT JOIN com ON com.mi = sa.mi
-        |ORDER BY m1""".stripMargin
+        |ORDER BY m1""".stripMargin,
+    // naive single descending cumsum replay of the two-level shard
+    // cumulation, same exact cum·100 vs T·80/95 integer cuts
+    "q261_abc_classes" ->
+      """WITH rev AS (
+        |  SELECT l_partkey AS part,
+        |    CAST(sum(CAST(round(l_extendedprice * 100.0, 0) AS BIGINT))
+        |         AS BIGINT) AS rc
+        |  FROM lineitem GROUP BY 1),
+        |tot AS (SELECT CAST(sum(rc) AS BIGINT) AS t FROM rev),
+        |cum AS (
+        |  SELECT rc,
+        |    CAST(sum(rc) OVER (ORDER BY rc DESC, part
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum
+        |  FROM rev),
+        |cl AS (
+        |  SELECT rc,
+        |    CASE WHEN cum * 100 <= t * 80 THEN 'A'
+        |         WHEN cum * 100 <= t * 95 THEN 'B'
+        |         ELSE 'C' END AS abc_class, t
+        |  FROM cum CROSS JOIN tot)
+        |SELECT abc_class, CAST(count(*) AS BIGINT) AS n_parts,
+        |  round(CAST(sum(rc) AS DOUBLE) / 100.0, 2) + 0.0 AS revenue,
+        |  round(CAST(sum(rc) AS DOUBLE) / CAST(max(t) AS DOUBLE), 4) + 0.0
+        |    AS revenue_share
+        |FROM cl GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -739,6 +739,50 @@ class Round16dReplaySpec extends SparkSpec {
     assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0)
   }
 
+  test("q261 ABC classes equal a naive descending cumsum") {
+    import spark.implicits._
+    val rev = graft.queries.Tables
+      .table(spark, dir, "lineitem")
+      .selectExpr(
+        "l_partkey",
+        "CAST(round(l_extendedprice * 100.0, 0) AS BIGINT) AS rc"
+      )
+      .as[(Long, Long)]
+      .collect()
+      .toSeq
+      .groupBy(_._1)
+      .map { case (p, rs) => (p, rs.map(_._2).sum) }
+      .toSeq
+      .sortBy { case (p, rc) => (-rc, p) }
+    val t = rev.map(_._2).sum
+    var cum = 0L
+    val classes = rev.map { case (_, rc) =>
+      cum += rc
+      val c =
+        if (cum * 100 <= t * 80) "A" else if (cum * 100 <= t * 95) "B" else "C"
+      (c, rc)
+    }
+    val expected = classes
+      .groupBy(_._1)
+      .map { case (c, rs) =>
+        (c, rs.size.toLong, rs.map(_._2).sum)
+      }
+      .toSeq
+      .sortBy(_._1)
+    val got = q("q261_abc_classes").collect().toSeq
+    assert(got.size === expected.size)
+    got.zip(expected).foreach { case (r, (c, np, crc)) =>
+      assert(r.getString(0) === c && r.getLong(1) === np)
+      assert(math.abs(r.getDouble(2) - crc.toDouble / 100.0) < 1e-6)
+      assert(math.abs(r.getDouble(3) - crc.toDouble / t) < 1e-3)
+    }
+    // class-cut semantics: A's share can never exceed the 80% cut
+    // (the crossing part goes to B), and all shares sum to 1
+    val aShare = got.find(_.getString(0) == "A").get.getDouble(3)
+    assert(aShare <= 0.80 + 1e-9)
+    assert(math.abs(got.map(_.getDouble(3)).sum - 1.0) < 1e-3)
+  }
+
   test("q247 GPD fit equals sorted-array order statistics") {
     import spark.implicits._
     val vcs = graft.queries.Tables
