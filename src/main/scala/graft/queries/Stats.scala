@@ -3493,7 +3493,228 @@ object Stats {
     )
   }
 
+  /** q262: Cliff's delta effect size — the number the q150
+    * Mann–Whitney p-value is supposed to be read WITH (at corpus n,
+    * everything is "significant"; δ = P(a>b) − P(a<b) ∈ [−1, 1] says
+    * whether the dominance is worth acting on), plus the standard
+    * Romano magnitude label (|δ| < .147 negligible, < .33 small,
+    * < .474 medium, else large).
+    *
+    * Determinism: rides q150's exact machinery unchanged — per-value
+    * arm counts, the two-level shard cumulation, u2a = Σcₐ(2·cb_lt +
+    * c_b) = 2·U_A exact — and δ = (u2a − nₐn_b)/(nₐn_b) is ONE
+    * division of exact integers; the label compares the RAW |δ| dag
+    * against the Romano literals.
+    *
+    * Scale shape: q150's exactly (value-frame + shard offsets).
+    * One-row output.
+    */
+  private def q262(s: SparkSession, dir: String): DataFrame = {
+    val perVal = Tables
+      .table(s, dir, "events")
+      .select(
+        round(col("value") * 100.0, 0).cast("long").as("vc"),
+        when(graft.llm.Sampling.bucket100(col("user_id")) < 50, 1L)
+          .otherwise(0L)
+          .as("a")
+      )
+      .groupBy("vc")
+      .agg(sum("a").as("ca"), (count(lit(1)) - sum("a")).as("cb"))
+      .withColumn("shard", expr("(vc - pmod(vc, 256)) div 256"))
+    val offsets = perVal
+      .groupBy("shard")
+      .agg(sum("cb").as("sb"))
+      .withColumn(
+        "off_b",
+        coalesce(
+          sum("sb").over(
+            Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)
+          ),
+          lit(0L)
+        )
+      )
+      .select("shard", "off_b")
+    val localEx = Window
+      .partitionBy("shard")
+      .orderBy("vc")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    perVal
+      .join(broadcast(offsets), "shard")
+      .withColumn(
+        "cb_lt",
+        col("off_b") + coalesce(sum("cb").over(localEx), lit(0L))
+      )
+      .agg(
+        sum("ca").as("na"),
+        sum("cb").as("nb"),
+        sum((col("ca") * (col("cb_lt") * 2 + col("cb"))).cast("decimal(38,0)"))
+          .as("u2a")
+      )
+      .withColumn(
+        "delta_raw",
+        (col("u2a") - col("na").cast("decimal(38,0)") * col("nb"))
+          .cast("double") /
+          (col("na").cast("decimal(38,0)") * col("nb")).cast("double")
+      )
+      .select(
+        col("na").as("n_a"),
+        col("nb").as("n_b"),
+        (round(col("delta_raw"), 6) + 0.0).as("cliffs_delta"),
+        when(abs(col("delta_raw")) < lit(0.147d), "negligible")
+          .when(abs(col("delta_raw")) < lit(0.33d), "small")
+          .when(abs(col("delta_raw")) < lit(0.474d), "medium")
+          .otherwise("large")
+          .as("magnitude")
+      )
+  }
+
+  /** q263: sequential probability ratio test (SPRT) trace — Wald's
+    * always-valid test, the ancestor of every "peeking-safe"
+    * experimentation platform (fixed-horizon tests like q87 are
+    * invalid under daily peeking; the SPRT's LLR random walk with
+    * ln B / ln A boundaries holds α and β by construction at EVERY
+    * look): daily cumulative LLR of the purchase share against
+    * H₀: p₀ = 0.19 vs H₁: p₁ = 0.21, α = β = 0.05.
+    *
+    * Determinism: the two per-observation log-likelihood increments
+    * are floor-snapped to the 1e-9 grid ONCE (their arguments are the
+    * p₀/p₁ literals), so each day's LLR is an exact BIGINT
+    * S·l₁ + F·l₂ and the cumulative walk never floats; boundary
+    * crossings compare exact integers against the snapped ±ln(19)
+    * boundary; the first-crossing day is an exact min.
+    *
+    * Scale shape: one corpus pass → the calendar-bounded daily frame;
+    * one cumsum (the q156 convention); a 1-row summary. One-row
+    * output.
+    */
+  private def q263(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables
+      .table(s, dir, "events")
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("sc"),
+        sum(when(col("event_type") =!= "purchase", 1L).otherwise(0L)).as("fc")
+      )
+    val l1 = floor(log(lit(0.21d) / lit(0.19d)) * 1.0e9).cast("long")
+    val l2 = floor(log(lit(0.79d) / lit(0.81d)) * 1.0e9).cast("long")
+    val bound = floor(log(lit(19.0d)) * 1.0e9).cast("long")
+    val walk = daily
+      .withColumn(
+        "llr9",
+        sum(col("sc") * l1 + col("fc") * l2).over(
+          Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+        )
+      )
+      .withColumn(
+        "decision",
+        when(col("llr9") >= bound, "accept_h1")
+          .when(col("llr9") <= -bound, "accept_h0")
+          .otherwise("continue")
+      )
+    val firstCross = walk
+      .filter(col("decision") =!= "continue")
+      .agg(min(col("d").cast("string")).as("first_cross_day"))
+    val last = walk
+      .orderBy(col("d").desc)
+      .limit(1)
+      .select(
+        col("llr9"),
+        col("decision").as("final_decision")
+      )
+    walk
+      .agg(
+        count(lit(1)).as("n_days"),
+        sum("sc").as("n_success"),
+        sum("fc").as("n_failure")
+      )
+      .crossJoin(broadcast(firstCross))
+      .crossJoin(broadcast(last))
+      .select(
+        col("n_days"),
+        col("n_success"),
+        col("n_failure"),
+        col("first_cross_day"),
+        (round(col("llr9").cast("double") / 1.0e9, 4) + 0.0).as("final_llr"),
+        col("final_decision")
+      )
+  }
+
+  /** q264: empirical-Bayes rate shrinkage — the "smoothed CTR" every
+    * ranking and quality pipeline ships (a part with 1 return in 2
+    * sales must not outrank one with 40 in 100): fit a Beta prior to
+    * the observed per-part return-rate distribution by method of
+    * moments (α = m(m(1−m)/v − 1), β = (1−m)·same), then shrink each
+    * part's rate to (x + α)/(n + α + β) — small-n parts pull to the
+    * prior mean, large-n parts keep their data. Top-10 by shrunken
+    * rate.
+    *
+    * Determinism: per-part rates live on the exact per-million `div`
+    * grid; the prior's m and v come from exact integer moments of
+    * those grid rates (one aggregate); α, β, and every shrunken rate
+    * are single dags of exact integers, round-6; the top-10 orders on
+    * (rounded rate, part).
+    *
+    * Scale shape: one fact aggregate keyed by part → one 3-moment
+    * aggregate → a broadcast 1-row prior joined back map-side;
+    * TakeOrdered top-10. Ten-row output.
+    */
+  private def q264(s: SparkSession, dir: String): DataFrame = {
+    val parts = Tables
+      .table(s, dir, "lineitem")
+      .groupBy(col("l_partkey").as("part"))
+      .agg(
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("x"),
+        count(lit(1)).as("n")
+      )
+      .withColumn("r6", expr("x * 1000000 div n"))
+    val prior = parts
+      .agg(
+        count(lit(1)).as("k"),
+        sum(col("r6").cast("decimal(38,0)")).as("sr"),
+        sum((col("r6") * col("r6")).cast("decimal(38,0)")).as("srr")
+      )
+      .withColumn("m", col("sr").cast("double") / (col("k").cast("double") * 1.0e6))
+      .withColumn(
+        "v",
+        (col("k") * col("srr") - col("sr") * col("sr")).cast("double") /
+          ((col("k") * (col("k") - 1)).cast("double") * 1.0e12)
+      )
+      .withColumn(
+        "ab",
+        col("m") * (lit(1.0d) - col("m")) / nullif(col("v"), lit(0.0d)) -
+          lit(1.0d)
+      )
+      .withColumn("alpha", col("m") * col("ab"))
+      .withColumn("beta", (lit(1.0d) - col("m")) * col("ab"))
+      .select("alpha", "beta")
+    parts
+      .crossJoin(broadcast(prior))
+      .withColumn(
+        "shrunk",
+        round(
+          (col("x").cast("double") + col("alpha")) /
+            (col("n").cast("double") + col("alpha") + col("beta")),
+          6
+        ) + 0.0
+      )
+      .select(
+        col("part"),
+        col("x").as("n_returns"),
+        col("n").as("n_sales"),
+        (round(col("x").cast("double") / col("n").cast("double"), 6) + 0.0)
+          .as("raw_rate"),
+        col("shrunk").as("shrunken_rate"),
+        (round(col("alpha"), 4) + 0.0).as("alpha"),
+        (round(col("beta"), 4) + 0.0).as("beta")
+      )
+      .orderBy(desc("shrunken_rate"), col("part"))
+      .limit(10)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q262_cliffs_delta" -> q262,
+    "q263_sprt" -> q263,
+    "q264_eb_shrinkage" -> q264,
     "q243_did" -> q243,
     "q245_runs_test" -> q245,
     "q246_hodges_lehmann" -> q246,
@@ -3591,6 +3812,115 @@ object Stats {
   val oracleSql: Map[String, String] = Map(
     // same epoch-µs midpoint cut, same exact per-user centi frame and
     // DECIMAL moments, same closed-form ρ² and literal-order dag
+    // same q150 value-frame machinery (naive single window — the
+    // oracle may scan), same exact u2a and single delta division,
+    // same raw-dag Romano thresholds
+    "q262_cliffs_delta" ->
+      """WITH s AS (
+        |  SELECT CAST(round(value * 100, 0) AS BIGINT) AS vc,
+        |    CASE WHEN CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+        |              AS BIGINT) % 100 < 50 THEN 1 ELSE 0 END AS a
+        |  FROM events),
+        |pv AS (
+        |  SELECT vc, CAST(sum(a) AS BIGINT) AS ca,
+        |    CAST(count(*) - sum(a) AS BIGINT) AS cb
+        |  FROM s GROUP BY 1),
+        |c AS (
+        |  SELECT ca, cb,
+        |    CAST(coalesce(sum(cb) OVER (ORDER BY vc
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS cb_lt
+        |  FROM pv),
+        |m AS (
+        |  SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb,
+        |    sum(CAST(ca * (cb_lt * 2 + cb) AS HUGEINT)) AS u2a
+        |  FROM c),
+        |d AS (
+        |  SELECT *, CAST(u2a - CAST(na AS HUGEINT) * nb AS DOUBLE)
+        |    / CAST(CAST(na AS HUGEINT) * nb AS DOUBLE) AS delta_raw
+        |  FROM m)
+        |SELECT na AS n_a, nb AS n_b,
+        |  round(delta_raw, 6) + 0.0 AS cliffs_delta,
+        |  CASE WHEN abs(delta_raw) < 0.147 THEN 'negligible'
+        |       WHEN abs(delta_raw) < 0.33 THEN 'small'
+        |       WHEN abs(delta_raw) < 0.474 THEN 'medium'
+        |       ELSE 'large' END AS magnitude
+        |FROM d""".stripMargin,
+    // same 1e-9-snapped per-observation LLR increments, same exact
+    // BIGINT cumulative walk and snapped ln(19) boundaries
+    "q263_sprt" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS d,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS sc,
+        |    CAST(sum(CASE WHEN event_type <> 'purchase' THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS fc
+        |  FROM events GROUP BY 1),
+        |k AS (
+        |  SELECT CAST(floor(ln(0.21 / 0.19) * 1.0e9) AS BIGINT) AS l1,
+        |    CAST(floor(ln(0.79 / 0.81) * 1.0e9) AS BIGINT) AS l2,
+        |    CAST(floor(ln(19.0) * 1.0e9) AS BIGINT) AS bound),
+        |walk AS (
+        |  SELECT d, sc, fc,
+        |    CAST(sum(sc * l1 + fc * l2) OVER (ORDER BY d
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS llr9,
+        |    bound
+        |  FROM daily CROSS JOIN k),
+        |dec AS (
+        |  SELECT *, CASE WHEN llr9 >= bound THEN 'accept_h1'
+        |                 WHEN llr9 <= -bound THEN 'accept_h0'
+        |                 ELSE 'continue' END AS decision
+        |  FROM walk),
+        |fx AS (
+        |  SELECT min(CAST(d AS VARCHAR)) AS first_cross_day
+        |  FROM dec WHERE decision <> 'continue'),
+        |lastd AS (
+        |  SELECT llr9, decision AS final_decision
+        |  FROM dec ORDER BY d DESC LIMIT 1),
+        |tot AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_days,
+        |    CAST(sum(sc) AS BIGINT) AS n_success,
+        |    CAST(sum(fc) AS BIGINT) AS n_failure
+        |  FROM daily)
+        |SELECT n_days, n_success, n_failure, first_cross_day,
+        |  round(CAST(llr9 AS DOUBLE) / 1.0e9, 4) + 0.0 AS final_llr,
+        |  final_decision
+        |FROM tot CROSS JOIN fx CROSS JOIN lastd""".stripMargin,
+    // same per-million div rate grid, same exact prior moments and
+    // MOM alpha/beta dag, same shrunken-rate ordering
+    "q264_eb_shrinkage" ->
+      """WITH p AS (
+        |  SELECT l_partkey AS part,
+        |    CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS x,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM lineitem GROUP BY 1),
+        |r AS (SELECT *, x * 1000000 // n AS r6 FROM p),
+        |m AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS k,
+        |    sum(CAST(r6 AS HUGEINT)) AS sr,
+        |    sum(CAST(r6 * r6 AS HUGEINT)) AS srr
+        |  FROM r),
+        |pr AS (
+        |  SELECT
+        |    CAST(sr AS DOUBLE) / (CAST(k AS DOUBLE) * 1.0e6) AS mm,
+        |    CAST(k * srr - sr * sr AS DOUBLE)
+        |      / (CAST(k * (k - 1) AS DOUBLE) * 1.0e12) AS v
+        |  FROM m),
+        |ab AS (
+        |  SELECT mm * (1.0 - mm) / nullif(v, 0.0) - 1.0 AS ab0, mm FROM pr),
+        |pri AS (
+        |  SELECT mm * ab0 AS alpha, (1.0 - mm) * ab0 AS beta FROM ab)
+        |SELECT part, x AS n_returns, n AS n_sales,
+        |  round(CAST(x AS DOUBLE) / CAST(n AS DOUBLE), 6) + 0.0 AS raw_rate,
+        |  round((CAST(x AS DOUBLE) + alpha)
+        |        / (CAST(n AS DOUBLE) + alpha + beta), 6) + 0.0
+        |    AS shrunken_rate,
+        |  round(alpha, 4) + 0.0 AS alpha,
+        |  round(beta, 4) + 0.0 AS beta
+        |FROM r CROSS JOIN pri
+        |ORDER BY shrunken_rate DESC, part LIMIT 10""".stripMargin,
     // same exact D = (n·Σx² − (Σx)²)/Σx integer ratio, same sqrt
     // approximation dag, same raw-dag 1.645 compare
     "q256_overdispersion" ->

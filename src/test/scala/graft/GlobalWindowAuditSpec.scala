@@ -83,7 +83,9 @@ class GlobalWindowAuditSpec extends SparkSpec {
     "q253_pettitt" -> "2-midrank posting over the distinct daily-value frame + U_t cumsum over the daily frame (both calendar-bounded — the q150/q156 frames)",
     "q254_decomposition" -> "centered 7-day moving window over the daily aggregate frame (calendar-bounded rows — the q156 frame)",
     "q258_topk_churn" -> "month indexing over the DISTINCT observed-month frame (calendar-bounded rows); per-month ranks are partitioned",
-    "q261_abc_classes" -> "descending cumulation: window over SHARD offsets (≤ revenue-range/2^20 rows — the q46b two-level pattern); the per-part cumsum is partitioned by shard"
+    "q261_abc_classes" -> "descending cumulation: window over SHARD offsets (≤ revenue-range/2^20 rows — the q46b two-level pattern); the per-part cumsum is partitioned by shard",
+    "q262_cliffs_delta" -> "two-level cumulation: window over SHARD offsets (≤ value-range/256 rows — the q150 machinery verbatim)",
+    "q263_sprt" -> "LLR cumsum over the daily aggregate frame (calendar-bounded rows — the q156 frame)"
   )
 
   private def globalWindows(p: SparkPlan): Seq[SparkPlan] =

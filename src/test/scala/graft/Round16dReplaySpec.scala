@@ -783,6 +783,145 @@ class Round16dReplaySpec extends SparkSpec {
     assert(math.abs(got.map(_.getDouble(3)).sum - 1.0) < 1e-3)
   }
 
+  test("q262 Cliff's delta equals a brute pairwise dominance count") {
+    import spark.implicits._
+    val rows = graft.queries.Tables
+      .table(spark, dir, "events")
+      .selectExpr(
+        "CAST(round(value * 100.0, 0) AS BIGINT) AS vc",
+        "user_id"
+      )
+      .as[(Long, Long)]
+      .collect()
+      .toSeq
+      .map { case (vc, uid) => (vc, bucket100(uid) < 50) }
+    val (a, b) = rows.partition(_._2)
+    val av = a.map(_._1); val bv = b.map(_._1)
+    // value-frame brute force (n_a*n_b direct pairs would be 1e6 — ok
+    // at sf0.001 but the frame is clearer): gt/lt counts per a-value
+    val bSorted = bv.sorted
+    def countLt(x: Long) = {
+      var lo = 0; var hi = bSorted.size
+      while (lo < hi) {
+        val mid = (lo + hi) / 2
+        if (bSorted(mid) < x) lo = mid + 1 else hi = mid
+      }
+      lo
+    }
+    def countLe(x: Long) = {
+      var lo = 0; var hi = bSorted.size
+      while (lo < hi) {
+        val mid = (lo + hi) / 2
+        if (bSorted(mid) <= x) lo = mid + 1 else hi = mid
+      }
+      lo
+    }
+    val gt = av.map(x => countLt(x).toLong).sum
+    val lt = av.map(x => (bSorted.size - countLe(x)).toLong).sum
+    val delta = (gt - lt).toDouble / (av.size.toLong * bSorted.size)
+    val r = q("q262_cliffs_delta").collect().head
+    assert(r.getLong(0) === av.size.toLong && r.getLong(1) === bv.size.toLong)
+    assert(math.abs(r.getDouble(2) - delta) < 1e-5)
+    // random md5 arms over one population: dominance must be tiny
+    assert(r.getString(3) === "negligible")
+  }
+
+  test("q263 SPRT equals a naive daily LLR walk") {
+    import spark.implicits._
+    val daily = graft.queries.Tables
+      .table(spark, dir, "events")
+      .selectExpr(
+        "CAST(CAST(ts AS DATE) AS STRING) AS d",
+        "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS s"
+      )
+      .as[(String, Int)]
+      .collect()
+      .toSeq
+      .groupBy(_._1)
+      .map { case (d, es) =>
+        (d, es.count(_._2 == 1).toLong, es.count(_._2 == 0).toLong)
+      }
+      .toSeq
+      .sortBy(_._1)
+    val l1 = math.floor(math.log(0.21 / 0.19) * 1e9).toLong
+    val l2 = math.floor(math.log(0.79 / 0.81) * 1e9).toLong
+    val bound = math.floor(math.log(19.0) * 1e9).toLong
+    var llr = 0L
+    var firstCross: Option[String] = None
+    var lastDecision = "continue"
+    daily.foreach { case (d, sc, fc) =>
+      llr += sc * l1 + fc * l2
+      lastDecision =
+        if (llr >= bound) "accept_h1"
+        else if (llr <= -bound) "accept_h0"
+        else "continue"
+      if (lastDecision != "continue" && firstCross.isEmpty)
+        firstCross = Some(d)
+    }
+    // firstCross is min over ALL crossing days in the gate; recompute
+    var llr2 = 0L
+    val crossDays = daily.flatMap { case (d, sc, fc) =>
+      llr2 += sc * l1 + fc * l2
+      if (llr2 >= bound || llr2 <= -bound) Some(d) else None
+    }
+    val r = q("q263_sprt").collect().head
+    assert(r.getLong(0) === daily.size.toLong)
+    assert(r.getLong(1) === daily.map(_._2).sum)
+    assert(r.getLong(2) === daily.map(_._3).sum)
+    if (crossDays.nonEmpty) assert(r.getString(3) === crossDays.min)
+    else assert(r.isNullAt(3))
+    assert(math.abs(r.getDouble(4) - llr.toDouble / 1e9) < 1e-3)
+    assert(r.getString(5) === lastDecision)
+  }
+
+  test("q264 EB shrinkage equals a naive beta-MOM fit") {
+    import spark.implicits._
+    val parts = graft.queries.Tables
+      .table(spark, dir, "lineitem")
+      .selectExpr(
+        "l_partkey",
+        "CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS r"
+      )
+      .as[(Long, Int)]
+      .collect()
+      .toSeq
+      .groupBy(_._1)
+      .map { case (p, rs) =>
+        (p, rs.count(_._2 == 1).toLong, rs.size.toLong)
+      }
+      .toSeq
+    val r6s = parts.map { case (_, x, n) => x * 1000000 / n }
+    val k = r6s.size.toLong
+    val sr = r6s.map(BigInt(_)).sum
+    val srr = r6s.map(v => BigInt(v) * v).sum
+    val m = sr.toDouble / (k * 1.0e6)
+    val v = (BigInt(k) * srr - sr * sr).toDouble / (k.toDouble * (k - 1) * 1e12)
+    val ab = m * (1.0 - m) / v - 1.0
+    val alpha = m * ab
+    val beta = (1.0 - m) * ab
+    val expected = parts
+      .map { case (p, x, n) =>
+        val shrunk = BigDecimal((x + alpha) / (n + alpha + beta))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble
+        (p, x, n, shrunk)
+      }
+      .sortBy { case (p, _, _, s) => (-s, p) }
+      .take(10)
+    val got = q("q264_eb_shrinkage").collect().toSeq
+    assert(got.size === expected.size)
+    got.zip(expected).foreach { case (r, (p, x, n, s)) =>
+      assert(r.getLong(0) === p && r.getLong(1) === x && r.getLong(2) === n)
+      assert(math.abs(r.getDouble(4) - s) < 1e-6)
+    }
+    // the prior must be proper (positive alpha and beta) and
+    // shrinkage must pull extreme small-n rates toward the mean
+    assert(got.head.getDouble(6) > 0.0 && got.head.getDouble(5) > 0.0)
+    got.foreach { r =>
+      assert(r.getDouble(4) <= math.max(r.getDouble(3), m) + 1e-9)
+    }
+  }
+
   test("q247 GPD fit equals sorted-array order statistics") {
     import spark.implicits._
     val vcs = graft.queries.Tables
