@@ -3711,7 +3711,106 @@ object Stats {
       .limit(10)
   }
 
+  /** q265: Wilcoxon signed-rank test — the PAIRED nonparametric test
+    * (q150's Mann–Whitney compares two independent groups; when every
+    * user provides their own pre AND post value, the paired design
+    * removes between-user variance and signed-rank is the
+    * distribution-free way to read it): rank |dᵤ| = |yᵤ − xᵤ| across
+    * users, W⁺ = Σ ranks of positive diffs, z from the exact normal
+    * moments with the standard tie correction; zero diffs drop per
+    * the standard treatment.
+    *
+    * Determinism: |d| is an exact centi BIGINT; midranks post on the
+    * 2R = 2·lt + t + 1 grid via the q150 TWO-LEVEL shard cumulation
+    * over the |d| value frame (no corpus-sized global window);
+    * 2W⁺ = Σ⁺ 2R is exact, the z numerator 2·(2W⁺) − n(n+1) and the
+    * variance integers 2n(n+1)(2n+1) − Σ(t³−t) are exact DECIMAL(38),
+    * one sqrt dag; the flag compares the RAW |z| to 1.96.
+    *
+    * Scale shape: one corpus pass → one user aggregate → the |d|
+    * value frame with shard offsets → one global aggregate. One-row
+    * output.
+    */
+  private def q265(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables
+      .table(s, dir, "events")
+      .select(
+        col("user_id"),
+        unix_micros(col("ts")).as("us"),
+        round(col("value") * 100.0, 0).cast("long").as("vc")
+      )
+    val cut = ev.selectExpr("(min(us) + max(us)) div 2 as cut_us")
+    val user = ev
+      .crossJoin(broadcast(cut))
+      .groupBy("user_id")
+      .agg(
+        (sum(when(col("us") >= col("cut_us"), col("vc")).otherwise(0L)) -
+          sum(when(col("us") < col("cut_us"), col("vc")).otherwise(0L)))
+          .as("d")
+      )
+      .filter(col("d") =!= 0L)
+      .select(abs(col("d")).as("ad"), (col("d") > 0L).cast("long").as("pos"))
+    val perVal = user
+      .groupBy("ad")
+      .agg(count(lit(1)).as("t"), sum("pos").as("tp"))
+      .withColumn("shard", expr("(ad - pmod(ad, 4096)) div 4096"))
+    val offsets = perVal
+      .groupBy("shard")
+      .agg(sum("t").as("st"))
+      .withColumn(
+        "off",
+        coalesce(
+          sum("st").over(
+            Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)
+          ),
+          lit(0L)
+        )
+      )
+      .select("shard", "off")
+    val localEx = Window
+      .partitionBy("shard")
+      .orderBy("ad")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    perVal
+      .join(broadcast(offsets), "shard")
+      .withColumn(
+        "lt",
+        col("off") + coalesce(sum("t").over(localEx), lit(0L))
+      )
+      .withColumn("r2", col("lt") * 2 + col("t") + 1)
+      .agg(
+        sum("t").as("n"),
+        sum((col("tp") * col("r2")).cast("decimal(38,0)")).as("w2"),
+        sum(
+          (col("t").cast("decimal(12,0)") * col("t") * col("t") - col("t"))
+            .cast("decimal(38,0)")
+        ).as("tt")
+      )
+      .withColumn(
+        "num_d",
+        (lit(2L) * col("w2") -
+          (col("n").cast("decimal(12,0)") * (col("n") + 1))
+            .cast("decimal(38,0)")).cast("double")
+      )
+      .withColumn(
+        "den_d",
+        sqrt(
+          ((lit(2L) * col("n").cast("decimal(12,0)") * (col("n") + 1) *
+            (lit(2L) * col("n") + 1)).cast("decimal(38,0)") - col("tt"))
+            .cast("double") / lit(3.0d)
+        )
+      )
+      .withColumn("z_raw", col("num_d") / nullif(col("den_d"), lit(0.0d)))
+      .select(
+        col("n").as("n_nonzero"),
+        (col("w2").cast("double") / 2.0d + 0.0).as("w_plus"),
+        (round(col("z_raw"), 4) + 0.0).as("z"),
+        (abs(col("z_raw")) > lit(1.96d)).as("significant")
+      )
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q265_signed_rank" -> q265,
     "q262_cliffs_delta" -> q262,
     "q263_sprt" -> q263,
     "q264_eb_shrinkage" -> q264,
@@ -3812,6 +3911,51 @@ object Stats {
   val oracleSql: Map[String, String] = Map(
     // same epoch-µs midpoint cut, same exact per-user centi frame and
     // DECIMAL moments, same closed-form ρ² and literal-order dag
+    // same per-user first differences and zero-drop, same 2-midrank
+    // posting over the |d| value frame (naive single window — the
+    // oracle may scan), same exact 2W+ and variance integers, same
+    // raw-dag 1.96 compare
+    "q265_signed_rank" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) AS us,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS vc
+        |  FROM events),
+        |cut AS (SELECT (min(us) + max(us)) // 2 AS cut_us FROM ev),
+        |u AS (
+        |  SELECT user_id,
+        |    CAST(sum(CASE WHEN us >= cut_us THEN vc ELSE 0 END)
+        |         - sum(CASE WHEN us < cut_us THEN vc ELSE 0 END) AS BIGINT)
+        |      AS d
+        |  FROM ev CROSS JOIN cut GROUP BY user_id),
+        |nz AS (
+        |  SELECT abs(d) AS ad, CASE WHEN d > 0 THEN 1 ELSE 0 END AS pos
+        |  FROM u WHERE d <> 0),
+        |pv AS (
+        |  SELECT ad, CAST(count(*) AS BIGINT) AS t,
+        |    CAST(sum(pos) AS BIGINT) AS tp
+        |  FROM nz GROUP BY 1),
+        |mr AS (
+        |  SELECT ad, t, tp,
+        |    2 * CAST(coalesce(sum(t) OVER (ORDER BY ad
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      + t + 1 AS r2
+        |  FROM pv),
+        |m AS (
+        |  SELECT CAST(sum(t) AS BIGINT) AS n,
+        |    sum(CAST(tp * r2 AS HUGEINT)) AS w2,
+        |    sum(CAST(t AS HUGEINT) * t * t - t) AS tt
+        |  FROM mr),
+        |d AS (
+        |  SELECT *,
+        |    CAST(2 * w2 - CAST(n AS HUGEINT) * (n + 1) AS DOUBLE) AS num_d,
+        |    sqrt(CAST(2 * CAST(n AS HUGEINT) * (n + 1) * (2 * n + 1) - tt
+        |              AS DOUBLE) / 3.0) AS den_d
+        |  FROM m)
+        |SELECT n AS n_nonzero,
+        |  CAST(w2 AS DOUBLE) / 2.0 + 0.0 AS w_plus,
+        |  round(num_d / nullif(den_d, 0.0), 4) + 0.0 AS z,
+        |  abs(num_d / nullif(den_d, 0.0)) > 1.96 AS significant
+        |FROM d""".stripMargin,
     // same q150 value-frame machinery (naive single window — the
     // oracle may scan), same exact u2a and single delta division,
     // same raw-dag Romano thresholds

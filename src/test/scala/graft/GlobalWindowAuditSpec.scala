@@ -85,7 +85,8 @@ class GlobalWindowAuditSpec extends SparkSpec {
     "q258_topk_churn" -> "month indexing over the DISTINCT observed-month frame (calendar-bounded rows); per-month ranks are partitioned",
     "q261_abc_classes" -> "descending cumulation: window over SHARD offsets (≤ revenue-range/2^20 rows — the q46b two-level pattern); the per-part cumsum is partitioned by shard",
     "q262_cliffs_delta" -> "two-level cumulation: window over SHARD offsets (≤ value-range/256 rows — the q150 machinery verbatim)",
-    "q263_sprt" -> "LLR cumsum over the daily aggregate frame (calendar-bounded rows — the q156 frame)"
+    "q263_sprt" -> "LLR cumsum over the daily aggregate frame (calendar-bounded rows — the q156 frame)",
+    "q265_signed_rank" -> "two-level cumulation: window over SHARD offsets (≤ |d|-range/4096 rows — the q150 machinery over the paired-diff value frame)"
   )
 
   private def globalWindows(p: SparkPlan): Seq[SparkPlan] =

@@ -922,6 +922,52 @@ class Round16dReplaySpec extends SparkSpec {
     }
   }
 
+  test("q265 signed-rank equals a naive paired midrank walk") {
+    import spark.implicits._
+    val rows = graft.queries.Tables
+      .table(spark, dir, "events")
+      .selectExpr(
+        "user_id",
+        "unix_micros(ts) AS us",
+        "CAST(round(value * 100.0, 0) AS BIGINT) AS vc"
+      )
+      .as[(Long, Long, Long)]
+      .collect()
+      .toSeq
+    val cut = (rows.map(_._2).min + rows.map(_._2).max) / 2
+    val ds = rows
+      .groupBy(_._1)
+      .map { case (_, es) =>
+        es.filter(_._2 >= cut).map(_._3).sum -
+          es.filter(_._2 < cut).map(_._3).sum
+      }
+      .toSeq
+      .filter(_ != 0L)
+    val n = ds.size.toLong
+    val byAbs = ds.map(math.abs).groupBy(identity).toSeq.sortBy(_._1)
+    var lt = 0L
+    val r2ByVal = byAbs.map { case (v, vs) =>
+      val t = vs.size.toLong
+      val r2 = 2 * lt + t + 1
+      lt += t
+      (v, r2)
+    }.toMap
+    val w2 = ds.filter(_ > 0).map(d => BigInt(r2ByVal(math.abs(d)))).sum
+    val tt = byAbs.map { case (_, vs) =>
+      BigInt(vs.size) * vs.size * vs.size - vs.size
+    }.sum
+    val num = (2 * w2 - BigInt(n) * (n + 1)).toDouble
+    val den = math.sqrt(
+      (2 * BigInt(n) * (n + 1) * (2 * n + 1) - tt).toDouble / 3.0
+    )
+    val z = num / den
+    val r = q("q265_signed_rank").collect().head
+    assert(r.getLong(0) === n)
+    assert(r.getDouble(1) === w2.toDouble / 2.0)
+    assert(math.abs(r.getDouble(2) - z) < 1e-3)
+    assert(r.getBoolean(3) === (math.abs(z) > 1.96))
+  }
+
   test("q247 GPD fit equals sorted-array order statistics") {
     import spark.implicits._
     val vcs = graft.queries.Tables
