@@ -396,6 +396,86 @@ object Basket {
       .orderBy("abc_class")
   }
 
+  /** Production swap-in for q242 on DENSIFYING catalogs: this corpus's
+    * per-customer catalog stays ~40 parts at every SF (measured
+    * 35.9/39.6/40.0 at sf0.001/0.01/0.1 — pair volume is LINEAR in
+    * customers: 105k → 1.29M → 13.1M), but a corpus where customers
+    * accumulate unbounded history turns C(k,2) quadratic. The standard
+    * production move is to truncate each catalog to its top-[[maxK]]
+    * parts by (rating, part) before pairing — recommendation quality
+    * concentrates in the strong ratings, and the pair bound becomes
+    * C(maxK,2)·customers by construction. Norms are computed over the
+    * SAME capped matrix, so with maxK ≥ the corpus max catalog the
+    * result is EXACTLY q242 (ItemCfCapSpec pins this).
+    */
+  def itemCfCapped(s: SparkSession, dir: String, maxK: Int): DataFrame = {
+    val ratings = Tables
+      .table(s, dir, "lineitem")
+      .join(
+        Tables.table(s, dir, "orders"),
+        col("l_orderkey") === col("o_orderkey")
+      )
+      .groupBy(col("o_custkey").as("cust"), col("l_partkey").as("part"))
+      .agg(countDistinct(col("l_orderkey")).as("r"))
+      .withColumn(
+        "rk",
+        row_number().over(
+          Window.partitionBy("cust").orderBy(desc("r"), col("part"))
+        )
+      )
+      .filter(col("rk") <= maxK)
+      .drop("rk")
+    val norms = ratings
+      .groupBy("part")
+      .agg(sum((col("r") * col("r")).cast("decimal(38,0)")).cast("long").as("nrm"))
+    val catalogs = ratings
+      .groupBy("cust")
+      .agg(sort_array(collect_list(struct(col("part"), col("r")))).as("ps"))
+    val pairs = catalogs
+      .select(col("ps"), posexplode(col("ps")).as(Seq("i", "a")))
+      .select(
+        col("a"),
+        explode(slice(col("ps"), col("i") + lit(2), size(col("ps")))).as("b")
+      )
+      .select(
+        col("a.part").as("pa"),
+        col("b.part").as("pb"),
+        (col("a.r") * col("b.r")).as("rr")
+      )
+      .groupBy("pa", "pb")
+      .agg(
+        sum(col("rr").cast("decimal(38,0)")).cast("long").as("dot"),
+        count(lit(1)).as("nu")
+      )
+      .filter(col("nu") >= MinSupport)
+    pairs
+      .join(
+        broadcast(
+          norms.withColumnRenamed("part", "pa").withColumnRenamed("nrm", "na")
+        ),
+        "pa"
+      )
+      .join(
+        broadcast(
+          norms.withColumnRenamed("part", "pb").withColumnRenamed("nrm", "nb")
+        ),
+        "pb"
+      )
+      .select(
+        col("pa"),
+        col("pb"),
+        col("nu").as("n_users"),
+        col("dot"),
+        (round(
+          col("dot").cast("double") /
+            (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))),
+          6
+        ) + 0.0).as("cosine")
+      )
+      .orderBy(desc("cosine"), col("pa"), col("pb"))
+      .limit(TopK)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q129_basket_rules" -> q129,
     "q232_basket_triples" -> q232,
