@@ -248,6 +248,14 @@ object Embeddings {
     * q170 as the discovery gate and `cov_warm_sec` as the field.
     */
   private def covarianceFrame(s: SparkSession, dir: String): DataFrame = {
+    // (vi[i], vi[j]) for i ≤ j via TWO Generate stages (posexplode the
+    // anchor dim, then posexplode the tail slice starting AT the
+    // diagonal): the single-stage nested-struct flatten materialized a
+    // d(d+1)/2 = 2080-struct array per input row before exploding it —
+    // the exact pattern q181's wedge generation measured 11.3 s vs
+    // 0.98 s against (the q159 materialize-in-chunks lesson). Same
+    // (i, j, p, a) stream, row for row: i = i0+1, j = i0+j0+1 (1-based),
+    // diagonal included because the slice starts at the anchor itself.
     val pairs = Tables
       .table(s, dir, "embeddings")
       .select(
@@ -255,16 +263,18 @@ object Embeddings {
           "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))"
         ).as("vi")
       )
+      .select(col("vi"), posexplode(col("vi")).as(Seq("i0", "xi")))
       .select(
-        explode(
-          expr(
-            "flatten(transform(vi, (xi, i) -> " +
-              "transform(slice(vi, i + 1, size(vi) - i), (xj, j0) -> " +
-              "struct(i + 1 AS i, i + 1 + j0 AS j, xi * xj AS p, xi AS a))))"
-          )
-        ).as("q")
+        col("i0"),
+        col("xi"),
+        posexplode(expr("slice(vi, i0 + 1, size(vi) - i0)")).as(Seq("j0", "xj"))
       )
-      .select(col("q.i"), col("q.j"), col("q.p"), col("q.a"))
+      .select(
+        (col("i0") + 1).as("i"),
+        (col("i0") + col("j0") + 1).as("j"),
+        (col("xi") * col("xj")).as("p"),
+        col("xi").as("a")
+      )
     val moments = pairs
       .groupBy("i", "j")
       .agg(
@@ -326,13 +336,21 @@ object Embeddings {
     // doubles per round and the corpus-sized covariance scan re-ran
     // ~2⁶ times (measured 136.7 s at sf0.1 vs ~3 s with the matrix
     // cached and each round's tiny vector frame pinned)
+    // partitioned by the OUTPUT dim i at cache time (guide §2.4): every
+    // round's matrix-vector product ends in groupBy(i), and a cache
+    // already hash-partitioned on i satisfies that aggregate's
+    // distribution — each of the 6 rounds (plus the Rayleigh product)
+    // runs as ONE shuffle-free stage over the cached frame instead of
+    // paying an Exchange of the matrix per round (measured 5.7 s →
+    // 2.6 s at sf0.1). Scale-adaptive: repartition uses
+    // spark.sql.shuffle.partitions, so the d²-row frame spreads at any d.
     val sym = graft.llm.Dedup.tcache(
       s,
       cov.union(
         cov
           .filter(col("i") =!= col("j"))
           .select(col("j").as("i"), col("i").as("j"), col("cov"))
-      )
+      ).repartition(col("i"))
     )
     // Iteration protocol (the q70 literal-centroids convention — a
     // BOUNDED model pull, d rows per round): the DISTRIBUTED work of a
@@ -351,8 +369,11 @@ object Embeddings {
     import s.implicits._
     def vDf(xs: Seq[(Int, Double)]) = xs.toDF("d", "r")
     for (_ <- 1 to 6) {
+      // broadcast the d-row vector explicitly: the LocalRelation has no
+      // stats-backed estimate, and a fallback SMJ would re-shuffle the
+      // i-partitioned cache the repartition above exists to protect
       val u = sym
-        .join(vDf(vLit), sym("j") === col("d"))
+        .join(broadcast(vDf(vLit)), sym("j") === col("d"))
         .withColumn("c12", expr("CAST(floor(cov * r * 1.0e12) AS BIGINT)"))
         .groupBy(col("i"))
         .agg((sum(col("c12")).cast("double") / 1.0e12).as("u"))
@@ -372,7 +393,7 @@ object Embeddings {
     val v = vDf(vLit)
     // Rayleigh quotient λ = vᵀAv and the variance share λ/trace(Σ)
     val av = sym
-      .join(v, sym("j") === v("d"))
+      .join(broadcast(v), sym("j") === v("d"))
       .withColumn("c12", expr("CAST(floor(cov * r * 1.0e12) AS BIGINT)"))
       .groupBy(col("i").as("d"))
       .agg((sum(col("c12")).cast("double") / 1.0e12).as("u"))

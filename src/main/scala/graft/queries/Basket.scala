@@ -198,9 +198,19 @@ object Basket {
       )
       .groupBy(col("o_custkey").as("cust"), col("l_partkey").as("part"))
       .agg(countDistinct(col("l_orderkey")).as("r"))
+    // BIGINT sums, not DECIMAL(38): r is orders-per-(customer, part), so
+    // r² and rᵤₐ·rᵤ_b are ≤ ~10⁸ at any plausible scale and each sum runs
+    // over ≤ |customers| raters — bounded ≤ ~10¹⁷ ≪ 2⁶³. The previous
+    // spelling cast the DECIMAL(38) sum to LONG anyway (same value,
+    // asserting exactly this bound) while paying 16-byte decimal
+    // arithmetic through the two hot aggregates — the dot-product one
+    // runs over the C(k,2)-per-customer pair stream (13.1M rows at
+    // sf0.1), where the narrower accumulator is real shuffle/CPU savings
+    // (guide §2.3). itemCfCapped mirrors the spelling (ItemCfCapSpec
+    // pins equality).
     val norms = ratings
       .groupBy("part")
-      .agg(sum((col("r") * col("r")).cast("decimal(38,0)")).cast("long").as("nrm"))
+      .agg(sum(col("r") * col("r")).as("nrm"))
     val catalogs = ratings
       .groupBy("cust")
       .agg(sort_array(collect_list(struct(col("part"), col("r")))).as("ps"))
@@ -217,7 +227,7 @@ object Basket {
       )
       .groupBy("pa", "pb")
       .agg(
-        sum(col("rr").cast("decimal(38,0)")).cast("long").as("dot"),
+        sum(col("rr")).as("dot"),
         count(lit(1)).as("nu")
       )
       .filter(col("nu") >= MinSupport)
@@ -427,7 +437,7 @@ object Basket {
       .drop("rk")
     val norms = ratings
       .groupBy("part")
-      .agg(sum((col("r") * col("r")).cast("decimal(38,0)")).cast("long").as("nrm"))
+      .agg(sum(col("r") * col("r")).as("nrm"))
     val catalogs = ratings
       .groupBy("cust")
       .agg(sort_array(collect_list(struct(col("part"), col("r")))).as("ps"))
@@ -444,7 +454,7 @@ object Basket {
       )
       .groupBy("pa", "pb")
       .agg(
-        sum(col("rr").cast("decimal(38,0)")).cast("long").as("dot"),
+        sum(col("rr")).as("dot"),
         count(lit(1)).as("nu")
       )
       .filter(col("nu") >= MinSupport)

@@ -76,9 +76,23 @@ object Graph {
     // the cache preserves that layout, so every iteration's join reuses
     // it and only the node-sized rank frame shuffles.
     val wout = und.groupBy("src").agg(sum("w").as("wout"))
+    // The layout the scaladoc promises is made EXPLICIT here (r16): left
+    // to the planner, the und⋈wout equi-join broadcasts the node-sized
+    // wout, which leaves the cached frame with the UNION's (unknown)
+    // partitioning — and every power iteration then re-ran Exchange+Sort
+    // over the cached edge frame (the before plan's
+    // `Sort+Exchange+InMemoryTableScan` join arm). The MERGE hint makes
+    // the build join itself sort-merge: its output is already
+    // hash-partitioned AND sorted by src, the cache preserves both, and
+    // each iteration's join consumes the cache as-is — only the
+    // node-sized rank frame shuffles per round (guide §2.4). The build
+    // pays the one src-exchange it needed anyway instead of the
+    // iterations re-paying it every round.
     val edges = graft.llm.Dedup.tcache(
       s,
-      und.join(wout, "src")
+      und
+        .hint("merge")
+        .join(wout, "src")
         .select(
           col("src"),
           col("dst"),
@@ -843,12 +857,27 @@ object Graph {
   private def q220(s: SparkSession, dir: String): DataFrame = {
     val orders = Tables.table(s, dir, "orders")
     val lineitem = Tables.table(s, dir, "lineitem")
-    val edges = graft.llm.Dedup.tcache(
+    // DUAL-LAYOUT edge cache (r16, guide §2.4): the two half-steps join
+    // the edge list on DIFFERENT keys (authority update on cu, hub
+    // update on su), so a single cache satisfies at most one of them and
+    // the other re-shuffled the edge frame every round (the before
+    // plan's Sort+Exchange over InMemoryTableScan in each half-step).
+    // Caching the distinct pair frame twice — once partitioned+sorted by
+    // each key — is the standard Pregel dual-layout for bipartite
+    // message passing: the one-time second repartition is paid at build,
+    // and all 4 half-step joins then consume a cache as-is, shuffling
+    // only node-sized score frames.
+    val pairsDistinct = lineitem
+      .join(orders, lineitem("l_orderkey") === orders("o_orderkey"))
+      .select(col("o_custkey").as("cu"), col("l_suppkey").as("su"))
+      .distinct()
+    val edgesByCu = graft.llm.Dedup.tcache(
       s,
-      lineitem
-        .join(orders, lineitem("l_orderkey") === orders("o_orderkey"))
-        .select(col("o_custkey").as("cu"), col("l_suppkey").as("su"))
-        .distinct()
+      pairsDistinct.repartition(col("cu")).sortWithinPartitions("cu")
+    )
+    val edgesBySu = graft.llm.Dedup.tcache(
+      s,
+      edgesByCu.repartition(col("su")).sortWithinPartitions("su")
     )
     val G = 1000000000000L // the 1e-12 score grid
     // renormalize a raw DECIMAL(38) score sum to the grid: raw·10¹²
@@ -866,13 +895,13 @@ object Graph {
     // doubles the logical subtree per half-step — the q197 lineage-
     // blowup failure mode (measured 9.7 s at sf0.001 for 4 half-steps
     // vs ~0.5 s cached). The cached frames are node-sized.
-    var h = edges.select(col("cu")).distinct().withColumn("sc", lit(G))
+    var h = edgesByCu.select(col("cu")).distinct().withColumn("sc", lit(G))
     var a: DataFrame = null
     for (_ <- 1 to 2) {
       a = renorm(
         graft.llm.Dedup.tcache(
           s,
-          edges
+          edgesByCu
             .join(h.withColumnRenamed("sc", "hs"), "cu")
             .groupBy("su")
             .agg(sum(col("hs").cast("decimal(38,0)")).as("raw"))
@@ -883,7 +912,7 @@ object Graph {
       h = renorm(
         graft.llm.Dedup.tcache(
           s,
-          edges
+          edgesBySu
             .join(a.withColumnRenamed("sc", "as_"), "su")
             .groupBy("cu")
             .agg(sum(col("as_").cast("decimal(38,0)")).as("raw"))
@@ -945,18 +974,27 @@ object Graph {
       .union(e.select(col("b").as("z"), col("a").as("n")))
     var lab = und.select(col("z").as("node")).distinct()
       .withColumn("lab", col("node"))
-    val wArg = org.apache.spark.sql.expressions.Window
-      .partitionBy("z")
-      .orderBy(desc("c"), col("lab"))
     for (_ <- 1 to 3) {
       val prev = lab.select(col("node").as("n"), col("lab").as("nl"))
+      // argmax via max_by over (count, −label) — the identical
+      // (count desc, label asc) winner the previous row_number window
+      // computed, with a UNIQUE ordering key (the label rides inside
+      // it), so no tie exists for max_by to break arbitrarily. One
+      // hash aggregate instead of Exchange+Sort+Window per round
+      // (guide §2.4 — the window's sort bought nothing but the top-1).
+      // prev is node-sized (supplier catalog — the q182 broadcast
+      // argument), so the message join never shuffles the edge frame.
+      // ONE exchange per round: the message stream repartitions by the
+      // center z once, and BOTH aggregates (the (z, label) count and the
+      // per-z argmax) then ride that partitioning shuffle-free —
+      // hashpartitioning(z) satisfies each one's clustering.
       lab = und
-        .join(prev, "n")
+        .join(broadcast(prev), "n")
+        .repartition(col("z"))
         .groupBy(col("z"), col("nl").as("lab"))
         .agg(count(lit(1)).as("c"))
-        .withColumn("rk", row_number().over(wArg))
-        .filter(col("rk") === 1)
-        .select(col("z").as("node"), col("lab"))
+        .groupBy(col("z").as("node"))
+        .agg(max_by(col("lab"), struct(col("c"), -col("lab"))).as("lab"))
     }
     lab
   }
@@ -995,7 +1033,12 @@ object Graph {
     */
   private def q222(s: SparkSession, dir: String): DataFrame = {
     val e = graft.llm.Dedup.tcache(s, cooccurrenceEdges(s, dir))
-    val lab = lpaLabels(s, dir)
+    // cached (tracked, released per bench iteration): the label frame is
+    // referenced THREE times below (la, lb, and the degree rollup) —
+    // uncached, the whole 3-round LPA pipeline re-executes per reference
+    // (measured 5.3 s at sf0.1 vs ~2.4 s cached; the q197/q220 shared-
+    // subtree discipline). The frame is node-sized.
+    val lab = graft.llm.Dedup.tcache(s, lpaLabels(s, dir))
     val la = lab.select(col("node").as("a"), col("lab").as("la"))
     val lb = lab.select(col("node").as("b"), col("lab").as("lb"))
     val intra = e
