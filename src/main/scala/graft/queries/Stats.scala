@@ -498,12 +498,19 @@ object Stats {
     * replica id.
     */
   private def q152(s: SparkSession, dir: String): DataFrame = {
-    val base = Tables
-      .table(s, dir, "events")
-      .select(
-        col("event_id"),
-        round(col("value") * 100.0, 0).cast("long").as("vc")
-      )
+    // hash-spread (r16): the 11-md5s-per-row replica expansion below is
+    // fused into the single-task scan stage otherwise — one explicit
+    // exchange of the 2-column frame puts the hash work on every core
+    // (measured 4.6 s → 1.0 s at sf0.1; see Tables.spread).
+    val base = Tables.spread(
+      Tables
+        .table(s, dir, "events")
+        .select(
+          col("event_id"),
+          round(col("value") * 100.0, 0).cast("long").as("vc")
+        ),
+      "event_id"
+    )
     // One md5 seeds THREE replicas: the 32-hex digest splits into three
     // 10-hex (40-bit) slices, each reduced mod 10⁶ — the residue bias of
     // a 2^40 → 10⁶ reduction is ≤ 10⁶/2^40 ≈ 10⁻⁶ relative (every

@@ -28,6 +28,30 @@ object Tables {
     else df
   }
 
+  /** Hash-spread a frame across the session's shuffle-partition count,
+    * keyed by a deterministic column (r16, guide §2.5 input skew): the
+    * testdata tables are single-row-group parquet files, so a scan — and
+    * every narrow operation fused into its stage — runs as ONE task no
+    * matter the core count. For queries whose per-row work dominates
+    * (q152's 11 md5s/row, the item-CF pair expansion), one explicit
+    * exchange moves that work onto every core. The partition count is
+    * explicit because AQE would otherwise coalesce the few-MB shuffle
+    * back to one partition, re-serializing the downstream stage
+    * (measured: q152 5.9 s coalesced vs 1.0 s explicit; 4.6 s unspread).
+    * TARGETED, not in [[table]]: a blanket spread taxes every light
+    * query one exchange (+0.2–0.6 s each across the ~250-gate tail,
+    * measured) for wins that exist only where per-row work is heavy.
+    * The key must be deterministic (hash repartition, never round-robin:
+    * retry-safety plus the sortBeforeRepartition cost). At production
+    * scale multi-row-group files make scans parallel and this becomes a
+    * no-op-grade safeguard; numShufflePartitions stays the one knob.
+    */
+  def spread(df: DataFrame, key: String): DataFrame =
+    df.repartition(
+      df.sparkSession.sessionState.conf.numShufflePartitions,
+      org.apache.spark.sql.functions.col(key)
+    )
+
   /** Flowlogs table the Q1-Q4 flow queries run on: the deterministic
     * FlowLogCorpus (150k closed-form lines incl. header/NODATA/
     * quarantine edge cases) pushed through the full ETL once per JVM
