@@ -239,6 +239,11 @@ object Curation {
         .select("da", "db")
         .distinct()
     )
+    // materialize: three downstream branches (two semi-filters + the
+    // verify join) otherwise race the unpopulated cache from concurrent
+    // AQE stages and each re-runs the banded join (the Dedup
+    // bandedBuckets race note)
+    cand.count()
 
     val sh = Dedup.cachedShingles(s, dir)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))

@@ -304,13 +304,22 @@ object Dedup {
         .map(j => element_at(col("sig"), j + 1))
       hash(lit(bi) +: cols: _*)
     }
-    tcache(
+    val banded = tcache(
       s,
       sig.select(
         col("doc_id"),
         posexplode(array(bandCols: _*)).as(Seq("band", "bucket"))
       )
     )
+    // MATERIALIZE before returning (r16): every consumer references this
+    // frame from at least two join branches (q27/q62's banded self-join
+    // sides), and AQE runs independent branch stages CONCURRENTLY — a
+    // not-yet-populated cache is then computed once per racing stage
+    // (block-store locks dedupe stores, not compute), re-running the
+    // whole shingle→signature pipeline per branch. One count() here
+    // serializes the build; the racing branches then read blocks.
+    banded.count()
+    banded
   }
 
   // --------- q212: MinHash estimator calibration vs exact Jaccard
@@ -397,6 +406,10 @@ object Dedup {
         .select("da", "db")
         .distinct()
     )
+    // materialize: cand feeds the verify join and the semi-filter from
+    // CONCURRENT stages (the bandedBuckets race note) — serialize the
+    // banded self-join once instead of once per racing branch
+    cand.count()
 
     val a = sh.select(col("doc_id").as("da"), col("g"))
     // Prefilter the (db, g) side to candidate docs with a semi join

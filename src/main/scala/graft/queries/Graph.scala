@@ -187,9 +187,16 @@ object Graph {
     * count shuffle itself shrinks by the sampling rate).
     */
   private def pairStream(s: SparkSession, dir: String): DataFrame = {
+    // hash-spread (r16, Tables.spread note): the single-row-group
+    // lineitem scan pins the collect_set partial aggregate to one task
+    // otherwise; q80b re-pays this build cold every reading
     val grouped = Tables
-      .table(s, dir, "lineitem")
-      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+      .spread(
+        Tables
+          .table(s, dir, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk")),
+        "ok"
+      )
       .groupBy("ok")
       .agg(sort_array(collect_set("sk")).as("s"))
     // (s[i], s[j]) for i < j: the array is sorted, so pairs are canonical
@@ -310,6 +317,13 @@ object Graph {
     * `edges` must be cached by the caller (three consumers).
     */
   private def triangleStats(edges: DataFrame): DataFrame = {
+    val s = edges.sparkSession
+    // materialize the caller's cached edge frame before the fan-out: the
+    // three crossJoined output aggregates (and the multi-arm joins
+    // below) otherwise race the unpopulated cache from concurrent AQE
+    // stages and each re-runs the edge build (the Dedup bandedBuckets
+    // race note)
+    edges.count()
     val deg = edges
       .select(col("a").as("v"))
       .unionAll(edges.select(col("b").as("v")))
@@ -317,20 +331,33 @@ object Graph {
       .agg(count(lit(1)).as("deg"))
     // orient low-(deg, id) → high-(deg, id); deg is node-sized, AQE
     // picks the broadcast side
-    val directed = edges
-      .join(deg.select(col("v").as("a"), col("deg").as("da")), "a")
-      .join(deg.select(col("v").as("b"), col("deg").as("db")), "b")
-      .select(
-        when(
-          col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
-          struct(col("a").as("src"), col("b").as("dst"))
-        ).otherwise(struct(col("b").as("src"), col("a").as("dst")))
-          .as("e")
-      )
-      .select(col("e.src").as("src"), col("e.dst").as("dst"))
-    val adj = directed
-      .groupBy("src")
-      .agg(sort_array(collect_list("dst")).as("nbrs"))
+    // cached + materialized (r16): directed feeds BOTH perEdge join arms
+    // plus the adjacency build — three concurrent consumers that each
+    // re-ran the two orientation joins when left lazy
+    val directed = graft.llm.Dedup.tcache(
+      s,
+      edges
+        .join(deg.select(col("v").as("a"), col("deg").as("da")), "a")
+        .join(deg.select(col("v").as("b"), col("deg").as("db")), "b")
+        .select(
+          when(
+            col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
+            struct(col("a").as("src"), col("b").as("dst"))
+          ).otherwise(struct(col("b").as("src"), col("a").as("dst")))
+            .as("e")
+        )
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+    )
+    directed.count()
+    // cached + materialized: both perEdge arms consume the adjacency
+    // frame; node-sized (arrays total Σ outdeg = m longs)
+    val adj = graft.llm.Dedup.tcache(
+      s,
+      directed
+        .groupBy("src")
+        .agg(sort_array(collect_list("dst")).as("nbrs"))
+    )
+    adj.count()
     // inner joins drop edges whose endpoint has no out-neighbors — those
     // close no triangle at that edge, so the sum is unchanged; coalesce
     // covers the all-dropped (e.g. star-graph) case
@@ -380,6 +407,13 @@ object Graph {
         .groupBy("a", "b")
         .agg(count(lit(1)).as("c"))
     )
+    // materialize both caches in order (r16): triangleStats' three
+    // crossJoined aggregates (and the edge-iterator's own multi-branch
+    // joins) otherwise race the unpopulated caches from concurrent AQE
+    // stages, each re-running the full corpus pair stream + md5 keep
+    // (the Dedup bandedBuckets race note; measured ~20 duplicate
+    // pair-count jobs in one q80b run).
+    sampledCounts.count()
     val sampled = graft.llm.Dedup.tcache(
       s,
       sampledCounts
@@ -387,6 +421,7 @@ object Graph {
         .filter(col("c") > col("cavg"))
         .select("a", "b")
     )
+    sampled.count()
     triangleStats(sampled)
       .select(
         col("n_nodes"),
