@@ -472,6 +472,9 @@ object Dedup {
       s,
       words.groupBy("doc_id").agg(simhashAgg(col("h")).as("simhash"))
     )
+    // materialize: both banded self-join sides race the unpopulated
+    // cache from concurrent AQE stages (the bandedBuckets race note)
+    sig.count()
 
     val blockCols = (0 until SimHashBlocks).map { bi =>
       shiftright(col("simhash"), bi * 15).bitwiseAND(lit(0x7fffL))
@@ -794,6 +797,10 @@ object Dedup {
         )
         .withColumn("h", md5(col("chunk")))
     )
+    // materialize: the first-occurrence aggregate and the keep-join
+    // probe side race the unpopulated cache otherwise (bandedBuckets
+    // race note)
+    chunks.count()
 
     val firsts = chunks
       .groupBy("h")

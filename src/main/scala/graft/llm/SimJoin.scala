@@ -70,6 +70,10 @@ object SimJoin {
           size(col("sg")).as("n")
         )
     )
+    // materialize: four consumers (both prefix self-join sides, both
+    // verify-join arms) otherwise race the unpopulated cache from
+    // concurrent AQE stages (the Dedup bandedBuckets race note)
+    ordered.count()
     // prefix length n − ⌈t·n⌉ + 1 with ⌈7n/10⌉ = (7n+9) div 10 — exact
     // integer arithmetic, no float boundary
     val pref = ordered.select(
@@ -297,6 +301,10 @@ object SimJoin {
           size(col("sg")).as("n")
         )
     )
+    // materialize: four consumers (prefix explode, posting list, both
+    // verify-join arms) otherwise race the unpopulated cache from
+    // concurrent AQE stages (the Dedup bandedBuckets race note)
+    ordered.count()
     // prefix |A| − ⌈0.8·|A|⌉ + 1 with ⌈8n/10⌉ = (8n+9) div 10 — exact
     val pref = ordered
       .filter(col("n") >= MinContained)

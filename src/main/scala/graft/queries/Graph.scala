@@ -500,6 +500,9 @@ object Graph {
       e.select(col("a").as("src"), col("b").as("dst"), col("c").as("w"))
         .unionAll(e.select(col("b").as("src"), col("a").as("dst"), col("c").as("w")))
     )
+    // materialize: the source-seed aggregate and round-1's join race the
+    // unpopulated cache otherwise (bandedBuckets race note)
+    und.count()
     var dist = und
       .agg(min("src").as("node"))
       .withColumn("dist", lit(0L))
@@ -910,10 +913,16 @@ object Graph {
       s,
       pairsDistinct.repartition(col("cu")).sortWithinPartitions("cu")
     )
+    // materialize byCu before bySu derives from it, and both before the
+    // half-step fan-out: the score-init distinct and the round-1 join
+    // otherwise race the unpopulated cache from concurrent AQE stages
+    // (the Dedup bandedBuckets race note)
+    edgesByCu.count()
     val edgesBySu = graft.llm.Dedup.tcache(
       s,
       edgesByCu.repartition(col("su")).sortWithinPartitions("su")
     )
+    edgesBySu.count()
     val G = 1000000000000L // the 1e-12 score grid
     // renormalize a raw DECIMAL(38) score sum to the grid: raw·10¹²
     // div total — exact integer arithmetic on both engines (the sums
@@ -1074,6 +1083,11 @@ object Graph {
     // (measured 5.3 s at sf0.1 vs ~2.4 s cached; the q197/q220 shared-
     // subtree discipline). The frame is node-sized.
     val lab = graft.llm.Dedup.tcache(s, lpaLabels(s, dir))
+    // materialize: WITHOUT this the three consumers below race the
+    // unpopulated cache from concurrent AQE stages and each re-runs the
+    // whole 3-round LPA (the cache alone did not change the measured
+    // time; the barrier is what makes it one run)
+    lab.count()
     val la = lab.select(col("node").as("a"), col("lab").as("la"))
     val lb = lab.select(col("node").as("b"), col("lab").as("lb"))
     val intra = e
