@@ -104,12 +104,18 @@ object ConvertJob {
       codec: String = "snappy"
   ): Unit = {
     import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
-    val salt = pmod(
-      xxhash64(FlowLogSchema.columns.map { case (n, _) => col(n) }: _*),
-      lit(filesPerPartition)
-    )
     val partitionCols = FlowLogSchema.partitionColumns.map(col)
-    df.repartition(partitionCols :+ salt: _*)
+    // at the default filesPerPartition=1 the salt is pmod(·, 1) ≡ 0 —
+    // skip the 14-column xxhash64 per row entirely (r16; same key
+    // clustering, one file per key either way)
+    val repartitionCols =
+      if (filesPerPartition <= 1) partitionCols
+      else
+        partitionCols :+ pmod(
+          xxhash64(FlowLogSchema.columns.map { case (n, _) => col(n) }: _*),
+          lit(filesPerPartition)
+        )
+    df.repartition(repartitionCols: _*)
       .write
       .mode(mode)
       .option("maxRecordsPerFile", 5000000)
