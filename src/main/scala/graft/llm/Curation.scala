@@ -378,15 +378,22 @@ object Curation {
   private val DsirBuckets = 256
 
   private def q64(s: SparkSession, dir: String): DataFrame = {
-    val toks = Tables
-      .table(s, dir, "documents")
-      .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("w"))
-      .filter(col("w") =!= "")
-      .withColumn(
-        "b",
-        conv(substring(md5(col("w").cast("binary")), 1, 15), 16, 10)
-          .cast("long") % DsirBuckets
-      )
+    // cached + materialized (r16): three consumers (bucket counts, the
+    // totals aggregate, the per-doc score join) otherwise each re-run the
+    // tokenize + per-token md5 pass (the Dedup bandedBuckets race note)
+    val toks = Dedup.tcache(
+      s,
+      Tables
+        .table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "")
+        .withColumn(
+          "b",
+          conv(substring(md5(col("w").cast("binary")), 1, 15), 16, 10)
+            .cast("long") % DsirBuckets
+        )
+    )
+    toks.count()
     val buckets = toks
       .groupBy("b")
       .agg(

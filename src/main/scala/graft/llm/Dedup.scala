@@ -180,7 +180,11 @@ object Dedup {
     */
   private[llm] def exactJaccardPairs(s: SparkSession, dir: String): DataFrame = {
     val sh = cachedShingles(s, dir)
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    // cached + materialized (r16): jaccardOf joins the size frame on BOTH
+    // pair ends, so every consumer (q26/q50/q206/q212/q62…) re-ran the
+    // doc-size aggregate twice when left lazy; doc-count-sized frame
+    val sizes = tcache(s, sh.groupBy("doc_id").agg(count(lit(1)).as("n")))
+    sizes.count()
     val a = sh.select(col("doc_id").as("da"), col("g"))
     val b = sh.select(col("doc_id").as("db"), col("g"))
     val inter = a
@@ -358,7 +362,14 @@ object Dedup {
     val minhash = udaf(
       new graft.functions.MinHashAggregator(hashA, hashB, MinHashP)
     )
-    val sig = withH.groupBy("doc_id").agg(minhash(col("h")).as("sig"))
+    // cached + materialized (r16): the signature frame is joined on both
+    // pair ends below — uncached, the corpus-pass UDAF aggregate ran
+    // once per join side (the exactJaccardPairs sizes note)
+    val sig = tcache(
+      s,
+      withH.groupBy("doc_id").agg(minhash(col("h")).as("sig"))
+    )
+    sig.count()
     exactJaccardPairs(s, dir)
       .join(sig.select(col("doc_id").as("da"), col("sig").as("siga")), "da")
       .join(sig.select(col("doc_id").as("db"), col("sig").as("sigb")), "db")

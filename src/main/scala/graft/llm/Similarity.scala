@@ -761,7 +761,14 @@ object Similarity {
     * the point: it IS the offline tuning job.
     */
   private def q235(s: SparkSession, dir: String): DataFrame = {
-    val exact = q30(s, dir).select("probe_id", "neighbor_id")
+    // cached + materialized (r16): the exact top-k baseline is the semi-
+    // join build side of EVERY sweep point — uncached, the brute-force
+    // q30 pass re-ran once per nprobe value
+    val exact = graft.llm.Dedup.tcache(
+      s,
+      q30(s, dir).select("probe_id", "neighbor_id")
+    )
+    exact.count()
     NprobeSweep
       .map { np =>
         val appr = ivfKnn(s, dir, IvfCells, np)
