@@ -72,6 +72,19 @@ object Sessions {
       .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    // WindowExec's "No Partition Defined" WARN fires per-execution on
+    // EVERY unpartitioned window — including the ~45 audited frames that
+    // are bounded by construction (shard offsets, value frames, post-
+    // limit top-k; each mapped to its bound in GlobalWindowAuditSpec's
+    // allowlist, which also pins that NO unaudited gate grows one).
+    // After that adjudication the WARN is pure log flood (hundreds of
+    // lines in a full bench/verify tail), so it is silenced HERE, at the
+    // session factory — the audit spec, not the log, is what prevents a
+    // corpus-sized global window from shipping (r15 ask #6 / r16 ask #7).
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR
+    )
     s
   }
 }

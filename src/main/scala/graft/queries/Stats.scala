@@ -1749,7 +1749,12 @@ object Stats {
     * arithmetic — C and D are Σ cₐ·c_b over joint VALUE cells (never a
     * float), tie terms are exact integer sums, the one division and
     * √ run on exactly-representable integers (BIGINT-safe to ~10⁹
-    * docs; the DECIMAL(38) swap-in is the q185 convention).
+    * docs; the DECIMAL(38) swap-in is the q185 convention). The
+    * render snaps τ to the 1e-6 grid with floor(·×1e6)/1e6 — one
+    * IEEE multiply + floor both engines spell bit-identically — never
+    * round(·, 6), whose decimal-midpoint behavior is
+    * implementation-defined across engines (the r16 q204/q216/q217
+    * hash failures).
     *
     * Scale shape: the corpus collapses to the joint (x, y) VALUE-cell
     * frame in one aggregate; both metrics are DOMAIN-bounded (words ≤
@@ -1800,7 +1805,7 @@ object Stats {
         col("nd").as("discordant"),
         col("n1").as("ties_x"),
         col("n2").as("ties_y"),
-        (round(
+        (floor(
           (col("nc") - col("nd")).cast("double") /
             nullif(
               sqrt(
@@ -1808,9 +1813,8 @@ object Stats {
                   (col("n0") - col("n2")).cast("double")
               ),
               lit(0.0d)
-            ),
-          6
-        ) + 0.0).as("kendall_tau_b")
+            ) * 1.0e6
+        ).cast("double") / 1.0e6 + 0.0).as("kendall_tau_b")
       )
   }
 
@@ -1994,9 +1998,11 @@ object Stats {
     * interpolation float); |v−med| is an exact integer, so the z
     * moments are DECIMAL(38) exact sums cast to double ONCE (the
     * q120/q185 convention) and F is a single IEEE dag both engines
-    * spell identically. The significance call compares the raw F dag
-    * against the exact double literal 3.8415999999999997 (the q201 z²
-    * convention — F(1,∞) = z²).
+    * spell identically; the render snaps F to the 1e-6 grid with
+    * floor(·×1e6)/1e6 (the q204 discipline — round(·, 6) is
+    * implementation-defined at decimal midpoints). The significance
+    * call compares the raw F dag against the exact double literal
+    * 3.8415999999999997 (the q201 z² convention — F(1,∞) = z²).
     *
     * Scale shape: ONE corpus hash aggregate to the per-(arm, centi
     * value) frame; medians, z-moments, and F all derive from that
@@ -2071,7 +2077,8 @@ object Stats {
         col("nb"),
         (col("ma").cast("double") / 100.0d).as("median_a"),
         (col("mb").cast("double") / 100.0d).as("median_b"),
-        (round(col("f_raw"), 6) + 0.0).as("f_stat"),
+        (floor(col("f_raw") * 1.0e6).cast("double") / 1.0e6 + 0.0)
+          .as("f_stat"),
         (col("f_raw") > lit(3.8415999999999997d)).as("spread_differs")
       )
   }
@@ -2092,7 +2099,11 @@ object Stats {
     * variance term d(n−d)/n³ to the 1e-12 grid (exact integers inside
     * one IEEE division each); BOTH cumulations are exact BIGINT sums
     * over the duration value frame, so H and its variance are
-    * engine-exact before the one exp render.
+    * engine-exact before the renders. The renders are pure integer
+    * grid coarsenings (cum_h9 div 1000 / cum_v12 div 1000 — no float
+    * round at all) and the one exp output snaps to the 1e-6 grid with
+    * floor(·×1e6)/1e6 (the q204 discipline; round(·, 6) is
+    * implementation-defined at decimal midpoints).
     *
     * Scale shape: q174's exactly — one corpus hash aggregate to
     * per-user durations, then cumulations over the ≤ observation-
@@ -2140,10 +2151,10 @@ object Stats {
         col("dur").cast("int").as("t_days"),
         col("n_t").as("n_risk"),
         col("d_t").as("d_events"),
-        (round(col("cum_h9").cast("double") / 1.0e9, 6) + 0.0).as("cum_hazard"),
-        (round(col("cum_v12").cast("double") / 1.0e12, 9) + 0.0).as("hazard_var"),
-        (round(exp(-col("cum_h9").cast("double") / 1.0e9), 6) + 0.0)
-          .as("fh_survival")
+        (expr("cum_h9 div 1000").cast("double") / 1.0e6 + 0.0).as("cum_hazard"),
+        (expr("cum_v12 div 1000").cast("double") / 1.0e9 + 0.0).as("hazard_var"),
+        (floor(exp(-col("cum_h9").cast("double") / 1.0e9) * 1.0e6)
+          .cast("double") / 1.0e6 + 0.0).as("fh_survival")
       )
       .orderBy("t_days")
   }
@@ -4745,7 +4756,7 @@ object Stats {
         |SELECT na, nb,
         |  CAST(ma AS DOUBLE) / 100.0 AS median_a,
         |  CAST(mb AS DOUBLE) / 100.0 AS median_b,
-        |  round(f_raw, 6) + 0.0 AS f_stat,
+        |  CAST(floor(f_raw * 1.0e6) AS DOUBLE) / 1.0e6 + 0.0 AS f_stat,
         |  f_raw > 3.8415999999999997 AS spread_differs
         |FROM f""".stripMargin,
     // q174's duration frame verbatim; per-time d/n on the 1e-9 grid,
@@ -4784,9 +4795,10 @@ object Stats {
         |    sum(v12) OVER (ORDER BY dur ROWS UNBOUNDED PRECEDING) AS cum_v12
         |  FROM terms)
         |SELECT CAST(dur AS INT) AS t_days, n_t AS n_risk, d_t AS d_events,
-        |  round(CAST(cum_h9 AS DOUBLE) / 1.0e9, 6) + 0.0 AS cum_hazard,
-        |  round(CAST(cum_v12 AS DOUBLE) / 1.0e12, 9) + 0.0 AS hazard_var,
-        |  round(exp(-CAST(cum_h9 AS DOUBLE) / 1.0e9), 6) + 0.0 AS fh_survival
+        |  CAST(cum_h9 // 1000 AS DOUBLE) / 1.0e6 + 0.0 AS cum_hazard,
+        |  CAST(cum_v12 // 1000 AS DOUBLE) / 1.0e9 + 0.0 AS hazard_var,
+        |  CAST(floor(exp(-CAST(cum_h9 AS DOUBLE) / 1.0e9) * 1.0e6) AS DOUBLE)
+        |    / 1.0e6 + 0.0 AS fh_survival
         |FROM cum WHERE d_t > 0 ORDER BY t_days""".stripMargin,
     // same ≤4-row score-bin frame, exact BIGINT moments and T, the
     // variance product on HUGEINT cast once, same z dag + exact-literal
@@ -4912,9 +4924,10 @@ object Stats {
         |  FROM cd, tots, tx, ty)
         |SELECT n AS n_docs, nc AS concordant, nd AS discordant,
         |  n1 AS ties_x, n2 AS ties_y,
-        |  round(CAST(nc - nd AS DOUBLE)
-        |        / nullif(sqrt(CAST(n0 - n1 AS DOUBLE)
-        |                      * CAST(n0 - n2 AS DOUBLE)), 0.0), 6) + 0.0
+        |  CAST(floor(CAST(nc - nd AS DOUBLE)
+        |             / nullif(sqrt(CAST(n0 - n1 AS DOUBLE)
+        |                           * CAST(n0 - n2 AS DOUBLE)), 0.0)
+        |             * 1.0e6) AS DOUBLE) / 1.0e6 + 0.0
         |    AS kendall_tau_b
         |FROM f""".stripMargin,
     "q120_ols_probe" -> q120OracleSql,

@@ -47,6 +47,9 @@ class Round16ReplaySpec extends SparkSpec {
     assert(row.getLong(1) === c && row.getLong(2) === dd)
     assert(row.getLong(3) === tx && row.getLong(4) === ty)
     assert(math.abs(row.getDouble(5) - tau) < 1e-6)
+    // r17 grid pin: the render is floor(τ·1e6)/1e6 — bit-exact, never
+    // an engine round(·, 6) (implementation-defined at midpoints)
+    assert(row.getDouble(5) === math.floor(tau * 1.0e6) / 1.0e6)
   }
 
   test("q205 MMR equals a literal greedy loop on textbook scores") {

@@ -63,6 +63,8 @@ class Round16bReplaySpec extends SparkSpec {
     assert(r.getLong(0) === na && r.getLong(1) === nb)
     assert(r.getDouble(2) === ma / 100.0 && r.getDouble(3) === mb / 100.0)
     assert(math.abs(r.getDouble(4) - f) < 1e-5)
+    // r17 grid pin: floor(F·1e6)/1e6, never an engine round(·, 6)
+    assert(r.getDouble(4) === math.floor(f * 1.0e6) / 1.0e6)
     assert(r.getBoolean(5) === (f > 3.8415999999999997))
   }
 
@@ -108,6 +110,14 @@ class Round16bReplaySpec extends SparkSpec {
         assert(math.abs(r.getDouble(3) - cumH9 / 1e9) < 1e-6)
         assert(math.abs(r.getDouble(4) - cumV12 / 1e12) < 1e-9)
         assert(math.abs(r.getDouble(5) - math.exp(-cumH9 / 1e9)) < 1e-6)
+        // r17 grid pins: integer coarsenings + floor grid, never an
+        // engine round(·, n) (implementation-defined at midpoints)
+        assert(r.getDouble(3) === (cumH9 / 1000L).toDouble / 1.0e6)
+        assert(r.getDouble(4) === (cumV12 / 1000L).toDouble / 1.0e9)
+        assert(
+          r.getDouble(5) ===
+            math.floor(math.exp(-cumH9 / 1e9) * 1.0e6) / 1.0e6
+        )
         i += 1
       }
     }
